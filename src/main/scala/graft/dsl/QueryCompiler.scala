@@ -1,0 +1,100 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles the backend-neutral query DSL to Catalyst `Column` trees — the
+  * Spark analog of the reference's two hand-written translators
+  * (`ElasticsearchUtils.convertToElasticsearchFilter`,
+  * `aleph2_crud_service_elasticsearch/.../utils/ElasticsearchUtils.java:81-253`;
+  * `MongoDbUtils.convertToMongoQuery`,
+  * `aleph2_crud_service_mongodb/.../utils/MongoDbUtils.java:67-222`).
+  *
+  * Because the output is a declarative `Column` predicate applied to a
+  * DataFrame, Catalyst gets full predicate pushdown / partition pruning /
+  * column pruning for free — the reference had to hand-build each of those
+  * (e.g. `interpretObviousDateRange`, `ElasticsearchUtils.java:261-292`, is
+  * subsumed by partition pruning on the time-partition column).
+  */
+object QueryCompiler {
+
+  /** Convert a DSL value to a literal Column. Dates are polymorphic on input
+    * in the reference (`ElasticsearchUtils.java:298-305` `toLongDate`):
+    * epoch-long handled by caller context; we pass through native types and
+    * coerce java.time types to their SQL equivalents. */
+  private def normalize(v: Any): Any = v match {
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+    case d: java.util.Date if !d.isInstanceOf[java.sql.Date] &&
+        !d.isInstanceOf[java.sql.Timestamp] =>
+      new java.sql.Timestamp(d.getTime)
+    case other => other
+  }
+
+  private def toLit(v: Any): Column = v match {
+    case c: Column => c
+    case other => lit(normalize(other))
+  }
+
+  /** Dot-path field access (F11). `col("a.b.c")` resolves nested struct
+    * fields natively in Catalyst (`GetStructField`). */
+  private def topLevel(f: String): Column = col(f)
+
+  def compileClause(c: Clause): Column = compileClause(c, topLevel)
+
+  def compileClause(c: Clause, field: String => Column): Column = c match {
+    case Eq(f, v, false) => field(f) === toLit(v)
+    case Eq(f, v, true) => !(field(f) <=> toLit(v)) // whenNot: null-safe negation
+    case AnyOf(f, vs) =>
+      // In expression (not an OR chain) so the parquet source gets an In
+      // pushdown filter — the analog of ES termsFilter execution("or").
+      field(f).isin(vs.map(normalize): _*)
+    case AllOf(f, vs) =>
+      // array field must contain every value (ES termsFilter execution("and"),
+      // Mongo $all). array_intersect is order/dup-insensitive.
+      size(array_intersect(field(f), array(vs.map(toLit): _*))) === lit(vs.distinct.size)
+    case Present(f, true) => field(f).isNotNull
+    case Present(f, false) => field(f).isNull
+    case RangeClause(f, lo, loInc, hi, hiInc) =>
+      val loC = lo.map(v => if (loInc) field(f) >= toLit(v) else field(f) > toLit(v))
+      val hiC = hi.map(v => if (hiInc) field(f) <= toLit(v) else field(f) < toLit(v))
+      (loC, hiC) match {
+        case (Some(a), Some(b)) => a && b
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => lit(true)
+      }
+  }
+
+  /** QueryComponent tree → one Column predicate (recursive, F7). */
+  def compile(q: QueryComponent): Column = compileWith(q, topLevel)
+
+  /** Same, with a custom field resolver — used to evaluate a nested query
+    * against array *elements* (update DSL U7 `$pull`-with-query), where the
+    * reference nests a QueryComponent inside the update
+    * (`MongoDbUtils.java:325-326`). */
+  def compileWith(q: QueryComponent, field: String => Column): Column = q match {
+    case SingleQuery(Nil, _, _) => lit(true)
+    case SingleQuery(cs, any, _) =>
+      cs.map(compileClause(_, field)).reduce((a, b) => if (any) a || b else a && b)
+    case MultiQuery(_, Nil, _) => lit(true)
+    case MultiQuery(and, qs, _) =>
+      qs.map(compileWith(_, field)).reduce((a, b) => if (and) a && b else a || b)
+  }
+
+  /** Apply predicate + meta (sort F9, limit F8, projection F10) to a frame —
+    * the full read path of `getObjectsBySpec`
+    * (`ElasticsearchCrudService.java:750-799`). */
+  def run(df: DataFrame, q: QueryComponent): DataFrame = {
+    var out = df.filter(compile(q))
+    val m = q.meta
+    if (m.orderBy.nonEmpty)
+      out = out.orderBy(m.orderBy.map { case (f, dir) =>
+        if (dir < 0) col(f).desc else col(f).asc
+      }: _*)
+    m.limit.foreach(n => out = out.limit(n))
+    if (m.includes.nonEmpty) out = out.select(m.includes.map(col): _*)
+    else if (m.excludes.nonEmpty) out = out.drop(m.excludes: _*)
+    out
+  }
+}

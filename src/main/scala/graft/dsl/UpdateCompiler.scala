@@ -1,0 +1,80 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles the update DSL to a table *rewrite*: every op becomes a
+  * per-column expression guarded by the match predicate, evaluated in one
+  * declarative pass over the table (no driver-side loops — the rewrite is a
+  * single Catalyst plan that scales with executors).
+  *
+  * Semantics source: `MongoDbUtils.createUpdateObject`
+  * (`aleph2_crud_service_mongodb/.../utils/MongoDbUtils.java:273-336`) and its
+  * application in `MongoDbCrudService.updateObjectsBySpec`
+  * (`MongoDbCrudService.java:493-525`).
+  */
+object UpdateCompiler {
+
+  private def guarded(pred: Column, updated: Column, orig: Column): Column =
+    when(coalesce(pred, lit(false)), updated).otherwise(orig)
+
+  /** Rewrite `df` so rows matching `pred` have `u` applied (U1-U8).
+    * Rows matching a [[DeleteDoc]] sentinel are dropped (U8).
+    * Non-matching rows pass through byte-identical. */
+  def applyUpdate(df: DataFrame, pred: Column, u: UpdateComponent): DataFrame = {
+    if (u.ops.contains(DeleteDoc))
+      return df.filter(!coalesce(pred, lit(false)))
+    u.ops.foldLeft(df) { (cur, op) =>
+      op match {
+        case SetField(f, v) =>
+          val orig = if (cur.columns.contains(f)) col(f) else lit(null)
+          cur.withColumn(f, guarded(pred, lit(v), orig))
+        case UnsetField(f) =>
+          if (!cur.columns.contains(f)) cur
+          else cur.withColumn(f,
+            guarded(pred, lit(null).cast(cur.schema(f).dataType), col(f)))
+        case Increment(f, by) =>
+          cur.withColumn(f, guarded(pred, coalesce(col(f), lit(0)) + lit(by), col(f)))
+        case AddItems(f, vs, dedup) if vs.nonEmpty =>
+          val items = array(vs.map(lit): _*)
+          val emptyT = org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.catalyst.expressions.Literal(vs.head).dataType)
+          val appended =
+            if (dedup) array_union(coalesce(col(f), items), items) // $addToSet
+            else concat(coalesce(col(f), array().cast(emptyT)), items) // $push
+          cur.withColumn(f, guarded(pred, appended, col(f)))
+        case AddItems(_, _, _) => cur
+        case RemoveItems(f, vs) => // $pullAll
+          cur.withColumn(f,
+            guarded(pred, array_except(col(f), array(vs.map(lit): _*)), col(f)))
+        case RemoveMatching(f, q) => // $pull with nested query on elements
+          val keep = (x: Column) => {
+            val resolver: String => Column =
+              name => if (name.isEmpty) x else name.split('.').foldLeft(x)(_.getField(_))
+            !QueryCompiler.compileWith(q, resolver)
+          }
+          cur.withColumn(f, guarded(pred, filter(col(f), keep), col(f)))
+        case DeleteDoc => cur // handled above
+      }
+    }
+  }
+
+  /** U11 `deleteObjectsBySpec` — rewrite keeping non-matching rows; with
+    * meta (sort+limit) = the reference's "top-k delete"
+    * (`MongoDbCrudService.java:600-631`): delete only the top-k matches. */
+  def deleteBySpec(df: DataFrame, q: QueryComponent): DataFrame = {
+    val pred = QueryCompiler.compile(q)
+    q.meta.limit match {
+      case None => df.filter(!coalesce(pred, lit(false)))
+      case Some(k) =>
+        // top-k victims then anti-join back — TakeOrderedAndProject handles
+        // the sort+limit without a global sort of the full table.
+        var victims = df.filter(coalesce(pred, lit(false)))
+        if (q.meta.orderBy.nonEmpty)
+          victims = victims.orderBy(q.meta.orderBy.map { case (f, dir) =>
+            if (dir < 0) col(f).desc else col(f).asc
+          }: _*)
+        df.join(victims.limit(k), df.columns.toSeq, "left_anti")
+    }
+  }
+}

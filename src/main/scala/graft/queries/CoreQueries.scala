@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.dsl.{Query, QueryCompiler}
+
+/** Oracle-checked queries for the core operator inventory (SURVEY §2.2 F*,
+  * read-path R*, §2.4 aggregation, §2.5 joins, §2.6 dedup).
+  *
+  * Conventions:
+  *  - every query ends in a deterministic total order (the matching oracle
+  *    SQL carries the same ORDER BY), so row-hash comparison is stable;
+  *  - inexact double aggregates go through DECIMAL(18,6) per-row casts and a
+  *    DECIMAL(38,6) final cast on BOTH sides — decimal addition is exact and
+  *    order-independent, so Spark's partial-agg ordering can't flip a bit;
+  *  - exact double aggregates (integral quantities, counts) stay double.
+  */
+object CoreQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  val queries: Map[String, Q] = Map(
+    // ---- F1: when/equals ----------------------------------------------
+    "f1_when_eq" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      QueryCompiler.run(t("lineitem"),
+        Query.allOf().when("l_returnflag", "R")
+          .orderBy("l_orderkey" -> 1, "l_linenumber" -> 1))
+    },
+    // ---- F2: whenNot (null-safe negation) -----------------------------
+    "f2_when_not" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      QueryCompiler.run(t("orders"),
+        Query.allOf().whenNot("o_orderstatus", "O").orderBy("o_orderkey" -> 1))
+    },
+    // ---- F3: withAny / any_of → In pushdown ---------------------------
+    "f3_with_any" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      QueryCompiler.run(t("orders"),
+        Query.allOf().withAny("o_orderpriority", Seq("1-URGENT", "2-HIGH"))
+          .orderBy("o_orderkey" -> 1))
+    },
+    // ---- F4: withAll / all_of on an array field -----------------------
+    "f4_with_all" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      val docs = t("documents").withColumn("tokens", split(col("text"), " "))
+      QueryCompiler.run(docs,
+        Query.allOf().withAll("tokens", Seq("spark", "hash"))
+          .orderBy("doc_id" -> 1).withFields("doc_id", "lang"))
+    },
+    // ---- F5: exists / not-exists --------------------------------------
+    "f5_exists" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      val ev = t("events").withColumn("et", expr("nullif(event_type,'click')"))
+      QueryCompiler.run(ev,
+        Query.allOf().withNotPresent("et")
+          .orderBy("event_id" -> 1).withFields("event_id", "user_id"))
+    },
+    // ---- F6: range variants (timestamp + numeric) ---------------------
+    "f6_range" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      QueryCompiler.run(t("lineitem"),
+        Query.allOf()
+          .rangeIn("l_shipdate",
+            java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+            java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+          .rangeAbove("l_quantity", 45.0)
+          .orderBy("l_orderkey" -> 1, "l_linenumber" -> 1))
+    },
+    // ---- F7: nested and/or composition --------------------------------
+    "f7_bool_nesting" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      val q = Query.or(
+        Query.allOf().when("l_returnflag", "A").rangeBelow("l_quantity", 5.0),
+        Query.allOf().when("l_returnflag", "N").rangeAbove("l_quantity", 48.0))
+      t("lineitem").filter(QueryCompiler.compile(q))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // ---- F8+F9: multi-field ±sort with limit (top-k) ------------------
+    "f9_sort_limit" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      QueryCompiler.run(t("orders"),
+        Query.allOf().orderBy("o_totalprice" -> -1, "o_orderkey" -> 1).limit(20))
+    },
+    // ---- F10: projection ----------------------------------------------
+    "f10_projection" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      QueryCompiler.run(t("orders"),
+        Query.allOf().rangeAbove("o_totalprice", 100000.0)
+          .orderBy("o_orderkey" -> 1).withFields("o_orderkey", "o_totalprice"))
+    },
+    // ---- read path: point lookup / counts (SURVEY §2.2 tail) ----------
+    "r1_get_by_id" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      QueryCompiler.run(t("orders"), Query.allOf().when("o_orderkey", 100L))
+    },
+    "r2_count_by_spec" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      t("lineitem").filter(QueryCompiler.compile(
+          Query.allOf().when("l_returnflag", "A").rangeAbove("l_quantity", 30.0)))
+        .agg(count(lit(1)).as("n"))
+    },
+    "r3_count_limited" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      t("lineitem").filter(QueryCompiler.compile(
+          Query.allOf().when("l_returnflag", "A")))
+        .limit(1000).agg(count(lit(1)).as("n"))
+    },
+    // ---- flagship aggregation (TPC-H Q1 shape; partial agg + shuffle) --
+    "q1_agg" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      t("lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast(DecimalType(38, 6)).as("revenue"),
+          count(lit(1)).as("n_rows"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // ---- joins (SURVEY §2.5 J5 surface; broadcast small dims) ----------
+    "j1_join_agg" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      t("orders")
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(dec6(col("o_totalprice"))).cast(DecimalType(38, 6)).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    },
+    "j2_semi" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      t("customer")
+        .join(t("orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    "j3_anti" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      val recent = t("orders").filter(
+        col("o_orderdate") >= java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))
+      t("customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    "j4_outer_count" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      t("customer")
+        .join(t("orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+    // ---- D1/D2: dedup winner-pick via window row_number ----------------
+    "d1_dedup_window" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t("orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_when_eq" ->
+      "SELECT * FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+    "f2_when_not" ->
+      "SELECT * FROM orders WHERE o_orderstatus IS DISTINCT FROM 'O' ORDER BY o_orderkey",
+    "f3_with_any" ->
+      "SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey",
+    "f4_with_all" ->
+      "SELECT doc_id, lang FROM documents WHERE list_has_all(string_split(text, ' '), ['spark','hash']) ORDER BY doc_id",
+    "f5_exists" ->
+      "SELECT event_id, user_id FROM events WHERE nullif(event_type, 'click') IS NULL ORDER BY event_id",
+    "f6_range" ->
+      "SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity >= 45 ORDER BY l_orderkey, l_linenumber",
+    "f7_bool_nesting" ->
+      "SELECT * FROM lineitem WHERE (l_returnflag = 'A' AND l_quantity < 5) OR (l_returnflag = 'N' AND l_quantity >= 48) ORDER BY l_orderkey, l_linenumber",
+    "f9_sort_limit" ->
+      "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "f10_projection" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 100000 ORDER BY o_orderkey",
+    "r1_get_by_id" ->
+      "SELECT * FROM orders WHERE o_orderkey = 100",
+    "r2_count_by_spec" ->
+      "SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 30",
+    "r3_count_limited" ->
+      "SELECT count(*) AS n FROM (SELECT * FROM lineitem WHERE l_returnflag = 'A' LIMIT 1000)",
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue, " +
+        "count(*) AS n_rows, sum(l_quantity) / count(*) AS avg_qty " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "j1_join_agg" ->
+      ("SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spend, " +
+        "count(*) AS n_orders FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "j2_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "j3_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey",
+    "j4_outer_count" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "d1_dedup_window" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +
+        "WHERE rn = 1 ORDER BY o_custkey")
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dsl._
+
+/** Shared session for all suites (one JVM per `sbt test` fork). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class DslSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private lazy val orders = Tables.t(spark, TestSession.sf, "orders").cache()
+
+  test("F1 when: equality filter matches manual filter") {
+    val dsl = QueryCompiler.run(orders, Query.allOf().when("o_orderstatus", "F")).count()
+    val raw = orders.filter(col("o_orderstatus") === "F").count()
+    assert(dsl === raw && dsl > 0)
+  }
+
+  test("F2 whenNot is null-safe (matches IS DISTINCT FROM)") {
+    val withNulls = orders.withColumn("st", expr("nullif(o_orderstatus,'O')"))
+    val n = QueryCompiler.run(withNulls, Query.allOf().whenNot("st", "F")).count()
+    val expected = withNulls.filter(!(col("st") <=> "F")).count()
+    assert(n === expected)
+    // null rows count as "not equal" — they must be included
+    assert(n > withNulls.filter(col("st") =!= "F").count())
+  }
+
+  test("F3/F6 combination and nesting compile to one predicate") {
+    val q = Query.and(
+      Query.allOf().withAny("o_orderpriority", Seq("1-URGENT", "2-HIGH")),
+      Query.anyOf().rangeAbove("o_totalprice", 200000.0).rangeBelow("o_totalprice", 10000.0))
+    val n = QueryCompiler.run(orders, q).count()
+    val expected = orders.filter(
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        (col("o_totalprice") >= 200000.0 || col("o_totalprice") < 10000.0)).count()
+    assert(n === expected)
+  }
+
+  test("F6 range open/closed bounds differ by boundary rows") {
+    val minQty = 1.0
+    val li = Tables.t(spark, TestSession.sf, "lineitem")
+    val closed = QueryCompiler.run(li, Query.allOf().rangeAbove("l_quantity", minQty)).count()
+    val open = QueryCompiler.run(li,
+      Query.allOf().rangeAbove("l_quantity", minQty, inclusive = false)).count()
+    val boundary = li.filter(col("l_quantity") === minQty).count()
+    assert(closed - open === boundary && boundary > 0)
+  }
+
+  test("F8/F9/F10 meta: sort+limit+projection") {
+    val out = QueryCompiler.run(orders,
+      Query.allOf().orderBy("o_totalprice" -> -1).limit(5).withFields("o_orderkey", "o_totalprice"))
+    assert(out.columns.toSeq === Seq("o_orderkey", "o_totalprice"))
+    val prices = out.collect().map(_.getDouble(1)).toSeq
+    assert(prices === prices.sorted.reverse && prices.size === 5)
+  }
+
+  test("U1/U3 set+increment rewrite only matched rows") {
+    val pred = QueryCompiler.compile(Query.allOf().when("o_orderstatus", "F"))
+    val updated = UpdateCompiler.applyUpdate(orders, pred,
+      Update.update().set("o_orderpriority", "0-TOUCHED").increment("o_totalprice", 100))
+    val touched = updated.filter(col("o_orderpriority") === "0-TOUCHED").count()
+    assert(touched === orders.filter(col("o_orderstatus") === "F").count())
+    // untouched rows identical
+    val untouchedBefore = orders.filter(col("o_orderstatus") =!= "F")
+    val untouchedAfter = updated.filter(col("o_orderstatus") =!= "F")
+    assert(untouchedAfter.exceptAll(untouchedBefore).count() === 0)
+    // sum increased by exactly 100 * touched
+    val before = orders.agg(sum("o_totalprice")).head.getDouble(0)
+    val after = updated.agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(after - before - 100.0 * touched) < 1e-6)
+  }
+
+  test("U4/U5/U6 array ops: push, addToSet, pullAll") {
+    val df = orders.limit(10).withColumn("tags", array(lit("a"), lit("b")))
+    val pushed = UpdateCompiler.applyUpdate(df, lit(true),
+      Update.update().push("tags", Seq("b", "c")))
+    assert(pushed.head.getAs[Seq[String]]("tags") === Seq("a", "b", "b", "c"))
+    val added = UpdateCompiler.applyUpdate(df, lit(true),
+      Update.update().push("tags", Seq("b", "c"), dedup = true))
+    assert(added.head.getAs[Seq[String]]("tags") === Seq("a", "b", "c"))
+    val pulled = UpdateCompiler.applyUpdate(pushed, lit(true),
+      Update.update().pullAll("tags", Seq("b")))
+    assert(pulled.head.getAs[Seq[String]]("tags") === Seq("a", "c"))
+  }
+
+  test("U7 pull with element query removes matching elements only") {
+    val df = orders.limit(5).withColumn("xs", array(lit(1), lit(5), lit(10), lit(20)))
+    val pulled = UpdateCompiler.applyUpdate(df, lit(true),
+      Update.update().pull("xs", Query.allOf().rangeAbove("", 10)))
+    assert(pulled.head.getAs[Seq[Int]]("xs") === Seq(1, 5))
+  }
+
+  test("U8/U11 delete: sentinel and top-k delete") {
+    val pred = QueryCompiler.compile(Query.allOf().when("o_orderstatus", "F"))
+    val deleted = UpdateCompiler.applyUpdate(orders, pred, Update.update().deleteDoc())
+    assert(deleted.filter(col("o_orderstatus") === "F").count() === 0)
+
+    val topk = UpdateCompiler.deleteBySpec(orders,
+      Query.allOf().when("o_orderstatus", "F").orderBy("o_totalprice" -> -1).limit(3))
+    assert(orders.count() - topk.count() === 3)
+    // the 3 highest-priced F orders are the victims
+    val maxF = topk.filter(col("o_orderstatus") === "F")
+      .agg(max("o_totalprice")).head.getDouble(0)
+    val removedMin = orders.filter(col("o_orderstatus") === "F")
+      .orderBy(col("o_totalprice").desc).limit(3)
+      .agg(min("o_totalprice")).head.getDouble(0)
+    assert(maxF <= removedMin)
+  }
+}
