@@ -17,6 +17,10 @@ object GraftSession {
       // driver testdata ships TIMESTAMP(NANOS) parquet — read as long,
       // Tables.t converts to micros (see Tables.t scaladoc)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucket time-partition values are strings for every grouping period
+      // ("2024-01-05", "2024-w03", …) — don't let daily/yearly infer
+      // date/int and diverge by period
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
 
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

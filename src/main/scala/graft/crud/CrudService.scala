@@ -1,0 +1,139 @@
+package graft.crud
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+import graft.model.Bucket
+import graft.store.BucketStore
+
+/** The CRUD facade over a bucket — the engine's analog of the reference's
+  * `ICrudService` implementations (`ElasticsearchCrudService.java:112`,
+  * `MongoDbCrudService.java:73`), re-expressed as DataFrame plans over the
+  * bucket's Parquet store:
+  *
+  *  - reads compile the query DSL to a filtered/sorted/limited scan
+  *    (lifecycle SURVEY §3.1);
+  *  - `storeObjects(replace_if_present=true)` is merge-by-`_id` (J3);
+  *    `=false` is create-if-absent (D3, ES `OpType.CREATE` semantics,
+  *    `ElasticsearchCrudService.java:241`);
+  *  - updates/deletes are declarative rewrites via [[UpdateCompiler]]
+  *    committed with the store's buffer-promote (atomic swap);
+  *  - `optimizeQuery` (U13) is a no-op returning true: Parquet min-max stats
+  *    + partition pruning replace Mongo's background index builds
+  *    (`MongoDbCrudService.java:298-348`).
+  *
+  * `_id`: string key column, auto-generated (`uuid()`) when absent on store —
+  * reference `_id` injection (`MongoDbCrudService.java:169-184`).
+  */
+final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "processed") {
+
+  val IdCol = "_id"
+
+  private def table: DataFrame = store.read(bucket, stage)
+
+  // ---- write path ---------------------------------------------------------
+
+  /** Append objects; missing `_id` gets a uuid. `replacePresent=true` =
+    * save/upsert-by-id (last write wins); `false` = create-if-absent. */
+  def storeObjects(df: DataFrame, replacePresent: Boolean = false): Unit = {
+    val withId =
+      if (df.columns.contains(IdCol)) df
+      else df.withColumn(IdCol, expr("uuid()"))
+    if (!store.exists(bucket, stage)) {
+      // first write: dedup within the batch by _id (keep first or last)
+      store.write(bucket, dedupBatch(withId, replacePresent), stage,
+        mode = SaveMode.Overwrite)
+    } else if (replacePresent) {
+      // upsert: existing rows not in batch + deduped batch (batch wins)
+      store.rewrite(bucket, stage) { cur =>
+        cur.join(withId.select(IdCol), Seq(IdCol), "left_anti")
+          .unionByName(dedupBatch(withId, replacePresent), allowMissingColumns = true)
+      }
+    } else {
+      // create-if-absent: batch rows whose _id already exists are dropped
+      store.rewrite(bucket, stage) { cur =>
+        cur.unionByName(
+          dedupBatch(withId, replacePresent)
+            .join(cur.select(IdCol), Seq(IdCol), "left_anti"),
+          allowMissingColumns = true)
+      }
+    }
+  }
+
+  /** In-batch dedup by `_id`: deterministic first/last-wins via max-struct
+    * (single shuffle, no window sort). */
+  private def dedupBatch(df: DataFrame, lastWins: Boolean): DataFrame = {
+    val ordered = df.withColumn("__seq", monotonically_increasing_id())
+    val keyed = struct(col("__seq"),
+      struct(df.columns.map(col): _*).as("payload"))
+    val pick = (if (lastWins) max(keyed) else min(keyed)).as("__w")
+    ordered.groupBy(IdCol).agg(pick).select("__w.payload.*")
+  }
+
+  // ---- read path ----------------------------------------------------------
+
+  def getObjectById(id: String): Option[Row] =
+    table.filter(col(IdCol) === id).head(1).headOption
+
+  def getObjectBySpec(q: QueryComponent): Option[Row] =
+    QueryCompiler.run(table, q).head(1).headOption
+
+  def getObjectsBySpec(q: QueryComponent): DataFrame =
+    QueryCompiler.run(table, q)
+
+  def countObjects(): Long = table.count()
+
+  /** server-side count with optional limit cap (Mongo `count` with `limit`,
+    * `MongoDbCrudService.java:450-474`). */
+  def countObjectsBySpec(q: QueryComponent): Long = {
+    val filtered = table.filter(QueryCompiler.compile(q))
+    q.meta.limit.map(n => filtered.limit(n).count()).getOrElse(filtered.count())
+  }
+
+  // ---- update/delete path --------------------------------------------------
+
+  /** U9 updateObjectsBySpec (+upsert): rewrite matched rows; if none matched
+    * and upsert, insert a row synthesized from the query's equality clauses
+    * + update ops (Mongo upsert semantics, `MongoDbCrudService.java:493-525`). */
+  def updateObjectsBySpec(q: QueryComponent, u: UpdateComponent,
+      upsert: Boolean = false): Long = {
+    val pred = QueryCompiler.compile(q)
+    val matched = table.filter(pred).count()
+    if (matched == 0 && upsert) {
+      val seed = upsertSeed(q, u)
+      storeObjects(seed, replacePresent = true)
+    } else if (matched > 0) {
+      store.rewrite(bucket, stage)(cur =>
+        UpdateCompiler.applyUpdate(cur, QueryCompiler.compile(q), u))
+    }
+    matched
+  }
+
+  /** Synthesize the upsert document: equality clauses of the query + set ops. */
+  private def upsertSeed(q: QueryComponent, u: UpdateComponent): DataFrame = {
+    val eqs: Seq[(String, Any)] = q match {
+      case SingleQuery(cs, false, _) => cs.collect { case Eq(f, v, false) => f -> v }
+      case _ => Nil
+    }
+    val sets = u.ops.collect { case SetField(f, v) => f -> v }
+    val all = (eqs ++ sets).toMap
+    val spark = table.sparkSession
+    val one = spark.range(1).toDF()
+    all.foldLeft(one) { case (df, (f, v)) => df.withColumn(f, lit(v)) }
+      .drop("id").withColumn(IdCol, expr("uuid()"))
+  }
+
+  /** U11 deleteObjectsBySpec incl. top-k delete; returns rows deleted. */
+  def deleteObjectsBySpec(q: QueryComponent): Long = {
+    val before = table.count()
+    store.rewrite(bucket, stage)(cur => UpdateCompiler.deleteBySpec(cur, q))
+    before - table.count()
+  }
+
+  /** U12 */
+  def deleteDatastore(): Unit = store.deleteDatastore(bucket)
+
+  /** U13 optimizeQuery — intentional no-op (Parquet stats + pruning). */
+  def optimizeQuery(fields: Seq[String]): Boolean = true
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.pipeline._
+
+/** Sample enrichment modules (the analog of the reference's test modules,
+  * e.g. `SampleReduceEnrichmentModule.java`) + oracle-checked pipeline
+  * queries for SURVEY §2.4 A1-A5 / §2.9 X1-X2-X6.
+  */
+object PipelineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** A1/X1: narrow flatMap-shaped stage — filter + derive a column. */
+  class DocFilterEnrichStage extends EnrichStage {
+    override def outputSchema(in: StructType): StructType =
+      in.add(StructField("lang_uc", StringType))
+    def onObjectBatch(batch: Seq[Row], groupKey: Option[Row]): Iterator[Row] =
+      batch.iterator
+        .filter(r => r.getAs[Long]("n_chars") >= 200L)
+        .map(r => Row.fromSeq(r.toSeq :+ r.getAs[String]("lang").toUpperCase))
+  }
+
+  /** A3/X2: grouped reduce — one output row per (lang, source) group. */
+  class DocGroupReduceStage extends EnrichStage {
+    override def outputSchema(in: StructType): StructType = StructType(Seq(
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("total_chars", LongType),
+      StructField("n_docs", LongType)))
+    def onObjectBatch(batch: Seq[Row], groupKey: Option[Row]): Iterator[Row] = {
+      val k = groupKey.get // fields in sorted order: lang, source
+      Iterator(Row(k.get(0), k.get(1),
+        batch.map(_.getAs[Long]("n_chars")).sum, batch.size.toLong))
+    }
+  }
+
+  /** A4: combiner-eligible (re-entrant, schema-preserving) sum module:
+    * collapses a group to one row carrying (min doc_id, sum n_chars).
+    * Associative: run on partials, sums of sums. */
+  class CombinableSumStage extends EnrichStage {
+    override def combinable: Boolean = true
+    def onObjectBatch(batch: Seq[Row], groupKey: Option[Row]): Iterator[Row] = {
+      val lang = batch.head.getAs[String]("lang")
+      Iterator(Row(batch.map(_.getAs[Long]("doc_id")).min, "", lang, "",
+        batch.map(_.getAs[Long]("n_chars")).sum))
+    }
+  }
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.t(s, dir, "documents")
+
+  val queries: Map[String, Q] = Map(
+    // A1: batch stage chain in mapPartitions (passthrough + map stage)
+    "a1_pipeline_map" -> { (s, dir) =>
+      Pipeline.run(docs(s, dir), Seq(
+          PipelineStage(new PassthroughStage, StageConfig("pass")),
+          PipelineStage(new DocFilterEnrichStage, StageConfig("filter", batchSize = 32))))
+        .orderBy("doc_id")
+    },
+    // A2+A3: dot-path key extraction + shuffle + grouped reduce
+    "a3_grouped_reduce" -> { (s, dir) =>
+      Pipeline.run(docs(s, dir), Seq(
+          PipelineStage(new DocGroupReduceStage,
+            StageConfig("reduce", groupingFields = Seq("lang", "source")))))
+        .orderBy("lang", "source")
+    },
+    // A4: combiner on — result must equal combiner off (associativity)
+    "a4_combiner_sum" -> { (s, dir) =>
+      Pipeline.run(docs(s, dir), Seq(
+          PipelineStage(new CombinableSumStage,
+            StageConfig("csum", groupingFields = Seq("lang"), useCombiner = true))))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_pipeline_map" ->
+      ("SELECT doc_id, text, lang, source, n_chars, upper(lang) AS lang_uc " +
+        "FROM documents WHERE n_chars >= 200 ORDER BY doc_id"),
+    "a3_grouped_reduce" ->
+      ("SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "a4_combiner_sum" ->
+      ("SELECT min(doc_id) AS doc_id, lang, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang")
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dsl._
+
+/** Oracle-checked queries for the update DSL (SURVEY §2.3 U1-U14): each runs
+  * the [[UpdateCompiler]] rewrite and returns the rewritten table, which the
+  * oracle reproduces as a SELECT transform (CASE WHEN guard = the match
+  * predicate). Array-result queries sort arrays on both sides because
+  * Spark's array_union/except and DuckDB's list_distinct order differently.
+  */
+object UpdateQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val urgent = Query.allOf().when("o_orderpriority", "1-URGENT")
+
+  val queries: Map[String, Q] = Map(
+    // U1+U2: $set + $unset under a predicate
+    "u1_set_unset" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      UpdateCompiler.applyUpdate(orders,
+        QueryCompiler.compile(Query.allOf().when("o_orderstatus", "F")),
+        Update.update().set("o_orderpriority", "0-REPRIORITIZED").unset("o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+    // U3: $inc
+    "u3_increment" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      UpdateCompiler.applyUpdate(orders, QueryCompiler.compile(urgent),
+        Update.update().increment("o_totalprice", 500))
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+    // U4: $push (append, keeps duplicates)
+    "u4_push" -> { (s, dir) =>
+      val df = Tables.t(s, dir, "orders")
+        .withColumn("tags", array(col("o_orderstatus"), lit("base")))
+      UpdateCompiler.applyUpdate(df, QueryCompiler.compile(urgent),
+        Update.update().push("tags", Seq("rush", "base")))
+        .select("o_orderkey", "tags").orderBy("o_orderkey")
+    },
+    // U5: $addToSet (dedup; sorted for cross-engine comparison)
+    "u5_add_to_set" -> { (s, dir) =>
+      val df = Tables.t(s, dir, "orders")
+        .withColumn("tags", array(col("o_orderstatus"), lit("base")))
+      UpdateCompiler.applyUpdate(df, QueryCompiler.compile(urgent),
+        Update.update().push("tags", Seq("rush", "base"), dedup = true))
+        .withColumn("tags", array_sort(col("tags")))
+        .select("o_orderkey", "tags").orderBy("o_orderkey")
+    },
+    // U6: $pullAll (Spark array_except dedups → sort+distinct both sides)
+    "u6_pull_all" -> { (s, dir) =>
+      val df = Tables.t(s, dir, "orders")
+        .withColumn("tags", array(col("o_orderstatus"), lit("x"), col("o_orderpriority")))
+      UpdateCompiler.applyUpdate(df, QueryCompiler.compile(urgent),
+        Update.update().pullAll("tags", Seq("x")))
+        .withColumn("tags", array_sort(col("tags")))
+        .select("o_orderkey", "tags").orderBy("o_orderkey")
+    },
+    // U7: $pull with a nested element query (filter higher-order fn)
+    "u7_pull_query" -> { (s, dir) =>
+      val df = Tables.t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(collect_list("l_quantity").as("qtys"))
+      UpdateCompiler.applyUpdate(df, lit(true),
+        Update.update().pull("qtys", Query.allOf().rangeAbove("", 25.0)))
+        .withColumn("qtys", array_sort(col("qtys")))
+        .orderBy("l_orderkey")
+    },
+    // U8: whole-doc delete sentinel
+    "u8_delete_doc" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      UpdateCompiler.applyUpdate(orders,
+        QueryCompiler.compile(Query.allOf().when("o_orderstatus", "F")),
+        Update.update().deleteDoc())
+        .orderBy("o_orderkey")
+    },
+    // U9: upsert-shaped merge-by-key: updates batch wins over base
+    "u9_upsert_merge" -> { (s, dir) =>
+      val base = Tables.t(s, dir, "orders")
+      val updates = base.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(updates)
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+    // U11: top-k delete (sort+limit victims, anti-join rewrite)
+    "u11_topk_delete" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      UpdateCompiler.deleteBySpec(orders,
+        Query.allOf().when("o_orderstatus", "F")
+          .orderBy("o_totalprice" -> -1, "o_orderkey" -> 1).limit(10))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus").orderBy("o_orderkey")
+    },
+    // U14 / D3: create-if-absent by _id — first batch wins, second only adds
+    "u14_store_dedup" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val first = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("src", lit("even"))
+      val second = orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("src", lit("mod3"))
+      first.unionByName(
+          second.join(first.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+        .select("o_orderkey", "src").orderBy("o_orderkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "u1_set_unset" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS o_orderstatus, " +
+        "o_totalprice, o_orderdate, " +
+        "CASE WHEN o_orderstatus = 'F' THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority " +
+        "FROM orders ORDER BY o_orderkey"),
+    "u3_increment" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 500 " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders ORDER BY o_orderkey"),
+    "u4_push" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' " +
+        "THEN list_concat([o_orderstatus, 'base'], ['rush', 'base']) " +
+        "ELSE [o_orderstatus, 'base'] END AS tags FROM orders ORDER BY o_orderkey"),
+    "u5_add_to_set" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' " +
+        "THEN list_sort(list_distinct(list_concat([o_orderstatus, 'base'], ['rush', 'base']))) " +
+        "ELSE list_sort([o_orderstatus, 'base']) END AS tags FROM orders ORDER BY o_orderkey"),
+    "u6_pull_all" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' " +
+        "THEN list_sort(list_distinct(list_filter([o_orderstatus, 'x', o_orderpriority], t -> t != 'x'))) " +
+        "ELSE list_sort([o_orderstatus, 'x', o_orderpriority]) END AS tags FROM orders ORDER BY o_orderkey"),
+    "u7_pull_query" ->
+      ("SELECT l_orderkey, list_sort(list_filter(list(l_quantity), q -> NOT q >= 25.0)) AS qtys " +
+        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "u8_delete_doc" ->
+      "SELECT * FROM orders WHERE o_orderstatus != 'F' ORDER BY o_orderkey",
+    "u9_upsert_merge" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2 " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders ORDER BY o_orderkey"),
+    "u11_topk_delete" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) ORDER BY o_orderkey"),
+    "u14_store_dedup" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'mod3' END AS src " +
+        "FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 ORDER BY o_orderkey")
+  )
+}

@@ -1,0 +1,141 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** Bucket storage service: partitioned-Parquet layout per bucket with the
+  * reference's storage semantics re-expressed Spark-first —
+  *
+  *  - three stages `raw/ json/ processed/` per bucket
+  *    (`HfdsDataWriteService.java:688-710` STORED_DATA_SUFFIX_*),
+  *  - time-partitioned writes: the temporal schema's time field is extracted
+  *    per record at write time into a partition column `p_time`
+  *    (`HfdsDataWriteService.java:509-525` dir routing), giving Catalyst
+  *    partition pruning on time predicates — the Spark-native replacement
+  *    for time-sliced index enumeration
+  *    (`ElasticsearchContextUtils.java:50-132`),
+  *  - secondary "ping-pong" buffers with atomic promote-to-primary
+  *    (`ElasticsearchIndexService.java:335-391`; HDFS analog
+  *    `HdfsStorageService.java:458-542`),
+  *  - retention/age-out by partition (`HdfsStorageService.java:593-601`).
+  *
+  * At cluster scale the layout is a plain object-store prefix per bucket;
+  * nothing here is driver-local except directory renames (metadata ops).
+  */
+final class BucketStore(spark: SparkSession, rootDir: String) {
+  import BucketStore._
+
+  private def bucketRoot(b: Bucket): Path = Paths.get(rootDir, b.signature)
+  private def stageDir(b: Bucket, stage: String, buffer: Option[String]): Path =
+    bucketRoot(b).resolve(stage).resolve(buffer.map("buffer_" + _).getOrElse("current"))
+
+  /** Derive the partition column from the temporal schema. Lexicographic
+    * partition values == chronological order, so time-range predicates prune.
+    * Records with a null/missing time land in partition value
+    * `__unknown__` (the reference shunts these to an "unknown" dir). */
+  private[graft] def withTimePartition(b: Bucket, df: DataFrame): DataFrame =
+    b.dataSchema.temporal match {
+      case Some(TemporalSchema(tf, period)) if df.columns.contains(tf) =>
+        df.withColumn(PartitionCol,
+          coalesce(date_format(col(tf), period.pattern), lit("__unknown__")))
+      case _ => df
+    }
+
+  /** Write a batch into a bucket stage. Partitioned by derived time column
+    * when a temporal schema is declared; codec from the storage schema. */
+  def write(b: Bucket, df: DataFrame, stage: String = "processed",
+      buffer: Option[String] = None, mode: SaveMode = SaveMode.Append): Unit = {
+    val out = withTimePartition(b, df)
+    val codec = b.dataSchema.storage.flatMap(_.codec).getOrElse("snappy")
+    var w = out.write.mode(mode).option("compression", normalizeCodec(codec))
+    if (out.columns.contains(PartitionCol)) w = w.partitionBy(PartitionCol)
+    w.parquet(stageDir(b, stage, buffer).toString)
+  }
+
+  /** Read a stage; the partition column stays available for explicit
+    * time-slice predicates (partition pruning shows in the scan). */
+  def read(b: Bucket, stage: String = "processed",
+      buffer: Option[String] = None): DataFrame =
+    spark.read.parquet(stageDir(b, stage, buffer).toString)
+
+  def exists(b: Bucket, stage: String = "processed",
+      buffer: Option[String] = None): Boolean =
+    Files.exists(stageDir(b, stage, buffer))
+
+  /** Atomic promote of a secondary buffer to primary — the ping-pong swap
+    * (`ElasticsearchIndexService.java:495-520`): current → buffer_<name>,
+    * buffer → current, via two directory renames (metadata-only). */
+  def promote(b: Bucket, stage: String, buffer: String): Unit = {
+    val cur = stageDir(b, stage, None)
+    val buf = stageDir(b, stage, Some(buffer))
+    require(Files.exists(buf), s"no such buffer: $buf")
+    val tmp = cur.resolveSibling("swap_tmp_" + System.nanoTime())
+    if (Files.exists(cur)) Files.move(cur, tmp, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(buf, cur, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(tmp)) Files.move(tmp, buf, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Rewrite a stage in place with writer/reader atomicity: write the new
+    * content to a fresh buffer, then promote. This is the engine's
+    * update/delete commit path (SURVEY §7 hard-part 2). */
+  def rewrite(b: Bucket, stage: String)(f: DataFrame => DataFrame): Unit = {
+    val buf = "rewrite_" + System.nanoTime()
+    write(b, f(read(b, stage)), stage, Some(buf), SaveMode.Overwrite)
+    promote(b, stage, buf)
+    deleteDir(stageDir(b, stage, Some(buf)))
+  }
+
+  /** Retention: drop whole time partitions older than `existAgeMax`
+    * (partition-level delete — no data rewrite, like dir-level age-out). */
+  def ageOut(b: Bucket, stage: String, now: java.time.Instant): Int = {
+    (b.dataSchema.temporal, b.dataSchema.storage.flatMap(_.existAgeMax)) match {
+      case (Some(TemporalSchema(_, period)), Some(maxAge)) =>
+        val cutoff = java.time.format.DateTimeFormatter
+          .ofPattern(period.pattern).withZone(java.time.ZoneOffset.UTC)
+          .format(now.minus(maxAge))
+        val dir = stageDir(b, stage, None)
+        if (!Files.exists(dir)) return 0
+        val doomed = Files.list(dir).iterator().asScala.toSeq.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(PartitionCol + "=") &&
+            n.stripPrefix(PartitionCol + "=") < cutoff
+        }
+        doomed.foreach(deleteDir)
+        doomed.size
+      case _ => 0
+    }
+  }
+
+  /** U12 deleteDatastore — drop the whole bucket dir. */
+  def deleteDatastore(b: Bucket): Unit = deleteDir(bucketRoot(b))
+
+  private def deleteDir(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+
+  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+}
+
+object BucketStore {
+  /** Name of the derived time-partition column. */
+  val PartitionCol = "p_time"
+
+  /** Reference codecs gzip/snappy/framed-snappy
+    * (`HfdsDataWriteService.java:642-660`) → parquet compression codecs. */
+  def normalizeCodec(c: String): String = c.toLowerCase match {
+    case "gz" | "gzip" => "gzip"
+    case "sz" | "snappy" | "fr.sz" => "snappy"
+    case "zstd" => "zstd"
+    case other => other
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+import graft.queries.PipelineQueries
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private lazy val docs = Tables.t(spark, TestSession.sf, "documents").cache()
+
+  test("A1 narrow stage: flatMap semantics, no shuffle in plan") {
+    val out = Pipeline.run(docs, Seq(
+      PipelineStage(new PipelineQueries.DocFilterEnrichStage, StageConfig(batchSize = 10))))
+    val expected = docs.filter(col("n_chars") >= 200).count()
+    assert(out.count() === expected)
+    assert(out.columns.contains("lang_uc"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "narrow stage must not shuffle")
+  }
+
+  test("A3 grouped reduce matches groupBy aggregation") {
+    val out = Pipeline.run(docs, Seq(
+      PipelineStage(new PipelineQueries.DocGroupReduceStage,
+        StageConfig(groupingFields = Seq("source", "lang"))))) // unsorted on purpose
+    val expected = docs.groupBy("lang", "source")
+      .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("n_docs"))
+    assert(out.count() === expected.count())
+    val got = out.orderBy("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exp = expected.orderBy("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("A4 combiner on == combiner off (associativity gate)") {
+    def run(useCombiner: Boolean) =
+      Pipeline.run(docs.repartition(7), Seq(
+        PipelineStage(new PipelineQueries.CombinableSumStage,
+          StageConfig(groupingFields = Seq("lang"), useCombiner = useCombiner))))
+        .select("doc_id", "lang", "n_chars").orderBy("lang").collect().toSeq
+    assert(run(true) === run(false))
+  }
+
+  test("non-combinable module never runs as combiner") {
+    // a module that is order/partition-sensitive (emits batch count) must
+    // produce the single-group answer even with useCombiner requested
+    class CountStage extends EnrichStage {
+      def onObjectBatch(batch: Seq[Row], groupKey: Option[Row]): Iterator[Row] =
+        Iterator(Row(batch.head.get(0), batch.head.get(1), batch.head.get(2),
+          batch.head.get(3), batch.size.toLong))
+    }
+    val out = Pipeline.run(docs.repartition(5), Seq(
+      PipelineStage(new CountStage,
+        StageConfig(groupingFields = Seq("lang"), useCombiner = true))))
+    val expected = docs.groupBy("lang").count()
+    val got = out.select("lang", "n_chars").orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exp = expected.orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exp)
+  }
+
+  test("dot-path key extraction resolves nested structs") {
+    val nested = docs.select(struct(col("lang"), struct(col("source").as("s")).as("inner")).as("meta"), col("n_chars"))
+    val k = KeyExtractor.resolve(nested.head(), nested.schema, "meta.inner.s")
+    assert(k.isInstanceOf[String])
+  }
+
+  test("at most one grouping stage enforced") {
+    intercept[IllegalArgumentException] {
+      Pipeline.run(docs, Seq(
+        PipelineStage(new PassthroughStage, StageConfig(groupingFields = Seq("lang"))),
+        PipelineStage(new PassthroughStage, StageConfig(groupingFields = Seq("source")))))
+    }
+  }
+}

