@@ -21,6 +21,13 @@ object GraftSession {
       // ("2024-01-05", "2024-w03", …) — don't let daily/yearly infer
       // date/int and diverge by period
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // Exploding a computed array (LSH band buckets) otherwise gets an
+      // inferred `size(e) > 0` filter below the Generate with the whole
+      // staged expression tree substituted — the signature pipeline would be
+      // re-evaluated per row inside that Filter (higher-order functions are
+      // interpreted, so this is catastrophic, not just redundant).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

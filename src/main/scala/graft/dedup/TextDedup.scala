@@ -1,0 +1,136 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - signatures (minhash/simhash/fingerprints) are pure per-row expression
+  *    projections — codegen'd, narrow, no UDFs, no shuffle;
+  *  - candidate generation shuffles on *band buckets* (LSH), never on raw
+  *    text, so the join keys are small and the pair space is bounded by
+  *    bucket collisions rather than |corpus|²;
+  *  - exact dedup is one hash-groupBy on a fingerprint (map-side partial
+  *    aggregation applies);
+  *  - everything composes as DataFrames — at 100 TB these run as ordinary
+  *    shuffles with AQE handling skewed buckets.
+  *
+  * Hash choice: the md5-prefix integer (`md5Int`) is used in oracle-checked
+  * paths because the DuckDB oracle can reproduce it; the codegen'd
+  * [[graft.functions.PolyHash]] is the cheaper production default
+  * (`useMd5 = false`).
+  */
+object TextDedup {
+
+  /** Guard against CollapseProject inlining a staged expensive column into a
+    * higher-order-function lambda body (HOFs are interpreted — an inlined
+    * subtree is re-evaluated per element/iteration). Referencing the staged
+    * column a second time in the consuming projection keeps the projections
+    * separate, so the column is computed once per row. */
+  def pinned(staged: Column, body: Column): Column =
+    when(size(staged) === -1, null).otherwise(body)
+
+  /** First 8 hex chars of md5 as an unsigned 32-bit int (cross-engine
+    * reproducible base hash). */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def baseHash(c: Column, useMd5: Boolean): Column =
+    if (useMd5) md5Int(c) else graft.functions.GraftFunctions.poly_hash(c)
+
+  /** Word n-gram shingles (distinct) from a token array:
+    * shingle_i = tokens[i..i+n-1] joined by space. */
+  def wordShingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Per-shingle base hashes — stage this as its own column: higher-order
+    * functions are interpreted, so an inlined expensive subtree would be
+    * re-evaluated per element/per permutation. CollapseProject keeps staged
+    * projections separate from lambda consumers, so a `withColumn` chain
+    * evaluates each step exactly once per row. */
+  def shingleHashes(shingles: Column, useMd5: Boolean = true): Column =
+    transform(shingles, s => baseHash(s, useMd5))
+
+  /** MinHash signature from pre-staged shingle hashes: numPerm permutations
+    * under (a_i·h + b_i) mod p, a_i = 2i+1, b_i = 7i+13, p = 1e9+7.
+    * Arithmetic-only per element (the hash column is an attribute). */
+  def minhashFromHashes(hs: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)), i => {
+      val a = i * 2 + 1
+      val b = i * 7 + 13
+      array_min(transform(hs, h => (h * a + b) % lit(1000000007L)))
+    })
+
+  /** LSH band hashes: split the signature into `bands` slices of `rowsPerBand`
+    * and hash each slice; docs sharing any (band index, band hash) are
+    * candidates. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+
+  /** Exact dedup: group by content fingerprint; representative = min id.
+    * One hash-aggregate (partial agg map-side). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .groupBy(col("__fp").as("fingerprint"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash-LSH candidate pairs: shingle → sign → band → bucket self-join.
+    * Returns distinct (a, b) with a < b sharing ≥1 band bucket. The shuffle
+    * key is (band index, 32-hex band hash) — small and uniform unless the
+    * corpus is pathologically self-similar; AQE skew handling covers the
+    * rest. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      useMd5: Boolean = true): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sigs = df
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__sh", wordShingles(col("__toks"), shingleLen))
+      .withColumn("__hs", shingleHashes(col("__sh"), useMd5))
+      .withColumn("__sig", pinned(col("__hs"), minhashFromHashes(col("__hs"), numPerm)))
+      .select(col(idCol).as("doc"),
+        pinned(col("__sig"), bandHashes(col("__sig"), bands, rowsPerBand)).as("bands"))
+    val exploded = sigs.select(col("doc"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    exploded.as("l").join(exploded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (32-bit) from pre-staged token hashes (`shingleHashes` over
+    * whole tokens): per bit j, sum ±1 over the hashes' j-th bit; bit set iff
+    * the sum is positive. `hs` must be a materialized column — the 32
+    * bit-sums each evaluate it, which is cheap only for an attribute. */
+  def simhash(hs: Column): Column = {
+    (0 until 32).map { j =>
+      when(
+        aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** n-gram Jaccard similarity between two shingle-set columns
+    * (inclusion-exclusion on distinct sizes — stable across engines that
+    * order set results differently). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
+    when(union === 0.0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** Embedding-cosine near-duplicate flag for a pair of vectors. */
+  def cosineNearDup(a: Column, b: Column, threshold: Double): Column =
+    graft.functions.VectorFunctions.cosine(a, b) >= threshold
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash of a string → non-negative long — a native
+  * Catalyst `Expression` with `doGenCode` so it stays inside whole-stage
+  * codegen (the preferred extension point over UDFs).
+  *
+  * This is the scale-path
+  * shingle/fingerprint hash for MinHash/SimHash (§ dedup): ~10× cheaper than
+  * md5-hex-parse, branch-free, and deterministic across JVMs. The md5-based
+  * variants in the oracle-checked queries exist because the DuckDB oracle
+  * can't evaluate this expression; production paths should prefer
+  * [[GraftFunctions.poly_hash]]. h = (Σ h*31 + byte) mod 1e9+7.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = PolyHash.step(h, bytes(i))
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = graft.functions.PolyHash.step($h, $bytes[$i]);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  /** Prime modulus small enough that h*31+255 never overflows a long. */
+  final val Mod: Long = 1000000007L
+
+  /** One hash step; public static for codegen reuse. */
+  def step(h: Long, b: Byte): Long =
+    (h * 31 + (b & 0xffL)) % Mod
+}
+
+/** Column-facing registry of the engine's custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def poly_hash(c: Column): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  /** SQL registration: `SELECT poly_hash(text) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.TextDedup._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Oracle-checked dedup + similarity queries over `documents`/`embeddings`.
+  * The md5-prefix base hash keeps every stage reproducible in the DuckDB
+  * oracle (list comprehensions mirror the Spark expression trees 1:1).
+  */
+object DedupQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB fragment: unsigned 32-bit int from the first 8 md5 hex chars
+    * (= Spark `conv(substring(md5(x),1,8),16,10)`). */
+  private def md5IntSql(x: String): String =
+    s"list_reduce([strpos('0123456789abcdef', c) - 1 FOR c IN regexp_extract_all(substr(md5($x), 1, 8), '.')], (a, d) -> a * 16 + d)"
+
+  /** DuckDB fragment: distinct word-3-gram shingles of `text`. */
+  private val shinglesSql =
+    "list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN generate_series(0, len(toks)-3)])"
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: one hash-groupBy on the content fingerprint
+    "dd1_exact_dedup" -> { (s, dir) =>
+      exactDedup(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")
+    },
+    // MinHash signatures (16 perms over word-3-gram shingles); each stage
+    // is a materialized column so interpreted lambdas never re-evaluate it
+    "dd2_minhash_sig" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("sh", wordShingles(col("toks"), 3))
+        .withColumn("hs", shingleHashes(col("sh")))
+        .select(col("doc_id"),
+          pinned(col("hs"), minhashFromHashes(col("hs"), 16)).as("sig"))
+        .orderBy("doc_id")
+    },
+    // MinHash+LSH candidate pairs (4 bands × 4 rows)
+    "dd2_minhash_lsh" -> { (s, dir) =>
+      minhashCandidates(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+    // SimHash values + near-dup pairs at hamming ≤ 3 among consecutive ids
+    "dd3_simhash" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("hs", shingleHashes(col("toks")))
+        .select(col("doc_id"), simhash(col("hs")).as("sh"))
+        .orderBy("doc_id")
+    },
+    // n-gram Jaccard for consecutive doc pairs
+    "dd4_ngram_jaccard" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), wordShingles(col("toks"), 3).as("sh"))
+      docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          jaccard(col("a.sh"), col("b.sh")).as("jacc"))
+        .orderBy("doc_a")
+    },
+    // embedding-cosine near-dup scores for consecutive vec pairs
+    "dd5_embed_cosine" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      e.as("a").join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .orderBy("vec_a")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, " +
+        "min(doc_id) AS rep_id, count(*) AS n_dups FROM documents " +
+        "GROUP BY 1 ORDER BY fingerprint"),
+    "dd2_minhash_sig" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t) " +
+        "SELECT doc_id, " +
+        s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
+        "FOR i IN generate_series(0, 15)] AS sig " +
+        "FROM sh ORDER BY doc_id"),
+    "dd2_minhash_lsh" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
+        "sig AS (SELECT doc_id, " +
+        s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
+        "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
+        "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
+        "FROM sig, generate_series(0, 3) AS gs(b)) " +
+        "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b " +
+        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id " +
+        "ORDER BY doc_a, doc_b"),
+    "dd3_simhash" ->
+      ("WITH t AS (SELECT doc_id, " +
+        s"[${md5IntSql("tok")} FOR tok IN string_split(text, ' ')] AS hs FROM documents) " +
+        "SELECT doc_id, " +
+        "list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 " +
+        "THEN (1::BIGINT << j) ELSE 0 END FOR j IN generate_series(0, 31)])::BIGINT AS sh " +
+        "FROM t ORDER BY doc_id"),
+    "dd4_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CASE WHEN (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / " +
+        "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) END AS jacc " +
+        "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a"),
+    "dd5_embed_cosine" ->
+      ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")
+  )
+}

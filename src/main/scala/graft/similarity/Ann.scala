@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus, rank per query via window row_number (a
+  *    per-query sort; fine while |queries|·|corpus| rows fit a shuffle —
+  *    the LSH/IVF variants below are the scale path past that).
+  *  - [[lshTopK]]: sign-random-projection LSH — bucket corpus and queries by
+  *    hyperplane sign bits, rerank exactly *within* matching buckets. The
+  *    scale path: the corpus-side shuffle is on small bucket keys, the
+  *    cross-product is bounded per bucket, and recall/probing is tunable via
+  *    `planes` (fewer bits → bigger buckets → higher recall).
+  *  - [[ivfTopK]]: IVF-style coarse quantization — assign every vector to its
+  *    nearest centroid, search only matching cells (with `nprobe` cells per
+  *    query).
+  *
+  * All distance math is the bit-reproducible sequential fold from
+  * [[graft.functions.VectorFunctions]].
+  */
+object Ann {
+
+  /** Exact top-k by cosine: queries × corpus → rank ≤ k.
+    * `queries` is expected to be small (broadcast); ties broken by corpus id
+    * for determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+    val scored = c.join(broadcast(q))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d →
+    * ((p*31 + d)*2654435761 mod 2^31) / 2^31 - 0.5 — reproducible in SQL. */
+  private def planeCoef(p: Int, d: Column): Column =
+    ((lit(p.toLong * 31) + d) * lit(2654435761L) % lit(2147483648L))
+      .cast("double") / lit(2147483648.0) - lit(0.5)
+
+  /** Sign bits under `planes` hyperplanes → bucket id (long). */
+  def lshBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val dotp = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeCoef(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed top-k: exact rerank within matching sign buckets.
+    * Recall < 1 by construction; `planes` trades recall vs bucket size. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"),
+      lshBucket(col(qVec), planes).as("bucket"))
+    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"),
+      lshBucket(col(cVec), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
+  /** IVF-style: `centroids` (small, broadcast) define cells; every corpus
+    * vector is assigned to its nearest centroid once (narrow projection +
+    * small broadcast join); queries probe their `nprobe` nearest cells. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding",
+      centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
+    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cent))
+        .withColumn("d2", l2sq(col(vec), col("cv")))
+      val w = Window.partitionBy(id).orderBy(col("d2"), col("cent"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cv", "d2", "crank")
+    }
+    val c = assign(corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec")),
+      "c_id", "c_vec", 1)
+    val q = assign(queries.select(col(qId).as("q_id"), col(qVec).as("q_vec")),
+      "q_id", "q_vec", nprobe)
+    val scored = c.join(broadcast(q), Seq("cent"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+}
