@@ -17,7 +17,9 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.AnnQueries.queries
+      graft.queries.AnnQueries.queries ++
+      graft.queries.SurfaceQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +29,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
-      graft.queries.AnnQueries.oracle
+      graft.queries.AnnQueries.oracle ++
+      graft.queries.SurfaceQueries.oracle ++
+      graft.queries.GraphQueries.oracle
 }

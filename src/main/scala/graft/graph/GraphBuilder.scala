@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph service (SURVEY §2 J1/J2, D2, X3) as two DataFrames — vertices and
+  * edges — à la GraphFrames, replacing the reference's Titan write path
+  * (`aleph2_graph_service_titan/.../utils/TitanGraphBuildingUtils.java`):
+  *
+  *  - decompose (X3, `SimpleGraphDecompService.java`): records → candidate
+  *    vertices/edges, declaratively (select/union — a narrow projection);
+  *  - vertex dedup+merge (D2, `buildGraph_handleMerge`:206-314): group
+  *    candidates by business key, winner-pick or custom merge;
+  *  - key lookup against the stored graph (J1, `getGroupedVertices`:328-359
+  *    — there a disjunctive Contain.IN mega-query, i.e. a hand-rolled hash
+  *    join): here a real equi-join, broadcast when the batch is small;
+  *  - edge endpoint resolution + duplicate-edge collapse (J2,
+  *    `finalEdgeGrouping`:271-307): joins on (src, dst, label).
+  *
+  * Vertex identity = a struct of user key fields; properties ride along as
+  * ordinary columns. All merge work is shuffle-on-key; no driver loops.
+  */
+object GraphBuilder {
+
+  /** X3 declarative decompose: emit one vertex candidate per record from
+    * `keyCols` (+ type tag + property cols). */
+  def vertexCandidates(records: DataFrame, vtype: String,
+      keyCols: Map[String, String], propCols: Map[String, String] = Map.empty): DataFrame = {
+    val cols =
+      lit(vtype).as("vtype") +:
+        (keyCols.toSeq.sortBy(_._1).map { case (as, from) => col(from).as(as) } ++
+          propCols.toSeq.sortBy(_._1).map { case (as, from) => col(from).as(as) })
+    records.select(cols: _*)
+  }
+
+  /** X3 declarative decompose for edges: (label, src key, dst key). */
+  def edgeCandidates(records: DataFrame, label: String,
+      srcCol: String, dstCol: String): DataFrame =
+    records.select(lit(label).as("label"),
+      col(srcCol).as("src"), col(dstCol).as("dst"))
+
+  /** D2 vertex dedup: winner per key by deterministic order (the analog of
+    * `SimpleGraphMergeService` keep-first), orderCol ascending. */
+  def dedupVertices(candidates: DataFrame, keyCols: Seq[String],
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    candidates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J2: collapse duplicate edges on (label, src, dst), keeping
+    * a multiplicity count (the reference merges property bags instead; a
+    * custom merge hook would be a reduceGroups here). */
+  def dedupEdges(candidates: DataFrame): DataFrame =
+    candidates.groupBy("label", "src", "dst")
+      .agg(count(lit(1)).as("multiplicity"))
+
+  /** J1: split an incoming (deduped) vertex batch against the stored graph:
+    * returns (new vertices, already-present vertices). The stored side is
+    * keyed once; the batch side is typically small → broadcast. */
+  def matchAgainstExisting(existing: DataFrame, batch: DataFrame,
+      keyCols: Seq[String]): (DataFrame, DataFrame) = {
+    val keys = existing.select(keyCols.map(col): _*)
+    (batch.join(broadcast(keys), keyCols, "left_anti"),
+      batch.join(broadcast(keys), keyCols, "left_semi"))
+  }
+
+  /** Graph upsert job: merge a batch into the stored vertices — existing
+    * rows win (create-if-absent, reference default merge), new keys append. */
+  def upsertVertices(existing: DataFrame, batch: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    existing.unionByName(
+      batch.join(existing.select(keyCols.map(col): _*), keyCols, "left_anti"),
+      allowMissingColumns = true)
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.GraphBuilder
+
+/** Oracle-checked graph queries (SURVEY §2 J1/J2, D2, X3) over the driver
+  * tables: orders decompose into customer/order vertices + "placed" edges;
+  * lineitem decomposes into order→part "contains" edges with duplicate
+  * collapse. */
+object GraphQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // X3 decompose: vertex + edge candidate counts by type/label
+    "g1_decompose" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val custV = GraphBuilder.vertexCandidates(orders, "customer",
+        Map("key" -> "o_custkey"))
+      val orderV = GraphBuilder.vertexCandidates(orders, "order",
+        Map("key" -> "o_orderkey"))
+      val placed = GraphBuilder.edgeCandidates(orders, "placed",
+        "o_custkey", "o_orderkey")
+      custV.unionByName(orderV)
+        .groupBy("vtype").agg(count(lit(1)).as("n_candidates"),
+          countDistinct(col("key")).as("n_keys"))
+        .unionByName(
+          placed.groupBy(col("label").as("vtype"))
+            .agg(count(lit(1)).as("n_candidates"),
+              countDistinct(struct(col("src"), col("dst"))).as("n_keys")))
+        .orderBy("vtype")
+    },
+    // D2 vertex dedup: winner-per-key with deterministic order
+    "g2_vertex_merge" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val candidates = GraphBuilder.vertexCandidates(orders, "customer",
+        Map("key" -> "o_custkey"),
+        Map("first_order" -> "o_orderkey", "price" -> "o_totalprice"))
+      GraphBuilder.dedupVertices(candidates, Seq("key"), "first_order")
+        .select("key", "first_order", "price")
+        .orderBy("key")
+    },
+    // J2 duplicate-edge collapse on (label, src, dst)
+    "g3_edge_dedup" -> { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      GraphBuilder.dedupEdges(
+          GraphBuilder.edgeCandidates(li, "contains", "l_orderkey", "l_partkey"))
+        .orderBy("src", "dst")
+    },
+    // J1 batch-vs-existing key lookup + upsert merge
+    "g4_graph_upsert" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      // "existing" graph = customers seen in F orders; batch = O orders
+      val existing = GraphBuilder.dedupVertices(
+        GraphBuilder.vertexCandidates(orders.filter(col("o_orderstatus") === "F"),
+          "customer", Map("key" -> "o_custkey"), Map("src_order" -> "o_orderkey")),
+        Seq("key"), "src_order")
+      val batch = GraphBuilder.dedupVertices(
+        GraphBuilder.vertexCandidates(orders.filter(col("o_orderstatus") === "O"),
+          "customer", Map("key" -> "o_custkey"), Map("src_order" -> "o_orderkey")),
+        Seq("key"), "src_order")
+      GraphBuilder.upsertVertices(existing, batch, Seq("key"))
+        .select("key", "src_order").orderBy("key")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g1_decompose" ->
+      ("SELECT vtype, n_candidates, n_keys FROM (" +
+        "SELECT 'customer' AS vtype, count(*) AS n_candidates, count(DISTINCT o_custkey) AS n_keys FROM orders " +
+        "UNION ALL SELECT 'order', count(*), count(DISTINCT o_orderkey) FROM orders " +
+        "UNION ALL SELECT 'placed', count(*), count(DISTINCT (o_custkey, o_orderkey)) FROM orders" +
+        ") ORDER BY vtype"),
+    "g2_vertex_merge" ->
+      ("SELECT o_custkey AS key, o_orderkey AS first_order, o_totalprice AS price FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +
+        "WHERE rn = 1 ORDER BY key"),
+    "g3_edge_dedup" ->
+      ("SELECT 'contains' AS label, l_orderkey AS src, l_partkey AS dst, " +
+        "count(*) AS multiplicity FROM lineitem GROUP BY 2, 3 ORDER BY src, dst"),
+    "g4_graph_upsert" ->
+      ("SELECT key, src_order FROM (" +
+        "SELECT o_custkey AS key, min(o_orderkey) AS src_order FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 " +
+        "UNION ALL " +
+        "SELECT o_custkey, min(o_orderkey) FROM orders WHERE o_orderstatus = 'O' " +
+        "AND o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY o_custkey" +
+        ") ORDER BY key")
+  )
+}

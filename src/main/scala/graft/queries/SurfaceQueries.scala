@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Tables, sql => gsql}
+import graft.multimodal.Multimodal
+import graft.pipeline.{PipelineStage, StageConfig}
+import graft.sources.{Sources, XmlSource, XmlSourceConfig}
+import graft.streaming.Streams
+
+/** Oracle-checked queries for the SQL surface (Q1-Q4), sources (S2-S4),
+  * streaming (ST1-ST3), and multimodal plumbing. */
+object SurfaceQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q1: arbitrary SQL over registered bucket views -----------------
+    "sql1_arbitrary" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      gsql.SqlSurface.runSql(s,
+        """SELECT n_name,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS spend,
+          |       count(*) AS n
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA' AND o_orderstatus = 'O'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+    // ---- Q1 emit path: rows → JSON records (deterministic manual build) --
+    "sql2_row_emit" -> { (s, dir) =>
+      Tables.t(s, dir, "nation")
+        .select(format_string("{\"n_nationkey\":%d,\"n_name\":\"%s\"}",
+          col("n_nationkey"), col("n_name")).as("record"))
+        .orderBy("record")
+    },
+    // ---- Q2: deterministic subsample (hash-mod; sample() is seed-stable
+    //      but not cross-engine) + Q4 test cap ----------------------------
+    "sql3_subsample_cap" -> { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .orderBy("o_orderkey").limit(500)
+        .select("o_orderkey", "o_totalprice")
+    },
+    // ---- S2: JSON column parse (events.props) ---------------------------
+    "s2_json_parse" -> { (s, dir) =>
+      val ev = Sources.parseJsonColumn(
+        Tables.t(s, dir, "events"), "props",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      ev.select(col("event_id"), col("props_parsed.k").as("k"))
+        .orderBy("event_id")
+    },
+    // ---- S3: XML → records round-trip (XML built from nation rows) ------
+    "s3_xml_parse" -> { (s, dir) =>
+      import s.implicits._
+      val xml = Tables.t(s, dir, "nation")
+        .select(format_string(
+          "<nations><nation id=\"%d\"><name>%s</name><region>%d</region></nation></nations>",
+          col("n_nationkey"), col("n_name"), col("n_regionkey")).as("doc"))
+        .as[String]
+      val parsed = XmlSource.parse(xml,
+        XmlSourceConfig(rootElements = Seq("nation"), attributePrefix = "@"))
+      // XML leaf values are strings; cast after parse
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("@id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("region", org.apache.spark.sql.types.StringType)))
+      parsed.toDF("record")
+        .select(from_json(col("record"), schema).as("r"))
+        .select(col("r.@id").cast("long").as("n_nationkey"),
+          col("r.name").as("n_name"),
+          col("r.region").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    // ---- S4/multimodal: binary column + metadata + batched decode stub --
+    "mm1_media_features" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", col("text").cast("binary"))
+      val withMeta = Multimodal.withMediaMeta(docs, "content", "text")
+      Multimodal.extractFeatures(withMeta, "doc_id", "content")
+        .orderBy("doc_id")
+    },
+    // ---- ST1: passthrough stream (availableNow over events parquet) -----
+    "st1_passthrough" -> { (s, dir) =>
+      val batchDf = Tables.t(s, dir, "events")
+      val stream = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      // ts arrives as nanos-long on the stream too; reuse the same convert
+      val out = Streams.runToParquet(stream)
+      out.select(batchDf.columns.map(col): _*).drop("ts")
+        .orderBy("event_id")
+    },
+    // ---- ST2/ST4: enrichment stage chain under foreachBatch -------------
+    "st2_stream_enrich" -> { (s, dir) =>
+      val stream = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val stage = PipelineStage(new ClickFilterStage, StageConfig("clicks"))
+      Streams.runEnrichmentStream(stream, Seq(stage))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+    // ---- ST3/windowed: event-time tumbling day windows ------------------
+    "st3_window_agg" -> { (s, dir) =>
+      val raw = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val withTs = raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")))
+      val out = Streams.runWindowedAgg(withTs, df =>
+        df.groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6)))
+              .cast(DecimalType(38, 6)).as("total_value")))
+      out.select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("wstart", "event_type")
+    }
+  )
+
+  /** ST2 stage: filter clicks (same module contract as batch pipeline). */
+  class ClickFilterStage extends graft.pipeline.EnrichStage {
+    def onObjectBatch(batch: Seq[org.apache.spark.sql.Row],
+        groupKey: Option[org.apache.spark.sql.Row]): Iterator[org.apache.spark.sql.Row] =
+      batch.iterator.filter(_.getAs[String]("event_type") == "click")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "sql1_arbitrary" ->
+      ("SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS spend, " +
+        "count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderstatus = 'O' GROUP BY n_name ORDER BY n_name"),
+    "sql2_row_emit" ->
+      ("SELECT format('{{\"n_nationkey\":{},\"n_name\":\"{}\"}}', n_nationkey, n_name) AS record " +
+        "FROM nation ORDER BY record"),
+    "sql3_subsample_cap" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0 " +
+        "ORDER BY o_orderkey LIMIT 500"),
+    "s2_json_parse" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "s3_xml_parse" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey"),
+    "mm1_media_features" ->
+      ("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "ascii(substr(text, 1, 1)) AS head_byte, " +
+        "list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_extract_all(text, '.')], " +
+        "(a, b) -> (a + b) % 1000000007) % 1000000007 AS byte_sum_mod " +
+        "FROM documents ORDER BY doc_id"),
+    "st1_passthrough" ->
+      "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "st2_stream_enrich" ->
+      ("SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click' " +
+        "ORDER BY event_id"),
+    "st3_window_agg" ->
+      ("SELECT date_trunc('day', ts) AS wstart, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY wstart, event_type")
+  )
+}

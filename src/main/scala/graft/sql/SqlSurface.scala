@@ -1,0 +1,60 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Bucket, TypeMapping}
+
+/** The SQL/warehouse surface (SURVEY §2.7):
+  *
+  *  - Q1: arbitrary SQL over registered bucket views, result rows emitted as
+  *    records (`SparkSqlTopology.java:53-116` — there the inputs were ES
+  *    temp tables and rows were rebuilt as JSON by column name; here the
+  *    catalog IS the engine, and row→record is `to_json(struct(*))`),
+  *  - Q2: subsample before SQL (`spark.aleph2_subsample`,
+  *    `SparkSqlTopology.java:47-48,73-77`),
+  *  - Q3: warehouse DDL generation — the analog of Hive-over-ES external
+  *    table DDL (`ElasticsearchHiveUtils.java:163-245`) is a
+  *    `CREATE TABLE ... USING parquet` over the bucket's store, with
+  *    `name_mappings` becoming a renamed view,
+  *  - Q4: test caps = `.limit(n)` (`SparkTechnologyUtils.java:297-311`).
+  */
+object SqlSurface {
+
+  /** Q1: run user SQL against whatever views the caller registered. */
+  def runSql(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
+  /** Q1 emit path: one JSON record per row, fields by column name. */
+  def rowsAsJsonRecords(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("record"))
+
+  /** Q2: subsample. Deterministic seeded Bernoulli sample. */
+  def subsample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Q2 test-override flavor: cap at n records (reference test spec cap). */
+  def testCap(df: DataFrame, maxRecords: Int): DataFrame = df.limit(maxRecords)
+
+  /** Q3: DDL for the bucket's main table from a declared warehouse schema
+    * (declared types per SURVEY §1.2 vocabulary), plus an optional renamed
+    * view for `name_mappings`. */
+  def warehouseDdl(bucket: Bucket, tableLocation: String): String = {
+    val fields = bucket.dataSchema.dataWarehouse
+      .map(_.mainTable).getOrElse(Map.empty)
+    val cols = fields.map { case (name, declared) =>
+      s"$name ${TypeMapping.toSparkType(declared).sql}"
+    }.mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS ${bucket.signature} ($cols) USING parquet " +
+      s"LOCATION '$tableLocation'"
+  }
+
+  /** Q3 `name_mappings` analog: view with renamed columns. */
+  def renamedView(spark: SparkSession, df: DataFrame, viewName: String,
+      mappings: Map[String, String]): Unit = {
+    val renamed = mappings.foldLeft(df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    renamed.createOrReplaceTempView(viewName)
+  }
+}

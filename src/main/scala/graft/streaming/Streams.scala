@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.pipeline.{Pipeline, PipelineStage}
+
+/** Streaming surface (SURVEY §2.8) on Structured Streaming. The reference's
+  * Storm topologies are per-record at-least-once with no event-time state —
+  * all of that maps onto `readStream → transforms → writeStream`:
+  *
+  *  - ST1 passthrough: spouts→output bolt == stream → append sink,
+  *  - ST2/ST4 streaming enrichment: the SAME `EnrichStage` modules run in
+  *    `foreachBatch` (one implementation, two drivers — batch `mapPartitions`
+  *    and micro-batch; the reference shares modules the same way,
+  *    `EnrichmentPipelineService.java:177-178,325-331`),
+  *  - ST3 transient vs final output: sink to a table/topic choice at
+  *    `writeStream`,
+  *  - beyond the reference (free on this engine): event-time windows +
+  *    watermarks for the windowed aggregations the Storm module never had.
+  *
+  * Tests/queries drive streams with `Trigger.AvailableNow` over the
+  * driver's parquet so results are finite and deterministic.
+  */
+object Streams {
+
+  /** File-based stream over parquet path(s) with a known schema. */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** ST1: run a passthrough (or transformed) stream to completion, landing
+    * every micro-batch in a parquet dir; returns the landed data. */
+  def runToParquet(stream: DataFrame, transform: DataFrame => DataFrame = identity): DataFrame = {
+    val spark = stream.sparkSession
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** ST2/ST4: drive the batch enrichment stage chain per micro-batch
+    * (foreachBatch), landing results in parquet. Identical module code as
+    * the batch path — the streaming driver is the only difference. */
+  def runEnrichmentStream(stream: DataFrame, stages: Seq[PipelineStage]): DataFrame = {
+    val spark = stream.sparkSession
+    val out = Files.createTempDirectory("graft_stream_enrich").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pipeline.run(batch, stages)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** Windowed aggregation run to completion in complete mode against a
+    * memory sink (deterministic finite result for AvailableNow input). */
+  def runWindowedAgg(stream: DataFrame, agg: DataFrame => DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    val name = "graft_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg(stream).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.GraphBuilder
+import graft.model._
+import graft.multimodal.Multimodal
+import graft.sources.{XmlSource, XmlSourceConfig}
+import graft.sql.SqlSurface
+
+class SurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("S3 XML source: attribute prefix, ignore fields, nested elements") {
+    import spark.implicits._
+    val doc =
+      """<root><item id="7" skip="x"><name>alpha</name>
+        |<meta><depth>2</depth></meta><skipme>y</skipme></item>
+        |<item id="8"><name>beta</name></item></root>""".stripMargin
+    val out = XmlSource.parse(Seq(doc).toDS(),
+      XmlSourceConfig(rootElements = Seq("item"), attributePrefix = "@",
+        ignoreFields = Set("skipme", "@skip"))).collect()
+    assert(out.length === 2)
+    assert(out(0).contains("\"@id\":\"7\""))
+    assert(out(0).contains("\"name\":\"alpha\""))
+    assert(out(0).contains("\"meta\":{\"depth\":\"2\"}"))
+    assert(!out(0).contains("skip"))
+    assert(out(1).contains("\"@id\":\"8\""))
+  }
+
+  test("Q3 warehouse DDL from declared types incl. struct/array/decimal") {
+    val b = Bucket("/wh/sales", DataSchema(dataWarehouse = Some(WarehouseSchema(
+      scala.collection.immutable.ListMap(
+        "id" -> "BIGINT", "price" -> "DECIMAL(12,2)",
+        "tags" -> "ARRAY<STRING>", "loc" -> "STRUCT<lat:DOUBLE,lon:DOUBLE>")))))
+    val ddl = SqlSurface.warehouseDdl(b, "/data/wh/sales")
+    assert(ddl === ("CREATE TABLE IF NOT EXISTS wh_sales (id BIGINT, " +
+      "price DECIMAL(12,2), tags ARRAY<STRING>, " +
+      "loc STRUCT<lat: DOUBLE, lon: DOUBLE>) USING parquet LOCATION '/data/wh/sales'"))
+    // UNIONTYPE fallback → struct of alternatives
+    assert(TypeMapping.toSparkType("UNIONTYPE<INT,STRING>").sql
+      === "STRUCT<alt0: INT, alt1: STRING>")
+  }
+
+  test("J1 matchAgainstExisting splits new vs present") {
+    val existing = Tables.t(spark, TestSession.sf, "nation")
+      .select(col("n_nationkey").as("key"), col("n_name"))
+    val batch = Tables.t(spark, TestSession.sf, "nation")
+      .select((col("n_nationkey") + 20).as("key"), col("n_name"))
+    val (novel, present) = GraphBuilder.matchAgainstExisting(existing, batch, Seq("key"))
+    // keys 0..24 exist; batch keys 20..44 → 20 new (25..44), 5 present (20..24)
+    assert(novel.count() === 20)
+    assert(present.count() === 5)
+  }
+
+  test("multimodal: media meta + batched decode preserves row count and batch shape") {
+    val docs = Tables.t(spark, TestSession.sf, "documents")
+      .withColumn("content", col("text").cast("binary"))
+    val withMeta = Multimodal.withMediaMeta(docs, "content", "text")
+    assert(withMeta.select("media_meta.kind").distinct().head.getString(0) === "text")
+    // decoder sees batches of ≤ batchSize
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val counting = new Multimodal.MediaDecoder {
+      def decodeBatch(batch: Seq[Array[Byte]]): Seq[org.apache.spark.sql.Row] = {
+        seen.add(batch.size)
+        Multimodal.FakeDecoder.decodeBatch(batch)
+      }
+    }
+    val out = Multimodal.extractFeatures(withMeta, "doc_id", "content", counting, batchSize = 16)
+    assert(out.count() === docs.count())
+    // n_bytes equals text length for ascii corpus
+    val bad = out.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text"))).count()
+    assert(bad === 0)
+  }
+
+  test("Q2 subsample is seed-deterministic") {
+    val orders = Tables.t(spark, TestSession.sf, "orders")
+    val a = SqlSurface.subsample(orders, 0.1, seed = 7).count()
+    val b = SqlSurface.subsample(orders, 0.1, seed = 7).count()
+    assert(a === b && a > 0 && a < orders.count())
+  }
+}
