@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.AnnQueries.queries ++
       graft.queries.SurfaceQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.AnnQueries.oracle ++
       graft.queries.SurfaceQueries.oracle ++
-      graft.queries.GraphQueries.oracle
+      graft.queries.GraphQueries.oracle ++
+      graft.queries.OpsQueries.oracle
 }

@@ -124,6 +124,32 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
       .drop("id").withColumn(IdCol, expr("uuid()"))
   }
 
+  /** U10 updateAndReturnObjectBySpec — findAndModify: apply the update to
+    * the (single) match and return its before or after image, optionally
+    * projected (`MongoDbCrudService.java:531-555`). */
+  def updateAndReturnObjectBySpec(q: QueryComponent, u: UpdateComponent,
+      returnBefore: Boolean = false, fields: Seq[String] = Nil): Option[Row] = {
+    val pred = QueryCompiler.compile(q)
+    val before = table.filter(pred).head(1).headOption
+    if (before.isEmpty) return None
+    store.rewrite(bucket, stage)(cur =>
+      UpdateCompiler.applyUpdate(cur, QueryCompiler.compile(q), u))
+    val image =
+      if (returnBefore) before
+      else {
+        // after image: re-locate by _id if present, else by the same spec
+        val src = before.get
+        val key = if (src.schema.fieldNames.contains(IdCol))
+          table.filter(col(IdCol) === src.getAs[String](IdCol))
+        else table.filter(QueryCompiler.compile(q))
+        key.head(1).headOption
+      }
+    image.map { r =>
+      if (fields.isEmpty) r
+      else Row.fromSeq(fields.map(f => r.get(r.schema.fieldIndex(f))))
+    }
+  }
+
   /** U11 deleteObjectsBySpec incl. top-k delete; returns rows deleted. */
   def deleteObjectsBySpec(q: QueryComponent): Long = {
     val before = table.count()

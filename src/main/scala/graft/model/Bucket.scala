@@ -38,15 +38,45 @@ final case class TemporalSchema(
     timeField: String,
     groupingPeriod: GroupingPeriod = GroupingPeriod.Daily)
 
-sealed abstract class GroupingPeriod(val name: String, val pattern: String)
+/** Partition value = UTC-truncated string; lexicographic order == time
+  * order, so range predicates prune partitions. Weekly has no valid
+  * `date_format` pattern in Spark 3+ (week-based fields are rejected), so it
+  * truncates to the week-start date instead. */
+sealed abstract class GroupingPeriod(val name: String) {
+  /** Partition-value expression for a timestamp column. */
+  def partitionValue(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  /** The same truncation applied driver-side (retention cutoffs). */
+  def truncate(i: java.time.Instant): String
+}
 object GroupingPeriod {
-  /** Partition value = UTC-truncated string; lexicographic order == time
-    * order, so range predicates prune partitions. */
-  case object Hourly extends GroupingPeriod("hourly", "yyyy-MM-dd-HH")
-  case object Daily extends GroupingPeriod("daily", "yyyy-MM-dd")
-  case object Weekly extends GroupingPeriod("weekly", "YYYY-'w'ww")
-  case object Monthly extends GroupingPeriod("monthly", "yyyy-MM")
-  case object Yearly extends GroupingPeriod("yearly", "yyyy")
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{date_format, date_trunc}
+  import java.time.{Instant, ZoneOffset}
+  import java.time.format.DateTimeFormatter
+
+  private def fmt(p: String): DateTimeFormatter =
+    DateTimeFormatter.ofPattern(p).withZone(ZoneOffset.UTC)
+
+  private final class Formatted(name: String, pattern: String, trunc: String)
+      extends GroupingPeriod(name) {
+    def partitionValue(ts: Column): Column = date_format(date_trunc(trunc, ts), pattern)
+    def truncate(i: Instant): String = fmt(pattern).format(i)
+  }
+
+  val Hourly: GroupingPeriod = new Formatted("hourly", "yyyy-MM-dd-HH", "hour")
+  val Daily: GroupingPeriod = new Formatted("daily", "yyyy-MM-dd", "day")
+  val Monthly: GroupingPeriod = new Formatted("monthly", "yyyy-MM", "month")
+  val Yearly: GroupingPeriod = new Formatted("yearly", "yyyy", "year")
+  /** week partition = Monday-start week date, e.g. "2024-01-01". */
+  val Weekly: GroupingPeriod = new GroupingPeriod("weekly") {
+    def partitionValue(ts: Column): Column =
+      date_format(date_trunc("week", ts), "yyyy-MM-dd")
+    def truncate(i: Instant): String = {
+      val d = i.atZone(ZoneOffset.UTC).toLocalDate
+      fmt("yyyy-MM-dd").format(
+        d.minusDays((d.getDayOfWeek.getValue - 1).toLong).atStartOfDay(ZoneOffset.UTC))
+    }
+  }
   val all: Seq[GroupingPeriod] = Seq(Hourly, Daily, Weekly, Monthly, Yearly)
   def of(name: String): GroupingPeriod =
     all.find(_.name == name).getOrElse(Daily)

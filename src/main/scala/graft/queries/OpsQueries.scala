@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.Tables
+import graft.ops.LoggingService
+import graft.sources.{LegacyQuerySource, Sources}
+
+/** Oracle-checked queries for S7 (legacy query options), ST6 (quarantine),
+  * X7 (logging thresholds). */
+object OpsQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- S7: legacy V1 query object with control fields -----------------
+    "s7_legacy_query" -> { (s, dir) =>
+      val q = LegacyQuerySource.parse(Map(
+        "event_type" -> "purchase",
+        ":tmin" -> java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        ":tmax" -> java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+        ":fields" -> Seq("event_id", "user_id", "value"),
+        ":splits" -> 8))
+      // injected predicate = the ACL/soft-delete seam
+      LegacyQuerySource.run(Tables.t(s, dir, "events"), q, "ts",
+          injected = Some(col("user_id") >= 0))
+        .orderBy("event_id")
+    },
+    // ---- ST6: malformed-JSON quarantine shunt ---------------------------
+    "st6_quarantine" -> { (s, dir) =>
+      // deterministically corrupt ~1% of props payloads
+      val ev = Tables.t(s, dir, "events").withColumn("props",
+        when(col("event_id") % 97 === 0, concat(lit("{bad"), col("props")))
+          .otherwise(col("props")))
+      val parsed = Sources.parseJsonQuarantine(ev, "props",
+        StructType(Seq(StructField("k", LongType))))
+      parsed.select(col("event_id"), col("_quarantined"),
+          col("props_parsed.k").as("k"))
+        .orderBy("event_id")
+    },
+    // ---- X7: logging level thresholds -----------------------------------
+    "l1_log_threshold" -> { (s, dir) =>
+      // synthesize log records from events: level by event_type
+      val levelOf = when(col("event_type") === "error", "ERROR")
+        .when(col("event_type") === "purchase", "WARN")
+        .when(col("event_type") === "signup", "INFO")
+        .when(col("event_type") === "click", "DEBUG")
+        .otherwise("TRACE")
+      val logs = Tables.t(s, dir, "events")
+        .select(col("event_id"), levelOf.as("level"),
+          (col("user_id") % 3).cast("string").as("subsystem"))
+      LoggingService.levelFilter(logs,
+          thresholds = Map("0" -> "ERROR", "1" -> "DEBUG"), defaultLevel = "INFO")
+        .orderBy("event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s7_legacy_query" ->
+      ("SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' " +
+        "AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' " +
+        "AND user_id >= 0 ORDER BY event_id"),
+    "st6_quarantine" ->
+      ("SELECT event_id, NOT json_valid(p) AS _quarantined, " +
+        "CASE WHEN json_valid(p) THEN CAST(json_extract(p, '$.k') AS BIGINT) ELSE NULL END AS k FROM " +
+        "(SELECT event_id, CASE WHEN event_id % 97 = 0 THEN '{bad' || props ELSE props END AS p FROM events) " +
+        "ORDER BY event_id"),
+    "l1_log_threshold" ->
+      ("WITH logs AS (SELECT event_id, CASE event_type WHEN 'error' THEN 'ERROR' " +
+        "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +
+        "ELSE 'TRACE' END AS level, CAST(user_id % 3 AS VARCHAR) AS subsystem FROM events), " +
+        "ranked AS (SELECT *, CASE level WHEN 'TRACE' THEN 0 WHEN 'DEBUG' THEN 1 WHEN 'INFO' THEN 2 " +
+        "WHEN 'WARN' THEN 3 WHEN 'ERROR' THEN 4 END AS r, " +
+        "CASE subsystem WHEN '0' THEN 4 WHEN '1' THEN 1 ELSE 2 END AS thr FROM logs) " +
+        "SELECT event_id, level, subsystem FROM ranked WHERE r >= thr ORDER BY event_id")
+  )
+}

@@ -34,6 +34,32 @@ object Sources {
   def parseJsonColumnInferred(df: DataFrame, column: String, sampleJson: String): DataFrame =
     df.withColumn(column + "_parsed", from_json(col(column), schema_of_json(sampleJson)))
 
+  /** ST6/dirty-data: parse a JSON column, shunting malformed records to a
+    * quarantine flag instead of failing the job — the Spark-native analog of
+    * the reference's mapping-failure shunt (auto-type retry loop,
+    * `ElasticsearchCrudService.java:465-574`): `_quarantined = true` rows
+    * keep the raw payload for later repair; good rows carry the parsed
+    * struct. Split with the two helpers below (one scan each, or cache). */
+  def parseJsonQuarantine(df: DataFrame, column: String, schema: StructType): DataFrame = {
+    // PERMISSIVE from_json yields a null-FIELDED struct on malformed input,
+    // so detection needs the corrupt-record channel, not a null check.
+    val corrupt = "_corrupt_record"
+    val schemaWithCorrupt = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    import scala.jdk.CollectionConverters._
+    df.withColumn(column + "_parsed",
+        from_json(col(column), schemaWithCorrupt,
+          Map("columnNameOfCorruptRecord" -> corrupt).asJava))
+      .withColumn("_quarantined",
+        col(column).isNotNull &&
+          col(column + "_parsed").getField(corrupt).isNotNull)
+  }
+
+  def goodRecords(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("_quarantined"))
+
+  def quarantinedRecords(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_quarantined"))
+
   /** S4: read whole files as binary records (path, modificationTime, length,
     * content). */
   def binaryFiles(spark: SparkSession, path: String, glob: Option[String] = None): DataFrame = {

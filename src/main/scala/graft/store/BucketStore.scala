@@ -42,7 +42,7 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     b.dataSchema.temporal match {
       case Some(TemporalSchema(tf, period)) if df.columns.contains(tf) =>
         df.withColumn(PartitionCol,
-          coalesce(date_format(col(tf), period.pattern), lit("__unknown__")))
+          coalesce(period.partitionValue(col(tf)), lit("__unknown__")))
       case _ => df
     }
 
@@ -95,9 +95,7 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   def ageOut(b: Bucket, stage: String, now: java.time.Instant): Int = {
     (b.dataSchema.temporal, b.dataSchema.storage.flatMap(_.existAgeMax)) match {
       case (Some(TemporalSchema(_, period)), Some(maxAge)) =>
-        val cutoff = java.time.format.DateTimeFormatter
-          .ofPattern(period.pattern).withZone(java.time.ZoneOffset.UTC)
-          .format(now.minus(maxAge))
+        val cutoff = period.truncate(now.minus(maxAge))
         val dir = stageDir(b, stage, None)
         if (!Files.exists(dir)) return 0
         val doomed = Files.list(dir).iterator().asScala.toSeq.filter { p =>
