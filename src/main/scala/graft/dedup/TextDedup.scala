@@ -125,8 +125,10 @@ object TextDedup {
     * (inclusion-exclusion on distinct sizes — stable across engines that
     * order set results differently). */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(a).cast("double") + size(b).cast("double") - inter
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = size(da).cast("double") + size(db).cast("double") - inter
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 

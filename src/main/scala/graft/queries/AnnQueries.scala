@@ -27,8 +27,36 @@ object AnnQueries {
       val e = Tables.t(s, dir, "embeddings")
       Ann.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 3)
         .orderBy("q_id", "rank")
+    },
+    // LSH-bucketed top-3 (8 sign-projection planes): the scale path — the
+    // corpus-side shuffle key is the bucket, candidates bounded per bucket
+    "ann2_lsh_topk" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      Ann.lshTopK(e.filter(col("vec_id") < 8), e, k = 3, planes = 8)
+        .orderBy("q_id", "rank")
+    },
+    // IVF coarse-quantized top-3: centroids = first 4 vectors, nprobe 2
+    "ann3_ivf_topk" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      Ann.ivfTopK(e.filter(col("vec_id") < 8), e, cents, k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")
     }
   )
+
+  private val bucketCte =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "b AS (SELECT vec_id, v, " +
+      "list_sum([CASE WHEN list_reduce([v[d+1] * ((((p*31)+d)*2654435761 % 2147483648)/2147483648.0 - 0.5) " +
+      "FOR d IN generate_series(0,63)], (a,bb)->a+bb) > 0 " +
+      "THEN (1::BIGINT << p) ELSE 0 END FOR p IN generate_series(0,7)])::BIGINT AS bucket FROM e)"
+
+  private val cosV =
+    "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+
+  private val l2 = (a: String, b: String) =>
+    s"list_reduce([($a[d+1] - $b[d+1]) * ($a[d+1] - $b[d+1]) FOR d IN generate_series(0,63)], (x,y)->x+y)"
 
   val oracle: Map[String, String] = Map(
     "ann1_topk_exact" ->
@@ -37,6 +65,27 @@ object AnnQueries {
         s"$cosSql AS sim, " +
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
         "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    "ann2_lsh_topk" ->
+      (bucketCte +
+        " SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        s"SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosV AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosV DESC, c.vec_id) AS rank " +
+        "FROM b q JOIN b c ON q.bucket = c.bucket WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    "ann3_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 4), " +
+        "corp AS (SELECT vec_id, v, cent_id FROM (" +
+        s"SELECT e.vec_id, e.v, cent.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.v", "cent.cv")}, cent.cent_id) AS cr " +
+        "FROM e, cent) WHERE cr = 1), " +
+        "qry AS (SELECT vec_id, v, cent_id FROM (" +
+        s"SELECT e.vec_id, e.v, cent.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.v", "cent.cv")}, cent.cent_id) AS cr " +
+        "FROM e, cent WHERE e.vec_id < 8) WHERE cr <= 2) " +
+        "SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        s"SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosV AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosV DESC, c.vec_id) AS rank " +
+        "FROM qry q JOIN corp c ON q.cent_id = c.cent_id) " +
         "WHERE rank <= 3 ORDER BY q_id, rank")
   )
 }

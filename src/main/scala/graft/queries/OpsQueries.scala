@@ -39,6 +39,20 @@ object OpsQueries {
           col("props_parsed.k").as("k"))
         .orderBy("event_id")
     },
+    // ---- §1.3 collide policy: ragged-batch union with widening ----------
+    "c1_collide_widen" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      // batch A: narrow types; batch B: conflicting o_orderkey type
+      val a = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("float").as("price"),
+          col("o_custkey").cast("int").as("cust"))
+      val b = orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").cast("string").as("o_orderkey"),
+          col("o_totalprice").as("price"), col("o_custkey").as("cust"))
+      graft.model.SchemaEvolution.unionWithPolicy(Seq(a, b))
+        .orderBy("o_orderkey")
+    },
     // ---- X7: logging level thresholds -----------------------------------
     "l1_log_threshold" -> { (s, dir) =>
       // synthesize log records from events: level by event_type
@@ -66,6 +80,12 @@ object OpsQueries {
         "CASE WHEN json_valid(p) THEN CAST(json_extract(p, '$.k') AS BIGINT) ELSE NULL END AS k FROM " +
         "(SELECT event_id, CASE WHEN event_id % 97 = 0 THEN '{bad' || props ELSE props END AS p FROM events) " +
         "ORDER BY event_id"),
+    "c1_collide_widen" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, " +
+        "CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price, CAST(o_custkey AS BIGINT) AS cust " +
+        "FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT CAST(o_orderkey AS VARCHAR), o_totalprice, o_custkey " +
+        "FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey"),
     "l1_log_threshold" ->
       ("WITH logs AS (SELECT event_id, CASE event_type WHEN 'error' THEN 'ERROR' " +
         "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.TextDedup
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.similarity.Ann
+
+class DedupAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private lazy val docs = Tables.t(spark, TestSession.sf, "documents").cache()
+  private lazy val emb = Tables.t(spark, TestSession.sf, "embeddings").cache()
+
+  test("poly_hash expression matches a Scala reference implementation") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xffL)) % 1000000007L)
+    val rows = docs.limit(20)
+      .select(col("text"), GraftFunctions.poly_hash(col("text")).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === ref(r.getString(0))))
+    // and via SQL registration
+    GraftFunctions.register(spark)
+    docs.limit(5).createOrReplaceTempView("ph_docs")
+    val viaSql = spark.sql("SELECT poly_hash(text) AS h, text FROM ph_docs").collect()
+    viaSql.foreach(r => assert(r.getLong(0) === ref(r.getString(1))))
+  }
+
+  test("minhash: identical docs share full signatures; LSH finds self-pairs") {
+    // duplicate the corpus with shifted ids: every doc has an exact twin
+    val base = docs.select(col("doc_id"), col("text"))
+    val twins = base.withColumn("doc_id", col("doc_id") + 10000)
+    val both = base.unionByName(twins)
+    val pairs = TextDedup.minhashCandidates(both, "doc_id", "text")
+      .filter(col("doc_b") === col("doc_a") + 10000)
+    // every twin pair shares ALL bands → must be a candidate
+    assert(pairs.count() === base.count())
+  }
+
+  test("minhash poly-hash path agrees with md5 path on candidate structure") {
+    val md5Pairs = TextDedup.minhashCandidates(docs, "doc_id", "text", useMd5 = true).count()
+    val polyPairs = TextDedup.minhashCandidates(docs, "doc_id", "text", useMd5 = false).count()
+    // different hash families → different collisions, but both must find the
+    // exact-duplicate structure of the corpus; sanity: smallish candidate sets
+    assert(md5Pairs < 5000 && polyPairs < 5000)
+  }
+
+  test("simhash of identical token lists is identical; jaccard self = 1") {
+    val sh = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("hs", TextDedup.shingleHashes(col("toks"), useMd5 = false))
+      .select(col("doc_id"), TextDedup.simhash(col("hs")).as("sh"),
+        TextDedup.jaccard(col("toks"), col("toks")).as("self_j"))
+    assert(sh.filter(col("self_j") =!= 1.0).count() === 0)
+    val dupDf = sh.as("a").join(sh.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .filter(col("a.sh") =!= col("b.sh"))
+    val dup = dupDf.count()
+    if (dup > 0) {
+      dupDf.select(col("a.doc_id"), col("a.sh"), col("b.sh")).show(5, false)
+      println(dupDf.queryExecution.executedPlan.toString.take(4000))
+    }
+    assert(dup === 0)
+  }
+
+  test("ANN: LSH and IVF results are subsets of brute-force candidates with correct sims") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForceTopK(queries, emb, k = 50).cache()
+    val lsh = Ann.lshTopK(queries, emb, k = 3, planes = 4)
+    // every LSH hit must carry the same similarity the exact path computes
+    val joined = lsh.as("l").join(brute.as("b"),
+      col("l.q_id") === col("b.q_id") && col("l.c_id") === col("b.c_id"))
+    assert(joined.filter(col("l.sim") =!= col("b.sim")).count() === 0)
+    // rank-1 self hit always survives LSH (identical vector → same bucket)
+    assert(lsh.filter(col("q_id") === col("c_id") && col("sim") > 0.999999).count() === 5)
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val ivf = Ann.ivfTopK(queries, emb, cents, k = 3, nprobe = 2)
+    assert(ivf.filter(col("q_id") === col("c_id")).count() === 5) // self in own cell
+  }
+
+  test("exact dedup finds injected duplicates") {
+    val twins = docs.limit(10).withColumn("doc_id", col("doc_id") + 50000)
+    val out = TextDedup.exactDedup(docs.unionByName(twins), "doc_id", "text")
+    assert(out.filter(col("n_dups") >= 2).count() >= 10)
+    // representatives are the original (lower) ids
+    assert(out.filter(col("n_dups") >= 2).filter(col("rep_id") >= 50000).count() === 0)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dsl.{Query, QueryCompiler}
+
+/** Physical-plan assertions — the scale contract. Every DSL-compiled read
+  * must push predicates and projections into the parquet scan; small-dim
+  * joins must broadcast; narrow operators must not shuffle. These are the
+  * properties that survive a 1000-executor 100 TB scale-up. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def formattedPlan(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** explain("formatted") text — unlike plan.toString it does not truncate
+    * the PushedFilters/ReadSchema metadata at 100 chars. */
+  private def explainFormatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  // Other suites share the session and may have cached the same parquet
+  // plans; the CacheManager would substitute InMemoryRelation and hide the
+  // scan-level pushdown these tests assert on.
+  private def uncached[A](body: => A): A = {
+    spark.catalog.clearCache()
+    body
+  }
+
+  test("DSL predicates reach the parquet scan as PushedFilters") { uncached {
+    val li = Tables.t(spark, TestSession.sf, "lineitem")
+    val q = Query.allOf().when("l_returnflag", "R").rangeAbove("l_quantity", 30.0)
+    val plan = explainFormatted(QueryCompiler.run(li, q))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), s"missing eq pushdown in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,30.0)"), "missing range pushdown")
+  } }
+
+  test("In-list (withAny) pushes an In filter, not an OR chain") { uncached {
+    val o = Tables.t(spark, TestSession.sf, "orders")
+    val plan = QueryCompiler.run(o,
+      Query.allOf().withAny("o_orderpriority", Seq("1-URGENT", "2-HIGH")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(o_orderpriority"), s"no In pushdown in:\n$plan")
+  } }
+
+  test("projection prunes the parquet ReadSchema to selected columns") { uncached {
+    val o = Tables.t(spark, TestSession.sf, "orders")
+    val plan = QueryCompiler.run(o,
+      Query.allOf().withFields("o_orderkey", "o_totalprice"))
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_orderdate"),
+      s"scan reads unprojected columns: $readSchema")
+  } }
+
+  test("small-dimension join broadcasts (no shuffle of the dim side)") {
+    val o = Tables.t(spark, TestSession.sf, "orders")
+    val n = Tables.t(spark, TestSession.sf, "nation")
+    val joined = o.join(broadcast(n), o("o_custkey") % 25 === n("n_nationkey"))
+    assert(formattedPlan(joined).contains("BroadcastHashJoin"))
+  }
+
+  test("narrow text/dedup projections have no exchange") {
+    val docs = Tables.t(spark, TestSession.sf, "documents")
+    val sig = docs
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("sh", graft.dedup.TextDedup.wordShingles(col("toks"), 3))
+      .withColumn("hs", graft.dedup.TextDedup.shingleHashes(col("sh")))
+      .select(col("doc_id"), graft.dedup.TextDedup.minhashFromHashes(col("hs"), 16))
+    assert(!formattedPlan(sig).contains("Exchange"), "signature pipeline shuffled")
+  }
+
+  test("bucket store time partitions prune on partition predicates") {
+    val store = new graft.store.BucketStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_prune").toString)
+    val b = graft.model.Bucket("/prune/events", graft.model.DataSchema(
+      temporal = Some(graft.model.TemporalSchema("ts", graft.model.GroupingPeriod.Daily))))
+    store.write(b, Tables.t(spark, TestSession.sf, "events"))
+    val pruned = store.read(b)
+      .filter(col(graft.store.BucketStore.PartitionCol) === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter present and data filters empty → pruning, not scan+filter
+    assert(plan.contains("PartitionFilters: [isnotnull(p_time"), s"no partition filter:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
+  test("q1 aggregation uses partial aggregation (two HashAggregate phases)") {
+    val plan = formattedPlan(SparkEntry.queries("q1_agg")(spark, TestSession.sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no map-side partial agg")
+  }
+}
