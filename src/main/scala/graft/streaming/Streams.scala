@@ -27,9 +27,17 @@ import graft.pipeline.{Pipeline, PipelineStage}
   */
 object Streams {
 
-  /** File-based stream over parquet path(s) with a known schema. */
-  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+  /** File-based stream over parquet path(s) with a known schema.
+    *
+    * FileStreamSource requires its basePath to be a directory; a
+    * single-file path (the driver's `events.parquet` layout) is presented
+    * as a `{name}` glob, which the source resolves relative to the parent
+    * directory instead. */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val f = new java.io.File(path)
+    val effective = if (f.isFile) s"${f.getParent}/{${f.getName}}" else path
+    spark.readStream.schema(schema).parquet(effective)
+  }
 
   /** ST1: run a passthrough (or transformed) stream to completion, landing
     * every micro-batch in a parquet dir; returns the landed data. */
