@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.AnnQueries.queries ++
       graft.queries.SurfaceQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.AnnQueries.oracle ++
       graft.queries.SurfaceQueries.oracle ++
       graft.queries.GraphQueries.oracle ++
-      graft.queries.OpsQueries.oracle
+      graft.queries.OpsQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle
 }

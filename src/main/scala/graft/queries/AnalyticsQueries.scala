@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.crud.CrudService
+import graft.dsl.{Query, QueryCompiler, Update}
+import graft.model.{Bucket, DataSchema}
+import graft.store.BucketStore
+
+/** The analytics surface the reference inherits from Spark SQL by design
+  * (SURVEY §2.4 note / §2.7 Q1): window functions, rollup/cube grouping
+  * sets, set operations, approximate aggregates. The reference has no
+  * custom implementation to mimic (`SparkSqlTopology.java:96` runs user SQL
+  * verbatim) — these queries pin down that the engine exposes the full
+  * surface over bucket tables, oracle-checked where DuckDB can reproduce
+  * the semantics exactly.
+  *
+  * Plus the two §2 line items not covered elsewhere: F11 dot-path nested
+  * field access through the query DSL, and U10 findAndModify through the
+  * CRUD facade's store-rewrite path.
+  */
+object AnalyticsQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+  private val dec38 = DecimalType(38, 6)
+
+  val queries: Map[String, Q] = Map(
+    // ---- window ranking: top-3 orders per customer by price -------------
+    "w1_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    },
+    // ---- window analytics: running sum + lag per customer ---------------
+    // explicit ROWS frame on both sides (default RANGE mode would sum
+    // order-date ties together)
+    "w2_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "orders")
+        .withColumn("run_spend", sum(dec6(col("o_totalprice"))).over(wr).cast(dec38))
+        .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "run_spend", "prev_order")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // ---- rollup: (status, priority) hierarchy with subtotals ------------
+    "q5_rollup" -> { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec6(col("o_totalprice"))).cast(dec38).as("spend"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("spend"))
+        .orderBy("status", "priority")
+    },
+    // ---- cube: all grouping-set combinations ----------------------------
+    "q6_cube" -> { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    },
+    // ---- set operations: INTERSECT / EXCEPT (distinct semantics) --------
+    "set1_ops" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val c = o.filter(col("o_orderstatus") === "P").select("o_custkey")
+      a.intersect(b).except(c).orderBy("o_custkey")
+    },
+    // ---- F11: dot-path nested field access through the query DSL --------
+    "f11_dot_path" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("r", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+      QueryCompiler.run(ev,
+          Query.allOf().rangeAbove("r.k", 90L).orderBy("event_id" -> 1))
+        .select(col("event_id"), col("r.k").as("k"))
+    },
+    // ---- U10: findAndModify (update + return after-image, projected) ----
+    "u10_find_modify" -> { (s, dir) =>
+      val store = new BucketStore(s,
+        java.nio.file.Files.createTempDirectory("graft_u10").toString)
+      val b = Bucket("/crud/orders", DataSchema())
+      store.write(b, Tables.t(s, dir, "orders"))
+      val crud = new CrudService(store, b)
+      val row = crud.updateAndReturnObjectBySpec(
+        Query.allOf().when("o_orderkey", 100L),
+        Update.update().increment("o_totalprice", 500),
+        returnBefore = false,
+        fields = Seq("o_orderkey", "o_totalprice")).get
+      import s.implicits._
+      Seq((row.getLong(0), row.getDouble(1))).toDF("o_orderkey", "o_totalprice")
+    },
+    // ---- approximate distinct (HLL++): rows-only check — HLL sketches
+    // aren't bit-reproducible across engines; ApproxSpec bounds the error
+    // against the exact count instead
+    "approx1_distinct" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk " +
+        "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
+    "w2_window_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS run_spend, " +
+        "lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "q5_rollup" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS spend " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY status, priority"),
+    "q6_cube" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY status, priority"),
+    "set1_ops" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P' " +
+        "ORDER BY o_custkey"),
+    "f11_dot_path" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k " +
+        "FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90 " +
+        "ORDER BY event_id"),
+    "u10_find_modify" ->
+      "SELECT o_orderkey, o_totalprice + 500 AS o_totalprice FROM orders WHERE o_orderkey = 100"
+    // approx1_distinct intentionally has no oracle (rows-only check)
+  )
+}
