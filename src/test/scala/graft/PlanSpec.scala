@@ -90,6 +90,16 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("ANN top-k ranks map-side before the shuffle (partial WindowGroupLimit)") {
+    val plan = formattedPlan(SparkEntry.queries("ann1_topk_exact")(spark, TestSession.sf))
+    // rank<=k over row_number must become a map-side group limit, so only
+    // k rows per query cross the exchange — the property that keeps exact
+    // rerank viable at corpus scale
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial window group limit:\n$plan")
+    assert(plan.contains("BroadcastExchange"), "query side not broadcast")
+  }
+
   test("q1 aggregation uses partial aggregation (two HashAggregate phases)") {
     val plan = formattedPlan(SparkEntry.queries("q1_agg")(spark, TestSession.sf))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "no map-side partial agg")
