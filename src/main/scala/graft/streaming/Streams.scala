@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -72,6 +73,69 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.read.parquet(out)
+  }
+
+  /** Cross-batch keyed state — the capability the reference's Storm layer
+    * delegated to external stores (its bolts are stateless; state lived in
+    * ES/Mongo): sessionize events per user with an inactivity gap, via
+    * `flatMapGroupsWithState` (event-time timeout). Emits one row per
+    * closed session: (user_id, session_start, session_end, n_events).
+    *
+    * Scale: state is per-key (user), partitioned by the groupByKey shuffle,
+    * checkpointed by Structured Streaming — no driver-side state. */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    case class SessionState(start: Long, last: Long, n: Long)
+
+    def fn(user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+      val ts = rows.map(_._2).toSeq.sorted
+      var sessions = List.empty[(Long, Long, Long, Long)]
+      var cur = state.getOption.map(s => SessionState(s._1, s._2, s._3))
+      if (state.hasTimedOut) {
+        val out = cur.map(s => (user, s.start, s.last, s.n)).iterator
+        state.remove()
+        return out
+      }
+      ts.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+          case Some(s) =>
+            sessions ::= ((user, s.start, s.last, s.n))
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update((s.start, s.last, s.n))
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      sessions.reverse.iterator
+    }
+
+    // event-time timeout requires a watermark on a timestamp column, and
+    // the watermarked column must SURVIVE into the stateful operator's
+    // input (projecting it away drops the event-time tag); the state
+    // function itself works on epoch millis
+    val withEvTime = events
+      .withColumn("__ev", col(tsCol).cast("timestamp"))
+      .withWatermark("__ev", s"$gapMinutes minutes")
+      .select(col(userCol).cast("long").as("u"),
+        (col(tsCol).cast("double") * 1000).cast("long").as("t"),
+        col("__ev"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    withEvTime
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
   /** Windowed aggregation run to completion in complete mode against a
