@@ -61,6 +61,79 @@ object Multimodal {
       }
   }
 
+  /** Batch transform contract (resize/resample/transcode shape): bytes in,
+    * bytes out, one output per input. */
+  trait MediaTransform extends Serializable {
+    def transformBatch(batch: Seq[Array[Byte]]): Seq[Array[Byte]]
+  }
+
+  /** Deterministic resize stand-in: truncate/zero-pad to `targetBytes`. A
+    * real implementation decodes, scales to WxH, re-encodes — same
+    * signature, same batching. */
+  final case class FakeResizer(targetBytes: Int) extends MediaTransform {
+    def transformBatch(batch: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      batch.map(b => java.util.Arrays.copyOf(b, targetBytes))
+  }
+
+  /** Resize/transcode: rewrite the content column in place via a batched
+    * transform — narrow (mapPartitions), bytes never leave the binary
+    * column, batch amortizes codec setup. */
+  def resizeContent(df: DataFrame, contentCol: String,
+      transform: MediaTransform, batchSize: Int = 64): DataFrame = {
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    implicit val enc: Encoder[Row] = Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val out = transform.transformBatch(
+          batch.map(_.getAs[Array[Byte]](contentIdx)))
+        batch.iterator.zip(out.iterator).map { case (r, bytes) =>
+          Row.fromSeq(r.toSeq.updated(contentIdx, bytes))
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampler contract: one media blob → 0..N (frame_idx, frame_bytes)
+    * pairs (video frame-sampling shape). */
+  trait FrameSampler extends Serializable {
+    def sampleBatch(batch: Seq[Array[Byte]]): Seq[Seq[(Int, Array[Byte])]]
+  }
+
+  /** Deterministic stand-in: treat the blob as fixed-size `frameBytes`
+    * chunks and keep every `everyN`-th chunk. A real implementation would
+    * demux the container and decode keyframes — same 1-to-N shape. */
+  final case class FakeFrameSampler(frameBytes: Int, everyN: Int) extends FrameSampler {
+    def sampleBatch(batch: Seq[Array[Byte]]): Seq[Seq[(Int, Array[Byte])]] =
+      batch.map { bytes =>
+        bytes.grouped(frameBytes).zipWithIndex.collect {
+          case (chunk, i) if i % everyN == 0 => (i, chunk)
+        }.toSeq
+      }
+  }
+
+  /** Frame sampling: 1 record → N frame rows (id, frame_idx, frame). The
+    * explode happens inside mapPartitions with bounded memory per batch —
+    * frames of one record never need to co-reside with another record's. */
+  def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
+      sampler: FrameSampler, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val outSchema = StructType(Seq(
+      df.schema(idIdx),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val frames = sampler.sampleBatch(
+          batch.map(_.getAs[Array[Byte]](contentIdx)))
+        batch.iterator.zip(frames.iterator).flatMap { case (r, fs) =>
+          fs.map { case (i, bytes) => Row(r.get(idIdx), i, bytes) }
+        }
+      }
+    }(enc)
+  }
+
   /** Run the decoder over batches of `batchSize` records (mapPartitions —
     * narrow, no shuffle), appending the feature struct columns to the id
     * column. */

@@ -84,6 +84,27 @@ object SurfaceQueries {
       Multimodal.extractFeatures(withMeta, "doc_id", "content")
         .orderBy("doc_id")
     },
+    // ---- multimodal: frame sampling (1 blob → N frame rows) -------------
+    "mm2_frame_sample" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", col("text").cast("binary"))
+      Multimodal.sampleFrames(docs, "doc_id", "content",
+          Multimodal.FakeFrameSampler(frameBytes = 32, everyN = 2))
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame").cast("string").as("frame"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    // ---- multimodal: resize/transcode (batched in-place byte rewrite) ---
+    "mm3_resize" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", col("text").cast("binary"))
+      // 40 ≤ min document length → pure truncation (padding would need NUL
+      // bytes, which the oracle engine can't hold in VARCHAR)
+      Multimodal.resizeContent(docs, "content", Multimodal.FakeResizer(40))
+        .select(col("doc_id"), col("content").cast("string").as("content"),
+          length(col("content")).as("n"))
+        .orderBy("doc_id")
+    },
     // ---- ST1: passthrough stream (availableNow over events parquet) -----
     "st1_passthrough" -> { (s, dir) =>
       val batchDf = Tables.t(s, dir, "events")
@@ -149,6 +170,15 @@ object SurfaceQueries {
         "ascii(substr(text, 1, 1)) AS head_byte, " +
         "list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_extract_all(text, '.')], " +
         "(a, b) -> (a + b) % 1000000007) % 1000000007 AS byte_sum_mod " +
+        "FROM documents ORDER BY doc_id"),
+    "mm2_frame_sample" ->
+      ("SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
+        "substr(text, CAST(i * 32 + 1 AS BIGINT), 32) AS frame FROM (" +
+        "SELECT doc_id, text, unnest([x FOR x IN " +
+        "generate_series(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT) - 1) " +
+        "IF x % 2 = 0]) AS i FROM documents) ORDER BY doc_id, frame_idx"),
+    "mm3_resize" ->
+      ("SELECT doc_id, substr(text, 1, 40) AS content, 40 AS n " +
         "FROM documents ORDER BY doc_id"),
     "st1_passthrough" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
