@@ -124,6 +124,16 @@ object SurfaceQueries {
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     },
+    // ---- stateful: per-user sessionization (flatMapGroupsWithState) -----
+    // emits CLOSED sessions only: all but each user's last, plus last
+    // sessions the final watermark (max ts - gap) times out
+    "st4_sessionize" -> { (s, dir) =>
+      val raw = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val stream = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Streams.runToParquet(Streams.sessionize(stream, gapMinutes = 30))
+        .orderBy("user_id", "session_start")
+    },
     // ---- ST3/windowed: event-time tumbling day windows ------------------
     "st3_window_agg" -> { (s, dir) =>
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
@@ -185,6 +195,17 @@ object SurfaceQueries {
     "st2_stream_enrich" ->
       ("SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click' " +
         "ORDER BY event_id"),
+    "st4_sessionize" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) // 1000 AS t FROM events), " +
+        "s AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM ev), " +
+        "b AS (SELECT user_id, t, CASE WHEN prev IS NULL OR t - prev > 1800000 THEN 1 ELSE 0 END AS brk FROM s), " +
+        "sids AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM b), " +
+        "sess AS (SELECT user_id, sid, min(t) AS session_start, max(t) AS session_end, count(*) AS n_events FROM sids GROUP BY 1, 2), " +
+        "wm AS (SELECT max(t) - 1800000 AS w FROM ev), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY session_start DESC) AS pos FROM sess) " +
+        "SELECT user_id, session_start, session_end, n_events FROM ranked, wm " +
+        "WHERE pos > 1 OR session_end + 1800000 < w " +
+        "ORDER BY user_id, session_start"),
     "st3_window_agg" ->
       ("SELECT date_trunc('day', ts) AS wstart, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value " +

@@ -128,7 +128,9 @@ object Streams {
       .withColumn("__ev", col(tsCol).cast("timestamp"))
       .withWatermark("__ev", s"$gapMinutes minutes")
       .select(col(userCol).cast("long").as("u"),
-        (col(tsCol).cast("double") * 1000).cast("long").as("t"),
+        // integer micros→millis: the double-seconds route can floor an
+        // off-by-one ms (micros/1e6 is not binary-representable)
+        expr(s"unix_micros(cast($tsCol as timestamp)) div 1000").as("t"),
         col("__ev"))
       .as[(Long, Long, java.sql.Timestamp)]
     withEvTime

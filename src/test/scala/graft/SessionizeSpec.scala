@@ -23,7 +23,7 @@ class SessionizeSpec extends AnyFunSuite {
 
     // batch oracle: session id = cumulative count of gap-breaks per user
     val ev = Tables.t(spark, TestSession.sf, "events")
-      .select(col("user_id"), (col("ts").cast("double") * 1000).cast("long").as("t"))
+      .select(col("user_id"), expr("unix_micros(ts) div 1000").as("t"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("t")
     val gapMs = gapMin * 60L * 1000L
