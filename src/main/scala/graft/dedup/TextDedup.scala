@@ -43,11 +43,16 @@ object TextDedup {
     if (useMd5) md5Int(c) else graft.functions.GraftFunctions.poly_hash(c)
 
   /** Word n-gram shingles (distinct) from a token array:
-    * shingle_i = tokens[i..i+n-1] joined by space. */
+    * shingle_i = tokens[i..i+n-1] joined by space. Documents with fewer than
+    * n tokens yield an empty set — `sequence` with stop < start would count
+    * DOWN (and `slice` with start 0 throws), so the short case is guarded
+    * explicitly, matching the oracle's empty `generate_series`. */
   def wordShingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
 
   /** Per-shingle base hashes — stage this as its own column: higher-order
     * functions are interpreted, so an inlined expensive subtree would be

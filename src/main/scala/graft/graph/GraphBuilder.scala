@@ -56,21 +56,39 @@ object GraphBuilder {
     candidates.groupBy("label", "src", "dst")
       .agg(count(lit(1)).as("multiplicity"))
 
+  /** The (small) key intersection of a batch with the stored graph: ONE scan
+    * of `existing`, probed with the broadcast *batch* keys — never the other
+    * way round. The stored vertex set is billions of keys at scale; the batch
+    * is bounded by the ingest chunk, so the batch is the only legal build
+    * side (the reference likewise probes the store with the batch's key set,
+    * `TitanGraphBuildingUtils.java:328-359`). */
+  private def existingKeyHits(existing: DataFrame, batch: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val batchKeys = batch.select(keyCols.map(col): _*).distinct()
+    existing.select(keyCols.map(col): _*)
+      .join(broadcast(batchKeys), keyCols, "left_semi")
+      .distinct()
+  }
+
   /** J1: split an incoming (deduped) vertex batch against the stored graph:
-    * returns (new vertices, already-present vertices). The stored side is
-    * keyed once; the batch side is typically small → broadcast. */
+    * returns (new vertices, already-present vertices). Cost: one broadcast
+    * semi-join scan over the store; the split itself is small × small. */
   def matchAgainstExisting(existing: DataFrame, batch: DataFrame,
       keyCols: Seq[String]): (DataFrame, DataFrame) = {
-    val keys = existing.select(keyCols.map(col): _*)
-    (batch.join(broadcast(keys), keyCols, "left_anti"),
-      batch.join(broadcast(keys), keyCols, "left_semi"))
+    val hits = existingKeyHits(existing, batch, keyCols)
+    (batch.join(broadcast(hits), keyCols, "left_anti"),
+      batch.join(broadcast(hits), keyCols, "left_semi"))
   }
 
   /** Graph upsert job: merge a batch into the stored vertices — existing
-    * rows win (create-if-absent, reference default merge), new keys append. */
+    * rows win (create-if-absent, reference default merge), new keys append.
+    * Same broadcast discipline as [[matchAgainstExisting]]: the store is
+    * never a hash-join build side. */
   def upsertVertices(existing: DataFrame, batch: DataFrame,
-      keyCols: Seq[String]): DataFrame =
+      keyCols: Seq[String]): DataFrame = {
+    val hits = existingKeyHits(existing, batch, keyCols)
     existing.unionByName(
-      batch.join(existing.select(keyCols.map(col): _*), keyCols, "left_anti"),
+      batch.join(broadcast(hits), keyCols, "left_anti"),
       allowMissingColumns = true)
+  }
 }

@@ -102,15 +102,21 @@ object Pipeline {
 
     val preCombined: DataFrame =
       if (cfg.useCombiner && stage.combinable) {
-        // map-side partial: group within partition, run module once per
-        // local group (reference combiner contract: module is re-entrant)
+        // Map-side partial, STREAMING: never materialize the partition.
+        // Combine within ≤batchSize chunks — the module is declared
+        // re-entrant/associative, so partials-of-partials are legal and the
+        // grouping stage below completes the reduction (the reference
+        // combiner likewise works on bounded batches,
+        // `BatchEnrichmentJob.java:762-784`). Peak memory = one chunk.
         require(stage.outputSchema(inSchema) == inSchema,
           "combiner-eligible modules must be schema-preserving")
         df.mapPartitions { it =>
           stage.onStageInitialize(cfg)
-          val local = it.to(LazyList).groupBy(keyOf)
-          val out = local.iterator.flatMap { case (k, rows) =>
-            stage.onObjectBatch(rows.toSeq, Some(KeyExtractor.keyRow(rows.head, inSchema, keyFields)))
+          val out = it.grouped(cfg.batchSize).flatMap { chunk =>
+            chunk.groupBy(keyOf).iterator.flatMap { case (_, rows) =>
+              stage.onObjectBatch(rows,
+                Some(KeyExtractor.keyRow(rows.head, inSchema, keyFields)))
+            }
           }
           completing(out)(stage.onStageComplete())
         }(rowEnc)
@@ -122,9 +128,36 @@ object Pipeline {
       .groupByKey(keyOf)(strEnc)
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
         stage.onStageInitialize(cfg)
-        val rows = it.toSeq
-        val out = stage.onObjectBatch(rows,
-          Some(KeyExtractor.keyRow(rows.head, inSchema, keyFields)))
+        val out =
+          if (stage.combinable && outSchema == inSchema) {
+            // Associative, schema-preserving module: fold the group through
+            // ≤batchSize chunks, re-feeding each call's partial output with
+            // the next chunk (legal by the re-entrancy contract). A hot key
+            // never buffers its whole group — peak memory is one chunk plus
+            // the module's own collapsed partial.
+            var key: Option[Row] = None
+            var acc: Seq[Row] = Seq.empty
+            it.grouped(cfg.batchSize).foreach { b =>
+              if (key.isEmpty)
+                key = Some(KeyExtractor.keyRow(b.head, inSchema, keyFields))
+              // modules emit schema-less GenericRows; re-attach the schema so
+              // a re-fed partial supports name-based access like the inputs
+              acc = stage.onObjectBatch(acc ++ b, key).map { r =>
+                if (r.schema != null) r
+                else new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                  r.toSeq.toArray, inSchema)
+              }.toSeq
+            }
+            acc.iterator
+          } else {
+            // Non-associative module: the whole-group-as-one-batch contract
+            // (the reference reducer's value-stream, which user modules may
+            // consume in one pass). Documented: a skewed key buffers its
+            // group; declare `combinable` to get the streaming path.
+            val rows = it.toSeq
+            stage.onObjectBatch(rows,
+              Some(KeyExtractor.keyRow(rows.head, inSchema, keyFields)))
+          }
         completing(out)(stage.onStageComplete())
       }(outEnc)
   }

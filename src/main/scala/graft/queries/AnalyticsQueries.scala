@@ -27,7 +27,6 @@ object AnalyticsQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
-  private val dec38 = DecimalType(38, 6)
 
   val queries: Map[String, Q] = Map(
     // ---- window ranking: top-3 orders per customer by price -------------
@@ -48,7 +47,7 @@ object AnalyticsQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.t(s, dir, "orders")
-        .withColumn("run_spend", sum(dec6(col("o_totalprice"))).over(wr).cast(dec38))
+        .withColumn("run_spend", sum(dec6(col("o_totalprice"))).over(wr).cast("double"))
         .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
         .select("o_custkey", "o_orderkey", "run_spend", "prev_order")
         .orderBy("o_custkey", "o_orderkey")
@@ -58,7 +57,7 @@ object AnalyticsQueries {
       Tables.t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec6(col("o_totalprice"))).cast(dec38).as("spend"))
+          sum(dec6(col("o_totalprice"))).cast("double").as("spend"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("spend"))
@@ -129,13 +128,13 @@ object AnalyticsQueries {
       ("SELECT o_custkey, o_orderkey, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER " +
         "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS run_spend, " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend, " +
         "lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order " +
         "FROM orders ORDER BY o_custkey, o_orderkey"),
     "q5_rollup" ->
       ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
         "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS spend " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend " +
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
         "ORDER BY status, priority"),
     "q6_cube" ->

@@ -14,9 +14,11 @@ import graft.dsl.{Query, QueryCompiler}
   * Conventions:
   *  - every query ends in a deterministic total order (the matching oracle
   *    SQL carries the same ORDER BY), so row-hash comparison is stable;
-  *  - inexact double aggregates go through DECIMAL(18,6) per-row casts and a
-  *    DECIMAL(38,6) final cast on BOTH sides — decimal addition is exact and
-  *    order-independent, so Spark's partial-agg ordering can't flip a bit;
+  *  - inexact double aggregates go through DECIMAL(18,6) per-row casts (exact,
+  *    order-independent addition — Spark's partial-agg ordering can't flip a
+  *    bit) and ONE final cast to double on BOTH sides, so the driver's
+  *    comparison layer sees a plain float64 instead of engine-specific
+  *    Decimal objects;
   *  - exact double aggregates (integral quantities, counts) stay double.
   */
 object CoreQueries {
@@ -106,7 +108,7 @@ object CoreQueries {
         .agg(
           sum("l_quantity").as("sum_qty"),
           sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-            .cast(DecimalType(38, 6)).as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_rows"),
           (sum("l_quantity") / count(lit(1))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -118,7 +120,7 @@ object CoreQueries {
         .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          sum(dec6(col("o_totalprice"))).cast(DecimalType(38, 6)).as("total_spend"),
+          sum(dec6(col("o_totalprice"))).cast("double").as("total_spend"),
           count(lit(1)).as("n_orders"))
         .orderBy("n_name")
     },
@@ -178,11 +180,11 @@ object CoreQueries {
       "SELECT count(*) AS n FROM (SELECT * FROM lineitem WHERE l_returnflag = 'A' LIMIT 1000)",
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +
         "count(*) AS n_rows, sum(l_quantity) / count(*) AS avg_qty " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "j1_join_agg" ->
-      ("SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spend, " +
+      ("SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend, " +
         "count(*) AS n_orders FROM orders " +
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),

@@ -39,6 +39,9 @@ object DedupQueries {
         .withColumn("hs", shingleHashes(col("sh")))
         .select(col("doc_id"),
           pinned(col("hs"), minhashFromHashes(col("hs"), 16)).as("sig"))
+        // serialize: the driver's pandas compare can't hash array cells
+        .withColumn("sig", expr(
+          "array_join(transform(sig, x -> cast(x as string)), ',')"))
         .orderBy("doc_id")
     },
     // MinHash+LSH candidate pairs (4 bands × 4 rows)
@@ -83,9 +86,9 @@ object DedupQueries {
     "dd2_minhash_sig" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t) " +
-        "SELECT doc_id, " +
+        "SELECT doc_id, array_to_string(" +
         s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
-        "FOR i IN generate_series(0, 15)] AS sig " +
+        "FOR i IN generate_series(0, 15)], ',') AS sig " +
         "FROM sh ORDER BY doc_id"),
     "dd2_minhash_lsh" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

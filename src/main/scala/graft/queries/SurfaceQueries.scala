@@ -21,7 +21,7 @@ object SurfaceQueries {
       Tables.registerAll(s, dir)
       gsql.SqlSurface.runSql(s,
         """SELECT n_name,
-          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS spend,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend,
           |       count(*) AS n
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
@@ -144,7 +144,7 @@ object SurfaceQueries {
         df.groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(18, 6)))
-              .cast(DecimalType(38, 6)).as("total_value")))
+              .cast("double").as("total_value")))
       out.select(col("window.start").as("wstart"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy("wstart", "event_type")
@@ -160,7 +160,7 @@ object SurfaceQueries {
 
   val oracle: Map[String, String] = Map(
     "sql1_arbitrary" ->
-      ("SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS spend, " +
+      ("SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend, " +
         "count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' AND o_orderstatus = 'O' GROUP BY n_name ORDER BY n_name"),
@@ -208,7 +208,7 @@ object SurfaceQueries {
         "ORDER BY user_id, session_start"),
     "st3_window_agg" ->
       ("SELECT date_trunc('day', ts) AS wstart, event_type, count(*) AS n, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY wstart, event_type")
   )
 }

@@ -9,8 +9,10 @@ import graft.dsl._
 /** Oracle-checked queries for the update DSL (SURVEY §2.3 U1-U14): each runs
   * the [[UpdateCompiler]] rewrite and returns the rewritten table, which the
   * oracle reproduces as a SELECT transform (CASE WHEN guard = the match
-  * predicate). Array-result queries sort arrays on both sides because
-  * Spark's array_union/except and DuckDB's list_distinct order differently.
+  * predicate). Array-result queries serialize the array to a joined string
+  * on both sides (sorted where op order isn't semantic) — the driver's
+  * pandas-based comparison can't hash array cells, and Spark's
+  * array_union/except and DuckDB's list_distinct order differently.
   */
 object UpdateQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -39,7 +41,8 @@ object UpdateQueries {
         .withColumn("tags", array(col("o_orderstatus"), lit("base")))
       UpdateCompiler.applyUpdate(df, QueryCompiler.compile(urgent),
         Update.update().push("tags", Seq("rush", "base")))
-        .select("o_orderkey", "tags").orderBy("o_orderkey")
+        .select(col("o_orderkey"), array_join(col("tags"), ",").as("tags"))
+        .orderBy("o_orderkey")
     },
     // U5: $addToSet (dedup; sorted for cross-engine comparison)
     "u5_add_to_set" -> { (s, dir) =>
@@ -47,8 +50,9 @@ object UpdateQueries {
         .withColumn("tags", array(col("o_orderstatus"), lit("base")))
       UpdateCompiler.applyUpdate(df, QueryCompiler.compile(urgent),
         Update.update().push("tags", Seq("rush", "base"), dedup = true))
-        .withColumn("tags", array_sort(col("tags")))
-        .select("o_orderkey", "tags").orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          array_join(array_sort(col("tags")), ",").as("tags"))
+        .orderBy("o_orderkey")
     },
     // U6: $pullAll (Spark array_except dedups → sort+distinct both sides)
     "u6_pull_all" -> { (s, dir) =>
@@ -56,8 +60,9 @@ object UpdateQueries {
         .withColumn("tags", array(col("o_orderstatus"), lit("x"), col("o_orderpriority")))
       UpdateCompiler.applyUpdate(df, QueryCompiler.compile(urgent),
         Update.update().pullAll("tags", Seq("x")))
-        .withColumn("tags", array_sort(col("tags")))
-        .select("o_orderkey", "tags").orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          array_join(array_sort(col("tags")), ",").as("tags"))
+        .orderBy("o_orderkey")
     },
     // U7: $pull with a nested element query (filter higher-order fn)
     "u7_pull_query" -> { (s, dir) =>
@@ -65,7 +70,9 @@ object UpdateQueries {
         .groupBy("l_orderkey").agg(collect_list("l_quantity").as("qtys"))
       UpdateCompiler.applyUpdate(df, lit(true),
         Update.update().pull("qtys", Query.allOf().rangeAbove("", 25.0)))
-        .withColumn("qtys", array_sort(col("qtys")))
+        // doubles → fixed-scale decimal strings so both engines format alike
+        .withColumn("qtys", expr(
+          "array_join(transform(array_sort(qtys), q -> cast(cast(q as decimal(18,6)) as string)), ',')"))
         .orderBy("l_orderkey")
     },
     // U8: whole-doc delete sentinel
@@ -117,20 +124,22 @@ object UpdateQueries {
       ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 500 " +
         "ELSE o_totalprice END AS o_totalprice FROM orders ORDER BY o_orderkey"),
     "u4_push" ->
-      ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' " +
+      ("SELECT o_orderkey, array_to_string(CASE WHEN o_orderpriority = '1-URGENT' " +
         "THEN list_concat([o_orderstatus, 'base'], ['rush', 'base']) " +
-        "ELSE [o_orderstatus, 'base'] END AS tags FROM orders ORDER BY o_orderkey"),
+        "ELSE [o_orderstatus, 'base'] END, ',') AS tags FROM orders ORDER BY o_orderkey"),
     "u5_add_to_set" ->
-      ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' " +
-        "THEN list_sort(list_distinct(list_concat([o_orderstatus, 'base'], ['rush', 'base']))) " +
-        "ELSE list_sort([o_orderstatus, 'base']) END AS tags FROM orders ORDER BY o_orderkey"),
+      ("SELECT o_orderkey, array_to_string(list_sort(CASE WHEN o_orderpriority = '1-URGENT' " +
+        "THEN list_distinct(list_concat([o_orderstatus, 'base'], ['rush', 'base'])) " +
+        "ELSE [o_orderstatus, 'base'] END), ',') AS tags FROM orders ORDER BY o_orderkey"),
     "u6_pull_all" ->
-      ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' " +
-        "THEN list_sort(list_distinct(list_filter([o_orderstatus, 'x', o_orderpriority], t -> t != 'x'))) " +
-        "ELSE list_sort([o_orderstatus, 'x', o_orderpriority]) END AS tags FROM orders ORDER BY o_orderkey"),
+      ("SELECT o_orderkey, array_to_string(list_sort(CASE WHEN o_orderpriority = '1-URGENT' " +
+        "THEN list_distinct(list_filter([o_orderstatus, 'x', o_orderpriority], t -> t != 'x')) " +
+        "ELSE [o_orderstatus, 'x', o_orderpriority] END), ',') AS tags FROM orders ORDER BY o_orderkey"),
     "u7_pull_query" ->
-      ("SELECT l_orderkey, list_sort(list_filter(list(l_quantity), q -> NOT q >= 25.0)) AS qtys " +
-        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+      // coalesce: DuckDB array_to_string(empty list) is NULL, Spark's is ''
+      ("SELECT l_orderkey, coalesce(array_to_string(" +
+        "[CAST(CAST(q AS DECIMAL(18,6)) AS VARCHAR) FOR q IN list_sort(list_filter(list(l_quantity), q -> NOT q >= 25.0))], " +
+        "','), '') AS qtys FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
     "u8_delete_doc" ->
       "SELECT * FROM orders WHERE o_orderstatus != 'F' ORDER BY o_orderkey",
     "u9_upsert_merge" ->

@@ -140,18 +140,37 @@ object Streams {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
-  /** Windowed aggregation run to completion in complete mode against a
-    * memory sink (deterministic finite result for AvailableNow input). */
-  def runWindowedAgg(stream: DataFrame, agg: DataFrame => DataFrame): DataFrame = {
+  /** Windowed aggregation run to completion: update-mode changelog appended
+    * to a parquet sink via `foreachBatch`, compacted on read by keeping each
+    * key's latest update (changelog + compaction — the standard shape for
+    * streaming upserts without an ACID table format).
+    *
+    * Scale: aggregate state lives in the (partitioned, checkpointed) state
+    * store; each trigger writes only the *changed* groups, executor-side.
+    * Nothing is collected to the driver and nothing rewrites the full result
+    * per trigger, so a high-cardinality key set is bounded by state-store
+    * capacity, not driver memory. `keyCols` are the aggregation's group
+    * columns (struct columns like `window` are fine as keys). */
+  def runWindowedAgg(stream: DataFrame, agg: DataFrame => DataFrame,
+      keyCols: Seq[String] = Seq("window", "event_type")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = stream.sparkSession
-    val name = "graft_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val out = Files.createTempDirectory("graft_win_out").toString
+    val ckpt = Files.createTempDirectory("graft_win_ckpt").toString
     val q = agg(stream).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__batch").desc)
+    spark.read.parquet(out)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__batch")
   }
 }

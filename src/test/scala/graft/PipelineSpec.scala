@@ -63,6 +63,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("combinable grouped stage folds a hot key through bounded chunks") {
+    // one group of 500 rows >> batchSize: the grouped stage must fold
+    // chunk-by-chunk (re-feeding the partial), emitting ONE final row —
+    // never buffering the whole group
+    class SumStage extends EnrichStage {
+      override def combinable: Boolean = true
+      def onObjectBatch(batch: Seq[Row], groupKey: Option[Row]): Iterator[Row] =
+        Iterator(Row(batch.head.getString(0), batch.map(_.getLong(1)).sum))
+    }
+    val df = docs.select(lit("k").as("g"), col("n_chars"))
+    val out = Pipeline.run(df.repartition(7), Seq(
+      PipelineStage(new SumStage,
+        StageConfig(batchSize = 37, groupingFields = Seq("g"), useCombiner = true))))
+    val rows = out.collect()
+    assert(rows.length === 1, "fold must collapse to one row per group")
+    assert(rows.head.getLong(1) ===
+      docs.agg(sum("n_chars")).head().getLong(0))
+  }
+
   test("dot-path key extraction resolves nested structs") {
     val nested = docs.select(struct(col("lang"), struct(col("source").as("s")).as("inner")).as("meta"), col("n_chars"))
     val k = KeyExtractor.resolve(nested.head(), nested.schema, "meta.inner.s")

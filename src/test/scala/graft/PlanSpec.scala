@@ -100,6 +100,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), "query side not broadcast")
   }
 
+  test("graph batch-vs-store split never broadcasts the raw store side") {
+    import spark.implicits._
+    val existing = Tables.t(spark, TestSession.sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val batch = Seq((1L, 0.0), (3L, 0.0), (999999999L, 0.0)).toDF("key", "price")
+    val (novel, present) =
+      graft.graph.GraphBuilder.matchAgainstExisting(existing, batch, Seq("key"))
+    for (df <- Seq(novel, present,
+        graft.graph.GraphBuilder.upsertVertices(existing, batch, Seq("key")))) {
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case other => other
+      }
+      val broadcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(broadcasts.nonEmpty, "split is not broadcast-joined at all")
+      // A broadcast subtree may touch the store's parquet scan only through
+      // the bounding semi-join against the (small) batch keys — broadcasting
+      // the store's raw key set is the billions-of-keys OOM at 100×.
+      broadcasts.foreach { b =>
+        val t = b.toString
+        if (t.contains("FileScan") || t.contains("Scan parquet"))
+          assert(t.contains("BroadcastHashJoin") || t.contains("Join LeftSemi"),
+            s"raw store side broadcast:\n$t")
+      }
+    }
+  }
+
   test("q1 aggregation uses partial aggregation (two HashAggregate phases)") {
     val plan = formattedPlan(SparkEntry.queries("q1_agg")(spark, TestSession.sf))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "no map-side partial agg")

@@ -29,4 +29,77 @@ class StreamingSpec extends AnyFunSuite {
     val total = out.agg(sum(col("n"))).collect()(0).getLong(0)
     assert(total === Tables.t(spark, TestSession.sf, "events").count())
   }
+
+  test("st3 runner uses no driver-memory sink") {
+    // regression lock for the windowed-agg runner: results land in a
+    // distributed parquet changelog, never a driver-side memory table
+    val before = spark.catalog.listTables().filter(col("name").startsWith("graft_win")).count()
+    SparkEntry.queries("st3_window_agg")(spark, TestSession.sf).count()
+    val after = spark.catalog.listTables().filter(col("name").startsWith("graft_win")).count()
+    assert(before === 0 && after === 0, "memory sink table registered")
+  }
+
+  // ---- Kafka wiring (S8 / ST3 transient): option surface + record codecs,
+  // brokerless — the connector jar ships separately, so load()/start() are
+  // the caller's; everything up to them is validated here.
+  test("kafka source options: subscribe vs pattern, validation") {
+    import graft.streaming.Kafka
+    val opts = Kafka.sourceOptions(Kafka.SourceConfig(
+      "broker1:9092,broker2:9092", topics = Seq("t1", "t2"),
+      maxOffsetsPerTrigger = Some(100000L)))
+    assert(opts("kafka.bootstrap.servers") === "broker1:9092,broker2:9092")
+    assert(opts("subscribe") === "t1,t2")
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("maxOffsetsPerTrigger") === "100000")
+    assert(!opts.contains("subscribePattern"))
+
+    val pat = Kafka.sourceOptions(Kafka.SourceConfig(
+      "b:9092", topicPattern = Some("bucket_.*"), startingOffsets = "latest"))
+    assert(pat("subscribePattern") === "bucket_.*")
+
+    intercept[IllegalArgumentException] { // both subscribe modes
+      Kafka.sourceOptions(Kafka.SourceConfig("b:9092",
+        topics = Seq("t"), topicPattern = Some("p")))
+    }
+    intercept[IllegalArgumentException] { // neither
+      Kafka.sourceOptions(Kafka.SourceConfig("b:9092"))
+    }
+    intercept[IllegalArgumentException] { // bad offsets
+      Kafka.sourceOptions(Kafka.SourceConfig("b:9092", topics = Seq("t"),
+        startingOffsets = "sometimes"))
+    }
+  }
+
+  test("kafka transient topic naming and sink options") {
+    import graft.streaming.Kafka
+    val topic = Kafka.transientTopic("/aleph2/test bucket", "job1")
+    assert(topic === "aleph2_test_bucket_job1__transient")
+    val opts = Kafka.sinkOptions(Kafka.SinkConfig("b:9092", topic))
+    assert(opts("topic") === topic)
+    intercept[IllegalArgumentException] {
+      Kafka.sinkOptions(Kafka.SinkConfig("b:9092", ""))
+    }
+  }
+
+  test("kafka record encode/decode round-trips rows") {
+    import graft.streaming.Kafka
+    val events = Tables.t(spark, TestSession.sf, "events").limit(100)
+    val sinkShaped = Kafka.toSinkRecords(events, keyCol = Some("event_id"))
+    assert(sinkShaped.columns.toSeq === Seq("key", "value"))
+    assert(sinkShaped.schema("value").dataType.typeName === "binary")
+    val back = Kafka.parseSourceRecords(sinkShaped, events.schema)
+    assert(back.columns.toSeq === events.columns.toSeq)
+    val a = events.orderBy("event_id").collect().map(_.toString).toSeq
+    val b = back.orderBy("event_id").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("kafka stream reader is fully configured (format + options)") {
+    import graft.streaming.Kafka
+    // builds the DataStreamReader without load(): proves the wiring compiles
+    // against the streaming API and carries the validated option surface
+    val reader = Kafka.kafkaStream(spark, Kafka.SourceConfig(
+      "b:9092", topics = Seq("events")))
+    assert(reader != null)
+  }
 }
