@@ -71,10 +71,32 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
     ordered.groupBy(IdCol).agg(pick).select("__w.payload.*")
   }
 
+  /** Single-object store returning the (possibly generated) `_id` — the
+    * reference's `storeObject` future (`ElasticsearchCrudService.java:686-736`,
+    * `MongoDbCrudService.java:169-184`). The id is generated driver-side:
+    * `uuid()` is non-deterministic per evaluation, so collect-then-store
+    * would return a different id than the one written. */
+  def storeObject(obj: DataFrame, replacePresent: Boolean = false): String = {
+    val (withId, id) =
+      if (obj.columns.contains(IdCol))
+        (obj, obj.select(IdCol).head().getString(0))
+      else {
+        val fresh = java.util.UUID.randomUUID().toString
+        (obj.withColumn(IdCol, lit(fresh)), fresh)
+      }
+    storeObjects(withId, replacePresent)
+    id
+  }
+
   // ---- read path ----------------------------------------------------------
 
   def getObjectById(id: String): Option[Row] =
     table.filter(col(IdCol) === id).head(1).headOption
+
+  /** Multi-get by ids (`getObjectsByIds`, `MongoDbCrudService.java:390-403`):
+    * one In-pushdown scan, not N point lookups. */
+  def getObjectsByIds(ids: Seq[String]): DataFrame =
+    table.filter(col(IdCol).isin(ids: _*))
 
   def getObjectBySpec(q: QueryComponent): Option[Row] =
     QueryCompiler.run(table, q).head(1).headOption
@@ -95,19 +117,34 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
 
   /** U9 updateObjectsBySpec (+upsert): rewrite matched rows; if none matched
     * and upsert, insert a row synthesized from the query's equality clauses
-    * + update ops (Mongo upsert semantics, `MongoDbCrudService.java:493-525`). */
+    * + update ops (Mongo upsert semantics, `MongoDbCrudService.java:493-525`).
+    *
+    * Non-upsert updates count matches via an [[Observation]] on the SAME
+    * scan that feeds the rewrite — one pass over the table, not a separate
+    * count scan. Upsert keeps the pre-count: it must branch on match
+    * existence before deciding whether to write at all (and the pre-count's
+    * filter pushes down to the scan). */
   def updateObjectsBySpec(q: QueryComponent, u: UpdateComponent,
       upsert: Boolean = false): Long = {
-    val pred = QueryCompiler.compile(q)
-    val matched = table.filter(pred).count()
-    if (matched == 0 && upsert) {
-      val seed = upsertSeed(q, u)
-      storeObjects(seed, replacePresent = true)
-    } else if (matched > 0) {
-      store.rewrite(bucket, stage)(cur =>
-        UpdateCompiler.applyUpdate(cur, QueryCompiler.compile(q), u))
+    if (upsert) {
+      val matched = table.filter(QueryCompiler.compile(q)).count()
+      if (matched == 0) {
+        storeObjects(upsertSeed(q, u), replacePresent = true)
+      } else {
+        store.rewrite(bucket, stage)(cur =>
+          UpdateCompiler.applyUpdate(cur, QueryCompiler.compile(q), u))
+      }
+      matched
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      store.rewrite(bucket, stage) { cur =>
+        val observed = cur.observe(obs, sum(
+          when(coalesce(QueryCompiler.compile(q), lit(false)), 1L)
+            .otherwise(0L)).as("matched"))
+        UpdateCompiler.applyUpdate(observed, QueryCompiler.compile(q), u)
+      }
+      Option(obs.get("matched")).collect { case n: Long => n }.getOrElse(0L)
     }
-    matched
   }
 
   /** Synthesize the upsert document: equality clauses of the query + set ops. */
@@ -150,12 +187,33 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
     }
   }
 
-  /** U11 deleteObjectsBySpec incl. top-k delete; returns rows deleted. */
-  def deleteObjectsBySpec(q: QueryComponent): Long = {
-    val before = table.count()
-    store.rewrite(bucket, stage)(cur => UpdateCompiler.deleteBySpec(cur, q))
-    before - table.count()
+  /** U11 deleteObjectsBySpec incl. top-k delete; returns rows deleted.
+    *
+    * The plain path observes the matched count on the rewrite's own scan
+    * (one pass — not count-before + rewrite + count-after). The top-k path
+    * counts the bounded victim set separately because its rewrite plan
+    * references the scan twice (self anti-join), which an observation may
+    * not straddle. */
+  def deleteObjectsBySpec(q: QueryComponent): Long = q.meta.limit match {
+    case None =>
+      val obs = org.apache.spark.sql.Observation()
+      store.rewrite(bucket, stage) { cur =>
+        val observed = cur.observe(obs, sum(
+          when(coalesce(QueryCompiler.compile(q), lit(false)), 1L)
+            .otherwise(0L)).as("deleted"))
+        UpdateCompiler.deleteBySpec(observed, q)
+      }
+      Option(obs.get("deleted")).collect { case n: Long => n }.getOrElse(0L)
+    case Some(k) =>
+      val deleted = table.filter(QueryCompiler.compile(q)).limit(k).count()
+      store.rewrite(bucket, stage)(cur => UpdateCompiler.deleteBySpec(cur, q))
+      deleted
   }
+
+  /** Point delete by `_id` (`deleteObjectById`,
+    * `ElasticsearchCrudService.java:827-840`); true iff a row was removed. */
+  def deleteObjectById(id: String): Boolean =
+    deleteObjectsBySpec(Query.allOf().when(IdCol, id)) > 0
 
   /** U12 */
   def deleteDatastore(): Unit = store.deleteDatastore(bucket)

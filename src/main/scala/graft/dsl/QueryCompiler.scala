@@ -40,9 +40,26 @@ object QueryCompiler {
     * fields natively in Catalyst (`GetStructField`). */
   private def topLevel(f: String): Column = col(f)
 
+  /** Metadata fields with restricted operator support. The reference routes
+    * `withAny("_id",…)` to an ids filter and REJECTS `withAll`/`exists` on
+    * `_id`/`_type` (`ElasticsearchUtils.java:129-144,157-159,179-190`) —
+    * `_id` is a scalar key, so set-containment and presence tests are
+    * user-error; surfacing the rejection keeps DSL programs portable. */
+  private val MetaFields = Set("_id", "_type")
+
+  private def validate(c: Clause): Clause = c match {
+    case AllOf(f, _) if MetaFields(f) =>
+      throw new IllegalArgumentException(
+        s"withAll is not supported on metadata field $f (scalar key)")
+    case Present(f, _) if MetaFields(f) =>
+      throw new IllegalArgumentException(
+        s"exists/notExists is not supported on metadata field $f")
+    case ok => ok
+  }
+
   def compileClause(c: Clause): Column = compileClause(c, topLevel)
 
-  def compileClause(c: Clause, field: String => Column): Column = c match {
+  def compileClause(c0: Clause, field: String => Column): Column = validate(c0) match {
     case Eq(f, v, false) => field(f) === toLit(v)
     case Eq(f, v, true) => !(field(f) <=> toLit(v)) // whenNot: null-safe negation
     case AnyOf(f, vs) =>

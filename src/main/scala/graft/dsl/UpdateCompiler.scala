@@ -20,10 +20,22 @@ object UpdateCompiler {
 
   /** Rewrite `df` so rows matching `pred` have `u` applied (U1-U8).
     * Rows matching a [[DeleteDoc]] sentinel are dropped (U8).
-    * Non-matching rows pass through byte-identical. */
+    * Non-matching rows pass through byte-identical.
+    *
+    * The match predicate is materialized ONCE (as a hidden column) before
+    * the op fold: Mongo matches each document against its original state,
+    * so a later op's guard must not re-evaluate the predicate over columns
+    * already rewritten by earlier ops (e.g. an unset of a predicate column
+    * followed by any other op). */
   def applyUpdate(df: DataFrame, pred: Column, u: UpdateComponent): DataFrame = {
     if (u.ops.contains(DeleteDoc))
       return df.filter(!coalesce(pred, lit(false)))
+    val matchCol = "__graft_match"
+    val seeded = df.withColumn(matchCol, coalesce(pred, lit(false)))
+    applyOps(seeded, col(matchCol), u).drop(matchCol)
+  }
+
+  private def applyOps(df: DataFrame, pred: Column, u: UpdateComponent): DataFrame = {
     u.ops.foldLeft(df) { (cur, op) =>
       op match {
         case SetField(f, v) =>
@@ -68,13 +80,21 @@ object UpdateCompiler {
       case None => df.filter(!coalesce(pred, lit(false)))
       case Some(k) =>
         // top-k victims then anti-join back — TakeOrderedAndProject handles
-        // the sort+limit without a global sort of the full table.
-        var victims = df.filter(coalesce(pred, lit(false)))
+        // the sort+limit without a global sort of the full table. Victims
+        // are identified by a surrogate row id, not all-column equality:
+        // null-unsafe equality would let any victim with a NULL column
+        // survive, and exact-duplicate rows would ALL be removed (> k).
+        // monotonically_increasing_id is stable here because both join
+        // branches share the one scan/partition layout.
+        val sid = "__graft_sid"
+        val withId = df.withColumn(sid, monotonically_increasing_id())
+        var victims = withId.filter(coalesce(pred, lit(false)))
         if (q.meta.orderBy.nonEmpty)
           victims = victims.orderBy(q.meta.orderBy.map { case (f, dir) =>
             if (dir < 0) col(f).desc else col(f).asc
           }: _*)
-        df.join(victims.limit(k), df.columns.toSeq, "left_anti")
+        withId.join(victims.limit(k).select(sid), Seq(sid), "left_anti")
+          .drop(sid)
     }
   }
 }

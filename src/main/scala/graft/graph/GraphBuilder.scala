@@ -49,6 +49,36 @@ object GraphBuilder {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** D2/X3 full merge contract: dedup candidate vertices per business key
+    * under the bucket's [[graft.model.DedupPolicy]]. KeepFirst/KeepLast are
+    * the declarative window winner-pick; Custom hands each key's candidate
+    * list to the user merge module — the reference's user-supplied merge
+    * handler receiving (key, candidates) (`TitanGraphBuildingUtils.java:206-314`,
+    * `SimpleGraphMergeService.java`).
+    *
+    * Scale: one shuffle on the key either way. The custom path materializes
+    * each key's candidate group (the reference's whole-list module contract);
+    * groups are duplicate-sets per business key — bounded by per-key
+    * duplication, not corpus size. */
+  def mergeVertices(candidates: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], policy: graft.model.DedupPolicy,
+      orderCol: String): org.apache.spark.sql.DataFrame = policy match {
+    case graft.model.DedupPolicy.KeepFirst =>
+      dedupVertices(candidates, keyCols, orderCol)
+    case graft.model.DedupPolicy.KeepLast =>
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
+      candidates.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    case graft.model.DedupPolicy.Custom(merge) =>
+      import org.apache.spark.sql.{Encoder, Encoders, Row}
+      implicit val enc: Encoder[Row] = Encoders.row(candidates.schema)
+      val strEnc: Encoder[String] = Encoders.STRING
+      candidates
+        .groupByKey(r => keyCols.map(f => String.valueOf(r.getAs[Any](f)))
+          .mkString("\u0001"))(strEnc)
+        .mapGroups((_, it) => merge(it.toSeq))(enc)
+  }
+
   /** J2: collapse duplicate edges on (label, src, dst), keeping
     * a multiplicity count (the reference merges property bags instead; a
     * custom merge hook would be a reduceGroups here). */

@@ -106,13 +106,15 @@ object SchemaEvolution {
     require(batches.nonEmpty, "no batches")
     val schemas = batches.map(_.schema)
     if (policy == "error") {
-      schemas.sliding(2).foreach {
-        case Seq(x, y) =>
-          val bad = collisions(x, y)
-          if (bad.nonEmpty)
-            throw new IllegalArgumentException(
-              s"collide policy 'error': conflicting fields ${bad.mkString(", ")}")
-        case _ =>
+      // fold against the RUNNING merged schema — adjacent-pair checking
+      // would miss a conflict between batches 1 and 3 bridged by a batch
+      // that lacks the field
+      schemas.tail.foldLeft(schemas.head) { (acc, next) =>
+        val bad = collisions(acc, next)
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"collide policy 'error': conflicting fields ${bad.mkString(", ")}")
+        mergeStructs(acc, next)
       }
     }
     val merged0 = schemas.reduce(mergeStructs)

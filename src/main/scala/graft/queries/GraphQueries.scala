@@ -63,6 +63,42 @@ object GraphQueries {
         Seq("key"), "src_order")
       GraphBuilder.upsertVertices(existing, batch, Seq("key"))
         .select("key", "src_order").orderBy("key")
+    },
+    // X3/D2 custom property-merge: user module merges each key's candidate
+    // property bags (max price wins, multiplicities summed) — the
+    // DedupPolicy.Custom seam exercised end-to-end
+    "g5_custom_merge" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val cands = GraphBuilder.vertexCandidates(orders, "customer",
+          Map("key" -> "o_custkey"), Map("price" -> "o_totalprice"))
+        .withColumn("n", lit(1L))
+      val merge = (rows: Seq[org.apache.spark.sql.Row]) =>
+        org.apache.spark.sql.Row(
+          rows.head.getString(0), rows.head.getLong(1),
+          rows.map(_.getDouble(2)).max, rows.map(_.getLong(3)).sum)
+      GraphBuilder.mergeVertices(cands, Seq("key"),
+          graft.model.DedupPolicy.Custom(merge), orderCol = "key")
+        .select("key", "price", "n").orderBy("key")
+    },
+    // registry: bucket metadata CRUD on the engine's own CrudService — the
+    // management-DB surface; descriptors derive from region rows so the
+    // oracle can reproduce them (the collect is 5 control-plane rows)
+    "reg1_bucket_registry" -> { (s, dir) =>
+      val store = new graft.store.BucketStore(s,
+        java.nio.file.Files.createTempDirectory("graft_reg").toString)
+      val registry = new graft.meta.BucketRegistry(store)
+      val buckets = Tables.t(s, dir, "region").collect().toSeq.map { r =>
+        graft.model.Bucket(
+          "/buckets/" + r.getAs[String]("r_name").toLowerCase,
+          graft.model.DataSchema(
+            temporal = Some(graft.model.TemporalSchema("ts",
+              graft.model.GroupingPeriod.Daily)),
+            storage = Some(graft.model.StorageSchema(codec = Some("snappy")))))
+      }
+      registry.registerAll(buckets)
+      registry.list("/buckets/")
+        .select("full_name", "signature", "grouping_period", "codec")
+        .orderBy("full_name")
     }
   )
 
@@ -86,6 +122,14 @@ object GraphQueries {
         "UNION ALL " +
         "SELECT o_custkey, min(o_orderkey) FROM orders WHERE o_orderstatus = 'O' " +
         "AND o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY o_custkey" +
-        ") ORDER BY key")
+        ") ORDER BY key"),
+    "g5_custom_merge" ->
+      ("SELECT o_custkey AS key, max(o_totalprice) AS price, count(*) AS n " +
+        "FROM orders GROUP BY 1 ORDER BY key"),
+    "reg1_bucket_registry" ->
+      ("SELECT '/buckets/' || lower(r_name) AS full_name, " +
+        "'buckets_' || replace(lower(r_name), ' ', '_') AS signature, " +
+        "'daily' AS grouping_period, 'snappy' AS codec " +
+        "FROM region ORDER BY full_name")
   )
 }

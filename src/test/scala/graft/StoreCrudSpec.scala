@@ -110,6 +110,69 @@ class StoreCrudSpec extends AnyFunSuite {
     assert(crud.getObjectsBySpec(Query.allOf().when("n_name", "ATLANTIS")).count() === 1)
   }
 
+  test("crud: storeObject returns id; multi-get; deleteObjectById") {
+    val store = freshStore()
+    val crud = new CrudService(store, Bucket("/test/facade"))
+    val r = Tables.t(spark, TestSession.sf, "region")
+    val id = crud.storeObject(r.limit(1))
+    assert(id.nonEmpty)
+    assert(crud.getObjectById(id).isDefined)
+    crud.storeObjects(r.withColumn("_id", concat(lit("r"), col("r_regionkey"))))
+    val got = crud.getObjectsByIds(Seq("r0", "r2", "missing"))
+    assert(got.count() === 2)
+    assert(crud.deleteObjectById("r0"))
+    assert(!crud.deleteObjectById("r0")) // already gone
+    assert(crud.getObjectsByIds(Seq("r0")).count() === 0)
+  }
+
+  test("crud: non-upsert update counts matches in the rewrite pass") {
+    val store = freshStore()
+    val crud = new CrudService(store, Bucket("/test/obsupd"))
+    crud.storeObjects(Tables.t(spark, TestSession.sf, "nation"))
+    val expected = Tables.t(spark, TestSession.sf, "nation")
+      .filter(col("n_regionkey") === 2).count()
+    val n = crud.updateObjectsBySpec(
+      Query.allOf().when("n_regionkey", 2),
+      Update.update().increment("n_regionkey", 100))
+    assert(n === expected && n > 0)
+    // full (non-top-k) delete count comes from the same-pass observation
+    val d = crud.deleteObjectsBySpec(Query.allOf().rangeAbove("n_regionkey", 100))
+    assert(d === expected)
+  }
+
+  test("query DSL rejects withAll/exists on _id metadata field") {
+    intercept[IllegalArgumentException] {
+      graft.dsl.QueryCompiler.compile(
+        Query.allOf().withAll("_id", Seq("a", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.dsl.QueryCompiler.compile(Query.allOf().withPresent("_id"))
+    }
+    // withAny on _id is the ids filter — allowed
+    graft.dsl.QueryCompiler.compile(Query.allOf().withAny("_id", Seq("a")))
+  }
+
+  test("bucket registry round-trips descriptors; list by prefix; unregister") {
+    val registry = new graft.meta.BucketRegistry(freshStore())
+    val b = Bucket("/prod/events/clicks", DataSchema(
+      temporal = Some(TemporalSchema("ts", GroupingPeriod.Hourly)),
+      storage = Some(StorageSchema(codec = Some("zstd"),
+        existAgeMax = Some(java.time.Duration.ofDays(30)))),
+      searchIndex = Some(SearchIndexSchema(tokenizeByDefault = false,
+        typeOverride = Map("ts" -> "TIMESTAMP"), collidePolicy = "error")),
+      document = Some(DocumentSchema(Seq("url", "ts"), DedupPolicy.KeepLast)),
+      dataWarehouse = Some(WarehouseSchema(Map("url" -> "STRING")))))
+    registry.registerAll(Seq(b, Bucket("/prod/events/views"), Bucket("/dev/x")))
+    val got = registry.get("/prod/events/clicks").get
+    assert(got === b)
+    assert(registry.get("/dev/x").get === Bucket("/dev/x"))
+    assert(registry.list("/prod/").count() === 2)
+    assert(registry.list().count() === 3)
+    assert(registry.unregister("/dev/x"))
+    assert(registry.get("/dev/x").isEmpty)
+    assert(registry.list().count() === 2)
+  }
+
   test("crud: delete by spec incl. top-k; deleteDatastore") {
     val store = freshStore()
     val b = Bucket("/test/del")
