@@ -40,6 +40,19 @@ object TextQueries {
         .select(col("doc_id"),
           fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+    // search-index dual fields: raw columns untouched + analyzed __tokens
+    // arrays per SearchIndexSchema (tokenize-by-default, overrides opt out)
+    "tx5_tokenized_fields" -> { (s, dir) =>
+      val schema = graft.model.SearchIndexSchema(
+        tokenizeByDefault = true,
+        typeOverride = Map("lang" -> "STRING", "source" -> "STRING"))
+      graft.store.SearchIndexer.withAnalyzedFields(
+          Tables.t(s, dir, "documents"), schema)
+        .select(col("doc_id"), col("lang"),
+          size(col("text__tokens")).as("n_tokens"),
+          array_join(slice(col("text__tokens"), 1, 5), " ").as("head_tokens"))
+        .orderBy("doc_id")
     }
   )
 
@@ -83,6 +96,10 @@ object TextQueries {
         "FROM documents ORDER BY doc_id"),
     "tx4_fingerprint" ->
       ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "tx5_tokenized_fields" ->
+      ("SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        "array_to_string(string_split(text, ' ')[1:5], ' ') AS head_tokens " +
         "FROM documents ORDER BY doc_id")
   )
 }

@@ -49,6 +49,21 @@ object SqlSurface {
       s"LOCATION '$tableLocation'"
   }
 
+  /** Q3 executed: run the warehouse DDL so the bucket is queryable by name
+    * through the session catalog (the reference registers Hive external
+    * tables over the store via JDBC, `ElasticsearchHiveUtils.java:333-385`;
+    * here the catalog is Spark's own). Returns the registered table. With a
+    * metastore-backed deployment the entry persists across sessions; the
+    * in-memory catalog scopes it to the session — same DDL either way. */
+  def registerWarehouseTable(spark: SparkSession, bucket: Bucket,
+      tableLocation: String): DataFrame = {
+    spark.sql(warehouseDdl(bucket, tableLocation))
+    spark.table(bucket.signature)
+  }
+
+  def dropWarehouseTable(spark: SparkSession, bucket: Bucket): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${bucket.signature}")
+
   /** Q3 `name_mappings` analog: view with renamed columns. */
   def renamedView(spark: SparkSession, df: DataFrame, viewName: String,
       mappings: Map[String, String]): Unit = {

@@ -43,6 +43,46 @@ class SurfaceSpec extends AnyFunSuite {
       === "STRUCT<alt0: INT, alt1: STRING>")
   }
 
+  test("Q3 executed DDL registers the bucket in the session catalog") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val store = new graft.store.BucketStore(spark, root)
+    val b = Bucket("/wh/regions", DataSchema(dataWarehouse = Some(
+      WarehouseSchema(scala.collection.immutable.ListMap(
+        "r_regionkey" -> "BIGINT", "r_name" -> "STRING")))))
+    store.write(b, Tables.t(spark, TestSession.sf, "region")
+      .select("r_regionkey", "r_name"))
+    val loc = s"$root/${b.signature}/processed/current"
+    try {
+      val t = SqlSurface.registerWarehouseTable(spark, b, loc)
+      assert(spark.catalog.tableExists(b.signature))
+      assert(t.count() === 5)
+      assert(spark.sql(s"SELECT r_name FROM ${b.signature} ORDER BY r_regionkey")
+        .count() === 5)
+    } finally SqlSurface.dropWarehouseTable(spark, b)
+    assert(!spark.catalog.tableExists(b.signature))
+  }
+
+  test("search-index schema drives dual raw/analyzed fields") {
+    import graft.store.SearchIndexer
+    val docs = Tables.t(spark, TestSession.sf, "documents")
+    // default-on: every string col EXCEPT overridden ones gets __tokens
+    val on = SearchIndexer.withAnalyzedFields(docs,
+      SearchIndexSchema(tokenizeByDefault = true,
+        typeOverride = Map("lang" -> "STRING", "source" -> "STRING")))
+    assert(on.columns.contains("text__tokens"))
+    assert(!on.columns.contains("lang__tokens"))
+    assert(on.columns.toSet.intersect(docs.columns.toSet) === docs.columns.toSet)
+    // default-off: only explicit TOKENIZED overrides analyze
+    val off = SearchIndexer.withAnalyzedFields(docs,
+      SearchIndexSchema(tokenizeByDefault = false,
+        typeOverride = Map("lang" -> "TOKENIZED")))
+    assert(off.columns.contains("lang__tokens"))
+    assert(!off.columns.contains("text__tokens"))
+    // analyzed form is the whitespace tokenization of the raw field
+    val row = on.select(col("text"), col("text__tokens")).head()
+    assert(row.getSeq[String](1) === row.getString(0).split(" ").toSeq)
+  }
+
   test("J1 matchAgainstExisting splits new vs present") {
     val existing = Tables.t(spark, TestSession.sf, "nation")
       .select(col("n_nationkey").as("key"), col("n_name"))
