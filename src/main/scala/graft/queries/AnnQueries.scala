@@ -42,6 +42,17 @@ object AnnQueries {
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
       Ann.ivfTopK(e.filter(col("vec_id") < 8), e, cents, k = 3, nprobe = 2)
         .orderBy("q_id", "rank")
+    },
+    // IVF with TRAINED centroids (Lloyd's k-means, deterministic init/iters)
+    // probing every cell: exhaustive by construction, so the exact top-k SQL
+    // is its oracle — this pins both the trainer's convergence and the
+    // train→index→probe integration
+    "ann4_ivf_trained" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = 8, iters = 3)
+      Ann.ivfTopK(e.filter(col("vec_id") < 8), e, cents, k = 3, nprobe = 8)
+        .orderBy("q_id", "rank")
     }
   )
 
@@ -86,6 +97,14 @@ object AnnQueries {
         s"SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosV AS sim, " +
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosV DESC, c.vec_id) AS rank " +
         "FROM qry q JOIN corp c ON q.cent_id = c.cent_id) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // full-probe IVF is exhaustive → identical to the exact top-k
+    "ann4_ivf_trained" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
         "WHERE rank <= 3 ORDER BY q_id, rank")
   )
 }

@@ -78,6 +78,41 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf.filter(col("q_id") === col("c_id")).count() === 5) // self in own cell
   }
 
+  test("k-means trainer: deterministic, objective non-increasing, full-probe IVF = exact") {
+    import graft.similarity.KMeans
+    val k = 8
+    val c1 = KMeans.train(emb, "vec_id", "embedding", k, iters = 1)
+    val c4 = KMeans.train(emb, "vec_id", "embedding", k, iters = 4)
+    val o1 = KMeans.objective(emb, "vec_id", "embedding", c1)
+    val o4 = KMeans.objective(emb, "vec_id", "embedding", c4)
+    assert(o4 <= o1 + 1e-9, s"objective increased: $o1 -> $o4")
+    // deterministic across runs
+    val c4b = KMeans.train(emb, "vec_id", "embedding", k, iters = 4)
+    assert(c4.orderBy("cent_id").collect().toSeq ===
+      c4b.orderBy("cent_id").collect().toSeq)
+    // probing every trained cell makes IVF exhaustive → must equal exact
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(queries, emb, k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    val ivf = Ann.ivfTopK(queries, emb, c4, k = 5, nprobe = k)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(ivf === exact)
+  }
+
+  test("dedup clustering groups LSH pairs transitively; singletons survive") {
+    import graft.dedup.Clustering
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val nodes = (1L to 12L).toDF("node")
+    val got = Clustering.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L) // chain collapses
+    assert(got(10L) === 10L && got(11L) === 10L)
+    assert(got(12L) === 12L) // isolated node keeps itself
+    assert(got.size === 12)
+  }
+
   test("exact dedup finds injected duplicates") {
     val twins = docs.limit(10).withColumn("doc_id", col("doc_id") + 50000)
     val out = TextDedup.exactDedup(docs.unionByName(twins), "doc_id", "text")
