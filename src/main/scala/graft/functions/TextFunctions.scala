@@ -97,4 +97,23 @@ object TextFunctions {
 
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  // ---- PII scrubbing -------------------------------------------------------
+
+  /** PII patterns → replacement tags, applied in order (SSN before the
+    * phone pattern so the more specific shape wins). Patterns stick to the
+    * regex subset with identical semantics in Java regex and RE2 so the
+    * oracle can replay them. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "[SSN]",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "[PHONE]",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]")
+
+  /** Redact PII spans in place — one chained regexp_replace projection
+    * (codegen'd, narrow; the pre-training scrub pass). */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, tag)) =>
+      regexp_replace(c, p, tag)
+    }
 }

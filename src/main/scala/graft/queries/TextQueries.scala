@@ -41,6 +41,41 @@ object TextQueries {
           fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+    // PII scrub: deterministic PII injected per doc, then redacted in one
+    // chained regexp_replace projection — both steps replayed by the oracle
+    "tx6_pii_scrub" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(" call 555-123-4567 ssn 987-65-4321")))
+        .select(col("doc_id"), scrubPii(col("raw")).as("clean"))
+        .orderBy("doc_id")
+    },
+    // shard packing: assign docs to fixed-token-budget training shards by
+    // cumulative token count — partitioned per lang so the window (and the
+    // packing) parallelizes at corpus scale
+    "tx7_shard_packing" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.t(s, dir, "documents")
+        .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(cum - n_tokens) div 1000").as("shard"))
+        .orderBy("doc_id")
+    },
+    // corpus vocabulary: global token frequencies, top-100 (partial agg +
+    // TakeOrdered — count-then-top-k, never a global sort of the vocab)
+    "tx8_top_tokens" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)
+    },
     // search-index dual fields: raw columns untouched + analyzed __tokens
     // arrays per SearchIndexSchema (tokenize-by-default, overrides opt out)
     "tx5_tokenized_fields" -> { (s, dir) =>
@@ -75,7 +110,30 @@ object TextQueries {
     pick(scored)
   }
 
+  /** tx6 oracle transform, built from the SAME PiiPatterns list so pattern
+    * order can't drift between engines (DuckDB needs the 'g' flag; Spark
+    * replaces all matches by default). */
+  private val piiScrubSql: String = {
+    val injected = "text || ' contact user' || doc_id || '@example.com from 10.0.0.' || " +
+      "(doc_id % 256) || ' call 555-123-4567 ssn 987-65-4321'"
+    PiiPatterns.foldLeft(injected) { case (acc, (p, tag)) =>
+      s"regexp_replace($acc, '$p', '$tag', 'g')"
+    }
+  }
+
   val oracle: Map[String, String] = Map(
+    "tx6_pii_scrub" ->
+      s"SELECT doc_id, $piiScrubSql AS clean FROM documents ORDER BY doc_id",
+    "tx7_shard_packing" ->
+      ("SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST((sum(CAST(len(string_split(text, ' ')) AS BIGINT)) " +
+        "OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
+        "- len(string_split(text, ' '))) // 1000 AS BIGINT) AS shard " +
+        "FROM documents ORDER BY doc_id"),
+    "tx8_top_tokens" ->
+      ("SELECT token, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 100"),
     "tx1_langid" ->
       s"SELECT doc_id, $langCase AS pred_lang FROM documents ORDER BY doc_id",
     "tx2_quality" -> {
