@@ -53,6 +53,25 @@ object OpsQueries {
       graft.model.SchemaEvolution.unionWithPolicy(Seq(a, b))
         .orderBy("o_orderkey")
     },
+    // ---- skew handling: salted two-stage agg over a 3-key distribution --
+    // result must equal the direct groupBy (associative combine) — the
+    // hot-key aggregation pattern, oracle-pinned
+    "skew1_salted_agg" -> { (s, dir) =>
+      graft.ops.Skew.saltedAgg(Tables.t(s, dir, "lineitem"),
+          keyCols = Seq("l_returnflag"), sumCols = Seq("l_quantity"),
+          buckets = 16)
+        .orderBy("l_returnflag")
+    },
+    // ---- skew handling: salted join fans a hot probe key over buckets ---
+    "skew2_salted_join" -> { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      val dim = li.select(col("l_returnflag")).distinct()
+        .withColumn("label", concat(lit("flag_"), col("l_returnflag")))
+      graft.ops.Skew.saltedJoin(
+          li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+          dim, keyCols = Seq("l_returnflag"), buckets = 8)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     // ---- X7: logging level thresholds -----------------------------------
     "l1_log_threshold" -> { (s, dir) =>
       // synthesize log records from events: level by event_type
@@ -86,6 +105,12 @@ object OpsQueries {
         "FROM orders WHERE o_orderkey % 2 = 0 " +
         "UNION ALL SELECT CAST(o_orderkey AS VARCHAR), o_totalprice, o_custkey " +
         "FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey"),
+    "skew1_salted_agg" ->
+      ("SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_l_quantity " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "skew2_salted_join" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, 'flag_' || l_returnflag AS label " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "l1_log_threshold" ->
       ("WITH logs AS (SELECT event_id, CASE event_type WHEN 'error' THEN 'ERROR' " +
         "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +

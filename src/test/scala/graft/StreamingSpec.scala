@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(before === 0 && after === 0, "memory sink table registered")
   }
 
+  test("ST5 stream manager: start/status/stop lifecycle by name") {
+    import graft.streaming.{StreamManager, Streams}
+    import org.apache.spark.sql.streaming.Trigger
+    val mgr = new StreamManager
+    val src = s"${TestSession.sf}/events.parquet"
+    val stream = Streams.parquetStream(spark, src, spark.read.parquet(src).schema)
+    val out = java.nio.file.Files.createTempDirectory("graft_st5_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st5_ck").toString
+    val writer = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+    mgr.start("evts", writer)
+    assert(mgr.listStreams() === Seq("evts"))
+    intercept[IllegalArgumentException] { mgr.start("evts", writer) }
+    mgr.awaitAll()
+    val st = mgr.status("evts").get
+    assert(!st.isActive)
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(src).count())
+    assert(mgr.stop("evts"))
+    assert(!mgr.stop("evts")) // already deregistered
+    assert(mgr.status("evts").isEmpty)
+  }
+
   // ---- Kafka wiring (S8 / ST3 transient): option surface + record codecs,
   // brokerless — the connector jar ships separately, so load()/start() are
   // the caller's; everything up to them is validated here.
