@@ -35,18 +35,48 @@ object UpdateCompiler {
     applyOps(seeded, col(matchCol), u).drop(matchCol)
   }
 
+  /** Write `updated` at dot-path `f`: top-level fields use withColumn;
+    * nested paths rewrite the containing struct via `withField` (Mongo's
+    * `$set {"a.b": v}` mutates the nested field — a flat column named
+    * "a.b" would be wrong). Reads at dot-paths are native (`col("a.b")`). */
+  private def writeAt(df: DataFrame, f: String, updated: Column): DataFrame =
+    if (!f.contains('.')) df.withColumn(f, updated)
+    else {
+      val Array(top, rest) = f.split("\\.", 2)
+      df.withColumn(top, col(top).withField(rest, updated))
+    }
+
+  private def hasPath(df: DataFrame, f: String): Boolean =
+    if (!f.contains('.')) df.columns.contains(f)
+    else df.columns.contains(f.split("\\.", 2)(0))
+
+  /** Resolve a dot-path's type through nested structs. */
+  private def nestedType(schema: org.apache.spark.sql.types.StructType,
+      f: String): Option[org.apache.spark.sql.types.DataType] =
+    f.split('.').foldLeft(Option(schema: org.apache.spark.sql.types.DataType)) {
+      case (Some(s: org.apache.spark.sql.types.StructType), part) =>
+        s.fields.find(_.name == part).map(_.dataType)
+      case _ => None
+    }
+
   private def applyOps(df: DataFrame, pred: Column, u: UpdateComponent): DataFrame = {
     u.ops.foldLeft(df) { (cur, op) =>
       op match {
         case SetField(f, v) =>
-          val orig = if (cur.columns.contains(f)) col(f) else lit(null)
-          cur.withColumn(f, guarded(pred, lit(v), orig))
+          val orig = if (hasPath(cur, f)) col(f) else lit(null)
+          writeAt(cur, f, guarded(pred, lit(v), orig))
         case UnsetField(f) =>
-          if (!cur.columns.contains(f)) cur
-          else cur.withColumn(f,
-            guarded(pred, lit(null).cast(cur.schema(f).dataType), col(f)))
+          // schema-fixed engine: unset = typed null at any depth (dropping a
+          // nested field per-row would fork the struct type across rows);
+          // the oracle's CASE ... THEN NULL mirrors this exactly
+          if (!hasPath(cur, f)) cur
+          else nestedType(cur.schema, f) match {
+            case None => cur
+            case Some(t) =>
+              writeAt(cur, f, guarded(pred, lit(null).cast(t), col(f)))
+          }
         case Increment(f, by) =>
-          cur.withColumn(f, guarded(pred, coalesce(col(f), lit(0)) + lit(by), col(f)))
+          writeAt(cur, f, guarded(pred, coalesce(col(f), lit(0)) + lit(by), col(f)))
         case AddItems(f, vs, dedup) if vs.nonEmpty =>
           val items = array(vs.map(lit): _*)
           val emptyT = org.apache.spark.sql.types.ArrayType(
@@ -54,10 +84,10 @@ object UpdateCompiler {
           val appended =
             if (dedup) array_union(coalesce(col(f), items), items) // $addToSet
             else concat(coalesce(col(f), array().cast(emptyT)), items) // $push
-          cur.withColumn(f, guarded(pred, appended, col(f)))
+          writeAt(cur, f, guarded(pred, appended, col(f)))
         case AddItems(_, _, _) => cur
         case RemoveItems(f, vs) => // $pullAll
-          cur.withColumn(f,
+          writeAt(cur, f,
             guarded(pred, array_except(col(f), array(vs.map(lit): _*)), col(f)))
         case RemoveMatching(f, q) => // $pull with nested query on elements
           val keep = (x: Column) => {
@@ -65,7 +95,7 @@ object UpdateCompiler {
               name => if (name.isEmpty) x else name.split('.').foldLeft(x)(_.getField(_))
             !QueryCompiler.compileWith(q, resolver)
           }
-          cur.withColumn(f, guarded(pred, filter(col(f), keep), col(f)))
+          writeAt(cur, f, guarded(pred, filter(col(f), keep), col(f)))
         case DeleteDoc => cur // handled above
       }
     }

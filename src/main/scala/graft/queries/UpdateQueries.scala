@@ -100,6 +100,20 @@ object UpdateQueries {
           .orderBy("o_totalprice" -> -1, "o_orderkey" -> 1).limit(10))
         .select("o_orderkey", "o_totalprice", "o_orderstatus").orderBy("o_orderkey")
     },
+    // U15: nested dot-path $set/$inc rewrite the struct field in place
+    // (withField), not a flat "a.b"-named column
+    "u15_nested_update" -> { (s, dir) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("r", from_json(col("props"), schema))
+      UpdateCompiler.applyUpdate(ev,
+          QueryCompiler.compile(Query.allOf().when("event_type", "click")),
+          Update.update().set("r.k", -1L))
+        .select(col("event_id"), col("r.k").as("k"))
+        .orderBy("event_id")
+    },
     // U14 / D3: create-if-absent by _id — first batch wins, second only adds
     "u14_store_dedup" -> { (s, dir) =>
       val orders = Tables.t(s, dir, "orders")
@@ -149,6 +163,10 @@ object UpdateQueries {
       ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) ORDER BY o_orderkey"),
+    "u15_nested_update" ->
+      ("SELECT event_id, CASE WHEN event_type = 'click' THEN -1 " +
+        "ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k " +
+        "FROM events ORDER BY event_id"),
     "u14_store_dedup" ->
       ("SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'mod3' END AS src " +
         "FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 ORDER BY o_orderkey")

@@ -80,6 +80,29 @@ class DslSpec extends AnyFunSuite {
     assert(math.abs(after - before - 100.0 * touched) < 1e-6)
   }
 
+  test("U15 nested dot-path set/inc/unset rewrite struct fields in place") {
+    val df = orders.limit(20).withColumn("meta",
+      struct(lit(1L).as("views"), lit("x").as("tag")))
+    val pred = QueryCompiler.compile(Query.allOf().when("o_orderstatus", "F"))
+    val updated = UpdateCompiler.applyUpdate(df, pred,
+      Update.update().set("meta.tag", "hit").increment("meta.views", 5))
+    // no flat "meta.tag" column appeared; the struct itself changed
+    assert(updated.columns.toSeq === df.columns.toSeq)
+    val hit = updated.filter(col("o_orderstatus") === "F")
+    assert(hit.filter(col("meta.tag") =!= "hit").count() === 0)
+    assert(hit.filter(col("meta.views") =!= 6L).count() === 0)
+    val miss = updated.filter(col("o_orderstatus") =!= "F")
+    assert(miss.filter(col("meta.tag") =!= "x" || col("meta.views") =!= 1L).count() === 0)
+    // nested unset = typed null in place (schema stays fixed across rows)
+    val nulled = UpdateCompiler.applyUpdate(df, pred,
+      Update.update().unset("meta.tag"))
+    assert(nulled.select("meta.*").columns.toSeq === Seq("views", "tag"))
+    assert(nulled.filter(col("o_orderstatus") === "F")
+      .filter(col("meta.tag").isNotNull).count() === 0)
+    assert(nulled.filter(col("o_orderstatus") =!= "F")
+      .filter(col("meta.tag") =!= "x").count() === 0)
+  }
+
   test("U4/U5/U6 array ops: push, addToSet, pullAll") {
     val df = orders.limit(10).withColumn("tags", array(lit("a"), lit("b")))
     val pushed = UpdateCompiler.applyUpdate(df, lit(true),
