@@ -35,11 +35,22 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
   // ---- write path ---------------------------------------------------------
 
   /** Append objects; missing `_id` gets a uuid. `replacePresent=true` =
-    * save/upsert-by-id (last write wins); `false` = create-if-absent. */
+    * save/upsert-by-id (last write wins); `false` = create-if-absent.
+    *
+    * When the bucket declares a [[graft.model.DocumentSchema]], its
+    * deduplication fields/policy run against the incoming batch FIRST —
+    * the reference's dedup enrichment applied at ingest from bucket config
+    * (`DeduplicationService` over `document_schema`), not an ad-hoc caller
+    * choice. `_id` semantics then apply to the surviving rows. */
   def storeObjects(df: DataFrame, replacePresent: Boolean = false): Unit = {
+    val deduped = bucket.dataSchema.document match {
+      case Some(d) if d.deduplicationFields.nonEmpty =>
+        dedupByPolicy(df, d.deduplicationFields, d.deduplicationPolicy)
+      case _ => df
+    }
     val withId =
-      if (df.columns.contains(IdCol)) df
-      else df.withColumn(IdCol, expr("uuid()"))
+      if (deduped.columns.contains(IdCol)) deduped
+      else deduped.withColumn(IdCol, expr("uuid()"))
     if (!store.exists(bucket, stage)) {
       // first write: dedup within the batch by _id (keep first or last)
       store.write(bucket, dedupBatch(withId, replacePresent), stage,
@@ -61,15 +72,37 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
     }
   }
 
-  /** In-batch dedup by `_id`: deterministic first/last-wins via max-struct
-    * (single shuffle, no window sort). */
-  private def dedupBatch(df: DataFrame, lastWins: Boolean): DataFrame = {
+  /** Declared-schema dedup over arbitrary key fields: first/last by batch
+    * order for the declarative policies; a Custom policy hands each key's
+    * candidate list to the user merge fn (same contract as the graph
+    * merge seam). */
+  private def dedupByPolicy(df: DataFrame, keys: Seq[String],
+      policy: graft.model.DedupPolicy): DataFrame = policy match {
+    case graft.model.DedupPolicy.KeepFirst => dedupByKeys(df, keys, lastWins = false)
+    case graft.model.DedupPolicy.KeepLast => dedupByKeys(df, keys, lastWins = true)
+    case graft.model.DedupPolicy.Custom(merge) =>
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val enc: Encoder[Row] = Encoders.row(df.schema)
+      val strEnc: Encoder[String] = Encoders.STRING
+      df.groupByKey(r => keys.map(f => String.valueOf(r.getAs[Any](f)))
+          .mkString("\u0001"))(strEnc)
+        .mapGroups((_, it) => merge(it.toSeq))(enc)
+  }
+
+  /** Deterministic first/last-wins per key via min/max-struct over a batch
+    * sequence id (single shuffle, no window sort). */
+  private def dedupByKeys(df: DataFrame, keys: Seq[String],
+      lastWins: Boolean): DataFrame = {
     val ordered = df.withColumn("__seq", monotonically_increasing_id())
     val keyed = struct(col("__seq"),
       struct(df.columns.map(col): _*).as("payload"))
     val pick = (if (lastWins) max(keyed) else min(keyed)).as("__w")
-    ordered.groupBy(IdCol).agg(pick).select("__w.payload.*")
+    ordered.groupBy(keys.map(col): _*).agg(pick).select("__w.payload.*")
   }
+
+  /** In-batch dedup by `_id`: deterministic first/last-wins. */
+  private def dedupBatch(df: DataFrame, lastWins: Boolean): DataFrame =
+    dedupByKeys(df, Seq(IdCol), lastWins)
 
   /** Single-object store returning the (possibly generated) `_id` — the
     * reference's `storeObject` future (`ElasticsearchCrudService.java:686-736`,

@@ -152,6 +152,36 @@ class StoreCrudSpec extends AnyFunSuite {
     graft.dsl.QueryCompiler.compile(Query.allOf().withAny("_id", Seq("a")))
   }
 
+  test("declared document-schema dedup drives ingest (fields + policy)") {
+    val store = freshStore()
+    val docs = Tables.t(spark, TestSession.sf, "documents")
+    // KeepLast on lang: one row per language, the batch's later row wins
+    val bLast = Bucket("/test/docdedup", DataSchema(document =
+      Some(DocumentSchema(Seq("lang"), DedupPolicy.KeepLast))))
+    val crudLast = new CrudService(store, bLast)
+    crudLast.storeObjects(docs.orderBy("doc_id").coalesce(1))
+    val kept = store.read(bLast).select("lang", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.groupBy("lang").agg(max("doc_id").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === expected)
+    // Custom policy: user merge collapses the group (sum n_chars per lang)
+    val merge = (rows: Seq[org.apache.spark.sql.Row]) => {
+      val first = rows.head
+      org.apache.spark.sql.Row(first.get(0), first.get(1), first.get(2),
+        first.get(3), rows.map(_.getLong(4)).sum)
+    }
+    val bCustom = Bucket("/test/docmerge", DataSchema(document =
+      Some(DocumentSchema(Seq("lang"), DedupPolicy.Custom(merge)))))
+    val crudCustom = new CrudService(store, bCustom)
+    crudCustom.storeObjects(docs)
+    val got = store.read(bCustom).select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy("lang").agg(sum("n_chars").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("bucket registry round-trips descriptors; list by prefix; unregister") {
     val registry = new graft.meta.BucketRegistry(freshStore())
     val b = Bucket("/prod/events/clicks", DataSchema(
