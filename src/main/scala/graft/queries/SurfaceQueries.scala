@@ -134,6 +134,38 @@ object SurfaceQueries {
       Streams.runToParquet(Streams.sessionize(stream, gapMinutes = 30))
         .orderBy("user_id", "session_start")
     },
+    // ---- stateful stream dedup: source re-delivers every event twice; the
+    // watermarked dropDuplicates state must collapse them across batches
+    "st5_stream_dedup" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dupsrc").toString
+      ev.write.mode("append").parquet(tmp)
+      ev.write.mode("append").parquet(tmp)
+      val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
+      Streams.runToParquet(stream,
+          st => Streams.dedupStream(st, Seq("event_id"), eventTimeCol = Some("ts")))
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    },
+    // ---- stream-stream interval join: click → purchase conversions within
+    // an hour, watermark-bounded join state on both sides
+    "st7_stream_join" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_joinsrc").toString
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      Streams.runToParquet(
+          Streams.intervalJoin(clicks, purchases, "cu", "pu",
+            "click_ts", "p_ts", windowSeconds = 3600))
+        .select(col("click_id"), col("p_id"), col("cu").as("user_id"))
+        .orderBy("click_id", "p_id")
+    },
     // ---- ST3/windowed: event-time tumbling day windows ------------------
     "st3_window_agg" -> { (s, dir) =>
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
@@ -206,6 +238,17 @@ object SurfaceQueries {
         "SELECT user_id, session_start, session_end, n_events FROM ranked, wm " +
         "WHERE pos > 1 OR session_end + 1800000 < w " +
         "ORDER BY user_id, session_start"),
+    "st5_stream_dedup" ->
+      "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "st7_stream_join" ->
+      // micros on both sides: Spark's ts is nanos floor-divided to micros,
+      // DuckDB's epoch_us applies the same truncation to TIMESTAMP_NS
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events) " +
+        "SELECT c.event_id AS click_id, p.event_id AS p_id, c.user_id AS user_id " +
+        "FROM ev c JOIN ev p ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.t >= c.t AND p.t <= c.t + 3600000000 " +
+        "ORDER BY click_id, p_id"),
     "st3_window_agg" ->
       ("SELECT date_trunc('day', ts) AS wstart, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +

@@ -140,6 +140,37 @@ object Streams {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Stateful stream deduplication: `dropDuplicates` on key columns with a
+    * watermark bounding the dedup state (duplicates arriving within the
+    * horizon are dropped; state for expired event times is reclaimed).
+    * The engine-level answer to at-least-once sources re-delivering — the
+    * reference deduped by writing id-keyed upserts into ES/Mongo instead. */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+      eventTimeCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame =
+    eventTimeCol match {
+      case Some(tc) =>
+        stream.withWatermark(tc, watermark)
+          .dropDuplicates(keyCols :+ tc)
+      case None => stream.dropDuplicates(keyCols)
+    }
+
+  /** Watermarked stream-stream interval join: rows of `left` join rows of
+    * `right` with equal `keyCol` whose `rightTs` falls within
+    * [leftTs, leftTs + windowSeconds]. Both sides carry watermarks so join
+    * state is bounded by the interval + lateness horizon — the canonical
+    * Structured Streaming two-stream correlation (click→conversion). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, windowSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(leftKey) === r(rightKey) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Windowed aggregation run to completion: update-mode changelog appended
     * to a parquet sink via `foreachBatch`, compacted on read by keeping each
     * key's latest update (changelog + compaction — the standard shape for
