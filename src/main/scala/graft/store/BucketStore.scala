@@ -57,6 +57,25 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     w.parquet(stageDir(b, stage, buffer).toString)
   }
 
+  /** Hash-bucketed write registered in the session catalog — the co-located
+    * join layout: two tables bucketed on the same key with the same bucket
+    * count join with NO shuffle exchange (each bucket pair meets on one
+    * task), and `sortBy` pre-sorts within buckets so sort-merge join skips
+    * its sort too. This is the storage-level answer to the repeated
+    * merge-by-key jobs (J1/J3/U9): pay the partitioning once at write time,
+    * reuse it every join. Returns the catalog table name. */
+  def writeBucketed(b: Bucket, df: DataFrame, bucketCols: Seq[String],
+      numBuckets: Int, stage: String = "processed"): String = {
+    val table = s"${b.signature}_$stage"
+    val out = withTimePartition(b, df)
+    out.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", stageDir(b, stage, None).toString)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+    table
+  }
+
   /** Read a stage; the partition column stays available for explicit
     * time-slice predicates (partition pruning shows in the scan). */
   def read(b: Bucket, stage: String = "processed",

@@ -134,4 +134,46 @@ class PlanSpec extends AnyFunSuite {
     val plan = formattedPlan(SparkEntry.queries("q1_agg")(spark, TestSession.sf))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "no map-side partial agg")
   }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val root = java.nio.file.Files.createTempDirectory("graft_buck").toString
+    val store = new graft.store.BucketStore(spark, root)
+    val orders = Tables.t(spark, TestSession.sf, "orders")
+    val customer = Tables.t(spark, TestSession.sf, "customer")
+    val tOrders = store.writeBucketed(graft.model.Bucket("/bk/orders"),
+      orders, Seq("o_custkey"), numBuckets = 8)
+    val tCust = store.writeBucketed(graft.model.Bucket("/bk/customer"),
+      customer, Seq("c_custkey"), numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // force the non-broadcast path: the claim under test is that the
+      // SHUFFLE is gone, which broadcast would mask
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(tOrders).join(spark.table(tCust),
+        col("o_custkey") === col("c_custkey"))
+      val plan = formattedPlan(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffles:\n$plan")
+      assert(joined.count() === orders.count()) // every order has a customer
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $tOrders")
+      spark.sql(s"DROP TABLE IF EXISTS $tCust")
+    }
+  }
+
+  test("salted agg is two genuine aggregate stages (hot key spread + combine)") {
+    val li = Tables.t(spark, TestSession.sf, "lineitem")
+    val plan = formattedPlan(graft.ops.Skew.saltedAgg(
+      li, Seq("l_returnflag"), Seq("l_quantity"), buckets = 16))
+    // stage 1 on (key, salt), stage 2 on key — each with partial+final =
+    // ≥4 HashAggregates and 2 exchanges; anything less means Catalyst
+    // collapsed the salting and the hot key funnels to one reducer again
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"salting collapsed:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2,
+      s"expected two key exchanges:\n$plan")
+  }
 }
