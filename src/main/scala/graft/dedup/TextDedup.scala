@@ -64,13 +64,11 @@ object TextDedup {
 
   /** MinHash signature from pre-staged shingle hashes: numPerm permutations
     * under (a_i·h + b_i) mod p, a_i = 2i+1, b_i = 7i+13, p = 1e9+7.
-    * Arithmetic-only per element (the hash column is an attribute). */
+    * Computed by the native codegen'd [[graft.functions.MinHashSig]]
+    * expression — one pass over the hash array instead of numPerm
+    * interpreted lambda traversals (bit-identical results). */
   def minhashFromHashes(hs: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)), i => {
-      val a = i * 2 + 1
-      val b = i * 7 + 13
-      array_min(transform(hs, h => (h * a + b) % lit(1000000007L)))
-    })
+    graft.functions.SketchFunctions.min_hash_sig(hs, numPerm)
 
   /** LSH band hashes: split the signature into `bands` slices of `rowsPerBand`
     * and hash each slice; docs sharing any (band index, band hash) are
@@ -115,16 +113,11 @@ object TextDedup {
 
   /** SimHash (32-bit) from pre-staged token hashes (`shingleHashes` over
     * whole tokens): per bit j, sum ±1 over the hashes' j-th bit; bit set iff
-    * the sum is positive. `hs` must be a materialized column — the 32
-    * bit-sums each evaluate it, which is cheap only for an attribute. */
-  def simhash(hs: Column): Column = {
-    (0 until 32).map { j =>
-      when(
-        aggregate(hs, lit(0L), (acc, h) =>
-          acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * the sum is positive. Computed by the native codegen'd
+    * [[graft.functions.SimHash32]] expression — one pass over the hashes
+    * instead of 32 interpreted aggregate folds (bit-identical results). */
+  def simhash(hs: Column): Column =
+    graft.functions.SketchFunctions.sim_hash(hs)
 
   /** n-gram Jaccard similarity between two shingle-set columns
     * (inclusion-exclusion on distinct sizes — stable across engines that
