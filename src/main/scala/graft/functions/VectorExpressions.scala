@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector math expressions — the ANN/dedup hot path. The
+  * `aggregate`/`zip_with` compositions in [[VectorFunctions]] are
+  * higher-order functions and therefore interpreted: exact top-k evaluates
+  * an interpreted fold per (query, corpus) PAIR. These expressions compute
+  * the same sequential left-to-right double accumulation (bit-parity with
+  * the lambda forms and with DuckDB's `list_dot_product`) in primitive
+  * loops inside whole-stage codegen.
+  *
+  * Null/length parity with the lambda forms: any null element, or a length
+  * mismatch (zip_with pads with nulls), nulls the whole result; an empty
+  * pair yields 0.0.
+  */
+object VectorMath {
+  /** Read element d as double regardless of float/double storage. */
+  private def elem(a: ArrayData, d: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      if (a.isNullAt(d) || b.isNullAt(d)) return null
+      acc += elem(a, d, aF) * elem(b, d, bF)
+      d += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def l2sq(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      if (a.isNullAt(d) || b.isNullAt(d)) return null
+      val diff = elem(a, d, aF) - elem(b, d, bF)
+      acc += diff * diff
+      d += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Sign-projection LSH bucket: bit p set iff Σ_d vec[d]·coef(p,d) > 0
+    * with coef(p,d) = ((31p+d)·2654435761 mod 2³¹)/2³¹ − 0.5 — identical
+    * arithmetic (and accumulation order) to the declarative form and its
+    * SQL oracle. A null element nulls a plane's dot → bit stays 0. */
+  def signLsh(vec: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var sawNull = false
+      var d = 0
+      while (d < n && !sawNull) {
+        if (vec.isNullAt(d)) sawNull = true
+        else {
+          val c = ((31L * p + d) * 2654435761L % 2147483648L).toDouble /
+            2147483648.0 - 0.5
+          acc += elem(vec, d, isFloat) * c
+        }
+        d += 1
+      }
+      if (!sawNull && acc > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // result can be null even for non-null inputs (length mismatch / null
+  // element) — keeps ev.isNull a real variable in codegen
+  override def nullable: Boolean = true
+  private lazy val lF = VectorMath.isFloatArray(left.dataType)
+  private lazy val rF = VectorMath.isFloatArray(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lF, rF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.VectorMath.dot($a, $b, $lF, $rF);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $boxed).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  private lazy val lF = VectorMath.isFloatArray(left.dataType)
+  private lazy val rF = VectorMath.isFloatArray(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lF, rF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.VectorMath.l2sq($a, $b, $lF, $rF);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $boxed).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2Sq =
+    copy(left = l, right = r)
+}
+
+case class SignLshBucket(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private lazy val isF = VectorMath.isFloatArray(child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      VectorMath.signLsh(input.asInstanceOf[ArrayData], planes, isF))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorMath.signLsh($c, $planes, $isF);")
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+    copy(child = newChild)
+}
+
+object VectorExprFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vec_l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(VecL2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sign_lsh_bucket(vec: Column, planes: Int): Column =
+    ColumnBridge.column(SignLshBucket(ColumnBridge.expression(vec), planes))
+}

@@ -14,11 +14,10 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Elementwise dot product of two float/double array columns (double
-    * accumulation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * accumulation) — the native codegen'd [[VecDot]] expression; same
+    * sequential left-to-right fold as the interpreted `aggregate` form it
+    * replaced (bit-identical, incl. DuckDB's `list_dot_product`). */
+  def dot(a: Column, b: Column): Column = VectorExprFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -27,11 +26,6 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Squared L2 distance (for IVF-style coarse assignment). */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+  /** Squared L2 distance (for IVF-style coarse assignment), native. */
+  def l2sq(a: Column, b: Column): Column = VectorExprFunctions.vec_l2sq(a, b)
 }

@@ -42,21 +42,13 @@ object Ann {
       .select("q_id", "c_id", "sim", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d →
-    * ((p*31 + d)*2654435761 mod 2^31) / 2^31 - 0.5 — reproducible in SQL. */
-  private def planeCoef(p: Int, d: Column): Column =
-    ((lit(p.toLong * 31) + d) * lit(2654435761L) % lit(2147483648L))
-      .cast("double") / lit(2147483648.0) - lit(0.5)
-
-  /** Sign bits under `planes` hyperplanes → bucket id (long). */
+  /** Sign bits under `planes` deterministic pseudo-random hyperplanes →
+    * bucket id (long); coef(p, d) = ((p*31 + d)*2654435761 mod 2^31) / 2^31
+    * - 0.5, reproducible in SQL. Computed by the native codegen'd
+    * [[graft.functions.SignLshBucket]] — one pass over the vector instead
+    * of `planes` interpreted lambda folds (bit-identical results). */
   def lshBucket(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeCoef(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorExprFunctions.sign_lsh_bucket(vec, planes)
 
   /** LSH-bucketed top-k: exact rerank within matching sign buckets.
     * Recall < 1 by construction; `planes` trades recall vs bucket size. */
