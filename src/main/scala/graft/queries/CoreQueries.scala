@@ -143,6 +143,26 @@ object CoreQueries {
         .agg(count(col("o_orderkey")).as("n_orders"))
         .orderBy("c_custkey")
     },
+    // ---- J5 breadth: fact-to-dim join + agg over the part table --------
+    "j5_part_revenue" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      t("lineitem")
+        .join(t("part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+    // ---- J5 breadth: small-dim broadcast join over the supplier table ---
+    "j6_supplier_balance" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
+      t("supplier")
+        .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(dec6(col("s_acctbal"))).cast("double").as("total_balance"))
+        .orderBy("n_name")
+    },
     // ---- D1/D2: dedup winner-pick via window row_number ----------------
     "d1_dedup_window" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -194,6 +214,15 @@ object CoreQueries {
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey",
     "j4_outer_count" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "j5_part_revenue" ->
+      ("SELECT p_brand, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "j6_supplier_balance" ->
+      ("SELECT n_name, count(*) AS n_suppliers, " +
+        "CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
     "d1_dedup_window" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +
