@@ -54,6 +54,13 @@ object QueryCompiler {
     case Present(f, _) if MetaFields(f) =>
       throw new IllegalArgumentException(
         s"exists/notExists is not supported on metadata field $f")
+    case RangeClause(f, _, _, _, _) if MetaFields(f) =>
+      // the reference gates _id ranges behind an explicit `id_ranges_ok`
+      // opt-in (`ElasticsearchUtils.java:157-159`) because id order is a
+      // storage artifact; range on a natural key column instead
+      throw new IllegalArgumentException(
+        s"range queries on metadata field $f are not supported " +
+          "(query a natural key column instead)")
     case ok => ok
   }
 

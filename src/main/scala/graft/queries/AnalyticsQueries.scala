@@ -107,6 +107,15 @@ object AnalyticsQueries {
       import s.implicits._
       Seq((row.getLong(0), row.getDouble(1))).toDF("o_orderkey", "o_totalprice")
     },
+    // ---- exact interpolated percentiles (both engines: linear
+    // interpolation over the sorted set — same arithmetic, hash-comparable)
+    "q7_percentile" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"))
+        .orderBy("event_type")
+    },
     // ---- approximate distinct (HLL++): rows-only check — HLL sketches
     // aren't bit-reproducible across engines; ApproxSpec bounds the error
     // against the exact count instead
@@ -152,7 +161,11 @@ object AnalyticsQueries {
         "FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90 " +
         "ORDER BY event_id"),
     "u10_find_modify" ->
-      "SELECT o_orderkey, o_totalprice + 500 AS o_totalprice FROM orders WHERE o_orderkey = 100"
+      "SELECT o_orderkey, o_totalprice + 500 AS o_totalprice FROM orders WHERE o_orderkey = 100",
+    "q7_percentile" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
+        "quantile_cont(value, 0.95) AS p95 FROM events " +
+        "GROUP BY event_type ORDER BY event_type")
     // approx1_distinct intentionally has no oracle (rows-only check)
   )
 }

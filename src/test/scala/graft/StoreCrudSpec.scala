@@ -150,6 +150,10 @@ class StoreCrudSpec extends AnyFunSuite {
     }
     // withAny on _id is the ids filter — allowed
     graft.dsl.QueryCompiler.compile(Query.allOf().withAny("_id", Seq("a")))
+    // _id ranges are gated (id order is a storage artifact)
+    intercept[IllegalArgumentException] {
+      graft.dsl.QueryCompiler.compile(Query.allOf().rangeAbove("_id", "a"))
+    }
   }
 
   test("declared document-schema dedup drives ingest (fields + policy)") {
