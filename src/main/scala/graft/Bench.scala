@@ -27,10 +27,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // also land the metric line in a file: sbt interleaves its own logging
-    // with stdout, which can defeat a line-oriented parser
+    // also land the metric line in a file next to the build: sbt interleaves
+    // its own logging with stdout, which can defeat a line-oriented parser
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -169,6 +169,9 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
       }
       matched
     } else {
+      // cheap existence probe first (pushed-down filter, first-match exit):
+      // a zero-match update must not pay a full-table rewrite
+      if (table.filter(QueryCompiler.compile(q)).isEmpty) return 0L
       val obs = org.apache.spark.sql.Observation()
       store.rewrite(bucket, stage) { cur =>
         val observed = cur.observe(obs, sum(
@@ -229,6 +232,9 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
     * not straddle. */
   def deleteObjectsBySpec(q: QueryComponent): Long = q.meta.limit match {
     case None =>
+      // existence probe: a miss (e.g. deleteObjectById of an absent id)
+      // must not rewrite the whole table
+      if (table.filter(QueryCompiler.compile(q)).isEmpty) return 0L
       val obs = org.apache.spark.sql.Observation()
       store.rewrite(bucket, stage) { cur =>
         val observed = cur.observe(obs, sum(

@@ -53,10 +53,25 @@ object Clustering {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("next"))
         .localCheckpoint(true)
-      changed = stepped.filter(col("next") =!= col("component")).count()
-      labels = stepped.select(col("node"), col("next").as("component"))
+      // pointer jumping (path halving): also follow the candidate label one
+      // hop through the label table itself — labels only decrease, so this
+      // squares the propagation distance per round and a long chain
+      // converges in O(log diameter) rounds, not O(diameter)
+      val hop = stepped.select(col("node").as("jn"), col("next").as("jnext"))
+      val jumped = stepped
+        .join(hop, stepped("next") === hop("jn"), "left")
+        .select(stepped("node"), stepped("component"),
+          least(stepped("next"), coalesce(col("jnext"), stepped("next")))
+            .as("next"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("next") =!= col("component")).count()
+      labels = jumped.select(col("node"), col("next").as("component"))
       i += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exited UNCONVERGED after $maxIters rounds " +
+          s"($changed labels still moving) — results are partial; raise maxIters")
     labels
   }
 }

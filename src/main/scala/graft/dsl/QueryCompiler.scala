@@ -37,8 +37,11 @@ object QueryCompiler {
   }
 
   /** Dot-path field access (F11). `col("a.b.c")` resolves nested struct
-    * fields natively in Catalyst (`GetStructField`). */
-  private def topLevel(f: String): Column = col(f)
+    * fields natively in Catalyst (`GetStructField`). A val so metadata-field
+    * validation can tell table-level resolution apart from the array-element
+    * resolvers `compileWith` gets from `$pull`-style nested queries (an
+    * element struct may legitimately carry its own `_id` field). */
+  private val topLevel: String => Column = (f: String) => col(f)
 
   /** Metadata fields with restricted operator support. The reference routes
     * `withAny("_id",…)` to an ids filter and REJECTS `withAll`/`exists` on
@@ -66,7 +69,8 @@ object QueryCompiler {
 
   def compileClause(c: Clause): Column = compileClause(c, topLevel)
 
-  def compileClause(c0: Clause, field: String => Column): Column = validate(c0) match {
+  def compileClause(c0: Clause, field: String => Column): Column =
+    (if (field eq topLevel) validate(c0) else c0) match {
     case Eq(f, v, false) => field(f) === toLit(v)
     case Eq(f, v, true) => !(field(f) <=> toLit(v)) // whenNot: null-safe negation
     case AnyOf(f, vs) =>

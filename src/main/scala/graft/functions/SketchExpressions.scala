@@ -16,10 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (`doGenCode` emits a static call into [[Sketches]]).
   *
   * Bit-parity with the declarative forms (and therefore with the DuckDB
-  * oracle) is exact, including the null edge cases: a null element behaves
-  * like the lambda chain did (skipped by `array_min`; bit-0 contribution
-  * -1 in simhash), and an empty input yields all-null minhash entries and
-  * simhash 0.
+  * oracle) is exact for the engine's own hashes, including null edge
+  * cases: a null element behaves like the lambda chain did (skipped by
+  * `array_min`; bit-0 contribution -1 in simhash), and an empty input
+  * yields all-null minhash entries and simhash 0. One DELIBERATE
+  * divergence: for a NEGATIVE input hash the old `shiftright(h,j) % 2 = 1`
+  * test never fired (SQL remainder of a negative is negative), treating
+  * every bit as 0 — [[Sketches.simhash32]] tests the real bit instead.
+  * Engine hash functions (md5Int, poly_hash) are non-negative by
+  * construction, so the oracle paths are unaffected; user-supplied signed
+  * hashes (e.g. xxhash64) now get correct bit treatment.
   */
 object Sketches {
   final val Mod: Long = 1000000007L

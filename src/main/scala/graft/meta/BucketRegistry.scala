@@ -82,18 +82,22 @@ object BucketRegistry {
     StructField("dedup_policy", StringType),
     StructField("columnar_include", StringType),
     StructField("columnar_exclude", StringType),
+    StructField("columnar_include_patterns", StringType),
+    StructField("columnar_exclude_patterns", StringType),
     StructField("warehouse_cols", StringType)))
 
+  // entry separator is ';' — ',' appears inside legitimate values like the
+  // warehouse type DECIMAL(18,6), which would corrupt the round-trip
   private def joinMap(m: Map[String, String]): String =
-    m.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")
+    m.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(";")
   private def splitMap(s: String): Map[String, String] =
     if (s == null || s.isEmpty) Map.empty
-    else s.split(',').map { kv =>
+    else s.split(';').map { kv =>
       val Array(k, v) = kv.split(":", 2); k -> v
     }.toMap
-  private def joinSeq(xs: Seq[String]): String = xs.mkString(",")
+  private def joinSeq(xs: Seq[String]): String = xs.mkString(";")
   private def splitSeq(s: String): Seq[String] =
-    if (s == null || s.isEmpty) Nil else s.split(',').toSeq
+    if (s == null || s.isEmpty) Nil else s.split(';').toSeq
 
   def toRow(b: Bucket): Row = {
     val d = b.dataSchema
@@ -118,6 +122,8 @@ object BucketRegistry {
       }).orNull,
       d.columnar.map(c => joinSeq(c.fieldIncludeList)).orNull,
       d.columnar.map(c => joinSeq(c.fieldExcludeList)).orNull,
+      d.columnar.map(c => joinSeq(c.fieldIncludePatternList)).orNull,
+      d.columnar.map(c => joinSeq(c.fieldExcludePatternList)).orNull,
       d.dataWarehouse.map(w => joinMap(w.mainTable)).orNull)
   }
 
@@ -149,10 +155,14 @@ object BucketRegistry {
         case _ => DedupPolicy.KeepFirst
       }))
     val columnar =
-      if (s("columnar_include").isEmpty && s("columnar_exclude").isEmpty) None
+      if (s("columnar_include").isEmpty && s("columnar_exclude").isEmpty &&
+        s("columnar_include_patterns").isEmpty &&
+        s("columnar_exclude_patterns").isEmpty) None
       else Some(ColumnarSchema(
         fieldIncludeList = splitSeq(r.getAs[String]("columnar_include")),
-        fieldExcludeList = splitSeq(r.getAs[String]("columnar_exclude"))))
+        fieldExcludeList = splitSeq(r.getAs[String]("columnar_exclude")),
+        fieldIncludePatternList = splitSeq(r.getAs[String]("columnar_include_patterns")),
+        fieldExcludePatternList = splitSeq(r.getAs[String]("columnar_exclude_patterns"))))
     val wh = s("warehouse_cols").map(w => WarehouseSchema(splitMap(w)))
     Bucket(r.getAs[String]("full_name"), DataSchema(
       temporal = temporal, columnar = columnar, document = doc,

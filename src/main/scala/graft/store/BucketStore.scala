@@ -63,14 +63,23 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     * task), and `sortBy` pre-sorts within buckets so sort-merge join skips
     * its sort too. This is the storage-level answer to the repeated
     * merge-by-key jobs (J1/J3/U9): pay the partitioning once at write time,
-    * reuse it every join. Returns the catalog table name. */
+    * reuse it every join.
+    *
+    * Lands in a dedicated `bucketed` dir, NOT the stage's `current`:
+    * `rewrite`/`promote` manage `current` with plain parquet files, and a
+    * CRUD rewrite must not silently invalidate a catalog table that still
+    * declares a bucket spec. Honors the declared codec and keeps the
+    * time-partition column. Returns the catalog table name. */
   def writeBucketed(b: Bucket, df: DataFrame, bucketCols: Seq[String],
       numBuckets: Int, stage: String = "processed"): String = {
-    val table = s"${b.signature}_$stage"
+    val table = s"${b.signature}_${stage}_bucketed"
     val out = withTimePartition(b, df)
-    out.write.mode(SaveMode.Overwrite).format("parquet")
-      .option("path", stageDir(b, stage, None).toString)
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val codec = b.dataSchema.storage.flatMap(_.codec).getOrElse("snappy")
+    var w = out.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("compression", normalizeCodec(codec))
+      .option("path", bucketRoot(b).resolve(stage).resolve("bucketed").toString)
+    if (out.columns.contains(PartitionCol)) w = w.partitionBy(PartitionCol)
+    w.bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
     table

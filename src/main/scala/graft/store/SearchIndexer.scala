@@ -27,11 +27,14 @@ object SearchIndexer {
 
   val TokensSuffix = "__tokens"
 
-  /** Which columns of `df` the schema says to tokenize. */
+  /** Which columns of `df` the schema says to tokenize: default-on → every
+    * string column unless pinned to a non-TOKENIZED declared type;
+    * default-off → only columns explicitly overridden TOKENIZED. */
   def tokenizedFields(df: DataFrame, s: SearchIndexSchema): Seq[String] =
     df.schema.fields.collect {
       case f if f.dataType == StringType &&
-        (if (s.tokenizeByDefault) !s.typeOverride.contains(f.name)
+        (if (s.tokenizeByDefault)
+           s.typeOverride.get(f.name).forall(_ == "TOKENIZED")
          else s.typeOverride.get(f.name).contains("TOKENIZED")) => f.name
     }.toSeq
 

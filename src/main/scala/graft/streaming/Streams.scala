@@ -188,7 +188,8 @@ object Streams {
     val spark = stream.sparkSession
     val out = Files.createTempDirectory("graft_win_out").toString
     val ckpt = Files.createTempDirectory("graft_win_ckpt").toString
-    val q = agg(stream).writeStream
+    val aggregated = agg(stream)
+    val q = aggregated.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("__batch", lit(batchId))
@@ -199,7 +200,12 @@ object Streams {
       .start()
     q.awaitTermination()
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__batch").desc)
-    spark.read.parquet(out)
+    // explicit schema: an empty stream writes no files, and schema
+    // inference over an empty dir would throw instead of returning the
+    // empty-but-typed aggregate frame
+    val logSchema = aggregated.schema
+      .add("__batch", org.apache.spark.sql.types.LongType)
+    spark.read.schema(logSchema).parquet(out)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__batch")

@@ -113,6 +113,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.size === 12)
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    import graft.dedup.Clustering
+    val spark2 = spark
+    import spark2.implicits._
+    // a 60-link chain needs O(log n) rounds with path halving; plain
+    // min-label propagation would need 60 and silently truncate at 20
+    val edges = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (1L to 60L).toDF("node")
+    val got = Clustering.connectedComponents(edges, nodes, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 1L), s"chain did not collapse: $got")
+  }
+
   test("exact dedup finds injected duplicates") {
     val twins = docs.limit(10).withColumn("doc_id", col("doc_id") + 50000)
     val out = TextDedup.exactDedup(docs.unionByName(twins), "doc_id", "text")

@@ -103,6 +103,17 @@ class DslSpec extends AnyFunSuite {
       .filter(col("meta.tag") =!= "x").count() === 0)
   }
 
+  test("$pull nested query may reference an element field named _id") {
+    // metadata-field validation applies to TABLE-level resolution only;
+    // an array element's own _id field is an ordinary struct field
+    val df = orders.limit(5).withColumn("items",
+      array(struct(lit("a").as("_id"), lit(1L).as("v")),
+        struct(lit(null).cast("string").as("_id"), lit(2L).as("v"))))
+    val out = UpdateCompiler.applyUpdate(df, lit(true),
+      Update.update().pull("items", Query.allOf().withNotPresent("_id")))
+    assert(out.select(size(col("items"))).head().getInt(0) === 1)
+  }
+
   test("U4/U5/U6 array ops: push, addToSet, pullAll") {
     val df = orders.limit(10).withColumn("tags", array(lit("a"), lit("b")))
     val pushed = UpdateCompiler.applyUpdate(df, lit(true),

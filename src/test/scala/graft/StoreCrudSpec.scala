@@ -195,7 +195,10 @@ class StoreCrudSpec extends AnyFunSuite {
       searchIndex = Some(SearchIndexSchema(tokenizeByDefault = false,
         typeOverride = Map("ts" -> "TIMESTAMP"), collidePolicy = "error")),
       document = Some(DocumentSchema(Seq("url", "ts"), DedupPolicy.KeepLast)),
-      dataWarehouse = Some(WarehouseSchema(Map("url" -> "STRING")))))
+      columnar = Some(ColumnarSchema(fieldIncludePatternList = Seq("evt_*"))),
+      // comma inside a declared type must survive the round-trip
+      dataWarehouse = Some(WarehouseSchema(
+        Map("url" -> "STRING", "amount" -> "DECIMAL(18,6)")))))
     registry.registerAll(Seq(b, Bucket("/prod/events/views"), Bucket("/dev/x")))
     val got = registry.get("/prod/events/clicks").get
     assert(got === b)

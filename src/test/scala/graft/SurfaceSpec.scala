@@ -78,6 +78,13 @@ class SurfaceSpec extends AnyFunSuite {
         typeOverride = Map("lang" -> "TOKENIZED")))
     assert(off.columns.contains("lang__tokens"))
     assert(!off.columns.contains("text__tokens"))
+    // default-on + explicit TOKENIZED override must still tokenize (an
+    // override pinning the field to analysis is not an opt-out)
+    val pinned = SearchIndexer.withAnalyzedFields(docs,
+      SearchIndexSchema(tokenizeByDefault = true,
+        typeOverride = Map("text" -> "TOKENIZED", "lang" -> "STRING")))
+    assert(pinned.columns.contains("text__tokens"))
+    assert(!pinned.columns.contains("lang__tokens"))
     // analyzed form is the whitespace tokenization of the raw field
     val row = on.select(col("text"), col("text__tokens")).head()
     assert(row.getSeq[String](1) === row.getString(0).split(" ").toSeq)
