@@ -24,14 +24,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
+    // Per-query detail (a few KB for ~90 queries) lands in a file only: a
+    // line-oriented stdout parser with a bounded tail window would truncate it.
+    val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also land the metric line in a file next to the build: sbt interleaves
-    // its own logging with stdout, which can defeat a line-oriented parser
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // The LAST stdout line is a short total-only metric so it survives any
+    // tail window; keep it after spark.stop() so no logging follows it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
   }
 }

@@ -7,9 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with a
   * typed metadata struct, plus a batched decode/feature-extract seam.
   *
-  * The decode itself is STUBBED (this container has no image/audio codecs)
-  * behind [[FakeDecoder]] — a deterministic stand-in — but the Spark-side
-  * plumbing is real and is what matters at 100 TB:
+  * IMAGE decode/resize is REAL — `javax.imageio` + `BufferedImage` ship with
+  * the JDK, so PNG/JPEG/BMP/GIF need no external libraries
+  * ([[ImageIoDecoder]], [[ImageIoResizer]]). Only VIDEO/AUDIO remain stubbed
+  * behind the deterministic [[FakeDecoder]]/[[FakeFrameSampler]] stand-ins
+  * (no demuxer/audio codec in this container). Either way the Spark-side
+  * plumbing is identical and is what matters at 100 TB:
   *
   *  - media bytes stay in one `content: binary` column (never exploded into
   *    rows), with `media_meta` struct alongside;
@@ -129,6 +132,105 @@ object Multimodal {
           batch.map(_.getAs[Array[Byte]](contentIdx)))
         batch.iterator.zip(frames.iterator).flatMap { case (r, fs) =>
           fs.map { case (i, bytes) => Row(r.get(idIdx), i, bytes) }
+        }
+      }
+    }(enc)
+  }
+
+  /** Feature row produced per image by the REAL ImageIO decoder; nulls when
+    * the bytes don't decode (shunt undecodables with [[graft.sources.Sources]]
+    * quarantine upstream if needed). */
+  val ImageFeatureType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType),
+    StructField("pixel_hash", LongType)))
+
+  /** Real image decode via JDK-builtin `javax.imageio` — PNG/JPEG/BMP/GIF
+    * with zero external dependencies. Disk cache off: executors decode from
+    * memory, no temp-file round trip per image. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      } catch { case _: Exception => None }
+
+    /** (width, height, mean luma, rolling pixel hash) — one raster pass. */
+    def imageFeatures(bytes: Array[Byte]): Row = decode(bytes) match {
+      case None => Row(null, null, null, null)
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        var lumaSum = 0.0
+        var hash = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            lumaSum += 0.299 * r + 0.587 * g + 0.114 * b
+            hash = (hash * 1000003L + (rgb & 0xffffffL)) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        Row(w, h, lumaSum / (w.toLong * h), hash)
+    }
+
+    /** [[MediaDecoder]] view: byte-level features like [[FakeDecoder]] but
+      * derived from DECODED pixels (n_bytes, width-as-head, pixel hash). */
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Row] =
+      batch.map { bytes =>
+        val f = imageFeatures(bytes)
+        Row(bytes.length.toLong,
+          if (f.isNullAt(0)) -1 else f.getInt(0),
+          if (f.isNullAt(3)) -1L else f.getLong(3))
+      }
+  }
+
+  /** Real resize: ImageIO decode → nearest-neighbor scale → PNG re-encode.
+    * Nearest-neighbor (not Graphics2D filtering) so the output raster is
+    * bit-deterministic across JVMs/platforms. Undecodable inputs pass
+    * through unchanged. */
+  final case class ImageIoResizer(targetW: Int, targetH: Int) extends MediaTransform {
+    def transformBatch(batch: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      batch.map { bytes =>
+        ImageIoDecoder.decode(bytes) match {
+          case None => bytes
+          case Some(src) =>
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val sw = src.getWidth; val sh = src.getHeight
+            var y = 0
+            while (y < targetH) {
+              var x = 0
+              while (x < targetW) {
+                out.setRGB(x, y, src.getRGB(x * sw / targetW, y * sh / targetH))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            bos.toByteArray
+        }
+      }
+  }
+
+  /** Image feature extraction over the REAL decoder: one [[ImageFeatureType]]
+    * row per record, batched mapPartitions (narrow, no shuffle). */
+  def extractImageFeatures(df: DataFrame, idCol: String, contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val outSchema = StructType(df.schema(idIdx) +: ImageFeatureType.fields.toSeq)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val f = ImageIoDecoder.imageFeatures(r.getAs[Array[Byte]](contentIdx))
+          Row.fromSeq(r.get(idIdx) +: f.toSeq)
         }
       }
     }(enc)

@@ -57,7 +57,12 @@ final case class StageConfig(
     /** non-empty → this is THE grouping stage (dot-paths; "?" = engine
       * choice = full-record hash). */
     groupingFields: Seq[String] = Nil,
-    useCombiner: Boolean = false)
+    useCombiner: Boolean = false,
+    /** Hard cap on rows buffered per key-group in a NON-associative grouping
+      * stage (the whole-group contract requires buffering; a skewed key must
+      * fail loudly naming itself rather than OOM an executor). Combinable
+      * modules stream in ≤batchSize chunks and never hit this. */
+    maxGroupBuffer: Int = 4000000)
 
 final case class PipelineStage(stage: EnrichStage, cfg: StageConfig = StageConfig())
 
@@ -126,7 +131,7 @@ object Pipeline {
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
     preCombined
       .groupByKey(keyOf)(strEnc)
-      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+      .flatMapGroups { (groupKey: String, it: Iterator[Row]) =>
         stage.onStageInitialize(cfg)
         val out =
           if (stage.combinable && outSchema == inSchema) {
@@ -152,11 +157,22 @@ object Pipeline {
           } else {
             // Non-associative module: the whole-group-as-one-batch contract
             // (the reference reducer's value-stream, which user modules may
-            // consume in one pass). Documented: a skewed key buffers its
-            // group; declare `combinable` to get the streaming path.
-            val rows = it.toSeq
-            stage.onObjectBatch(rows,
-              Some(KeyExtractor.keyRow(rows.head, inSchema, keyFields)))
+            // consume in one pass). Buffering the group is inherent to that
+            // contract, so a skewed key is bounded by an explicit cap that
+            // fails loudly NAMING the key — an executor OOM would not —
+            // and points at the streaming escape hatch (`combinable`).
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (it.hasNext) {
+              if (buf.size >= cfg.maxGroupBuffer)
+                throw new IllegalStateException(
+                  s"grouping stage '${cfg.name}': key [$groupKey] exceeds " +
+                    s"maxGroupBuffer=${cfg.maxGroupBuffer} rows; mark the " +
+                    "module `combinable` to stream it, raise the cap, or " +
+                    "pre-aggregate the hot key")
+              buf += it.next()
+            }
+            stage.onObjectBatch(buf.toSeq,
+              Some(KeyExtractor.keyRow(buf.head, inSchema, keyFields)))
           }
         completing(out)(stage.onStageComplete())
       }(outEnc)

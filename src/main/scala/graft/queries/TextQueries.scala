@@ -54,16 +54,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
     // shard packing: assign docs to fixed-token-budget training shards by
-    // cumulative token count — partitioned per lang so the window (and the
-    // packing) parallelizes at corpus scale
+    // cumulative token count per lang. Two-stage so no single task ever
+    // sorts a whole language (at corpus scale ~half the corpus is one lang):
+    // range size 100 here so the small-SF test genuinely exercises the
+    // multi-range offset merge
     "tx7_shard_packing" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.t(s, dir, "documents")
-        .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      packShards(
+        Tables.t(s, dir, "documents")
+          .withColumn("n_tokens", tokenCount(col("text")).cast("long")),
+        rangeSize = 100L)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           expr("(cum - n_tokens) div 1000").as("shard"))
         .orderBy("doc_id")
@@ -90,6 +89,41 @@ object TextQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** Per-language running token sum (`cum`) WITHOUT a per-language window:
+    * a `Window.partitionBy(lang)` running sum funnels each language through
+    * ONE task, and a real corpus is ~half one language. Two-stage instead:
+    *
+    *  1. sub-partition by (lang, doc_id div rangeSize) and run the running
+    *     sum within each sub-partition — bounded work per task;
+    *  2. aggregate one token total per (lang, range) — a tiny frame (the
+    *     per-lang window over IT is over #ranges rows, not documents) —
+    *     take the exclusive running total as the range's offset, and
+    *     broadcast-join it back.
+    *
+    * `cum = offset + local_cum` is identical to the single-window result.
+    * Pick `rangeSize` so #langs × (id-span/rangeSize) stays broadcastable
+    * (e.g. 10M ids/range → 10⁵ offset rows per 10¹² ids). Input must carry
+    * `doc_id`, `lang`, `n_tokens`. */
+  def packShards(df: DataFrame, rangeSize: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wLocal = W.partitionBy("lang", "__rg").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wOff = W.partitionBy("lang").orderBy("__rg")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val local = df
+      .withColumn("__rg", expr(s"doc_id div ${rangeSize}L"))
+      .withColumn("__local_cum", sum(col("n_tokens")).over(wLocal))
+    // groupBy(lang, __rg) reuses the window's hash partitioning — no extra
+    // shuffle for the totals
+    val offsets = local.groupBy("lang", "__rg")
+      .agg(sum(col("n_tokens")).as("__rg_total"))
+      .withColumn("__off", coalesce(sum(col("__rg_total")).over(wOff), lit(0L)))
+      .select(col("lang"), col("__rg"), col("__off"))
+    local.join(broadcast(offsets), Seq("lang", "__rg"))
+      .withColumn("cum", col("__off") + col("__local_cum"))
+      .drop("__rg", "__local_cum", "__off")
+  }
 
   /** langid score SQL fragment for one language (occurrences of markers in
     * the whitespace token list). */

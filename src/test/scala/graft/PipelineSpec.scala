@@ -88,6 +88,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(k.isInstanceOf[String])
   }
 
+  test("non-associative hot key fails loudly at maxGroupBuffer, naming the key") {
+    // whole-group contract: a skewed key must hit the explicit cap (with the
+    // key name in the error), not an executor OOM
+    class WholeGroupStage extends EnrichStage {
+      def onObjectBatch(batch: Seq[Row], groupKey: Option[Row]): Iterator[Row] =
+        Iterator(batch.head)
+    }
+    val hot = docs.select(lit("hotlang").as("g"), col("n_chars"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Pipeline.run(hot, Seq(
+        PipelineStage(new WholeGroupStage,
+          StageConfig(name = "whole", groupingFields = Seq("g"),
+            maxGroupBuffer = 50)))).count()
+    }
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    assert(msg.contains("hotlang") && msg.contains("maxGroupBuffer"),
+      s"error must name the hot key: $msg")
+    // under the cap the same stage runs fine
+    val ok = Pipeline.run(hot, Seq(
+      PipelineStage(new WholeGroupStage,
+        StageConfig(name = "whole", groupingFields = Seq("g"))))).count()
+    assert(ok === 1)
+  }
+
   test("at most one grouping stage enforced") {
     intercept[IllegalArgumentException] {
       Pipeline.run(docs, Seq(

@@ -176,4 +176,38 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2,
       s"expected two key exchanges:\n$plan")
   }
+
+  test("shard packing never runs a whole-language window over documents") {
+    // two-stage packing: the document-level running sum must window on
+    // (lang, range) — a window partitioned by lang alone over the corpus is
+    // the single-task-per-language scale-killer. The lang-only window is
+    // allowed ONLY over the tiny per-range totals (input = an aggregate).
+    import graft.functions.TextFunctions
+    val docs = Tables.t(spark, TestSession.sf, "documents")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+    val packed = graft.queries.TextQueries.packShards(docs, rangeSize = 100L)
+    // correctness vs the naive single-window reference
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = docs.withColumn("cum", sum(col("n_tokens")).over(w))
+    val got = packed.select(col("doc_id").cast("long"), col("cum").cast("long"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = naive.select(col("doc_id").cast("long"), col("cum").cast("long"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === exp, "two-stage cum must equal single-window cum")
+    // plan shape: every document-level Window partitions by (lang, __rg);
+    // the lang-only window sits above a HashAggregate (per-range totals)
+    val plan = formattedPlan(packed)
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"no window in plan:\n$plan")
+    val langOnly = windowSpecs.filter(s =>
+      s.contains("lang") && !s.contains("__rg"))
+    assert(windowSpecs.exists(s => s.contains("lang") && s.contains("__rg")),
+      s"document running sum must sub-partition by range:\n$plan")
+    assert(langOnly.size <= 1,
+      s"only the per-range-totals window may partition by lang alone:\n$plan")
+  }
 }
