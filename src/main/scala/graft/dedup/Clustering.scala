@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * chains; the loop exits early on fixpoint, detected with the same action
   * that materializes the round).
   *
-  * Lineage is truncated per round (`localCheckpoint`) so the plan doesn't
-  * grow with iterations — swap for `checkpoint` with a cluster-visible dir
-  * in a multi-executor deployment.
+  * Lineage is truncated per round so the plan doesn't grow with iterations.
+  * `checkpointDir = None` → `localCheckpoint` (executor-block-backed: fine
+  * single-node / tests, lossy under executor failure); pass a
+  * cluster-visible directory (HDFS/S3) in a multi-executor deployment to get
+  * reliable `checkpoint`s instead.
   */
 object Clustering {
 
@@ -29,41 +31,45 @@ object Clustering {
     * @param edges two-column DataFrame of undirected edges (any names)
     * @param nodes one-column DataFrame of ALL node ids (isolated nodes keep
     *              themselves as singleton components)
+    * @param checkpointDir cluster-visible checkpoint dir for fault-tolerant
+    *              per-round lineage truncation; None = localCheckpoint
     * @return (node, component) — component = min node id of the component
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val truncate: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
     val e = edges.toDF("s", "d")
     // symmetrize once; propagation then only needs one join direction
-    val sym = e.union(e.select(col("d"), col("s"))).distinct()
-      .localCheckpoint(true)
+    val sym = truncate(e.union(e.select(col("d"), col("s"))).distinct())
 
-    var labels = nodes.toDF("node").distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint(true)
+    var labels = truncate(nodes.toDF("node").distinct()
+      .withColumn("component", col("node")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val fromNbrs = sym.join(labels, sym("d") === labels("node"))
         .groupBy(sym("s").as("nbr_node"))
         .agg(min(col("component")).as("nbr_min"))
-      val stepped = labels
+      val stepped = truncate(labels
         .join(fromNbrs, labels("node") === fromNbrs("nbr_node"), "left")
         .select(col("node"), col("component"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("next"))
-        .localCheckpoint(true)
+            .as("next")))
       // pointer jumping (path halving): also follow the candidate label one
       // hop through the label table itself — labels only decrease, so this
       // squares the propagation distance per round and a long chain
       // converges in O(log diameter) rounds, not O(diameter)
       val hop = stepped.select(col("node").as("jn"), col("next").as("jnext"))
-      val jumped = stepped
+      val jumped = truncate(stepped
         .join(hop, stepped("next") === hop("jn"), "left")
         .select(stepped("node"), stepped("component"),
           least(stepped("next"), coalesce(col("jnext"), stepped("next")))
-            .as("next"))
-        .localCheckpoint(true)
+            .as("next")))
       changed = jumped.filter(col("next") =!= col("component")).count()
       labels = jumped.select(col("node"), col("next").as("component"))
       i += 1

@@ -34,11 +34,14 @@ object GraphBuilder {
     records.select(cols: _*)
   }
 
-  /** X3 declarative decompose for edges: (label, src key, dst key). */
+  /** X3 declarative decompose for edges: (label, src key, dst key) plus
+    * optional property columns riding along (for [[mergeEdges]]). */
   def edgeCandidates(records: DataFrame, label: String,
-      srcCol: String, dstCol: String): DataFrame =
-    records.select(lit(label).as("label"),
-      col(srcCol).as("src"), col(dstCol).as("dst"))
+      srcCol: String, dstCol: String,
+      propCols: Map[String, String] = Map.empty): DataFrame =
+    records.select(lit(label).as("label") +:
+      col(srcCol).as("src") +: col(dstCol).as("dst") +:
+      propCols.toSeq.sortBy(_._1).map { case (as, from) => col(from).as(as) }: _*)
 
   /** D2 vertex dedup: winner per key by deterministic order (the analog of
     * `SimpleGraphMergeService` keep-first), orderCol ascending. */
@@ -80,11 +83,29 @@ object GraphBuilder {
   }
 
   /** J2: collapse duplicate edges on (label, src, dst), keeping
-    * a multiplicity count (the reference merges property bags instead; a
-    * custom merge hook would be a reduceGroups here). */
+    * a multiplicity count. For property-bag merging see [[mergeEdges]]. */
   def dedupEdges(candidates: DataFrame): DataFrame =
     candidates.groupBy("label", "src", "dst")
       .agg(count(lit(1)).as("multiplicity"))
+
+  /** J2/X3 edge custom merge: the user module receives each
+    * (label, src, dst) group's candidate edges (property bags riding as
+    * ordinary columns) and returns the one merged edge — the edge analog of
+    * [[mergeVertices]]'s Custom policy; the reference routes duplicate edges
+    * through the same user merge handler as vertices
+    * (`TitanGraphBuildingUtils.java:271-307` finalEdgeGrouping →
+    * `buildGraph_handleMerge`). One shuffle on the edge key; each group is
+    * bounded by per-edge duplication, not graph size. */
+  def mergeEdges(candidates: DataFrame,
+      merge: Seq[org.apache.spark.sql.Row] => org.apache.spark.sql.Row): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    implicit val enc: Encoder[Row] = Encoders.row(candidates.schema)
+    val strEnc: Encoder[String] = Encoders.STRING
+    candidates
+      .groupByKey(r => Seq("label", "src", "dst")
+        .map(f => String.valueOf(r.getAs[Any](f))).mkString(""))(strEnc)
+      .mapGroups((_, it) => merge(it.toSeq))(enc)
+  }
 
   /** The (small) key intersection of a batch with the stored graph: ONE scan
     * of `existing`, probed with the broadcast *batch* keys — never the other

@@ -124,8 +124,13 @@ final case class SearchIndexSchema(
     collidePolicy: String = "new_type")
 
 /** Warehouse schema: declared fixed types (`ElasticsearchHiveUtils.java:86-91`)
-  * → Spark DDL via [[TypeMapping]]. */
-final case class WarehouseSchema(mainTable: Map[String, String] = Map.empty)
+  * → Spark DDL via [[TypeMapping]]. `mainTableJson` is the reference's full
+  * structural form (`table_format` nested JSON — structs/arrays/unions/maps,
+  * `ElasticsearchHiveUtils.java:253-320`) compiled by
+  * [[graft.sql.HiveSchema]]; it wins over the flat `mainTable` map. */
+final case class WarehouseSchema(
+    mainTable: Map[String, String] = Map.empty,
+    mainTableJson: Option[String] = None)
 
 /** Declared-type vocabulary → Spark SQL types (SURVEY §1.2). */
 object TypeMapping {
@@ -151,6 +156,11 @@ object TypeMapping {
       case s if s.startsWith("VARCHAR") || s.startsWith("CHAR") => StringType
       case s if s.startsWith("ARRAY<") && s.endsWith(">") =>
         ArrayType(toSparkType(s.stripPrefix("ARRAY<").stripSuffix(">")))
+      case s if s.startsWith("MAP<") && s.endsWith(">") =>
+        splitTopLevel(s.stripPrefix("MAP<").stripSuffix(">")) match {
+          case Seq(k, v) => MapType(toSparkType(k), toSparkType(v))
+          case _ => throw new IllegalArgumentException(s"bad MAP type: $s")
+        }
       case s if s.startsWith("STRUCT<") && s.endsWith(">") =>
         val body = s.stripPrefix("STRUCT<").stripSuffix(">")
         StructType(splitTopLevel(body).map { f =>

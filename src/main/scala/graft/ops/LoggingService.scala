@@ -37,6 +37,24 @@ object LoggingService {
     df.filter(rankCol >= thresholdCol)
   }
 
+  /** X7 second half — count-aggregating merge + rate-limited emission:
+    * duplicate log records collapse per (key cols, rate window), emitting ONE
+    * record per key per window carrying the suppressed-duplicate count and
+    * the first/last timestamps, so a hot log key costs one output row per
+    * window instead of flooding the sink (the reference's merge functions
+    * count-aggregate repeats of a merge key and re-emit on a rate limit).
+    *
+    * Scale: a plain groupBy — partial aggregation absorbs the flood map-side
+    * before the shuffle, so a key logging millions of duplicates ships one
+    * partial row per task, not per record. */
+  def mergeAndRateLimit(df: DataFrame, tsCol: String = "ts",
+      keyCols: Seq[String] = Seq("subsystem", "level", "message"),
+      windowSec: Int = 60): DataFrame =
+    df.groupBy(keyCols.map(col) :+
+        window(col(tsCol), s"$windowSec seconds").as("win"): _*)
+      .agg(count(lit(1)).as("merged_count"),
+        min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+
   /** Write accepted log records into the bucket's store (same write path as
     * any data — the "log buckets are buckets" stance of the reference). */
   def writeLogs(store: BucketStore, bucket: Bucket, records: DataFrame,

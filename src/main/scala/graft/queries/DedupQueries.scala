@@ -49,6 +49,15 @@ object DedupQueries {
       minhashCandidates(Tables.t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")
     },
+    // Production-hash variant: codegen'd PolyHash base hash instead of the
+    // oracle-reproducible md5 path — benched so the committed numbers show
+    // production cost, not oracle-reproducibility cost. No SQL oracle (md5
+    // is the cross-engine hash); DedupAnnSpec pins its pair set instead.
+    "dd2_minhash_lsh_poly" -> { (s, dir) =>
+      minhashCandidates(Tables.t(s, dir, "documents"), "doc_id", "text",
+          useMd5 = false)
+        .orderBy("doc_a", "doc_b")
+    },
     // SimHash values + near-dup pairs at hamming ≤ 3 among consecutive ids
     "dd3_simhash" -> { (s, dir) =>
       Tables.t(s, dir, "documents")

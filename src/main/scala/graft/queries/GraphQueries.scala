@@ -80,6 +80,24 @@ object GraphQueries {
           graft.model.DedupPolicy.Custom(merge), orderCol = "key")
         .select("key", "price", "n").orderBy("key")
     },
+    // X3 edge custom property-bag merge: duplicate (label, src, dst) edges
+    // collapse through the user module (qty summed, best price kept,
+    // multiplicity counted) — the edge analog of g5
+    "g6_edge_merge" -> { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      val cands = GraphBuilder.edgeCandidates(
+          li.withColumn("qty", col("l_quantity").cast("long"))
+            .withColumn("n", lit(1L)),
+          "contains", "l_orderkey", "l_partkey",
+          Map("qty" -> "qty", "price" -> "l_extendedprice", "n" -> "n"))
+        .select("label", "src", "dst", "qty", "price", "n")
+      val merge = (rows: Seq[org.apache.spark.sql.Row]) =>
+        org.apache.spark.sql.Row(
+          rows.head.getString(0), rows.head.getLong(1), rows.head.getLong(2),
+          rows.map(_.getLong(3)).sum, rows.map(_.getDouble(4)).max,
+          rows.map(_.getLong(5)).sum)
+      GraphBuilder.mergeEdges(cands, merge).orderBy("src", "dst")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -126,6 +144,11 @@ object GraphQueries {
     "g5_custom_merge" ->
       ("SELECT o_custkey AS key, max(o_totalprice) AS price, count(*) AS n " +
         "FROM orders GROUP BY 1 ORDER BY key"),
+    "g6_edge_merge" ->
+      ("SELECT 'contains' AS label, l_orderkey AS src, l_partkey AS dst, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "max(l_extendedprice) AS price, CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY 2, 3 ORDER BY src, dst"),
     "reg1_bucket_registry" ->
       ("SELECT '/buckets/' || lower(r_name) AS full_name, " +
         "'buckets_' || replace(lower(r_name), ' ', '_') AS signature, " +

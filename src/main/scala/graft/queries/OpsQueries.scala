@@ -86,6 +86,27 @@ object OpsQueries {
       LoggingService.levelFilter(logs,
           thresholds = Map("0" -> "ERROR", "1" -> "DEBUG"), defaultLevel = "INFO")
         .orderBy("event_id")
+    },
+    // X7 merge/rate-limit: duplicate log records collapse per key per hourly
+    // rate window with a suppressed-duplicate count — one output row per hot
+    // key per window
+    "l2_log_merge" -> { (s, dir) =>
+      val levelOf = when(col("event_type") === "error", "ERROR")
+        .when(col("event_type") === "purchase", "WARN")
+        .when(col("event_type") === "signup", "INFO")
+        .when(col("event_type") === "click", "DEBUG")
+        .otherwise("TRACE")
+      val logs = Tables.t(s, dir, "events")
+        .select(levelOf.as("level"),
+          (col("user_id") % 3).cast("string").as("subsystem"),
+          col("event_type").as("message"), col("ts"))
+      LoggingService.mergeAndRateLimit(logs, windowSec = 3600)
+        .select(col("subsystem"), col("level"), col("message"),
+          col("win").getField("start").cast("long").as("win_start"),
+          col("merged_count"),
+          col("first_ts").cast("long").as("first_s"),
+          col("last_ts").cast("long").as("last_s"))
+        .orderBy("subsystem", "level", "message", "win_start")
     }
   )
 
@@ -118,6 +139,18 @@ object OpsQueries {
         "ranked AS (SELECT *, CASE level WHEN 'TRACE' THEN 0 WHEN 'DEBUG' THEN 1 WHEN 'INFO' THEN 2 " +
         "WHEN 'WARN' THEN 3 WHEN 'ERROR' THEN 4 END AS r, " +
         "CASE subsystem WHEN '0' THEN 4 WHEN '1' THEN 1 ELSE 2 END AS thr FROM logs) " +
-        "SELECT event_id, level, subsystem FROM ranked WHERE r >= thr ORDER BY event_id")
+        "SELECT event_id, level, subsystem FROM ranked WHERE r >= thr ORDER BY event_id"),
+    "l2_log_merge" ->
+      ("WITH logs AS (SELECT CASE event_type WHEN 'error' THEN 'ERROR' " +
+        "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +
+        "ELSE 'TRACE' END AS level, CAST(user_id % 3 AS VARCHAR) AS subsystem, " +
+        "event_type AS message, ts FROM events) " +
+        "SELECT subsystem, level, message, " +
+        "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, " +
+        "CAST(count(*) AS BIGINT) AS merged_count, " +
+        "CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s, " +
+        "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s " +
+        "FROM logs GROUP BY 1, 2, 3, 4 " +
+        "ORDER BY subsystem, level, message, win_start")
   )
 }

@@ -40,11 +40,18 @@ object SqlSurface {
     * (declared types per SURVEY §1.2 vocabulary), plus an optional renamed
     * view for `name_mappings`. */
   def warehouseDdl(bucket: Bucket, tableLocation: String): String = {
-    val fields = bucket.dataSchema.dataWarehouse
-      .map(_.mainTable).getOrElse(Map.empty)
-    val cols = fields.map { case (name, declared) =>
-      s"$name ${TypeMapping.toSparkType(declared).sql}"
-    }.mkString(", ")
+    val wh = bucket.dataSchema.dataWarehouse
+    // structural declaration (nested structs/arrays/unions/maps) wins; the
+    // flat name→declared-type map remains for simple tables
+    val cols = wh.flatMap(_.mainTableJson) match {
+      case Some(json) =>
+        HiveSchema.toStructType(HiveSchema.parse(json)).fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      case None =>
+        wh.map(_.mainTable).getOrElse(Map.empty).map { case (name, declared) =>
+          s"$name ${TypeMapping.toSparkType(declared).sql}"
+        }.mkString(", ")
+    }
     s"CREATE TABLE IF NOT EXISTS ${bucket.signature} ($cols) USING parquet " +
       s"LOCATION '$tableLocation'"
   }

@@ -38,11 +38,24 @@ class DedupAnnSpec extends AnyFunSuite {
   }
 
   test("minhash poly-hash path agrees with md5 path on candidate structure") {
-    val md5Pairs = TextDedup.minhashCandidates(docs, "doc_id", "text", useMd5 = true).count()
-    val polyPairs = TextDedup.minhashCandidates(docs, "doc_id", "text", useMd5 = false).count()
-    // different hash families → different collisions, but both must find the
-    // exact-duplicate structure of the corpus; sanity: smallish candidate sets
-    assert(md5Pairs < 5000 && polyPairs < 5000)
+    // identical shingle sets produce identical signatures under ANY base
+    // hash, so injected exact-twin pairs MUST be candidates on both paths —
+    // the hash-family-independent invariant (random collisions may differ)
+    val twins = docs.limit(20).withColumn("doc_id", col("doc_id") + 50000)
+    val corpus = docs.unionByName(twins)
+    def pairs(useMd5: Boolean): Set[(Long, Long)] =
+      TextDedup.minhashCandidates(corpus, "doc_id", "text", useMd5 = useMd5)
+        .collect().map(r => (r.getAs[Number]("doc_a").longValue,
+          r.getAs[Number]("doc_b").longValue)).toSet
+    val expected = docs.limit(20).select("doc_id").collect()
+      .map(_.getAs[Number](0).longValue).map(id => (id, id + 50000)).toSet
+    val md5P = pairs(useMd5 = true)
+    val polyP = pairs(useMd5 = false)
+    assert(expected.subsetOf(md5P), s"md5 path missed twins: ${expected -- md5P}")
+    assert(expected.subsetOf(polyP), s"poly path missed twins: ${expected -- polyP}")
+    // different hash families → different collisions, but both candidate
+    // sets stay bounded (bucketed join, not all-pairs)
+    assert(md5P.size < 5000 && polyP.size < 5000)
   }
 
   test("simhash of identical token lists is identical; jaccard self = 1") {
@@ -124,6 +137,24 @@ class DedupAnnSpec extends AnyFunSuite {
     val got = Clustering.connectedComponents(edges, nodes, maxIters = 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.forall(_ == 1L), s"chain did not collapse: $got")
+  }
+
+  test("connected components honor a cluster-visible checkpoint dir") {
+    import graft.dedup.Clustering
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val edges = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (1L to 30L).toDF("node")
+    val got = Clustering.connectedComponents(edges, nodes, maxIters = 20,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 1L), s"chain did not collapse: $got")
+    // reliable checkpoints actually landed in the given dir (not executor
+    // blocks, which an executor loss would wipe)
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try assert(stream.count() > 0, "no checkpoint data written")
+    finally stream.close()
   }
 
   test("exact dedup finds injected duplicates") {

@@ -43,6 +43,83 @@ class SurfaceSpec extends AnyFunSuite {
       === "STRUCT<alt0: INT, alt1: STRING>")
   }
 
+  test("Q3 structural schema compiles to reference-format Hive DDL (golden)") {
+    // same shape vocabulary as the reference's sample_hive_schema.json:
+    // primitives, struct, map, array, unions, nesting of all of them
+    val json = """{
+      "primitive_field": "BIGINT",
+      "raw_struct": { "raw_field_1": "VARCHAR", "raw_field_2": "DATE" },
+      "raw_map": [ "STRING", "TIMESTAMP" ],
+      "raw_array": [ "TINYINT" ],
+      "raw_union_1": [ {}, "SMALLINT" ],
+      "raw_union_2": [ {}, "INT", "BOOLEAN" ],
+      "nested_struct": { "raw_field_1": "FLOAT",
+        "nested_field2": { "nested_raw_1": "DOUBLE", "nested_nested_2": [ "BINARY" ] } },
+      "nested_map": [ "STRING",
+        { "raw_field_1": "CHAR", "nested_nested_2": [ {}, "STRING", "STRING", "DATE" ] } ],
+      "nested_array_1": [ [ "STRING" ] ],
+      "nested_array_2": [ { "raw_field_1": "STRING" } ],
+      "nested_union": [ {}, { "raw_field_1": "STRING" } ]
+    }"""
+    val ddl = graft.sql.HiveSchema.hiveDdl(graft.sql.HiveSchema.parse(json))
+    assert(ddl === "(primitive_field BIGINT," +
+      "raw_struct STRUCT<raw_field_1: VARCHAR,raw_field_2: DATE>," +
+      "raw_map MAP<STRING, TIMESTAMP>," +
+      "raw_array ARRAY<TINYINT>," +
+      "raw_union_1 UNIONTYPE< SMALLINT>," +
+      "raw_union_2 UNIONTYPE< INT, BOOLEAN>," +
+      "nested_struct STRUCT<raw_field_1: FLOAT," +
+      "nested_field2: STRUCT<nested_raw_1: DOUBLE,nested_nested_2: ARRAY<BINARY>>>," +
+      "nested_map MAP<STRING, STRUCT<raw_field_1: CHAR," +
+      "nested_nested_2: UNIONTYPE< STRING, STRING, DATE>>>," +
+      "nested_array_1 ARRAY<ARRAY<STRING>>," +
+      "nested_array_2 ARRAY<STRUCT<raw_field_1: STRING>>," +
+      "nested_union UNIONTYPE< STRUCT<raw_field_1: STRING>>)")
+    // junk type names must be rejected, not passed through into DDL
+    intercept[IllegalArgumentException] {
+      graft.sql.HiveSchema.hiveDdl(graft.sql.HiveSchema.parse("""{"f": "BOGUS"}"""))
+    }
+  }
+
+  test("Q3 structural schema lowers to Spark types (union → nullable alts)") {
+    import org.apache.spark.sql.types._
+    val st = graft.sql.HiveSchema.toStructType(graft.sql.HiveSchema.parse(
+      """{ "id": "BIGINT",
+           "loc": { "lat": "DOUBLE", "lon": "DOUBLE" },
+           "tags": [ "STRING" ],
+           "attrs": [ "STRING", "INT" ],
+           "mixed": [ {}, "INT", "STRING" ] }"""))
+    assert(st("id").dataType === LongType)
+    assert(st("loc").dataType ===
+      StructType(Seq(StructField("lat", DoubleType), StructField("lon", DoubleType))))
+    assert(st("tags").dataType === ArrayType(StringType))
+    assert(st("attrs").dataType === MapType(StringType, IntegerType))
+    assert(st("mixed").dataType === StructType(Seq(
+      StructField("alt0", IntegerType), StructField("alt1", StringType))))
+  }
+
+  test("Q3 executed DDL registers a NESTED structural table in the catalog") {
+    val root = java.nio.file.Files.createTempDirectory("graft_whn").toString
+    val store = new graft.store.BucketStore(spark, root)
+    val b = Bucket("/wh/nested", DataSchema(dataWarehouse = Some(
+      WarehouseSchema(mainTableJson = Some(
+        """{ "r_regionkey": "BIGINT",
+             "meta": { "name": "STRING", "tags": [ "STRING" ] } }""")))))
+    store.write(b, Tables.t(spark, TestSession.sf, "region")
+      .select(col("r_regionkey"),
+        struct(col("r_name").as("name"), array(col("r_name")).as("tags")).as("meta")))
+    val loc = s"$root/${b.signature}/processed/current"
+    try {
+      val t = SqlSurface.registerWarehouseTable(spark, b, loc)
+      assert(spark.catalog.tableExists(b.signature))
+      assert(t.count() === 5)
+      // typed nested access through the registered table
+      assert(spark.sql(
+        s"SELECT meta.name, meta.tags[0] FROM ${b.signature} " +
+          "WHERE meta.name IS NOT NULL").count() === 5)
+    } finally SqlSurface.dropWarehouseTable(spark, b)
+  }
+
   test("Q3 executed DDL registers the bucket in the session catalog") {
     val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val store = new graft.store.BucketStore(spark, root)
