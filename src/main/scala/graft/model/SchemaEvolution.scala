@@ -66,11 +66,21 @@ object SchemaEvolution {
     StructType(merged ++ extra)
   }
 
-  /** Fields of `a`/`b` that cannot widen (true collisions). */
-  def collisions(a: StructType, b: StructType): Seq[String] =
+  /** Fields of `a`/`b` that cannot widen (true collisions), recursing into
+    * nested structs so an inner conflict reports its dotted path — under the
+    * 'error' policy a nested conflict must reject, not silently fall back to
+    * the StringType variant column. */
+  def collisions(a: StructType, b: StructType, prefix: String = ""): Seq[String] =
     a.fields.flatMap { fa =>
-      b.fields.find(_.name == fa.name).flatMap { fb =>
-        if (widen(fa.dataType, fb.dataType).isEmpty) Some(fa.name) else None
+      b.fields.find(_.name == fa.name).toSeq.flatMap { fb =>
+        (fa.dataType, fb.dataType) match {
+          case (x: StructType, y: StructType) =>
+            collisions(x, y, prefix + fa.name + ".")
+          case (ArrayType(x: StructType, _), ArrayType(y: StructType, _)) =>
+            collisions(x, y, prefix + fa.name + ".")
+          case (x, y) if widen(x, y).isEmpty => Seq(prefix + fa.name)
+          case _ => Nil
+        }
       }
     }.toSeq
 

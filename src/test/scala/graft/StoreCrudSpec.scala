@@ -210,6 +210,23 @@ class StoreCrudSpec extends AnyFunSuite {
     assert(registry.list().count() === 2)
   }
 
+  test("collide policy 'error' rejects nested conflicts with the dotted path") {
+    val a = spark.range(2).select(col("id"), struct(lit(1).as("x")).as("meta"))
+    val b = spark.range(2).select(col("id"), struct(lit("s").as("x")).as("meta"))
+    val ex = intercept[IllegalArgumentException] {
+      SchemaEvolution.unionWithPolicy(Seq(a, b), policy = "error")
+    }
+    assert(ex.getMessage.contains("meta.x"), ex.getMessage)
+    // bridged: a batch lacking the field entirely must not mask the conflict
+    val bridge = spark.range(2).select(col("id"))
+    val ex2 = intercept[IllegalArgumentException] {
+      SchemaEvolution.unionWithPolicy(Seq(a, bridge, b), policy = "error")
+    }
+    assert(ex2.getMessage.contains("meta.x"), ex2.getMessage)
+    // default new_type policy still widens via the variant fallback
+    assert(SchemaEvolution.unionWithPolicy(Seq(a, b)).count() === 4)
+  }
+
   test("crud: delete by spec incl. top-k; deleteDatastore") {
     val store = freshStore()
     val b = Bucket("/test/del")
