@@ -28,9 +28,14 @@ object Bench {
     // line-oriented stdout parser with a bounded tail window would truncate it.
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
+    // a failed detail write (read-only cwd, full disk) must not cost the
+    // stdout metric line below
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     // The LAST stdout line is a short total-only metric so it survives any
     // tail window; keep it after spark.stop() so no logging follows it.

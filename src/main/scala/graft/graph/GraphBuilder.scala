@@ -103,7 +103,7 @@ object GraphBuilder {
     val strEnc: Encoder[String] = Encoders.STRING
     candidates
       .groupByKey(r => Seq("label", "src", "dst")
-        .map(f => String.valueOf(r.getAs[Any](f))).mkString(""))(strEnc)
+        .map(f => String.valueOf(r.getAs[Any](f))).mkString("\u0001"))(strEnc)
       .mapGroups((_, it) => merge(it.toSeq))(enc)
   }
 

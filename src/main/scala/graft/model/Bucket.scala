@@ -177,13 +177,15 @@ object TypeMapping {
     }
   }
 
-  /** split "a:INT,b:STRUCT<x:INT,y:INT>" on top-level commas only */
+  /** split "a:INT,b:STRUCT<x:INT,y:INT>" on top-level commas only — both
+    * angle brackets AND parentheses nest (DECIMAL(10,2) inside a MAP/STRUCT
+    * must not split on its precision comma) */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; val cur = new StringBuilder
     s.foreach {
-      case '<' => depth += 1; cur += '<'
-      case '>' => depth -= 1; cur += '>'
+      case c @ ('<' | '(') => depth += 1; cur += c
+      case c @ ('>' | ')') => depth -= 1; cur += c
       case ',' if depth == 0 => out += cur.result(); cur.clear()
       case c => cur += c
     }

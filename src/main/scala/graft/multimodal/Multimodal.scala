@@ -206,7 +206,9 @@ object Multimodal {
             while (y < targetH) {
               var x = 0
               while (x < targetW) {
-                out.setRGB(x, y, src.getRGB(x * sw / targetW, y * sh / targetH))
+                // long arithmetic: x*sw overflows Int for large upscales
+                out.setRGB(x, y, src.getRGB(((x.toLong * sw) / targetW).toInt,
+                  ((y.toLong * sh) / targetH).toInt))
                 x += 1
               }
               y += 1
@@ -219,19 +221,19 @@ object Multimodal {
   }
 
   /** Image feature extraction over the REAL decoder: one [[ImageFeatureType]]
-    * row per record, batched mapPartitions (narrow, no shuffle). */
-  def extractImageFeatures(df: DataFrame, idCol: String, contentCol: String,
-      batchSize: Int = 64): DataFrame = {
+    * row per record via mapPartitions (narrow, no shuffle). Per-row, not
+    * batched: ImageIO decode has no per-batch setup to amortize — decoders
+    * that do should go through the batched [[extractFeatures]] seam. */
+  def extractImageFeatures(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
     val contentIdx = df.schema.fieldIndex(contentCol)
     val outSchema = StructType(df.schema(idIdx) +: ImageFeatureType.fields.toSeq)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val f = ImageIoDecoder.imageFeatures(r.getAs[Array[Byte]](contentIdx))
-          Row.fromSeq(r.get(idIdx) +: f.toSeq)
-        }
+      it.map { r =>
+        val f = ImageIoDecoder.imageFeatures(r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.get(idIdx) +: f.toSeq)
       }
     }(enc)
   }

@@ -119,10 +119,13 @@ object TextQueries {
     val offsets = local.groupBy("lang", "__rg")
       .agg(sum(col("n_tokens")).as("__rg_total"))
       .withColumn("__off", coalesce(sum(col("__rg_total")).over(wOff), lit(0L)))
-      .select(col("lang"), col("__rg"), col("__off"))
-    local.join(broadcast(offsets), Seq("lang", "__rg"))
+      .select(col("lang").as("__olang"), col("__rg").as("__org"), col("__off"))
+    // null-safe join keys: a NULL lang groups like any other window partition
+    // and must survive the re-join (plain equality would drop those rows)
+    local.join(broadcast(offsets),
+        col("lang") <=> col("__olang") && col("__rg") <=> col("__org"))
       .withColumn("cum", col("__off") + col("__local_cum"))
-      .drop("__rg", "__local_cum", "__off")
+      .drop("__olang", "__org", "__rg", "__local_cum", "__off")
   }
 
   /** langid score SQL fragment for one language (occurrences of markers in

@@ -38,7 +38,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("extractImageFeatures decodes real PNG dimensions and pixels") {
     val df = mediaDf(Seq(1 -> png(8, 6), 2 -> png(3, 5),
       3 -> Array[Byte](1, 2, 3) /* not an image */))
-    val out = Multimodal.extractImageFeatures(df, "id", "content", batchSize = 2)
+    val out = Multimodal.extractImageFeatures(df, "id", "content")
       .collect().map(r => r.getInt(0) -> r).toMap
 
     assert(out(1).getInt(1) === 8 && out(1).getInt(2) === 6)

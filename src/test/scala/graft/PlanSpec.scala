@@ -203,11 +203,15 @@ class PlanSpec extends AnyFunSuite {
     val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(windowSpecs.nonEmpty, s"no window in plan:\n$plan")
+    // NO window spec may mention lang without __rg: the document running sum
+    // partitions by (lang, __rg), and even the per-range-totals window orders
+    // by __rg — a lang-only spec can only be the forbidden per-language
+    // document window
     val langOnly = windowSpecs.filter(s =>
       s.contains("lang") && !s.contains("__rg"))
     assert(windowSpecs.exists(s => s.contains("lang") && s.contains("__rg")),
       s"document running sum must sub-partition by range:\n$plan")
-    assert(langOnly.size <= 1,
-      s"only the per-range-totals window may partition by lang alone:\n$plan")
+    assert(langOnly.isEmpty,
+      s"found a per-language window over documents:\n${langOnly.mkString("\n")}\n$plan")
   }
 }

@@ -41,6 +41,9 @@ class SurfaceSpec extends AnyFunSuite {
     // UNIONTYPE fallback → struct of alternatives
     assert(TypeMapping.toSparkType("UNIONTYPE<INT,STRING>").sql
       === "STRUCT<alt0: INT, alt1: STRING>")
+    // parens nest too: a DECIMAL(p,s) comma must not split the MAP value
+    assert(TypeMapping.toSparkType("MAP<STRING,DECIMAL(10,2)>").sql
+      === "MAP<STRING, DECIMAL(10,2)>")
   }
 
   test("Q3 structural schema compiles to reference-format Hive DDL (golden)") {
