@@ -58,6 +58,29 @@ object DedupQueries {
           useMd5 = false)
         .orderBy("doc_a", "doc_b")
     },
+    // Benchmark-contamination check (decontamination): per-document fraction
+    // of its distinct 3-gram shingles that appear in a "benchmark" shingle
+    // set (here: every 50th doc stands in for the eval set). Scale shape:
+    // the benchmark set is small and BROADCAST; the corpus side is one
+    // explode + hash-agg — never a corpus×benchmark shuffle
+    "dd7_contamination" -> { (s, dir) =>
+      val sh = Tables.t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("sh", wordShingles(col("toks"), 3))
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("sh")).as("bsh")).distinct()
+      val rest = sh.filter(col("doc_id") % 50 =!= 0)
+      val agg = rest.select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(bench), col("g") === col("bsh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total"), count(col("bsh")).as("hits"))
+      rest.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("total"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("hits").cast("double") / col("total").cast("double"))
+            .as("contam_ratio"))
+        .orderBy("doc_id")
+    },
     // SimHash values + near-dup pairs at hamming ≤ 3 among consecutive ids
     "dd3_simhash" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
@@ -110,6 +133,18 @@ object DedupQueries {
         s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
         "FOR i IN generate_series(0, 15)], ',') AS sig " +
         "FROM sh ORDER BY doc_id"),
+    "dd7_contamination" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
+        "bench AS (SELECT DISTINCT unnest(shingles) AS bsh FROM sh WHERE doc_id % 50 = 0), " +
+        "e AS (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 50 <> 0), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total, " +
+        "CAST(sum(CASE WHEN g IN (SELECT bsh FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS hits " +
+        "FROM e GROUP BY doc_id) " +
+        "SELECT s.doc_id AS doc_id, CASE WHEN coalesce(total, 0) = 0 THEN 0.0 " +
+        "ELSE CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) END AS contam_ratio " +
+        "FROM sh s LEFT JOIN agg ON s.doc_id = agg.doc_id " +
+        "WHERE s.doc_id % 50 <> 0 ORDER BY s.doc_id"),
     "dd2_minhash_lsh" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +

@@ -74,6 +74,19 @@ object PipelineQueries {
             StageConfig("csum", groupingFields = Seq("lang"), useCombiner = true))))
         .select("doc_id", "lang", "n_chars")
         .orderBy("lang")
+    },
+    // X4 analog: runtime-authored SQL-expression "script" stage — stage
+    // WHERE, two emit call-sites (the second conditionally guarded), exactly
+    // the JS emit-callback contract but codegen'd
+    "x4_expr_stage" -> { (s, dir) =>
+      ExprStage(
+        emits = Seq(
+          Emit(Seq("doc_id", "'all' AS tag", "n_chars AS v")),
+          Emit(Seq("doc_id", "'long' AS tag", "n_chars * 2 AS v"),
+            where = Some("n_chars >= 400"))),
+        where = Some("lang <> 'de'"))
+        .run(docs(s, dir))
+        .orderBy("tag", "doc_id")
     }
   )
 
@@ -86,6 +99,13 @@ object PipelineQueries {
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
     "a4_combiner_sum" ->
       ("SELECT min(doc_id) AS doc_id, lang, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
-        "FROM documents GROUP BY lang ORDER BY lang")
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "x4_expr_stage" ->
+      ("SELECT doc_id, tag, v FROM (" +
+        "SELECT doc_id, 'all' AS tag, n_chars AS v FROM documents WHERE lang <> 'de' " +
+        "UNION ALL " +
+        "SELECT doc_id, 'long' AS tag, n_chars * 2 AS v FROM documents " +
+        "WHERE lang <> 'de' AND n_chars >= 400" +
+        ") ORDER BY tag, doc_id")
   )
 }

@@ -67,6 +67,21 @@ object TextQueries {
           expr("(cum - n_tokens) div 1000").as("shard"))
         .orderBy("doc_id")
     },
+    // repeated-bigram ratio: 1 - distinct/total word 2-grams — the standard
+    // corpus-quality repetition signal (boilerplate/spam filter); one narrow
+    // projection, shares the dedup shingle machinery
+    "tx9_repetition" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("total", greatest(size(col("toks")) - 1, lit(0)))
+        .withColumn("uniq", size(graft.dedup.TextDedup.wordShingles(col("toks"), 2)))
+        .select(col("doc_id"),
+          when(col("total") === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              col("uniq").cast("double") / col("total").cast("double"))
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    },
     // corpus vocabulary: global token frequencies, top-100 (partial agg +
     // TakeOrdered — count-then-top-k, never a global sort of the vocab)
     "tx8_top_tokens" -> { (s, dir) =>
@@ -171,6 +186,14 @@ object TextQueries {
       ("SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
         "GROUP BY token ORDER BY n DESC, token LIMIT 100"),
+    "tx9_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, greatest(len(toks) - 1, 0) AS total, " +
+        "len(list_distinct([array_to_string(toks[i+1:i+2], ' ') " +
+        "FOR i IN generate_series(0, len(toks) - 2)])) AS uniq FROM t) " +
+        "SELECT doc_id, CASE WHEN total = 0 THEN 0.0 " +
+        "ELSE 1.0 - CAST(uniq AS DOUBLE) / CAST(total AS DOUBLE) END AS rep_ratio " +
+        "FROM g ORDER BY doc_id"),
     "tx1_langid" ->
       s"SELECT doc_id, $langCase AS pred_lang FROM documents ORDER BY doc_id",
     "tx2_quality" -> {
