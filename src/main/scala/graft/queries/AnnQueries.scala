@@ -53,6 +53,20 @@ object AnnQueries {
         k = 8, iters = 3)
       Ann.ivfTopK(e.filter(col("vec_id") < 8), e, cents, k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
+    },
+    // Semantic dedup end-to-end: sign-LSH bucket blocking → candidate pairs
+    // → connected components → (vector, component-representative). The
+    // embedding analog of dd6: the self-join shuffles on the small bucket
+    // key (never all-pairs), CC is the pointer-jumping iteration
+    "dd8_semantic_dedup" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val b = e.select(col("vec_id"), Ann.lshBucket(col("embedding"), 8).as("bucket"))
+      val pairs = b.as("l").join(b.as("r"),
+          col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      graft.dedup.Clustering.connectedComponents(pairs, e.select(col("vec_id")))
+        .toDF("vec_id", "component")
+        .orderBy("vec_id")
     }
   )
 
@@ -105,6 +119,15 @@ object AnnQueries {
         s"$cosSql AS sim, " +
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
         "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
-        "WHERE rank <= 3 ORDER BY q_id, rank")
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    "dd8_semantic_dedup" ->
+      (bucketCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT l.vec_id AS pa, r.vec_id AS pb " +
+        "FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id), " +
+        "ed AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
+        "reach AS (SELECT vec_id AS node, vec_id AS r FROM embeddings " +
+        "UNION SELECT ed.s, reach.r FROM ed JOIN reach ON ed.d = reach.node) " +
+        "SELECT node AS vec_id, min(r) AS component FROM reach " +
+        "GROUP BY node ORDER BY vec_id")
   )
 }
