@@ -71,6 +71,22 @@ object SqlSurface {
   def dropWarehouseTable(spark: SparkSession, bucket: Bucket): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${bucket.signature}")
 
+  /** X5 re-expression — the catalog bridge that replaces the reference's
+    * Python driver shim (`aleph2_driver.py:1-32` exposed
+    * `getRddInput(name)`/`emitRdd` through a wrapper process because the
+    * platform had no Python surface). PySpark shares the Spark session
+    * catalog, so exposing each bucket's store as a table named by its
+    * signature gives Python exactly the shim's contract natively:
+    * `spark.table("<signature>")` replaces `getRddInput`, an ordinary
+    * DataFrame write through the store replaces `emitRdd` — no shim
+    * process, no RDD serialization hop. Returns the registered names. */
+  def exposeBuckets(spark: SparkSession, store: graft.store.BucketStore,
+      buckets: Seq[Bucket], stage: String = "processed"): Seq[String] =
+    buckets.map { b =>
+      store.read(b, stage).createOrReplaceTempView(b.signature)
+      b.signature
+    }
+
   /** Q3 `name_mappings` analog: view with renamed columns. */
   def renamedView(spark: SparkSession, df: DataFrame, viewName: String,
       mappings: Map[String, String]): Unit = {

@@ -142,6 +142,21 @@ class SurfaceSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists(b.signature))
   }
 
+  test("X5 catalog bridge: buckets become session tables PySpark can read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_px").toString
+    val store = new graft.store.BucketStore(spark, root)
+    val br = Bucket("/py/region")
+    val bn = Bucket("/py/nation")
+    store.write(br, Tables.t(spark, TestSession.sf, "region"))
+    store.write(bn, Tables.t(spark, TestSession.sf, "nation"))
+    val names = SqlSurface.exposeBuckets(spark, store, Seq(br, bn))
+    assert(names === Seq("py_region", "py_nation"))
+    // the shim contract, natively: table read + cross-bucket SQL join
+    assert(spark.table("py_region").count() === 5)
+    assert(spark.sql("SELECT count(*) FROM py_nation n JOIN py_region r " +
+      "ON n.n_regionkey = r.r_regionkey").head().getLong(0) === 25)
+  }
+
   test("search-index schema drives dual raw/analyzed fields") {
     import graft.store.SearchIndexer
     val docs = Tables.t(spark, TestSession.sf, "documents")
