@@ -177,6 +177,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected two key exchanges:\n$plan")
   }
 
+  test("contamination check broadcasts the benchmark shingle set") {
+    // dd7's scale contract: the benchmark set is the broadcast build side;
+    // the corpus side must never shuffle into a sort-merge join against it
+    val df = SparkEntry.queries("dd7_contamination")(spark, TestSession.sf)
+    val plan = formattedPlan(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side sort-merge-joined against the benchmark set:\n$plan")
+  }
+
   test("shard packing never runs a whole-language window over documents") {
     // two-stage packing: the document-level running sum must window on
     // (lang, range) — a window partitioned by lang alone over the corpus is
