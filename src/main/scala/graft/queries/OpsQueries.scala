@@ -107,6 +107,32 @@ object OpsQueries {
           col("first_ts").cast("long").as("first_s"),
           col("last_ts").cast("long").as("last_s"))
         .orderBy("subsystem", "level", "message", "win_start")
+    },
+    // X7×ST: the SAME merge/rate-limit module run as a streaming query
+    // (shared batch/stream modules, ST4) — update-mode changelog, final
+    // state must equal the batch result, so l2's oracle applies verbatim
+    "st8_stream_log_merge" -> { (s, dir) =>
+      val raw = graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val levelOf = when(col("event_type") === "error", "ERROR")
+        .when(col("event_type") === "purchase", "WARN")
+        .when(col("event_type") === "signup", "INFO")
+        .when(col("event_type") === "click", "DEBUG")
+        .otherwise("TRACE")
+      val logs = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(levelOf.as("level"),
+          (col("user_id") % 3).cast("string").as("subsystem"),
+          col("event_type").as("message"), col("ts"))
+      graft.streaming.Streams.runWindowedAgg(logs,
+          df => LoggingService.mergeAndRateLimit(df, windowSec = 3600),
+          keyCols = Seq("subsystem", "level", "message", "win"))
+        .select(col("subsystem"), col("level"), col("message"),
+          col("win").getField("start").cast("long").as("win_start"),
+          col("merged_count"),
+          col("first_ts").cast("long").as("first_s"),
+          col("last_ts").cast("long").as("last_s"))
+        .orderBy("subsystem", "level", "message", "win_start")
     }
   )
 
@@ -141,6 +167,19 @@ object OpsQueries {
         "CASE subsystem WHEN '0' THEN 4 WHEN '1' THEN 1 ELSE 2 END AS thr FROM logs) " +
         "SELECT event_id, level, subsystem FROM ranked WHERE r >= thr ORDER BY event_id"),
     "l2_log_merge" ->
+      ("WITH logs AS (SELECT CASE event_type WHEN 'error' THEN 'ERROR' " +
+        "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +
+        "ELSE 'TRACE' END AS level, CAST(user_id % 3 AS VARCHAR) AS subsystem, " +
+        "event_type AS message, ts FROM events) " +
+        "SELECT subsystem, level, message, " +
+        "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, " +
+        "CAST(count(*) AS BIGINT) AS merged_count, " +
+        "CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s, " +
+        "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s " +
+        "FROM logs GROUP BY 1, 2, 3, 4 " +
+        "ORDER BY subsystem, level, message, win_start"),
+    // streaming final state == the batch merge → same oracle as l2
+    "st8_stream_log_merge" ->
       ("WITH logs AS (SELECT CASE event_type WHEN 'error' THEN 'ERROR' " +
         "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +
         "ELSE 'TRACE' END AS level, CAST(user_id % 3 AS VARCHAR) AS subsystem, " +

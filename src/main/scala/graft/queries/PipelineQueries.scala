@@ -49,6 +49,20 @@ object PipelineQueries {
     }
   }
 
+  /** A5: second-job reduce — rolls (lang, source) partials up to lang.
+    * Chained as its own pipeline: the reference's one-grouping-per-job rule
+    * means multi-level grouping = a CHAIN of jobs, each reshuffling the
+    * previous job's output. */
+  class LangRollupStage extends EnrichStage {
+    override def outputSchema(in: StructType): StructType = StructType(Seq(
+      StructField("lang", StringType),
+      StructField("total_chars", LongType),
+      StructField("n_sources", LongType)))
+    def onObjectBatch(batch: Seq[Row], groupKey: Option[Row]): Iterator[Row] =
+      Iterator(Row(groupKey.get.get(0),
+        batch.map(_.getAs[Long]("total_chars")).sum, batch.size.toLong))
+  }
+
   private def docs(s: SparkSession, dir: String) =
     Tables.t(s, dir, "documents")
 
@@ -73,6 +87,18 @@ object PipelineQueries {
           PipelineStage(new CombinableSumStage,
             StageConfig("csum", groupingFields = Seq("lang"), useCombiner = true))))
         .select("doc_id", "lang", "n_chars")
+        .orderBy("lang")
+    },
+    // A5: chained group jobs — pipeline 2 reduces pipeline 1's grouped
+    // output on a coarser key (two shuffles, one per job, like the
+    // reference's chained MR jobs)
+    "a5_chained_groups" -> { (s, dir) =>
+      val perSource = Pipeline.run(docs(s, dir), Seq(
+        PipelineStage(new DocGroupReduceStage,
+          StageConfig("reduce1", groupingFields = Seq("lang", "source")))))
+      Pipeline.run(perSource, Seq(
+          PipelineStage(new LangRollupStage,
+            StageConfig("reduce2", groupingFields = Seq("lang")))))
         .orderBy("lang")
     },
     // X4 analog: runtime-authored SQL-expression "script" stage — stage
@@ -100,6 +126,12 @@ object PipelineQueries {
     "a4_combiner_sum" ->
       ("SELECT min(doc_id) AS doc_id, lang, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "a5_chained_groups" ->
+      ("SELECT lang, CAST(sum(total_chars) AS BIGINT) AS total_chars, " +
+        "CAST(count(*) AS BIGINT) AS n_sources FROM " +
+        "(SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY lang, source) " +
+        "GROUP BY lang ORDER BY lang"),
     "x4_expr_stage" ->
       ("SELECT doc_id, tag, v FROM (" +
         "SELECT doc_id, 'all' AS tag, n_chars AS v FROM documents WHERE lang <> 'de' " +
