@@ -111,6 +111,22 @@ object DedupQueries {
         .toDF("doc_id", "component")
         .orderBy("doc_id")
     },
+    // the deduplicated corpus itself: LSH pairs → components → keep ONE
+    // representative doc per component (min id) — the step a real pipeline
+    // actually ships. Semi-join on doc_id: co-keyed shuffle, no broadcast of
+    // anything corpus-sized
+    "dd9_dedup_keep" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val pairs = minhashCandidates(docs, "doc_id", "text")
+      val labels = graft.dedup.Clustering
+        .connectedComponents(pairs, docs.select(col("doc_id")))
+        .toDF("doc_id", "component")
+      docs.join(labels.filter(col("doc_id") === col("component"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
     // embedding-cosine near-dup scores for consecutive vec pairs
     "dd5_embed_cosine" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
@@ -171,6 +187,23 @@ object DedupQueries {
         "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node) " +
         "SELECT node AS doc_id, min(r) AS component FROM reach " +
         "GROUP BY node ORDER BY doc_id"),
+    // same CC as dd6, then keep only nodes that are their component's min
+    "dd9_dedup_keep" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
+        "sig AS (SELECT doc_id, " +
+        s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
+        "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
+        "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
+        "FROM sig, generate_series(0, 3) AS gs(b)), " +
+        "pairs AS (SELECT DISTINCT l.doc_id AS pa, r.doc_id AS pb " +
+        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id), " +
+        "e AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS r FROM documents " +
+        "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node), " +
+        "reps AS (SELECT node FROM reach GROUP BY node HAVING min(r) = node) " +
+        "SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars " +
+        "FROM documents d JOIN reps ON d.doc_id = reps.node ORDER BY d.doc_id"),
     "dd3_simhash" ->
       ("WITH t AS (SELECT doc_id, " +
         s"[${md5IntSql("tok")} FOR tok IN string_split(text, ' ')] AS hs FROM documents) " +
