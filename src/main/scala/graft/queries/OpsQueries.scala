@@ -108,6 +108,25 @@ object OpsQueries {
           col("last_ts").cast("long").as("last_s"))
         .orderBy("subsystem", "level", "message", "win_start")
     },
+    // retention: time-partitioned write + partition-level age-out at a FIXED
+    // reference instant (deterministic); survivors = partitions at/after the
+    // truncated cutoff. Partition drop is a directory delete — no rewrite
+    "ret1_age_out" -> { (s, dir) =>
+      val store = new graft.store.BucketStore(s,
+        java.nio.file.Files.createTempDirectory("graft_ret").toString)
+      val b = graft.model.Bucket("/ret/events", graft.model.DataSchema(
+        temporal = Some(graft.model.TemporalSchema("ts",
+          graft.model.GroupingPeriod.Daily)),
+        storage = Some(graft.model.StorageSchema(
+          existAgeMax = Some(java.time.Duration.ofDays(10))))))
+      store.write(b, Tables.t(s, dir, "events"))
+      store.ageOut(b, "processed",
+        now = java.time.Instant.parse("2024-01-20T00:00:00Z"))
+      store.read(b, "processed")
+        .groupBy(col(graft.store.BucketStore.PartitionCol).cast("string").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    },
     // X7×ST: the SAME merge/rate-limit module run as a streaming query
     // (shared batch/stream modules, ST4) — update-mode changelog, final
     // state must equal the batch result, so l2's oracle applies verbatim
@@ -178,6 +197,11 @@ object OpsQueries {
         "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s " +
         "FROM logs GROUP BY 1, 2, 3, 4 " +
         "ORDER BY subsystem, level, message, win_start"),
+    "ret1_age_out" ->
+      ("SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events " +
+        "WHERE date_trunc('day', ts) >= DATE '2024-01-10' " +
+        "GROUP BY 1 ORDER BY day"),
     // streaming final state == the batch merge → same oracle as l2
     "st8_stream_log_merge" ->
       ("WITH logs AS (SELECT CASE event_type WHEN 'error' THEN 'ERROR' " +
