@@ -177,6 +177,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected two key exchanges:\n$plan")
   }
 
+  test("expression script stage pushes its WHERE into the parquet scan") { uncached {
+    // the point of re-expressing user scripts as SQL expressions: a stage
+    // filter reaches the source as a pushed filter — a per-record
+    // interpreter could never give Catalyst that visibility
+    import graft.pipeline.{Emit, ExprStage}
+    val stage = ExprStage(
+      emits = Seq(Emit(Seq("doc_id", "n_chars * 2 AS v"))),
+      where = Some("n_chars >= 400"))
+    val plan = explainFormatted(
+      stage.run(Tables.t(spark, TestSession.sf, "documents")))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(n_chars,400)"),
+      s"stage WHERE did not reach the scan:\n$plan")
+  }}
+
   test("contamination check broadcasts the benchmark shingle set") {
     // dd7's scale contract: the benchmark set is the broadcast build side;
     // the corpus side must never shuffle into a sort-merge join against it
