@@ -137,6 +137,24 @@ object DedupQueries {
     }
   )
 
+  /** Recursive-CTE connected components over minhash-LSH candidate pairs —
+    * the shared oracle prefix of dd6 (cluster labels) and dd9 (kept
+    * representatives). The signature/banding constants (16 perms, 4 bands)
+    * live here exactly once; trailing CTE is `reach`. */
+  private val ccCtePrefix: String =
+    "WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
+      "sig AS (SELECT doc_id, " +
+      s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
+      "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
+      "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
+      "FROM sig, generate_series(0, 3) AS gs(b)), " +
+      "pairs AS (SELECT DISTINCT l.doc_id AS pa, r.doc_id AS pb " +
+      "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id), " +
+      "e AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
+      "reach AS (SELECT doc_id AS node, doc_id AS r FROM documents " +
+      "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node)"
+
   val oracle: Map[String, String] = Map(
     "dd1_exact_dedup" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, " +
@@ -173,34 +191,12 @@ object DedupQueries {
         "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id " +
         "ORDER BY doc_a, doc_b"),
     "dd6_dedup_clusters" ->
-      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
-        "sig AS (SELECT doc_id, " +
-        s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
-        "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
-        "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
-        "FROM sig, generate_series(0, 3) AS gs(b)), " +
-        "pairs AS (SELECT DISTINCT l.doc_id AS pa, r.doc_id AS pb " +
-        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id), " +
-        "e AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
-        "reach AS (SELECT doc_id AS node, doc_id AS r FROM documents " +
-        "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node) " +
+      (s"$ccCtePrefix " +
         "SELECT node AS doc_id, min(r) AS component FROM reach " +
         "GROUP BY node ORDER BY doc_id"),
     // same CC as dd6, then keep only nodes that are their component's min
     "dd9_dedup_keep" ->
-      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
-        "sig AS (SELECT doc_id, " +
-        s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
-        "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
-        "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
-        "FROM sig, generate_series(0, 3) AS gs(b)), " +
-        "pairs AS (SELECT DISTINCT l.doc_id AS pa, r.doc_id AS pb " +
-        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id), " +
-        "e AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
-        "reach AS (SELECT doc_id AS node, doc_id AS r FROM documents " +
-        "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node), " +
+      (s"$ccCtePrefix, " +
         "reps AS (SELECT node FROM reach GROUP BY node HAVING min(r) = node) " +
         "SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars " +
         "FROM documents d JOIN reps ON d.doc_id = reps.node ORDER BY d.doc_id"),

@@ -13,6 +13,32 @@ import graft.sources.{LegacyQuerySource, Sources}
 object OpsQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Single per-JVM scratch root for ret1's store (see the query comment). */
+  private lazy val retRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_ret").toString
+
+  /** event_type → log level mapping shared by l1/l2/st8. */
+  private def levelOf = when(col("event_type") === "error", "ERROR")
+    .when(col("event_type") === "purchase", "WARN")
+    .when(col("event_type") === "signup", "INFO")
+    .when(col("event_type") === "click", "DEBUG")
+    .otherwise("TRACE")
+
+  /** (level, subsystem, message, ts) log projection over an events frame. */
+  private def logRecordsOf(events: org.apache.spark.sql.DataFrame) =
+    events.select(levelOf.as("level"),
+      (col("user_id") % 3).cast("string").as("subsystem"),
+      col("event_type").as("message"), col("ts"))
+
+  /** Final merged-log projection shared by l2 (batch) and st8 (stream). */
+  private def mergedLogColumns(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("subsystem"), col("level"), col("message"),
+        col("win").getField("start").cast("long").as("win_start"),
+        col("merged_count"),
+        col("first_ts").cast("long").as("first_s"),
+        col("last_ts").cast("long").as("last_s"))
+      .orderBy("subsystem", "level", "message", "win_start")
+
   val queries: Map[String, Q] = Map(
     // ---- S7: legacy V1 query object with control fields -----------------
     "s7_legacy_query" -> { (s, dir) =>
@@ -75,11 +101,6 @@ object OpsQueries {
     // ---- X7: logging level thresholds -----------------------------------
     "l1_log_threshold" -> { (s, dir) =>
       // synthesize log records from events: level by event_type
-      val levelOf = when(col("event_type") === "error", "ERROR")
-        .when(col("event_type") === "purchase", "WARN")
-        .when(col("event_type") === "signup", "INFO")
-        .when(col("event_type") === "click", "DEBUG")
-        .otherwise("TRACE")
       val logs = Tables.t(s, dir, "events")
         .select(col("event_id"), levelOf.as("level"),
           (col("user_id") % 3).cast("string").as("subsystem"))
@@ -91,35 +112,23 @@ object OpsQueries {
     // rate window with a suppressed-duplicate count — one output row per hot
     // key per window
     "l2_log_merge" -> { (s, dir) =>
-      val levelOf = when(col("event_type") === "error", "ERROR")
-        .when(col("event_type") === "purchase", "WARN")
-        .when(col("event_type") === "signup", "INFO")
-        .when(col("event_type") === "click", "DEBUG")
-        .otherwise("TRACE")
-      val logs = Tables.t(s, dir, "events")
-        .select(levelOf.as("level"),
-          (col("user_id") % 3).cast("string").as("subsystem"),
-          col("event_type").as("message"), col("ts"))
-      LoggingService.mergeAndRateLimit(logs, windowSec = 3600)
-        .select(col("subsystem"), col("level"), col("message"),
-          col("win").getField("start").cast("long").as("win_start"),
-          col("merged_count"),
-          col("first_ts").cast("long").as("first_s"),
-          col("last_ts").cast("long").as("last_s"))
-        .orderBy("subsystem", "level", "message", "win_start")
+      mergedLogColumns(LoggingService.mergeAndRateLimit(
+        logRecordsOf(Tables.t(s, dir, "events")), windowSec = 3600))
     },
     // retention: time-partitioned write + partition-level age-out at a FIXED
     // reference instant (deterministic); survivors = partitions at/after the
-    // truncated cutoff. Partition drop is a directory delete — no rewrite
+    // truncated cutoff. Partition drop is a directory delete — no rewrite.
+    // One temp root per JVM + overwrite: repeated invocations (bench warmup
+    // + timed run) rebuild in place instead of leaking a copy each time
     "ret1_age_out" -> { (s, dir) =>
-      val store = new graft.store.BucketStore(s,
-        java.nio.file.Files.createTempDirectory("graft_ret").toString)
+      val store = new graft.store.BucketStore(s, retRoot)
       val b = graft.model.Bucket("/ret/events", graft.model.DataSchema(
         temporal = Some(graft.model.TemporalSchema("ts",
           graft.model.GroupingPeriod.Daily)),
         storage = Some(graft.model.StorageSchema(
           existAgeMax = Some(java.time.Duration.ofDays(10))))))
-      store.write(b, Tables.t(s, dir, "events"))
+      store.write(b, Tables.t(s, dir, "events"),
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
       store.ageOut(b, "processed",
         now = java.time.Instant.parse("2024-01-20T00:00:00Z"))
       store.read(b, "processed")
@@ -133,27 +142,28 @@ object OpsQueries {
     "st8_stream_log_merge" -> { (s, dir) =>
       val raw = graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
-      val levelOf = when(col("event_type") === "error", "ERROR")
-        .when(col("event_type") === "purchase", "WARN")
-        .when(col("event_type") === "signup", "INFO")
-        .when(col("event_type") === "click", "DEBUG")
-        .otherwise("TRACE")
-      val logs = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(levelOf.as("level"),
-          (col("user_id") % 3).cast("string").as("subsystem"),
-          col("event_type").as("message"), col("ts"))
-      graft.streaming.Streams.runWindowedAgg(logs,
-          df => LoggingService.mergeAndRateLimit(df, windowSec = 3600),
-          keyCols = Seq("subsystem", "level", "message", "win"))
-        .select(col("subsystem"), col("level"), col("message"),
-          col("win").getField("start").cast("long").as("win_start"),
-          col("merged_count"),
-          col("first_ts").cast("long").as("first_s"),
-          col("last_ts").cast("long").as("last_s"))
-        .orderBy("subsystem", "level", "message", "win_start")
+      val logs = logRecordsOf(
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      mergedLogColumns(graft.streaming.Streams.runWindowedAgg(logs,
+        df => LoggingService.mergeAndRateLimit(df, windowSec = 3600),
+        keyCols = Seq("subsystem", "level", "message", "win")))
     }
   )
+
+  /** One oracle for both the batch (l2) and streaming (st8) log merge —
+    * the streaming final state must equal the batch aggregate. */
+  private val logMergeOracleSql: String =
+      ("WITH logs AS (SELECT CASE event_type WHEN 'error' THEN 'ERROR' " +
+        "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +
+        "ELSE 'TRACE' END AS level, CAST(user_id % 3 AS VARCHAR) AS subsystem, " +
+        "event_type AS message, ts FROM events) " +
+        "SELECT subsystem, level, message, " +
+        "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, " +
+        "CAST(count(*) AS BIGINT) AS merged_count, " +
+        "CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s, " +
+        "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s " +
+        "FROM logs GROUP BY 1, 2, 3, 4 " +
+        "ORDER BY subsystem, level, message, win_start")
 
   val oracle: Map[String, String] = Map(
     "s7_legacy_query" ->
@@ -185,35 +195,12 @@ object OpsQueries {
         "WHEN 'WARN' THEN 3 WHEN 'ERROR' THEN 4 END AS r, " +
         "CASE subsystem WHEN '0' THEN 4 WHEN '1' THEN 1 ELSE 2 END AS thr FROM logs) " +
         "SELECT event_id, level, subsystem FROM ranked WHERE r >= thr ORDER BY event_id"),
-    "l2_log_merge" ->
-      ("WITH logs AS (SELECT CASE event_type WHEN 'error' THEN 'ERROR' " +
-        "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +
-        "ELSE 'TRACE' END AS level, CAST(user_id % 3 AS VARCHAR) AS subsystem, " +
-        "event_type AS message, ts FROM events) " +
-        "SELECT subsystem, level, message, " +
-        "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, " +
-        "CAST(count(*) AS BIGINT) AS merged_count, " +
-        "CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s, " +
-        "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s " +
-        "FROM logs GROUP BY 1, 2, 3, 4 " +
-        "ORDER BY subsystem, level, message, win_start"),
+    "l2_log_merge" -> logMergeOracleSql,
     "ret1_age_out" ->
       ("SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
         "CAST(count(*) AS BIGINT) AS n FROM events " +
         "WHERE date_trunc('day', ts) >= DATE '2024-01-10' " +
         "GROUP BY 1 ORDER BY day"),
-    // streaming final state == the batch merge → same oracle as l2
-    "st8_stream_log_merge" ->
-      ("WITH logs AS (SELECT CASE event_type WHEN 'error' THEN 'ERROR' " +
-        "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG' " +
-        "ELSE 'TRACE' END AS level, CAST(user_id % 3 AS VARCHAR) AS subsystem, " +
-        "event_type AS message, ts FROM events) " +
-        "SELECT subsystem, level, message, " +
-        "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, " +
-        "CAST(count(*) AS BIGINT) AS merged_count, " +
-        "CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s, " +
-        "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s " +
-        "FROM logs GROUP BY 1, 2, 3, 4 " +
-        "ORDER BY subsystem, level, message, win_start")
+    "st8_stream_log_merge" -> logMergeOracleSql
   )
 }

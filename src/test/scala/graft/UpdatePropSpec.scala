@@ -92,7 +92,10 @@ object UpdatePropSpec extends Properties("UpdateCompiler") {
     case Eq("status", v, false) => d.status.contains(v)
     case Eq("status", v, true) => !d.status.contains(v) // IS DISTINCT FROM
     case RangeClause("n", lo, loInc, hi, hiInc) =>
-      d.n.exists(x =>
+      // a range with NO bounds compiles to lit(true) — it matches null-n
+      // docs too, so the model must not require n to be present
+      if (lo.isEmpty && hi.isEmpty) true
+      else d.n.exists(x =>
         lo.forall(l => if (loInc) x >= asL(l) else x > asL(l)) &&
           hi.forall(h => if (hiInc) x <= asL(h) else x < asL(h)))
     case other => sys.error(s"not generated: $other")
