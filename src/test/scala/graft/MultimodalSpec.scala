@@ -71,6 +71,21 @@ class MultimodalSpec extends AnyFunSuite {
         s"pixel ($x,$y)")
   }
 
+  test("JPEG decodes through the same path (lossy pixels, exact dimensions)") {
+    val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, 0x336699)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val out = Multimodal.extractImageFeatures(
+      mediaDf(Seq(1 -> bos.toByteArray)), "id", "content").collect().head
+    assert(out.getInt(1) === 16 && out.getInt(2) === 12)
+    // JPEG is lossy but near-solid-color: mean luma within a few units of
+    // the exact value for RGB(0x33,0x66,0x99)
+    val exactLuma = 0.299 * 0x33 + 0.587 * 0x66 + 0.114 * 0x99
+    assert(math.abs(out.getDouble(3) - exactLuma) < 5.0,
+      s"luma ${out.getDouble(3)} vs $exactLuma")
+  }
+
   test("ImageIoResizer passes undecodable bytes through unchanged") {
     val junk = Array[Byte](9, 9, 9, 9)
     val out = Multimodal.resizeContent(
