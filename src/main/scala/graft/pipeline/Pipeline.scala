@@ -66,6 +66,13 @@ final case class StageConfig(
 
 final case class PipelineStage(stage: EnrichStage, cfg: StageConfig = StageConfig())
 
+/** One element of a mixed pipeline: an imperative user module or a
+  * declarative expression "script" stage (the reference interleaves JS and
+  * Java modules in one job the same way). */
+sealed trait ChainStage
+final case class ModuleStage(ps: PipelineStage) extends ChainStage
+final case class ScriptStage(es: ExprStage) extends ChainStage
+
 object Pipeline {
 
   /** Run the stage chain. Validates the reference's job-graph rule of at most
@@ -76,6 +83,23 @@ object Pipeline {
     stages.foldLeft(input) { (df, ps) =>
       if (ps.cfg.groupingFields.isEmpty) runMapStage(df, ps)
       else runGroupedStage(df, ps)
+    }
+  }
+
+  /** Mixed chain: module stages and expression script stages interleave
+    * freely; script stages stay fully declarative (Catalyst sees through
+    * them — pushdown/codegen apply), module stages run in their
+    * mapPartitions/flatMapGroups seams. Same one-grouping-stage rule. */
+  def runChain(input: DataFrame, stages: Seq[ChainStage]): DataFrame = {
+    require(stages.count {
+      case ModuleStage(ps) => ps.cfg.groupingFields.nonEmpty
+      case _ => false
+    } <= 1, "at most one grouping stage per pipeline")
+    stages.foldLeft(input) {
+      case (df, ScriptStage(es)) => es.run(df)
+      case (df, ModuleStage(ps)) =>
+        if (ps.cfg.groupingFields.isEmpty) runMapStage(df, ps)
+        else runGroupedStage(df, ps)
     }
   }
 

@@ -101,6 +101,20 @@ object PipelineQueries {
             StageConfig("reduce2", groupingFields = Seq("lang")))))
         .orderBy("lang")
     },
+    // X1×X4: mixed chain — a script (expression) stage filters, a module
+    // stage group-reduces, a final script stage reshapes; the script stages
+    // stay declarative so the filter still reaches the scan
+    "a6_mixed_chain" -> { (s, dir) =>
+      Pipeline.runChain(docs(s, dir), Seq(
+          ScriptStage(ExprStage(
+            emits = Seq(Emit(Seq("doc_id", "text", "lang", "source", "n_chars"))),
+            where = Some("n_chars >= 200"))),
+          ModuleStage(PipelineStage(new DocGroupReduceStage,
+            StageConfig("reduce", groupingFields = Seq("lang", "source")))),
+          ScriptStage(ExprStage(emits = Seq(Emit(Seq(
+            "lang", "source", "total_chars div n_docs AS avg_chars")))))))
+        .orderBy("lang", "source")
+    },
     // X4 analog: runtime-authored SQL-expression "script" stage — stage
     // WHERE, two emit call-sites (the second conditionally guarded), exactly
     // the JS emit-callback contract but codegen'd
@@ -132,6 +146,11 @@ object PipelineQueries {
         "(SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY lang, source) " +
         "GROUP BY lang ORDER BY lang"),
+    "a6_mixed_chain" ->
+      ("SELECT lang, source, total_chars // n_docs AS avg_chars FROM " +
+        "(SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents WHERE n_chars >= 200 " +
+        "GROUP BY lang, source) ORDER BY lang, source"),
     "x4_expr_stage" ->
       ("SELECT doc_id, tag, v FROM (" +
         "SELECT doc_id, 'all' AS tag, n_chars AS v FROM documents WHERE lang <> 'de' " +
