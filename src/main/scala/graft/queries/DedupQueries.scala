@@ -127,6 +127,16 @@ object DedupQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     },
+    // training-mix construction: deterministic hash-threshold sampling with
+    // per-source (domain) percentages — one codegen'd filter pass, RNG-free
+    // so the oracle replays it exactly
+    "tx10_mix_sample" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .filter(graft.ops.Sampling.stratifiedKeep(col("doc_id"), col("source"),
+          Map("src0" -> 10, "src1" -> 50, "src2" -> 90), defaultPct = 30))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
     // embedding-cosine near-dup scores for consecutive vec pairs
     "dd5_embed_cosine" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
@@ -200,6 +210,11 @@ object DedupQueries {
         "reps AS (SELECT node FROM reach GROUP BY node HAVING min(r) = node) " +
         "SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars " +
         "FROM documents d JOIN reps ON d.doc_id = reps.node ORDER BY d.doc_id"),
+    "tx10_mix_sample" ->
+      (s"SELECT doc_id, source FROM documents WHERE " +
+        s"(${md5IntSql("CAST(doc_id AS VARCHAR)")}) % 100 < " +
+        "CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 " +
+        "WHEN 'src2' THEN 90 ELSE 30 END ORDER BY doc_id"),
     "dd3_simhash" ->
       ("WITH t AS (SELECT doc_id, " +
         s"[${md5IntSql("tok")} FOR tok IN string_split(text, ' ')] AS hs FROM documents) " +
