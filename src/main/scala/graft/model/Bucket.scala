@@ -90,7 +90,27 @@ final case class ColumnarSchema(
     fieldIncludeList: Seq[String] = Nil,
     fieldExcludeList: Seq[String] = Nil,
     fieldIncludePatternList: Seq[String] = Nil,
-    fieldExcludePatternList: Seq[String] = Nil)
+    fieldExcludePatternList: Seq[String] = Nil) {
+
+  private def matches(pats: Seq[String], c: String): Boolean = pats.exists { p =>
+    if (p.contains("*"))
+      // glob: '*' is the only wildcard; everything else is literal
+      c.matches(p.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+    else p == c
+  }
+
+  /** Resolve the policy against actual column names: keep a column iff it
+    * matches an include (name list or glob; NO includes declared = all) and
+    * no exclude. Same precedence as the reference's per-field doc_values
+    * decision (`ElasticsearchIndexUtils.java:416-437`): excludes win. */
+  def resolve(all: Seq[String]): Seq[String] = {
+    val noIncludes = fieldIncludeList.isEmpty && fieldIncludePatternList.isEmpty
+    all.filter { c =>
+      (noIncludes || matches(fieldIncludeList, c) || matches(fieldIncludePatternList, c)) &&
+        !matches(fieldExcludeList, c) && !matches(fieldExcludePatternList, c)
+    }
+  }
+}
 
 /** Document schema: dedup fields + policy (D1-D3). */
 final case class DocumentSchema(

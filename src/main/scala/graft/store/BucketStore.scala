@@ -95,6 +95,23 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
       buffer: Option[String] = None): Boolean =
     Files.exists(stageDir(b, stage, buffer))
 
+  /** Columnar view of a stage: the bucket's declared include/exclude policy
+    * resolved against the stored schema as a projection. The reference's
+    * columnar schema chose which fields get doc_values
+    * (`ElasticsearchIndexUtils.java:416-437`); over Parquet every stored
+    * column is already columnar, so the policy's runtime meaning is "which
+    * column chunks a columnar consumer reads" — this projection prunes the
+    * scan's ReadSchema to exactly that set. */
+  def readColumnar(b: Bucket, stage: String = "processed"): DataFrame = {
+    val df = read(b, stage)
+    b.dataSchema.columnar match {
+      case Some(cs) =>
+        val keep = cs.resolve(df.columns.toSeq)
+        df.select(keep.map(org.apache.spark.sql.functions.col): _*)
+      case None => df
+    }
+  }
+
   /** Atomic promote of a secondary buffer to primary — the ping-pong swap
     * (`ElasticsearchIndexService.java:495-520`): current → buffer_<name>,
     * buffer → current, via two directory renames (metadata-only). */

@@ -210,6 +210,29 @@ class StoreCrudSpec extends AnyFunSuite {
     assert(registry.list().count() === 2)
   }
 
+  test("columnar schema prunes the stored scan to the declared fields") {
+    val store = freshStore()
+    val b = Bucket("/test/colmnar", DataSchema(
+      columnar = Some(ColumnarSchema(
+        fieldIncludePatternList = Seq("event_*", "user_id"),
+        fieldExcludeList = Seq("event_type")))))
+    store.write(b, Tables.t(spark, TestSession.sf, "events"))
+    val view = store.readColumnar(b)
+    // includes: event_* glob + user_id name; excludes win over includes
+    assert(view.columns.toSeq === Seq("event_id", "user_id"))
+    // the projection reaches the parquet scan: ReadSchema has ONLY the kept
+    // columns, so a columnar consumer reads only their chunks
+    val plan = view.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id") &&
+      !readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"scan not pruned: $readSchema")
+    // no columnar schema → untouched
+    assert(store.readColumnar(b.copy(dataSchema = DataSchema())).columns.length >
+      view.columns.length)
+  }
+
   test("collide policy 'error' rejects nested conflicts with the dotted path") {
     val a = spark.range(2).select(col("id"), struct(lit(1).as("x")).as("meta"))
     val b = spark.range(2).select(col("id"), struct(lit("s").as("x")).as("meta"))
