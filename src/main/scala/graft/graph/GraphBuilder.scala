@@ -107,6 +107,24 @@ object GraphBuilder {
       .mapGroups((_, it) => merge(it.toSeq))(enc)
   }
 
+  /** J2 endpoint resolution: remap candidate edge endpoints onto the WINNER
+    * vertex of their business key before edge dedup — an edge referencing a
+    * merged-away vertex candidate must re-point at the survivor (the
+    * reference resolves edges against the winner vertices' in/out maps,
+    * `TitanGraphBuildingUtils.java:271-307`). `alias` is
+    * (cand_id, winner_id), one row per candidate vertex; endpoints not in
+    * the alias pass through. Two co-keyed equi-joins on the endpoint id —
+    * at scale the alias table is vertex-count sized, so these are ordinary
+    * shuffle joins (AQE may broadcast small ones). */
+  def resolveEdges(edges: DataFrame, alias: DataFrame): DataFrame = {
+    val bySrc = alias.select(col("cand_id").as("src"), col("winner_id").as("__src_w"))
+    val byDst = alias.select(col("cand_id").as("dst"), col("winner_id").as("__dst_w"))
+    edges.join(bySrc, Seq("src"), "left").join(byDst, Seq("dst"), "left")
+      .select(col("label"),
+        coalesce(col("__src_w"), col("src")).as("src"),
+        coalesce(col("__dst_w"), col("dst")).as("dst"))
+  }
+
   /** The (small) key intersection of a batch with the stored graph: ONE scan
     * of `existing`, probed with the broadcast *batch* keys — never the other
     * way round. The stored vertex set is billions of keys at scale; the batch

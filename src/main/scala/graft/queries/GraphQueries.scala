@@ -98,6 +98,22 @@ object GraphQueries {
           rows.map(_.getLong(5)).sum)
       GraphBuilder.mergeEdges(cands, merge).orderBy("src", "dst")
     },
+    // J2 endpoint resolution: orders of one customer collapse to the winner
+    // order vertex; lineitem edges re-point at it, then duplicate edges
+    // collapse — one shared id space via o/p prefixes
+    "g7_edge_resolve" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val winners = orders.groupBy("o_custkey").agg(min("o_orderkey").as("w"))
+      val alias = orders.join(winners, "o_custkey")
+        .select(concat(lit("o"), col("o_orderkey")).as("cand_id"),
+          concat(lit("o"), col("w")).as("winner_id"))
+      val li = Tables.t(s, dir, "lineitem")
+        .withColumn("srcid", concat(lit("o"), col("l_orderkey")))
+        .withColumn("dstid", concat(lit("p"), col("l_partkey")))
+      GraphBuilder.dedupEdges(GraphBuilder.resolveEdges(
+          GraphBuilder.edgeCandidates(li, "contains", "srcid", "dstid"), alias))
+        .orderBy("src", "dst")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -149,6 +165,14 @@ object GraphQueries {
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
         "max(l_extendedprice) AS price, CAST(count(*) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY 2, 3 ORDER BY src, dst"),
+    "g7_edge_resolve" ->
+      ("WITH winners AS (SELECT o_custkey, min(o_orderkey) AS w FROM orders GROUP BY 1), " +
+        "alias AS (SELECT 'o' || o.o_orderkey AS cand_id, 'o' || w.w AS winner_id " +
+        "FROM orders o JOIN winners w ON o.o_custkey = w.o_custkey) " +
+        "SELECT 'contains' AS label, coalesce(a.winner_id, 'o' || l.l_orderkey) AS src, " +
+        "'p' || l.l_partkey AS dst, CAST(count(*) AS BIGINT) AS multiplicity " +
+        "FROM lineitem l LEFT JOIN alias a ON 'o' || l.l_orderkey = a.cand_id " +
+        "GROUP BY 2, 3 ORDER BY src, dst"),
     "reg1_bucket_registry" ->
       ("SELECT '/buckets/' || lower(r_name) AS full_name, " +
         "'buckets_' || replace(lower(r_name), ' ', '_') AS signature, " +
