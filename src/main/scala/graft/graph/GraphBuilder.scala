@@ -79,7 +79,25 @@ object GraphBuilder {
       candidates
         .groupByKey(r => keyCols.map(f => String.valueOf(r.getAs[Any](f)))
           .mkString("\u0001"))(strEnc)
-        .mapGroups((_, it) => merge(it.toSeq))(enc)
+        .mapGroups((k, it) => merge(boundedGroup(it, k, "vertex")))(enc)
+  }
+
+  /** Candidate groups for custom merges are bounded by per-key duplication,
+    * not corpus size — but a pathological key must fail loudly naming
+    * itself, not OOM an executor (same stance as the pipeline's
+    * maxGroupBuffer). */
+  private val MaxMergeGroup = 4000000
+  private def boundedGroup(it: Iterator[org.apache.spark.sql.Row], key: String,
+      kind: String): Seq[org.apache.spark.sql.Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    while (it.hasNext) {
+      if (buf.size >= MaxMergeGroup)
+        throw new IllegalStateException(
+          s"$kind merge: key [$key] exceeds $MaxMergeGroup candidates; " +
+            "pre-aggregate the hot key or use a declarative policy")
+      buf += it.next()
+    }
+    buf.toSeq
   }
 
   /** J2: collapse duplicate edges on (label, src, dst), keeping
@@ -104,7 +122,7 @@ object GraphBuilder {
     candidates
       .groupByKey(r => Seq("label", "src", "dst")
         .map(f => String.valueOf(r.getAs[Any](f))).mkString("\u0001"))(strEnc)
-      .mapGroups((_, it) => merge(it.toSeq))(enc)
+      .mapGroups((k, it) => merge(boundedGroup(it, k, "edge")))(enc)
   }
 
   /** J2 endpoint resolution: remap candidate edge endpoints onto the WINNER
