@@ -36,9 +36,12 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
-    spark.stop()
     // The LAST stdout line is a short total-only metric so it survives any
-    // tail window; keep it after spark.stop() so no logging follows it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
+    // tail window; a stop() failure must not swallow it.
+    try spark.stop()
+    finally {
+      println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
+      System.out.flush()
+    }
   }
 }

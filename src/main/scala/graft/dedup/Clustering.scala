@@ -37,17 +37,46 @@ object Clustering {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
-    val truncate: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(true)
-      case None => df => df.localCheckpoint(true)
-    }
+    val spark = edges.sparkSession
+    // Cluster-visible truncation is a parquet round-trip under `dir`, not a
+    // reliable RDD checkpoint: Spark never deletes reliable checkpoint files
+    // by default (`spark.cleaner.referenceTracking.cleanCheckpoints` is off),
+    // so a long CC run would otherwise accumulate one copy of the label
+    // table per materialization. Here each label file is deleted as soon as
+    // the next one is materialized; only the symmetrized edge file (read by
+    // every round) and the FINAL label file (which backs the returned
+    // DataFrame — the caller owns `dir`'s lifecycle) survive the run. This
+    // also avoids mutating the SparkContext-global checkpoint directory.
+    val (truncEdges, truncLabels): (DataFrame => DataFrame, DataFrame => DataFrame) =
+      checkpointDir match {
+        case Some(dir) =>
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          var seq = 0
+          var prevLabel: Option[org.apache.hadoop.fs.Path] = None
+          def roundTrip(df: DataFrame): (DataFrame, org.apache.hadoop.fs.Path) = {
+            val p = new org.apache.hadoop.fs.Path(base, f"cc-$seq%05d")
+            seq += 1
+            df.write.mode("overwrite").parquet(p.toString)
+            (spark.read.parquet(p.toString), p)
+          }
+          (df => roundTrip(df)._1,
+            df => {
+              val (out, p) = roundTrip(df)
+              // the previous label file fed this materialization and is now
+              // unreachable — delete it eagerly
+              prevLabel.foreach(fs.delete(_, true))
+              prevLabel = Some(p)
+              out
+            })
+        case None =>
+          (df => df.localCheckpoint(true), df => df.localCheckpoint(true))
+      }
     val e = edges.toDF("s", "d")
     // symmetrize once; propagation then only needs one join direction
-    val sym = truncate(e.union(e.select(col("d"), col("s"))).distinct())
+    val sym = truncEdges(e.union(e.select(col("d"), col("s"))).distinct())
 
-    var labels = truncate(nodes.toDF("node").distinct()
+    var labels = truncLabels(nodes.toDF("node").distinct()
       .withColumn("component", col("node")))
     var changed = 1L
     var i = 0
@@ -55,7 +84,7 @@ object Clustering {
       val fromNbrs = sym.join(labels, sym("d") === labels("node"))
         .groupBy(sym("s").as("nbr_node"))
         .agg(min(col("component")).as("nbr_min"))
-      val stepped = truncate(labels
+      val stepped = truncLabels(labels
         .join(fromNbrs, labels("node") === fromNbrs("nbr_node"), "left")
         .select(col("node"), col("component"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
@@ -65,7 +94,7 @@ object Clustering {
       // squares the propagation distance per round and a long chain
       // converges in O(log diameter) rounds, not O(diameter)
       val hop = stepped.select(col("node").as("jn"), col("next").as("jnext"))
-      val jumped = truncate(stepped
+      val jumped = truncLabels(stepped
         .join(hop, stepped("next") === hop("jn"), "left")
         .select(stepped("node"), stepped("component"),
           least(stepped("next"), coalesce(col("jnext"), stepped("next")))
