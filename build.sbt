@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the forked Bench's LAST stdout line as bare JSON. sbt's
+// default LoggedOutput strategy prefixes every forked stdout line with
+// "[info] " and then appends its own "[success] Total time" line — both of
+// which break that parse. StdoutOutput passes forked stdout through
+// verbatim; showSuccess drops the trailing success line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — lintUnused
+// can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
   * Lineage is truncated per round so the plan doesn't grow with iterations.
   * `checkpointDir = None` → `localCheckpoint` (executor-block-backed: fine
   * single-node / tests, lossy under executor failure); pass a
-  * cluster-visible directory (HDFS/S3) in a multi-executor deployment to get
-  * reliable `checkpoint`s instead.
+  * cluster-visible directory (HDFS/S3) in a multi-executor deployment.
+  * The directory mode is a parquet round-trip, not an RDD checkpoint: each
+  * round's label table is written under a per-call unique subdirectory of
+  * `dir` and the superseded file is deleted eagerly, so only the
+  * symmetrized-edge file and the FINAL label file survive the run. The
+  * returned DataFrame is lazily backed by that final file — it is only
+  * valid while `dir` exists; materialize (collect/write) before cleaning
+  * `dir` up. The caller owns `dir`'s lifecycle.
   */
 object Clustering {
 
@@ -31,12 +37,18 @@ object Clustering {
     * @param edges two-column DataFrame of undirected edges (any names)
     * @param nodes one-column DataFrame of ALL node ids (isolated nodes keep
     *              themselves as singleton components)
-    * @param checkpointDir cluster-visible checkpoint dir for fault-tolerant
-    *              per-round lineage truncation; None = localCheckpoint
+    * @param checkpointDir cluster-visible directory for fault-tolerant
+    *              per-round lineage truncation via an eagerly-cleaned parquet
+    *              round-trip (see object doc); None = localCheckpoint
+    * @param strict if true, exhaust `maxIters` without convergence → throw
+    *              instead of WARN-and-return-partial. Partial labels silently
+    *              fed to a dedup-keep job would drop documents; a production
+    *              pipeline should fail loudly.
     * @return (node, component) — component = min node id of the component
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None,
+      strict: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     // Cluster-visible truncation is a parquet round-trip under `dir`, not a
     // reliable RDD checkpoint: Spark never deletes reliable checkpoint files
@@ -50,7 +62,12 @@ object Clustering {
     val (truncEdges, truncLabels): (DataFrame => DataFrame, DataFrame => DataFrame) =
       checkpointDir match {
         case Some(dir) =>
-          val base = new org.apache.hadoop.fs.Path(dir)
+          // per-call unique subdir: two calls sharing `dir` (sequential or
+          // concurrent) must not overwrite each other's cc-* files — a fixed
+          // naming scheme would restart at cc-00000 and delete the label file
+          // backing the first call's still-live returned DataFrame
+          val base = new org.apache.hadoop.fs.Path(dir,
+            "cc-run-" + java.util.UUID.randomUUID().toString)
           val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
           var seq = 0
           var prevLabel: Option[org.apache.hadoop.fs.Path] = None
@@ -103,10 +120,12 @@ object Clustering {
       labels = jumped.select(col("node"), col("next").as("component"))
       i += 1
     }
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents exited UNCONVERGED after $maxIters rounds " +
-          s"($changed labels still moving) — results are partial; raise maxIters")
+    if (changed > 0) {
+      val msg = s"connectedComponents exited UNCONVERGED after $maxIters rounds " +
+        s"($changed labels still moving) — results are partial; raise maxIters"
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 }

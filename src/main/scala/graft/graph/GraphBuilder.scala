@@ -131,16 +131,22 @@ object GraphBuilder {
     * reference resolves edges against the winner vertices' in/out maps,
     * `TitanGraphBuildingUtils.java:271-307`). `alias` is
     * (cand_id, winner_id), one row per candidate vertex; endpoints not in
-    * the alias pass through. Two co-keyed equi-joins on the endpoint id —
-    * at scale the alias table is vertex-count sized, so these are ordinary
-    * shuffle joins (AQE may broadcast small ones). */
+    * the alias pass through. Property columns ride through untouched so the
+    * output composes with [[dedupEdges]]/[[mergeEdges]] — the reference
+    * resolves endpoints FIRST and only then routes the now-colliding edges
+    * with their property bags through the user merge
+    * (`TitanGraphBuildingUtils.java:271-307`). Two co-keyed equi-joins on
+    * the endpoint id — at scale the alias table is vertex-count sized, so
+    * these are ordinary shuffle joins (AQE may broadcast small ones). */
   def resolveEdges(edges: DataFrame, alias: DataFrame): DataFrame = {
     val bySrc = alias.select(col("cand_id").as("src"), col("winner_id").as("__src_w"))
     val byDst = alias.select(col("cand_id").as("dst"), col("winner_id").as("__dst_w"))
+    val props = edges.columns.toSeq
+      .filterNot(Set("label", "src", "dst")).map(col)
     edges.join(bySrc, Seq("src"), "left").join(byDst, Seq("dst"), "left")
-      .select(col("label"),
-        coalesce(col("__src_w"), col("src")).as("src"),
-        coalesce(col("__dst_w"), col("dst")).as("dst"))
+      .select(col("label") +:
+        coalesce(col("__src_w"), col("src")).as("src") +:
+        coalesce(col("__dst_w"), col("dst")).as("dst") +: props: _*)
   }
 
   /** The (small) key intersection of a batch with the stored graph: ONE scan

@@ -114,6 +114,68 @@ object GraphQueries {
           GraphBuilder.edgeCandidates(li, "contains", "srcid", "dstid"), alias))
         .orderBy("src", "dst")
     },
+    // J2 full flow: resolve BOTH endpoints (orders collapse per customer,
+    // parts collapse per brand — one shared alias table, prefixed id space),
+    // then merge the now-colliding edges' property bags through the user
+    // module — endpoints first, properties preserved, exactly the
+    // reference's finalEdgeGrouping → handleMerge order
+    "g8_resolve_merge" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val oAlias = orders
+        .join(orders.groupBy("o_custkey").agg(min("o_orderkey").as("w")), "o_custkey")
+        .select(concat(lit("o"), col("o_orderkey")).as("cand_id"),
+          concat(lit("o"), col("w")).as("winner_id"))
+      val part = Tables.t(s, dir, "part")
+      val pAlias = part
+        .join(part.groupBy("p_brand").agg(min("p_partkey").as("w")), "p_brand")
+        .select(concat(lit("p"), col("p_partkey")).as("cand_id"),
+          concat(lit("p"), col("w")).as("winner_id"))
+      val li = Tables.t(s, dir, "lineitem")
+        .withColumn("srcid", concat(lit("o"), col("l_orderkey")))
+        .withColumn("dstid", concat(lit("p"), col("l_partkey")))
+        .withColumn("qty", col("l_quantity").cast("long"))
+        .withColumn("n", lit(1L))
+      val edges = GraphBuilder.edgeCandidates(li, "contains", "srcid", "dstid",
+          Map("qty" -> "qty", "price" -> "l_extendedprice", "n" -> "n"))
+        .select("label", "src", "dst", "qty", "price", "n")
+      val merge = (rows: Seq[org.apache.spark.sql.Row]) =>
+        org.apache.spark.sql.Row(
+          rows.head.getString(0), rows.head.getString(1), rows.head.getString(2),
+          rows.map(_.getLong(3)).sum, rows.map(_.getDouble(4)).max,
+          rows.map(_.getLong(5)).sum)
+      GraphBuilder.mergeEdges(
+          GraphBuilder.resolveEdges(edges, oAlias.unionByName(pAlias)), merge)
+        .orderBy("src", "dst")
+    },
+    // X3/J2 full lifecycle in ONE plan: decompose → mergeVertices (winner
+    // per business key) → alias from the winners → resolveEdges →
+    // mergeEdges — every graph-service seam composed end-to-end
+    "g9_graph_lifecycle" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val cands = GraphBuilder.vertexCandidates(orders, "order",
+        Map("key" -> "o_custkey"), Map("order_id" -> "o_orderkey"))
+      val winners = GraphBuilder.mergeVertices(cands, Seq("key"),
+        graft.model.DedupPolicy.KeepFirst, orderCol = "order_id")
+      val alias = cands
+        .join(winners.select(col("key"), col("order_id").as("w")), "key")
+        .select(concat(lit("o"), col("order_id")).as("cand_id"),
+          concat(lit("o"), col("w")).as("winner_id"))
+      val li = Tables.t(s, dir, "lineitem")
+        .withColumn("srcid", concat(lit("o"), col("l_orderkey")))
+        .withColumn("dstid", concat(lit("p"), col("l_partkey")))
+        .withColumn("qty", col("l_quantity").cast("long"))
+        .withColumn("n", lit(1L))
+      val edges = GraphBuilder.edgeCandidates(li, "contains", "srcid", "dstid",
+          Map("qty" -> "qty", "price" -> "l_extendedprice", "n" -> "n"))
+        .select("label", "src", "dst", "qty", "price", "n")
+      val merge = (rows: Seq[org.apache.spark.sql.Row]) =>
+        org.apache.spark.sql.Row(
+          rows.head.getString(0), rows.head.getString(1), rows.head.getString(2),
+          rows.map(_.getLong(3)).sum, rows.map(_.getDouble(4)).max,
+          rows.map(_.getLong(5)).sum)
+      GraphBuilder.mergeEdges(GraphBuilder.resolveEdges(edges, alias), merge)
+        .orderBy("src", "dst")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -171,6 +233,33 @@ object GraphQueries {
         "FROM orders o JOIN winners w ON o.o_custkey = w.o_custkey) " +
         "SELECT 'contains' AS label, coalesce(a.winner_id, 'o' || l.l_orderkey) AS src, " +
         "'p' || l.l_partkey AS dst, CAST(count(*) AS BIGINT) AS multiplicity " +
+        "FROM lineitem l LEFT JOIN alias a ON 'o' || l.l_orderkey = a.cand_id " +
+        "GROUP BY 2, 3 ORDER BY src, dst"),
+    "g8_resolve_merge" ->
+      ("WITH ow AS (SELECT o_custkey, min(o_orderkey) AS w FROM orders GROUP BY 1), " +
+        "oalias AS (SELECT 'o' || o.o_orderkey AS cand_id, 'o' || ow.w AS winner_id " +
+        "FROM orders o JOIN ow ON o.o_custkey = ow.o_custkey), " +
+        "pw AS (SELECT p_brand, min(p_partkey) AS w FROM part GROUP BY 1), " +
+        "palias AS (SELECT 'p' || p.p_partkey AS cand_id, 'p' || pw.w AS winner_id " +
+        "FROM part p JOIN pw ON p.p_brand = pw.p_brand) " +
+        "SELECT 'contains' AS label, " +
+        "coalesce(oa.winner_id, 'o' || l.l_orderkey) AS src, " +
+        "coalesce(pa.winner_id, 'p' || l.l_partkey) AS dst, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "max(l_extendedprice) AS price, CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem l " +
+        "LEFT JOIN oalias oa ON 'o' || l.l_orderkey = oa.cand_id " +
+        "LEFT JOIN palias pa ON 'p' || l.l_partkey = pa.cand_id " +
+        "GROUP BY 2, 3 ORDER BY src, dst"),
+    "g9_graph_lifecycle" ->
+      ("WITH winners AS (SELECT o_custkey, min(o_orderkey) AS w FROM orders GROUP BY 1), " +
+        "alias AS (SELECT 'o' || o.o_orderkey AS cand_id, 'o' || w.w AS winner_id " +
+        "FROM orders o JOIN winners w ON o.o_custkey = w.o_custkey) " +
+        "SELECT 'contains' AS label, " +
+        "coalesce(a.winner_id, 'o' || l.l_orderkey) AS src, " +
+        "'p' || l.l_partkey AS dst, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "max(l_extendedprice) AS price, CAST(count(*) AS BIGINT) AS n " +
         "FROM lineitem l LEFT JOIN alias a ON 'o' || l.l_orderkey = a.cand_id " +
         "GROUP BY 2, 3 ORDER BY src, dst"),
     "reg1_bucket_registry" ->

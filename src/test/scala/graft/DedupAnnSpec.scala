@@ -40,15 +40,19 @@ class DedupAnnSpec extends AnyFunSuite {
   test("minhash poly-hash path agrees with md5 path on candidate structure") {
     // identical shingle sets produce identical signatures under ANY base
     // hash, so injected exact-twin pairs MUST be candidates on both paths —
-    // the hash-family-independent invariant (random collisions may differ)
-    val twins = docs.limit(20).withColumn("doc_id", col("doc_id") + 50000)
+    // the hash-family-independent invariant (random collisions may differ).
+    // Pick the 20 twin ids ONCE and deterministically: LIMIT without ORDER
+    // BY is not stable across executions.
+    val twinIds = docs.select("doc_id").orderBy("doc_id").limit(20)
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val twins = docs.filter(col("doc_id").isin(twinIds: _*))
+      .withColumn("doc_id", col("doc_id") + 50000)
     val corpus = docs.unionByName(twins)
     def pairs(useMd5: Boolean): Set[(Long, Long)] =
       TextDedup.minhashCandidates(corpus, "doc_id", "text", useMd5 = useMd5)
         .collect().map(r => (r.getAs[Number]("doc_a").longValue,
           r.getAs[Number]("doc_b").longValue)).toSet
-    val expected = docs.limit(20).select("doc_id").collect()
-      .map(_.getAs[Number](0).longValue).map(id => (id, id + 50000)).toSet
+    val expected = twinIds.map(id => (id, id + 50000)).toSet
     val md5P = pairs(useMd5 = true)
     val polyP = pairs(useMd5 = false)
     assert(expected.subsetOf(md5P), s"md5 path missed twins: ${expected -- md5P}")
