@@ -15,8 +15,10 @@ run / fork := true
 // default LoggedOutput strategy prefixes every forked stdout line with
 // "[info] " and then appends its own "[success] Total time" line — both of
 // which break that parse. StdoutOutput passes forked stdout through
-// verbatim; showSuccess drops the trailing success line.
-outputStrategy := Some(OutputStrategy.StdoutOutput)
+// verbatim; showSuccess drops the trailing success line. Scoped to `run`
+// (runMain shares run's runner/forkOptions) so forked Test output keeps
+// sbt's logging.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 // showSuccess is consumed by sbt's command engine, not a task — lintUnused
 // can't see that

@@ -30,9 +30,16 @@ object Bench {
           }
         }
     }
+    // A query fails only if ALL its runs fail: a transient error on run 1
+    // with a clean run 2 still has a valid steady-state sample. Failed
+    // queries are EXCLUDED from the total and surfaced via the `failed`
+    // count — a broken query must move the failure counter, never lower
+    // the headline total.
     val results: Seq[(String, Double)] = samples.map { case (name, ss) =>
-      name -> (if (ss.contains(-1.0)) -1.0 else ss.min)
+      val ok = ss.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
+    val failed = results.count(_._2 < 0)
     def obj(m: Seq[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results.map { case (k, v) => k -> v.toString })
@@ -40,14 +47,16 @@ object Bench {
       k -> ss.mkString("[", ",", "]")
     })
     val spread = obj(samples.map { case (k, ss) =>
-      k -> (if (ss.contains(-1.0)) "-1.0" else (ss.max - ss.min).toString)
+      val ok = ss.filter(_ >= 0)
+      k -> (if (ok.isEmpty) "-1.0" else (ok.max - ok.min).toString)
     })
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Per-query detail (a few KB for ~100 queries) lands in a file only: a
     // line-oriented stdout parser with a bounded tail window would truncate it.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-        s""""queries":$qs,"samples":$sampleJson,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
+        s""""runs":$runs,"queries":$qs,"samples":$sampleJson,""" +
+        s""""spread":$spread,"sf":"$sfDir"}"""
     // a failed detail write (read-only cwd, full disk) must not cost the
     // stdout metric line below
     try java.nio.file.Files.write(
@@ -60,7 +69,8 @@ object Bench {
     // tail window; a stop() failure must not swallow it.
     try spark.stop()
     finally {
-      println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
+      println(
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed}""")
       System.out.flush()
     }
   }

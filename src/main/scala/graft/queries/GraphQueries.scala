@@ -13,6 +13,27 @@ import graft.graph.GraphBuilder
 object GraphQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** lineitem → "contains" edge candidates in the shared o/p-prefixed id
+    * space with (qty, price, n) property bags in FIXED positional order —
+    * the g8/g9 input; [[sumMaxMerge]] is positional on this column order. */
+  private def containsEdges(li: DataFrame): DataFrame =
+    GraphBuilder.edgeCandidates(
+        li.withColumn("srcid", concat(lit("o"), col("l_orderkey")))
+          .withColumn("dstid", concat(lit("p"), col("l_partkey")))
+          .withColumn("qty", col("l_quantity").cast("long"))
+          .withColumn("n", lit(1L)),
+        "contains", "srcid", "dstid",
+        Map("qty" -> "qty", "price" -> "l_extendedprice", "n" -> "n"))
+      .select("label", "src", "dst", "qty", "price", "n")
+
+  /** user property-bag merge for [[containsEdges]] groups: qty summed, best
+    * price kept, multiplicity summed. */
+  private val sumMaxMerge: Seq[org.apache.spark.sql.Row] => org.apache.spark.sql.Row =
+    rows => org.apache.spark.sql.Row(
+      rows.head.getString(0), rows.head.getString(1), rows.head.getString(2),
+      rows.map(_.getLong(3)).sum, rows.map(_.getDouble(4)).max,
+      rows.map(_.getLong(5)).sum)
+
   val queries: Map[String, Q] = Map(
     // X3 decompose: vertex + edge candidate counts by type/label
     "g1_decompose" -> { (s, dir) =>
@@ -130,21 +151,10 @@ object GraphQueries {
         .join(part.groupBy("p_brand").agg(min("p_partkey").as("w")), "p_brand")
         .select(concat(lit("p"), col("p_partkey")).as("cand_id"),
           concat(lit("p"), col("w")).as("winner_id"))
-      val li = Tables.t(s, dir, "lineitem")
-        .withColumn("srcid", concat(lit("o"), col("l_orderkey")))
-        .withColumn("dstid", concat(lit("p"), col("l_partkey")))
-        .withColumn("qty", col("l_quantity").cast("long"))
-        .withColumn("n", lit(1L))
-      val edges = GraphBuilder.edgeCandidates(li, "contains", "srcid", "dstid",
-          Map("qty" -> "qty", "price" -> "l_extendedprice", "n" -> "n"))
-        .select("label", "src", "dst", "qty", "price", "n")
-      val merge = (rows: Seq[org.apache.spark.sql.Row]) =>
-        org.apache.spark.sql.Row(
-          rows.head.getString(0), rows.head.getString(1), rows.head.getString(2),
-          rows.map(_.getLong(3)).sum, rows.map(_.getDouble(4)).max,
-          rows.map(_.getLong(5)).sum)
+      val edges = containsEdges(Tables.t(s, dir, "lineitem"))
       GraphBuilder.mergeEdges(
-          GraphBuilder.resolveEdges(edges, oAlias.unionByName(pAlias)), merge)
+          GraphBuilder.resolveEdges(edges, oAlias.unionByName(pAlias)),
+          sumMaxMerge)
         .orderBy("src", "dst")
     },
     // X3/J2 full lifecycle in ONE plan: decompose → mergeVertices (winner
@@ -160,20 +170,9 @@ object GraphQueries {
         .join(winners.select(col("key"), col("order_id").as("w")), "key")
         .select(concat(lit("o"), col("order_id")).as("cand_id"),
           concat(lit("o"), col("w")).as("winner_id"))
-      val li = Tables.t(s, dir, "lineitem")
-        .withColumn("srcid", concat(lit("o"), col("l_orderkey")))
-        .withColumn("dstid", concat(lit("p"), col("l_partkey")))
-        .withColumn("qty", col("l_quantity").cast("long"))
-        .withColumn("n", lit(1L))
-      val edges = GraphBuilder.edgeCandidates(li, "contains", "srcid", "dstid",
-          Map("qty" -> "qty", "price" -> "l_extendedprice", "n" -> "n"))
-        .select("label", "src", "dst", "qty", "price", "n")
-      val merge = (rows: Seq[org.apache.spark.sql.Row]) =>
-        org.apache.spark.sql.Row(
-          rows.head.getString(0), rows.head.getString(1), rows.head.getString(2),
-          rows.map(_.getLong(3)).sum, rows.map(_.getDouble(4)).max,
-          rows.map(_.getLong(5)).sum)
-      GraphBuilder.mergeEdges(GraphBuilder.resolveEdges(edges, alias), merge)
+      val edges = containsEdges(Tables.t(s, dir, "lineitem"))
+      GraphBuilder.mergeEdges(GraphBuilder.resolveEdges(edges, alias),
+          sumMaxMerge)
         .orderBy("src", "dst")
     },
     // registry: bucket metadata CRUD on the engine's own CrudService — the

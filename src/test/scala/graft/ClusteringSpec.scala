@@ -16,50 +16,73 @@ class ClusteringSpec extends AnyFunSuite {
     ((1L until n).map(i => (i, i + 1)).toDF("a", "b"), (1L to n).toDF("node"))
   }
 
+  private def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(p)
+    try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
+    finally s.close()
+  }
+
+  private def withTempDir[A](prefix: String)(f: java.nio.file.Path => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir)
+    finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+  }
+
   test("checkpointDir labels are identical to the localCheckpoint labels") {
-    val (edges, nodes) = chain(40)
-    val dir = java.nio.file.Files.createTempDirectory("graft_cc_eq").toString
-    def toMap(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val local = toMap(Clustering.connectedComponents(edges, nodes))
-    val ckpt = toMap(Clustering.connectedComponents(edges, nodes,
-      checkpointDir = Some(dir)))
-    assert(ckpt === local)
-    assert(ckpt.values.forall(_ == 1L))
+    withTempDir("graft_cc_eq") { dir =>
+      val (edges, nodes) = chain(40)
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = toMap(Clustering.connectedComponents(edges, nodes))
+      val ckpt = toMap(Clustering.connectedComponents(edges, nodes,
+        checkpointDir = Some(dir.toString)))
+      assert(ckpt === local)
+      assert(ckpt.values.forall(_ == 1L))
+    }
   }
 
   test("checkpointDir mode cleans superseded label files eagerly") {
-    val (edges, nodes) = chain(50)
-    val dir = java.nio.file.Files.createTempDirectory("graft_cc_clean")
-    val labels = Clustering.connectedComponents(edges, nodes,
-      checkpointDir = Some(dir.toString))
-    // the returned DataFrame stays valid: backed by the surviving final file
-    assert(labels.count() === 50)
-    // a 50-chain takes several pointer-jumping rounds, each materializing a
-    // stepped AND a jumped label table — yet only the symmetrized-edge file
-    // and the FINAL label file may survive under the per-call subdir
-    import scala.jdk.CollectionConverters._
-    val runs = java.nio.file.Files.list(dir).iterator().asScala.toSeq
-    assert(runs.size === 1, s"expected one per-call subdir, got $runs")
-    val ccFiles = java.nio.file.Files.list(runs.head).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("cc-")).toSeq.sorted
-    assert(ccFiles.size === 2,
-      s"expected sym-edges + final labels only, got $ccFiles")
-    assert(ccFiles.head === "cc-00000") // the symmetrized edge file
+    withTempDir("graft_cc_clean") { dir =>
+      val (edges, nodes) = chain(50)
+      val labels = Clustering.connectedComponents(edges, nodes,
+        checkpointDir = Some(dir.toString))
+      // the returned DataFrame stays valid: backed by the surviving final file
+      assert(labels.count() === 50)
+      // a 50-chain takes several pointer-jumping rounds, each materializing a
+      // stepped AND a jumped label table — yet only the symmetrized-edge file
+      // and the FINAL label file may survive under the per-call subdir
+      val runs = ls(dir)
+      assert(runs.size === 1, s"expected one per-call subdir, got $runs")
+      val ccFiles = ls(runs.head)
+        .map(_.getFileName.toString).filter(_.startsWith("cc-")).sorted
+      assert(ccFiles.size === 2,
+        s"expected sym-edges + final labels only, got $ccFiles")
+      assert(ccFiles.head === "cc-00000") // the symmetrized edge file
+    }
   }
 
   test("two calls sharing one checkpointDir do not clobber each other") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cc_share").toString
-    val (e1, n1) = chain(20)
-    val first = Clustering.connectedComponents(e1, n1, checkpointDir = Some(dir))
-    val (e2, n2) = chain(30)
-    val second = Clustering.connectedComponents(e2, n2, checkpointDir = Some(dir))
-    // the FIRST call's returned frame must still be collectible — a fixed
-    // cc-%05d naming under the shared dir would have overwritten/deleted
-    // the final label file backing it
-    assert(first.collect().map(_.getLong(1)).forall(_ == 1L))
-    assert(first.count() === 20)
-    assert(second.count() === 30)
+    withTempDir("graft_cc_share") { dir =>
+      val (e1, n1) = chain(20)
+      val first = Clustering.connectedComponents(e1, n1,
+        checkpointDir = Some(dir.toString))
+      val (e2, n2) = chain(30)
+      val second = Clustering.connectedComponents(e2, n2,
+        checkpointDir = Some(dir.toString))
+      // the FIRST call's returned frame must still be collectible — a fixed
+      // cc-%05d naming under the shared dir would have overwritten/deleted
+      // the final label file backing it
+      assert(first.collect().map(_.getLong(1)).forall(_ == 1L))
+      assert(first.count() === 20)
+      assert(second.count() === 30)
+    }
   }
 
   test("strict mode throws on maxIters exhaustion instead of partial labels") {

@@ -240,4 +240,21 @@ class PlanSpec extends AnyFunSuite {
     assert(langOnly.isEmpty,
       s"found a per-language window over documents:\n${langOnly.mkString("\n")}\n$plan")
   }
+
+  test("graph lifecycle prunes the lineitem scan to the edge columns") { uncached {
+    // g9 stacks decompose → mergeVertices → resolveEdges → mergeEdges; the
+    // mapGroups merge is a deserialization barrier, but column pruning must
+    // still reach the lineitem scan below it — at 100 TB, reading l_comment
+    // for a 4-column edge extraction is the difference between a narrow scan
+    // and 3× the I/O
+    val plan = explainFormatted(
+      SparkEntry.queries("g9_graph_lifecycle")(spark, TestSession.sf))
+    val liChunk = plan.split("Scan parquet")
+      .find(_.contains("lineitem")).getOrElse("")
+    val rs = liChunk.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_quantity") && rs.contains("l_extendedprice"),
+      s"expected edge columns in lineitem ReadSchema: $rs")
+    for (c <- Seq("l_comment", "l_shipdate", "l_tax", "l_discount"))
+      assert(!rs.contains(c), s"unpruned column $c in lineitem scan: $rs")
+  }}
 }
