@@ -86,6 +86,23 @@ object TextDedup {
       .groupBy(col("__fp").as("fingerprint"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
 
+  /** Banded LSH buckets for every document: (doc, band, bh) rows — the
+    * shared front half of self-join and cross-corpus candidate generation.
+    * All signature math is narrow staged projections (see the staging
+    * comments above); only the exploded small (band, hash) keys ever reach
+    * a shuffle. */
+  private def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, numPerm: Int, bands: Int, useMd5: Boolean): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    df.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__sh", wordShingles(col("__toks"), shingleLen))
+      .withColumn("__hs", shingleHashes(col("__sh"), useMd5))
+      .withColumn("__sig", pinned(col("__hs"), minhashFromHashes(col("__hs"), numPerm)))
+      .select(col(idCol).as("doc"),
+        pinned(col("__sig"), bandHashes(col("__sig"), bands, rowsPerBand)).as("bands"))
+      .select(col("doc"), posexplode(col("bands")).as(Seq("band", "bh")))
+  }
+
   /** MinHash-LSH candidate pairs: shingle → sign → band → bucket self-join.
     * Returns distinct (a, b) with a < b sharing ≥1 band bucket. The shuffle
     * key is (band index, 32-hex band hash) — small and uniform unless the
@@ -94,20 +111,32 @@ object TextDedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 16, bands: Int = 4,
       useMd5: Boolean = true): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    val sigs = df
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .withColumn("__sh", wordShingles(col("__toks"), shingleLen))
-      .withColumn("__hs", shingleHashes(col("__sh"), useMd5))
-      .withColumn("__sig", pinned(col("__hs"), minhashFromHashes(col("__hs"), numPerm)))
-      .select(col(idCol).as("doc"),
-        pinned(col("__sig"), bandHashes(col("__sig"), bands, rowsPerBand)).as("bands"))
-    val exploded = sigs.select(col("doc"),
-      posexplode(col("bands")).as(Seq("band", "bh")))
+    val exploded = bandedBuckets(df, idCol, textCol, shingleLen, numPerm, bands, useMd5)
     exploded.as("l").join(exploded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Incremental-ingestion dedup: which NEW documents collide with the
+    * EXISTING corpus — the shape every continuously-fed training pipeline
+    * runs on each batch. Same banded LSH as [[minhashCandidates]] but a
+    * two-sided (band, hash) equi-join: the corpus shuffles once on the
+    * small band keys and the (typically much smaller) batch co-partitions
+    * against it — never a corpus×batch cross product, and no corpus
+    * self-pairs are generated at all. Returns distinct
+    * (corpus_doc, new_doc) bucket collisions; feed them to [[jaccard]] /
+    * exact comparison for the confirm stage. */
+  def minhashCandidatesAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      useMd5: Boolean = true): DataFrame = {
+    val c = bandedBuckets(corpus, idCol, textCol, shingleLen, numPerm, bands, useMd5)
+    val b = bandedBuckets(batch, idCol, textCol, shingleLen, numPerm, bands, useMd5)
+    c.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.doc").as("corpus_doc"), col("r.doc").as("new_doc"))
       .distinct()
   }
 

@@ -238,6 +238,88 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- audio: REAL WAV encode/decode via JDK-builtin javax.sound --------
+
+  /** Real PCM→WAV container encode: wraps each payload as 8-bit unsigned
+    * mono PCM under a standard 44-byte RIFF/WAVE header. `javax.sound`
+    * ships with the JDK, so like the ImageIO path this needs no external
+    * codec. Same [[MediaTransform]] seam as resize: bytes in, bytes out,
+    * batched, narrow. */
+  final case class PcmWavEncoder(sampleRate: Int) extends MediaTransform {
+    def transformBatch(batch: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      batch.map { pcm =>
+        val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1)                 // PCM
+          .putShort(1)                 // mono
+          .putInt(sampleRate)
+          .putInt(sampleRate)          // byte rate (1 byte/frame)
+          .putShort(1)                 // block align
+          .putShort(8)                 // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+          .put(pcm)
+        bb.array()
+      }
+  }
+
+  /** Feature row produced per audio blob by the REAL WAV decoder; nulls when
+    * the bytes aren't a parseable audio container. `amp_abs_sum` is the
+    * integer sum of |sample - 128| over 8-bit unsigned PCM frames — exact,
+    * so the oracle can reproduce it without float drift. */
+  val AudioFeatureType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("amp_abs_sum", LongType)))
+
+  /** Real audio decode via `javax.sound.sampled.AudioSystem` (JDK WAV/AIFF/AU
+    * readers — no external demuxer). Parses the container header for format
+    * facts and streams the frames once for the amplitude sum. */
+  object WavDecoder {
+    def audioFeatures(bytes: Array[Byte]): Row =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val nFrames = in.getFrameLength
+          val rate = fmt.getSampleRate.toInt
+          var ampSum: Long = 0L
+          if (fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1) {
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n > 0) {
+              var i = 0
+              while (i < n) { ampSum += math.abs((buf(i) & 0xff) - 128); i += 1 }
+              n = in.read(buf)
+            }
+          } else ampSum = -1L // defined only for the 8-bit mono layout
+          Row(rate, fmt.getChannels, nFrames,
+            if (rate > 0) nFrames * 1000L / rate else null, ampSum)
+        } finally in.close()
+      } catch { case _: Exception => Row(null, null, null, null, null) }
+  }
+
+  /** Audio feature extraction over the REAL decoder: one [[AudioFeatureType]]
+    * row per record via mapPartitions (narrow, no shuffle). */
+  def extractAudioFeatures(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val outSchema = StructType(df.schema(idIdx) +: AudioFeatureType.fields.toSeq)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val f = WavDecoder.audioFeatures(r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.get(idIdx) +: f.toSeq)
+      }
+    }(enc)
+  }
+
   /** Run the decoder over batches of `batchSize` records (mapPartitions —
     * narrow, no shuffle), appending the feature struct columns to the id
     * column. */

@@ -54,6 +54,21 @@ object AnnQueries {
       Ann.ivfTopK(e.filter(col("vec_id") < 8), e, cents, k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
+    // Product quantization: train 8×16 sub-codebooks (one Lloyd's job per
+    // iteration covers all subspaces), NARROW-encode the corpus to 8 codes,
+    // ADC-scan against broadcast per-query distance tables. rerank=∞ means
+    // every candidate is exact-reranked, so the exact top-k SQL is its
+    // oracle — pinning train→encode→ADC→rerank integration; PqSpec pins
+    // recall for genuinely-approximate small-rerank configs
+    "ann5_pq_topk" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val books = graft.similarity.Pq.train(e, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      val enc = graft.similarity.Pq.encode(e, "embedding", books)
+      graft.similarity.Pq.adcTopK(e.filter(col("vec_id") < 8), enc, books,
+          k = 3, rerank = Int.MaxValue)
+        .orderBy("q_id", "rank")
+    },
     // Semantic dedup end-to-end: sign-LSH bucket blocking → candidate pairs
     // → connected components → (vector, component-representative). The
     // embedding analog of dd6: the self-join shuffles on the small bucket
@@ -111,6 +126,14 @@ object AnnQueries {
         s"SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosV AS sim, " +
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosV DESC, c.vec_id) AS rank " +
         "FROM qry q JOIN corp c ON q.cent_id = c.cent_id) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // exhaustive rerank (rerank=∞) → identical to the exact top-k
+    "ann5_pq_topk" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // full-probe IVF is exhaustive → identical to the exact top-k
     "ann4_ivf_trained" ->

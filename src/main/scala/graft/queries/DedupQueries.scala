@@ -58,6 +58,19 @@ object DedupQueries {
           useMd5 = false)
         .orderBy("doc_a", "doc_b")
     },
+    // Incremental-ingestion dedup: which docs of an incoming batch (every
+    // 10th doc stands in for the new delivery) collide with the existing
+    // corpus — the per-batch shape of a continuously-fed pipeline. Two-sided
+    // band join: corpus shuffles once on small band keys, batch
+    // co-partitions, no corpus self-pairs ever generated
+    "dd10_incremental" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      minhashCandidatesAgainst(
+          corpus = docs.filter(col("doc_id") % 10 =!= 0),
+          batch = docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        .orderBy("corpus_doc", "new_doc")
+    },
     // Benchmark-contamination check (decontamination): per-document fraction
     // of its distinct 3-gram shingles that appear in a "benchmark" shingle
     // set (here: every 50th doc stands in for the eval set). Scale shape:
@@ -200,6 +213,20 @@ object DedupQueries {
         "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b " +
         "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id " +
         "ORDER BY doc_a, doc_b"),
+    // banding is per-doc independent, so banding the full table and
+    // filtering sides afterwards equals banding the filtered inputs
+    "dd10_incremental" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
+        "sig AS (SELECT doc_id, " +
+        s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
+        "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
+        "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
+        "FROM sig, generate_series(0, 3) AS gs(b)) " +
+        "SELECT DISTINCT l.doc_id AS corpus_doc, r.doc_id AS new_doc " +
+        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh " +
+        "WHERE l.doc_id % 10 <> 0 AND r.doc_id % 10 = 0 " +
+        "ORDER BY corpus_doc, new_doc"),
     "dd6_dedup_clusters" ->
       (s"$ccCtePrefix " +
         "SELECT node AS doc_id, min(r) AS component FROM reach " +

@@ -105,6 +105,19 @@ object SurfaceQueries {
           length(col("content")).as("n"))
         .orderBy("doc_id")
     },
+    // ---- multimodal audio: REAL WAV round-trip — wrap document bytes as
+    // 8-bit mono PCM under a RIFF header (PcmWavEncoder), decode with the
+    // JDK's javax.sound reader, emit container facts + exact amplitude sum.
+    // The oracle predicts every feature independently from the text, so a
+    // header-layout or decode bug cannot cancel out ---------------------
+    "mm4_audio_features" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 400).cast("binary"))
+      val wav = Multimodal.resizeContent(docs, "content",
+        Multimodal.PcmWavEncoder(sampleRate = 8000))
+      Multimodal.extractAudioFeatures(wav, "doc_id", "content")
+        .orderBy("doc_id")
+    },
     // ---- ST1: passthrough stream (availableNow over events parquet) -----
     "st1_passthrough" -> { (s, dir) =>
       val batchDf = Tables.t(s, dir, "events")
@@ -221,6 +234,14 @@ object SurfaceQueries {
         "IF x % 2 = 0]) AS i FROM documents) ORDER BY doc_id, frame_idx"),
     "mm3_resize" ->
       ("SELECT doc_id, substr(text, 1, 40) AS content, 40 AS n " +
+        "FROM documents ORDER BY doc_id"),
+    "mm4_audio_features" ->
+      ("SELECT doc_id, 8000 AS sample_rate, 1 AS channels, " +
+        "CAST(least(strlen(text), 400) AS BIGINT) AS n_frames, " +
+        "CAST(least(strlen(text), 400) * 1000 // 8000 AS BIGINT) AS duration_ms, " +
+        "list_reduce([CAST(abs(ascii(c) - 128) AS BIGINT) " +
+        "FOR c IN regexp_extract_all(substr(text, 1, 400), '.')], " +
+        "(a, b) -> a + b) AS amp_abs_sum " +
         "FROM documents ORDER BY doc_id"),
     "st1_passthrough" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",

@@ -90,6 +90,24 @@ object TextQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(100)
     },
+    // fixed-token-window chunking with overlap (training-sequence prep):
+    // chunk c covers tokens [c·stride, c·stride + chunkSize); a narrow
+    // explode with per-doc-bounded fan-out — no shuffle, no UDF, chunk
+    // count ⌊(n−1)/stride⌋+1 so every token lands in ≥1 chunk
+    "tx11_chunking" -> { (s, dir) =>
+      val chunkSize = 64
+      val stride = 48
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("chunk_idx", explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(stride)).cast("int"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("toks"), col("chunk_idx") * lit(stride) + 1,
+            lit(chunkSize))).as("n_tokens"),
+          concat_ws(" ", slice(col("toks"), col("chunk_idx") * lit(stride) + 1,
+            lit(chunkSize))).as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    },
     // search-index dual fields: raw columns untouched + analyzed __tokens
     // arrays per SearchIndexSchema (tokenize-by-default, overrides opt out)
     "tx5_tokenized_fields" -> { (s, dir) =>
@@ -182,6 +200,14 @@ object TextQueries {
         "OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
         "- len(string_split(text, ' '))) // 1000 AS BIGINT) AS shard " +
         "FROM documents ORDER BY doc_id"),
+    "tx11_chunking" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, unnest(generate_series(0, " +
+        "CAST(floor((len(toks) - 1) / 48.0) AS BIGINT))) AS i FROM t) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, " +
+        "CAST(len(toks[(i*48+1):(i*48+64)]) AS INTEGER) AS n_tokens, " +
+        "array_to_string(toks[(i*48+1):(i*48+64)], ' ') AS chunk " +
+        "FROM c ORDER BY doc_id, chunk_idx"),
     "tx8_top_tokens" ->
       ("SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +

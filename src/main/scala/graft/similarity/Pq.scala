@@ -1,0 +1,176 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+
+/** Product quantization for embedding similarity at corpus scale (the
+  * memory-bound regime past IVF): split each `dim`-dimensional vector into
+  * `m` contiguous subspaces, vector-quantize every subspace against its own
+  * `k`-centroid codebook, and score candidates against a per-query
+  * asymmetric distance table (ADC) — so a 64-dim float vector becomes `m`
+  * small codes and the scan never touches raw corpus vectors.
+  *
+  * Distributed shapes (the part that must survive 100 TB):
+  *
+  *  - [[train]] mirrors [[KMeans]] but runs ALL `m` subspace Lloyd's loops in
+  *    one job per iteration: explode each sampled vector into (sub, subvec)
+  *    once, broadcast-join the m·k codebook rows, argmin per (id, sub) via
+  *    `min(struct(d2, cent))` (hash aggregate, no window sort). Only
+  *    m·k·(dim/m) = `dim·k` aggregated doubles ever reach the driver per
+  *    iteration — same bounded driver state as the IVF trainer.
+  *  - [[encode]] is a NARROW projection: the codebooks become an array
+  *    literal and each subspace's nearest code is
+  *    `array_min(transform(codebook, c -> struct(l2sq, cent)))` — per-row
+  *    expression work, no shuffle, no UDF; the corpus is never joined or
+  *    re-keyed just to encode it.
+  *  - [[adcTopK]] broadcasts the (small) query side WITH its precomputed
+  *    m×k distance table; the corpus-side scan reads only the code column
+  *    (`zip_with(code, dtab, ...)` + one fold), ranks per query, and
+  *    exact-reranks only the `rerank` surviving candidates by true cosine.
+  *
+  * `rerank >= |corpus|` degenerates to exact brute-force ranking (every
+  * candidate is reranked by true cosine) — the oracle-checkable
+  * configuration that pins the train→encode→ADC→rerank integration, while
+  * PqSpec pins recall for genuinely-approximate settings (small `rerank`).
+  */
+object Pq {
+
+  /** Trained sub-codebooks: `(sub, cent, cv)` rows, `m·k` of them, ordered
+    * init = subspace slices of the k lowest-id sample vectors. */
+  final case class Codebooks(m: Int, k: Int, subDim: Int,
+      cents: IndexedSeq[IndexedSeq[Seq[Double]]]) // cents(sub)(cent) = subvector
+
+  /** Lloyd's per subspace, all subspaces in one job per iteration. Run on a
+    * sample at scale (centroids from 10⁵ vectors quantize 10⁹+). */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      iters: Int = 4): Codebooks = {
+    val sample = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val dim = sample.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+
+    // (id, sub, svec): one narrow explode of the sample
+    val subs = sample.select(col("id"),
+        posexplode(subVectors(col("vec"), m, subDim)).as(Seq("sub", "svec")))
+
+    // deterministic init: subspace slices of the k lowest-id vectors
+    var cents: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+      val seed = sample.orderBy("id").limit(k).collect()
+        .map(_.getSeq[Double](1)).toIndexedSeq
+      require(seed.size == k, s"need at least $k vectors to init")
+      IndexedSeq.tabulate(m)(s =>
+        seed.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    }
+
+    for (_ <- 0 until iters) {
+      val cb = codebookFrame(df.sparkSession, cents)
+      val assigned = subs
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", l2sq(col("svec"), col("cv")))
+        .groupBy("id", "sub")
+        .agg(min(struct(col("d2"), col("cent"), col("svec"))).as("w"))
+      // (sub, cent, dim) partial sums — m·k·subDim rows to the driver
+      val stats = assigned
+        .select(col("sub"), col("w.cent").as("cent"),
+          posexplode(col("w.svec")).as(Seq("dim", "x")))
+        .groupBy("sub", "cent", "dim")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m, k)((s, c) => cents(s)(c).toArray)
+      stats.foreach { r =>
+        val (s, c, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        if (r.getLong(4) > 0) next(s)(c)(d) = r.getDouble(3) / r.getLong(4)
+      }
+      cents = next.map(_.map(_.toSeq: Seq[Double]).toIndexedSeq).toIndexedSeq
+    }
+    Codebooks(m, k, subDim, cents)
+  }
+
+  /** `array(slice(vec, 1, d), slice(vec, d+1, d), ...)` — the m subspace
+    * views of one vector, computed once per row. */
+  private def subVectors(vec: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(s => slice(vec, s * subDim + 1, subDim)): _*)
+
+  /** Codebooks as a (sub, cent, cv) frame for the training join. */
+  private def codebookFrame(spark: SparkSession,
+      cents: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    val rows = for {
+      (cb, s) <- cents.zipWithIndex
+      (v, c) <- cb.zipWithIndex
+    } yield Row(s, c, v)
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("cent", IntegerType, nullable = false),
+        StructField("cv", ArrayType(DoubleType), nullable = false))))
+  }
+
+  /** One subspace codebook as an array<struct<cent,cv>> literal, ordered by
+    * cent id so positions are stable. */
+  private def codebookLit(cb: IndexedSeq[Seq[Double]]): Column =
+    array(cb.zipWithIndex.map { case (v, c) =>
+      struct(lit(c).as("cent"), typedLit(v).as("cv"))
+    }: _*)
+
+  /** NARROW encode: append `code` (array<int>, length m) — each subspace's
+    * nearest codebook entry by squared L2, ties to the lower code (struct
+    * min orders by (d2, cent)). Pure expression work against codebook
+    * literals; no shuffle, no UDF. */
+  def encode(df: DataFrame, vecCol: String, books: Codebooks): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val codes = (0 until books.m).map { s =>
+      val sv = slice(vec, s * books.subDim + 1, books.subDim)
+      array_min(transform(codebookLit(books.cents(s)),
+        c => struct(l2sq(sv, c.getField("cv")).as("d2"),
+          c.getField("cent").as("cent")))).getField("cent")
+    }
+    df.withColumn("code", array(codes: _*))
+  }
+
+  /** Per-query ADC distance table: dtab(sub)(cent) = l2sq(q_sub, cv) —
+    * array<array<double>> of m·k doubles, computed once per query row. */
+  private def distanceTable(qVec: Column, books: Codebooks): Column =
+    array((0 until books.m).map { s =>
+      val sv = slice(qVec, s * books.subDim + 1, books.subDim)
+      transform(codebookLit(books.cents(s)),
+        c => l2sq(sv, c.getField("cv")))
+    }: _*)
+
+  /** ADC top-k: scan encoded corpus codes against each query's distance
+    * table, keep the `rerank` best candidates per query by quantized
+    * distance, exact-rerank those by true cosine. Queries (with their m×k
+    * tables) are broadcast; the corpus side stays a narrow scan of
+    * (id, code) until the per-query rank. */
+  def adcTopK(queries: DataFrame, encodedCorpus: DataFrame, books: Codebooks,
+      k: Int, rerank: Int,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"),
+      col(qVec).cast("array<double>").as("q_vec"),
+      distanceTable(col(qVec).cast("array<double>"), books).as("dtab"))
+    val c = encodedCorpus.select(col(cId).as("c_id"),
+      col(cVec).as("c_vec"), col("code"))
+    val scored = c.join(broadcast(q))
+      .withColumn("adc", aggregate(
+        zip_with(col("code"), col("dtab"),
+          (cd, row) => element_at(row, cd + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val candidates = scored
+      .withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= rerank)
+    val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    candidates
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+}

@@ -62,6 +62,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(md5P.size < 5000 && polyP.size < 5000)
   }
 
+  test("cross-corpus candidates find batch twins without corpus self-pairs") {
+    // batch = 20 corpus docs under new ids: every one must collide with its
+    // original (identical shingles → identical signatures → same buckets)
+    val twinIds = docs.select("doc_id").orderBy("doc_id").limit(20)
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val batch = docs.filter(col("doc_id").isin(twinIds: _*))
+      .withColumn("doc_id", col("doc_id") + 70000)
+    val cands = TextDedup.minhashCandidatesAgainst(docs, batch, "doc_id", "text")
+      .collect().map(r => (r.getAs[Number]("corpus_doc").longValue,
+        r.getAs[Number]("new_doc").longValue)).toSet
+    val expected = twinIds.map(id => (id, id + 70000)).toSet
+    assert(expected.subsetOf(cands), s"missed twins: ${expected -- cands}")
+    // output pairs corpus→batch only: no corpus self-pairs, no batch ids on
+    // the corpus side
+    assert(cands.forall { case (c, n) => c < 70000 && n >= 70000 })
+  }
+
   test("simhash of identical token lists is identical; jaccard self = 1") {
     val sh = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))

@@ -94,6 +94,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.toSeq === junk.toSeq)
   }
 
+  test("WAV round-trip: PcmWavEncoder bytes decode through javax.sound with exact features") {
+    // a deterministic "waveform": byte i = 128 + 100*sin-ish ramp, values known
+    val pcm = Array.tabulate[Byte](1600)(i => ((i * 7) % 256).toByte)
+    val df = mediaDf(Seq(1 -> pcm, 2 -> Array[Byte](1, 2, 3) /* not audio */))
+    val wav = Multimodal.resizeContent(df, "content",
+      Multimodal.PcmWavEncoder(sampleRate = 8000))
+    val out = Multimodal.extractAudioFeatures(wav, "id", "content")
+      .collect().map(r => r.getInt(0) -> r).toMap
+
+    val r1 = out(1)
+    assert(r1.getInt(1) === 8000 && r1.getInt(2) === 1)
+    assert(r1.getLong(3) === 1600) // frames = payload bytes (8-bit mono)
+    assert(r1.getLong(4) === 200)  // 1600 frames / 8 kHz = 200 ms
+    val expectedAmp = pcm.map(b => math.abs((b & 0xff) - 128).toLong).sum
+    assert(r1.getLong(5) === expectedAmp)
+
+    // the 3-byte payload still wraps into a VALID (tiny) wav
+    assert(out(2).getInt(1) === 8000 && out(2).getLong(3) === 3)
+  }
+
+  test("WavDecoder yields null features for non-audio bytes, row preserved") {
+    val df = mediaDf(Seq(7 -> Array[Byte](9, 9, 9, 9)))
+    val out = Multimodal.extractAudioFeatures(df, "id", "content").collect().head
+    assert(out.getInt(0) === 7)
+    (1 to 5).foreach(i => assert(out.isNullAt(i), s"field $i should be null"))
+  }
+
   test("ImageIoDecoder as MediaDecoder: decoded-pixel features via the batched seam") {
     val df = mediaDf(Seq(1 -> png(5, 4)))
     val row = Multimodal.extractFeatures(df, "id", "content",

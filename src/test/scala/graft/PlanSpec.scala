@@ -76,6 +76,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!formattedPlan(sig).contains("Exchange"), "signature pipeline shuffled")
   }
 
+  test("PQ encode is a narrow projection; ADC scan broadcasts only the query side") {
+    val emb = Tables.t(spark, TestSession.sf, "embeddings")
+    val books = graft.similarity.Pq.Codebooks(m = 8, k = 4, subDim = 8,
+      IndexedSeq.tabulate(8)(s => IndexedSeq.tabulate(4)(c =>
+        Seq.tabulate(8)(d => (s + c + d) * 0.1))))
+    val enc = graft.similarity.Pq.encode(emb, "embedding", books)
+    // encoding a 100 TB corpus must never shuffle or join it
+    assert(!formattedPlan(enc).contains("Exchange"), "PQ encode shuffled")
+    val out = graft.similarity.Pq.adcTopK(
+      emb.filter(col("vec_id") < 4), enc, books, k = 3, rerank = 10)
+    val plan = formattedPlan(out)
+    assert(plan.contains("BroadcastExchange"), "query side not broadcast")
+    // candidate selection must rank map-side: only `rerank` rows per query
+    // cross the exchange, not the whole scored corpus
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial window group limit:\n$plan")
+  }
+
   test("bucket store time partitions prune on partition predicates") {
     val store = new graft.store.BucketStore(spark,
       java.nio.file.Files.createTempDirectory("graft_prune").toString)
