@@ -9,6 +9,10 @@ object Verify {
     // optional trailing names = run only those queries (local iteration aid;
     // the driver always passes exactly two args → full run)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — a typo here would " +
+        "silently verify nothing")
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

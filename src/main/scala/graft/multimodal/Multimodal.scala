@@ -220,23 +220,31 @@ object Multimodal {
       }
   }
 
-  /** Image feature extraction over the REAL decoder: one [[ImageFeatureType]]
-    * row per record via mapPartitions (narrow, no shuffle). Per-row, not
-    * batched: ImageIO decode has no per-batch setup to amortize — decoders
-    * that do should go through the batched [[extractFeatures]] seam. */
-  def extractImageFeatures(df: DataFrame, idCol: String,
-      contentCol: String): DataFrame = {
+  /** Shared per-row feature-extraction wrapper: (id, features(bytes)) via
+    * mapPartitions — narrow, no shuffle. Per-row, not batched: these JDK
+    * decoders have no per-batch setup to amortize — decoders that do should
+    * go through the batched [[extractFeatures]] seam. */
+  private def extractRowFeatures(df: DataFrame, idCol: String,
+      contentCol: String, featureType: StructType,
+      features: Array[Byte] => Row): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
     val contentIdx = df.schema.fieldIndex(contentCol)
-    val outSchema = StructType(df.schema(idIdx) +: ImageFeatureType.fields.toSeq)
+    val outSchema = StructType(df.schema(idIdx) +: featureType.fields.toSeq)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.map { r =>
-        val f = ImageIoDecoder.imageFeatures(r.getAs[Array[Byte]](contentIdx))
+        val f = features(r.getAs[Array[Byte]](contentIdx))
         Row.fromSeq(r.get(idIdx) +: f.toSeq)
       }
     }(enc)
   }
+
+  /** Image feature extraction over the REAL decoder: one [[ImageFeatureType]]
+    * row per record. */
+  def extractImageFeatures(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    extractRowFeatures(df, idCol, contentCol, ImageFeatureType,
+      ImageIoDecoder.imageFeatures)
 
   // ---- audio: REAL WAV encode/decode via JDK-builtin javax.sound --------
 
@@ -305,20 +313,11 @@ object Multimodal {
   }
 
   /** Audio feature extraction over the REAL decoder: one [[AudioFeatureType]]
-    * row per record via mapPartitions (narrow, no shuffle). */
+    * row per record. */
   def extractAudioFeatures(df: DataFrame, idCol: String,
-      contentCol: String): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
-    val contentIdx = df.schema.fieldIndex(contentCol)
-    val outSchema = StructType(df.schema(idIdx) +: AudioFeatureType.fields.toSeq)
-    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
-    df.mapPartitions { it =>
-      it.map { r =>
-        val f = WavDecoder.audioFeatures(r.getAs[Array[Byte]](contentIdx))
-        Row.fromSeq(r.get(idIdx) +: f.toSeq)
-      }
-    }(enc)
-  }
+      contentCol: String): DataFrame =
+    extractRowFeatures(df, idCol, contentCol, AudioFeatureType,
+      WavDecoder.audioFeatures)
 
   /** Run the decoder over batches of `batchSize` records (mapPartitions —
     * narrow, no shuffle), appending the feature struct columns to the id

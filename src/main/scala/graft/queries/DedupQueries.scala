@@ -160,18 +160,24 @@ object DedupQueries {
     }
   )
 
-  /** Recursive-CTE connected components over minhash-LSH candidate pairs —
-    * the shared oracle prefix of dd6 (cluster labels) and dd9 (kept
-    * representatives). The signature/banding constants (16 perms, 4 bands)
-    * live here exactly once; trailing CTE is `reach`. */
-  private val ccCtePrefix: String =
-    "WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+  /** Shared banding CTE prefix (t → sh → sig → bands): 16-perm minhash
+    * signatures and 4-band hashes of every document. The signature/banding
+    * constants live here exactly once — dd2's self-join, dd10's two-sided
+    * join, and the dd6/dd9 CC prefix all build on `bands`. */
+  private val bandsCtePrefix: String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
       "sig AS (SELECT doc_id, " +
       s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
       "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
       "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
-      "FROM sig, generate_series(0, 3) AS gs(b)), " +
+      "FROM sig, generate_series(0, 3) AS gs(b))"
+
+  /** Recursive-CTE connected components over minhash-LSH candidate pairs —
+    * the shared oracle prefix of dd6 (cluster labels) and dd9 (kept
+    * representatives); trailing CTE is `reach`. */
+  private val ccCtePrefix: String =
+    bandsCtePrefix.replaceFirst("^WITH ", "WITH RECURSIVE ") + ", " +
       "pairs AS (SELECT DISTINCT l.doc_id AS pa, r.doc_id AS pb " +
       "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id), " +
       "e AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
@@ -203,26 +209,14 @@ object DedupQueries {
         "FROM sh s LEFT JOIN agg ON s.doc_id = agg.doc_id " +
         "WHERE s.doc_id % 50 <> 0 ORDER BY s.doc_id"),
     "dd2_minhash_lsh" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
-        "sig AS (SELECT doc_id, " +
-        s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
-        "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
-        "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
-        "FROM sig, generate_series(0, 3) AS gs(b)) " +
+      (s"$bandsCtePrefix " +
         "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b " +
         "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id " +
         "ORDER BY doc_a, doc_b"),
     // banding is per-doc independent, so banding the full table and
     // filtering sides afterwards equals banding the filtered inputs
     "dd10_incremental" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
-        "sig AS (SELECT doc_id, " +
-        s"[list_min([(${md5IntSql("s")} * (i*2+1) + (i*7+13)) % 1000000007 FOR s IN shingles]) " +
-        "FOR i IN generate_series(0, 15)] AS sg FROM sh), " +
-        "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
-        "FROM sig, generate_series(0, 3) AS gs(b)) " +
+      (s"$bandsCtePrefix " +
         "SELECT DISTINCT l.doc_id AS corpus_doc, r.doc_id AS new_doc " +
         "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh " +
         "WHERE l.doc_id % 10 <> 0 AND r.doc_id % 10 = 0 " +

@@ -235,6 +235,10 @@ object SurfaceQueries {
     "mm3_resize" ->
       ("SELECT doc_id, substr(text, 1, 40) AS content, 40 AS n " +
         "FROM documents ORDER BY doc_id"),
+    // NOTE like the mm1/mm2 oracles, this assumes the documents corpus is
+    // ASCII without newlines/empty text (true of the generated testdata):
+    // regexp '.' skips newlines and strlen counts bytes, so a non-ASCII or
+    // newline-bearing corpus would diverge from the byte-exact Spark side
     "mm4_audio_features" ->
       ("SELECT doc_id, 8000 AS sample_rate, 1 AS channels, " +
         "CAST(least(strlen(text), 400) AS BIGINT) AS n_frames, " +

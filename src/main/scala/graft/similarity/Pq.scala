@@ -146,8 +146,10 @@ object Pq {
   /** ADC top-k: scan encoded corpus codes against each query's distance
     * table, keep the `rerank` best candidates per query by quantized
     * distance, exact-rerank those by true cosine. Queries (with their m×k
-    * tables) are broadcast; the corpus side stays a narrow scan of
-    * (id, code) until the per-query rank. */
+    * tables) are broadcast; the corpus-side scan genuinely reads ONLY
+    * (id, code) — raw vectors are fetched by a c_id equi-join AFTER the
+    * per-query group limit, so at most |queries|·rerank vectors are ever
+    * read for reranking (the memory/IO bound PQ exists to provide). */
   def adcTopK(queries: DataFrame, encodedCorpus: DataFrame, books: Codebooks,
       k: Int, rerank: Int,
       qId: String = "vec_id", qVec: String = "embedding",
@@ -155,9 +157,8 @@ object Pq {
     val q = queries.select(col(qId).as("q_id"),
       col(qVec).cast("array<double>").as("q_vec"),
       distanceTable(col(qVec).cast("array<double>"), books).as("dtab"))
-    val c = encodedCorpus.select(col(cId).as("c_id"),
-      col(cVec).as("c_vec"), col("code"))
-    val scored = c.join(broadcast(q))
+    val c = encodedCorpus.select(col(cId).as("c_id"), col("code"))
+    val scored = c.join(broadcast(q.select(col("q_id"), col("dtab"))))
       .withColumn("adc", aggregate(
         zip_with(col("code"), col("dtab"),
           (cd, row) => element_at(row, cd + 1)),
@@ -166,8 +167,15 @@ object Pq {
     val candidates = scored
       .withColumn("crank", row_number().over(wAdc))
       .filter(col("crank") <= rerank)
+      .select("q_id", "c_id")
+    // vector fetch AFTER the cut: candidate side is |queries|·rerank rows,
+    // corpus side co-keys on c_id — an ordinary shuffle join, nothing
+    // corpus-sized is broadcast or re-read with vectors attached
     val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     candidates
+      .join(encodedCorpus.select(col(cId).as("c_id"),
+        col(cVec).cast("array<double>").as("c_vec")), Seq("c_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(wSim))
       .filter(col("rank") <= k)

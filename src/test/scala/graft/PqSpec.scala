@@ -61,7 +61,7 @@ class PqSpec extends AnyFunSuite {
     assert(pq === exact)
   }
 
-  test("approximate rerank keeps high recall and always finds self") {
+  test("approximate rerank keeps high recall and is deterministic") {
     val queries = emb.filter(col("vec_id") < 8)
     val k = 5
     val exact = Ann.bruteForceTopK(queries, emb, k)
@@ -70,9 +70,13 @@ class PqSpec extends AnyFunSuite {
       .select("q_id", "c_id").collect().map(r => (r.get(0), r.get(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall@$k = $recall")
-    // a query's own vector quantizes to its own codes → ADC distance 0 →
-    // always survives candidate selection and reranks to rank 1
-    val self = Pq.adcTopK(queries, encoded, books, k = 1, rerank = 50)
-    assert(self.filter(col("q_id") === col("c_id") && col("rank") === 1).count() === 8)
+    // NOTE a query's own vector is NOT structurally guaranteed to survive a
+    // small rerank cut: its ADC self-distance is its quantization error, and
+    // >=rerank other codes can sit closer to the distance table. What IS
+    // guaranteed is determinism: no RNG anywhere, ties broken by c_id
+    val again = Pq.adcTopK(queries, encoded, books, k, rerank = 50)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(again === Pq.adcTopK(queries, encoded, books, k, rerank = 50)
+      .orderBy("q_id", "rank").collect().toSeq)
   }
 }
