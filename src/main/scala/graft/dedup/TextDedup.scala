@@ -148,6 +148,39 @@ object TextDedup {
   def simhash(hs: Column): Column =
     graft.functions.SketchFunctions.sim_hash(hs)
 
+  /** Exact Hamming near-duplicate pairs over a hash column (simhash,
+    * perceptual image hash) WITHOUT an all-pairs join: pigeonhole banding.
+    * Split the `bits`-bit hash into `maxDist + 1` contiguous bands — any
+    * pair within distance `maxDist` must agree EXACTLY on at least one
+    * band — equi-join on the small (band, band-bits) key, then keep true
+    * pairs with the exact popcount filter. Unlike minhash LSH banding this
+    * is exact: no recall loss, the bands only bound the candidate space.
+    *
+    * Scale note: expected bucket size is n / 2^bandWidth per band value, so
+    * pick hash width so bandWidth = bits/(maxDist+1) stays ≥ ~16 at corpus
+    * scale (64-bit simhash for billions of docs); the 32-bit hash here is
+    * the oracle-reproducible test configuration. */
+  def hammingCandidates(df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bits: Int = 32): DataFrame = {
+    val nBands = maxDist + 1
+    require(nBands <= bits, s"maxDist $maxDist needs more bands than $bits bits")
+    val base = bits / nBands
+    val bandCols = (0 until nBands).map { i =>
+      val off = i * base
+      val w = if (i == nBands - 1) bits - off else base // last band absorbs remainder
+      shiftright(col(hashCol), off).bitwiseAND(lit((1L << w) - 1L))
+    }
+    val ext = df.select(col(idCol).as("doc"), col(hashCol).as("h"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    ext.as("l").join(ext.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
+        bit_count(col("l.h").bitwiseXOR(col("r.h"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns
     * (inclusion-exclusion on distinct sizes — stable across engines that
     * order set results differently). */

@@ -94,13 +94,27 @@ object DedupQueries {
             .as("contam_ratio"))
         .orderBy("doc_id")
     },
-    // SimHash values + near-dup pairs at hamming ≤ 3 among consecutive ids
+    // SimHash values (32-bit, token hashes)
     "dd3_simhash" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .withColumn("toks", TextFunctions.tokens(col("text")))
         .withColumn("hs", shingleHashes(col("toks")))
         .select(col("doc_id"), simhash(col("hs")).as("sh"))
         .orderBy("doc_id")
+    },
+    // SimHash near-dup pairs at hamming ≤ 3 via EXACT pigeonhole banding —
+    // the all-pairs-free completion of dd3: one of the 4 bands must match
+    // exactly for any pair within distance 3, so the equi-join bounds the
+    // candidate space and the popcount filter keeps true pairs (no recall
+    // loss, unlike minhash LSH). Oracle is the all-pairs formulation —
+    // identical results, different (non-scalable) plan
+    "dd11_simhash_neardup" -> { (s, dir) =>
+      val sims = Tables.t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("hs", shingleHashes(col("toks")))
+        .select(col("doc_id"), simhash(col("hs")).as("sh"))
+      hammingCandidates(sims, "doc_id", "sh", maxDist = 3)
+        .orderBy("doc_a", "doc_b")
     },
     // n-gram Jaccard for consecutive doc pairs
     "dd4_ngram_jaccard" -> { (s, dir) =>
@@ -173,6 +187,16 @@ object DedupQueries {
       "bands AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh " +
       "FROM sig, generate_series(0, 3) AS gs(b))"
 
+  /** Shared simhash CTE prefix (t → s): the 32-bit simhash of every
+    * document's token hashes; trailing CTE is `s` with (doc_id, sh). Used
+    * by dd3 (values) and dd11 (near-dup pairs). */
+  private val simhashCtePrefix: String =
+    "WITH t AS (SELECT doc_id, " +
+      s"[${md5IntSql("tok")} FOR tok IN string_split(text, ' ')] AS hs FROM documents), " +
+      "s AS (SELECT doc_id, " +
+      "list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 " +
+      "THEN (1::BIGINT << j) ELSE 0 END FOR j IN generate_series(0, 31)])::BIGINT AS sh FROM t)"
+
   /** Recursive-CTE connected components over minhash-LSH candidate pairs —
     * the shared oracle prefix of dd6 (cluster labels) and dd9 (kept
     * representatives); trailing CTE is `reach`. */
@@ -237,12 +261,13 @@ object DedupQueries {
         "CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 " +
         "WHEN 'src2' THEN 90 ELSE 30 END ORDER BY doc_id"),
     "dd3_simhash" ->
-      ("WITH t AS (SELECT doc_id, " +
-        s"[${md5IntSql("tok")} FOR tok IN string_split(text, ' ')] AS hs FROM documents) " +
-        "SELECT doc_id, " +
-        "list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 " +
-        "THEN (1::BIGINT << j) ELSE 0 END FOR j IN generate_series(0, 31)])::BIGINT AS sh " +
-        "FROM t ORDER BY doc_id"),
+      s"$simhashCtePrefix SELECT doc_id, sh FROM s ORDER BY doc_id",
+    "dd11_simhash_neardup" ->
+      (s"$simhashCtePrefix " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS dist " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY doc_a, doc_b"),
     "dd4_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t) " +

@@ -79,6 +79,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(cands.forall { case (c, n) => c < 70000 && n >= 70000 })
   }
 
+  test("hamming banding finds exactly the all-pairs near-dups (pigeonhole exactness)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic pseudo-random 32-bit hashes + a planted 2-bit-flip twin
+    val hashes = (0L until 300L).map(i => (i, (i * 2654435761L) & 0xffffffffL)) :+
+      (1000L -> (((7L * 2654435761L) & 0xffffffffL) ^ 0x11L)) // dist 2 from id 7
+    val banded = TextDedup.hammingCandidates(hashes.toDF("id", "h"), "id", "h",
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded === brute) // banding is exact: no missed pairs, no extras
+    assert(banded.contains((7L, 1000L, 2)))
+  }
+
   test("simhash of identical token lists is identical; jaccard self = 1") {
     val sh = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
