@@ -189,6 +189,43 @@ object Multimodal {
       }
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint: decode → 8×8
+    * nearest-neighbor grayscale → bit j set iff pixel j ≥ the 64-pixel
+    * mean. Two images of the same content (resized, re-encoded, slightly
+    * edited) land within a few bits, so
+    * [[graft.dedup.TextDedup.hammingCandidates]] over this column (with
+    * `bits = 64`) is the image analog of simhash near-dup pairing — the
+    * image-dedup path at corpus scale. Returns null for undecodable bytes. */
+  val ImageHashType: StructType = StructType(Seq(
+    StructField("ahash", LongType)))
+
+  def aHash64(bytes: Array[Byte]): Row = ImageIoDecoder.decode(bytes) match {
+    case None => Row(null)
+    case Some(img) =>
+      val g = new Array[Double](64)
+      val sw = img.getWidth; val sh = img.getHeight
+      var j = 0
+      while (j < 64) {
+        val x = j % 8; val y = j / 8
+        // same deterministic nearest-neighbor sampling as ImageIoResizer
+        val rgb = img.getRGB(((x.toLong * sw) / 8).toInt, ((y.toLong * sh) / 8).toInt)
+        g(j) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        j += 1
+      }
+      val mean = g.sum / 64
+      var hash = 0L
+      j = 0
+      while (j < 64) { if (g(j) >= mean) hash |= (1L << j); j += 1 }
+      Row(hash)
+  }
+
+  /** Perceptual-hash extraction over the REAL decoder: one nullable `ahash`
+    * per record (narrow, no shuffle). */
+  def extractImageHashes(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    extractRowFeatures(df, idCol, contentCol, ImageHashType, aHash64)
+
   /** Real resize: ImageIO decode → nearest-neighbor scale → PNG re-encode.
     * Nearest-neighbor (not Graphics2D filtering) so the output raster is
     * bit-deterministic across JVMs/platforms. Undecodable inputs pass

@@ -94,6 +94,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.toSeq === junk.toSeq)
   }
 
+  test("aHash: stable across resize, far for inverted content, composes with hamming banding") {
+    val src = png(32, 32)
+    // nearest-neighbor 16x16 of the same content: aHash samples the SAME
+    // source pixels (x*16/8 -> src(4x)), so the hash is bit-identical
+    val resized = Multimodal.resizeContent(
+      mediaDf(Seq(1 -> src)), "content", Multimodal.ImageIoResizer(16, 16))
+      .collect().head.getAs[Array[Byte]](1)
+    val h1 = Multimodal.aHash64(src).getLong(0)
+    val h2 = Multimodal.aHash64(resized).getLong(0)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 4,
+      s"resize moved the hash ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+
+    // luminance-inverted image: most bits flip
+    val inv = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = 255 - ((x * 17 + y * 29) % 256)
+      inv.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(inv, "png", bos)
+    val h3 = Multimodal.aHash64(bos.toByteArray).getLong(0)
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 8)
+
+    // undecodable bytes → null hash, and the end-to-end image-dedup path
+    // (extract hashes → hamming banding) surfaces the resized twin
+    assert(Multimodal.aHash64(Array[Byte](1, 2)).isNullAt(0))
+    val df = mediaDf(Seq(1 -> src, 2 -> resized, 3 -> bos.toByteArray,
+      4 -> Array[Byte](1, 2)))
+    val pairs = graft.dedup.TextDedup.hammingCandidates(
+        Multimodal.extractImageHashes(df, "id", "content").na.drop(),
+        "id", "ahash", maxDist = 4, bits = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs.contains((1, 2)), s"twin not found in $pairs")
+  }
+
   test("WAV round-trip: PcmWavEncoder bytes decode through javax.sound with exact features") {
     // a deterministic "waveform": byte i = 128 + 100*sin-ish ramp, values known
     val pcm = Array.tabulate[Byte](1600)(i => ((i * 7) % 256).toByte)
