@@ -108,6 +108,29 @@ object TextQueries {
             lit(chunkSize))).as("chunk"))
         .orderBy("doc_id", "chunk_idx")
     },
+    // corpus-frequency quality score (unigram-likelihood proxy, the
+    // CCNet/Gopher-style LM filter shape): global vocab counts, broadcast
+    // back onto each doc's tokens, per-doc mean token frequency + OOV-free
+    // token count. Two phases over the corpus — vocab agg, then a
+    // broadcast re-join — with only integer sums aggregated (exact, so the
+    // oracle matches bit-for-bit; a production scorer would apply ln per
+    // token, which libm-vs-JVM last-ulp drift keeps out of the oracle).
+    // At 100 TB the broadcast side must be the min-count-pruned vocab —
+    // here the corpus vocab is small; prune with a HAVING count >= k stage
+    "tx12_freq_score" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("n_total"))
+      tok.join(broadcast(vocab), Seq("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("cnt").as("freq_sum"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("freq_sum").cast("double") / col("n_tokens") /
+            col("n_total").cast("double")).as("mean_freq"))
+        .orderBy("doc_id")
+    },
     // search-index dual fields: raw columns untouched + analyzed __tokens
     // arrays per SearchIndexSchema (tokenize-by-default, overrides opt out)
     "tx5_tokenized_fields" -> { (s, dir) =>
@@ -200,6 +223,15 @@ object TextQueries {
         "OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
         "- len(string_split(text, ' '))) // 1000 AS BIGINT) AS shard " +
         "FROM documents ORDER BY doc_id"),
+    "tx12_freq_score" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token), " +
+        "tot AS (SELECT sum(cnt) AS n_total FROM vocab), " +
+        "agg AS (SELECT doc_id, count(*) AS n_tokens, sum(cnt) AS freq_sum " +
+        "FROM tok JOIN vocab USING (token) GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, " +
+        "CAST(freq_sum AS DOUBLE) / n_tokens / CAST(n_total AS DOUBLE) AS mean_freq " +
+        "FROM agg, tot ORDER BY doc_id"),
     "tx11_chunking" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "c AS (SELECT doc_id, toks, unnest(generate_series(0, " +
