@@ -49,10 +49,12 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   /** Write a batch into a bucket stage. Partitioned by derived time column
     * when a temporal schema is declared; codec from the storage schema. */
   def write(b: Bucket, df: DataFrame, stage: String = "processed",
-      buffer: Option[String] = None, mode: SaveMode = SaveMode.Append): Unit = {
+      buffer: Option[String] = None, mode: SaveMode = SaveMode.Append,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
     val out = withTimePartition(b, df)
     val codec = b.dataSchema.storage.flatMap(_.codec).getOrElse("snappy")
     var w = out.write.mode(mode).option("compression", normalizeCodec(codec))
+      .options(extraOptions)
     if (out.columns.contains(PartitionCol)) w = w.partitionBy(PartitionCol)
     w.parquet(stageDir(b, stage, buffer).toString)
   }
@@ -133,6 +135,41 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     write(b, f(read(b, stage)), stage, Some(buf), SaveMode.Overwrite)
     promote(b, stage, buf)
     deleteDir(stageDir(b, stage, Some(buf)))
+  }
+
+  /** Small-file compaction: rewrite a stage so each time partition lands in
+    * as few files as its data needs. Micro-batch/streaming appends
+    * accumulate thousands of tiny parquet files per partition, and at
+    * 100 TB a scan over them is a metadata storm (one footer read + task
+    * per file). The rewrite hashes rows to `shufflePartitions` tasks BY THE
+    * TIME-PARTITION VALUE — so each partition value's rows co-locate and
+    * emit one file (plain `repartition(n)` would do the opposite: every
+    * task touches every partition value, multiplying files) — while
+    * `maxRecordsPerFile` still splits oversized partitions. Buffer+promote
+    * keeps concurrent readers atomic. Returns parquet files before/after. */
+  def compact(b: Bucket, stage: String = "processed",
+      shufflePartitions: Int = 32,
+      maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
+    val before = parquetFileCount(b, stage)
+    val buf = "compact_" + System.nanoTime()
+    val cur = read(b, stage)
+    val packed =
+      if (cur.columns.contains(PartitionCol))
+        cur.repartition(shufflePartitions, col(PartitionCol))
+      else cur.repartition(shufflePartitions)
+    write(b, packed, stage, Some(buf), SaveMode.Overwrite,
+      Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
+    promote(b, stage, buf)
+    deleteDir(stageDir(b, stage, Some(buf)))
+    (before, parquetFileCount(b, stage))
+  }
+
+  /** Count of parquet data files in a stage (diagnostic for compaction). */
+  def parquetFileCount(b: Bucket, stage: String): Long = {
+    val dir = stageDir(b, stage, None)
+    if (!Files.exists(dir)) 0L
+    else Files.walk(dir).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
   }
 
   /** Retention: drop whole time partitions older than `existAgeMax`

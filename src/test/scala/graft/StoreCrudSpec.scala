@@ -50,6 +50,28 @@ class StoreCrudSpec extends AnyFunSuite {
     assert(store.read(b, buffer = Some("staging")).columns.contains("r_regionkey"))
   }
 
+  test("compaction collapses micro-batch small files per time partition, data intact") {
+    val store = freshStore()
+    val events = Tables.t(spark, TestSession.sf, "events").cache()
+    // 6 appends of 8 tasks each ≈ a micro-batch append history
+    (0 until 6).foreach { i =>
+      store.write(eventsBucket,
+        events.filter(col("event_id") % 6 === i).repartition(8))
+    }
+    val before = store.parquetFileCount(eventsBucket, "processed")
+    val sumBefore = store.read(eventsBucket).agg(sum("event_id")).head().getLong(0)
+    val nBefore = store.read(eventsBucket).count()
+
+    val (b0, after) = store.compact(eventsBucket)
+    assert(b0 === before)
+    assert(after < before / 3, s"compaction $before -> $after files")
+    // every row survives, partition layout (and pruning) intact
+    assert(store.read(eventsBucket).count() === nBefore)
+    assert(store.read(eventsBucket).agg(sum("event_id")).head().getLong(0) === sumBefore)
+    assert(store.read(eventsBucket).columns.contains(BucketStore.PartitionCol))
+    events.unpersist()
+  }
+
   test("retention ages out old partitions only") {
     val store = freshStore()
     val b = eventsBucket.copy(dataSchema = eventsBucket.dataSchema.copy(
