@@ -163,6 +163,23 @@ object CoreQueries {
           sum(dec6(col("s_acctbal"))).cast("double").as("total_balance"))
         .orderBy("n_name")
     },
+    // ---- as-of (point-in-time) join: last-touch attribution — each
+    // purchase matched to the SAME user's latest click at-or-before it.
+    // Union + single key shuffle + ignoreNulls carry-forward window: the
+    // scalable as-of shape (no per-row range probe, no key×key product) --
+    "j7_asof_attrib" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("t", unix_micros(col("ts"))) // micros, matches epoch_us
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "t")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t").as("ct"),
+          col("event_id").as("click_id"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+          leftTs = "t", rightTs = "ct", payload = Seq("click_id", "ct"))
+        .select("event_id", "user_id", "click_id", "ct")
+        .orderBy("event_id")
+    },
     // ---- D1/D2: dedup winner-pick via window row_number ----------------
     "d1_dedup_window" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -223,6 +240,21 @@ object CoreQueries {
         "CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance " +
         "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),
+    // same union + carry-forward formulation; IGNORE NULLS last_value over
+    // the identical (t, side, click_id) order picks the identical row
+    "j7_asof_attrib" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events), " +
+        "u AS (SELECT user_id, t, 1 AS side, event_id, NULL::BIGINT AS click_id, NULL::BIGINT AS ct " +
+        "FROM ev WHERE event_type = 'purchase' " +
+        "UNION ALL SELECT user_id, t, 0, NULL, event_id, t FROM ev WHERE event_type = 'click'), " +
+        "w AS (SELECT *, " +
+        "last_value(click_id IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY t, side, click_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_click, " +
+        "last_value(ct IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY t, side, click_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ct " +
+        "FROM u) " +
+        "SELECT event_id, user_id, m_click AS click_id, m_ct AS ct " +
+        "FROM w WHERE side = 1 ORDER BY event_id"),
     "d1_dedup_window" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +
