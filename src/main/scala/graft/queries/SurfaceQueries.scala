@@ -179,6 +179,19 @@ object SurfaceQueries {
         .select(col("click_id"), col("p_id"), col("cu").as("user_id"))
         .orderBy("click_id", "p_id")
     },
+    // ---- stream-static join: enrich a purchase stream with the customer
+    // dim (broadcast — the dim is re-read per micro-batch, so a broadcast
+    // hash join keeps per-batch cost flat; stream side never shuffles) ----
+    "st9_stream_static_join" -> { (s, dir) =>
+      val stream = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val cust = Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val out = Streams.runToParquet(stream.filter(col("event_type") === "purchase"),
+        st => st.join(broadcast(cust), col("user_id") === col("c_custkey")))
+      out.select("event_id", "user_id", "c_name", "c_nationkey")
+        .orderBy("event_id")
+    },
     // ---- ST3/windowed: event-time tumbling day windows ------------------
     "st3_window_agg" -> { (s, dir) =>
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
@@ -274,6 +287,10 @@ object SurfaceQueries {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.t >= c.t AND p.t <= c.t + 3600000000 " +
         "ORDER BY click_id, p_id"),
+    "st9_stream_static_join" ->
+      ("SELECT event_id, user_id, c_name, c_nationkey FROM events " +
+        "JOIN customer ON user_id = c_custkey " +
+        "WHERE event_type = 'purchase' ORDER BY event_id"),
     "st3_window_agg" ->
       ("SELECT date_trunc('day', ts) AS wstart, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
