@@ -42,6 +42,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.getLong(3) === 9L)
   }
 
+  test("randomized as-of agrees with a naive per-row reference (fixed seed)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    // colliding timestamps on purpose: small ts range forces at-or-before
+    // ties and duplicate right timestamps through the tie-break path
+    val left = (1L to 400L).map(i =>
+      (i, s"k${rnd.nextInt(12)}", rnd.nextInt(40).toLong))
+    val right = (1L to 300L).map(i =>
+      (s"k${rnd.nextInt(15)}", rnd.nextInt(40).toLong, i))
+    val got = AsOfJoin.asOf(
+        left.toDF("event_id", "user_id", "t"),
+        right.toDF("user_id", "ct", "click_id"),
+        Seq("user_id"), "t", "ct", Seq("click_id", "ct"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // reference: per left row, scan all right rows — max (ct, click_id)
+    // among those with same key and ct <= t
+    val expected = left.map { case (id, k, t) =>
+      val matches = right.filter { case (rk, ct, _) => rk == k && ct <= t }
+      id -> (if (matches.isEmpty) -1L
+             else matches.maxBy { case (_, ct, cid) => (ct, cid) }._3)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("as-of plan shuffles once on the key (no join, no extra exchange)") {
     val spark2 = spark
     import spark2.implicits._
