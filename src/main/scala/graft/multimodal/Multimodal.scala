@@ -293,9 +293,12 @@ object Multimodal {
   final case class PcmWavEncoder(sampleRate: Int) extends MediaTransform {
     def transformBatch(batch: Seq[Array[Byte]]): Seq[Array[Byte]] =
       batch.map { pcm =>
-        val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+        // RIFF chunks are word-aligned: odd-sized data gets a pad byte that
+        // counts toward the RIFF size but NOT the data chunk size
+        val pad = pcm.length % 2
+        val bb = java.nio.ByteBuffer.allocate(44 + pcm.length + pad)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length + pad)
           .put("WAVE".getBytes("US-ASCII"))
           .put("fmt ".getBytes("US-ASCII")).putInt(16)
           .putShort(1)                 // PCM
@@ -331,10 +334,14 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
-          val nFrames = in.getFrameLength
+          val nFrames = in.getFrameLength // NOT_SPECIFIED (-1) for unbounded streams
           val rate = fmt.getSampleRate.toInt
           var ampSum: Long = 0L
-          if (fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1) {
+          // the |b - 128| amplitude formula is the UNSIGNED zero point —
+          // guard on the encoding too, or signed 8-bit (e.g. AIFF) would
+          // produce a plausible-looking wrong sum instead of the sentinel
+          if (fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) {
             val buf = new Array[Byte](8192)
             var n = in.read(buf)
             while (n > 0) {
@@ -342,9 +349,11 @@ object Multimodal {
               while (i < n) { ampSum += math.abs((buf(i) & 0xff) - 128); i += 1 }
               n = in.read(buf)
             }
-          } else ampSum = -1L // defined only for the 8-bit mono layout
-          Row(rate, fmt.getChannels, nFrames,
-            if (rate > 0) nFrames * 1000L / rate else null, ampSum)
+          } else ampSum = -1L // defined only for the 8-bit unsigned mono layout
+          Row(rate, fmt.getChannels,
+            if (nFrames >= 0) nFrames else null,
+            if (nFrames >= 0 && rate > 0) nFrames * 1000L / rate else null,
+            ampSum)
         } finally in.close()
       } catch { case _: Exception => Row(null, null, null, null, null) }
   }
