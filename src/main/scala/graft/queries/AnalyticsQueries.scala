@@ -52,6 +52,35 @@ object AnalyticsQueries {
         .select("o_custkey", "o_orderkey", "run_spend", "prev_order")
         .orderBy("o_custkey", "o_orderkey")
     },
+    // ---- window navigation: lag/lead — per-customer order cadence -------
+    // (gap to previous order in days, next order id). One shuffle on the
+    // partition key; the window order (o_orderdate, o_orderkey) is unique
+    // per customer so lag/lead are deterministic
+    "w3_lag_lead" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+        .select("o_custkey", "o_orderkey", "gap_days", "next_order")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // ---- grouping sets: the explicit-set sibling of rollup/cube ---------
+    // (per-status totals and per-priority totals in ONE pass — Catalyst
+    // expands to a single Expand + hash-agg, not two scans)
+    "q8_grouping_sets" -> { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec6(col("o_totalprice"))).cast("double").as("spend"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("spend"))
+        .orderBy("status", "priority")
+    },
     // ---- rollup: (status, priority) hierarchy with subtotals ------------
     "q5_rollup" -> { (s, dir) =>
       Tables.t(s, dir, "orders")
@@ -140,6 +169,20 @@ object AnalyticsQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend, " +
         "lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order " +
         "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "w3_lag_lead" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days, " +
+        "next_order FROM (SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "lag(o_orderdate, 1) OVER w AS prev_date, " +
+        "lead(o_orderkey, 1) OVER w AS next_order FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q8_grouping_sets" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) " +
+        "ORDER BY status, priority"),
     "q5_rollup" ->
       ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
         "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n, " +

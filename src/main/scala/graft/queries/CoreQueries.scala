@@ -180,6 +180,27 @@ object CoreQueries {
         .select("event_id", "user_id", "click_id", "ct")
         .orderBy("event_id")
     },
+    // ---- range (interval) join: ALL clicks within the hour before each
+    // purchase by the same user — the keep-all-matches sibling of j7. The
+    // purchase interval [t-1h, t] is exploded to its covered 1h bins and
+    // the join runs as a plain shuffled equi-join on (user_id, bin): no
+    // nested-loop, no per-key quadratic post-filter blowup ----------------
+    "j8_range_join" -> { (s, dir) =>
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("t", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("t") - hourUs).as("w_start"), col("t").as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("t").as("ct"))
+      graft.ops.RangeJoin.binned(clicks, purchases, Seq("user_id"),
+          pointCol = "ct", startCol = "w_start", endCol = "w_end",
+          binWidth = hourUs)
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    },
     // ---- D1/D2: dedup winner-pick via window row_number ----------------
     "d1_dedup_window" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -255,6 +276,14 @@ object CoreQueries {
         "FROM u) " +
         "SELECT event_id, user_id, m_click AS click_id, m_ct AS ct " +
         "FROM w WHERE side = 1 ORDER BY event_id"),
+    // all-pairs formulation of the same interval predicate — identical
+    // result, non-scalable plan (the engine side bins instead)
+    "j8_range_join" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM events p JOIN events c ON p.user_id = c.user_id " +
+        "AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts) " +
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "ORDER BY purchase_id, click_id"),
     "d1_dedup_window" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +

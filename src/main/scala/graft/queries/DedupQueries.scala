@@ -127,6 +127,49 @@ object DedupQueries {
           jaccard(col("a.sh"), col("b.sh")).as("jacc"))
         .orderBy("doc_a")
     },
+    // candidate VERIFICATION — the stage between LSH and clustering in a
+    // production dedup pipeline: LSH candidates are probabilistic (band
+    // collisions admit false positives), so each candidate pair is scored
+    // with the EXACT shingle Jaccard and only pairs over the threshold
+    // survive. Scale shape: the expensive exact scorer runs on the
+    // LSH-bounded candidate set only (never all pairs), fed by two
+    // co-keyed joins back to the shingle table
+    "dd12_lsh_verified" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val sh = docs.withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), wordShingles(col("toks"), 3).as("sh"))
+      minhashCandidates(docs, "doc_id", "text")
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    // chunk-level exact dedup (the line/paragraph-dedup shape on this
+    // newline-free corpus): split every doc into non-overlapping 64-token
+    // chunks, keep only the FIRST corpus-wide occurrence of each distinct
+    // chunk. One hash-agg with a lexicographic min-struct winner — partial
+    // (map-side) aggregation shrinks the shuffle, unlike a window over the
+    // raw chunk rows. At 100 TB, group on a chunk fingerprint + one exact
+    // verify join instead of shuffling full chunk text
+    "dd13_chunk_dedup" -> { (s, dir) =>
+      val chunkSize = 64
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("chunk_idx", explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(chunkSize)).cast("int"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", slice(col("toks"),
+            col("chunk_idx") * lit(chunkSize) + 1, lit(chunkSize))).as("chunk"))
+        .groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"),
+          col("w.chunk_idx").as("chunk_idx"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    },
     // dedup clustering: MinHash-LSH candidate pairs → connected components
     // (min-member component ids; singletons keep themselves) — pairs become
     // dedup GROUPS, the keep-one-representative unit of a real pipeline
@@ -245,6 +288,29 @@ object DedupQueries {
         "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh " +
         "WHERE l.doc_id % 10 <> 0 AND r.doc_id % 10 = 0 " +
         "ORDER BY corpus_doc, new_doc"),
+    // bands CTE for the candidates, then the dd4 exact-jaccard expression
+    // on each candidate pair (the `sh` CTE inside bandsCtePrefix carries
+    // the shingle sets)
+    "dd12_lsh_verified" ->
+      (s"$bandsCtePrefix, " +
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b " +
+        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id), " +
+        "scored AS (SELECT doc_a, doc_b, " +
+        "CASE WHEN (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / " +
+        "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) END AS jacc " +
+        "FROM cand JOIN sh a ON a.doc_id = cand.doc_a JOIN sh b ON b.doc_id = cand.doc_b) " +
+        "SELECT doc_a, doc_b, jacc FROM scored WHERE jacc >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
+    "dd13_chunk_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, " +
+        "array_to_string(toks[(i*64+1):(i*64+64)], ' ') AS chunk " +
+        "FROM (SELECT doc_id, toks, unnest(generate_series(0, " +
+        "CAST(floor((len(toks) - 1) / 64.0) AS BIGINT))) AS i FROM t)) " +
+        "SELECT doc_id, chunk_idx, chunk FROM c " +
+        "QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 " +
+        "ORDER BY doc_id, chunk_idx"),
     "dd6_dedup_clusters" ->
       (s"$ccCtePrefix " +
         "SELECT node AS doc_id, min(r) AS component FROM reach " +

@@ -40,6 +40,23 @@ object OpsQueries {
       .orderBy("subsystem", "level", "message", "win_start")
 
   val queries: Map[String, Q] = Map(
+    // ---- bloom-pruned semi-join: a selective order filter keeps ~3% of
+    // keys; the bloom bitmap (built distributed, broadcast back) prunes
+    // the lineitem side BEFORE its shuffle, then the exact semi-join
+    // removes bloom false positives — result provably identical to the
+    // plain semi-join the oracle runs ------------------------------------
+    "bf1_bloom_prune" -> { (s, dir) =>
+      val urgent = Tables.t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") >= 250000.0)
+        .select("o_orderkey")
+      graft.ops.BloomPrune.semiJoin(
+          Tables.t(s, dir, "lineitem"), urgent,
+          probeKey = "l_orderkey", buildKey = "o_orderkey",
+          expectedNumItems = 100000L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     // ---- S7: legacy V1 query object with control fields -----------------
     "s7_legacy_query" -> { (s, dir) =>
       val q = LegacyQuerySource.parse(Map(
@@ -166,6 +183,11 @@ object OpsQueries {
         "ORDER BY subsystem, level, message, win_start")
 
   val oracle: Map[String, String] = Map(
+    "bf1_bloom_prune" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey " +
+        "AND o_orderpriority = '1-URGENT' AND o_totalprice >= 250000) " +
+        "ORDER BY l_orderkey, l_linenumber"),
     "s7_legacy_query" ->
       ("SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' " +
         "AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' " +
