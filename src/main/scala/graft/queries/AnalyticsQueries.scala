@@ -81,6 +81,22 @@ object AnalyticsQueries {
           col("n"), col("spend"))
         .orderBy("status", "priority")
     },
+    // ---- pivot: long→wide reshaping with EXPLICIT pivot values — at
+    // scale, always pass the value list (otherwise Spark runs an extra
+    // distinct-values job over the whole input before it can even plan).
+    // One hash-agg; absent cells coalesce to 0 like the oracle's
+    // FILTER-ed counts ----------------------------------------------------
+    "q9_pivot" -> { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("priority"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("priority")
+    },
     // ---- rollup: (status, priority) hierarchy with subtotals ------------
     "q5_rollup" -> { (s, dir) =>
       Tables.t(s, dir, "orders")
@@ -183,6 +199,12 @@ object AnalyticsQueries {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) " +
         "ORDER BY status, priority"),
+    "q9_pivot" ->
+      ("SELECT o_orderpriority AS priority, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY priority"),
     "q5_rollup" ->
       ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
         "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n, " +

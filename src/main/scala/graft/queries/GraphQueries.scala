@@ -175,6 +175,22 @@ object GraphQueries {
           sumMaxMerge)
         .orderBy("src", "dst")
     },
+    // graph analytics: exact triangle count over the supplier co-service
+    // graph (suppliers sharing a high-quantity order). Wedge join +
+    // closing semi-join — two co-keyed shuffles, no adjacency state on
+    // the driver; the degree-ordered variant (TrianglesSpec pins equality)
+    // bounds wedge explosion on skewed graphs
+    "g10_triangle_count" -> { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48.0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .distinct()
+      graft.graph.Triangles.count(edges)
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -198,6 +214,14 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // all-pairs triple join over the canonical (u<v) edge set — exact
+    // same count, oracle-sized plan
+    "g10_triangle_count" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey) " +
+        "SELECT count(*) AS n_triangles FROM e e1 " +
+        "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v"),
     "g1_decompose" ->
       ("SELECT vtype, n_candidates, n_keys FROM (" +
         "SELECT 'customer' AS vtype, count(*) AS n_candidates, count(DISTINCT o_custkey) AS n_keys FROM orders " +
