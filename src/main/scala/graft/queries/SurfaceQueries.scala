@@ -179,6 +179,29 @@ object SurfaceQueries {
         .select(col("click_id"), col("p_id"), col("cu").as("user_id"))
         .orderBy("click_id", "p_id")
     },
+    // ---- stream-stream LEFT OUTER interval join: clicks with no purchase
+    // within the hour emit null-padded — but ONLY once the global watermark
+    // (min of both sides' max-event-time minus the 1h delay) passes their
+    // join window; trailing clicks still inside that horizon never emit.
+    // The oracle reproduces exactly that cutoff ---------------------------
+    "st10_stream_outer_join" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ojoinsrc").toString
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      Streams.runToParquet(
+          Streams.intervalJoin(clicks, purchases, "cu", "pu",
+            "click_ts", "p_ts", windowSeconds = 3600,
+            joinType = "left_outer"))
+        .select(col("click_id"), col("p_id"), col("cu").as("user_id"))
+        .orderBy(col("click_id"), col("p_id"))
+    },
     // ---- stream-static join: enrich a purchase stream with the customer
     // dim (broadcast — the dim is re-read per micro-batch, so a broadcast
     // hash join keeps per-batch cost flat; stream side never shuffles) ----
@@ -287,6 +310,20 @@ object SurfaceQueries {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.t >= c.t AND p.t <= c.t + 3600000000 " +
         "ORDER BY click_id, p_id"),
+    // left join + watermark cutoff: unmatched clicks appear only if their
+    // 1h window closed before the final watermark = min(max click t, max
+    // purchase t) - 1h (Spark's multi-watermark "min" policy); NULLS FIRST
+    // mirrors Spark's asc_nulls_first default
+    "st10_stream_outer_join" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events), " +
+        "c AS (SELECT event_id AS click_id, user_id, t FROM ev WHERE event_type = 'click'), " +
+        "p AS (SELECT event_id AS p_id, user_id AS pu, t AS pt FROM ev WHERE event_type = 'purchase'), " +
+        "wm AS (SELECT least((SELECT max(t) FROM c), (SELECT max(pt) FROM p)) - 3600000000 AS w), " +
+        "j AS (SELECT c.click_id, p.p_id, c.user_id, c.t FROM c " +
+        "LEFT JOIN p ON c.user_id = p.pu AND p.pt >= c.t AND p.pt <= c.t + 3600000000) " +
+        "SELECT click_id, p_id, user_id FROM j, wm " +
+        "WHERE p_id IS NOT NULL OR t + 3600000000 < w " +
+        "ORDER BY click_id, p_id NULLS FIRST"),
     "st9_stream_static_join" ->
       ("SELECT event_id, user_id, c_name, c_nationkey FROM events " +
         "JOIN customer ON user_id = c_custkey " +

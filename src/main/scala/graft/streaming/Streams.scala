@@ -159,16 +159,23 @@ object Streams {
     * `right` with equal `keyCol` whose `rightTs` falls within
     * [leftTs, leftTs + windowSeconds]. Both sides carry watermarks so join
     * state is bounded by the interval + lateness horizon — the canonical
-    * Structured Streaming two-stream correlation (click→conversion). */
+    * Structured Streaming two-stream correlation (click→conversion).
+    *
+    * `joinType = "left_outer"`: unmatched left rows emit null-padded, but
+    * only once the watermark passes their join window (`leftTs + window`) —
+    * left rows inside the final watermark horizon are still awaiting a
+    * match when the stream ends and never emit. A consumer (and any
+    * batch-equivalence oracle) must account for that trailing horizon. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String, windowSeconds: Long,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r, l(leftKey) === r(rightKey) &&
       r(rightTs) >= l(leftTs) &&
-      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      joinType)
   }
 
   /** Windowed aggregation run to completion: update-mode changelog appended
