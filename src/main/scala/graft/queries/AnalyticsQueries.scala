@@ -81,6 +81,18 @@ object AnalyticsQueries {
           col("n"), col("spend"))
         .orderBy("status", "priority")
     },
+    // ---- time-range window frame: events per user in the trailing hour —
+    // the sliding-feature shape (RANGE frame on event-time micros, not a
+    // row count), one shuffle on the partition key ------------------------
+    "w4_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("t"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.t(s, dir, "events")
+        .withColumn("t", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy("event_id")
+    },
     // ---- pivot: long→wide reshaping with EXPLICIT pivot values — at
     // scale, always pass the value list (otherwise Spark runs an extra
     // distinct-values job over the whole input before it can even plan).
@@ -199,6 +211,10 @@ object AnalyticsQueries {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) " +
         "ORDER BY status, priority"),
+    "w4_range_frame" ->
+      ("SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "AS n_last_hour FROM events ORDER BY event_id"),
     "q9_pivot" ->
       ("SELECT o_orderpriority AS priority, " +
         "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +

@@ -17,7 +17,7 @@ object DedupQueries {
 
   /** DuckDB fragment: unsigned 32-bit int from the first 8 md5 hex chars
     * (= Spark `conv(substring(md5(x),1,8),16,10)`). */
-  private def md5IntSql(x: String): String =
+  private[queries] def md5IntSql(x: String): String =
     s"list_reduce([strpos('0123456789abcdef', c) - 1 FOR c IN regexp_extract_all(substr(md5($x), 1, 8), '.')], (a, d) -> a * 16 + d)"
 
   /** DuckDB fragment: distinct word-3-gram shingles of `text`. */

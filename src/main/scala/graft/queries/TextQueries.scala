@@ -15,6 +15,30 @@ object TextQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ---- pp1: the whole preprocessing front-end in ONE Catalyst plan ----
+    // langid → quality gate → exact-dedup keep-first → deterministic
+    // per-source mix sampling. Everything is narrow projections + one
+    // fingerprint hash-agg (map-side partial min-struct, same shape as
+    // dd13) + one RNG-free filter, so the composition neither collects nor
+    // re-shuffles between stages — the plan a 100 TB corpus pass wants
+    "pp1_preprocess" -> { (s, dir) =>
+      val scored = Tables.t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("pred_lang", langIdFromTokens(col("toks")))
+        .withColumn("quality", qualityScoreFromTokens(col("toks"), col("text")))
+        .filter(col("quality") >= 0.4)
+      val kept = scored
+        .withColumn("fp", fingerprintMd5(col("text")))
+        .groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("pred_lang"), col("quality"),
+          col("source"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.pred_lang").as("pred_lang"),
+          col("w.quality").as("quality"), col("w.source").as("source"))
+      kept.filter(graft.ops.Sampling.stratifiedKeep(col("doc_id"), col("source"),
+          Map("src0" -> 10, "src1" -> 50, "src2" -> 90), defaultPct = 30))
+        .select("doc_id", "pred_lang", "quality", "source")
+        .orderBy("doc_id")
+    },
     "tx1_langid" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .withColumn("toks", tokens(col("text")))
@@ -215,6 +239,28 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // same stage order: tx2's quality arithmetic (identical expression
+    // tree), dd1's fingerprint, tx10's md5 sampler — composed verbatim so
+    // nothing can drift from the single-stage oracles
+    "pp1_preprocess" -> {
+      val stop = scoreSql(LangMarkers.head._2)
+      "WITH base AS (SELECT doc_id, source, text, " +
+        "CAST(len(string_split(text,' ')) AS DOUBLE) AS nTok, " +
+        "CAST(length(text) AS DOUBLE) AS nChar FROM documents), " +
+        s"q AS (SELECT doc_id, source, text, $langCase AS pred_lang, " +
+        s"(CAST(($stop) AS DOUBLE) / nTok) * 0.25 " +
+        "+ least(((nChar - (nTok - 1.0)) / nTok) / 10.0, 1.0) * 0.25 " +
+        "+ least(nTok / 100.0, 1.0) * 0.5 AS quality FROM base), " +
+        "f AS (SELECT * FROM q WHERE quality >= 0.4), " +
+        "d AS (SELECT doc_id, pred_lang, quality, source FROM f " +
+        "QUALIFY row_number() OVER (PARTITION BY " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) " +
+        "ORDER BY doc_id) = 1) " +
+        "SELECT doc_id, pred_lang, quality, source FROM d " +
+        s"WHERE (${DedupQueries.md5IntSql("CAST(doc_id AS VARCHAR)")}) % 100 < " +
+        "CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 " +
+        "WHEN 'src2' THEN 90 ELSE 30 END ORDER BY doc_id"
+    },
     "tx6_pii_scrub" ->
       s"SELECT doc_id, $piiScrubSql AS clean FROM documents ORDER BY doc_id",
     "tx7_shard_packing" ->
