@@ -74,8 +74,11 @@ object Triangles {
     closeAndCount(wedges, closing)
   }
 
+  /** `closing` must be duplicate-free: both call paths derive it from the
+    * canonicalized (distinct) edge set — countOriented's two-orientation
+    * union cannot collide because each undirected edge appears in exactly
+    * one orientation. A re-distinct here would re-shuffle all m edges. */
   private def closeAndCount(wedges: DataFrame, closing: DataFrame): DataFrame =
-    wedges.join(closing.select(col("u"), col("w")).distinct(),
-        Seq("u", "w"), "inner")
+    wedges.join(closing.select(col("u"), col("w")), Seq("u", "w"), "inner")
       .agg(fn.count(lit(1)).as("n_triangles"))
 }

@@ -50,6 +50,9 @@ object RangeJoin {
     val collisions =
       (points.columns.toSet & intervals.columns.toSet) -- keys.toSet
     require(collisions.isEmpty, s"non-key columns collide: $collisions")
+    // the internal bin key would silently clobber a same-named input column
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "input columns must not be named __bin (reserved by RangeJoin)")
 
     val pts = points.withColumn("__bin", floorDiv(col(pointCol), binWidth))
     val startBin = floorDiv(col(startCol), binWidth)

@@ -15,6 +15,23 @@ import graft.streaming.Streams
 object SurfaceQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Shared st7/st10 front half: land events in a fresh dir, stream it
+    * back, and project the click / purchase join sides. One definition so
+    * the two interval-join queries can only differ in join type. */
+  private def clickPurchaseStreams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.t(s, dir, "events")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_joinsrc").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    (clicks, purchases)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- Q1: arbitrary SQL over registered bucket views -----------------
     "sql1_arbitrary" -> { (s, dir) =>
@@ -163,16 +180,7 @@ object SurfaceQueries {
     // ---- stream-stream interval join: click → purchase conversions within
     // an hour, watermark-bounded join state on both sides
     "st7_stream_join" -> { (s, dir) =>
-      val ev = Tables.t(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_joinsrc").toString
-      ev.write.mode("overwrite").parquet(tmp)
-      val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
-      val clicks = stream.filter(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
-          col("event_id").as("click_id"))
-      val purchases = stream.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("pu"), col("ts").as("p_ts"),
-          col("event_id").as("p_id"))
+      val (clicks, purchases) = clickPurchaseStreams(s, dir)
       Streams.runToParquet(
           Streams.intervalJoin(clicks, purchases, "cu", "pu",
             "click_ts", "p_ts", windowSeconds = 3600))
@@ -185,16 +193,7 @@ object SurfaceQueries {
     // join window; trailing clicks still inside that horizon never emit.
     // The oracle reproduces exactly that cutoff ---------------------------
     "st10_stream_outer_join" -> { (s, dir) =>
-      val ev = Tables.t(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ojoinsrc").toString
-      ev.write.mode("overwrite").parquet(tmp)
-      val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
-      val clicks = stream.filter(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
-          col("event_id").as("click_id"))
-      val purchases = stream.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("pu"), col("ts").as("p_ts"),
-          col("event_id").as("p_id"))
+      val (clicks, purchases) = clickPurchaseStreams(s, dir)
       Streams.runToParquet(
           Streams.intervalJoin(clicks, purchases, "cu", "pu",
             "click_ts", "p_ts", windowSeconds = 3600,
@@ -313,12 +312,16 @@ object SurfaceQueries {
     // left join + watermark cutoff: unmatched clicks appear only if their
     // 1h window closed before the final watermark = min(max click t, max
     // purchase t) - 1h (Spark's multi-watermark "min" policy); NULLS FIRST
-    // mirrors Spark's asc_nulls_first default
+    // mirrors Spark's asc_nulls_first default. Spark tracks event-time
+    // watermarks in WHOLE MILLISECONDS (EventTimeStats floors µs→ms), so
+    // each side's max is floored to ms before the min/delay arithmetic —
+    // an exact-µs cutoff would wrongly emit rows in the sub-ms band
     "st10_stream_outer_join" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events), " +
         "c AS (SELECT event_id AS click_id, user_id, t FROM ev WHERE event_type = 'click'), " +
         "p AS (SELECT event_id AS p_id, user_id AS pu, t AS pt FROM ev WHERE event_type = 'purchase'), " +
-        "wm AS (SELECT least((SELECT max(t) FROM c), (SELECT max(pt) FROM p)) - 3600000000 AS w), " +
+        "wm AS (SELECT (least((SELECT max(t) FROM c) // 1000, (SELECT max(pt) FROM p) // 1000) " +
+        "- 3600000) * 1000 AS w), " +
         "j AS (SELECT c.click_id, p.p_id, c.user_id, c.t FROM c " +
         "LEFT JOIN p ON c.user_id = p.pu AND p.pt >= c.t AND p.pt <= c.t + 3600000000) " +
         "SELECT click_id, p_id, user_id FROM j, wm " +
