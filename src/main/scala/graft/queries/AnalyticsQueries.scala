@@ -173,6 +173,27 @@ object AnalyticsQueries {
           expr("percentile(value, 0.95)").as("p95"))
         .orderBy("event_type")
     },
+    // ---- window distribution functions: quartile bucket + percent rank —
+    // ntile's uneven-bucket rule and percent_rank's (rank-1)/(n-1) are both
+    // exact integer arithmetic (+ one division), so the oracle hash-matches
+    "w5_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // ---- approximate quantile (KLL-style sketch): rows-only check like
+    // approx1 — sketches aren't bit-reproducible across engines; ApproxSpec
+    // bounds the rank error against the exact percentile instead
+    "approx2_quantile" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"))
+        .orderBy("event_type")
+    },
     // ---- approximate distinct (HLL++): rows-only check — HLL sketches
     // aren't bit-reproducible across engines; ApproxSpec bounds the error
     // against the exact count instead
@@ -211,6 +232,12 @@ object AnalyticsQueries {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) " +
         "ORDER BY status, priority"),
+    "w5_ntile" ->
+      ("SELECT o_custkey, o_orderkey, CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
+        "percent_rank() OVER w AS pr FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    // approx2_quantile intentionally has no oracle (rows-only check)
     "w4_range_frame" ->
       ("SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +

@@ -34,6 +34,21 @@ object SurfaceQueries {
 
   val queries: Map[String, Q] = Map(
     // ---- Q1: arbitrary SQL over registered bucket views -----------------
+    // correlated scalar subqueries through the arbitrary-SQL surface —
+    // Catalyst decorrelates both into aggregate joins (no per-row re-scan
+    // of orders survives into the physical plan), which is exactly why the
+    // SQL surface can take this shape at 100 TB. Integer-only arithmetic
+    // keeps the oracle comparison exact
+    "q10_correlated" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      gsql.SqlSurface.runSql(s,
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE (SELECT count(*) FROM orders o
+          |       WHERE o.o_custkey = c.c_custkey
+          |         AND o.o_orderpriority = '1-URGENT') * 5
+          |    > (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
     "sql1_arbitrary" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       gsql.SqlSurface.runSql(s,
@@ -239,6 +254,12 @@ object SurfaceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q10_correlated" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT') * 5 " +
+        "> (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+        "ORDER BY c_custkey"),
     "sql1_arbitrary" ->
       ("SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend, " +
         "count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey " +

@@ -23,4 +23,21 @@ class ApproxSpec extends AnyFunSuite {
         s"$k: approx $a vs exact $n")
     }
   }
+
+  test("approx p50 per event_type sits inside the exact p40..p60 band") {
+    val approx = SparkEntry.queries("approx2_quantile")(spark, TestSession.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
+    // the p40..p60 band is ~100x looser — stable across sketch layouts
+    val bands = Tables.t(spark, TestSession.sf, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.4)").as("lo"),
+        expr("percentile(value, 0.6)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === bands.keySet)
+    bands.foreach { case (k, (lo, hi)) =>
+      val a = approx(k)
+      assert(a >= lo && a <= hi, s"$k: approx p50 $a outside [$lo, $hi]")
+    }
+  }
 }
