@@ -259,6 +259,41 @@ class PlanSpec extends AnyFunSuite {
       s"found a per-language window over documents:\n${langOnly.mkString("\n")}\n$plan")
   }
 
+  test("binned range join plans as an equi-join on (key, bin) — no nested loop") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("j8_range_join")(spark, TestSession.sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a non-equi plan:\n$plan")
+    assert(plan.contains("__bin"), s"bin key missing from the join plan:\n$plan")
+  } }
+
+  test("bloom prune evaluates scan-adjacent, before any exchange") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("bf1_bloom_prune")(spark, TestSession.sf))
+    // the bloom membership UDF must land in the lineitem scan's data
+    // filters (pre-shuffle), not after the semi-join
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("lineitem.parquet") && l.contains("DataFilters"))
+      .orElse(plan.linesIterator.find(l => l.contains("DataFilters") && l.contains("UDF")))
+      .getOrElse("")
+    assert(scanLine.contains("UDF"),
+      s"bloom filter not scan-adjacent:\n$plan")
+  } }
+
+  test("chunk dedup aggregates map-side before the shuffle (partial min)") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("dd13_chunk_dedup")(spark, TestSession.sf))
+    assert(plan.contains("partial_min"),
+      s"no map-side partial aggregation in:\n$plan")
+  } }
+
+  test("triangle counting is all equi-joins — no cartesian wedge product") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("g10_triangle_count")(spark, TestSession.sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"triangle count fell into a product plan:\n$plan")
+  } }
+
   test("graph lifecycle prunes the lineitem scan to the edge columns") { uncached {
     // g9 stacks decompose → mergeVertices → resolveEdges → mergeEdges; the
     // mapGroups merge is a deserialization barrier, but column pruning must
