@@ -150,6 +150,34 @@ object SurfaceQueries {
       Multimodal.extractAudioFeatures(wav, "doc_id", "content")
         .orderBy("doc_id")
     },
+    // ---- multimodal image dedup e2e: deterministic 8×8 PNG per doc whose
+    // pixels sample the doc's SORTED token hashes (near-dup texts share
+    // token sets → near-identical rasters), then the REAL decode→aHash→
+    // hamming-banded pairing path. Rows-only check: no PNG decoder in the
+    // oracle engine; MultimodalSpec pins aHash semantics on known pixels --
+    "mm5_image_neardup" -> { (s, dir) =>
+      val toPng = udf((text: String) => {
+        val toks = text.split(' ').distinct.sorted
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < 64) {
+          val v = if (toks.isEmpty) 0
+            else toks(((j.toLong * toks.length) / 64).toInt).hashCode & 0xff
+          img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("png", toPng(col("text")))
+      val hashes = Multimodal.extractImageHashes(docs, "doc_id", "png")
+      graft.dedup.TextDedup.hammingCandidates(hashes.na.drop(),
+          "doc_id", "ahash", maxDist = 4, bits = 64)
+        .orderBy("doc_a", "doc_b")
+    },
     // ---- ST1: passthrough stream (availableNow over events parquet) -----
     "st1_passthrough" -> { (s, dir) =>
       val batchDf = Tables.t(s, dir, "events")
