@@ -270,14 +270,15 @@ class PlanSpec extends AnyFunSuite {
   test("bloom prune evaluates scan-adjacent, before any exchange") { uncached {
     val plan = formattedPlan(
       SparkEntry.queries("bf1_bloom_prune")(spark, TestSession.sf))
-    // the bloom membership UDF must land in the lineitem scan's data
-    // filters (pre-shuffle), not after the semi-join
+    // the bloom membership UDF must land in the LINEITEM (probe) scan's
+    // data filters (pre-shuffle), not after the semi-join and not on the
+    // build side — no fallback: if the plan format stops carrying both on
+    // one line, this must fail loudly, not silently weaken
     val scanLine = plan.linesIterator
       .find(l => l.contains("lineitem.parquet") && l.contains("DataFilters"))
-      .orElse(plan.linesIterator.find(l => l.contains("DataFilters") && l.contains("UDF")))
-      .getOrElse("")
+      .getOrElse(fail(s"no lineitem scan DataFilters line in:\n$plan"))
     assert(scanLine.contains("UDF"),
-      s"bloom filter not scan-adjacent:\n$plan")
+      s"bloom filter not on the probe scan:\n$scanLine")
   } }
 
   test("chunk dedup aggregates map-side before the shuffle (partial min)") { uncached {
