@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Three-clause MERGE (the lakehouse write primitive): reconcile a target
+  * table with a source batch in ONE pass —
+  * WHEN MATCHED AND <cond> THEN DELETE / WHEN MATCHED THEN UPDATE SET … /
+  * WHEN NOT MATCHED THEN INSERT …. The reference reaches the same end
+  * states through per-document Mongo/ES upsert-or-delete round trips
+  * (`MongoDbCrudService.java` updateObjectBySpec / deleteObjectBySpec);
+  * here the whole batch is a single co-keyed FULL OUTER shuffle join plus
+  * one clause-dispatch projection — no per-row round trips, no driver
+  * state, and the rewrite composes with [[graft.store.BucketStore]]'s
+  * secondary-buffer promote for atomic swap-in.
+  *
+  * Contracts: `source` has at most one row per key (MERGE's standard
+  * cardinality rule — duplicate source keys would apply a nondeterministic
+  * clause), and non-key column names are disjoint across the two sides so
+  * clause expressions can reference either unambiguously.
+  */
+object MergeInto {
+
+  /** @param keys        equi-key columns present on both sides
+    * @param matchedDelete  over matched rows: drop the target row (wins
+    *                    over update, like MERGE clause order)
+    * @param matchedUpdate  target column → replacement expression (source
+    *                    columns in scope); unlisted columns carry over
+    * @param notMatchedInsert target column → value expression for
+    *                    source-only keys; unlisted non-key columns become
+    *                    null; None = source-only rows are ignored
+    * @return the merged table with exactly the target's columns */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      matchedDelete: Option[Column] = None,
+      matchedUpdate: Map[String, Column] = Map.empty,
+      notMatchedInsert: Option[Map[String, Column]] = None): DataFrame = {
+    val collisions =
+      (target.columns.toSet & source.columns.toSet) -- keys.toSet
+    require(collisions.isEmpty, s"non-key columns collide: $collisions")
+    require(!target.columns.contains("__t") && !source.columns.contains("__s"),
+      "input columns must not be named __t/__s (reserved by MergeInto)")
+
+    val t = target.withColumn("__t", lit(1))
+    val s = source.withColumn("__s", lit(1))
+    val j = t.join(s, keys, "full_outer")
+
+    val matched = col("__t").isNotNull && col("__s").isNotNull
+    val sourceOnly = col("__t").isNull
+    val deleted = matchedDelete.map(d => matched && coalesce(d, lit(false)))
+      .getOrElse(lit(false))
+    val insertable = notMatchedInsert.isDefined
+
+    val outCols = target.columns.toSeq.map { c =>
+      if (keys.contains(c)) col(c).as(c) // using-join already coalesced keys
+      else {
+        val onMatch = matchedUpdate.getOrElse(c, col(c))
+        val onInsert = notMatchedInsert.flatMap(_.get(c))
+          .getOrElse(lit(null))
+        when(matched, onMatch)
+          .when(sourceOnly, onInsert)
+          .otherwise(col(c)).as(c)
+      }
+    }
+    j.filter(!deleted)
+      .filter(if (insertable) lit(true) else col("__t").isNotNull)
+      .select(outCols: _*)
+  }
+}

@@ -92,6 +92,29 @@ object UpdateQueries {
         .unionByName(updates)
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     },
+    // three-clause MERGE INTO (beyond-ref lakehouse primitive): amendments
+    // update matched orders' price, flagged matches delete, unseen keys
+    // insert — one full-outer co-keyed join + clause projection, vs the
+    // reference's per-document upsert/delete round trips
+    "u16_merge_into" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val target = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val amendments = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000).as("src_price"),
+          (col("o_orderkey") % 97 === 0).as("src_del"))
+      val arrivals = orders.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice").as("src_price"), lit(false).as("src_del"))
+      graft.ops.MergeInto.merge(target,
+          amendments.unionByName(arrivals), Seq("o_orderkey"),
+          matchedDelete = Some(col("src_del")),
+          matchedUpdate = Map("o_totalprice" -> col("src_price")),
+          notMatchedInsert = Some(Map(
+            "o_totalprice" -> col("src_price"),
+            "o_orderstatus" -> lit("N"))))
+        .orderBy("o_orderkey")
+    },
     // U11: top-k delete (sort+limit victims, anti-join rewrite)
     "u11_topk_delete" -> { (s, dir) =>
       val orders = Tables.t(s, dir, "orders")
@@ -156,6 +179,20 @@ object UpdateQueries {
         "','), '') AS qtys FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
     "u8_delete_doc" ->
       "SELECT * FROM orders WHERE o_orderstatus != 'F' ORDER BY o_orderkey",
+    // FULL JOIN + clause CASEs — the declarative statement of the same
+    // three-clause dispatch
+    "u16_merge_into" ->
+      ("WITH src AS (SELECT o_orderkey AS k, o_totalprice + 1000 AS src_price, " +
+        "(o_orderkey % 97 = 0) AS src_del FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_totalprice, false " +
+        "FROM orders WHERE o_orderkey % 1000 = 0), " +
+        "m AS (SELECT t.o_orderkey AS tk, t.o_totalprice, t.o_orderstatus, " +
+        "s.k, s.src_price, s.src_del FROM orders t FULL JOIN src s ON t.o_orderkey = s.k) " +
+        "SELECT coalesce(tk, k) AS o_orderkey, " +
+        "CASE WHEN k IS NOT NULL THEN src_price ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN tk IS NULL THEN 'N' ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM m WHERE NOT (tk IS NOT NULL AND k IS NOT NULL AND coalesce(src_del, false)) " +
+        "ORDER BY o_orderkey"),
     "u9_upsert_merge" ->
       ("SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2 " +
         "ELSE o_totalprice END AS o_totalprice FROM orders ORDER BY o_orderkey"),
