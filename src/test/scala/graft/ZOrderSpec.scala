@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.ZOrder
+
+/** Z-order layout contract: after clustering, every output file's
+  * bounding box is tight on BOTH dimensions — the property parquet
+  * min/max skipping actually prunes on — whereas a single-column sort
+  * leaves the second dimension's per-file range at ~the full domain. */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("zValue interleaves monotonically within each dimension") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"), 0L, 65535L, 0L, 65535L).as("z"))
+    val zs = df.as[Long].collect()
+    assert(zs(0) === 0L)
+    assert(zs(3) === (1L << 32) - 1, s"full-corner z was ${zs(3)}")
+    // a occupies even bits, b odd: the two single-corner codes are disjoint
+    assert((zs(1) & zs(2)) === 0L && (zs(1) | zs(2)) === zs(3))
+  }
+
+  /** mean per-file normalized range of `c` after writing `df` as one file
+    * per partition. */
+  private def meanFileRange(df: org.apache.spark.sql.DataFrame, c: String,
+      dir: String): Double = {
+    df.write.mode("overwrite").parquet(dir)
+    val spark2 = spark
+    val global = spark2.read.parquet(dir)
+      .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    val span = math.max(global.getDouble(1) - global.getDouble(0), 1.0)
+    val perFile = spark2.read.parquet(dir)
+      .withColumn("__f", input_file_name())
+      .groupBy("__f")
+      .agg((max(col(c)).cast("double") - min(col(c)).cast("double")).as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+    perFile / span
+  }
+
+  test("z-clustered files have tight bounding boxes on BOTH dimensions") {
+    val orders = Tables.t(spark, TestSession.sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("2020-01-01")))
+          .cast("long").as("d_days"))
+    val z = ZOrder.clustered(orders, "o_custkey", "d_days", numFiles = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val custRange = meanFileRange(z, "o_custkey", s"$dir/z")
+    // same data, single-column sort: the OTHER dimension stays wide
+    val sorted = orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+    val dayRangeSorted = meanFileRange(sorted, "d_days", s"$dir/s")
+    val dayRangeZ = meanFileRange(z, "d_days", s"$dir/z2")
+    // 16 z-tiles → each dim range ~1/sqrt(16)=0.25 of the domain; allow 2x
+    assert(custRange <= 0.5, s"custkey per-file range too wide: $custRange")
+    assert(dayRangeZ <= 0.5, s"date per-file range too wide: $dayRangeZ")
+    assert(dayRangeSorted >= 0.8,
+      s"control violated: single-column sort should leave dates wide, got $dayRangeSorted")
+  }
+}
