@@ -37,8 +37,21 @@ object MergeInto {
     val collisions =
       (target.columns.toSet & source.columns.toSet) -- keys.toSet
     require(collisions.isEmpty, s"non-key columns collide: $collisions")
-    require(!target.columns.contains("__t") && !source.columns.contains("__s"),
-      "input columns must not be named __t/__s (reserved by MergeInto)")
+    val reserved = (target.columns.toSet ++ source.columns.toSet) & Set("__t", "__s")
+    require(reserved.isEmpty,
+      s"input columns must not be named __t/__s (reserved by MergeInto): $reserved")
+    val updatable = target.columns.toSet -- keys.toSet
+    val unknown = (matchedUpdate.keySet ++
+      notMatchedInsert.map(_.keySet).getOrElse(Set.empty)) -- updatable
+    require(unknown.isEmpty,
+      s"clause columns are not non-key target columns (typo?): $unknown")
+    // MERGE cardinality rule: >1 source row per key would fan the target
+    // row out and apply a nondeterministic clause — fail loudly (one small
+    // agg job over the batch side; Delta throws the same way)
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    require(dup.isEmpty,
+      s"source has multiple rows for key ${dup.headOption.getOrElse("")}")
 
     val t = target.withColumn("__t", lit(1))
     val s = source.withColumn("__s", lit(1))

@@ -27,8 +27,13 @@ object ZOrder {
       bMin: Long, bMax: Long): Column = {
     def scaled(c: Column, lo: Long, hi: Long): Column = {
       val span = math.max(hi - lo, 1L)
-      // exact integer arithmetic: (c - lo) * 65535 / span fits a long for
-      // any 32-bit-ish domain
+      // exact integer arithmetic: (c - lo) * 65535 must not wrap a long —
+      // an epoch-micros column spanning years would (span ~1.6e14 × 65535
+      // > 2^63) and silently interleave garbage; rescale such domains
+      // (e.g. to seconds/days) before z-ordering
+      require(span <= Long.MaxValue / 65535L,
+        s"column span $span too wide for exact 16-bit scaling; " +
+          "rescale the domain (e.g. micros -> seconds) first")
       ((c.cast("long") - lit(lo)) * lit(65535L) / lit(span)).cast("long")
     }
     val sa = scaled(a, aMin, aMax)
@@ -45,6 +50,8 @@ object ZOrder {
     * BOTH columns. The helper column is dropped before returning. */
   def clustered(df: DataFrame, colA: String, colB: String,
       numFiles: Int): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "input columns must not be named __z (reserved by ZOrder)")
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()

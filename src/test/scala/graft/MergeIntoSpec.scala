@@ -51,6 +51,20 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(got === Seq(1L, 2L, 4L))
   }
 
+  test("duplicate source keys and unknown clause columns are rejected") {
+    val (target, source) = fixture
+    val dup = intercept[IllegalArgumentException] {
+      MergeInto.merge(target, source.unionByName(source), Seq("k"),
+        matchedUpdate = Map("price" -> col("new_price")))
+    }
+    assert(dup.getMessage.contains("multiple rows"))
+    val typo = intercept[IllegalArgumentException] {
+      MergeInto.merge(target, source, Seq("k"),
+        matchedUpdate = Map("pricee" -> col("new_price")))
+    }
+    assert(typo.getMessage.contains("typo"))
+  }
+
   test("colliding non-key columns and reserved names are rejected") {
     val (target, _) = fixture
     val badSource = target // same column names → collision

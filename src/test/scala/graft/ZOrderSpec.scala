@@ -25,11 +25,8 @@ class ZOrderSpec extends AnyFunSuite {
     assert((zs(1) & zs(2)) === 0L && (zs(1) | zs(2)) === zs(3))
   }
 
-  /** mean per-file normalized range of `c` after writing `df` as one file
-    * per partition. */
-  private def meanFileRange(df: org.apache.spark.sql.DataFrame, c: String,
-      dir: String): Double = {
-    df.write.mode("overwrite").parquet(dir)
+  /** mean per-file normalized range of `c` over an already-written dir. */
+  private def meanFileRange(dir: String, c: String): Double = {
     val spark2 = spark
     val global = spark2.read.parquet(dir)
       .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
@@ -47,14 +44,17 @@ class ZOrderSpec extends AnyFunSuite {
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate"), to_date(lit("2020-01-01")))
           .cast("long").as("d_days"))
-    val z = ZOrder.clustered(orders, "o_custkey", "d_days", numFiles = 16)
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
-    val custRange = meanFileRange(z, "o_custkey", s"$dir/z")
-    // same data, single-column sort: the OTHER dimension stays wide
-    val sorted = orders.repartitionByRange(16, col("o_custkey"))
+    // write each layout ONCE; measure both dimensions from the same files
+    ZOrder.clustered(orders, "o_custkey", "d_days", numFiles = 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    orders.repartitionByRange(16, col("o_custkey"))
       .sortWithinPartitions("o_custkey")
-    val dayRangeSorted = meanFileRange(sorted, "d_days", s"$dir/s")
-    val dayRangeZ = meanFileRange(z, "d_days", s"$dir/z2")
+      .write.mode("overwrite").parquet(s"$dir/s")
+    val custRange = meanFileRange(s"$dir/z", "o_custkey")
+    // same data, single-column sort: the OTHER dimension stays wide
+    val dayRangeSorted = meanFileRange(s"$dir/s", "d_days")
+    val dayRangeZ = meanFileRange(s"$dir/z", "d_days")
     // 16 z-tiles → each dim range ~1/sqrt(16)=0.25 of the domain; allow 2x
     assert(custRange <= 0.5, s"custkey per-file range too wide: $custRange")
     assert(dayRangeZ <= 0.5, s"date per-file range too wide: $dayRangeZ")
