@@ -87,6 +87,16 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     table
   }
 
+  /** Z-order clustered write: re-layout the stage on a Morton curve over
+    * two columns ([[ZOrder.clustered]]) so every parquet file carries a
+    * tight min/max bounding box on BOTH — file/row-group stats then prune
+    * scans filtered on either column. One file per z-range; the two-column
+    * sibling of [[writeBucketed]]'s single-key co-location. */
+  def writeZOrdered(b: Bucket, df: DataFrame, colA: String, colB: String,
+      numFiles: Int = 32, stage: String = "processed",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    write(b, ZOrder.clustered(df, colA, colB, numFiles), stage, None, mode)
+
   /** Read a stage; the partition column stays available for explicit
     * time-slice predicates (partition pruning shows in the scan). */
   def read(b: Bucket, stage: String = "processed",

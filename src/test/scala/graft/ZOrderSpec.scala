@@ -25,19 +25,22 @@ class ZOrderSpec extends AnyFunSuite {
     assert((zs(1) & zs(2)) === 0L && (zs(1) | zs(2)) === zs(3))
   }
 
-  /** mean per-file normalized range of `c` over an already-written dir. */
-  private def meanFileRange(dir: String, c: String): Double = {
-    val spark2 = spark
-    val global = spark2.read.parquet(dir)
+  /** mean per-file normalized range of `c` over already-written files. */
+  private def meanFileRange(written: org.apache.spark.sql.DataFrame,
+      c: String): Double = {
+    val global = written
       .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
     val span = math.max(global.getDouble(1) - global.getDouble(0), 1.0)
-    val perFile = spark2.read.parquet(dir)
+    val perFile = written
       .withColumn("__f", input_file_name())
       .groupBy("__f")
       .agg((max(col(c)).cast("double") - min(col(c)).cast("double")).as("r"))
       .agg(avg(col("r"))).head().getDouble(0)
     perFile / span
   }
+
+  private def meanFileRange(dir: String, c: String): Double =
+    meanFileRange(spark.read.parquet(dir), c)
 
   test("z-clustered files have tight bounding boxes on BOTH dimensions") {
     val orders = Tables.t(spark, TestSession.sf, "orders")
@@ -60,5 +63,20 @@ class ZOrderSpec extends AnyFunSuite {
     assert(dayRangeZ <= 0.5, s"date per-file range too wide: $dayRangeZ")
     assert(dayRangeSorted >= 0.8,
       s"control violated: single-column sort should leave dates wide, got $dayRangeSorted")
+  }
+
+  test("writeZOrdered keeps the bounding-box property through the store path") {
+    val store = new graft.store.BucketStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_zstore").toString)
+    val b = graft.model.Bucket("/z/orders", graft.model.DataSchema())
+    val orders = Tables.t(spark, TestSession.sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("2020-01-01")))
+          .cast("long").as("d_days"))
+    store.writeZOrdered(b, orders, "o_custkey", "d_days", numFiles = 16)
+    val written = store.read(b)
+    assert(written.count() === orders.count())
+    assert(meanFileRange(written, "o_custkey") <= 0.5)
+    assert(meanFileRange(written, "d_days") <= 0.5)
   }
 }
