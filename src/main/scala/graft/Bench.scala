@@ -9,26 +9,59 @@ object Bench {
     // capable of. All samples + spread land in bench_out.json.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
+    // Stall re-runs: this VM's I/O throttling can hang a single shuffle
+    // write for minutes (observed r5: dd10 115s AND 231s in the same
+    // best-of-2 while a clean run does 1.4-2.1s — best-of-N dies when ALL
+    // N samples stall). A query whose best sample still exceeds its
+    // stall threshold gets up to `maxStallReruns` extra runs; per-query
+    // min over everything is reported, plus how many re-runs fired.
+    val maxStallReruns = sys.env.get("SPARK_GRAFT_STALL_RERUNS")
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(2)
     val spark = GraftSession.local()
     // warm-up pass at the smallest SF: JIT + codegen + catalog caches are
-    // per-JVM one-time costs, not per-query throughput — time steady state
+    // per-JVM one-time costs, not per-query throughput — time steady state.
+    // The warm wall-times double as per-query stall baselines.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    val warmSec: Map[String, Double] =
+      if (!new java.io.File(warmDir).isDirectory) Map.empty
+      else SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, warmDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => name -> -1.0 }
       }
+    // A sf0.001-warm query at sf0.1 that takes >20× its warm time (floor
+    // 10s) is a VM stall, not the engine: warm time is dominated by fixed
+    // per-job overhead, so 100× data ⇒ well under 20× wall on every query
+    // in the suite (clean-run ratios observed ≤ ~5×).
+    def stallThreshold(name: String): Double =
+      math.max(10.0, 20.0 * math.max(warmSec.getOrElse(name, 1.0), 0.25))
+    def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // a failed query must NOT look like a fast one: report -1, not elapsed
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      }
+    }
+    var stallReruns = 0
     val samples: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map {
       case (name, fn) =>
-        name -> (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          // a failed query must NOT look like a fast one: report -1, not elapsed
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              -1.0
-          }
+        val base = (1 to runs).map(_ => sample(name, fn))
+        def best(ss: Seq[Double]): Double = {
+          val ok = ss.filter(_ >= 0)
+          if (ok.isEmpty) -1.0 else ok.min
         }
+        var all = base
+        while (best(all) > stallThreshold(name) &&
+            (all.size - runs) < maxStallReruns) {
+          System.err.println(f"[bench] $name stalled " +
+            f"(best ${best(all)}%.1fs > ${stallThreshold(name)}%.1fs), re-running")
+          stallReruns += 1
+          all = all :+ sample(name, fn)
+        }
+        name -> all
     }
     // A query fails only if ALL its runs fail: a transient error on run 1
     // with a clean run 2 still has a valid steady-state sample. Failed
@@ -55,8 +88,8 @@ object Bench {
     // line-oriented stdout parser with a bounded tail window would truncate it.
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
-        s""""runs":$runs,"queries":$qs,"samples":$sampleJson,""" +
-        s""""spread":$spread,"sf":"$sfDir"}"""
+        s""""runs":$runs,"stall_reruns":$stallReruns,"queries":$qs,""" +
+        s""""samples":$sampleJson,"spread":$spread,"sf":"$sfDir"}"""
     // a failed detail write (read-only cwd, full disk) must not cost the
     // stdout metric line below
     try java.nio.file.Files.write(
@@ -69,8 +102,8 @@ object Bench {
     // tail window; a stop() failure must not swallow it.
     try spark.stop()
     finally {
-      println(
-        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""failed":$failed,"stall_reruns":$stallReruns}""")
       System.out.flush()
     }
   }

@@ -168,7 +168,10 @@ object TextDedup {
     val bandCols = (0 until nBands).map { i =>
       val off = i * base
       val w = if (i == nBands - 1) bits - off else base // last band absorbs remainder
-      shiftright(col(hashCol), off).bitwiseAND(lit((1L << w) - 1L))
+      // 1L << 64 wraps to 1 (mask 0 → every row in ONE bucket → silent
+      // all-pairs join); a 64-bit band keeps the whole hash
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(col(hashCol), off).bitwiseAND(lit(mask))
     }
     val ext = df.select(col(idCol).as("doc"), col(hashCol).as("h"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))

@@ -88,14 +88,28 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   }
 
   /** Z-order clustered write: re-layout the stage on a Morton curve over
-    * two columns ([[ZOrder.clustered]]) so every parquet file carries a
-    * tight min/max bounding box on BOTH — file/row-group stats then prune
-    * scans filtered on either column. One file per z-range; the two-column
-    * sibling of [[writeBucketed]]'s single-key co-location. */
+    * N columns ([[ZOrder.clustered]]) so every parquet file carries a
+    * tight min/max bounding box on ALL of them — file/row-group stats then
+    * prune scans filtered on any subset. One file per z-range; the
+    * multi-column sibling of [[writeBucketed]]'s single-key co-location.
+    *
+    * Writes to a fresh buffer and promotes (same commit discipline as
+    * [[rewrite]]/[[compact]]): `df` may therefore originate from the target
+    * stage itself (re-layout in place), and concurrent readers see the old
+    * snapshot until the atomic promote. */
+  def writeZOrdered(b: Bucket, df: DataFrame, cols: Seq[String],
+      numFiles: Int, stage: String): Unit = {
+    val buf = "zorder_" + System.nanoTime()
+    write(b, ZOrder.clustered(df, cols, numFiles), stage, Some(buf),
+      SaveMode.Overwrite)
+    promote(b, stage, buf)
+    deleteDir(stageDir(b, stage, Some(buf)))
+  }
+
+  /** Two-column [[writeZOrdered]] (compat signature). */
   def writeZOrdered(b: Bucket, df: DataFrame, colA: String, colB: String,
-      numFiles: Int = 32, stage: String = "processed",
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    write(b, ZOrder.clustered(df, colA, colB, numFiles), stage, None, mode)
+      numFiles: Int = 32, stage: String = "processed"): Unit =
+    writeZOrdered(b, df, Seq(colA, colB), numFiles, stage)
 
   /** Read a stage; the partition column stays available for explicit
     * time-slice predicates (partition pruning shows in the scan). */
@@ -156,17 +170,26 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     * emit one file (plain `repartition(n)` would do the opposite: every
     * task touches every partition value, multiplying files) — while
     * `maxRecordsPerFile` still splits oversized partitions. Buffer+promote
-    * keeps concurrent readers atomic. Returns parquet files before/after. */
+    * keeps concurrent readers atomic. Returns parquet files before/after.
+    *
+    * `preserveZOrder`: a plain compaction re-packs by partition value and
+    * DESTROYS any z-clustered layout ([[writeZOrdered]]) — the repacked
+    * files' bounding boxes go back to ~the full domain and skipping dies.
+    * Passing the z-order columns re-clusters on the Morton curve inside the
+    * same rewrite, so compaction and skipping compose. */
   def compact(b: Bucket, stage: String = "processed",
       shufflePartitions: Int = 32,
-      maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
+      maxRecordsPerFile: Long = 5000000L,
+      preserveZOrder: Option[Seq[String]] = None): (Long, Long) = {
     val before = parquetFileCount(b, stage)
     val buf = "compact_" + System.nanoTime()
     val cur = read(b, stage)
-    val packed =
-      if (cur.columns.contains(PartitionCol))
+    val packed = preserveZOrder match {
+      case Some(zCols) => ZOrder.clustered(cur, zCols, shufflePartitions)
+      case None if cur.columns.contains(PartitionCol) =>
         cur.repartition(shufflePartitions, col(PartitionCol))
-      else cur.repartition(shufflePartitions)
+      case None => cur.repartition(shufflePartitions)
+    }
     write(b, packed, stage, Some(buf), SaveMode.Overwrite,
       Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
     promote(b, stage, buf)
@@ -178,8 +201,12 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   def parquetFileCount(b: Bucket, stage: String): Long = {
     val dir = stageDir(b, stage, None)
     if (!Files.exists(dir)) 0L
-    else Files.walk(dir).iterator().asScala
-      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    else {
+      val s = Files.walk(dir)
+      try s.iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close() // Files.walk holds directory fds until closed
+    }
   }
 
   /** Retention: drop whole time partitions older than `existAgeMax`
@@ -190,7 +217,9 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
         val cutoff = period.truncate(now.minus(maxAge))
         val dir = stageDir(b, stage, None)
         if (!Files.exists(dir)) return 0
-        val doomed = Files.list(dir).iterator().asScala.toSeq.filter { p =>
+        val ls = Files.list(dir)
+        val entries = try ls.iterator().asScala.toSeq finally ls.close()
+        val doomed = entries.filter { p =>
           val n = p.getFileName.toString
           n.startsWith(PartitionCol + "=") &&
             n.stripPrefix(PartitionCol + "=") < cutoff
@@ -205,9 +234,12 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   def deleteDatastore(b: Bucket): Unit = deleteDir(bucketRoot(b))
 
   private def deleteDir(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
 
   private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
