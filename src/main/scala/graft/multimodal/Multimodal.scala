@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with a
   * typed metadata struct, plus a batched decode/feature-extract seam.
   *
-  * IMAGE decode/resize is REAL — `javax.imageio` + `BufferedImage` ship with
-  * the JDK, so PNG/JPEG/BMP/GIF need no external libraries
-  * ([[ImageIoDecoder]], [[ImageIoResizer]]). Only VIDEO/AUDIO remain stubbed
-  * behind the deterministic [[FakeDecoder]]/[[FakeFrameSampler]] stand-ins
-  * (no demuxer/audio codec in this container). Either way the Spark-side
-  * plumbing is identical and is what matters at 100 TB:
+  * All three modalities decode for REAL with pure-JDK codecs: images via
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — [[ImageIoDecoder]],
+  * [[ImageIoResizer]]), audio via `javax.sound` (WAV/AIFF/AU —
+  * [[WavDecoder]], [[PcmWavEncoder]]), video via the uncompressed
+  * YUV4MPEG2 container ([[Y4m]] — entropy-coded codecs like H.264 would
+  * need a native demuxer this container doesn't ship, so compressed video
+  * still rides the [[FakeDecoder]]/[[FakeFrameSampler]] stand-ins). The
+  * Spark-side plumbing is identical either way and is what matters at
+  * 100 TB:
   *
   *  - media bytes stay in one `content: binary` column (never exploded into
   *    rows), with `media_meta` struct alongside;
@@ -261,7 +264,7 @@ object Multimodal {
     * mapPartitions — narrow, no shuffle. Per-row, not batched: these JDK
     * decoders have no per-batch setup to amortize — decoders that do should
     * go through the batched [[extractFeatures]] seam. */
-  private def extractRowFeatures(df: DataFrame, idCol: String,
+  private[multimodal] def extractRowFeatures(df: DataFrame, idCol: String,
       contentCol: String, featureType: StructType,
       features: Array[Byte] => Row): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)

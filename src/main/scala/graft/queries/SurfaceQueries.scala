@@ -178,6 +178,25 @@ object SurfaceQueries {
           "doc_id", "ahash", maxDist = 4, bits = 64)
         .orderBy("doc_a", "doc_b")
     },
+    // ---- multimodal video: REAL Y4M round-trip — wrap document bytes as
+    // 8×8 C420 Y planes under a YUV4MPEG2 header (Y4mEncoder), demux with
+    // the pure-JDK parser, emit container facts + every-2nd-frame exact
+    // luma sums. Like mm4, the oracle predicts every feature independently
+    // from the text, so a header-layout or demux bug cannot cancel out ----
+    "mm6_video_frames" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 384).cast("binary"))
+      val vids = Multimodal.resizeContent(docs, "content",
+        graft.multimodal.Y4m.Y4mEncoder(width = 8, height = 8))
+      val facts = graft.multimodal.Y4m
+        .extractVideoFeatures(vids, "doc_id", "content")
+      val frames = graft.multimodal.Y4m
+        .extractFrameFeatures(vids, "doc_id", "content", everyN = 2)
+      facts.join(frames, "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("fps_num"),
+          col("fps_den"), col("n_frames"), col("frame_idx"), col("luma_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
     // ---- ST1: passthrough stream (availableNow over events parquet) -----
     "st1_passthrough" -> { (s, dir) =>
       val batchDf = Tables.t(s, dir, "events")
@@ -331,6 +350,22 @@ object SurfaceQueries {
         "FOR c IN regexp_extract_all(substr(text, 1, 400), '.')], " +
         "(a, b) -> a + b) AS amp_abs_sum " +
         "FROM documents ORDER BY doc_id"),
+    // a doc's video has strlen//64 frames (8×8 Y planes = consecutive
+    // 64-char chunks of the first 384 chars; trailing partial dropped);
+    // sampled frames are the even indices; luma_sum = exact byte sum of
+    // the chunk. Docs shorter than one frame contribute no rows on either
+    // side (inner join vs empty generate_series)
+    "mm6_video_frames" ->
+      ("WITH v AS (SELECT doc_id, substr(text, 1, 384) AS c FROM documents), " +
+        "f AS (SELECT doc_id, c, strlen(c) // 64 AS n_frames FROM v), " +
+        "k AS (SELECT doc_id, c, n_frames, " +
+        "unnest([x FOR x IN generate_series(0, n_frames - 1) IF x % 2 = 0]) AS k FROM f) " +
+        "SELECT doc_id, 8 AS width, 8 AS height, 25 AS fps_num, 1 AS fps_den, " +
+        "CAST(n_frames AS BIGINT) AS n_frames, CAST(k AS INTEGER) AS frame_idx, " +
+        "list_reduce([CAST(ascii(ch) AS BIGINT) FOR ch IN " +
+        "regexp_extract_all(substr(c, CAST(k * 64 + 1 AS BIGINT), 64), '.')], " +
+        "(a, b) -> a + b) AS luma_sum " +
+        "FROM k ORDER BY doc_id, frame_idx"),
     "st1_passthrough" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
     "st2_stream_enrich" ->

@@ -163,4 +163,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getInt(2) === 5) // head = decoded width, not a raw byte
     assert(row.getLong(3) >= 0) // pixel hash, not byte sum
   }
+
+  // ---- video: Y4M container round-trip ----------------------------------
+
+  test("Y4M round-trip: encode → header facts, exact Y planes, sampling") {
+    import graft.multimodal.Y4m
+    // 3.5 frames of 8×8 payload: the trailing half frame must be dropped
+    val payload = Array.tabulate[Byte](224)(i => ((i * 7 + 3) % 251).toByte)
+    val y4m = Y4m.Y4mEncoder(8, 8).encode(payload)
+
+    val hd = Y4m.parseHeader(y4m).get
+    assert(hd.width === 8 && hd.height === 8)
+    assert(hd.fpsNum === 25 && hd.fpsDen === 1 && hd.colorspace === "C420")
+    assert(hd.frameSize === 96) // 64 Y + 16 U + 16 V
+
+    val fs = Y4m.frames(y4m, hd).toSeq
+    assert(fs.map(_._1) === Seq(0, 1, 2))
+    fs.foreach { case (k, y) =>
+      assert(y.toSeq === payload.slice(k * 64, k * 64 + 64).toSeq,
+        s"frame $k Y plane mismatch")
+    }
+
+    // features row: container facts + frame count
+    val feat = Y4m.videoFeatures(y4m)
+    assert(feat === Row(8, 8, 25, 1, 3L))
+
+    // generic FrameSampler seam: every 2nd frame
+    val sampled = Y4m.Y4mFrameSampler(everyN = 2).sampleBatch(Seq(y4m)).head
+    assert(sampled.map(_._1) === Seq(0, 2))
+  }
+
+  test("Y4M parser: foreign headers, truncation, garbage") {
+    import graft.multimodal.Y4m
+    // header with extension tags and per-frame params (other tools emit these)
+    val y = Array.tabulate[Byte](16)(i => (i * 11).toByte)
+    val foreign = ("YUV4MPEG2 W4 H4 F30001:1000 It A0:0 Cmono XYSCSS=MONO\n" +
+      "FRAME Ixyz\n").getBytes("US-ASCII") ++ y
+    val hd = Y4m.parseHeader(foreign).get
+    assert(hd.colorspace === "Cmono" && hd.frameSize === 16)
+    assert(hd.fpsNum === 30001 && hd.fpsDen === 1000)
+    val fs = Y4m.frames(foreign, hd).toSeq
+    assert(fs.map(_._1) === Seq(0) && fs.head._2.toSeq === y.toSeq)
+
+    // truncated mid-frame: the partial frame must not appear
+    val full = Y4m.Y4mEncoder(8, 8).encode(Array.fill[Byte](128)(5))
+    val cut = java.util.Arrays.copyOf(full, full.length - 10)
+    assert(Y4m.videoFeatures(cut) === Row(8, 8, 25, 1, 1L))
+
+    // header-only stream: zero frames, facts intact
+    val empty = Y4m.Y4mEncoder(8, 8).encode(Array.empty[Byte])
+    assert(Y4m.videoFeatures(empty) === Row(8, 8, 25, 1, 0L))
+
+    // not Y4M at all → all-null features
+    assert(Y4m.videoFeatures("RIFFxxxx".getBytes("US-ASCII")) ===
+      Row(null, null, null, null, null))
+    // malformed numerics → all-null, not an exception
+    assert(Y4m.videoFeatures("YUV4MPEG2 Wx H4 F25:1\n".getBytes("US-ASCII")) ===
+      Row(null, null, null, null, null))
+  }
+
+  test("Y4M through the Spark seams: features, frame sums, undecodables") {
+    import graft.multimodal.Y4m
+    val p1 = Array.tabulate[Byte](130)(i => (i % 200).toByte) // 2 frames + tail
+    val v1 = Y4m.Y4mEncoder(8, 8).encode(p1)
+    val df = mediaDf(Seq(1 -> v1, 2 -> Array[Byte](0, 1, 2)))
+
+    val facts = Y4m.extractVideoFeatures(df, "id", "content")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(facts(1).getInt(1) === 8 && facts(1).getLong(5) === 2L)
+    (1 to 5).foreach(i => assert(facts(2).isNullAt(i)))
+
+    val frames = Y4m.extractFrameFeatures(df, "id", "content", everyN = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(frames.keySet === Set(1 -> 0, 1 -> 1)) // id 2 yields no frames
+    assert(frames(1 -> 0) === p1.slice(0, 64).map(b => (b & 0xff).toLong).sum)
+    assert(frames(1 -> 1) === p1.slice(64, 128).map(b => (b & 0xff).toLong).sum)
+  }
 }
