@@ -249,6 +249,23 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
       deleted
   }
 
+  /** Three-clause MERGE INTO committed through the store's buffer+promote —
+    * the batch reconciliation analog of the reference's per-document
+    * upsert-or-delete round trips (`ElasticsearchCrudService.java:241`,
+    * `MongoDbCrudService.java:493-525`), but atomic at STORE granularity:
+    * the merged table lands in a fresh secondary buffer and swaps in via
+    * [[BucketStore.promote]]'s metadata-only renames, so concurrent readers
+    * see the old snapshot until the instant the promote lands, and any
+    * failure mid-merge (cardinality violation, a poisoned source row) leaves
+    * the current stage untouched. Clause semantics are [[graft.ops.MergeInto]]'s. */
+  def mergeInto(source: DataFrame, keys: Seq[String],
+      matchedDelete: Option[Column] = None,
+      matchedUpdate: Map[String, Column] = Map.empty,
+      notMatchedInsert: Option[Map[String, Column]] = None): Unit =
+    store.rewrite(bucket, stage)(cur =>
+      graft.ops.MergeInto.merge(cur, source, keys,
+        matchedDelete, matchedUpdate, notMatchedInsert))
+
   /** Point delete by `_id` (`deleteObjectById`,
     * `ElasticsearchCrudService.java:827-840`); true iff a row was removed. */
   def deleteObjectById(id: String): Boolean =

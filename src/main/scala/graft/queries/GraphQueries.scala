@@ -34,6 +34,19 @@ object GraphQueries {
       rows.map(_.getLong(3)).sum, rows.map(_.getDouble(4)).max,
       rows.map(_.getLong(5)).sum)
 
+  /** supplier co-service graph for g10/g11: an edge per supplier pair that
+    * served the same high-quantity order (distinct, canonical u<v). */
+  private def coServiceEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 48.0)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // X3 decompose: vertex + edge candidate counts by type/label
     "g1_decompose" -> { (s, dir) =>
@@ -181,15 +194,14 @@ object GraphQueries {
     // the driver; the degree-ordered variant (TrianglesSpec pins equality)
     // bounds wedge explosion on skewed graphs
     "g10_triangle_count" -> { (s, dir) =>
-      val li = Tables.t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 48.0)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-        .distinct()
-      graft.graph.Triangles.count(edges)
+      graft.graph.Triangles.count(coServiceEdges(s, dir))
+    },
+    // same count through the degree-ordered orientation — the variant to
+    // run at 100× on a skewed graph (wedges bounded by O(m·arboricity)
+    // instead of the max id-order out-degree); one extra degree agg +
+    // re-canonicalization, still all equi-joins (PlanSpec pins no-product)
+    "g11_triangle_degree" -> { (s, dir) =>
+      graft.graph.Triangles.countOrientedByDegree(coServiceEdges(s, dir))
     },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
@@ -217,6 +229,14 @@ object GraphQueries {
     // all-pairs triple join over the canonical (u<v) edge set — exact
     // same count, oracle-sized plan
     "g10_triangle_count" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey) " +
+        "SELECT count(*) AS n_triangles FROM e e1 " +
+        "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v"),
+    // orientation is an engine-side detail; the count is orientation-free,
+    // so the degree-ordered path shares g10's oracle formulation
+    "g11_triangle_degree" ->
       ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
         "e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
         "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey) " +

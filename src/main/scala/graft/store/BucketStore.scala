@@ -98,13 +98,10 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     * stage itself (re-layout in place), and concurrent readers see the old
     * snapshot until the atomic promote. */
   def writeZOrdered(b: Bucket, df: DataFrame, cols: Seq[String],
-      numFiles: Int, stage: String): Unit = {
-    val buf = "zorder_" + System.nanoTime()
-    write(b, ZOrder.clustered(df, cols, numFiles), stage, Some(buf),
-      SaveMode.Overwrite)
-    promote(b, stage, buf)
-    deleteDir(stageDir(b, stage, Some(buf)))
-  }
+      numFiles: Int, stage: String): Unit =
+    bufferAndPromote(b, stage, "zorder_")(
+      write(b, ZOrder.clustered(df, cols, numFiles), stage, _,
+        SaveMode.Overwrite))
 
   /** Two-column [[writeZOrdered]] (compat signature). */
   def writeZOrdered(b: Bucket, df: DataFrame, colA: String, colB: String,
@@ -154,9 +151,24 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   /** Rewrite a stage in place with writer/reader atomicity: write the new
     * content to a fresh buffer, then promote. This is the engine's
     * update/delete commit path (SURVEY §7 hard-part 2). */
-  def rewrite(b: Bucket, stage: String)(f: DataFrame => DataFrame): Unit = {
-    val buf = "rewrite_" + System.nanoTime()
-    write(b, f(read(b, stage)), stage, Some(buf), SaveMode.Overwrite)
+  def rewrite(b: Bucket, stage: String)(f: DataFrame => DataFrame): Unit =
+    bufferAndPromote(b, stage, "rewrite_")(buf =>
+      write(b, f(read(b, stage)), stage, buf, SaveMode.Overwrite))
+
+  /** Commit discipline shared by [[rewrite]]/[[writeZOrdered]]/[[compact]]:
+    * run the buffer write, promote only if it succeeded, and tear the
+    * partial buffer down if it failed — a throwing write job (bad source
+    * row, merge cardinality violation, executor loss) must leave the
+    * current stage byte-identical AND not accumulate orphan buffer dirs. */
+  private def bufferAndPromote(b: Bucket, stage: String, prefix: String)(
+      writeBuf: Option[String] => Unit): Unit = {
+    val buf = prefix + System.nanoTime()
+    try writeBuf(Some(buf))
+    catch {
+      case e: Throwable =>
+        deleteDir(stageDir(b, stage, Some(buf))) // promote never ran
+        throw e
+    }
     promote(b, stage, buf)
     deleteDir(stageDir(b, stage, Some(buf)))
   }
@@ -182,7 +194,6 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
       maxRecordsPerFile: Long = 5000000L,
       preserveZOrder: Option[Seq[String]] = None): (Long, Long) = {
     val before = parquetFileCount(b, stage)
-    val buf = "compact_" + System.nanoTime()
     val cur = read(b, stage)
     val packed = preserveZOrder match {
       case Some(zCols) => ZOrder.clustered(cur, zCols, shufflePartitions)
@@ -190,10 +201,9 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
         cur.repartition(shufflePartitions, col(PartitionCol))
       case None => cur.repartition(shufflePartitions)
     }
-    write(b, packed, stage, Some(buf), SaveMode.Overwrite,
-      Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
-    promote(b, stage, buf)
-    deleteDir(stageDir(b, stage, Some(buf)))
+    bufferAndPromote(b, stage, "compact_")(
+      write(b, packed, stage, _, SaveMode.Overwrite,
+        Map("maxRecordsPerFile" -> maxRecordsPerFile.toString)))
     (before, parquetFileCount(b, stage))
   }
 

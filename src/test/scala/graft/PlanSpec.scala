@@ -295,6 +295,15 @@ class PlanSpec extends AnyFunSuite {
       s"triangle count fell into a product plan:\n$plan")
   } }
 
+  test("degree-oriented triangle path stays equi-join through re-orientation") { uncached {
+    // the degree agg + (d, id) re-canonicalization adds two joins before
+    // wedge enumeration; none of them may degrade to a product plan
+    val plan = formattedPlan(
+      SparkEntry.queries("g11_triangle_degree")(spark, TestSession.sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"degree-oriented triangle count fell into a product plan:\n$plan")
+  } }
+
   test("graph lifecycle prunes the lineitem scan to the edge columns") { uncached {
     // g9 stacks decompose → mergeVertices → resolveEdges → mergeEdges; the
     // mapGroups merge is a deserialization barrier, but column pruning must

@@ -286,4 +286,56 @@ class StoreCrudSpec extends AnyFunSuite {
     crud.deleteDatastore()
     assert(!store.exists(b))
   }
+
+  test("crud: mergeInto commits through buffer+promote, atomically on failure") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new BucketStore(spark, root.toString)
+    val b = Bucket("/test/merge")
+    val crud = new CrudService(store, b)
+    import spark.implicits._
+    crud.storeObjects(Seq((1, 10, "keep"), (2, 20, "upd"), (3, 30, "del"))
+      .toDF("k", "amount", "tag"))
+
+    // happy path: delete tagged rows, update matched amounts, insert new keys
+    crud.mergeInto(
+      Seq((2, 5), (3, 0), (4, 40)).toDF("k", "src_amount"), Seq("k"),
+      matchedDelete = Some(col("tag") === "del"),
+      matchedUpdate = Map("amount" -> (col("amount") + col("src_amount"))),
+      notMatchedInsert = Some(Map("amount" -> col("src_amount"))))
+    val after = store.read(b).select("k", "amount")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(after === Map(1 -> 10, 2 -> 25, 4 -> 40))
+
+    // failure atomicity 1: MERGE cardinality violation (dup source keys)
+    // throws before any write; the stage is untouched
+    intercept[IllegalArgumentException] {
+      crud.mergeInto(Seq((5, 1), (5, 2)).toDF("k", "src_amount"), Seq("k"),
+        notMatchedInsert = Some(Map("amount" -> col("src_amount"))))
+    }
+    // failure atomicity 2: a source row that throws DURING the buffer write
+    // job — the old snapshot must stay readable and byte-identical (promote
+    // never ran) and the partial buffer must be torn down, not orphaned
+    // poison a NON-key column: the merge's cardinality pre-check groups on
+    // k only (column pruning skips src_amount), so the throw happens in the
+    // buffer-write job itself, mid-rewrite
+    val poison = udf((a: Int) =>
+      if (a == 1) sys.error("poisoned row") else a)
+    intercept[Exception] {
+      crud.mergeInto(
+        Seq((4, 1)).toDF("k", "a0")
+          .select(col("k"), poison(col("a0")).as("src_amount")), Seq("k"),
+        matchedUpdate = Map("amount" -> col("src_amount")))
+    }
+    val stable = store.read(b).select("k", "amount")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(stable === Map(1 -> 10, 2 -> 25, 4 -> 40))
+    // no buffer_* dirs may survive any of the three calls
+    val ls = Files.list(root.resolve(b.signature).resolve("processed"))
+    val entries = try {
+      val it = ls.iterator(); val buf = scala.collection.mutable.Buffer[String]()
+      while (it.hasNext) buf += it.next().getFileName.toString
+      buf.toSeq
+    } finally ls.close()
+    assert(entries === Seq("current"), s"orphan buffers: $entries")
+  }
 }
