@@ -50,45 +50,12 @@ object Clustering {
       maxIters: Int = 20, checkpointDir: Option[String] = None,
       strict: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    // Cluster-visible truncation is a parquet round-trip under `dir`, not a
-    // reliable RDD checkpoint: Spark never deletes reliable checkpoint files
-    // by default (`spark.cleaner.referenceTracking.cleanCheckpoints` is off),
-    // so a long CC run would otherwise accumulate one copy of the label
-    // table per materialization. Here each label file is deleted as soon as
-    // the next one is materialized; only the symmetrized edge file (read by
-    // every round) and the FINAL label file (which backs the returned
-    // DataFrame — the caller owns `dir`'s lifecycle) survive the run. This
-    // also avoids mutating the SparkContext-global checkpoint directory.
-    val (truncEdges, truncLabels): (DataFrame => DataFrame, DataFrame => DataFrame) =
-      checkpointDir match {
-        case Some(dir) =>
-          // per-call unique subdir: two calls sharing `dir` (sequential or
-          // concurrent) must not overwrite each other's cc-* files — a fixed
-          // naming scheme would restart at cc-00000 and delete the label file
-          // backing the first call's still-live returned DataFrame
-          val base = new org.apache.hadoop.fs.Path(dir,
-            "cc-run-" + java.util.UUID.randomUUID().toString)
-          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          var seq = 0
-          var prevLabel: Option[org.apache.hadoop.fs.Path] = None
-          def roundTrip(df: DataFrame): (DataFrame, org.apache.hadoop.fs.Path) = {
-            val p = new org.apache.hadoop.fs.Path(base, f"cc-$seq%05d")
-            seq += 1
-            df.write.mode("overwrite").parquet(p.toString)
-            (spark.read.parquet(p.toString), p)
-          }
-          (df => roundTrip(df)._1,
-            df => {
-              val (out, p) = roundTrip(df)
-              // the previous label file fed this materialization and is now
-              // unreachable — delete it eagerly
-              prevLabel.foreach(fs.delete(_, true))
-              prevLabel = Some(p)
-              out
-            })
-        case None =>
-          (df => df.localCheckpoint(true), df => df.localCheckpoint(true))
-      }
+    // per-round lineage truncation (local or cluster-visible parquet
+    // round-trip with eager step cleanup) — shared with the other
+    // iterative ops; see [[graft.ops.IterTrunc]] for the full contract
+    val trunc = new graft.ops.IterTrunc(spark, checkpointDir, "cc")
+    val truncEdges: DataFrame => DataFrame = trunc.pin
+    val truncLabels: DataFrame => DataFrame = trunc.channel()
     val e = edges.toDF("s", "d")
     // symmetrize once; propagation then only needs one join direction
     val sym = truncEdges(e.union(e.select(col("d"), col("s"))).distinct())

@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first search: exact hop distances from a source
+  * set — the reachability companion to [[Triangles]] and the connected
+  * components in [[graft.dedup.Clustering]] (the reference's graph side
+  * stops at build/merge; traversal queries ran inside its graph DB, e.g.
+  * Titan/Gremlin traversals — here they are plain co-keyed DataFrame
+  * rounds).
+  *
+  * Frontier expansion, not visited-set re-scans: round k joins ONLY the
+  * nodes first reached at distance k−1 against the adjacency, drops
+  * already-visited targets with an anti-join, and appends the survivors at
+  * distance k. Each round is a shuffle proportional to the frontier's
+  * out-edges, every node enters the visited set exactly once, and the loop
+  * exits as soon as a frontier comes back empty (the same count that
+  * materializes the round). Lineage is truncated per round
+  * ([[graft.ops.IterTrunc]]) so the plan stays flat across iterations.
+  */
+object Bfs {
+
+  /** Hop levels: one row per node reachable within `maxHops` of any
+    * source, with its exact minimum hop distance (sources at 0).
+    *
+    * @param edges two-column DataFrame of edges (any names); traversed
+    *              src→dst, or both ways when `undirected`
+    * @param sources one-column DataFrame of start node ids
+    * @param checkpointDir cluster-visible dir for fault-tolerant lineage
+    *              truncation (None = localCheckpoint) — [[graft.ops.IterTrunc]]
+    * @return (node, dist) — unreached nodes are absent, not null-padded */
+  def hopLevels(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      undirected: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    val trunc = new graft.ops.IterTrunc(spark, checkpointDir, "bfs")
+    // two live state tables → one eager-delete channel each: a shared
+    // channel would delete the visited file while the frontier (or vice
+    // versa) still reads it
+    val visitedChan = trunc.channel()
+    val frontierChan = trunc.channel()
+
+    val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    val adj = trunc.pin(
+      (if (undirected) e0.union(e0.select(col("v"), col("u"))) else e0)
+        .distinct())
+
+    var visited = visitedChan(sources.toDF("node").distinct()
+      .withColumn("dist", lit(0)))
+    var frontier = visited.select("node")
+    var k = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && k < maxHops) {
+      k += 1
+      // frontier's successors not yet visited = the distance-k shell;
+      // distinct() before the anti-join so a node reached over many edges
+      // enters once (and the anti-join probe stays small)
+      val next = frontierChan(adj.join(frontier, adj("u") === frontier("node"))
+        .select(adj("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(k)))
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visitedChan(visited.union(next))
+        frontier = next.select("node")
+      }
+    }
+    visited
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-round lineage truncation for iterative DataFrame algorithms
+  * (connected components, BFS, any fixpoint loop): without it the plan
+  * grows by one join per round and the optimizer re-analyzes the whole
+  * history every iteration.
+  *
+  * Two modes, chosen by `checkpointDir`:
+  *
+  *  - `None` → `localCheckpoint(eager)`: executor-block-backed. Fine
+  *    single-node and in tests; lossy under executor failure.
+  *  - `Some(dir)` → a parquet round-trip under a per-call UNIQUE
+  *    subdirectory `<tag>-run-<uuid>/` of `dir` (cluster-visible, e.g.
+  *    HDFS/S3). This is deliberately NOT a reliable RDD checkpoint: Spark
+  *    never deletes reliable checkpoint files by default
+  *    (`spark.cleaner.referenceTracking.cleanCheckpoints` is off), so a
+  *    long run would accumulate one copy of the state table per round.
+  *    Here each [[channel]] file is deleted as soon as its successor in
+  *    the SAME channel is materialized; only [[pin]]ned files (read by
+  *    every round, e.g. the edge set) and each channel's FINAL file (which
+  *    lazily backs returned DataFrames) survive. The caller owns `dir`'s
+  *    lifecycle and must materialize results before cleaning it up. The
+  *    per-call unique subdir means two calls sharing `dir` (sequential or
+  *    concurrent) cannot overwrite or delete each other's files.
+  */
+private[graft] final class IterTrunc(spark: SparkSession,
+    checkpointDir: Option[String], tag: String) {
+
+  private val state = checkpointDir.map { dir =>
+    val base = new org.apache.hadoop.fs.Path(dir,
+      s"$tag-run-" + java.util.UUID.randomUUID().toString)
+    (base, base.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+  private var seq = 0
+
+  private def roundTrip(df: DataFrame,
+      base: org.apache.hadoop.fs.Path): (DataFrame, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(base, f"$tag-$seq%05d")
+    seq += 1
+    df.write.mode("overwrite").parquet(p.toString)
+    (spark.read.parquet(p.toString), p)
+  }
+
+  /** Truncate a table that must survive the whole run (e.g. the adjacency
+    * read by every round) — never deleted by this object. */
+  def pin(df: DataFrame): DataFrame = state match {
+    case Some((base, _)) => roundTrip(df, base)._1
+    case None => df.localCheckpoint(true)
+  }
+
+  /** An independent eager-delete chain for one evolving state table: each
+    * truncation deletes the PREVIOUS file of this channel (it fed the new
+    * materialization and is now unreachable). Algorithms with several live
+    * state tables (BFS: visited + frontier) take one channel per table so
+    * a channel's delete can never pull a file another table still reads. */
+  def channel(): DataFrame => DataFrame = state match {
+    case Some((base, fs)) =>
+      var prev: Option[org.apache.hadoop.fs.Path] = None
+      df => {
+        val (out, p) = roundTrip(df, base)
+        prev.foreach(fs.delete(_, true))
+        prev = Some(p)
+        out
+      }
+    case None => _.localCheckpoint(true)
+  }
+}

@@ -203,6 +203,18 @@ object GraphQueries {
     "g11_triangle_degree" -> { (s, dir) =>
       graft.graph.Triangles.countOrientedByDegree(coServiceEdges(s, dir))
     },
+    // multi-source BFS over the same graph: exact hop distances from the 3
+    // smallest supplier ids. Frontier-expansion rounds (shuffle ∝ frontier
+    // out-edges, early exit on empty shell), lineage truncated per round —
+    // the oracle replays it as a recursive CTE
+    "g12_bfs_levels" -> { (s, dir) =>
+      val edges = coServiceEdges(s, dir)
+      val nodes = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n"))).distinct()
+      graft.graph.Bfs.hopLevels(edges, nodes.orderBy("n").limit(3), maxHops = 4)
+        .select(col("node"), col("dist").cast("int").as("dist"))
+        .orderBy("node")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -234,6 +246,15 @@ object GraphQueries {
         "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey) " +
         "SELECT count(*) AS n_triangles FROM e e1 " +
         "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v"),
+    "g12_bfs_levels" ->
+      ("WITH RECURSIVE li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), " +
+        "src AS (SELECT DISTINCT u AS n FROM e ORDER BY n LIMIT 3), " +
+        "walk(n, d) AS (SELECT n, 0 FROM src " +
+        "UNION SELECT e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.n WHERE walk.d < 4) " +
+        "SELECT n AS node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY n ORDER BY node"),
     // orientation is an engine-side detail; the count is orientation-free,
     // so the degree-ordered path shares g10's oracle formulation
     "g11_triangle_degree" ->
