@@ -207,6 +207,18 @@ object DedupQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    // exact edit-distance near-dup pairs over 24-char document prefixes:
+    // q-gram prefix filtering (each row indexes only its 9 rarest grams —
+    // exact per the destroyed-windows pigeonhole) + thresholded Levenshtein
+    // verify on candidates only. The oracle is the naive all-pairs
+    // formulation; the engine never builds the product (PlanSpec)
+    "ed1_editdist_join" -> { (s, dir) =>
+      graft.dedup.EditDistanceJoin.selfJoin(
+          Tables.t(s, dir, "documents")
+            .select(col("doc_id"), substring(col("text"), 1, 24).as("nm")),
+          "doc_id", "nm", maxDist = 2)
+        .orderBy("key_a", "key_b")
+    },
     // embedding-cosine near-dup scores for consecutive vec pairs
     "dd5_embed_cosine" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
@@ -311,6 +323,15 @@ object DedupQueries {
         "SELECT doc_id, chunk_idx, chunk FROM c " +
         "QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 " +
         "ORDER BY doc_id, chunk_idx"),
+    // naive all-pairs formulation — deliberately oracle-sized; the engine's
+    // gram-blocked plan must produce the identical pair set and distances
+    "ed1_editdist_join" ->
+      ("WITH s AS (SELECT doc_id, substr(text, 1, 24) AS nm FROM documents " +
+        "WHERE strlen(substr(text, 1, 24)) >= 12) " +
+        "SELECT a.doc_id AS key_a, b.doc_id AS key_b, " +
+        "CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.nm, b.nm) <= 2 ORDER BY key_a, key_b"),
     "dd6_dedup_clusters" ->
       (s"$ccCtePrefix " +
         "SELECT node AS doc_id, min(r) AS component FROM reach " +

@@ -295,6 +295,13 @@ class PlanSpec extends AnyFunSuite {
       s"triangle count fell into a product plan:\n$plan")
   } }
 
+  test("edit-distance join blocks on grams — no all-pairs product") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("ed1_editdist_join")(spark, TestSession.sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"edit-distance join degenerated to a product plan:\n$plan")
+  } }
+
   test("degree-oriented triangle path stays equi-join through re-orientation") { uncached {
     // the degree agg + (d, id) re-canonicalization adds two joins before
     // wedge enumeration; none of them may degrade to a product plan
