@@ -181,6 +181,50 @@ object Y4m {
     StructField("frame_idx", IntegerType),
     StructField("luma_sum", LongType)))
 
+  /** Temporal (frame-to-frame) features: (id, frame_idx, delta_sum) where
+    * delta_sum = Σ|Y_k[i] − Y_{k−1}[i]| — the classic scene-change /
+    * motion-intensity signal. One pass per record inside mapPartitions
+    * (narrow, no shuffle): frames decode sequentially and only the
+    * previous Y plane is held, so memory is O(frame), not O(video). Rows
+    * start at frame_idx 1; single-frame or undecodable records emit none. */
+  val TemporalFeatureType: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("delta_sum", LongType)))
+
+  def extractTemporalFeatures(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val idField = df.schema(idIdx)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(StructType(
+        idField +: TemporalFeatureType.fields.toSeq))
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        parseHeader(bytes) match {
+          case None => Iterator.empty[Row]
+          case Some(hd) =>
+            var prev: Array[Byte] = null
+            frames(bytes, hd).flatMap { case (k, y) =>
+              val out =
+                if (prev == null) Iterator.empty[Row]
+                else {
+                  var sum = 0L
+                  var i = 0
+                  while (i < y.length) {
+                    sum += math.abs((y(i) & 0xff) - (prev(i) & 0xff)); i += 1
+                  }
+                  Iterator.single(Row(r.get(idIdx), k, sum))
+                }
+              prev = y
+              out
+            }
+        }
+      }
+    }(enc)
+  }
+
   def extractFrameFeatures(df: DataFrame, idCol: String, contentCol: String,
       everyN: Int = 1): DataFrame = {
     val sampler = Y4mFrameSampler(everyN)

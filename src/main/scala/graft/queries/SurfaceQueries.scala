@@ -197,6 +197,17 @@ object SurfaceQueries {
           col("fps_den"), col("n_frames"), col("frame_idx"), col("luma_sum"))
         .orderBy("doc_id", "frame_idx")
     },
+    // ---- video temporal features: frame-to-frame luma delta through the
+    // same Y4M round-trip — the scene-change/motion signal; one narrow
+    // pass holding only the previous plane per record ----
+    "mm7_video_motion" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 384).cast("binary"))
+      val vids = Multimodal.resizeContent(docs, "content",
+        graft.multimodal.Y4m.Y4mEncoder(width = 8, height = 8))
+      graft.multimodal.Y4m.extractTemporalFeatures(vids, "doc_id", "content")
+        .orderBy("doc_id", "frame_idx")
+    },
     // ---- ST1: passthrough stream (availableNow over events parquet) -----
     "st1_passthrough" -> { (s, dir) =>
       val batchDf = Tables.t(s, dir, "events")
@@ -365,6 +376,17 @@ object SurfaceQueries {
         "list_reduce([CAST(ascii(ch) AS BIGINT) FOR ch IN " +
         "regexp_extract_all(substr(c, CAST(k * 64 + 1 AS BIGINT), 64), '.')], " +
         "(a, b) -> a + b) AS luma_sum " +
+        "FROM k ORDER BY doc_id, frame_idx"),
+    // per doc: frame k (k>=1) vs k-1 are consecutive 64-char chunks;
+    // delta_sum = sum of per-position absolute byte differences
+    "mm7_video_motion" ->
+      ("WITH v AS (SELECT doc_id, substr(text, 1, 384) AS c FROM documents), " +
+        "f AS (SELECT doc_id, c, strlen(c) // 64 AS n_frames FROM v), " +
+        "k AS (SELECT doc_id, c, unnest(generate_series(1, n_frames - 1)) AS k FROM f) " +
+        "SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, " +
+        "CAST(list_reduce([abs(ascii(substr(c, CAST(k * 64 + i AS BIGINT), 1)) - " +
+        "ascii(substr(c, CAST((k - 1) * 64 + i AS BIGINT), 1))) " +
+        "FOR i IN generate_series(1, 64)], (a, b) -> a + b) AS BIGINT) AS delta_sum " +
         "FROM k ORDER BY doc_id, frame_idx"),
     "st1_passthrough" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",

@@ -239,4 +239,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1 -> 0) === p1.slice(0, 64).map(b => (b & 0xff).toLong).sum)
     assert(frames(1 -> 1) === p1.slice(64, 128).map(b => (b & 0xff).toLong).sum)
   }
+
+  test("Y4M temporal deltas: exact |Y_k - Y_{k-1}| sums, edge rows absent") {
+    import graft.multimodal.Y4m
+    val p = Array.tabulate[Byte](192)(i => ((i * 13 + 7) % 256).toByte) // 3 frames
+    val v = Y4m.Y4mEncoder(8, 8).encode(p)
+    val single = Y4m.Y4mEncoder(8, 8).encode(p.slice(0, 64)) // 1 frame
+    val df = mediaDf(Seq(1 -> v, 2 -> single, 3 -> Array[Byte](9, 9)))
+    val got = Y4m.extractTemporalFeatures(df, "id", "content")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def expect(k: Int) = (0 until 64).map(i =>
+      math.abs((p(k * 64 + i) & 0xff) - (p((k - 1) * 64 + i) & 0xff)).toLong).sum
+    // only id 1 has >=2 frames; deltas start at frame 1
+    assert(got.keySet === Set(1 -> 1, 1 -> 2))
+    assert(got(1 -> 1) === expect(1) && got(1 -> 2) === expect(2))
+  }
 }
