@@ -274,6 +274,22 @@ object SurfaceQueries {
         .select(col("click_id"), col("p_id"), col("cu").as("user_id"))
         .orderBy(col("click_id"), col("p_id"))
     },
+    // ---- stream-stream FULL OUTER interval join: the two unmatched sides
+    // evict on DIFFERENT watermark boundaries — a click awaits purchases
+    // until the watermark passes click_ts + 1h (its whole join window),
+    // but a purchase only matches PAST clicks, so it null-pads as soon as
+    // the watermark passes p_ts itself. The oracle reproduces both
+    // cutoffs against the ms-floored min-of-both-sides watermark ---------
+    "st11_stream_full_join" -> { (s, dir) =>
+      val (clicks, purchases) = clickPurchaseStreams(s, dir)
+      Streams.runToParquet(
+          Streams.intervalJoin(clicks, purchases, "cu", "pu",
+            "click_ts", "p_ts", windowSeconds = 3600,
+            joinType = "full_outer"))
+        .select(col("click_id"), col("p_id"),
+          coalesce(col("cu"), col("pu")).as("user_id"))
+        .orderBy(col("click_id"), col("p_id"))
+    },
     // ---- stream-static join: enrich a purchase stream with the customer
     // dim (broadcast — the dim is re-read per micro-batch, so a broadcast
     // hash join keeps per-batch cost flat; stream side never shuffles) ----
@@ -433,6 +449,23 @@ object SurfaceQueries {
         "SELECT click_id, p_id, user_id FROM j, wm " +
         "WHERE p_id IS NOT NULL OR t + 3600000000 < w " +
         "ORDER BY click_id, p_id NULLS FIRST"),
+    // full outer = st10's left cutoff (t + 1h < w) plus the right-side
+    // rule: an unmatched purchase emits iff pt < w — any click it could
+    // still join (t in [pt-1h, pt]) would arrive below the watermark and
+    // be dropped as late, so Spark evicts-and-emits at exactly that line
+    "st11_stream_full_join" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events), " +
+        "c AS (SELECT event_id AS click_id, user_id, t FROM ev WHERE event_type = 'click'), " +
+        "p AS (SELECT event_id AS p_id, user_id AS pu, t AS pt FROM ev WHERE event_type = 'purchase'), " +
+        "wm AS (SELECT (least((SELECT max(t) FROM c) // 1000, (SELECT max(pt) FROM p) // 1000) " +
+        "- 3600000) * 1000 AS w), " +
+        "j AS (SELECT c.click_id, p.p_id, coalesce(c.user_id, p.pu) AS user_id, c.t, p.pt " +
+        "FROM c FULL JOIN p ON c.user_id = p.pu AND p.pt >= c.t AND p.pt <= c.t + 3600000000) " +
+        "SELECT click_id, p_id, user_id FROM j, wm " +
+        "WHERE (click_id IS NOT NULL AND p_id IS NOT NULL) " +
+        "OR (click_id IS NOT NULL AND p_id IS NULL AND t + 3600000000 < w) " +
+        "OR (click_id IS NULL AND pt < w) " +
+        "ORDER BY click_id NULLS FIRST, p_id NULLS FIRST"),
     "st9_stream_static_join" ->
       ("SELECT event_id, user_id, c_name, c_nationkey FROM events " +
         "JOIN customer ON user_id = c_custkey " +
