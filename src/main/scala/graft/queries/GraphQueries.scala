@@ -215,6 +215,17 @@ object GraphQueries {
         .select(col("node"), col("dist").cast("int").as("dist"))
         .orderBy("node")
     },
+    // exact length-3 walk counts from the same sources — the integer-
+    // arithmetic power iteration (PageRank's skeleton without the float
+    // summation-order hazard); each round is one co-keyed join + partial-
+    // aggregated sum, oracle = three unrolled matrix-vector rounds
+    "g13_walk_counts" -> { (s, dir) =>
+      val edges = coServiceEdges(s, dir)
+      val nodes = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n"))).distinct()
+      graft.graph.Walks.walkCounts(edges, nodes.orderBy("n").limit(3), steps = 3)
+        .orderBy("node")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -255,6 +266,17 @@ object GraphQueries {
         "walk(n, d) AS (SELECT n, 0 FROM src " +
         "UNION SELECT e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.n WHERE walk.d < 4) " +
         "SELECT n AS node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY n ORDER BY node"),
+    "g13_walk_counts" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), " +
+        "src AS (SELECT DISTINCT u AS n FROM e ORDER BY n LIMIT 3), " +
+        "c0 AS (SELECT n AS node, CAST(1 AS BIGINT) AS w FROM src), " +
+        "c1 AS (SELECT e.v AS node, sum(w) AS w FROM c0 JOIN e ON e.u = c0.node GROUP BY 1), " +
+        "c2 AS (SELECT e.v AS node, sum(w) AS w FROM c1 JOIN e ON e.u = c1.node GROUP BY 1), " +
+        "c3 AS (SELECT e.v AS node, sum(w) AS w FROM c2 JOIN e ON e.u = c2.node GROUP BY 1) " +
+        "SELECT node, CAST(w AS BIGINT) AS n_walks FROM c3 ORDER BY node"),
     // orientation is an engine-side detail; the count is orientation-free,
     // so the degree-ordered path shares g10's oracle formulation
     "g11_triangle_degree" ->
