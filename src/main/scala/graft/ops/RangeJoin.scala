@@ -68,4 +68,45 @@ object RangeJoin {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join: all pairs (l, r) with equal `keys`
+    * whose integral `[start, end]` ranges intersect. Same binning strategy
+    * as [[binned]], applied to BOTH sides: any two overlapping intervals
+    * share the bin containing max(l.start, r.start) — the first instant of
+    * their intersection — so a shuffled equi-join on (keys, bin) finds every
+    * true pair, and keeping only the rows where the joined bin IS that
+    * first-overlap bin emits each pair exactly once (no distinct needed).
+    * The exact predicate then drops same-bin non-overlaps.
+    *
+    * Column names: non-key columns must not collide across sides (alias
+    * before calling, as with [[binned]]). Empty intervals (end < start) are
+    * dropped. */
+  def overlapBinned(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftStart: String, leftEnd: String, rightStart: String, rightEnd: String,
+      binWidth: Long, maxBinsPerInterval: Int = 1024): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val collisions =
+      (left.columns.toSet & right.columns.toSet) -- keys.toSet
+    require(collisions.isEmpty, s"non-key columns collide: $collisions")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "input columns must not be named __bin (reserved by RangeJoin)")
+
+    def explodeBins(df: DataFrame, s: String, e: String): DataFrame = {
+      val startBin = floorDiv(col(s), binWidth)
+      val endBin = floorDiv(col(e), binWidth)
+      val guardMsg = lit(s"RangeJoin: an interval spans more than " +
+        s"$maxBinsPerInterval bins of $binWidth; widen binWidth or cap intervals")
+      val guardedEnd = when(endBin - startBin < lit(maxBinsPerInterval.toLong),
+        endBin).otherwise(raise_error(guardMsg).cast("long"))
+      df.filter(col(s) <= col(e))
+        .withColumn("__bin", explode(sequence(startBin, guardedEnd)))
+    }
+    val l = explodeBins(left, leftStart, leftEnd)
+    val r = explodeBins(right, rightStart, rightEnd)
+    l.join(r, keys :+ "__bin")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__bin") ===
+        floorDiv(greatest(col(leftStart), col(rightStart)), binWidth))
+      .drop("__bin")
+  }
 }

@@ -39,6 +39,37 @@ object AnalyticsQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
         .orderBy("o_custkey", "rnk")
     },
+    // ---- batch sessionization: 30-min-gap session windows per user, the
+    // landed-log sibling of st4 (same gap, no cross-batch state — one
+    // (user, ts) sort carries both window functions and the session agg).
+    // Tied timestamps are order-invariant: a tied neighbor has gap 0 and
+    // never opens a session ----------------------------------------------
+    "ses1_sessionize_batch" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      graft.ops.TimeSeries.sessionize(ev, "user_id", "tus",
+          gapMicros = 30L * 60 * 1000000)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    },
+    // ---- time-series gap fill: dense daily activity series per user —
+    // missing days zero-filled from a per-key sequence/explode grid (no
+    // driver state, co-partitioned grid join), then a running total over
+    // the now-dense series ------------------------------------------------
+    "ts1_gap_fill" -> { (s, dir) =>
+      val dayUs = 86400L * 1000000L
+      val daily = Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+        .groupBy("user_id", "day_us").agg(count(lit(1)).as("n_events"))
+      val filled = graft.ops.TimeSeries.gapFill(daily, "user_id", "day_us",
+        step = dayUs, fill = Map("n_events" -> lit(0L)))
+      val w = Window.partitionBy("user_id").orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      filled.withColumn("cum_events", sum(col("n_events")).over(w))
+        .select("user_id", "day_us", "n_events", "cum_events")
+        .orderBy("user_id", "day_us")
+    },
     // ---- window analytics: running sum + lag per customer ---------------
     // explicit ROWS frame on both sides (default RANGE mode would sum
     // order-date ties together)
@@ -206,6 +237,26 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ses1_sessionize_batch" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tus, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS opens FROM events), " +
+        "s AS (SELECT user_id, tus, sum(opens) OVER " +
+        "(PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+        "SELECT user_id, min(tus) AS session_start, max(tus) AS session_end, " +
+        "count(*) AS n_events FROM s GROUP BY user_id, sid " +
+        "ORDER BY user_id, session_start"),
+    "ts1_gap_fill" ->
+      ("WITH bounds AS (SELECT user_id, date_trunc('day', min(ts)) AS d0, " +
+        "date_trunc('day', max(ts)) AS d1 FROM events GROUP BY user_id), " +
+        "days AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds), " +
+        "daily AS (SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY user_id, day) " +
+        "SELECT d.user_id, epoch_us(d.day) AS day_us, CAST(coalesce(n, 0) AS BIGINT) AS n_events, " +
+        "CAST(sum(coalesce(n, 0)) OVER (PARTITION BY d.user_id ORDER BY d.day " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events " +
+        "FROM days d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day " +
+        "ORDER BY d.user_id, day_us"),
     "w1_window_rank" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +

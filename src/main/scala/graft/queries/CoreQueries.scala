@@ -201,6 +201,29 @@ object CoreQueries {
         .select("purchase_id", "click_id")
         .orderBy("purchase_id", "click_id")
     },
+    // ---- interval × interval overlap join: order pairs of the same
+    // customer whose 10-day fulfillment windows overlap. Both sides explode
+    // to covered 10-day bins; each true pair joins ONCE (on the bin holding
+    // the first instant of its intersection) — a shuffled equi-join on
+    // (custkey, bin), never a per-key cross product. The oracle runs the
+    // non-scalable all-pairs formulation of the same predicate ------------
+    "j9_interval_overlap" -> { (s, dir) =>
+      val dayUs = 86400L * 1000000L
+      val iv = Tables.t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          // o_orderdate lands as TIMESTAMP_NTZ; the session TZ is UTC so
+          // the LTZ cast is identity and unix_micros matches epoch_us
+          unix_micros(col("o_orderdate").cast("timestamp")).as("s0"))
+      val lhs = iv.select(col("custkey"), col("o_orderkey").as("k1"),
+        col("s0").as("s1"), (col("s0") + 10 * dayUs).as("e1"))
+      val rhs = iv.select(col("custkey"), col("o_orderkey").as("k2"),
+        col("s0").as("s2"), (col("s0") + 10 * dayUs).as("e2"))
+      graft.ops.RangeJoin.overlapBinned(lhs, rhs, Seq("custkey"),
+          "s1", "e1", "s2", "e2", binWidth = 10 * dayUs)
+        .filter(col("k1") < col("k2"))
+        .select("custkey", "k1", "k2")
+        .orderBy("custkey", "k1", "k2")
+    },
     // ---- D1/D2: dedup winner-pick via window row_number ----------------
     "d1_dedup_window" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -284,6 +307,15 @@ object CoreQueries {
         "AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts) " +
         "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
         "ORDER BY purchase_id, click_id"),
+    // all-pairs formulation of the same overlap predicate — identical
+    // result, non-scalable plan (the engine side bins both interval sets)
+    "j9_interval_overlap" ->
+      ("WITH iv AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderdate AS s, " +
+        "o_orderdate + INTERVAL 10 DAY AS e FROM orders) " +
+        "SELECT a.c AS custkey, a.k AS k1, b.k AS k2 " +
+        "FROM iv a JOIN iv b ON a.c = b.c AND a.k < b.k " +
+        "AND a.s <= b.e AND b.s <= a.e " +
+        "ORDER BY custkey, k1, k2"),
     "d1_dedup_window" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +

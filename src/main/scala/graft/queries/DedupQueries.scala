@@ -219,6 +219,20 @@ object DedupQueries {
           "doc_id", "nm", maxDist = 2)
         .orderBy("key_a", "key_b")
     },
+    // exact set-overlap similarity join: document pairs sharing >= 10
+    // distinct 5-token shingles. PPJoin-style prefix filter — each doc
+    // indexes only its |S|-T+1 rarest shingles, provably losing no
+    // qualifying pair — then exact intersection counts on candidates only.
+    // The oracle is the naive all-shared-shingle self-join; the engine's
+    // candidate join touches only prefix elements
+    "ss1_overlap_join" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("__toks", split(col("text"), " "))
+        .withColumn("__sh", wordShingles(col("__toks"), 5))
+      graft.dedup.OverlapJoin.join(docs, "doc_id", "__sh", minOverlap = 10)
+        .select(col("id_a").as("d1"), col("id_b").as("d2"), col("overlap"))
+        .orderBy("d1", "d2")
+    },
     // embedding-cosine near-dup scores for consecutive vec pairs
     "dd5_embed_cosine" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
@@ -264,6 +278,15 @@ object DedupQueries {
       "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node)"
 
   val oracle: Map[String, String] = Map(
+    // naive all-shared-shingle formulation; the engine side only joins
+    // prefix-indexed (rarest) shingles for candidates
+    "ss1_overlap_join" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS s " +
+        "FROM tok, unnest(generate_series(0, len(toks)-5)) AS g(i)), " +
+        "pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS overlap " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY d1, d2) " +
+        "SELECT d1, d2, overlap FROM pair WHERE overlap >= 10 ORDER BY d1, d2"),
     "dd1_exact_dedup" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, " +
         "min(doc_id) AS rep_id, count(*) AS n_dups FROM documents " +

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.OverlapJoin
+
+/** Exact overlap join vs a naive all-pairs intersection reference on
+  * randomized skewed sets — exercises the prefix-filter lemma (no lost
+  * pairs), duplicate collapsing, the sub-threshold drop, and the exact
+  * threshold boundary. */
+class OverlapJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("randomized skewed sets: pairs and overlaps match the naive reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(31)
+    // Zipf-ish element draw: low ids very common, tail rare — the regime
+    // where rarest-first prefix ordering matters. Duplicates within a set
+    // (collapsed by the operator) appear naturally.
+    def elem(): String = s"e${math.min(rnd.nextInt(40), rnd.nextInt(40))}"
+    val docs = (1L to 120L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(25))(elem()))
+    }
+    val minOverlap = 4
+    val got = OverlapJoin.join(docs.toDF("id", "s"), "id", "s", minOverlap)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val sets = docs.map { case (i, s) => i -> s.toSet }.toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      ov = (sets(a) & sets(b)).size if ov >= minOverlap
+    } yield (a, b, ov.toLong)).toSeq.sorted
+    assert(got === naive)
+    assert(got.nonEmpty)
+    // boundary coverage: some pair sits exactly at the threshold
+    assert(naive.exists(_._3 == minOverlap.toLong))
+  }
+
+  test("sets smaller than the threshold never pair; empty sets are safe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("a", "b")), // |S| < T: dropped
+      (3L, Seq.empty[String]),
+      (4L, Seq("a", "b", "c")), (5L, Seq("a", "b", "c"))).toDF("id", "s")
+    val got = OverlapJoin.join(docs, "id", "s", minOverlap = 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((4L, 5L, 3L)))
+  }
+}

@@ -311,6 +311,29 @@ class PlanSpec extends AnyFunSuite {
       s"degree-oriented triangle count fell into a product plan:\n$plan")
   } }
 
+  test("overlap join and interval-overlap join stay equi-joins — no product") { uncached {
+    // ss1's candidate generation joins prefix elements, j9 joins (key, bin):
+    // neither may fall back to a nested-loop/cartesian even though their
+    // logical predicates look like similarity/range conditions
+    for (q <- Seq("ss1_overlap_join", "j9_interval_overlap")) {
+      val plan = formattedPlan(SparkEntry.queries(q)(spark, TestSession.sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q degenerated to a product plan:\n$plan")
+    }
+  } }
+
+  test("batch sessionize shares one (key, ts) exchange across windows + agg") { uncached {
+    // both window functions sort on (user_id, tus) and the session agg
+    // groups on a (user_id, __sid) superset — exactly ONE hash exchange on
+    // user_id may appear (plus the final orderBy's range exchange); a
+    // second hash exchange would mean the agg re-shuffled
+    val plan = formattedPlan(
+      SparkEntry.queries("ses1_sessionize_batch")(spark, TestSession.sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected a single hash exchange in batch sessionize, got $hashExchanges:\n$plan")
+  } }
+
   test("graph lifecycle prunes the lineitem scan to the edge columns") { uncached {
     // g9 stacks decompose → mergeVertices → resolveEdges → mergeEdges; the
     // mapGroups merge is a deserialization barrier, but column pruning must
