@@ -163,7 +163,8 @@ object OpsQueries {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
       mergedLogColumns(graft.streaming.Streams.runWindowedAgg(logs,
         df => LoggingService.mergeAndRateLimit(df, windowSec = 3600),
-        keyCols = Seq("subsystem", "level", "message", "win")))
+        keyCols = Seq("subsystem", "level", "message", "win"),
+        statePartitions = Some(8)))
     }
   )
 

@@ -234,7 +234,8 @@ object SurfaceQueries {
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
       val stream = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      Streams.runToParquet(Streams.sessionize(stream, gapMinutes = 30))
+      Streams.runToParquet(Streams.sessionize(stream, gapMinutes = 30),
+          statePartitions = Some(8))
         .orderBy("user_id", "session_start")
     },
     // ---- stateful stream dedup: source re-delivers every event twice; the
@@ -246,7 +247,8 @@ object SurfaceQueries {
       ev.write.mode("append").parquet(tmp)
       val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
       Streams.runToParquet(stream,
-          st => Streams.dedupStream(st, Seq("event_id"), eventTimeCol = Some("ts")))
+          st => Streams.dedupStream(st, Seq("event_id"), eventTimeCol = Some("ts")),
+          statePartitions = Some(8))
         .select("event_id", "user_id", "event_type", "value", "props")
         .orderBy("event_id")
     },
@@ -256,7 +258,8 @@ object SurfaceQueries {
       val (clicks, purchases) = clickPurchaseStreams(s, dir)
       Streams.runToParquet(
           Streams.intervalJoin(clicks, purchases, "cu", "pu",
-            "click_ts", "p_ts", windowSeconds = 3600))
+            "click_ts", "p_ts", windowSeconds = 3600),
+          statePartitions = Some(8))
         .select(col("click_id"), col("p_id"), col("cu").as("user_id"))
         .orderBy("click_id", "p_id")
     },
@@ -270,7 +273,8 @@ object SurfaceQueries {
       Streams.runToParquet(
           Streams.intervalJoin(clicks, purchases, "cu", "pu",
             "click_ts", "p_ts", windowSeconds = 3600,
-            joinType = "left_outer"))
+            joinType = "left_outer"),
+          statePartitions = Some(8))
         .select(col("click_id"), col("p_id"), col("cu").as("user_id"))
         .orderBy(col("click_id"), col("p_id"))
     },
@@ -285,7 +289,8 @@ object SurfaceQueries {
       Streams.runToParquet(
           Streams.intervalJoin(clicks, purchases, "cu", "pu",
             "click_ts", "p_ts", windowSeconds = 3600,
-            joinType = "full_outer"))
+            joinType = "full_outer"),
+          statePartitions = Some(8))
         .select(col("click_id"), col("p_id"),
           coalesce(col("cu"), col("pu")).as("user_id"))
         .orderBy(col("click_id"), col("p_id"))
@@ -313,7 +318,8 @@ object SurfaceQueries {
         df.groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(18, 6)))
-              .cast("double").as("total_value")))
+              .cast("double").as("total_value")),
+        statePartitions = Some(8))
       out.select(col("window.start").as("wstart"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy("wstart", "event_type")

@@ -28,6 +28,25 @@ import graft.pipeline.{Pipeline, PipelineStage}
   */
 object Streams {
 
+  /** Run `body` (which must START AND FINISH a streaming query) with
+    * `spark.sql.shuffle.partitions` — the knob that fixes a stateful
+    * stream's state-store partition count at first start — temporarily
+    * overridden. The partition count is baked into the checkpoint: it
+    * cannot change later without a state rebuild, so it must be sized
+    * deliberately (≈ peak keys / target state per store), not inherited
+    * from whatever batch default the session happens to carry. `None`
+    * keeps the session setting. */
+  private def withStatePartitions[A](spark: SparkSession,
+      statePartitions: Option[Int])(body: => A): A = statePartitions match {
+    case None => body
+    case Some(k) =>
+      require(k > 0, s"statePartitions must be positive: $k")
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, k.toString)
+      try body finally spark.conf.set(key, prev)
+  }
+
   /** File-based stream over parquet path(s) with a known schema.
     *
     * FileStreamSource requires its basePath to be a directory; a
@@ -42,17 +61,20 @@ object Streams {
 
   /** ST1: run a passthrough (or transformed) stream to completion, landing
     * every micro-batch in a parquet dir; returns the landed data. */
-  def runToParquet(stream: DataFrame, transform: DataFrame => DataFrame = identity): DataFrame = {
+  def runToParquet(stream: DataFrame, transform: DataFrame => DataFrame = identity,
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
-    val q = transform(stream).writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val q = transform(stream).writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 
@@ -190,22 +212,25 @@ object Streams {
     * capacity, not driver memory. `keyCols` are the aggregation's group
     * columns (struct columns like `window` are fine as keys). */
   def runWindowedAgg(stream: DataFrame, agg: DataFrame => DataFrame,
-      keyCols: Seq[String] = Seq("window", "event_type")): DataFrame = {
+      keyCols: Seq[String] = Seq("window", "event_type"),
+      statePartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = stream.sparkSession
     val out = Files.createTempDirectory("graft_win_out").toString
     val ckpt = Files.createTempDirectory("graft_win_ckpt").toString
     val aggregated = agg(stream)
-    val q = aggregated.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("__batch", lit(batchId))
-          .write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val q = aggregated.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("__batch", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__batch").desc)
     // explicit schema: an empty stream writes no files, and schema
     // inference over an empty dir would throw instead of returning the
