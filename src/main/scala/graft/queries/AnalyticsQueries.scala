@@ -28,6 +28,18 @@ object AnalyticsQueries {
 
   private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
+  /** Shared ts1/ts2 front half: per-user daily event counts, gap-filled to
+    * a dense [min, max] day grid with zero-filled holes. */
+  private def dailyDense(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = Tables.t(s, dir, "events")
+      .select(col("user_id"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .groupBy("user_id", "day_us").agg(count(lit(1)).as("n_events"))
+    graft.ops.TimeSeries.gapFill(daily, "user_id", "day_us",
+      step = dayUs, fill = Map("n_events" -> lit(0L)))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- window ranking: top-3 orders per customer by price -------------
     "w1_window_rank" -> { (s, dir) =>
@@ -57,17 +69,20 @@ object AnalyticsQueries {
     // driver state, co-partitioned grid join), then a running total over
     // the now-dense series ------------------------------------------------
     "ts1_gap_fill" -> { (s, dir) =>
-      val dayUs = 86400L * 1000000L
-      val daily = Tables.t(s, dir, "events")
-        .select(col("user_id"),
-          unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
-        .groupBy("user_id", "day_us").agg(count(lit(1)).as("n_events"))
-      val filled = graft.ops.TimeSeries.gapFill(daily, "user_id", "day_us",
-        step = dayUs, fill = Map("n_events" -> lit(0L)))
       val w = Window.partitionBy("user_id").orderBy("day_us")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      filled.withColumn("cum_events", sum(col("n_events")).over(w))
+      dailyDense(s, dir).withColumn("cum_events", sum(col("n_events")).over(w))
         .select("user_id", "day_us", "n_events", "cum_events")
+        .orderBy("user_id", "day_us")
+    },
+    // ---- moving-window aggregate over the dense series: a 7-day moving
+    // sum is only correct AFTER gap filling (a ROWS frame over a sparse
+    // series silently spans unequal time) — this is why gapFill exists ----
+    "ts2_moving_window" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("day_us")
+        .rowsBetween(-6, Window.currentRow)
+      dailyDense(s, dir).withColumn("mov7", sum(col("n_events")).over(w))
+        .select("user_id", "day_us", "mov7")
         .orderBy("user_id", "day_us")
     },
     // ---- window analytics: running sum + lag per customer ---------------
@@ -255,6 +270,16 @@ object AnalyticsQueries {
         "SELECT d.user_id, epoch_us(d.day) AS day_us, CAST(coalesce(n, 0) AS BIGINT) AS n_events, " +
         "CAST(sum(coalesce(n, 0)) OVER (PARTITION BY d.user_id ORDER BY d.day " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events " +
+        "FROM days d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day " +
+        "ORDER BY d.user_id, day_us"),
+    "ts2_moving_window" ->
+      ("WITH bounds AS (SELECT user_id, date_trunc('day', min(ts)) AS d0, " +
+        "date_trunc('day', max(ts)) AS d1 FROM events GROUP BY user_id), " +
+        "days AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds), " +
+        "daily AS (SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY user_id, day) " +
+        "SELECT d.user_id, epoch_us(d.day) AS day_us, " +
+        "CAST(sum(coalesce(n, 0)) OVER (PARTITION BY d.user_id ORDER BY d.day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7 " +
         "FROM days d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day " +
         "ORDER BY d.user_id, day_us"),
     "w1_window_rank" ->

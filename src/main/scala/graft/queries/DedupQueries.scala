@@ -219,6 +219,27 @@ object DedupQueries {
           "doc_id", "nm", maxDist = 2)
         .orderBy("key_a", "key_b")
     },
+    // sorted-neighborhood blocking (merge/purge): sort by (lang, text),
+    // pair each doc with its next 3 neighbors, keep token-set Jaccard
+    // >= 1/2 (exact integer cross-multiply — no float compare). The
+    // distributed rank is range-partitioned (no whole-corpus window); the
+    // oracle uses the naive global row_number formulation
+    "dd14_sorted_neighborhood" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          array_distinct(split(col("text"), " ")).as("tset"))
+      graft.dedup.SortedNeighborhood.pairs(docs, "doc_id",
+          Seq("lang", "text"), window = 3)
+        .withColumn("inter",
+          size(array_intersect(col("tset_a"), col("tset_b"))).cast("long"))
+        .withColumn("un",
+          (size(col("tset_a")) + size(col("tset_b"))).cast("long") - col("inter"))
+        .filter(lit(2L) * col("inter") >= col("un"))
+        .select(least(col("doc_id_a"), col("doc_id_b")).as("da"),
+          greatest(col("doc_id_a"), col("doc_id_b")).as("db"),
+          col("inter"), col("un"))
+        .orderBy("da", "db")
+    },
     // exact set-overlap similarity join: document pairs sharing >= 10
     // distinct 5-token shingles. PPJoin-style prefix filter — each doc
     // indexes only its |S|-T+1 rarest shingles, provably losing no
@@ -278,6 +299,18 @@ object DedupQueries {
       "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node)"
 
   val oracle: Map[String, String] = Map(
+    // naive single-partition row_number formulation of the same sorted
+    // neighborhood; the engine ranks via range partitions
+    "dd14_sorted_neighborhood" ->
+      ("WITH d AS (SELECT doc_id, lang, text, list_distinct(string_split(text, ' ')) AS tset, " +
+        "row_number() OVER (ORDER BY lang, text, doc_id) AS rn FROM documents), " +
+        "cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.tset AS sa, b.tset AS sb " +
+        "FROM d a JOIN d b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3), " +
+        "sc AS (SELECT d1, d2, len(list_intersect(sa, sb)) AS inter, " +
+        "len(sa) + len(sb) - len(list_intersect(sa, sb)) AS un FROM cand) " +
+        "SELECT least(d1, d2) AS da, greatest(d1, d2) AS db, " +
+        "CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un " +
+        "FROM sc WHERE 2 * inter >= un ORDER BY da, db"),
     // naive all-shared-shingle formulation; the engine side only joins
     // prefix-indexed (rarest) shingles for candidates
     "ss1_overlap_join" ->

@@ -141,6 +141,30 @@ object TextQueries {
     // token, which libm-vs-JVM last-ulp drift keeps out of the oracle).
     // At 100 TB the broadcast side must be the min-count-pruned vocab —
     // here the corpus vocab is small; prune with a HAVING count >= k stage
+    // ---- repeated-span coverage (Lee et al. exact-substring shape): the
+    // fraction of each doc's 10-token windows that also occur in ANOTHER
+    // doc — the quality signal behind "remove docs that are mostly
+    // boilerplate". ALL window positions count (not distinct grams):
+    // explode windows → per-gram doc frequency (shuffled equi-join on the
+    // gram, the df side is corpus-sized so no broadcast) → per-doc ratio
+    // as one exact-int division -------------------------------------------
+    "tx13_dup_span_ratio" -> { (s, dir) =>
+      val n = 10
+      val win = Tables.t(s, dir, "documents")
+        .withColumn("__toks", split(col("text"), " "))
+        .filter(size(col("__toks")) >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("g"))
+      val df = win.groupBy("g").agg(countDistinct(col("doc_id")).as("docs"))
+      win.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_ratio",
+          col("n_dup").cast("double") / col("n_windows"))
+        .orderBy("doc_id")
+    },
     "tx12_freq_score" -> { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
       val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -239,6 +263,15 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "tx13_dup_span_ratio" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "win AS (SELECT doc_id, array_to_string(toks[i+1:i+10], ' ') AS g " +
+        "FROM tok, unnest(generate_series(0, len(toks)-10)) AS t(i) WHERE len(toks) >= 10), " +
+        "df AS (SELECT g, count(DISTINCT doc_id) AS docs FROM win GROUP BY g) " +
+        "SELECT w.doc_id, count(*) AS n_windows, " +
+        "CAST(sum(CASE WHEN df.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "CAST(sum(CASE WHEN df.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio " +
+        "FROM win w JOIN df ON w.g = df.g GROUP BY w.doc_id ORDER BY doc_id"),
     // same stage order: tx2's quality arithmetic (identical expression
     // tree), dd1's fingerprint, tx10's md5 sampler — composed verbatim so
     // nothing can drift from the single-stage oracles
