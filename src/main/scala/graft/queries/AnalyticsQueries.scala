@@ -85,6 +85,39 @@ object AnalyticsQueries {
         .select("user_id", "day_us", "mov7")
         .orderBy("user_id", "day_us")
     },
+    // ---- sequential-conversion funnel: first click, first purchase
+    // within 24h after it, first signup within 24h after that; keys keep
+    // nulls from their first missed step (150 -> 67 -> 19 at sf0.01) ------
+    "fn1_funnel" -> { (s, dir) =>
+      val dayUs = 86400L * 1000000L
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      graft.ops.Funnel.funnel(ev, "user_id", "tus",
+          Seq("click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase"),
+            "signup" -> (col("event_type") === "signup")),
+          windowMicros = dayUs)
+        .select(col("user_id"), col("t_click"), col("t_purchase"),
+          col("t_signup"))
+        .orderBy("user_id")
+    },
+    // ---- cohort retention: users grouped by first-seen week, activity
+    // counted per week offset — two co-keyed aggregations, no windows ----
+    "cohort1_retention" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events").select(col("user_id"), col("ts"))
+      val firstSeen = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      ev.join(firstSeen, "user_id")
+        .withColumn("week_offset",
+          expr("CAST(datediff(date_trunc('week', ts), cohort) AS LONG) div 7"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_micros(col("cohort")).as("cohort_us"),
+          col("week_offset"), col("active_users"), col("n_events"))
+        .orderBy("cohort_us", "week_offset")
+    },
     // ---- window analytics: running sum + lag per customer ---------------
     // explicit ROWS frame on both sides (default RANGE mode would sum
     // order-date ties together)
@@ -282,6 +315,29 @@ object AnalyticsQueries {
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7 " +
         "FROM days d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day " +
         "ORDER BY d.user_id, day_us"),
+    "fn1_funnel" ->
+      ("WITH c AS (SELECT user_id, min(epoch_us(ts)) AS t_click FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "p AS (SELECT e.user_id, min(epoch_us(ts)) AS t_purchase FROM events e " +
+        "JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' " +
+        "AND epoch_us(e.ts) > c.t_click AND epoch_us(e.ts) <= c.t_click + 86400000000 " +
+        "GROUP BY e.user_id), " +
+        "sg AS (SELECT e.user_id, min(epoch_us(ts)) AS t_signup FROM events e " +
+        "JOIN p ON e.user_id = p.user_id WHERE e.event_type = 'signup' " +
+        "AND epoch_us(e.ts) > p.t_purchase AND epoch_us(e.ts) <= p.t_purchase + 86400000000 " +
+        "GROUP BY e.user_id) " +
+        "SELECT c.user_id, t_click, t_purchase, t_signup FROM c " +
+        "LEFT JOIN p ON c.user_id = p.user_id " +
+        "LEFT JOIN sg ON c.user_id = sg.user_id ORDER BY c.user_id"),
+    "cohort1_retention" ->
+      ("WITH first_seen AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort " +
+        "FROM events GROUP BY user_id), " +
+        "act AS (SELECT e.user_id, f.cohort, " +
+        "datediff('week', f.cohort, date_trunc('week', e.ts)) AS woff " +
+        "FROM events e JOIN first_seen f ON e.user_id = f.user_id) " +
+        "SELECT epoch_us(cohort) AS cohort_us, CAST(woff AS BIGINT) AS week_offset, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS active_users, count(*) AS n_events " +
+        "FROM act GROUP BY cohort, woff ORDER BY cohort_us, week_offset"),
     "w1_window_rank" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +

@@ -141,6 +141,16 @@ object TextQueries {
     // token, which libm-vs-JVM last-ulp drift keeps out of the oracle).
     // At 100 TB the broadcast side must be the min-count-pruned vocab —
     // here the corpus vocab is small; prune with a HAVING count >= k stage
+    // ---- exact heavy hitters without a full-vocabulary shuffle: per-
+    // partition Misra-Gries summaries -> provable candidate superset
+    // (broadcast) -> exact counts of candidates only. The oracle is the
+    // full groupBy-everything formulation; results are identical ----------
+    "hh1_heavy_hitters" -> { (s, dir) =>
+      val toks = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      graft.ops.HeavyHitters.exact(toks, "token", m = 200)
+        .orderBy("token")
+    },
     // ---- repeated-span coverage (Lee et al. exact-substring shape): the
     // fraction of each doc's 10-token windows that also occur in ANOTHER
     // doc — the quality signal behind "remove docs that are mostly
@@ -263,6 +273,14 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // full-domain aggregation formulation — identical result, shuffles the
+    // whole vocabulary (the engine shuffles only MG candidates)
+    "hh1_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tot AS (SELECT count(*) AS n FROM tok), " +
+        "cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token) " +
+        "SELECT token, CAST(c AS BIGINT) AS freq FROM cnt, tot " +
+        "WHERE c * 200 > n ORDER BY token"),
     "tx13_dup_span_ratio" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "win AS (SELECT doc_id, array_to_string(toks[i+1:i+10], ' ') AS g " +
