@@ -57,6 +57,50 @@ object OpsQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
     },
+    // ---- data-quality: one-scan column profile over orders --------------
+    "dq1_profile" -> { (s, dir) =>
+      graft.ops.DataQuality.profile(Tables.t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col")
+    },
+    // ---- data-quality: expectation rules + FK check over a snapshot with
+    // deterministic corruptions (same shape as st6's quarantine seeding) --
+    "dq2_expectations" -> { (s, dir) =>
+      val corrupt1 = col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1
+      val corrupt2 = col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1
+      val corrupt3 = col("l_orderkey") % 107 === 0 && col("l_linenumber") === 1
+      val corrupt4 = col("l_orderkey") % 109 === 0 && col("l_linenumber") === 1
+      val li = Tables.t(s, dir, "lineitem").select(
+        when(corrupt1, -5.0).otherwise(col("l_quantity")).as("q"),
+        when(corrupt2, 0.99).otherwise(col("l_discount")).as("d"),
+        when(corrupt3, col("l_orderkey") + 30000000L)
+          .otherwise(col("l_orderkey")).as("fk"),
+        when(corrupt4, lit(null)).otherwise(col("l_returnflag")).as("rf"))
+      graft.ops.DataQuality.expectations(li, Seq(
+          "quantity_range" -> !col("q").between(1, 50),
+          "discount_range" -> !col("d").between(0, 0.1),
+          "returnflag_not_null" -> col("rf").isNull))
+        .unionByName(graft.ops.DataQuality.fkViolations(li, "fk",
+          Tables.t(s, dir, "orders"), "o_orderkey", "fk_orders"))
+        .orderBy("rule")
+    },
+    // ---- CDC snapshot diff: recover the I/U/D changeset between two
+    // whole-table snapshots (deterministic synthetic drift) ---------------
+    "cdc1_snapshot_diff" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val old = orders.select(col("o_orderkey"), col("o_totalprice").as("v"),
+        col("o_orderstatus").as("st"))
+      val neu = orders.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")).as("v"),
+          col("o_orderstatus").as("st"))
+        .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_totalprice").as("v"), lit("N").as("st")))
+      graft.ops.SnapshotDiff.diff(old, neu, Seq("o_orderkey"))
+        .orderBy("op", "o_orderkey")
+    },
     // ---- S7: legacy V1 query object with control fields -----------------
     "s7_legacy_query" -> { (s, dir) =>
       val q = LegacyQuerySource.parse(Map(
@@ -184,6 +228,40 @@ object OpsQueries {
         "ORDER BY subsystem, level, message, win_start")
 
   val oracle: Map[String, String] = Map(
+    "dq1_profile" ->
+      ("SELECT 'o_orderkey' AS col, count(*) AS n_rows, count(*)-count(o_orderkey) AS n_nulls, " +
+        "count(DISTINCT o_orderkey) AS n_distinct, CAST(min(o_orderkey) AS VARCHAR) AS min_v, " +
+        "CAST(max(o_orderkey) AS VARCHAR) AS max_v FROM orders " +
+        "UNION ALL SELECT 'o_custkey', count(*), count(*)-count(o_custkey), " +
+        "count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders " +
+        "UNION ALL SELECT 'o_orderstatus', count(*), count(*)-count(o_orderstatus), " +
+        "count(DISTINCT o_orderstatus), CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders " +
+        "UNION ALL SELECT 'o_orderpriority', count(*), count(*)-count(o_orderpriority), " +
+        "count(DISTINCT o_orderpriority), CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders " +
+        "ORDER BY col"),
+    "dq2_expectations" ->
+      ("WITH c AS (SELECT " +
+        "CASE WHEN l_orderkey % 101 = 0 AND l_linenumber = 1 THEN -5.0 ELSE l_quantity END AS q, " +
+        "CASE WHEN l_orderkey % 103 = 0 AND l_linenumber = 1 THEN 0.99 ELSE l_discount END AS d, " +
+        "CASE WHEN l_orderkey % 107 = 0 AND l_linenumber = 1 THEN l_orderkey + 30000000 ELSE l_orderkey END AS fk, " +
+        "CASE WHEN l_orderkey % 109 = 0 AND l_linenumber = 1 THEN NULL ELSE l_returnflag END AS rf " +
+        "FROM lineitem) " +
+        "SELECT 'fk_orders' AS rule, count(*) AS n_violations FROM c " +
+        "LEFT JOIN orders ON c.fk = orders.o_orderkey WHERE o_orderkey IS NULL " +
+        "UNION ALL SELECT 'quantity_range', count(*) FROM c WHERE NOT (q BETWEEN 1 AND 50) " +
+        "UNION ALL SELECT 'discount_range', count(*) FROM c WHERE NOT (d BETWEEN 0 AND 0.1) " +
+        "UNION ALL SELECT 'returnflag_not_null', count(*) FROM c WHERE rf IS NULL " +
+        "ORDER BY rule"),
+    "cdc1_snapshot_diff" ->
+      ("WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st FROM orders), " +
+        "new AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 " +
+        "ELSE o_totalprice END AS v, o_orderstatus AS st FROM orders WHERE o_orderkey % 13 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 20000000, o_totalprice, 'N' FROM orders WHERE o_orderkey % 500 = 0) " +
+        "SELECT CASE WHEN n.k IS NULL THEN 'D' WHEN o.k IS NULL THEN 'I' ELSE 'U' END AS op, " +
+        "coalesce(o.k, n.k) AS o_orderkey " +
+        "FROM old o FULL JOIN new n ON o.k = n.k " +
+        "WHERE n.k IS NULL OR o.k IS NULL OR o.v <> n.v OR o.st <> n.st " +
+        "ORDER BY op, o_orderkey"),
     "bf1_bloom_prune" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey " +

@@ -295,6 +295,53 @@ object SurfaceQueries {
           coalesce(col("cu"), col("pu")).as("user_id"))
         .orderBy(col("click_id"), col("p_id"))
     },
+    // ---- streaming upsert sink: per micro-batch, reduce to the latest
+    // event per user and MERGE it into the bucket store (buffer+promote →
+    // each batch lands atomically). The merge's order guard — update only
+    // if (ts, event_id) is newer — makes the final state independent of
+    // how the source was split into batches AND idempotent under replay:
+    // exactly-once EFFECTS over at-least-once foreachBatch ----------------
+    "st12_stream_merge" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val store = new graft.store.BucketStore(s,
+        java.nio.file.Files.createTempDirectory("graft_st12").toString)
+      val b = graft.model.Bucket("/stream/user_state", graft.model.DataSchema())
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("last_ts", LongType),
+        StructField("last_event", LongType), StructField("last_type", StringType)))
+      store.write(b, s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+      val crud = new graft.crud.CrudService(store, b)
+
+      val raw = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      Streams.runForeachBatch(raw) { batch =>
+        // nanos -> micros BEFORE ranking, so the (ts, event_id) order the
+        // guard uses is exactly the oracle's epoch_us order (ns-level
+        // sub-ties resolve through the event_id tiebreak on both sides)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tus").desc, col("event_id").desc)
+        val latest = batch
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("tus").as("src_ts"),
+            col("event_id").as("src_event"), col("event_type").as("src_type"))
+        val newer = col("src_ts") > col("last_ts") ||
+          (col("src_ts") === col("last_ts") && col("src_event") > col("last_event"))
+        crud.mergeInto(latest, Seq("user_id"),
+          matchedUpdate = Map(
+            "last_ts" -> when(newer, col("src_ts")).otherwise(col("last_ts")),
+            "last_event" -> when(newer, col("src_event")).otherwise(col("last_event")),
+            "last_type" -> when(newer, col("src_type")).otherwise(col("last_type"))),
+          notMatchedInsert = Some(Map(
+            "last_ts" -> col("src_ts"), "last_event" -> col("src_event"),
+            "last_type" -> col("src_type"))))
+      }
+      store.read(b).select("user_id", "last_ts", "last_event", "last_type")
+        .orderBy("user_id")
+    },
     // ---- stream-static join: enrich a purchase stream with the customer
     // dim (broadcast — the dim is re-read per micro-batch, so a broadcast
     // hash join keeps per-batch cost flat; stream side never shuffles) ----
@@ -334,6 +381,13 @@ object SurfaceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // final state after all streaming merges = latest event per user under
+    // the (ts, event_id) total order, however the stream was batched
+    "st12_stream_merge" ->
+      ("SELECT user_id, tus AS last_ts, event_id AS last_event, event_type AS last_type " +
+        "FROM (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY user_id"),
     "q10_correlated" ->
       ("SELECT c_custkey, c_name FROM customer c " +
         "WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey " +

@@ -97,6 +97,27 @@ object Streams {
     spark.read.parquet(out)
   }
 
+  /** Run an arbitrary per-micro-batch action to completion — the seam for
+    * streaming writes that go through a transactional sink (e.g.
+    * `CrudService.mergeInto` per batch: each micro-batch lands atomically
+    * via the store's buffer+promote, so readers never see a torn batch).
+    * The action must itself be idempotent-or-ordered against replays; pair
+    * it with an order guard (e.g. merge only if newer) for exactly-once
+    * EFFECTS on top of Structured Streaming's at-least-once foreachBatch. */
+  def runForeachBatch(stream: DataFrame,
+      statePartitions: Option[Int] = None)(f: DataFrame => Unit): Unit = {
+    val spark = stream.sparkSession
+    val ckpt = Files.createTempDirectory("graft_fb_ckpt").toString
+    withStatePartitions(spark, statePartitions) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => f(batch) }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   /** Cross-batch keyed state — the capability the reference's Storm layer
     * delegated to external stores (its bolts are stateless; state lived in
     * ES/Mongo): sessionize events per user with an inactivity gap, via
