@@ -54,12 +54,22 @@ object OverlapJoin {
     val prefix = elems.join(df, "__e")
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <= col("__sz") - minOverlap + 1)
-      .select("__id", "__e")
+      .select("__id", "__e", "__rn", "__sz")
 
-    // candidates: pairs sharing an indexed (prefix) element
-    val cand = prefix.select(col("__id").as("id_a"), col("__e"))
-      .join(prefix.select(col("__id").as("id_b"), col("__e")), "__e")
+    // candidates: pairs sharing an indexed (prefix) element, pruned by the
+    // PPJoin position filter — if |A∩B| >= T then for the FIRST shared
+    // element (positions pa, pb in each side's global-order ranking) both
+    // tails still hold >= T shared elements, so
+    // 1 + min(|A|-pa, |B|-pb) >= T on that row; a pair none of whose
+    // joined rows satisfies the bound cannot reach the threshold. This is
+    // what keeps low-threshold joins from certifying a pair off one
+    // late-position coincidence
+    def side(s: String) = prefix.select(col("__id").as(s"id_$s"),
+      col("__e"), col("__rn").as(s"rn_$s"), col("__sz").as(s"sz_$s"))
+    val cand = side("a").join(side("b"), "__e")
       .filter(col("id_a") < col("id_b"))
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"),
+        col("sz_b") - col("rn_b")) >= minOverlap)
       .select("id_a", "id_b").distinct()
 
     // verify: exact intersection size, computed only for candidates
