@@ -39,6 +39,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(before === 0 && after === 0, "memory sink table registered")
   }
 
+  test("stateful stream restarted from its checkpoint converges to the " +
+      "uninterrupted result (state recovery, no reprocessing)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val spark2 = spark
+    import spark2.implicits._
+
+    // a keyed running aggregation: its state (per-key counts/sums) must
+    // survive the stop and NOT double-count batch-1 rows on restart
+    val src = Files.createTempDirectory("graft_restart_src").toString
+    val out = Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("k LONG, v LONG")
+        .parquet(src)
+      val q = stream.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("__b", lit(id)).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val batch1 = (1L to 500L).map(i => (i % 7, i))
+    val batch2 = (1L to 400L).map(i => (i % 5, i * 3))
+    batch1.toDF("k", "v").write.mode("append").parquet(src)
+    runOnce() // processes batch1, commits offsets + state to ckpt
+    batch2.toDF("k", "v").write.mode("append").parquet(src)
+    runOnce() // RESTART from ckpt: must see only batch2, with batch1 state
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("__b").desc)
+    val got = spark.read.parquet(out)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select("k", "n", "s")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val all = batch1 ++ batch2
+    val expect = all.groupBy(_._1).toSeq
+      .map { case (k, v) => (k, v.size.toLong, v.map(_._2).sum) }.sorted
+    assert(got === expect)
+  }
+
   test("ST5 stream manager: start/status/stop lifecycle by name") {
     import graft.streaming.{StreamManager, Streams}
     import org.apache.spark.sql.streaming.Trigger
