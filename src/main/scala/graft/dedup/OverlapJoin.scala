@@ -56,20 +56,16 @@ object OverlapJoin {
       .filter(col("__rn") <= col("__sz") - minOverlap + 1)
       .select("__id", "__e", "__rn", "__sz")
 
-    // candidates: pairs sharing an indexed (prefix) element, pruned by the
-    // PPJoin position filter — if |A∩B| >= T then for the FIRST shared
-    // element (positions pa, pb in each side's global-order ranking) both
-    // tails still hold >= T shared elements, so
-    // 1 + min(|A|-pa, |B|-pb) >= T on that row; a pair none of whose
-    // joined rows satisfies the bound cannot reach the threshold. This is
-    // what keeps low-threshold joins from certifying a pair off one
-    // late-position coincidence
-    def side(s: String) = prefix.select(col("__id").as(s"id_$s"),
-      col("__e"), col("__rn").as(s"rn_$s"), col("__sz").as(s"sz_$s"))
+    // candidates: pairs sharing an indexed (prefix) element. NOTE: the
+    // classic PPJoin position filter (1 + min(|A|-pa, |B|-pb) >= T) is a
+    // NO-OP under an absolute overlap threshold — it is algebraically the
+    // prefix condition rn <= sz-T+1 already enforced on both inputs. It
+    // only prunes for similarity-RELATIVE thresholds (Jaccard/cosine),
+    // where the required overlap grows with the partner's size; don't
+    // "add" it here expecting a candidate reduction
+    def side(s: String) = prefix.select(col("__id").as(s"id_$s"), col("__e"))
     val cand = side("a").join(side("b"), "__e")
       .filter(col("id_a") < col("id_b"))
-      .filter(lit(1) + least(col("sz_a") - col("rn_a"),
-        col("sz_b") - col("rn_b")) >= minOverlap)
       .select("id_a", "id_b").distinct()
 
     // verify: exact intersection size, computed only for candidates

@@ -45,7 +45,9 @@ object SortedNeighborhood {
       window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     require(sortCols.nonEmpty, "sortCols must not be empty")
-    val reserved = Seq("__mid", "__pid", "__lrn", "__off", "__rn")
+    // "rn" is reserved too: a user column named rn would rename to rn_a /
+    // rn_b and collide with the rank columns of the same names
+    val reserved = Seq("__mid", "__pid", "__lrn", "__off", "__rn", "rn")
     require(df.columns.toSet.intersect(reserved.toSet).isEmpty,
       s"input columns must not be named ${reserved.mkString("/")} (reserved)")
 

@@ -22,21 +22,26 @@ object DataQuality {
     * strings so heterogeneous column types fit one result schema. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct == cols, "duplicate columns requested")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__cnt_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c"))) :+ count(lit(1)).as("__n")
+    // positional alias scheme (index, backquoted) so column names with
+    // dots or other special characters can't break re-resolution
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"__cnt_$i"),
+      countDistinct(col(c)).as(s"__nd_$i"),
+      min(col(c)).cast("string").as(s"__min_$i"),
+      max(col(c)).cast("string").as(s"__max_$i"))
+    } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map(c => struct(
+    val rows = cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("col"),
       col("__n").as("n_rows"),
-      (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
-      col(s"__nd_$c").as("n_distinct"),
-      col(s"__min_$c").as("min_v"),
-      col(s"__max_$c").as("max_v")))
+      (col("__n") - col(s"__cnt_$i")).as("n_nulls"),
+      col(s"__nd_$i").as("n_distinct"),
+      col(s"__min_$i").as("min_v"),
+      col(s"__max_$i").as("max_v"))
+    }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
@@ -46,12 +51,17 @@ object DataQuality {
     * otherwise (use isNull explicitly for presence checks). */
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "expectations needs at least one rule")
-    val aggs = rules.map { case (n, p) =>
-      sum(when(coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__v_$n")
+    require(rules.map(_._1).distinct.size == rules.size, "duplicate rule names")
+    // coalesce OUTSIDE the sum too: over an empty frame sum() is NULL, and
+    // an all-clean empty snapshot must report 0 violations (as the
+    // count-based fkViolations shape already does), not null
+    val aggs = rules.zipWithIndex.map { case ((_, p), i) =>
+      coalesce(sum(when(coalesce(p, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = rules.map { case (n, _) =>
-      struct(lit(n).as("rule"), col(s"__v_$n").as("n_violations"))
+    val rows = rules.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("rule"), col(s"__v_$i").as("n_violations"))
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }

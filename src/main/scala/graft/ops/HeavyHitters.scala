@@ -52,12 +52,21 @@ object HeavyHitters {
     *         hitters only */
   def exact(items: DataFrame, itemCol: String, m: Int): DataFrame = {
     require(m >= 2, s"m must be >= 2: $m")
+    import org.apache.spark.sql.types._
+    val itemType = items.schema(itemCol).dataType
+    // the summary pass works on strings; the candidate set must rejoin in
+    // the item's NATIVE type — a string=bigint join coerces through double
+    // and collapses ids past 2^53, silently dropping true hitters. Only
+    // admit types whose string rendering round-trips exactly
+    require(Seq(StringType, LongType, IntegerType, ShortType, ByteType)
+      .contains(itemType), s"itemCol type must round-trip via string: $itemType")
     val spark = items.sparkSession
     import spark.implicits._
     val cands = items.select(col(itemCol).cast("string"))
       .as[String]
       .mapPartitions(it => misraGries(it, m))
-      .toDF(itemCol).distinct()
+      .toDF(itemCol)
+      .select(col(itemCol).cast(itemType).as(itemCol)).distinct()
     val total = items.agg(count(lit(1)).as("__n"))
     items.join(broadcast(cands), itemCol)
       .groupBy(col(itemCol)).agg(count(lit(1)).as("freq"))

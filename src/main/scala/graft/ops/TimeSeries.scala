@@ -65,7 +65,7 @@ object TimeSeries {
   def gapFill(perBucket: DataFrame, keyCol: String, bucketCol: String,
       step: Long, fill: Map[String, Column], maxSteps: Int = 100000): DataFrame = {
     require(step > 0, s"step must be positive: $step")
-    val reserved = Set("__b0", "__b1")
+    val reserved = Set("__b0", "__b1", "__ongrid")
     require(perBucket.columns.toSet.intersect(reserved).isEmpty,
       s"input columns must not be named ${reserved.mkString("/")} (reserved)")
     val guardMsg = lit(s"TimeSeries.gapFill: a key spans more than " +
@@ -76,7 +76,21 @@ object TimeSeries {
       col("__b1")).otherwise(raise_error(guardMsg).cast("long"))
     val grid = bounds.select(col(keyCol),
       explode(sequence(col("__b0"), guardedEnd, lit(step))).as(bucketCol))
-    val joined = grid.join(perBucket, Seq(keyCol, bucketCol), "left")
+      .withColumn("__ongrid", lit(1))
+    // full outer, not left: an input bucket OFF the key's min + k·step
+    // lattice would find no grid row and silently vanish from a left join
+    // (its value lost from every downstream total). Misalignment is a
+    // caller bug — fail loudly from inside the plan instead
+    val misaligned = lit(s"TimeSeries.gapFill: input bucket not aligned " +
+      s"to its key's min + k*$step lattice")
+    // the check rides on bucketCol (which every consumer reads) rather
+    // than a dedicated column Catalyst could prune away unused
+    val bucketType = perBucket.schema(bucketCol).dataType
+    val joined = grid.join(perBucket, Seq(keyCol, bucketCol), "full_outer")
+      .withColumn(bucketCol,
+        when(col("__ongrid").isNull, raise_error(misaligned).cast(bucketType))
+          .otherwise(col(bucketCol)))
+      .drop("__ongrid")
     fill.foldLeft(joined) { case (df, (c, v)) =>
       df.withColumn(c, coalesce(col(c), v))
     }

@@ -285,13 +285,18 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // both window sorts carry the event_id tiebreaker: the e and s CTEs
+    // are SEPARATE window evaluations in the oracle engine, and tied
+    // timestamps ordered differently across them would split sessions
+    // differently (the Spark side is immune: one physical sort feeds both
+    // windows, and the session assignment is tie-order-invariant)
     "ses1_sessionize_batch" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tus, " +
-        "CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL " +
-        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000 " +
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 " +
         "THEN 1 ELSE 0 END AS opens FROM events), " +
         "s AS (SELECT user_id, tus, sum(opens) OVER " +
-        "(PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+        "(PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
         "SELECT user_id, min(tus) AS session_start, max(tus) AS session_end, " +
         "count(*) AS n_events FROM s GROUP BY user_id, sid " +
         "ORDER BY user_id, session_start"),

@@ -303,7 +303,7 @@ object DedupQueries {
     // neighborhood; the engine ranks via range partitions
     "dd14_sorted_neighborhood" ->
       ("WITH d AS (SELECT doc_id, lang, text, list_distinct(string_split(text, ' ')) AS tset, " +
-        "row_number() OVER (ORDER BY lang, text, doc_id) AS rn FROM documents), " +
+        "row_number() OVER (ORDER BY lang NULLS FIRST, text NULLS FIRST, doc_id NULLS FIRST) AS rn FROM documents), " +
         "cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.tset AS sa, b.tset AS sb " +
         "FROM d a JOIN d b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3), " +
         "sc AS (SELECT d1, d2, len(list_intersect(sa, sb)) AS inter, " +

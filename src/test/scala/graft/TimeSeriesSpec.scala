@@ -53,6 +53,30 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, 40L, 7L), (2L, 20L, 1L)))
   }
 
+  test("gapFill rejects buckets off the key's min + k*step lattice loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // b=25 is not on the 10,20,30 lattice — a silent left join would drop
+    // the row (and its 7 events) from every downstream total
+    val daily = Seq((1L, 10L, 5L), (1L, 25L, 7L), (1L, 30L, 2L))
+      .toDF("k", "b", "n")
+    val ex = intercept[Exception] {
+      TimeSeries.gapFill(daily, "k", "b", step = 10L,
+        fill = Map("n" -> lit(0L))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("expectations on an empty frame reports 0 violations, not null") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = graft.ops.DataQuality.expectations(empty,
+        Seq("a_positive" -> (col("a") <= 0), "b_null" -> col("b").isNull))
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(got === Seq(("a_positive", 0L), ("b_null", 0L)))
+  }
+
   test("gapFill fails loudly when a key's range exceeds maxSteps buckets") {
     val spark2 = spark
     import spark2.implicits._
