@@ -141,6 +141,28 @@ object TextQueries {
     // token, which libm-vs-JVM last-ulp drift keeps out of the oracle).
     // At 100 TB the broadcast side must be the min-count-pruned vocab —
     // here the corpus vocab is small; prune with a HAVING count >= k stage
+    // ---- pp2: curriculum packing — value-based decile bucketing (exact
+    // global percentile CUTPOINTS broadcast + comparison assignment: no
+    // whole-corpus ntile window, ties bucket by VALUE so the result is
+    // position-independent), keep the upper half, pack the survivors into
+    // token-budget shards per language (tx7's two-stage machinery) -------
+    "pp2_curriculum" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val cuts = docs.agg(expr(
+        "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("c"))
+      val decile = (1 to 9).map(i =>
+        when(col("n_chars") > element_at(col("c"), i), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+      docs.crossJoin(broadcast(cuts))
+        .withColumn("decile", decile.cast("long"))
+        .filter(col("decile") >= 5)
+        .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+        .transform(packShards(_, rangeSize = 100L))
+        .select(col("doc_id"), col("lang"), col("decile"),
+          expr("(cum - n_tokens) div 1000").as("shard"))
+        .orderBy("doc_id")
+    },
     // ---- exact heavy hitters without a full-vocabulary shuffle: per-
     // partition Misra-Gries summaries -> provable candidate superset
     // (broadcast) -> exact counts of candidates only. The oracle is the
@@ -273,6 +295,18 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "pp2_curriculum" -> {
+      val cases = (1 to 9)
+        .map(i => s"(CASE WHEN n_chars > c[$i] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      "WITH cut AS (SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c FROM documents), " +
+        s"d AS (SELECT doc_id, lang, text, n_chars, 1 + $cases AS decile FROM documents, cut), " +
+        "kept AS (SELECT doc_id, lang, decile, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM d WHERE decile >= 5) " +
+        "SELECT doc_id, lang, CAST(decile AS BIGINT) AS decile, " +
+        "CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
+        "- n_tokens) // 1000 AS BIGINT) AS shard FROM kept ORDER BY doc_id"
+    },
     // full-domain aggregation formulation — identical result, shuffles the
     // whole vocabulary (the engine shuffles only MG candidates)
     "hh1_heavy_hitters" ->
