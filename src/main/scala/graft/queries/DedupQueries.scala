@@ -219,6 +219,33 @@ object DedupQueries {
           "doc_id", "nm", maxDist = 2)
         .orderBy("key_a", "key_b")
     },
+    // incremental connected components — the shape a continuously-fed
+    // dedup pipeline actually maintains: prior cluster labels (computed
+    // here from the standing corpus; persisted in production) re-enter the
+    // next round as (node → label) edges, so only the NEW batch's edges
+    // (cross + within-batch, dd10's two-sided band join) are freshly
+    // discovered, and propagation re-converges from near-fixpoint instead
+    // of from raw pairs. The oracle recomputes from scratch over ALL
+    // edges — labels must be indistinguishable from a full rebuild
+    "dd15_incremental_cc" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val priorLabels = graft.dedup.Clustering.connectedComponents(
+          minhashCandidates(prior, "doc_id", "text"),
+          prior.select(col("doc_id"))).toDF("node", "component")
+      val labelEdges = priorLabels.filter(col("node") =!= col("component"))
+      val crossEdges =
+        minhashCandidatesAgainst(prior, batch, "doc_id", "text")
+      val batchEdges = minhashCandidates(batch, "doc_id", "text")
+      graft.dedup.Clustering.connectedComponents(
+          labelEdges.toDF("s", "d")
+            .union(crossEdges.toDF("s", "d"))
+            .union(batchEdges.toDF("s", "d")),
+          docs.select(col("doc_id")))
+        .toDF("doc_id", "component")
+        .orderBy("doc_id")
+    },
     // sorted-neighborhood blocking (merge/purge): sort by (lang, text),
     // pair each doc with its next 3 neighbors, keep token-set Jaccard
     // >= 1/2 (exact integer cross-multiply — no float compare). The
@@ -389,6 +416,12 @@ object DedupQueries {
         "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
         "WHERE levenshtein(a.nm, b.nm) <= 2 ORDER BY key_a, key_b"),
     "dd6_dedup_clusters" ->
+      (s"$ccCtePrefix " +
+        "SELECT node AS doc_id, min(r) AS component FROM reach " +
+        "GROUP BY node ORDER BY doc_id"),
+    // full-recompute reachability over ALL pairs: the incremental path
+    // must land on labels indistinguishable from a from-scratch rebuild
+    "dd15_incremental_cc" ->
       (s"$ccCtePrefix " +
         "SELECT node AS doc_id, min(r) AS component FROM reach " +
         "GROUP BY node ORDER BY doc_id"),
