@@ -22,7 +22,23 @@ object SnapshotDiff {
     * @param neu  next snapshot (same schema)
     * @param keys key columns (unique per snapshot)
     * @return (op, keys…) with op ∈ {I, U, D}, one row per changed key */
-  def diff(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+  def diff(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame =
+    changed(old, neu, keys).select(col("op") +: keys.map(col): _*)
+
+  /** [[diff]] plus the NEW side's values — (op, keys…, new_&lt;c&gt; per
+    * non-key column, null for D rows): the changeset an incremental
+    * consumer can APPLY. Feeding it to [[MergeInto.merge]] (delete on D,
+    * update on U, insert on I) reconstructs `neu` from `old` exactly —
+    * the diff→apply closure q:cdc2 pins against the oracle. */
+  def changeset(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+    val nonKeys = old.columns.filterNot(keys.contains).toSeq
+    changed(old, neu, keys)
+      .select((col("op") +: keys.map(col)) ++
+        nonKeys.map(c => col("__n").getField(c).as(s"new_$c")): _*)
+  }
+
+  private def changed(old: DataFrame, neu: DataFrame,
+      keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff needs key columns")
     require(old.columns.toSeq == neu.columns.toSeq,
       s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
@@ -39,6 +55,5 @@ object SnapshotDiff {
           .when(col("__o").isNull, "I")
           .otherwise("U"))
       .filter(col("op") =!= "U" || !(col("__o") <=> col("__n")))
-      .select(col("op") +: keys.map(col): _*)
   }
 }

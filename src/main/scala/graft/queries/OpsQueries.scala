@@ -101,6 +101,30 @@ object OpsQueries {
       graft.ops.SnapshotDiff.diff(old, neu, Seq("o_orderkey"))
         .orderBy("op", "o_orderkey")
     },
+    // ---- CDC closure: recover the changeset with SnapshotDiff, APPLY it
+    // back onto the old snapshot with MERGE — the result must reconstruct
+    // the new snapshot exactly (the oracle IS the new snapshot). This is
+    // the incremental-consumer contract the two operators exist for ------
+    "cdc2_diff_apply" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val old = orders.select(col("o_orderkey"), col("o_totalprice").as("v"),
+        col("o_orderstatus").as("st"))
+      val neu = orders.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")).as("v"),
+          col("o_orderstatus").as("st"))
+        .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_totalprice").as("v"), lit("N").as("st")))
+      val cs = graft.ops.SnapshotDiff.changeset(old, neu, Seq("o_orderkey"))
+      graft.ops.MergeInto.merge(old, cs, Seq("o_orderkey"),
+          matchedDelete = Some(col("op") === "D"),
+          matchedUpdate = Map("v" -> col("new_v"), "st" -> col("new_st")),
+          notMatchedInsert = Some(Map(
+            "v" -> col("new_v"), "st" -> col("new_st"))))
+        .orderBy("o_orderkey")
+    },
     // ---- S7: legacy V1 query object with control fields -----------------
     "s7_legacy_query" -> { (s, dir) =>
       val q = LegacyQuerySource.parse(Map(
@@ -252,6 +276,12 @@ object OpsQueries {
         "UNION ALL SELECT 'discount_range', count(*) FROM c WHERE NOT (d BETWEEN 0 AND 0.1) " +
         "UNION ALL SELECT 'returnflag_not_null', count(*) FROM c WHERE rf IS NULL " +
         "ORDER BY rule"),
+    // the oracle is the NEW snapshot itself: diff→apply must be identity
+    "cdc2_diff_apply" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 " +
+        "ELSE o_totalprice END AS v, o_orderstatus AS st FROM orders WHERE o_orderkey % 13 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 20000000, o_totalprice, 'N' FROM orders WHERE o_orderkey % 500 = 0 " +
+        "ORDER BY o_orderkey"),
     "cdc1_snapshot_diff" ->
       ("WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st FROM orders), " +
         "new AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 " +

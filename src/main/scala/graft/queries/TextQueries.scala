@@ -141,6 +141,19 @@ object TextQueries {
     // token, which libm-vs-JVM last-ulp drift keeps out of the oracle).
     // At 100 TB the broadcast side must be the min-count-pruned vocab —
     // here the corpus vocab is small; prune with a HAVING count >= k stage
+    // ---- per-GROUP percentile gate: keep each language's top-20%-length
+    // docs. Cutpoints are computed per group (one agg) and joined back —
+    // no per-group sort window; the cutpoint table is group-cardinality
+    // sized and broadcasts --------------------------------------------
+    "tx14_group_percentile_gate" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val cuts = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.8)").as("c80"))
+      docs.join(broadcast(cuts), "lang")
+        .filter(col("n_chars") > col("c80"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
     // ---- pp2: curriculum packing — value-based decile bucketing (exact
     // global percentile CUTPOINTS broadcast + comparison assignment: no
     // whole-corpus ntile window, ties bucket by VALUE so the result is
@@ -295,6 +308,12 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "tx14_group_percentile_gate" ->
+      ("WITH cut AS (SELECT lang, quantile_cont(n_chars, 0.8) AS c80 " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
+        "JOIN cut ON d.lang = cut.lang WHERE d.n_chars > cut.c80 " +
+        "ORDER BY d.doc_id"),
     "pp2_curriculum" -> {
       val cases = (1 to 9)
         .map(i => s"(CASE WHEN n_chars > c[$i] THEN 1 ELSE 0 END)")

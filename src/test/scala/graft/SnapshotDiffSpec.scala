@@ -51,6 +51,29 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("schemas differ"))
   }
 
+  test("changeset → merge-apply reconstructs the new snapshot, nulls included") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(71)
+    def snap(shift: Long) = (1L to 250L).map { i =>
+      (i + shift, if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(5).toLong),
+        s"s${rnd.nextInt(3)}")
+    }
+    val old = snap(0)
+    val neu = snap(30) // 31..280: D for 1..30, I for 251..280, U/noop between
+    val oldDf = old.toDF("k", "v", "s")
+    val neuDf = neu.toDF("k", "v", "s")
+    val cs = SnapshotDiff.changeset(oldDf, neuDf, Seq("k"))
+    val applied = MergeInto.merge(oldDf, cs, Seq("k"),
+        matchedDelete = Some(col("op") === "D"),
+        matchedUpdate = Map("v" -> col("new_v"), "s" -> col("new_s")),
+        notMatchedInsert = Some(Map("v" -> col("new_v"), "s" -> col("new_s"))))
+      .as[(Long, Option[Long], String)].collect().sorted.toSeq
+    assert(applied === neu.sorted)
+    // the regimes this closure must survive actually occurred
+    assert(old.exists(_._2.isEmpty) && neu.exists(_._2.isEmpty))
+  }
+
   test("order-guarded merge is invariant to batch split and replay") {
     val spark2 = spark
     import spark2.implicits._
