@@ -203,6 +203,14 @@ object GraphQueries {
     "g11_triangle_degree" -> { (s, dir) =>
       graft.graph.Triangles.countOrientedByDegree(coServiceEdges(s, dir))
     },
+    // per-vertex triangle participation + local clustering coefficient —
+    // the node-level refinement of g10: closed triples kept (not just
+    // counted), exploded to their three corners, aggregated per node; lcc
+    // is one exact-integer division ---------------------------------------
+    "g14_local_clustering" -> { (s, dir) =>
+      graft.graph.Triangles.perVertex(coServiceEdges(s, dir))
+        .orderBy("node")
+    },
     // multi-source BFS over the same graph: exact hop distances from the 3
     // smallest supplier ids. Frontier-expansion rounds (shuffle ∝ frontier
     // out-edges, early exit on empty shell), lineage truncated per round —
@@ -257,6 +265,20 @@ object GraphQueries {
         "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey) " +
         "SELECT count(*) AS n_triangles FROM e e1 " +
         "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v"),
+    "g14_local_clustering" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "tri3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 " +
+        "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), " +
+        "verts AS (SELECT a AS node FROM tri3 UNION ALL SELECT b FROM tri3 UNION ALL SELECT c FROM tri3), " +
+        "tcnt AS (SELECT node, count(*) AS t FROM verts GROUP BY node), " +
+        "deg AS (SELECT node, count(*) AS d FROM " +
+        "(SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY node) " +
+        "SELECT deg.node AS node, CAST(d AS BIGINT) AS degree, " +
+        "CAST(coalesce(t, 0) AS BIGINT) AS tri, " +
+        "CASE WHEN d < 2 THEN 0.0 ELSE CAST(2 * coalesce(t, 0) AS DOUBLE) / (d * (d - 1)) END AS lcc " +
+        "FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node ORDER BY node"),
     "g12_bfs_levels" ->
       ("WITH RECURSIVE li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
         "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +

@@ -43,4 +43,26 @@ class TrianglesSpec extends AnyFunSuite {
         s"trial $trial disagreed")
     }
   }
+
+  test("perVertex: counts sum to 3x total; K4 and path lcc are exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val pv = Triangles.perVertex(edges.toDF("a", "b"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pv.map(_._3).sum === 3 * countOf(edges))
+    assert(pv.map(_._3).sum > 0)
+
+    // K4: every vertex has degree 3 and sits in 3 triangles -> lcc 1.0;
+    // a path's middle vertex has degree 2, no triangle -> lcc 0.0
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val pvK4 = Triangles.perVertex(k4.toDF("a", "b"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(pvK4 === (0L to 3L).map(i => (i, 3L, 3L, 1.0)))
+    val path = Seq(1L -> 2L, 2L -> 3L)
+    val pvPath = Triangles.perVertex(path.toDF("a", "b"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(pvPath === Seq((1L, 1L, 0L, 0.0), (2L, 2L, 0L, 0.0), (3L, 1L, 0L, 0.0)))
+  }
 }
