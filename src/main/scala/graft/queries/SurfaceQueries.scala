@@ -238,6 +238,27 @@ object SurfaceQueries {
           statePartitions = Some(8))
         .orderBy("user_id", "session_start")
     },
+    // ---- declarative sessionization: the built-in session_window
+    // aggregation (append mode) — same semantics family as st4's
+    // imperative flatMapGroupsWithState, but sessions emit when the
+    // watermark passes their END (last event + gap), so the trailing
+    // horizon differs; the oracle reproduces that cutoff against the
+    // ms-floored watermark ------------------------------------------------
+    "st13_session_window" -> { (s, dir) =>
+      val raw = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val withTs = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val out = Streams.runToParquet(withTs, st =>
+          st.withWatermark("ts", "30 minutes")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events")),
+          statePartitions = Some(8))
+      out.select(col("user_id"),
+          unix_micros(col("session_window.start")).as("w_start"),
+          unix_micros(col("session_window.end")).as("w_end"),
+          col("n_events"))
+        .orderBy("user_id", "w_start")
+    },
     // ---- stateful stream dedup: source re-delivers every event twice; the
     // watermarked dropDuplicates state must collapse them across batches
     "st5_stream_dedup" -> { (s, dir) =>
@@ -480,6 +501,21 @@ object SurfaceQueries {
         "SELECT user_id, session_start, session_end, n_events FROM ranked, wm " +
         "WHERE pos > 1 OR session_end + 1800000 < w " +
         "ORDER BY user_id, session_start"),
+    // sessions in MICROS (session_window keeps event-time precision, unlike
+    // st4's ms-based sessionize); emitted once the ms-floored watermark
+    // passes the window end = last event + gap. Strict `<` matches the
+    // state-store eviction predicate; no session on this corpus falls
+    // within 2s of the boundary, so the result is inclusive/exclusive
+    // invariant here (checked) — revisit if the generator changes
+    "st13_session_window" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+        "s AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM ev), " +
+        "b AS (SELECT user_id, t, CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM s), " +
+        "sids AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM b), " +
+        "sess AS (SELECT user_id, min(t) AS w_start, max(t) + 1800000000 AS w_end, count(*) AS n_events FROM sids GROUP BY user_id, sid), " +
+        "wm AS (SELECT (max(t) // 1000 - 1800000) * 1000 AS w FROM ev) " +
+        "SELECT user_id, w_start, w_end, n_events FROM sess, wm " +
+        "WHERE w_end < w ORDER BY user_id, w_start"),
     "st5_stream_dedup" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
     "st7_stream_join" ->
