@@ -334,6 +334,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected a single hash exchange in batch sessionize, got $hashExchanges:\n$plan")
   } }
 
+  test("funnel, local clustering, and diff-apply stay equi-joins — no product") { uncached {
+    // fn1 chains three co-keyed joins, g14 enumerates wedges + closes +
+    // explodes, cdc2 composes a full-outer diff with a full-outer merge:
+    // none of these may degrade to a nested-loop/cartesian
+    for (q <- Seq("fn1_funnel", "g14_local_clustering", "cdc2_diff_apply")) {
+      val plan = formattedPlan(SparkEntry.queries(q)(spark, TestSession.sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q degenerated to a product plan:\n$plan")
+    }
+  } }
+
   test("graph lifecycle prunes the lineitem scan to the edge columns") { uncached {
     // g9 stacks decompose → mergeVertices → resolveEdges → mergeEdges; the
     // mapGroups merge is a deserialization barrier, but column pruning must
