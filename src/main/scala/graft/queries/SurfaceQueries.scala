@@ -108,6 +108,35 @@ object SurfaceQueries {
           col("r.region").cast("long").as("n_regionkey"))
         .orderBy("n_nationkey")
     },
+    // ---- S-family format coverage: ORC round-trip — land a projection in
+    // the OTHER columnar format and aggregate it back; values must survive
+    // bit-exactly (the oracle aggregates the parquet original) ------------
+    "s8_orc_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      Tables.t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6)))
+            .cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+    // ---- S-family format coverage: CSV round-trip (header + declared
+    // read schema; integer/string columns only — exact by construction) ---
+    "s9_csv_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Tables.t(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .orderBy("event_type")
+    },
     // ---- S4/multimodal: binary column + metadata + batched decode stub --
     "mm1_media_features" -> { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
@@ -516,6 +545,15 @@ object SurfaceQueries {
         "wm AS (SELECT (max(t) // 1000 - 1800000) * 1000 AS w FROM ev) " +
         "SELECT user_id, w_start, w_end, n_events FROM sess, wm " +
         "WHERE w_end < w ORDER BY user_id, w_start"),
+    // the round-trip oracles aggregate the ORIGINAL tables: format
+    // landing must be lossless for the comparison to hold
+    "s8_orc_roundtrip" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "s9_csv_roundtrip" ->
+      ("SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS uid_sum " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "st5_stream_dedup" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
     "st7_stream_join" ->
