@@ -110,14 +110,26 @@ object TextDedup {
     * rest. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 16, bands: Int = 4,
-      useMd5: Boolean = true): DataFrame = {
-    val exploded = bandedBuckets(df, idCol, textCol, shingleLen, numPerm, bands, useMd5)
+      useMd5: Boolean = true): DataFrame =
+    candidatesFromBuckets(
+      bandedBuckets(df, idCol, textCol, shingleLen, numPerm, bands, useMd5))
+
+  /** Public buckets entry — precompute (and persist) ONE (doc, band, bh)
+    * frame per side when several candidate joins share it (e.g. dd15's
+    * incremental CC runs prior-self, prior×batch, and batch-self joins:
+    * without sharing, each join would redo the shingle+signature work). */
+  def buckets(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      useMd5: Boolean = true): DataFrame =
+    bandedBuckets(df, idCol, textCol, shingleLen, numPerm, bands, useMd5)
+
+  /** Self-join candidates from precomputed [[buckets]]. */
+  def candidatesFromBuckets(exploded: DataFrame): DataFrame =
     exploded.as("l").join(exploded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
-  }
 
   /** Incremental-ingestion dedup: which NEW documents collide with the
     * EXISTING corpus — the shape every continuously-fed training pipeline
@@ -134,11 +146,16 @@ object TextDedup {
       useMd5: Boolean = true): DataFrame = {
     val c = bandedBuckets(corpus, idCol, textCol, shingleLen, numPerm, bands, useMd5)
     val b = bandedBuckets(batch, idCol, textCol, shingleLen, numPerm, bands, useMd5)
-    c.as("l").join(b.as("r"),
+    crossCandidatesFromBuckets(c, b)
+  }
+
+  /** Two-sided cross candidates from precomputed [[buckets]]. */
+  def crossCandidatesFromBuckets(corpusBuckets: DataFrame,
+      batchBuckets: DataFrame): DataFrame =
+    corpusBuckets.as("l").join(batchBuckets.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
       .select(col("l.doc").as("corpus_doc"), col("r.doc").as("new_doc"))
       .distinct()
-  }
 
   /** SimHash (32-bit) from pre-staged token hashes (`shingleHashes` over
     * whole tokens): per bit j, sum ±1 over the hashes' j-th bit; bit set iff

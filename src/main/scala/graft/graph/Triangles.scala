@@ -54,10 +54,7 @@ object Triangles {
     * co-keyed equi-joins, one narrow 3-way explode, no adjacency lists. */
   def perVertex(edges: DataFrame): DataFrame = {
     val e = canonicalize(edges)
-    val triples = e.as("x").join(e.as("y"), col("x.v") === col("y.u"))
-      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
-      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
-    val tcnt = triples
+    val tcnt = canonicalTriples(e)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(fn.count(lit(1)).as("tri"))
     val deg = e.select(col("u").as("node"))
@@ -81,11 +78,16 @@ object Triangles {
       .distinct()
   }
 
-  private def countCanonical(e: DataFrame): DataFrame = {
-    val wedges = e.as("x").join(e.as("y"), col("x.v") === col("y.u"))
-      .select(col("x.u").as("u"), col("y.v").as("w"))
-    closeAndCount(wedges, e.select(col("u"), col("v").as("w")))
-  }
+  /** Every triangle exactly once as its sorted (a, b, c) triple — the ONE
+    * copy of the wedge-enumeration + closing-join shape shared by the
+    * total count and the per-vertex refinement. */
+  private def canonicalTriples(e: DataFrame): DataFrame =
+    e.as("x").join(e.as("y"), col("x.v") === col("y.u"))
+      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+
+  private def countCanonical(e: DataFrame): DataFrame =
+    canonicalTriples(e).agg(fn.count(lit(1)).as("n_triangles"))
 
   /** wedge enumeration in an arbitrary consistent orientation: pivot p
     * points to both endpoints, so wedges are p's out-neighbor PAIRS; the
@@ -100,10 +102,10 @@ object Triangles {
     closeAndCount(wedges, closing)
   }
 
-  /** `closing` must be duplicate-free: both call paths derive it from the
-    * canonicalized (distinct) edge set — countOriented's two-orientation
-    * union cannot collide because each undirected edge appears in exactly
-    * one orientation. A re-distinct here would re-shuffle all m edges. */
+  /** `closing` must be duplicate-free: countOriented derives it from the
+    * canonicalized (distinct) edge set — its two-orientation union cannot
+    * collide because each undirected edge appears in exactly one
+    * orientation. A re-distinct here would re-shuffle all m edges. */
   private def closeAndCount(wedges: DataFrame, closing: DataFrame): DataFrame =
     wedges.join(closing.select(col("u"), col("w")), Seq("u", "w"), "inner")
       .agg(fn.count(lit(1)).as("n_triangles"))

@@ -231,13 +231,18 @@ object DedupQueries {
       val docs = Tables.t(s, dir, "documents")
       val prior = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
+      // buckets computed ONCE per side and persisted: the prior side feeds
+      // its own candidates + the cross join, the batch side the cross +
+      // batch-self joins — without sharing, each join would redo the
+      // shingle + 16-permutation signature work (the dominant cost here)
+      val priorB = buckets(prior, "doc_id", "text").persist()
+      val batchB = buckets(batch, "doc_id", "text").persist()
       val priorLabels = graft.dedup.Clustering.connectedComponents(
-          minhashCandidates(prior, "doc_id", "text"),
+          candidatesFromBuckets(priorB),
           prior.select(col("doc_id"))).toDF("node", "component")
       val labelEdges = priorLabels.filter(col("node") =!= col("component"))
-      val crossEdges =
-        minhashCandidatesAgainst(prior, batch, "doc_id", "text")
-      val batchEdges = minhashCandidates(batch, "doc_id", "text")
+      val crossEdges = crossCandidatesFromBuckets(priorB, batchB)
+      val batchEdges = candidatesFromBuckets(batchB)
       graft.dedup.Clustering.connectedComponents(
           labelEdges.toDF("s", "d")
             .union(crossEdges.toDF("s", "d"))

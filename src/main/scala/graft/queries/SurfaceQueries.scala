@@ -537,10 +537,10 @@ object SurfaceQueries {
     // within 2s of the boundary, so the result is inclusive/exclusive
     // invariant here (checked) — revisit if the generator changes
     "st13_session_window" ->
-      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
-        "s AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM ev), " +
-        "b AS (SELECT user_id, t, CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM s), " +
-        "sids AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM b), " +
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events), " +
+        "s AS (SELECT user_id, event_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM ev), " +
+        "b AS (SELECT user_id, event_id, t, CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM s), " +
+        "sids AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b), " +
         "sess AS (SELECT user_id, min(t) AS w_start, max(t) + 1800000000 AS w_end, count(*) AS n_events FROM sids GROUP BY user_id, sid), " +
         "wm AS (SELECT (max(t) // 1000 - 1800000) * 1000 AS w FROM ev) " +
         "SELECT user_id, w_start, w_end, n_events FROM sess, wm " +

@@ -132,25 +132,29 @@ object TextQueries {
             lit(chunkSize))).as("chunk"))
         .orderBy("doc_id", "chunk_idx")
     },
-    // corpus-frequency quality score (unigram-likelihood proxy, the
-    // CCNet/Gopher-style LM filter shape): global vocab counts, broadcast
-    // back onto each doc's tokens, per-doc mean token frequency + OOV-free
-    // token count. Two phases over the corpus — vocab agg, then a
-    // broadcast re-join — with only integer sums aggregated (exact, so the
-    // oracle matches bit-for-bit; a production scorer would apply ln per
-    // token, which libm-vs-JVM last-ulp drift keeps out of the oracle).
-    // At 100 TB the broadcast side must be the min-count-pruned vocab —
-    // here the corpus vocab is small; prune with a HAVING count >= k stage
     // ---- per-GROUP percentile gate: keep each language's top-20%-length
     // docs. Cutpoints are computed per group (one agg) and joined back —
     // no per-group sort window; the cutpoint table is group-cardinality
     // sized and broadcasts --------------------------------------------
     "tx14_group_percentile_gate" -> { (s, dir) =>
+      // rank-based cutpoint, INTEGER arithmetic only: threshold = min value
+      // whose cumulative count covers 80% (cc*10 >= 8*n). An interpolated
+      // percentile would put a float on the comparison boundary, and the
+      // two engines' interpolation can differ by 1 ulp exactly where a
+      // tied integer value sits — flipping row MEMBERSHIP, not just a
+      // value. The cumsum window runs over DISTINCT values per lang
+      val W = org.apache.spark.sql.expressions.Window
       val docs = Tables.t(s, dir, "documents")
-      val cuts = docs.groupBy("lang")
-        .agg(expr("percentile(n_chars, 0.8)").as("c80"))
-      docs.join(broadcast(cuts), "lang")
-        .filter(col("n_chars") > col("c80"))
+      val vc = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      val wcum = W.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val tot = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val cut = vc.withColumn("cc", sum(col("c")).over(wcum))
+        .join(tot, "lang")
+        .filter(col("cc") * 10 >= col("n") * 8)
+        .groupBy("lang").agg(min(col("n_chars")).as("thr"))
+      docs.join(broadcast(cut), "lang")
+        .filter(col("n_chars") > col("thr"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     },
@@ -160,13 +164,25 @@ object TextQueries {
     // position-independent), keep the upper half, pack the survivors into
     // token-budget shards per language (tx7's two-stage machinery) -------
     "pp2_curriculum" -> { (s, dir) =>
+      // decile CUTPOINTS by integer rank counting (c_i = min value whose
+      // cumulative count covers i/10 of the corpus; cc*10 >= i*n — no
+      // floats anywhere near the bucket boundaries, see tx14). The global
+      // cumsum window runs over DISTINCT n_chars values only
+      val W = org.apache.spark.sql.expressions.Window
       val docs = Tables.t(s, dir, "documents")
-      val cuts = docs.agg(expr(
-        "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-        .as("c"))
-      val decile = (1 to 9).map(i =>
-        when(col("n_chars") > element_at(col("c"), i), 1).otherwise(0))
-        .foldLeft(lit(1))(_ + _)
+      val vc = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      val wcum = W.orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val cuts = vc.withColumn("cc", sum(col("c")).over(wcum))
+        .crossJoin(tot)
+        .select(col("n_chars").as("v"), col("cc"), col("n"),
+          explode(sequence(lit(1), lit(9))).as("i"))
+        .filter(col("cc") * 10 >= col("i") * col("n"))
+        .groupBy("i").agg(min(col("v")).as("cv"))
+        .agg(collect_list(col("cv")).as("cvs"))
+      val decile = lit(1) +
+        size(filter(col("cvs"), cv => col("n_chars") > cv))
       docs.crossJoin(broadcast(cuts))
         .withColumn("decile", decile.cast("long"))
         .filter(col("decile") >= 5)
@@ -210,6 +226,15 @@ object TextQueries {
           col("n_dup").cast("double") / col("n_windows"))
         .orderBy("doc_id")
     },
+    // corpus-frequency quality score (unigram-likelihood proxy, the
+    // CCNet/Gopher-style LM filter shape): global vocab counts, broadcast
+    // back onto each doc's tokens, per-doc mean token frequency + OOV-free
+    // token count. Two phases over the corpus — vocab agg, then a
+    // broadcast re-join — with only integer sums aggregated (exact, so the
+    // oracle matches bit-for-bit; a production scorer would apply ln per
+    // token, which libm-vs-JVM last-ulp drift keeps out of the oracle).
+    // At 100 TB the broadcast side must be the min-count-pruned vocab —
+    // here the corpus vocab is small; prune with a HAVING count >= k stage
     "tx12_freq_score" -> { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
       val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -308,18 +333,25 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // same integer rank formulation as the engine — no quantile function,
+    // so no cross-engine interpolation on the comparison boundary
     "tx14_group_percentile_gate" ->
-      ("WITH cut AS (SELECT lang, quantile_cont(n_chars, 0.8) AS c80 " +
-        "FROM documents GROUP BY lang) " +
+      ("WITH vc AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY lang, n_chars), " +
+        "cum AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc FROM vc), " +
+        "tot AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "cut AS (SELECT cum.lang, min(v) AS thr FROM cum JOIN tot ON cum.lang = tot.lang " +
+        "WHERE cc * 10 >= 8 * n GROUP BY cum.lang) " +
         "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
-        "JOIN cut ON d.lang = cut.lang WHERE d.n_chars > cut.c80 " +
+        "JOIN cut ON d.lang = cut.lang WHERE d.n_chars > cut.thr " +
         "ORDER BY d.doc_id"),
     "pp2_curriculum" -> {
-      val cases = (1 to 9)
-        .map(i => s"(CASE WHEN n_chars > c[$i] THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      "WITH cut AS (SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c FROM documents), " +
-        s"d AS (SELECT doc_id, lang, text, n_chars, 1 + $cases AS decile FROM documents, cut), " +
+      "WITH vc AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars), " +
+        "cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc FROM vc), " +
+        "tot AS (SELECT count(*) AS n FROM documents), " +
+        "cut AS (SELECT i, min(v) AS cv FROM cum, tot, unnest(generate_series(1, 9)) AS g(i) " +
+        "WHERE cc * 10 >= i * n GROUP BY i), " +
+        "d AS (SELECT doc_id, lang, text, n_chars, " +
+        "1 + (SELECT count(*) FROM cut WHERE n_chars > cv) AS decile FROM documents), " +
         "kept AS (SELECT doc_id, lang, decile, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
         "FROM d WHERE decile >= 5) " +
         "SELECT doc_id, lang, CAST(decile AS BIGINT) AS decile, " +
