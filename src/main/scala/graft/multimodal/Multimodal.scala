@@ -316,6 +316,30 @@ object Multimodal {
       }
   }
 
+  /** Real audio resample (decimation): decode the WAV container with
+    * `javax.sound`, keep every `factor`-th sample (indices 0, f, 2f, …),
+    * re-encode at sampleRate/factor — the downsample step of an audio
+    * preprocessing pipeline, on the same batched [[MediaTransform]] seam
+    * as the encoders. (Plain decimation, no anti-alias filter: the filter
+    * is float DSP with no exact oracle; the INDEXING and container
+    * round-trip are what this pins down.) */
+  final case class WavDecimator(factor: Int) extends MediaTransform {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    def transformBatch(batch: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      batch.map { wav =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        try {
+          val fmt = in.getFormat
+          val pcm = in.readAllBytes()
+          val dec = Array.tabulate((pcm.length + factor - 1) / factor)(
+            i => pcm(i * factor))
+          PcmWavEncoder((fmt.getSampleRate / factor).toInt)
+            .transformBatch(Seq(dec)).head
+        } finally in.close()
+      }
+  }
+
   /** Feature row produced per audio blob by the REAL WAV decoder; nulls when
     * the bytes aren't a parseable audio container. `amp_abs_sum` is the
     * integer sum of |sample - 128| over 8-bit unsigned PCM frames — exact,

@@ -179,6 +179,21 @@ object SurfaceQueries {
       Multimodal.extractAudioFeatures(wav, "doc_id", "content")
         .orderBy("doc_id")
     },
+    // ---- multimodal audio resample: encode → REAL decode → keep every
+    // 4th sample → re-encode → REAL decode again. The oracle predicts the
+    // decimated container facts and exact amplitude sum straight from the
+    // text, so a slip anywhere in the double round-trip (header sizes,
+    // sample indexing, rate math) breaks the comparison ------------------
+    "mm8_audio_resample" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 400).cast("binary"))
+      val wav = Multimodal.resizeContent(docs, "content",
+        Multimodal.PcmWavEncoder(sampleRate = 8000))
+      val resampled = Multimodal.resizeContent(wav, "content",
+        Multimodal.WavDecimator(factor = 4))
+      Multimodal.extractAudioFeatures(resampled, "doc_id", "content")
+        .orderBy("doc_id")
+    },
     // ---- multimodal image dedup e2e: deterministic 8×8 PNG per doc whose
     // pixels sample the doc's SORTED token hashes (near-dup texts share
     // token sets → near-identical rasters), then the REAL decode→aHash→
@@ -479,6 +494,16 @@ object SurfaceQueries {
     // ASCII without newlines/empty text (true of the generated testdata):
     // regexp '.' skips newlines and strlen counts bytes, so a non-ASCII or
     // newline-bearing corpus would diverge from the byte-exact Spark side
+    // decimated container facts predicted from the text: ceil(n/4) frames
+    // at 2000 Hz; amplitude sum over characters at positions 1, 5, 9, …
+    "mm8_audio_resample" ->
+      ("SELECT doc_id, 2000 AS sample_rate, 1 AS channels, " +
+        "CAST((least(strlen(text), 400) + 3) // 4 AS BIGINT) AS n_frames, " +
+        "CAST(((least(strlen(text), 400) + 3) // 4) * 1000 // 2000 AS BIGINT) AS duration_ms, " +
+        "list_reduce([CAST(abs(ascii(c) - 128) AS BIGINT) " +
+        "FOR c IN list_filter(regexp_extract_all(substr(text, 1, 400), '.'), " +
+        "(c, i) -> (i - 1) % 4 = 0)], (a, b) -> a + b) AS amp_abs_sum " +
+        "FROM documents ORDER BY doc_id"),
     "mm4_audio_features" ->
       ("SELECT doc_id, 8000 AS sample_rate, 1 AS channels, " +
         "CAST(least(strlen(text), 400) AS BIGINT) AS n_frames, " +
