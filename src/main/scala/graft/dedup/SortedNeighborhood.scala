@@ -52,6 +52,12 @@ object SortedNeighborhood {
       s"input columns must not be named ${reserved.mkString("/")} (reserved)")
 
     val order = (sortCols :+ idCol).map(col)
+    // localCheckpoint pins ONE materialization of the range exchange +
+    // ids: `ranked` feeds four subtrees (lhs/rhs mains, each side's
+    // broadcast offsets), and without pinning their agreement depends on
+    // Spark reusing a single exchange — AQE coalescing or a re-sampled
+    // range boundary would silently desynchronize __pid from the offsets
+    // table. Eager: the rank assignment runs exactly once, here.
     val ranked = df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
@@ -59,6 +65,7 @@ object SortedNeighborhood {
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__lrn", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("__mid")
+      .localCheckpoint()
 
     // numPartitions rows: cumulative count of rows in partitions BEFORE
     // each pid. The window runs over those few rows only, then broadcasts.

@@ -332,10 +332,45 @@ object Multimodal {
         try {
           val fmt = in.getFormat
           val pcm = in.readAllBytes()
-          val dec = Array.tabulate((pcm.length + factor - 1) / factor)(
-            i => pcm(i * factor))
-          PcmWavEncoder((fmt.getSampleRate / factor).toInt)
-            .transformBatch(Seq(dec)).head
+          // decimate by whole FRAMES, not bytes: AudioSystem also decodes
+          // 16-bit/stereo containers, where a byte-wise stride would
+          // interleave bytes from different samples/channels into garbage
+          val fs = fmt.getFrameSize match {
+            case javax.sound.sampled.AudioSystem.NOT_SPECIFIED | 0 => 1
+            case n                                                 => n
+          }
+          val nFrames  = pcm.length / fs
+          val kept     = (nFrames + factor - 1) / factor
+          val dec      = new Array[Byte](kept * fs)
+          var i = 0
+          while (i < kept) {
+            System.arraycopy(pcm, i * factor * fs, dec, i * fs, fs)
+            i += 1
+          }
+          val outRate = (fmt.getSampleRate / factor).toInt
+          if (fs == 1) PcmWavEncoder(outRate).transformBatch(Seq(dec)).head
+          else {
+            // multi-byte frames (16-bit and/or stereo): PcmWavEncoder's
+            // fixed 8-bit-mono header would mislabel the payload, so write
+            // a header that preserves the decoded format
+            val channels = math.max(1, fmt.getChannels)
+            val bits     = math.max(8, fmt.getSampleSizeInBits)
+            val pad = dec.length % 2
+            val bb = java.nio.ByteBuffer.allocate(44 + dec.length + pad)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dec.length + pad)
+              .put("WAVE".getBytes("US-ASCII"))
+              .put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1)
+              .putShort(channels.toShort)
+              .putInt(outRate)
+              .putInt(outRate * fs)
+              .putShort(fs.toShort)
+              .putShort(bits.toShort)
+              .put("data".getBytes("US-ASCII")).putInt(dec.length)
+              .put(dec)
+            bb.array()
+          }
         } finally in.close()
       }
   }

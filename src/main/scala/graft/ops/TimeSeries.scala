@@ -72,7 +72,13 @@ object TimeSeries {
       s"$maxSteps buckets of $step; widen step or split the range")
     val bounds = perBucket.groupBy(col(keyCol))
       .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
-    val guardedEnd = when((col("__b1") - col("__b0")) < lit(step * maxSteps),
+    // integral division (SQL `div`, not `/` which widens to double), not
+    // `b1-b0 < step*maxSteps`: the multiply can wrap for extreme step
+    // values (silently disabling the guard), and the subtraction form was
+    // off by one (allowed maxSteps+1 grid points). Grid points =
+    // (b1-b0) div step + 1, so require that quotient < maxSteps.
+    val guardedEnd = when(
+      expr(s"(__b1 - __b0) div ${step}L") < lit(maxSteps.toLong),
       col("__b1")).otherwise(raise_error(guardMsg).cast("long"))
     val grid = bounds.select(col(keyCol),
       explode(sequence(col("__b0"), guardedEnd, lit(step))).as(bucketCol))

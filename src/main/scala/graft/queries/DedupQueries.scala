@@ -237,19 +237,29 @@ object DedupQueries {
       // shingle + 16-permutation signature work (the dominant cost here)
       val priorB = buckets(prior, "doc_id", "text").persist()
       val batchB = buckets(batch, "doc_id", "text").persist()
-      val priorLabels = graft.dedup.Clustering.connectedComponents(
-          candidatesFromBuckets(priorB),
-          prior.select(col("doc_id"))).toDF("node", "component")
-      val labelEdges = priorLabels.filter(col("node") =!= col("component"))
-      val crossEdges = crossCandidatesFromBuckets(priorB, batchB)
-      val batchEdges = candidatesFromBuckets(batchB)
-      graft.dedup.Clustering.connectedComponents(
-          labelEdges.toDF("s", "d")
-            .union(crossEdges.toDF("s", "d"))
-            .union(batchEdges.toDF("s", "d")),
-          docs.select(col("doc_id")))
-        .toDF("doc_id", "component")
-        .orderBy("doc_id")
+      // the CC loop's per-round actions run INSIDE this try, and its
+      // result lineage is checkpoint-truncated (IterTrunc pins each
+      // round), so the returned frame no longer references the cached
+      // buckets — unpersist eagerly instead of leaking one cache entry
+      // per execution into the shared session
+      try {
+        val priorLabels = graft.dedup.Clustering.connectedComponents(
+            candidatesFromBuckets(priorB),
+            prior.select(col("doc_id"))).toDF("node", "component")
+        val labelEdges = priorLabels.filter(col("node") =!= col("component"))
+        val crossEdges = crossCandidatesFromBuckets(priorB, batchB)
+        val batchEdges = candidatesFromBuckets(batchB)
+        graft.dedup.Clustering.connectedComponents(
+            labelEdges.toDF("s", "d")
+              .union(crossEdges.toDF("s", "d"))
+              .union(batchEdges.toDF("s", "d")),
+            docs.select(col("doc_id")))
+          .toDF("doc_id", "component")
+          .orderBy("doc_id")
+      } finally {
+        priorB.unpersist()
+        batchB.unpersist()
+      }
     },
     // sorted-neighborhood blocking (merge/purge): sort by (lang, text),
     // pair each doc with its next 3 neighbors, keep token-set Jaccard

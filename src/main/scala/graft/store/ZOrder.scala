@@ -111,11 +111,14 @@ object ZOrder {
     require(cols.size >= 2, "z-ordering needs at least two columns")
     require(!df.columns.contains("__z"),
       "input columns must not be named __z (reserved by ZOrder)")
+    // buckets < 2 would make every quantile-probe list empty (rank 0 for
+    // all rows — a silent clustering no-op), and buckets = 0 drives the
+    // bit count negative through log(0); reject before computing either
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
     val bits = {
       val b = (math.log(buckets) / math.log(2)).ceil.toInt
       math.min(b, bitsPerColumn(cols.size))
     }
-    require((1 << bits) >= 1, "buckets must be positive")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val scaled = cols.map { c =>
       val bounds = df.stat.approxQuantile(c, probs, relativeError)
