@@ -26,6 +26,11 @@ object CoreQueries {
 
   private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
+  /** Single per-JVM scratch root for f12's time-partitioned store (same
+    * overwrite-in-place discipline as OpsQueries.retRoot). */
+  private lazy val f12Root: String =
+    java.nio.file.Files.createTempDirectory("graft_f12").toString
+
   val queries: Map[String, Q] = Map(
     // ---- F1: when/equals ----------------------------------------------
     "f1_when_eq" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
@@ -86,6 +91,31 @@ object CoreQueries {
       QueryCompiler.run(t("orders"),
         Query.allOf().rangeAbove("o_totalprice", 100000.0)
           .orderBy("o_orderkey" -> 1).withFields("o_orderkey", "o_totalprice"))
+    },
+    // ---- F12: DSL date range → time-partition pruning -------------------
+    // The DSL range on the RAW time column is turned into a predicate on
+    // the derived p_time partition column (TimeSlice extraction +
+    // BucketStore.readForQuery), so the scan touches only the 4 matching
+    // daily partitions out of 30 — PlanSpec asserts the pruning; this
+    // query pins the ROWS (and the partition-value derivation, via `day`)
+    // against the oracle computing the same slice directly
+    "f12_date_prune" -> { (s, dir) =>
+      val store = new graft.store.BucketStore(s, f12Root)
+      val b = graft.model.Bucket("/f12/events", graft.model.DataSchema(
+        temporal = Some(graft.model.TemporalSchema("ts",
+          graft.model.GroupingPeriod.Daily))))
+      store.write(b, Tables.t(s, dir, "events"),
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+      store.readForQuery(b,
+          Query.allOf()
+            .rangeIn("ts",
+              java.time.Instant.parse("2024-01-05T00:00:00Z"),
+              java.time.Instant.parse("2024-01-09T00:00:00Z"))
+            .when("event_type", "click")
+            .orderBy("event_id" -> 1))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_s"),
+          col(graft.store.BucketStore.PartitionCol).as("day"))
     },
     // ---- read path: point lookup / counts (SURVEY §2.2 tail) ----------
     "r1_get_by_id" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
@@ -253,6 +283,11 @@ object CoreQueries {
       "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
     "f10_projection" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 100000 ORDER BY o_orderkey",
+    "f12_date_prune" ->
+      ("SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, " +
+        "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-09' " +
+        "AND event_type = 'click' ORDER BY event_id"),
     "r1_get_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 100",
     "r2_count_by_spec" ->

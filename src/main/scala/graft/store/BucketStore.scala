@@ -114,6 +114,35 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
       buffer: Option[String] = None): DataFrame =
     spark.read.parquet(stageDir(b, stage, buffer).toString)
 
+  /** F12 read path: apply a DSL query to a stage with the query's implied
+    * date range turned into a PARTITION predicate first. [[graft.dsl.TimeSlice]]
+    * extracts a sound time interval from the query tree; truncating its ends
+    * with the bucket's grouping period gives partition-value bounds
+    * (lexicographic order == chronological for every period format), so
+    * Catalyst prunes whole partition directories before the row predicate
+    * runs — the Spark-native form of the reference's query-driven index
+    * enumeration (`ElasticsearchContext.java:199-236`). Records with a null
+    * time (the `__unknown__` partition) can never satisfy a time-bounded
+    * query, so pruning them when a hi bound exists is sound; with only a lo
+    * bound the string compare keeps `__unknown__` and the row filter drops
+    * its rows. */
+  def readForQuery(b: Bucket, q: graft.dsl.QueryComponent,
+      stage: String = "processed", buffer: Option[String] = None): DataFrame = {
+    val base = read(b, stage, buffer)
+    val sliced = b.dataSchema.temporal match {
+      case Some(TemporalSchema(tf, period)) if base.columns.contains(PartitionCol) =>
+        graft.dsl.TimeSlice.bounds(q, tf) match {
+          case (None, None) => base
+          case (lo, hi) =>
+            val preds = lo.map(i => col(PartitionCol) >= lit(period.truncate(i))) ++
+              hi.map(i => col(PartitionCol) <= lit(period.truncate(i)))
+            base.filter(preds.reduce(_ && _))
+        }
+      case _ => base
+    }
+    graft.dsl.QueryCompiler.run(sliced, q)
+  }
+
   def exists(b: Bucket, stage: String = "processed",
       buffer: Option[String] = None): Boolean =
     Files.exists(stageDir(b, stage, buffer))

@@ -150,4 +150,43 @@ class DslSpec extends AnyFunSuite {
       .agg(min("o_totalprice")).head.getDouble(0)
     assert(maxF <= removedMin)
   }
+
+  test("F12 TimeSlice: interval algebra over the query tree") {
+    import graft.dsl.TimeSlice
+    import java.time.Instant
+    val t1 = Instant.parse("2024-01-05T00:00:00Z")
+    val t2 = Instant.parse("2024-01-09T00:00:00Z")
+    val t3 = Instant.parse("2024-01-20T00:00:00Z")
+
+    // plain range
+    assert(TimeSlice.bounds(
+      Query.allOf().rangeIn("ts", t1, t2), "ts") === (Some(t1), Some(t2)))
+    // AND of clauses intersects (tighter lo wins, tighter hi wins)
+    assert(TimeSlice.bounds(
+      Query.allOf().rangeAbove("ts", t1).rangeBelow("ts", t3)
+        .rangeBelow("ts", t2), "ts") === (Some(t1), Some(t2)))
+    // OR of subqueries unions; one unbounded branch unbounds the union
+    assert(TimeSlice.bounds(
+      Query.or(Query.allOf().rangeIn("ts", t1, t2),
+        Query.allOf().rangeIn("ts", t2, t3)), "ts") === (Some(t1), Some(t3)))
+    assert(TimeSlice.bounds(
+      Query.or(Query.allOf().rangeIn("ts", t1, t2),
+        Query.allOf().when("event_type", "click")), "ts") === ((None, None)))
+    // clauses on other fields / negations never tighten (soundness)
+    assert(TimeSlice.bounds(
+      Query.allOf().when("event_type", "click").whenNot("ts", t1), "ts")
+      === ((None, None)))
+    // equality pins a point; AnyOf spans its min..max
+    assert(TimeSlice.bounds(
+      Query.allOf().when("ts", t2), "ts") === (Some(t2), Some(t2)))
+    assert(TimeSlice.bounds(
+      Query.allOf().withAny("ts", Seq(t3, t1)), "ts") === (Some(t1), Some(t3)))
+    // polymorphic date input: epoch millis + java.sql.Timestamp normalize
+    assert(TimeSlice.bounds(
+      Query.allOf().rangeIn("ts", t1.toEpochMilli,
+        java.sql.Timestamp.from(t2)), "ts") === (Some(t1), Some(t2)))
+    // unconvertible value widens, never throws or mis-prunes
+    assert(TimeSlice.bounds(
+      Query.allOf().rangeAbove("ts", "not-a-date"), "ts") === ((None, None)))
+  }
 }

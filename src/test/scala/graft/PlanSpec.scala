@@ -108,6 +108,39 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("F12: DSL date range becomes a partition filter and skips files") {
+    val store = new graft.store.BucketStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_f12spec").toString)
+    val b = graft.model.Bucket("/f12/events", graft.model.DataSchema(
+      temporal = Some(graft.model.TemporalSchema("ts", graft.model.GroupingPeriod.Daily))))
+    store.write(b, Tables.t(spark, TestSession.sf, "events"))
+    // range on the RAW time column (not p_time): TimeSlice must derive the
+    // partition bounds itself — this is the reference's
+    // interpretObviousDateRange → index-enumeration optimization (F12)
+    val q = Query.allOf().rangeIn("ts",
+      java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      java.time.Instant.parse("2024-01-09T00:00:00Z"))
+    val sliced = store.readForQuery(b, q)
+    val plan = explainFormatted(sliced)
+    val boundsRe =
+      """PartitionFilters: \[isnotnull\(p_time#\d+\), \(p_time#\d+ >= 2024-01-05\), \(p_time#\d+ <= 2024-01-09\)\]""".r
+    assert(boundsRe.findFirstIn(plan).isDefined,
+      s"no derived p_time partition bounds in:\n$plan")
+    // evidence the pruning is real, not cosmetic: the sliced scan reads a
+    // strict subset of the partition files (4 of 30 daily partitions) —
+    // input_file_name() reports the files the executed scan actually touched
+    def filesRead(df: DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val allFiles = filesRead(store.read(b))
+    val slicedFiles = filesRead(sliced)
+    assert(slicedFiles > 0 && allFiles > 0)
+    assert(slicedFiles * 5 <= allFiles,
+      s"pruning too weak: $slicedFiles of $allFiles files read")
+    // and the row results agree with the unpruned filter-only evaluation
+    val expected = graft.dsl.QueryCompiler.run(store.read(b), q).count()
+    assert(sliced.count() === expected)
+  }
+
   test("ANN top-k ranks map-side before the shuffle (partial WindowGroupLimit)") {
     val plan = formattedPlan(SparkEntry.queries("ann1_topk_exact")(spark, TestSession.sf))
     // rank<=k over row_number must become a map-side group limit, so only
