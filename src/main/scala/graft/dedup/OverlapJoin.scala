@@ -76,4 +76,72 @@ object OverlapJoin {
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
   }
+
+  /** Exact Jaccard set-similarity join: all pairs with
+    * `|A ∩ B| / |A ∪ B| >= minJaccard` — the similarity-relative variant of
+    * [[join]] (AllPairs-style; Bayardo et al., WWW'07 — public algorithm).
+    *
+    * Prefix bound: J(A,B) >= t implies `|A ∩ B| >= t·|A ∪ B| >= t·|A|`, so
+    * with prefix length `|A| - ceil(t·|A|) + 1` the set can exclude at most
+    * `ceil(t·|A|) - 1 < |A ∩ B|` shared elements — some shared element
+    * survives in A's prefix, and symmetrically in B's. Candidates = pairs
+    * sharing a rarest-first-indexed element in BOTH prefixes (lossless);
+    * a size filter (`t·|A| <= |B| <= |A|/t`) prunes incompatible lengths
+    * before the distinct. Verification computes the exact Jaccard as a
+    * double division of the integer intersection/union sizes — the same
+    * IEEE operation a SQL engine runs, so results are bit-identical
+    * cross-engine.
+    *
+    * Scale shape is [[join]]'s: explode → map-side-combined df agg →
+    * per-doc window rank → candidate equi-join bounded by prefix sizes →
+    * verify on candidates only. Never all-pairs.
+    */
+  def jaccardJoin(docs: DataFrame, idCol: String, setCol: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1]: $minJaccard")
+
+    val elems = docs
+      .select(col(idCol).as("__id"), array_distinct(col(setCol)).as("__set"))
+      .filter(size(col("__set")) >= 1)
+      .select(col("__id"), size(col("__set")).as("__sz"),
+        explode(col("__set")).as("__e"))
+
+    // prefix length |S| - ceil(t·|S|) + 1; the epsilon can only shrink the
+    // ceil, i.e. LENGTHEN the prefix — float error widens candidates (safe)
+    // rather than dropping a qualifying pair (wrong)
+    val pfxLen = col("__sz") - ceil(lit(minJaccard) * col("__sz") - lit(1e-9)) + 1
+
+    val df = elems.groupBy("__e").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__e"))
+    val prefix = elems.join(df, "__e")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <= pfxLen)
+      .select("__id", "__e", "__sz")
+
+    def side(s: String) = prefix.select(
+      col("__id").as(s"id_$s"), col("__sz").as(s"sz_$s"), col("__e"))
+    val cand = side("a").join(side("b"), "__e")
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J >= t forces t·|A| <= |B| (and symmetrically);
+      // epsilon again errs toward keeping the pair
+      .filter(col("sz_b") >= lit(minJaccard) * col("sz_a") - lit(1e-9) &&
+        col("sz_a") >= lit(minJaccard) * col("sz_b") - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+
+    // verify candidates with the exact Jaccard; union via
+    // inclusion-exclusion from the per-set sizes already computed
+    val sizes = elems.groupBy("__id").agg(first(col("__sz")).as("__sz"))
+    val ea = elems.select(col("__id").as("id_a"), col("__e"))
+    val eb = elems.select(col("__id").as("id_b"), col("__e"))
+    cand.join(ea, "id_a").join(eb, Seq("id_b", "__e"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__ov"))
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
+      .withColumn("jacc", col("__ov").cast("double") /
+        (col("__sza") + col("__szb") - col("__ov")))
+      .filter(col("jacc") >= minJaccard)
+      .select("id_a", "id_b", "jacc")
+  }
 }

@@ -50,12 +50,29 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
     // Production-hash variant: codegen'd PolyHash base hash instead of the
-    // oracle-reproducible md5 path — benched so the committed numbers show
-    // production cost, not oracle-reproducibility cost. No SQL oracle (md5
-    // is the cross-engine hash); DedupAnnSpec pins its pair set instead.
+    // oracle-reproducible md5 path. Oracle-checked as a RECALL CONTAINMENT
+    // audit (every exact-Jaccard>=0.8 pair must be an LSH candidate);
+    // DedupAnnSpec additionally pins the twin-pair structure.
     "dd2_minhash_lsh_poly" -> { (s, dir) =>
-      minhashCandidates(Tables.t(s, dir, "documents"), "doc_id", "text",
-          useMd5 = false)
+      // Recall audit as the oracle contract: the poly candidate SET is not
+      // oracle-reproducible (md5 is the cross-engine hash), but one-sided
+      // CONTAINMENT is deterministic — every exact-Jaccard >= 0.8 pair
+      // (computed by the lossless prefix-filtered join, never all-pairs)
+      // must appear among the LSH candidates. `captured` = 0 on any missed
+      // pair hash-mismatches the oracle's literal 1, so an LSH recall
+      // regression is a CORRECTNESS failure, not a silent quality drop.
+      val docs = Tables.t(s, dir, "documents")
+      val sh = docs.withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), wordShingles(col("toks"), 3).as("sh"))
+      val exact = graft.dedup.OverlapJoin.jaccardJoin(sh, "doc_id", "sh", 0.8)
+      val cand = minhashCandidates(docs, "doc_id", "text", useMd5 = false)
+        .withColumn("__hit", lit(1))
+      exact.join(cand,
+          exact("id_a") === cand("doc_a") && exact("id_b") === cand("doc_b"),
+          "left")
+        .select(exact("id_a").as("doc_a"), exact("id_b").as("doc_b"),
+          exact("jacc"),
+          coalesce(col("__hit"), lit(0)).cast("int").as("captured"))
         .orderBy("doc_a", "doc_b")
     },
     // Incremental-ingestion dedup: which docs of an incoming batch (every
@@ -389,6 +406,19 @@ object DedupQueries {
       (s"$bandsCtePrefix " +
         "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b " +
         "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id " +
+        "ORDER BY doc_a, doc_b"),
+    // recall containment: the oracle enumerates the exact Jaccard>=0.8
+    // pairs (naive all-pairs — deliberately oracle-sized; the engine side
+    // is the prefix-filtered exact join) and asserts captured=1 for every
+    // one. A poly-LSH recall miss makes the engine emit 0 → hash mismatch.
+    "dd2_minhash_lsh_poly" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / " +
+        "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jacc " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, jacc, 1 AS captured FROM p WHERE jacc >= 0.8 " +
         "ORDER BY doc_a, doc_b"),
     // banding is per-doc independent, so banding the full table and
     // filtering sides afterwards equals banding the filtered inputs

@@ -36,6 +36,33 @@ class OverlapJoinSpec extends AnyFunSuite {
     assert(naive.exists(_._3 == minOverlap.toLong))
   }
 
+  test("jaccard join: randomized skewed sets match the naive reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(97)
+    def elem(): String = s"e${math.min(rnd.nextInt(30), rnd.nextInt(30))}"
+    // near-dup structure on purpose: even ids clone the previous odd id's
+    // set with a small perturbation, so high-Jaccard pairs exist alongside
+    // the random background
+    val base = (1L to 60L).map(i => (i, Seq.fill(6 + rnd.nextInt(20))(elem())))
+    val docs = base.map { case (i, s) =>
+      if (i % 2 == 0) (i, base((i - 2).toInt)._2 ++ Seq(elem()) ) else (i, s)
+    }
+    val t = 0.6
+    val got = OverlapJoin.jaccardJoin(docs.toDF("id", "s"), "id", "s", t)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val sets = docs.map { case (i, s) => i -> s.toSet }.toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter) if j >= t
+    } yield (a, b, j)).toSeq.sorted
+    assert(got === naive)
+    assert(got.nonEmpty)
+    // identical sets hit jacc exactly 1.0; threshold-adjacent pairs exist
+    assert(naive.exists(_._3 < 0.75), "want pairs near the threshold")
+  }
+
   test("sets smaller than the threshold never pair; empty sets are safe") {
     val spark2 = spark
     import spark2.implicits._
