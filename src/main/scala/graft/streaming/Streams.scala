@@ -28,23 +28,49 @@ import graft.pipeline.{Pipeline, PipelineStage}
   */
 object Streams {
 
-  /** Run `body` (which must START AND FINISH a streaming query) with
-    * `spark.sql.shuffle.partitions` — the knob that fixes a stateful
-    * stream's state-store partition count at first start — temporarily
-    * overridden. The partition count is baked into the checkpoint: it
-    * cannot change later without a state rebuild, so it must be sized
-    * deliberately (≈ peak keys / target state per store), not inherited
-    * from whatever batch default the session happens to carry. `None`
-    * keeps the session setting. */
-  private def withStatePartitions[A](spark: SparkSession,
-      statePartitions: Option[Int])(body: => A): A = statePartitions match {
-    case None => body
-    case Some(k) =>
-      require(k > 0, s"statePartitions must be positive: $k")
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, k.toString)
-      try body finally spark.conf.set(key, prev)
+  /** State-store provider class for RocksDB-backed streaming state (ships
+    * with Spark; rocksdbjni is on the default classpath). The default
+    * HDFS-backed provider keeps every store's working map ON HEAP — at
+    * 100× the per-partition key space that map is the first thing to fall
+    * over. RocksDB spills state to local SSD with an off-heap block cache,
+    * bounding executor heap by the changelog of a trigger rather than the
+    * full key universe; checkpoint contents stay provider-compatible at
+    * the semantic level (same results), though a checkpoint written by one
+    * provider cannot be RESUMED by the other. */
+  val RocksDbStateStore: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` (which must START AND FINISH a streaming query) with the
+    * two state-store knobs that must be fixed at first start temporarily
+    * overridden:
+    *
+    *  - `spark.sql.shuffle.partitions` — the state-store partition count,
+    *    baked into the checkpoint: it cannot change later without a state
+    *    rebuild, so it must be sized deliberately (≈ peak keys / target
+    *    state per store), not inherited from whatever batch default the
+    *    session happens to carry;
+    *  - `spark.sql.streaming.stateStore.providerClass` — HDFS-backed
+    *    (default, on-heap) vs [[RocksDbStateStore]] (disk-backed).
+    *
+    * `None` keeps the session setting. */
+  private def withStreamConf[A](spark: SparkSession,
+      statePartitions: Option[Int],
+      stateStoreProvider: Option[String] = None)(body: => A): A = {
+    statePartitions.foreach(k =>
+      require(k > 0, s"statePartitions must be positive: $k"))
+    val overrides =
+      statePartitions.map("spark.sql.shuffle.partitions" -> _.toString).toList ++
+      stateStoreProvider.map(
+        "spark.sql.streaming.stateStore.providerClass" -> _).toList
+    if (overrides.isEmpty) body
+    else {
+      val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
   }
 
   /** File-based stream over parquet path(s) with a known schema.
@@ -62,11 +88,12 @@ object Streams {
   /** ST1: run a passthrough (or transformed) stream to completion, landing
     * every micro-batch in a parquet dir; returns the landed data. */
   def runToParquet(stream: DataFrame, transform: DataFrame => DataFrame = identity,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stateStoreProvider: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
-    withStatePartitions(spark, statePartitions) {
+    withStreamConf(spark, statePartitions, stateStoreProvider) {
       val q = transform(stream).writeStream
         .format("parquet")
         .option("path", out)
@@ -105,10 +132,11 @@ object Streams {
     * it with an order guard (e.g. merge only if newer) for exactly-once
     * EFFECTS on top of Structured Streaming's at-least-once foreachBatch. */
   def runForeachBatch(stream: DataFrame,
-      statePartitions: Option[Int] = None)(f: DataFrame => Unit): Unit = {
+      statePartitions: Option[Int] = None,
+      stateStoreProvider: Option[String] = None)(f: DataFrame => Unit): Unit = {
     val spark = stream.sparkSession
     val ckpt = Files.createTempDirectory("graft_fb_ckpt").toString
-    withStatePartitions(spark, statePartitions) {
+    withStreamConf(spark, statePartitions, stateStoreProvider) {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) => f(batch) }
         .option("checkpointLocation", ckpt)
@@ -234,13 +262,14 @@ object Streams {
     * columns (struct columns like `window` are fine as keys). */
   def runWindowedAgg(stream: DataFrame, agg: DataFrame => DataFrame,
       keyCols: Seq[String] = Seq("window", "event_type"),
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stateStoreProvider: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = stream.sparkSession
     val out = Files.createTempDirectory("graft_win_out").toString
     val ckpt = Files.createTempDirectory("graft_win_ckpt").toString
     val aggregated = agg(stream)
-    withStatePartitions(spark, statePartitions) {
+    withStreamConf(spark, statePartitions, stateStoreProvider) {
       val q = aggregated.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

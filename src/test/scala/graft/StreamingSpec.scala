@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,6 +29,34 @@ class StreamingSpec extends AnyFunSuite {
     val out = SparkEntry.queries("st3_window_agg")(spark, TestSession.sf)
     val total = out.agg(sum(col("n"))).collect()(0).getLong(0)
     assert(total === Tables.t(spark, TestSession.sf, "events").count())
+  }
+
+  test("RocksDB state store: st4 sessionize + st7 stream join results are provider-invariant") {
+    // stateful queries must produce IDENTICAL results whether state lives
+    // in the default on-heap HDFS-backed store or in RocksDB (the scale
+    // path: disk-backed state, off-heap block cache). Provider is read at
+    // query start, so a session-level override wraps the unchanged queries.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val baseline = spark.conf.getOption(key)
+    def run(name: String): Seq[Row] =
+      SparkEntry.queries(name)(spark, TestSession.sf).collect().toSeq
+    def runRocks(name: String): Seq[Row] = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, graft.streaming.Streams.RocksDbStateStore)
+      try run(name)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    for (q <- Seq("st4_sessionize", "st7_stream_join")) {
+      val default = run(q)
+      val rocks = runRocks(q)
+      assert(rocks === default, s"$q differs under RocksDB state store")
+      assert(default.nonEmpty)
+    }
+    // the override never leaks into the session
+    assert(spark.conf.getOption(key) === baseline)
   }
 
   test("st3 runner uses no driver-memory sink") {
