@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * All three modalities decode for REAL with pure-JDK codecs: images via
   * `javax.imageio` (PNG/JPEG/BMP/GIF — [[ImageIoDecoder]],
   * [[ImageIoResizer]]), audio via `javax.sound` (WAV/AIFF/AU —
-  * [[WavDecoder]], [[PcmWavEncoder]]), video via the uncompressed
-  * YUV4MPEG2 container ([[Y4m]] — entropy-coded codecs like H.264 would
-  * need a native demuxer this container doesn't ship, so compressed video
-  * still rides the [[FakeDecoder]]/[[FakeFrameSampler]] stand-ins). The
-  * Spark-side plumbing is identical either way and is what matters at
+  * [[WavDecoder]], [[PcmWavEncoder]]), video both uncompressed (the
+  * YUV4MPEG2 container, [[Y4m]]) and compressed (MJPEG-in-AVI, [[Avi]]:
+  * RIFF demux + per-frame `javax.imageio` JPEG decode). Only inter-frame
+  * entropy-coded codecs (H.264/VP9 &c.) still ride the
+  * [[FakeDecoder]]/[[FakeFrameSampler]] stand-ins — no pure-JDK decoder
+  * for them exists and the zero-egress sandbox ships no native demuxer.
+  * The Spark-side plumbing is identical either way and is what matters at
   * 100 TB:
   *
   *  - media bytes stay in one `content: binary` column (never exploded into

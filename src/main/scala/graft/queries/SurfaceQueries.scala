@@ -241,6 +241,29 @@ object SurfaceQueries {
           col("fps_den"), col("n_frames"), col("frame_idx"), col("luma_sum"))
         .orderBy("doc_id", "frame_idx")
     },
+    // ---- multimodal COMPRESSED video: REAL MJPEG-in-AVI round-trip —
+    // byte k of the payload becomes frame k (8×8 constant-luma raster,
+    // JPEG-encoded at quality 1.0 where the JDK quant tables are all ones,
+    // so constant blocks decode bit-exactly), wrapped in a RIFF AVI
+    // container. Demux walks the real chunk tree; sampled frames decode
+    // through the real javax.imageio JPEG decoder. The oracle predicts
+    // container facts and per-frame decoded luma sums straight from the
+    // text, so a header-layout, demux, or decode slip cannot cancel out --
+    "mm9_video_mjpeg" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 16).cast("binary"))
+      val vids = Multimodal.resizeContent(docs, "content",
+        graft.multimodal.Avi.MjpegAviEncoder(width = 8, height = 8, fps = 25))
+      val facts = graft.multimodal.Avi
+        .extractVideoFeatures(vids, "doc_id", "content")
+      val frames = graft.multimodal.Avi
+        .extractFrameFeatures(vids, "doc_id", "content", everyN = 2)
+      facts.join(frames, "doc_id")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("us_per_frame"), col("n_frames"), col("frame_idx"),
+          col("luma_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
     // ---- video temporal features: frame-to-frame luma delta through the
     // same Y4M round-trip — the scene-change/motion signal; one narrow
     // pass holding only the previous plane per record ----
@@ -528,6 +551,17 @@ object SurfaceQueries {
         "regexp_extract_all(substr(c, CAST(k * 64 + 1 AS BIGINT), 64), '.')], " +
         "(a, b) -> a + b) AS luma_sum " +
         "FROM k ORDER BY doc_id, frame_idx"),
+    // MJPEG path: frame k is a CONSTANT 8×8 raster of payload byte k, and
+    // quality-1.0 JPEG round-trips constant blocks exactly, so decoded
+    // luma_sum = 64 × ascii(char k). Container facts are the encoder
+    // constants; sampled frames are the even indices of the 16-byte payload
+    "mm9_video_mjpeg" ->
+      ("WITH f AS (SELECT doc_id, substr(text, 1, 16) AS c, " +
+        "unnest([x FOR x IN generate_series(0, 15) IF x % 2 = 0]) AS k FROM documents) " +
+        "SELECT doc_id, 8 AS width, 8 AS height, 40000 AS us_per_frame, " +
+        "CAST(16 AS BIGINT) AS n_frames, CAST(k AS INTEGER) AS frame_idx, " +
+        "CAST(64 * ascii(substr(c, CAST(k + 1 AS BIGINT), 1)) AS BIGINT) AS luma_sum " +
+        "FROM f ORDER BY doc_id, frame_idx"),
     // per doc: frame k (k>=1) vs k-1 are consecutive 64-char chunks;
     // delta_sum = sum of per-position absolute byte differences
     "mm7_video_motion" ->

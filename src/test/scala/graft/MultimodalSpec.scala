@@ -240,6 +240,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1 -> 1) === p1.slice(64, 128).map(b => (b & 0xff).toLong).sum)
   }
 
+  test("MJPEG-AVI round-trip: RIFF facts, constant-block JPEG exactness, sampling, garbage") {
+    import graft.multimodal.Avi
+    val payload = "Hello, AVI!".getBytes("US-ASCII")
+    val avi = Avi.MjpegAviEncoder(width = 8, height = 8, fps = 25).encode(payload)
+    // container facts straight from the avih header
+    val hd = Avi.parseHeader(avi).get
+    assert(hd.width === 8 && hd.height === 8)
+    assert(hd.usPerFrame === 40000 && hd.totalFrames === payload.length)
+    // every frame chunk is a real JPEG (SOI marker) decodable by ImageIO,
+    // and quality-1.0 constant blocks recover the payload byte exactly
+    val fs = Avi.frames(avi, hd).toSeq
+    assert(fs.map(_._1) === (payload.indices))
+    fs.foreach { case (_, jpeg) =>
+      assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8,
+        "frame chunk is not a JPEG (missing SOI marker)")
+    }
+    val df = mediaDf(Seq(1 -> avi, 2 -> Array[Byte](1, 2, 3)))
+    val facts = Avi.extractVideoFeatures(df, "id", "content")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(facts(1).getInt(1) === 8 && facts(1).getLong(4) === payload.length.toLong)
+    (1 to 4).foreach(i => assert(facts(2).isNullAt(i))) // garbage → null row
+    val sums = Avi.extractFrameFeatures(df, "id", "content", everyN = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val wantIdx = payload.indices.filter(_ % 2 == 0).map(1 -> _).toSet
+    assert(sums.keySet === wantIdx)
+    wantIdx.foreach { case (_, k) =>
+      assert(sums(1 -> k) === 64L * (payload(k) & 0xff),
+        s"frame $k: JPEG constant-block round-trip not exact")
+    }
+  }
+
   test("Y4M temporal deltas: exact |Y_k - Y_{k-1}| sums, edge rows absent") {
     import graft.multimodal.Y4m
     val p = Array.tabulate[Byte](192)(i => ((i * 13 + 7) % 256).toByte) // 3 frames
