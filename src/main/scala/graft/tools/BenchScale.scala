@@ -1,0 +1,212 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry}
+
+/** Scaling gate: run the most expensive queries at sf0.1 AND at a
+  * synthesized sf1 (10× the big tables) and record the wall-time ratio per
+  * query — the check that catches a super-linear cliff (an LSH candidate
+  * blowup, a state-store overrun, an accidental product) that the sf0.1
+  * bench alone never would. Also times the skew levers A/B (salted vs
+  * unsalted aggregation and join on a hot-key synthetic) plus the
+  * deterministic shuffle-balance evidence behind them.
+  *
+  * sf1 synthesis keeps each copy a DISJOINT namespace (keys shifted,
+  * document tokens suffixed, embeddings perturbed per copy) so dedup/join
+  * structure scales linearly by construction — organic 10× data, not 10×
+  * exact twins whose candidate pairs would grow quadratically in copies.
+  * Dimension tables stay fixed (realistic fact-vs-dim scaling).
+  *
+  * Output: one JSON blob (stdout + `BENCH_SCALE.json`) with per-query
+  * {sf0.1 best, sf1 best, ratio} and the skew experiment numbers. Ratio
+  * ≤ ~15 (vs the 10× data) means at-most-linear growth with fixed
+  * per-query overhead amortized; anything above is flagged `superlinear`
+  * for a plan fix or a documented reason.
+  */
+object BenchScale {
+
+  /** The expensive tail of the suite per bench_out history, plus the
+    * operators whose SCALING (not constant) is the risk: candidate
+    * generation (LSH/gram/prefix joins), iterative CC, stream-stream
+    * state, PQ training, MERGE rewrite, global top-k. */
+  val Heavy: Seq[String] = Seq(
+    "ann5_pq_topk", "st7_stream_join", "st10_stream_outer_join",
+    "st11_stream_full_join", "ss1_overlap_join", "dd6_dedup_clusters",
+    "dd15_incremental_cc", "ed1_editdist_join", "dd8_semantic_dedup",
+    "dd2_minhash_lsh_poly", "g13_walk_counts", "tx8_top_tokens",
+    "u16_merge_into", "mm5_image_neardup", "mm9_video_mjpeg")
+
+  private val Copies = 10
+  private val KeyOff = 1000000000L // per-copy id namespace stride
+
+  /** Synthesize the sf1 directory from sf0.1 (idempotent via a marker). */
+  def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+    val marker = new java.io.File(s"$dst/_GRAFT_SF1_READY")
+    if (marker.exists()) return
+    new java.io.File(dst).mkdirs()
+    def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def copies(name: String)(mutate: (DataFrame, Int) => DataFrame): Unit = {
+      val base = raw(name)
+      (0 until Copies).map(c => mutate(base, c))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    // dims unscaled: fact-vs-dim scaling, and every query still resolves
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      raw(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    }
+    copies("orders") { (df, c) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(c * KeyOff))
+    }
+    copies("lineitem") { (df, c) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(c * KeyOff))
+        // suppliers/parts shift too: otherwise 10 copies share one vertex
+        // set and the co-purchase graph DENSIFIES instead of scaling
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c * 1000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * 10000000L))
+    }
+    copies("events") { (df, c) =>
+      df.withColumn("event_id", col("event_id") + lit(c * KeyOff))
+        // disjoint users per copy: shared users would grow the per-key
+        // interval-join match set quadratically in copies
+        .withColumn("user_id", col("user_id") + lit(c * 10000000L))
+    }
+    copies("documents") { (df, c) =>
+      // per-copy BIJECTIVE character rotation (Caesar within each character
+      // class, whitespace untouched): within a copy, token equality, string
+      // lengths, shingle and q-gram structure are EXACTLY isomorphic to the
+      // original, while across copies every letter differs — so tokens,
+      // shingles, and (crucially) the edit-join's q-grams are copy-local
+      // and its inverted-index buckets scale linearly. Earlier attempts
+      // that SUFFIXED a copy tag onto tokens left original-character grams
+      // shared by all 10 copies: their index buckets grew 10×, candidate
+      // pairs 100×, and ed1 false-flagged as 22-32× superlinear
+      val mutated =
+        if (c == 0) df
+        else {
+          def rot(s: String) = s.drop(c % s.length) + s.take(c % s.length)
+          val lower = "abcdefghijklmnopqrstuvwxyz"
+          val upper = lower.toUpperCase
+          val digit = "0123456789"
+          df.withColumn("text", translate(col("text"),
+            lower + upper + digit, rot(lower) + rot(upper) + rot(digit)))
+        }
+      mutated.withColumn("doc_id", col("doc_id") + lit(c * KeyOff))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    copies("embeddings") { (df, c) =>
+      df.withColumn("vec_id", col("vec_id") + lit(c * KeyOff))
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x + lit(c * 0.0017f)).cast("float")))
+    }
+    marker.createNewFile()
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def bestOf(n: Int)(body: => Unit): Double =
+    (1 to n).map(_ => time(body)).min
+
+  /** Hot-key synthetic: `n` rows, 50% on key 0, rest uniform over 1000
+    * keys. Deterministic (id-derived), no RNG. */
+  private def hotKeyDf(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(1000)) + 1).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+
+  /** Deterministic shuffle balance: rows per reduce partition under the
+    * given partitioning expression — max/mean is the single-task pileup
+    * factor, measured without timing noise. */
+  private def maxOverMean(df: DataFrame, parts: Int, exprs: Seq[org.apache.spark.sql.Column]): Double = {
+    val counts = df.withColumn("__p", pmod(hash(exprs: _*), lit(parts)))
+      .groupBy("__p").count().collect().map(_.getLong(1))
+    counts.max.toDouble / (counts.sum.toDouble / parts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
+
+    System.err.println(s"[scale] building sf1 at $sf1 (idempotent)")
+    buildSf1(spark, sf01, sf1)
+
+    // JIT/codegen warm-up on the smallest SF, like Bench
+    val warmDir = "/root/testdata/sf0.001"
+    Heavy.foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] warm $q failed: ${e.getMessage}") }
+    }
+
+    val rows = Heavy.map { q =>
+      def run(dir: String): Double =
+        try bestOf(runs)(SparkEntry.queries(q)(spark, dir).count())
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $q failed: ${e.getMessage}"); -1.0 }
+      val t01 = run(sf01)
+      val t1 = run(sf1)
+      val ratio = if (t01 > 0 && t1 > 0) t1 / t01 else -1.0
+      System.err.println(f"[scale] $q%-24s sf0.1 $t01%7.2fs  sf1 $t1%7.2fs  ratio $ratio%6.2f")
+      (q, t01, t1, ratio)
+    }
+
+    // ---- skew lever A/B on the hot-key synthetic (sf1-sized) ------------
+    val hot = hotKeyDf(spark, 6000000L).cache()
+    hot.count() // materialize once so A and B read the same cached input
+    val dim = spark.range(1001).select(col("id").as("k"),
+      concat(lit("label_"), col("id")).as("label"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val balUnsalted = maxOverMean(hot, parts, Seq(col("k")))
+    val balSalted = maxOverMean(
+      hot.withColumn("__salt", pmod(monotonically_increasing_id(), lit(128L))),
+      parts, Seq(col("k"), col("__salt")))
+    val aggUnsalted = bestOf(runs)(
+      hot.groupBy("k").agg(count(lit(1)), sum("v")).count())
+    val aggSalted = bestOf(runs)(
+      graft.ops.Skew.saltedAgg(hot, Seq("k"), Seq("v"), buckets = 128).count())
+    // joins: disable broadcast (emulating a dim over the broadcast budget —
+    // the only regime where salting matters) and AQE's skew split (the
+    // built-in alternative lever; here we measure OURS in isolation)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (joinUnsalted, joinSalted) =
+      try {
+        (bestOf(runs)(hot.join(dim, "k").count()),
+          bestOf(runs)(
+            graft.ops.Skew.saltedJoin(hot, dim, Seq("k"), buckets = 128).count()))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    hot.unpersist()
+
+    def f(d: Double): String = "%.3f".format(d)
+    val queryJson = rows.map { case (q, t01, t1, r) =>
+      s""""$q":{"sf01":${f(t01)},"sf1":${f(t1)},"ratio":${f(r)},"superlinear":${r > 15.0}}"""
+    }.mkString("{", ",", "}")
+    val skewJson =
+      s"""{"agg_unsalted_sec":${f(aggUnsalted)},"agg_salted_sec":${f(aggSalted)},""" +
+      s""""join_unsalted_sec":${f(joinUnsalted)},"join_salted_sec":${f(joinSalted)},""" +
+      s""""balance_max_over_mean_unsalted":${f(balUnsalted)},""" +
+      s""""balance_max_over_mean_salted":${f(balSalted)}}"""
+    val json =
+      s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
+      s""""queries":$queryJson,"skew":$skewJson}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -228,6 +228,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected two key exchanges:\n$plan")
   }
 
+  test("salting spreads the hot key across reducers (deterministic shuffle balance)") {
+    // rows per reduce partition under the join/agg partitioning — the
+    // quantity that decides single-task pileup, measured without wall-clock
+    // noise: 50% of rows on one key funnel many× the mean into one
+    // partition unsalted; salted, no partition exceeds 2× the mean. Salt
+    // cardinality must comfortably exceed the partition count (here 128
+    // salts over 32 partitions): with only ~parts salts, birthday
+    // collisions of hot (key,salt) buckets re-create lumps
+    val hot = spark.range(100000L).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(1000)) + 1).as("k"))
+    def maxOverMean(exprs: Seq[org.apache.spark.sql.Column]): Double = {
+      val counts = hot.withColumn("__p", pmod(hash(exprs: _*), lit(32)))
+        .groupBy("__p").count().collect().map(_.getLong(1))
+      counts.max.toDouble / (counts.sum.toDouble / 32)
+    }
+    val unsalted = maxOverMean(Seq(col("k")))
+    val salted = maxOverMean(Seq(col("k"),
+      pmod(monotonically_increasing_id(), lit(128L))))
+    assert(unsalted > 5.0, s"synthetic not skewed enough: $unsalted")
+    assert(salted < 2.0, s"salting left a pileup: $salted")
+  }
+
   test("expression script stage pushes its WHERE into the parquet scan") { uncached {
     // the point of re-expressing user scripts as SQL expressions: a stage
     // filter reaches the source as a pushed filter — a per-record
