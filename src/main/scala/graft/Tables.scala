@@ -13,21 +13,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[GraftSession]]): the driver's `events.parquet` carries
-    * TIMESTAMP(NANOS) which Spark has no native type for. We read nanos as
-    * long and floor-convert to micros — the same truncation DuckDB applies
-    * when casting ns→its micro timestamps, so oracle comparisons line up. */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (cur, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        cur.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else cur
+  /** Normalize a timestamp column to session-tz `TimestampType` micros
+    * regardless of how the driver generated the parquet. Two layouts have
+    * shipped: TIMESTAMP(NANOS) — which, under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]),
+    * arrives as a nano `LongType` we floor to micros, the same truncation
+    * DuckDB applies casting ns→µs — and native `timestamp[us]` without a
+    * zone, which Spark infers as `TimestampNTZType`; the session zone is
+    * pinned to UTC so the NTZ→LTZ cast is instant-preserving and
+    * `unix_micros` on our side equals DuckDB's `epoch_us` on the raw file.
+    * Every consumer (batch and streaming) must funnel raw reads through
+    * here rather than hand-converting. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case _ => df
     }
   }
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Register every table as a temp view for the SQL surface (Q1). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

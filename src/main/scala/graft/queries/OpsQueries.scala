@@ -227,8 +227,7 @@ object OpsQueries {
     "st8_stream_log_merge" -> { (s, dir) =>
       val raw = graft.streaming.Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
-      val logs = logRecordsOf(
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      val logs = logRecordsOf(Tables.normalizeTs(raw))
       mergedLogColumns(graft.streaming.Streams.runWindowedAgg(logs,
         df => LoggingService.mergeAndRateLimit(df, windowSec = 3600),
         keyCols = Seq("subsystem", "level", "message", "win"),

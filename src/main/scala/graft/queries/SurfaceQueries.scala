@@ -280,7 +280,6 @@ object SurfaceQueries {
       val batchDf = Tables.t(s, dir, "events")
       val stream = Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
-      // ts arrives as nanos-long on the stream too; reuse the same convert
       val out = Streams.runToParquet(stream)
       out.select(batchDf.columns.map(col): _*).drop("ts")
         .orderBy("event_id")
@@ -300,7 +299,7 @@ object SurfaceQueries {
     "st4_sessionize" -> { (s, dir) =>
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
-      val stream = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeTs(raw)
       Streams.runToParquet(Streams.sessionize(stream, gapMinutes = 30),
           statePartitions = Some(8))
         .orderBy("user_id", "session_start")
@@ -314,7 +313,7 @@ object SurfaceQueries {
     "st13_session_window" -> { (s, dir) =>
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
-      val withTs = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val withTs = Tables.normalizeTs(raw)
       val out = Streams.runToParquet(withTs, st =>
           st.withWatermark("ts", "30 minutes")
             .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -405,13 +404,13 @@ object SurfaceQueries {
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
       Streams.runForeachBatch(raw) { batch =>
-        // nanos -> micros BEFORE ranking, so the (ts, event_id) order the
-        // guard uses is exactly the oracle's epoch_us order (ns-level
-        // sub-ties resolve through the event_id tiebreak on both sides)
+        // normalize to micros BEFORE ranking, so the (ts, event_id) order
+        // the guard uses is exactly the oracle's epoch_us order (sub-ties
+        // resolve through the event_id tiebreak on both sides)
         val w = Window.partitionBy("user_id")
           .orderBy(col("tus").desc, col("event_id").desc)
-        val latest = batch
-          .withColumn("tus", expr("ts div 1000"))
+        val latest = Tables.normalizeTs(batch)
+          .withColumn("tus", unix_micros(col("ts")))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .select(col("user_id"), col("tus").as("src_ts"),
@@ -447,8 +446,7 @@ object SurfaceQueries {
     "st3_window_agg" -> { (s, dir) =>
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
-      val withTs = raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")))
+      val withTs = Tables.normalizeTs(raw)
       val out = Streams.runWindowedAgg(withTs, df =>
         df.groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"),

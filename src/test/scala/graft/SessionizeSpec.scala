@@ -16,7 +16,7 @@ class SessionizeSpec extends AnyFunSuite {
     val gapMin = 30
     val raw = Streams.parquetStream(spark, s"${TestSession.sf}/events.parquet",
       spark.read.parquet(s"${TestSession.sf}/events.parquet").schema)
-    val stream = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(raw)
     val out = Streams.runToParquet(
       Streams.sessionize(stream, gapMin),
       identity)
