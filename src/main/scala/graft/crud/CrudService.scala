@@ -141,7 +141,8 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
 
   /** server-side count with optional limit cap (Mongo `count` with `limit`,
     * `MongoDbCrudService.java:450-474`). */
-  def countObjectsBySpec(q: QueryComponent): Long = {
+  def countObjectsBySpec(q0: QueryComponent): Long = {
+    val q = QueryCompiler.coerceDates(table, q0)
     val filtered = table.filter(QueryCompiler.compile(q))
     q.meta.limit.map(n => filtered.limit(n).count()).getOrElse(filtered.count())
   }
@@ -157,8 +158,9 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
     * count scan. Upsert keeps the pre-count: it must branch on match
     * existence before deciding whether to write at all (and the pre-count's
     * filter pushes down to the scan). */
-  def updateObjectsBySpec(q: QueryComponent, u: UpdateComponent,
+  def updateObjectsBySpec(q0: QueryComponent, u: UpdateComponent,
       upsert: Boolean = false): Long = {
+    val q = QueryCompiler.coerceDates(table, q0)
     if (upsert) {
       val matched = table.filter(QueryCompiler.compile(q)).count()
       if (matched == 0) {
@@ -200,8 +202,9 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
   /** U10 updateAndReturnObjectBySpec — findAndModify: apply the update to
     * the (single) match and return its before or after image, optionally
     * projected (`MongoDbCrudService.java:531-555`). */
-  def updateAndReturnObjectBySpec(q: QueryComponent, u: UpdateComponent,
+  def updateAndReturnObjectBySpec(q0: QueryComponent, u: UpdateComponent,
       returnBefore: Boolean = false, fields: Seq[String] = Nil): Option[Row] = {
+    val q = QueryCompiler.coerceDates(table, q0)
     val pred = QueryCompiler.compile(q)
     val before = table.filter(pred).head(1).headOption
     if (before.isEmpty) return None
@@ -230,7 +233,9 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
     * counts the bounded victim set separately because its rewrite plan
     * references the scan twice (self anti-join), which an observation may
     * not straddle. */
-  def deleteObjectsBySpec(q: QueryComponent): Long = q.meta.limit match {
+  def deleteObjectsBySpec(q0: QueryComponent): Long = {
+    val q = QueryCompiler.coerceDates(table, q0)
+    q.meta.limit match {
     case None =>
       // existence probe: a miss (e.g. deleteObjectById of an absent id)
       // must not rewrite the whole table
@@ -247,7 +252,7 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
       val deleted = table.filter(QueryCompiler.compile(q)).limit(k).count()
       store.rewrite(bucket, stage)(cur => UpdateCompiler.deleteBySpec(cur, q))
       deleted
-  }
+  } }
 
   /** Three-clause MERGE INTO committed through the store's buffer+promote —
     * the batch reconciliation analog of the reference's per-document

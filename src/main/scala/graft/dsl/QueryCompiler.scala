@@ -95,6 +95,50 @@ object QueryCompiler {
   }
 
   /** QueryComponent tree → one Column predicate (recursive, F7). */
+  /** Schema-directed date coercion. The reference's DSL accepts epoch-millis
+    * longs anywhere a date is expected (`ElasticsearchUtils.java:298-305`
+    * `toLongDate`); a bare Long is ambiguous at the AST level — it is also a
+    * perfectly good value for a numeric column — so the rewrite happens here,
+    * where the target DataFrame's schema disambiguates: Long values in
+    * clauses on timestamp/date-typed columns (dot-paths resolved through
+    * nested structs) become epoch-millis Timestamps, keeping the row
+    * predicate consistent with [[TimeSlice]]'s partition-pruning
+    * interpretation of the same literal. Everything else passes through. */
+  def coerceDates(df: DataFrame, q: QueryComponent): QueryComponent = {
+    import org.apache.spark.sql.types._
+    def pathType(t: DataType, path: List[String]): Option[DataType] = (t, path) match {
+      case (dt, Nil) => Some(dt)
+      case (s: StructType, h :: rest) =>
+        s.fields.find(_.name == h).flatMap(f => pathType(f.dataType, rest))
+      case _ => None
+    }
+    def isTime(field: String): Boolean =
+      pathType(df.schema, field.split('.').toList).exists {
+        case TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+    def cv(f: String, v: Any): Any = v match {
+      case l: Long if isTime(f) => new java.sql.Timestamp(l)
+      case other => other
+    }
+    def cc(c: Clause): Clause = c match {
+      case Eq(f, v, n) => Eq(f, cv(f, v), n)
+      case AnyOf(f, vs) => AnyOf(f, vs.map(cv(f, _)))
+      case AllOf(f, vs) => AllOf(f, vs.map(cv(f, _)))
+      case RangeClause(f, lo, li, hi, hi2) =>
+        RangeClause(f, lo.map(cv(f, _)), li, hi.map(cv(f, _)), hi2)
+      case p: Present => p
+    }
+    q match {
+      case s: SingleQuery => s.copy(clauses = s.clauses.map(cc))
+      case m: MultiQuery => m.copy(components = m.components.map(coerceDates(df, _)))
+    }
+  }
+
+  /** [[compile]] with the target schema in hand — see [[coerceDates]]. */
+  def compileFor(df: DataFrame, q: QueryComponent): Column =
+    compile(coerceDates(df, q))
+
   def compile(q: QueryComponent): Column = compileWith(q, topLevel)
 
   /** Same, with a custom field resolver — used to evaluate a nested query
@@ -114,7 +158,7 @@ object QueryCompiler {
     * the full read path of `getObjectsBySpec`
     * (`ElasticsearchCrudService.java:750-799`). */
   def run(df: DataFrame, q: QueryComponent): DataFrame = {
-    var out = df.filter(compile(q))
+    var out = df.filter(compileFor(df, q))
     val m = q.meta
     if (m.orderBy.nonEmpty)
       out = out.orderBy(m.orderBy.map { case (f, dir) =>

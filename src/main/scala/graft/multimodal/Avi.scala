@@ -264,23 +264,64 @@ object Avi {
     sampled.mapPartitions { it =>
       it.map { r =>
         val jpeg = r.getAs[Array[Byte]](2) // (id, frame_idx, frame)
-        val sum =
-          try {
-            val img = ImageIO.read(new ByteArrayInputStream(jpeg))
-            if (img == null) null
-            else {
-              var s = 0L
-              var i = 0
-              val n = img.getWidth * img.getHeight
-              while (i < n) {
-                s += img.getRaster.getSample(i % img.getWidth,
-                  i / img.getWidth, 0)
-                i += 1
-              }
-              java.lang.Long.valueOf(s)
+        Row(r.get(0), r.getInt(1), lumaSum(jpeg))
+      }
+    }(enc)
+  }
+
+  /** Decoded first-raster-band integer sum; null for an un-decodable
+    * frame. NonFatal, not just IOException: the JDK JPEG reader throws
+    * RuntimeExceptions (AIOOBE, NegativeArraySize, CMMException) on many
+    * malformed scans — one corrupt frame must degrade to a null sum, not
+    * kill the whole partition's task. */
+  private def lumaSum(jpeg: Array[Byte]): java.lang.Long =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(jpeg))
+      if (img == null) null
+      else {
+        var s = 0L
+        var i = 0
+        val n = img.getWidth * img.getHeight
+        while (i < n) {
+          s += img.getRaster.getSample(i % img.getWidth, i / img.getWidth, 0)
+          i += 1
+        }
+        java.lang.Long.valueOf(s)
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** One-pass facts + sampled-frame features: demux once per video, decode
+    * only every `everyN`-th frame, and emit per-frame rows carrying the
+    * container facts. Replaces the facts⋈frames two-scan shape, which
+    * evaluated the content lineage twice — for an MJPEG synthesis pipeline
+    * that means JPEG-encoding every frame of every video TWICE — and then
+    * paid a join shuffle to re-unite columns that sat in the same byte
+    * array all along. 1 record → N rows, no shuffle. */
+  val VideoFrameFeatureType: StructType = StructType(
+    VideoFeatureType.fields.toSeq ++ FrameFeatureType.fields.toSeq)
+
+  def extractVideoFrameFeatures(df: DataFrame, idCol: String,
+      contentCol: String, everyN: Int = 1): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    val src = df.select(org.apache.spark.sql.functions.col(idCol),
+      org.apache.spark.sql.functions.col(contentCol))
+    val idField = src.schema.head
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(StructType(
+        idField +: VideoFrameFeatureType.fields.toSeq))
+    src.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        parseHeader(bytes) match {
+          case None => Iterator.empty
+          case Some(hd) =>
+            val all = frames(bytes, hd).toIndexedSeq
+            val n = all.size.toLong
+            all.iterator.filter(_._1 % everyN == 0).map { case (idx, jpeg) =>
+              Row(r.get(0), hd.width, hd.height, hd.usPerFrame, n, idx,
+                lumaSum(jpeg))
             }
-          } catch { case _: java.io.IOException => null }
-        Row(r.get(0), r.getInt(1), sum)
+        }
       }
     }(enc)
   }

@@ -26,6 +26,25 @@ object Skew {
   private def saltCol(buckets: Int): Column =
     pmod(monotonically_increasing_id(), lit(buckets.toLong))
 
+  /** Hot-key synthetic shared by the BenchScale gate and PlanSpec's
+    * balance test (one skew model, measured two ways): `n` rows, 50% on
+    * key 0, rest uniform over 1000 keys. Deterministic (id-derived), no
+    * RNG. */
+  def hotKeyDf(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(1000)) + 1).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+
+  /** Deterministic shuffle balance: rows per reduce partition under the
+    * given partitioning expressions — max/mean is the single-task pileup
+    * factor, measured without wall-clock noise. */
+  def maxOverMean(df: DataFrame, parts: Int, exprs: Seq[Column]): Double = {
+    val counts = df.withColumn("__p", pmod(hash(exprs: _*), lit(parts)))
+      .groupBy("__p").count().collect().map(_.getLong(1))
+    counts.max.toDouble / (counts.sum.toDouble / parts)
+  }
+
   /** Two-stage salted sum/count aggregation.
     * Output columns: keyCols, `n` (count), `sum_<c>` per sum column. */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], sumCols: Seq[String],

@@ -95,8 +95,10 @@ object CoreQueries {
     // ---- F12: DSL date range → time-partition pruning -------------------
     // The DSL range on the RAW time column is turned into a predicate on
     // the derived p_time partition column (TimeSlice extraction +
-    // BucketStore.readForQuery), so the scan touches only the 4 matching
-    // daily partitions out of 30 — PlanSpec asserts the pruning; this
+    // BucketStore.readForQuery), so the scan touches only 5 of the 30
+    // daily partitions (days 05-08 match rows; day 09 is kept by the
+    // period-truncated hi bound and its rows drop at the exclusive row
+    // filter) — PlanSpec asserts the pruning; this
     // query pins the ROWS (and the partition-value derivation, via `day`)
     // against the oracle computing the same slice directly
     "f12_date_prune" -> { (s, dir) =>

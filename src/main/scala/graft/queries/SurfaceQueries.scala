@@ -254,11 +254,10 @@ object SurfaceQueries {
         .withColumn("content", substring(col("text"), 1, 16).cast("binary"))
       val vids = Multimodal.resizeContent(docs, "content",
         graft.multimodal.Avi.MjpegAviEncoder(width = 8, height = 8, fps = 25))
-      val facts = graft.multimodal.Avi
-        .extractVideoFeatures(vids, "doc_id", "content")
-      val frames = graft.multimodal.Avi
-        .extractFrameFeatures(vids, "doc_id", "content", everyN = 2)
-      facts.join(frames, "doc_id")
+      // one-pass facts+frames: the facts⋈frames shape would run the MJPEG
+      // encode lineage twice (once per scan) and shuffle to rejoin
+      graft.multimodal.Avi
+        .extractVideoFrameFeatures(vids, "doc_id", "content", everyN = 2)
         .select(col("doc_id"), col("width"), col("height"),
           col("us_per_frame"), col("n_frames"), col("frame_idx"),
           col("luma_sum"))

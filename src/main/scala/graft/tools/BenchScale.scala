@@ -41,10 +41,18 @@ object BenchScale {
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
 
-  /** Synthesize the sf1 directory from sf0.1 (idempotent via a marker). */
+  /** Synthesize the sf1 directory from sf0.1. Idempotent via a marker that
+    * fingerprints the SOURCE files (name/size/mtime): regenerated testdata
+    * — which has happened between rounds — invalidates the cache instead of
+    * silently timing sf1 numbers against a previous round's data. */
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = new java.io.File(s"$dst/_GRAFT_SF1_READY")
-    if (marker.exists()) return
+    val fingerprint = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+    if (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint)
+      return
     new java.io.File(dst).mkdirs()
     def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def copies(name: String)(mutate: (DataFrame, Int) => DataFrame): Unit = {
@@ -101,7 +109,7 @@ object BenchScale {
         .withColumn("embedding",
           transform(col("embedding"), x => (x + lit(c * 0.0017f)).cast("float")))
     }
-    marker.createNewFile()
+    java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
   }
 
   private def time(body: => Unit): Double = {
@@ -113,22 +121,10 @@ object BenchScale {
   private def bestOf(n: Int)(body: => Unit): Double =
     (1 to n).map(_ => time(body)).min
 
-  /** Hot-key synthetic: `n` rows, 50% on key 0, rest uniform over 1000
-    * keys. Deterministic (id-derived), no RNG. */
-  private def hotKeyDf(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).select(
-      when(col("id") % 2 === 0, lit(0L))
-        .otherwise(pmod(hash(col("id")), lit(1000)) + 1).as("k"),
-      (col("id") % 97).cast("double").as("v"))
-
-  /** Deterministic shuffle balance: rows per reduce partition under the
-    * given partitioning expression — max/mean is the single-task pileup
-    * factor, measured without timing noise. */
-  private def maxOverMean(df: DataFrame, parts: Int, exprs: Seq[org.apache.spark.sql.Column]): Double = {
-    val counts = df.withColumn("__p", pmod(hash(exprs: _*), lit(parts)))
-      .groupBy("__p").count().collect().map(_.getLong(1))
-    counts.max.toDouble / (counts.sum.toDouble / parts)
-  }
+  // hot-key synthetic + shuffle-balance metric live in graft.ops.Skew
+  // (hotKeyDf / maxOverMean), shared with PlanSpec's balance test so the
+  // gate and the spec measure the same skew model
+  import graft.ops.Skew.{hotKeyDf, maxOverMean}
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
@@ -141,7 +137,17 @@ object BenchScale {
     buildSf1(spark, sf01, sf1)
 
     // JIT/codegen warm-up on the smallest SF, like Bench
-    val warmDir = "/root/testdata/sf0.001"
+    // warm on the sibling sf0.001 when the standard layout is present;
+    // otherwise warm on the measured dir itself — a silently-failed warm-up
+    // would hand the JIT bill to the first timed sf0.1 run and deflate
+    // every superlinearity ratio
+    val warmDir = {
+      val small = new java.io.File(sf01).getParentFile match {
+        case null => "/root/testdata/sf0.001"
+        case p => s"${p.getPath}/sf0.001"
+      }
+      if (new java.io.File(small).isDirectory) small else sf01
+    }
     Heavy.foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case e: Throwable =>

@@ -189,4 +189,23 @@ class DslSpec extends AnyFunSuite {
     assert(TimeSlice.bounds(
       Query.allOf().rangeAbove("ts", "not-a-date"), "ts") === ((None, None)))
   }
+
+  test("epoch-millis longs reach the ROW predicate too (schema-directed coercion)") {
+    // TimeSlice already read a Long bound as epoch millis for PARTITION
+    // pruning; the row predicate must agree, or a pruned read returns
+    // empty/throws. coerceDates rewrites Longs on timestamp-typed columns
+    // only — a Long on a numeric column stays numeric equality.
+    val ev = Tables.t(spark, TestSession.sf, "events")
+    val t1 = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    val t2 = java.time.Instant.parse("2024-01-09T00:00:00Z")
+    val byInstant = QueryCompiler.run(ev,
+      Query.allOf().rangeIn("ts", t1, t2)).count()
+    val byMillis = QueryCompiler.run(ev,
+      Query.allOf().rangeIn("ts", t1.toEpochMilli, t2.toEpochMilli)).count()
+    assert(byInstant > 0 && byMillis === byInstant)
+    val someUser = ev.select("user_id").head().getLong(0)
+    assert(QueryCompiler.run(ev,
+        Query.allOf().when("user_id", someUser)).count() ===
+      ev.filter(col("user_id") === someUser).count())
+  }
 }

@@ -271,6 +271,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI one-pass facts+frames; corrupt frame inside a valid container degrades to null") {
+    import graft.multimodal.Avi
+    val payload = "GraftAVI".getBytes("US-ASCII")
+    val avi = Avi.MjpegAviEncoder(width = 8, height = 8, fps = 25).encode(payload)
+    val df = mediaDf(Seq(1 -> avi))
+    val combined = Avi.extractVideoFrameFeatures(df, "id", "content", everyN = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(5)) -> r).toMap
+    assert(combined.keySet === payload.indices.filter(_ % 2 == 0).map(1 -> _).toSet)
+    combined.foreach { case ((_, k), r) =>
+      assert(r.getInt(1) === 8 && r.getInt(2) === 8 && r.getInt(3) === 40000)
+      assert(r.getLong(4) === payload.length.toLong)
+      assert(r.getLong(6) === 64L * (payload(k) & 0xff))
+    }
+    // corrupt a frame's JPEG scan bytes in place: valid RIFF tree, broken
+    // entropy data — the decode must yield a NULL sum (NonFatal swallow),
+    // not kill the task, for ANY RuntimeException the JDK reader throws
+    val hd = Avi.parseHeader(avi).get
+    val corrupted = avi.clone()
+    val (_, firstJpeg) = Avi.frames(avi, hd).next()
+    // locate frame 0's bytes inside movi and trash everything after SOI
+    val moviSlice = corrupted.slice(hd.moviStart, hd.moviEnd)
+    val off = hd.moviStart + moviSlice.indexOfSlice(firstJpeg)
+    (2 until firstJpeg.length).foreach(i => corrupted(off + i) = 0x55.toByte)
+    val got = Avi.extractVideoFrameFeatures(
+        mediaDf(Seq(7 -> corrupted)), "id", "content", everyN = 2)
+      .collect().map(r => r.getInt(5) -> (if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      .toMap
+    assert(got.contains(0) && got(0).isEmpty,
+      s"corrupt frame should decode to null, got ${got.get(0)}")
+    assert(got.keys.count(_ > 0) > 0, "later intact frames must survive")
+  }
+
   test("Y4M temporal deltas: exact |Y_k - Y_{k-1}| sums, edge rows absent") {
     import graft.multimodal.Y4m
     val p = Array.tabulate[Byte](192)(i => ((i * 13 + 7) % 256).toByte) // 3 frames

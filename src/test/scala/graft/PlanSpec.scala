@@ -236,16 +236,10 @@ class PlanSpec extends AnyFunSuite {
     // cardinality must comfortably exceed the partition count (here 128
     // salts over 32 partitions): with only ~parts salts, birthday
     // collisions of hot (key,salt) buckets re-create lumps
-    val hot = spark.range(100000L).select(
-      when(col("id") % 2 === 0, lit(0L))
-        .otherwise(pmod(hash(col("id")), lit(1000)) + 1).as("k"))
-    def maxOverMean(exprs: Seq[org.apache.spark.sql.Column]): Double = {
-      val counts = hot.withColumn("__p", pmod(hash(exprs: _*), lit(32)))
-        .groupBy("__p").count().collect().map(_.getLong(1))
-      counts.max.toDouble / (counts.sum.toDouble / 32)
-    }
-    val unsalted = maxOverMean(Seq(col("k")))
-    val salted = maxOverMean(Seq(col("k"),
+    import graft.ops.Skew.{hotKeyDf, maxOverMean}
+    val hot = hotKeyDf(spark, 100000L)
+    val unsalted = maxOverMean(hot, 32, Seq(col("k")))
+    val salted = maxOverMean(hot, 32, Seq(col("k"),
       pmod(monotonically_increasing_id(), lit(128L))))
     assert(unsalted > 5.0, s"synthetic not skewed enough: $unsalted")
     assert(salted < 2.0, s"salting left a pileup: $salted")
