@@ -85,6 +85,34 @@ object AnalyticsQueries {
         .select("user_id", "day_us", "mov7")
         .orderBy("user_id", "day_us")
     },
+    // ---- rolling z-score anomaly gate over per-type daily volumes: the
+    // ops-monitoring primitive (and the volume-spike filter of a crawl
+    // pipeline). mean/std come from EXACT integer window sums (cnt, Σn,
+    // Σn²) so both engines run the identical IEEE expression tree — no
+    // stddev built-in, whose accumulation order differs per engine; the
+    // result hash-matches without rounding. The daily agg shuffles the
+    // events once on (type, day); the window's re-exchange on type alone
+    // moves only |types|×|days| aggregate rows — nothing at input scale -
+    "ts3_rolling_anomaly" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day_us")
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("cnt", count(col("n")).over(w))
+        .withColumn("s1", sum(col("n")).over(w))
+        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        .withColumn("mu", col("s1").cast("double") / col("cnt"))
+        .withColumn("varr",
+          col("s2").cast("double") / col("cnt") - col("mu") * col("mu"))
+        .withColumn("z", when(col("varr") > 0.0,
+          (col("n") - col("mu")) / sqrt(col("varr"))).otherwise(lit(0.0)))
+        .select(col("event_type"), col("day_us"), col("n"), col("z"),
+          (abs(col("z")) > 2.0).as("is_anomaly"))
+        .orderBy("event_type", "day_us")
+    },
     // ---- sequential-conversion funnel: first click, first purchase
     // within 24h after it, first signup within 24h after that; keys keep
     // nulls from their first missed step (150 -> 67 -> 19 at sf0.01) ------
@@ -320,6 +348,23 @@ object AnalyticsQueries {
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7 " +
         "FROM days d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day " +
         "ORDER BY d.user_id, day_us"),
+    // mirrors the engine's exact-integer-sums formulation term for term:
+    // identical IEEE expression tree over exact ints → bit-equal doubles
+    "ts3_rolling_anomaly" ->
+      ("WITH daily AS (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "win AS (SELECT event_type, day_us, n, " +
+        "count(n) OVER w AS cnt, sum(n) OVER w AS s1, sum(n * n) OVER w AS s2 " +
+        "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_us " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), " +
+        "zs AS (SELECT event_type, day_us, n, " +
+        "CAST(s1 AS DOUBLE) / cnt AS mu, " +
+        "CAST(s2 AS DOUBLE) / cnt - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt) AS varr " +
+        "FROM win) " +
+        "SELECT event_type, day_us, n, " +
+        "CASE WHEN varr > 0.0 THEN (n - mu) / sqrt(varr) ELSE 0.0 END AS z, " +
+        "CASE WHEN varr > 0.0 THEN abs((n - mu) / sqrt(varr)) > 2.0 ELSE FALSE END AS is_anomaly " +
+        "FROM zs ORDER BY event_type, day_us"),
     "fn1_funnel" ->
       ("WITH c AS (SELECT user_id, min(epoch_us(ts)) AS t_click FROM events " +
         "WHERE event_type = 'click' GROUP BY user_id), " +

@@ -234,6 +234,42 @@ object GraphQueries {
       graft.graph.Walks.walkCounts(edges, nodes.orderBy("n").limit(3), steps = 3)
         .orderBy("node")
     },
+    // ---- PageRank, 3 unrolled iterations at damping 0.85 over the
+    // symmetrized co-service graph — g13's integer walk counts proved the
+    // power-iteration skeleton; this is the float version users actually
+    // ask for. Per iteration: one co-keyed join + map-side-combined sum
+    // (contributions), one broadcast of the 1-row node count — the same
+    // shuffle shape as connected components, O(iters) rounds. Scores are
+    // DECIMAL(18,6)-rounded on both sides: cross-partition float summation
+    // order is the one nondeterminism a distributed PR cannot avoid ------
+    "g15_pagerank" -> { (s, dir) =>
+      val d = 0.85
+      val e0 = coServiceEdges(s, dir)
+      val edges = e0.unionByName(
+        e0.select(col("v").as("u"), col("u").as("v")))
+      val deg = edges.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+      val nTot = deg.agg(count(lit(1)).as("n_nodes"))
+      var pr = deg.crossJoin(broadcast(nTot))
+        .select(col("node"), col("outdeg"),
+          (lit(1.0) / col("n_nodes")).as("pr"))
+      for (_ <- 1 to 3) {
+        val inflow = pr.join(edges, pr("node") === edges("u"))
+          .select(col("v").as("node"), (col("pr") / col("outdeg")).as("c"))
+          .groupBy("node").agg(sum(col("c")).as("inflow"))
+        pr = deg.crossJoin(broadcast(nTot))
+          .join(inflow, Seq("node"), "left")
+          .select(col("node"), col("outdeg"),
+            // 0.15 as a literal, not 1.0-d: the oracle writes the same
+            // constant, and double(1.0-0.85) != double literal 0.15
+            (lit(0.15) / col("n_nodes") +
+              lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+      }
+      pr.select(col("node"),
+          col("pr").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .cast("double").as("pagerank"))
+        .orderBy("node")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -299,6 +335,28 @@ object GraphQueries {
         "c2 AS (SELECT e.v AS node, sum(w) AS w FROM c1 JOIN e ON e.u = c1.node GROUP BY 1), " +
         "c3 AS (SELECT e.v AS node, sum(w) AS w FROM c2 JOIN e ON e.u = c2.node GROUP BY 1) " +
         "SELECT node, CAST(w AS BIGINT) AS n_walks FROM c3 ORDER BY node"),
+    // three unrolled PR rounds; every float input forced DOUBLE so DuckDB's
+    // DECIMAL literal arithmetic can't diverge; DECIMAL(18,6) round at the
+    // end matches the engine side (summation order is the only slack)
+    "g15_pagerank" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+        "deg AS (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n_nodes FROM deg), " +
+        "p0 AS (SELECT node, outdeg, CAST(1.0 AS DOUBLE) / n_nodes AS pr FROM deg CROSS JOIN st), " +
+        "p1 AS (SELECT d.node, d.outdeg, CAST(0.15 AS DOUBLE) / st.n_nodes + 0.85 * coalesce(f.inflow, 0.0) AS pr " +
+        "FROM deg d CROSS JOIN st LEFT JOIN (SELECT e.v AS node, sum(p.pr / p.outdeg) AS inflow " +
+        "FROM p0 p JOIN e ON e.u = p.node GROUP BY 1) f ON f.node = d.node), " +
+        "p2 AS (SELECT d.node, d.outdeg, CAST(0.15 AS DOUBLE) / st.n_nodes + 0.85 * coalesce(f.inflow, 0.0) AS pr " +
+        "FROM deg d CROSS JOIN st LEFT JOIN (SELECT e.v AS node, sum(p.pr / p.outdeg) AS inflow " +
+        "FROM p1 p JOIN e ON e.u = p.node GROUP BY 1) f ON f.node = d.node), " +
+        "p3 AS (SELECT d.node, d.outdeg, CAST(0.15 AS DOUBLE) / st.n_nodes + 0.85 * coalesce(f.inflow, 0.0) AS pr " +
+        "FROM deg d CROSS JOIN st LEFT JOIN (SELECT e.v AS node, sum(p.pr / p.outdeg) AS inflow " +
+        "FROM p2 p JOIN e ON e.u = p.node GROUP BY 1) f ON f.node = d.node) " +
+        "SELECT node, CAST(CAST(pr AS DECIMAL(18,6)) AS DOUBLE) AS pagerank " +
+        "FROM p3 ORDER BY node"),
     // orientation is an engine-side detail; the count is orientation-free,
     // so the degree-ordered path shares g10's oracle formulation
     "g11_triangle_degree" ->

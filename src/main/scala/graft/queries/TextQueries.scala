@@ -106,6 +106,55 @@ object TextQueries {
             .as("rep_ratio"))
         .orderBy("doc_id")
     },
+    // ---- BM25 retrieval scoring (the retrieval half of contamination /
+    // dedup tooling): score every document against a fixed query term set.
+    // Shape: tf from one narrow explode+filter (terms pre-filter BEFORE the
+    // aggregate, so only matching tokens ever shuffle), df and the corpus
+    // stats are tiny aggregates broadcast back — at 100 TB the only
+    // full-corpus pass is the scan itself; idf/avgdl ride along as 1-row /
+    // |terms|-row broadcasts. Score rounded DECIMAL(18,6) on both sides
+    // (ln differs in last ulp across libms). ----------------------------
+    "tx15_bm25" -> { (s, dir) =>
+      val terms = Seq("spark", "join", "vector")
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      tf.join(broadcast(
+          tf.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("score", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(sum(col("score")).as("s"))
+        .select(col("doc_id"),
+          col("s").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .cast("double").as("bm25"))
+        .orderBy("doc_id")
+    },
+    // ---- deterministic train/val/test split: hash-threshold on doc_id
+    // (the same md5-mod-100 device as tx10's mix sampler) — reproducible
+    // across runs/engines/partitionings, a pure narrow projection, and
+    // stable under corpus growth (a doc's split never changes when other
+    // docs arrive) -------------------------------------------------------
+    "tx16_train_split" -> { (s, dir) =>
+      val h = graft.dedup.TextDedup.md5Int(col("doc_id").cast("string")) % 100
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test")
+            .as("split"))
+        .orderBy("doc_id")
+    },
     // corpus vocabulary: global token frequencies, top-100 (partial agg +
     // TakeOrdered — count-then-top-k, never a global sort of the vocab)
     "tx8_top_tokens" -> { (s, dir) =>
@@ -426,6 +475,30 @@ object TextQueries {
       ("SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
         "GROUP BY token ORDER BY n DESC, token LIMIT 100"),
+    // every arithmetic input forced to DOUBLE before the math so DuckDB's
+    // DECIMAL literal arithmetic can't diverge from Spark's double path;
+    // the final DECIMAL(18,6) round matches the engine side
+    "tx15_bm25" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d), " +
+        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd), " +
+        "tf AS (SELECT doc_id, dl, t AS token, count(*) AS tf FROM " +
+        "(SELECT doc_id, dl, unnest(toks) AS t FROM dd) " +
+        "WHERE t IN ('spark', 'join', 'vector') GROUP BY doc_id, dl, t), " +
+        "dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token) " +
+        "SELECT doc_id, CAST(CAST(sum(" +
+        "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + CAST(0.5 AS DOUBLE)) + 1.0) * " +
+        "(tf * CAST(2.2 AS DOUBLE)) / " +
+        "(tf + 1.2 * (CAST(0.25 AS DOUBLE) + 0.75 * dl / avgdl))" +
+        ") AS DECIMAL(18,6)) AS DOUBLE) AS bm25 " +
+        "FROM tf JOIN dfq USING (token) CROSS JOIN st " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    "tx16_train_split" -> {
+      val h = DedupQueries.md5IntSql("CAST(doc_id AS VARCHAR)") + " % 100"
+      "SELECT doc_id, source, CASE WHEN " + h + " < 80 THEN 'train' " +
+        "WHEN " + h + " < 90 THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents ORDER BY doc_id"
+    },
     "tx9_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "g AS (SELECT doc_id, greatest(len(toks) - 1, 0) AS total, " +

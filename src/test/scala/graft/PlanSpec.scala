@@ -309,6 +309,25 @@ class PlanSpec extends AnyFunSuite {
       s"found a per-language window over documents:\n${langOnly.mkString("\n")}\n$plan")
   }
 
+  test("bm25 keeps df/avgdl as broadcasts and filters terms before the tf aggregate") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("tx15_bm25")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus stats crossJoin must broadcast, not product:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"df and corpus stats should both be broadcast back:\n$plan")
+    // only matching tokens may reach the tf shuffle
+    assert(plan.contains("spark,join,vector") || plan.contains("spark, join, vector"),
+      s"term IN-filter missing from the plan:\n$plan")
+  } }
+
+  test("pagerank iterations stay equi-join + broadcast — no cartesian product") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("g15_pagerank")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"node-count crossJoins must broadcast, not product:\n$plan")
+  } }
+
   test("binned range join plans as an equi-join on (key, bin) — no nested loop") { uncached {
     val plan = formattedPlan(
       SparkEntry.queries("j8_range_join")(spark, TestSession.sf))
