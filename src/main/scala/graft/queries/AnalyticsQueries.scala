@@ -98,19 +98,7 @@ object AnalyticsQueries {
         .groupBy(col("event_type"),
           unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("day_us")
-        .rowsBetween(-6, Window.currentRow)
-      daily
-        .withColumn("cnt", count(col("n")).over(w))
-        .withColumn("s1", sum(col("n")).over(w))
-        .withColumn("s2", sum(col("n") * col("n")).over(w))
-        .withColumn("mu", col("s1").cast("double") / col("cnt"))
-        .withColumn("varr",
-          col("s2").cast("double") / col("cnt") - col("mu") * col("mu"))
-        .withColumn("z", when(col("varr") > 0.0,
-          (col("n") - col("mu")) / sqrt(col("varr"))).otherwise(lit(0.0)))
-        .select(col("event_type"), col("day_us"), col("n"), col("z"),
-          (abs(col("z")) > 2.0).as("is_anomaly"))
+      graft.ops.RollingAnomaly.zScores(daily)
         .orderBy("event_type", "day_us")
     },
     // ---- sequential-conversion funnel: first click, first purchase

@@ -338,6 +338,24 @@ object SurfaceQueries {
         .select("event_id", "user_id", "event_type", "value", "props")
         .orderBy("event_id")
     },
+    // ---- streaming volume-anomaly gate: the stream half aggregates daily
+    // counts per type (watermark-bounded state, update-mode changelog);
+    // the SAME RollingAnomaly module as batch ts3 then scores the
+    // materialized aggregate — the lambda shape with one shared scoring
+    // module, so ts3's oracle applies verbatim (ST4 module reuse) --------
+    "st14_stream_anomaly" -> { (s, dir) =>
+      val raw = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val withTs = Tables.normalizeTs(raw)
+      val daily = Streams.runWindowedAgg(withTs, df =>
+          df.groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n")),
+          statePartitions = Some(8))
+      graft.ops.RollingAnomaly.zScores(
+          daily.select(col("event_type"),
+            unix_micros(col("window.start")).as("day_us"), col("n")))
+        .orderBy("event_type", "day_us")
+    },
     // ---- stream-stream interval join: click → purchase conversions within
     // an hour, watermark-bounded join state on both sides
     "st7_stream_join" -> { (s, dir) =>
@@ -663,6 +681,9 @@ object SurfaceQueries {
     "st3_window_agg" ->
       ("SELECT date_trunc('day', ts) AS wstart, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
-        "FROM events GROUP BY 1, 2 ORDER BY wstart, event_type")
+        "FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"),
+    // the stream aggregates what ts3's batch groupBy aggregates, and the
+    // scoring module is shared verbatim — so is the oracle
+    "st14_stream_anomaly" -> AnalyticsQueries.oracle("ts3_rolling_anomaly")
   )
 }

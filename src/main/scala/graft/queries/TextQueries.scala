@@ -155,6 +155,26 @@ object TextQueries {
             .as("split"))
         .orderBy("doc_id")
     },
+    // ---- character-entropy quality score: H = −Σ p·ln p over each doc's
+    // character distribution — the cheap gibberish/boilerplate detector
+    // (low-entropy = repeated filler, high = random bytes). One explode +
+    // two co-keyed aggregations on doc_id (the second reuses the first's
+    // exchange); DECIMAL(18,6) on both sides (ln + float sum order) ------
+    "tx17_char_entropy" -> { (s, dir) =>
+      val cnt = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .filter(length(col("c")) > 0)
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      val tot = cnt.groupBy("doc_id").agg(sum(col("k")).as("len"))
+      cnt.join(tot, "doc_id")
+        .withColumn("p", col("k").cast("double") / col("len"))
+        .groupBy("doc_id")
+        .agg((-sum(col("p") * log(col("p")))).as("e"))
+        .select(col("doc_id"),
+          col("e").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .cast("double").as("entropy"))
+        .orderBy("doc_id")
+    },
     // corpus vocabulary: global token frequencies, top-100 (partial agg +
     // TakeOrdered — count-then-top-k, never a global sort of the vocab)
     "tx8_top_tokens" -> { (s, dir) =>
@@ -499,6 +519,14 @@ object TextQueries {
         "WHEN " + h + " < 90 THEN 'val' ELSE 'test' END AS split " +
         "FROM documents ORDER BY doc_id"
     },
+    // '.' (no DOTALL) is safe: the corpus is single-line (no CR/LF)
+    "tx17_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents), " +
+        "cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2), " +
+        "tot AS (SELECT doc_id, sum(k) AS len FROM cnt GROUP BY 1) " +
+        "SELECT doc_id, CAST(CAST(-sum((CAST(k AS DOUBLE) / len) * ln(CAST(k AS DOUBLE) / len)) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS entropy " +
+        "FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id ORDER BY doc_id"),
     "tx9_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "g AS (SELECT doc_id, greatest(len(toks) - 1, 0) AS total, " +
