@@ -65,6 +65,21 @@ object OpsQueries {
     },
     // ---- data-quality: expectation rules + FK check over a snapshot with
     // deterministic corruptions (same shape as st6's quarantine seeding) --
+    // ---- per-group winsorization (outlier clipping): values clipped to
+    // [p05, p95] of their event_type — exact interpolated percentiles (the
+    // q7-proven quantile_cont equivalence), bounds re-joined as a |types|-
+    // row broadcast, clip itself is selection-only (least/greatest), so
+    // the result hash-matches unrounded --------------------------------
+    "dq3_winsorize" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("value_w"))
+        .orderBy("event_id")
+    },
     "dq2_expectations" -> { (s, dir) =>
       val corrupt1 = col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1
       val corrupt2 = col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1
@@ -262,6 +277,11 @@ object OpsQueries {
         "UNION ALL SELECT 'o_orderpriority', count(*), count(*)-count(o_orderpriority), " +
         "count(DISTINCT o_orderpriority), CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders " +
         "ORDER BY col"),
+    "dq3_winsorize" ->
+      ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, " +
+        "quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1) " +
+        "SELECT event_id, e.event_type, least(greatest(value, lo), hi) AS value_w " +
+        "FROM events e JOIN b USING (event_type) ORDER BY event_id"),
     "dq2_expectations" ->
       ("WITH c AS (SELECT " +
         "CASE WHEN l_orderkey % 101 = 0 AND l_linenumber = 1 THEN -5.0 ELSE l_quantity END AS q, " +

@@ -155,6 +155,30 @@ object TextQueries {
             .as("split"))
         .orderBy("doc_id")
     },
+    // ---- n-gram novelty vs a reference corpus: per doc, the fraction of
+    // its distinct word-3-grams ABSENT from the reference set (src0 docs)
+    // — the "how much of this is new text" curation signal, complementary
+    // to dd7's contamination check (dd7 broadcasts a SMALL benchmark set;
+    // this one co-keys doc grams with an arbitrarily LARGE reference on
+    // the gram key — both scale regimes covered). Exact integer ratio,
+    // hash-matches unrounded ---------------------------------------------
+    "tx18_ngram_novelty" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("gs", graft.dedup.TextDedup.wordShingles(
+          tokens(col("text")), 3))
+      val refGrams = docs.filter(col("source") === "src0")
+        .select(explode(col("gs")).as("g")).distinct()
+        .withColumn("hit", lit(1))
+      docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+        .join(refGrams, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("novel"))
+        .select(col("doc_id"),
+          (col("novel").cast("double") / col("n")).as("novelty"))
+        .orderBy("doc_id")
+    },
     // ---- character-entropy quality score: H = −Σ p·ln p over each doc's
     // character distribution — the cheap gibberish/boilerplate detector
     // (low-entropy = repeated filler, high = random bytes). One explode +
@@ -519,6 +543,14 @@ object TextQueries {
         "WHEN " + h + " < 90 THEN 'val' ELSE 'test' END AS split " +
         "FROM documents ORDER BY doc_id"
     },
+    "tx18_ngram_novelty" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, source, " +
+        "list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN generate_series(0, len(toks)-3)]) AS gs FROM t), " +
+        "ref AS (SELECT DISTINCT unnest(gs) AS rg FROM g WHERE source = 'src0'), " +
+        "dg AS (SELECT doc_id, unnest(gs) AS dgr FROM g WHERE source <> 'src0') " +
+        "SELECT doc_id, CAST(sum(CASE WHEN rg IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty " +
+        "FROM dg LEFT JOIN ref ON dgr = rg GROUP BY doc_id ORDER BY doc_id"),
     // '.' (no DOTALL) is safe: the corpus is single-line (no CR/LF)
     "tx17_char_entropy" ->
       ("WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents), " +
