@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
 object RollingAnomaly {
 
   /** @param daily  (key, day, n) aggregate rows
-    * @param window trailing window size in rows (days), current inclusive */
+    * @param window trailing window size in ROWS (observed days), current
+    *               inclusive. A key that emits no row on a zero-event day
+    *               has its window span the last N *observed* days, not the
+    *               last N calendar days — baselines can reach across a gap.
+    *               Densify with `TimeSeries.gapFill` first (ts1) if strict
+    *               calendar windows are wanted. */
   def zScores(daily: DataFrame, keyCol: String = "event_type",
       dayCol: String = "day_us", nCol: String = "n",
       window: Int = 7, threshold: Double = 2.0): DataFrame = {

@@ -20,8 +20,9 @@ object DedupQueries {
   private[queries] def md5IntSql(x: String): String =
     s"list_reduce([strpos('0123456789abcdef', c) - 1 FOR c IN regexp_extract_all(substr(md5($x), 1, 8), '.')], (a, d) -> a * 16 + d)"
 
-  /** DuckDB fragment: distinct word-3-gram shingles of `text`. */
-  private val shinglesSql =
+  /** DuckDB fragment: distinct word-3-gram shingles of `text` (shared with
+    * TextQueries' tx18 novelty oracle — ONE shingle definition per corpus). */
+  private[queries] val shinglesSql =
     "list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN generate_series(0, len(toks)-3)])"
 
   val queries: Map[String, Q] = Map(

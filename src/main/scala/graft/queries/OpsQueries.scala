@@ -63,8 +63,6 @@ object OpsQueries {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("col")
     },
-    // ---- data-quality: expectation rules + FK check over a snapshot with
-    // deterministic corruptions (same shape as st6's quarantine seeding) --
     // ---- per-group winsorization (outlier clipping): values clipped to
     // [p05, p95] of their event_type — exact interpolated percentiles (the
     // q7-proven quantile_cont equivalence), bounds re-joined as a |types|-
@@ -80,6 +78,8 @@ object OpsQueries {
           least(greatest(col("value"), col("lo")), col("hi")).as("value_w"))
         .orderBy("event_id")
     },
+    // ---- data-quality: expectation rules + FK check over a snapshot with
+    // deterministic corruptions (same shape as st6's quarantine seeding) --
     "dq2_expectations" -> { (s, dir) =>
       val corrupt1 = col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1
       val corrupt2 = col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1

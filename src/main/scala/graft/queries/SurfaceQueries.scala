@@ -348,7 +348,8 @@ object SurfaceQueries {
         s.read.parquet(s"$dir/events.parquet").schema)
       val withTs = Tables.normalizeTs(raw)
       val daily = Streams.runWindowedAgg(withTs, df =>
-          df.groupBy(window(col("ts"), "1 day"), col("event_type"))
+          df.withWatermark("ts", "1 day")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
             .agg(count(lit(1)).as("n")),
           statePartitions = Some(8))
       graft.ops.RollingAnomaly.zScores(
@@ -465,7 +466,10 @@ object SurfaceQueries {
         s.read.parquet(s"$dir/events.parquet").schema)
       val withTs = Tables.normalizeTs(raw)
       val out = Streams.runWindowedAgg(withTs, df =>
-        df.groupBy(window(col("ts"), "1 day"), col("event_type"))
+        // watermark = the state-eviction bound: windows a full day behind
+        // the max observed event time finalize and leave the state store
+        df.withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(18, 6)))
               .cast("double").as("total_value")),

@@ -545,15 +545,16 @@ object TextQueries {
     },
     "tx18_ngram_novelty" ->
       ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-        "g AS (SELECT doc_id, source, " +
-        "list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN generate_series(0, len(toks)-3)]) AS gs FROM t), " +
+        s"g AS (SELECT doc_id, source, ${DedupQueries.shinglesSql} AS gs FROM t), " +
         "ref AS (SELECT DISTINCT unnest(gs) AS rg FROM g WHERE source = 'src0'), " +
         "dg AS (SELECT doc_id, unnest(gs) AS dgr FROM g WHERE source <> 'src0') " +
         "SELECT doc_id, CAST(sum(CASE WHEN rg IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty " +
         "FROM dg LEFT JOIN ref ON dgr = rg GROUP BY doc_id ORDER BY doc_id"),
-    // '.' (no DOTALL) is safe: the corpus is single-line (no CR/LF)
+    // (?s) so '.' also matches newlines: the Spark side counts EVERY char
+    // (split(text, "")), so the oracle must too — without DOTALL a future
+    // multi-line corpus would silently diverge instead of hash-failing
     "tx17_char_entropy" ->
-      ("WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents), " +
+      ("WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c FROM documents), " +
         "cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2), " +
         "tot AS (SELECT doc_id, sum(k) AS len FROM cnt GROUP BY 1) " +
         "SELECT doc_id, CAST(CAST(-sum((CAST(k AS DOUBLE) / len) * ln(CAST(k AS DOUBLE) / len)) " +
