@@ -90,13 +90,24 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
         s""""runs":$runs,"stall_reruns":$stallReruns,"queries":$qs,""" +
         s""""samples":$sampleJson,"spread":$spread,"sf":"$sfDir"}"""
+    // Detail output path: --out <path> / SPARK_GRAFT_BENCH_OUT, defaulting
+    // to the UNTRACKED target/bench_out.json — the committed clean snapshot
+    // at the repo root has been silently clobbered by contended driver
+    // re-runs before; refreshing it is now an explicit `--out bench_out.json`.
+    val outPath = args.sliding(2).collectFirst {
+      case Array("--out", p) => p
+    }.orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("target/bench_out.json")
     // a failed detail write (read-only cwd, full disk) must not cost the
     // stdout metric line below
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json"),
-      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     catch { case e: Exception =>
-      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $outPath write failed: ${e.getMessage}")
     }
     // The LAST stdout line is a short total-only metric so it survives any
     // tail window; a stop() failure must not swallow it.

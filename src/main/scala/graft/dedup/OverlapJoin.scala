@@ -38,6 +38,27 @@ object OverlapJoin {
     *         qualifying pair, overlap = exact |A ∩ B| */
   def join(docs: DataFrame, idCol: String, setCol: String,
       minOverlap: Int): DataFrame = {
+    val (elems, cand) = buildCandidates(docs, idCol, setCol, minOverlap)
+
+    // verify: exact intersection size, computed only for candidates
+    val ea = elems.select(col("__id").as("id_a"), col("__e"))
+    val eb = elems.select(col("__id").as("id_b"), col("__e"))
+    cand.join(ea, "id_a").join(eb, Seq("id_b", "__e"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** The candidate stage of [[join]] alone — (id_a, id_b) pairs sharing a
+    * prefix element, BEFORE exact verification. This is the quantity whose
+    * growth governs the join's scaling (the verify work is proportional to
+    * it), so the scale gate counts it at sf0.1 vs sf1 directly. */
+  def candidates(docs: DataFrame, idCol: String, setCol: String,
+      minOverlap: Int): DataFrame =
+    buildCandidates(docs, idCol, setCol, minOverlap)._2
+
+  private def buildCandidates(docs: DataFrame, idCol: String, setCol: String,
+      minOverlap: Int): (DataFrame, DataFrame) = {
     require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
 
     // one row per (doc, distinct element); sets smaller than T can never
@@ -67,14 +88,7 @@ object OverlapJoin {
     val cand = side("a").join(side("b"), "__e")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-
-    // verify: exact intersection size, computed only for candidates
-    val ea = elems.select(col("__id").as("id_a"), col("__e"))
-    val eb = elems.select(col("__id").as("id_b"), col("__e"))
-    cand.join(ea, "id_a").join(eb, Seq("id_b", "__e"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("overlap"))
-      .filter(col("overlap") >= minOverlap)
+    (elems, cand)
   }
 
   /** Exact Jaccard set-similarity join: all pairs with

@@ -118,6 +118,17 @@ object QueryCompiler {
         case _ => false
       }
     def cv(f: String, v: Any): Any = v match {
+      // java.sql.{Timestamp, Date} are lit()-supported as-is — and Timestamp
+      // must NOT fall into the util.Date case below (getTime drops nanos)
+      case t: java.sql.Timestamp => t
+      case d: java.sql.Date => d
+      // the reference's toLongDate accepts java.util.Date / Instant /
+      // LocalDate too; Spark's lit() does not, so map them to Timestamp on
+      // time-typed columns (TimeSlice already prunes on the same values)
+      case d: java.util.Date if isTime(f) => new java.sql.Timestamp(d.getTime)
+      case i: java.time.Instant if isTime(f) => java.sql.Timestamp.from(i)
+      case ld: java.time.LocalDate if isTime(f) =>
+        java.sql.Timestamp.valueOf(ld.atStartOfDay)
       case l: Long if isTime(f) => new java.sql.Timestamp(l)
       case other => other
     }

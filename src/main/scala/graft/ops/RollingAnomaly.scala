@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Rolling z-score anomaly gate over a keyed daily series — the
   * volume-spike monitor of an ingest pipeline (and the batch half of the
@@ -36,7 +37,12 @@ object RollingAnomaly {
     daily
       .withColumn("cnt", count(col(nCol)).over(w))
       .withColumn("s1", sum(col(nCol)).over(w))
-      .withColumn("s2", sum(col(nCol) * col(nCol)).over(w))
+      // Σn² in DECIMAL, not LongType: a long sum silently wraps once a key
+      // exceeds ~3e9 events/day (possible at 100 TB), while the oracle
+      // engine promotes BIGINT sums to 128-bit — the decimal sum stays
+      // exact on both sides, and the value cast below is unchanged.
+      .withColumn("s2", sum(col(nCol).cast(DecimalType(18, 0))
+        * col(nCol).cast(DecimalType(18, 0))).over(w))
       .withColumn("mu", col("s1").cast("double") / col("cnt"))
       .withColumn("varr",
         col("s2").cast("double") / col("cnt") - col("mu") * col("mu"))

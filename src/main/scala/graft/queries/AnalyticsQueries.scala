@@ -280,22 +280,38 @@ object AnalyticsQueries {
           percent_rank().over(w).as("pr"))
         .orderBy("o_custkey", "o_orderkey")
     },
-    // ---- approximate quantile (KLL-style sketch): rows-only check like
-    // approx1 — sketches aren't bit-reproducible across engines; ApproxSpec
-    // bounds the rank error against the exact percentile instead
+    // ---- approximate quantile (KLL-style sketch): the sketch VALUE is not
+    // bit-reproducible across engines, but the BOUND is — the query emits
+    // its own verdict (approx p50 inside the exact p40..p60 band; accuracy
+    // 1000 guarantees rank error <= 0.001, ~100x tighter) next to the exact
+    // interpolated p50 both engines compute identically. The oracle writes
+    // literal 1s: a sketch regression is a hash FAILURE, not a silent
+    // quality drop (same trick as dd2_minhash_lsh_poly's recall audit).
     "approx2_quantile" -> { (s, dir) =>
       Tables.t(s, dir, "events")
         .groupBy("event_type")
-        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          expr("percentile(value, 0.4)").as("lo"),
+          expr("percentile(value, 0.6)").as("hi"))
+        .select(col("event_type"), col("p50_exact"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi"))
+            .cast("int").as("within_bound"))
         .orderBy("event_type")
     },
-    // ---- approximate distinct (HLL++): rows-only check — HLL sketches
-    // aren't bit-reproducible across engines; ApproxSpec bounds the error
-    // against the exact count instead
+    // ---- approximate distinct (HLL++): same verdict-query pattern — emit
+    // the exact distinct count (both engines agree) plus a within-20%
+    // check on the sketch (4x the default rsd 0.05, stable across sketch
+    // seeds per ApproxSpec's history). Oracle emits literal 1s.
     "approx1_distinct" -> { (s, dir) =>
       Tables.t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id")).as("ap"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("ap") - col("exact_users")).cast("double")
+            <= lit(0.20) * greatest(col("exact_users"), lit(1L)))
+            .cast("int").as("within_bound"))
         .orderBy("event_type")
     }
   )
@@ -407,7 +423,15 @@ object AnalyticsQueries {
         "percent_rank() OVER w AS pr FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
-    // approx2_quantile intentionally has no oracle (rows-only check)
+    // the verdict-query oracles: the engine-specific sketch value never
+    // leaves the query — only the exact aggregate (cross-engine
+    // hash-comparable) and the bound verdict, which the oracle pins to 1
+    "approx2_quantile" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS p50_exact, " +
+        "1 AS within_bound FROM events GROUP BY event_type ORDER BY event_type"),
+    "approx1_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "1 AS within_bound FROM events GROUP BY event_type ORDER BY event_type"),
     "w4_range_frame" ->
       ("SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
@@ -444,6 +468,5 @@ object AnalyticsQueries {
       ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
         "quantile_cont(value, 0.95) AS p95 FROM events " +
         "GROUP BY event_type ORDER BY event_type")
-    // approx1_distinct intentionally has no oracle (rows-only check)
   )
 }

@@ -195,10 +195,19 @@ object SurfaceQueries {
         .orderBy("doc_id")
     },
     // ---- multimodal image dedup e2e: deterministic 8×8 PNG per doc whose
-    // pixels sample the doc's SORTED token hashes (near-dup texts share
-    // token sets → near-identical rasters), then the REAL decode→aHash→
-    // hamming-banded pairing path. Rows-only check: no PNG decoder in the
-    // oracle engine; MultimodalSpec pins aHash semantics on known pixels --
+    // pixels sample the doc's SORTED token hashes, then the REAL decode→
+    // aHash→hamming-banded pairing path. Oracle-checked (round 8) as a
+    // CONTAINMENT audit in dd2_poly's verdict-query style: identical
+    // distinct-token SETS render byte-identical PNGs, which must decode to
+    // byte-identical aHashes, so every twin-set pair must appear among the
+    // hamming candidates — `captured` = 0 on any miss hash-fails against
+    // the oracle's literal 1. The oracle can't decode PNG, but it CAN
+    // enumerate twin-set pairs exactly; the audit pins the whole raster→
+    // PNG→ImageIO-decode→aHash→banding pipeline's determinism and the
+    // banding's losslessness. (A jacc>=T audit for T<1 is NOT sound here:
+    // measured on this corpus, even jacc-0.9 pairs reach hamming 34 — the
+    // quantile-sampled raster shifts globally under token insertion.
+    // MultimodalSpec still pins aHash semantics on known pixels.) ---------
     "mm5_image_neardup" -> { (s, dir) =>
       val toPng = udf((text: String) => {
         val toks = text.split(' ').distinct.sorted
@@ -218,8 +227,22 @@ object SurfaceQueries {
       val docs = Tables.t(s, dir, "documents")
         .withColumn("png", toPng(col("text")))
       val hashes = Multimodal.extractImageHashes(docs, "doc_id", "png")
-      graft.dedup.TextDedup.hammingCandidates(hashes.na.drop(),
+      val cand = graft.dedup.TextDedup.hammingCandidates(hashes.na.drop(),
           "doc_id", "ahash", maxDist = 4, bits = 64)
+        .withColumn("__hit", lit(1))
+      // twin-set pairs via an md5 set-fingerprint equi-join (never a text
+      // comparison shuffle of full documents)
+      val keyed = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), md5(concat_ws("\u001E",
+          sort_array(array_distinct(split(col("text"), " "))))).as("__k"))
+      val twins = keyed.as("a").join(keyed.as("b"),
+          col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      twins.join(cand,
+          twins("da") === cand("doc_a") && twins("db") === cand("doc_b"),
+          "left")
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          coalesce(col("__hit"), lit(0)).cast("int").as("captured"))
         .orderBy("doc_a", "doc_b")
     },
     // ---- multimodal video: REAL Y4M round-trip — wrap document bytes as
@@ -261,6 +284,24 @@ object SurfaceQueries {
         .select(col("doc_id"), col("width"), col("height"),
           col("us_per_frame"), col("n_frames"), col("frame_idx"),
           col("luma_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    // ---- video: animated GIF round-trip — the second REAL entropy-coded
+    // format (LZW). Frame k carries payload bytes [64k, 64k+64) verbatim
+    // (LZW is lossless, so no constant-block restriction like mm9); the
+    // container carries per-frame delays the demuxer must surface. The
+    // oracle predicts n_frames, delays AND whole decoded luma sums straight
+    // from the text — a slip in the mux, the sub-block framing, the LCT
+    // splice, or the palette-resolved decode breaks the hash ----
+    "mm10_video_gif" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 256).cast("binary"))
+      val vids = Multimodal.resizeContent(docs, "content",
+        graft.multimodal.Gif.GifEncoder(width = 8, height = 8))
+      graft.multimodal.Gif
+        .extractVideoFrameFeatures(vids, "doc_id", "content", everyN = 2)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("frame_idx"), col("delay_cs"), col("luma_sum"))
         .orderBy("doc_id", "frame_idx")
     },
     // ---- video temporal features: frame-to-frame luma delta through the
@@ -581,6 +622,33 @@ object SurfaceQueries {
         "CAST(16 AS BIGINT) AS n_frames, CAST(k AS INTEGER) AS frame_idx, " +
         "CAST(64 * ascii(substr(c, CAST(k + 1 AS BIGINT), 1)) AS BIGINT) AS luma_sum " +
         "FROM f ORDER BY doc_id, frame_idx"),
+    // twin-set containment audit: the oracle enumerates pairs with
+    // IDENTICAL distinct-token sets (list equality on the sorted set —
+    // these render byte-identical PNGs engine-side) and pins captured=1;
+    // a determinism or banding slip anywhere in the raster→PNG→decode→
+    // aHash→band path makes the engine emit 0 → hash mismatch
+    "mm5_image_neardup" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_sort(list_distinct(string_split(text, ' '))) AS s FROM documents) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS captured " +
+        "FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "ORDER BY doc_a, doc_b"),
+    // GIF path: LZW is lossless, so frame k's decoded luma sum is exactly
+    // the byte sum of the payload's k-th 64-char chunk (mm6's expression);
+    // the per-frame delay is the encoder's deterministic 4 + (k % 5).
+    // Docs shorter than one frame contribute no rows on either side
+    "mm10_video_gif" ->
+      ("WITH v AS (SELECT doc_id, substr(text, 1, 256) AS c FROM documents), " +
+        "f AS (SELECT doc_id, c, strlen(c) // 64 AS n_frames FROM v), " +
+        "k AS (SELECT doc_id, c, n_frames, " +
+        "unnest([x FOR x IN generate_series(0, n_frames - 1) IF x % 2 = 0]) AS k FROM f) " +
+        "SELECT doc_id, 8 AS width, 8 AS height, " +
+        "CAST(n_frames AS BIGINT) AS n_frames, CAST(k AS INTEGER) AS frame_idx, " +
+        "CAST(4 + (k % 5) AS INTEGER) AS delay_cs, " +
+        "list_reduce([CAST(ascii(ch) AS BIGINT) FOR ch IN " +
+        "regexp_extract_all(substr(c, CAST(k * 64 + 1 AS BIGINT), 64), '.')], " +
+        "(a, b) -> a + b) AS luma_sum " +
+        "FROM k ORDER BY doc_id, frame_idx"),
     // per doc: frame k (k>=1) vs k-1 are consecutive 64-char chunks;
     // delta_sum = sum of per-position absolute byte differences
     "mm7_video_motion" ->

@@ -185,8 +185,14 @@ object TextQueries {
     // two co-keyed aggregations on doc_id (the second reuses the first's
     // exchange); DECIMAL(18,6) on both sides (ln + float sum order) ------
     "tx17_char_entropy" -> { (s, dir) =>
+      // CODEPOINT split, not split(text, ""): the empty-pattern split yields
+      // UTF-16 code units (surrogate halves for non-BMP chars), while the
+      // oracle's '(?s).' matches codepoints. Java regex '.' is itself
+      // codepoint-aware, so extracting on the same pattern keeps both
+      // engines counting the same characters even for emoji/supplementary.
       val cnt = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '(?s).', 0)")).as("c"))
         .filter(length(col("c")) > 0)
         .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
       val tot = cnt.groupBy("doc_id").agg(sum(col("k")).as("len"))

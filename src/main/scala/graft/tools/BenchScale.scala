@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{GraftSession, SparkEntry}
+import graft.{GraftSession, SparkEntry, Tables}
+import graft.streaming.Streams
 
 /** Scaling gate: run the most expensive queries at sf0.1 AND at a
   * synthesized sf1 (10× the big tables) and record the wall-time ratio per
@@ -47,9 +48,21 @@ object BenchScale {
     * silently timing sf1 numbers against a previous round's data. */
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = new java.io.File(s"$dst/_GRAFT_SF1_READY")
-    val fingerprint = new java.io.File(src).listFiles()
+    val entries = Option(new java.io.File(src).listFiles()).getOrElse(
+      sys.error(s"BenchScale: source sf dir missing or unreadable: $src"))
+    // directory-layout parquet tables: the dir's own length/mtime are weak
+    // proxies for content, so fingerprint the contained part-files instead
+    def fp(f: java.io.File): String =
+      if (f.isDirectory)
+        s"${f.getName}/{" + Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(p => p.isFile && !p.getName.startsWith("_") &&
+            !p.getName.startsWith(".")).sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+          .mkString(",") + "}"
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val fingerprint = entries
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+      .map(fp).mkString("\n")
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint)
       return
@@ -198,6 +211,56 @@ object BenchScale {
       }
     hot.unpersist()
 
+    // ---- streaming state-store provider pair at sf1 (st13: session_window
+    // carries the biggest state of the stream family). Same pipeline, both
+    // providers; wall time, result rows (must be equal — provider is a
+    // layout choice, never a semantics choice), and the state operator's
+    // numRowsTotal / memoryUsedBytes from the progress events. RocksDB's
+    // memoryUsedBytes is its block-cache+memtable figure — the point is
+    // that it stays BOUNDED (off-heap, spillable) while the HDFS-backed
+    // provider's number is the whole key universe living on-heap. --------
+    def st13Run(provider: Option[String]): (Double, Long, Long, Long) = {
+      val cap = new graft.tools.StateCapListener
+      spark.streams.addListener(cap)
+      try {
+        var rows = 0L
+        val sec = time {
+          val raw = Streams.parquetStream(spark, s"$sf1/events.parquet",
+            spark.read.parquet(s"$sf1/events.parquet").schema)
+          val out = Streams.runToParquet(Tables.normalizeTs(raw), st =>
+              st.withWatermark("ts", "30 minutes")
+                .groupBy(col("user_id"),
+                  session_window(col("ts"), "30 minutes"))
+                .agg(count(lit(1)).as("n_events")),
+              statePartitions = Some(8), stateStoreProvider = provider)
+          rows = out.count()
+        }
+        Thread.sleep(2000) // progress events post async; let the bus drain
+        (sec, rows, cap.maxStateRows, cap.maxStateMem)
+      } finally spark.streams.removeListener(cap)
+    }
+    val (hdfsSec, hdfsRows, hdfsStateRows, hdfsStateMem) = st13Run(None)
+    val (rockSec, rockRows, rockStateRows, rockStateMem) =
+      st13Run(Some(Streams.RocksDbStateStore))
+    System.err.println(f"[scale] st13@sf1 hdfs $hdfsSec%.2fs rocksdb $rockSec%.2fs " +
+      s"rows $hdfsRows/$rockRows stateMem $hdfsStateMem/$rockStateMem")
+
+    // ---- ss1 candidate-growth counter: the pre-verify candidate-pair
+    // count at sf0.1 vs sf1 — the mechanism behind ss1's worst-in-gate
+    // time ratio. Counted with one extra count() on the exposed candidate
+    // stage (same shingle prep as the query). -----------------------------
+    def ss1Candidates(dir: String): Long = {
+      val docs = Tables.t(spark, dir, "documents")
+        .withColumn("__toks", split(col("text"), " "))
+        .withColumn("__sh", graft.dedup.TextDedup.wordShingles(col("__toks"), 5))
+      graft.dedup.OverlapJoin.candidates(docs, "doc_id", "__sh", minOverlap = 10)
+        .count()
+    }
+    val cand01 = ss1Candidates(sf01)
+    val cand1 = ss1Candidates(sf1)
+    val candRatio = if (cand01 > 0) cand1.toDouble / cand01 else -1.0
+    System.err.println(f"[scale] ss1 candidates sf0.1 $cand01 sf1 $cand1 ratio $candRatio%.2f")
+
     def f(d: Double): String = "%.3f".format(d)
     val queryJson = rows.map { case (q, t01, t1, r) =>
       s""""$q":{"sf01":${f(t01)},"sf1":${f(t1)},"ratio":${f(r)},"superlinear":${r > 15.0}}"""
@@ -207,9 +270,19 @@ object BenchScale {
       s""""join_unsalted_sec":${f(joinUnsalted)},"join_salted_sec":${f(joinSalted)},""" +
       s""""balance_max_over_mean_unsalted":${f(balUnsalted)},""" +
       s""""balance_max_over_mean_salted":${f(balSalted)}}"""
+    val stateJson =
+      s"""{"hdfs":{"sec":${f(hdfsSec)},"rows":$hdfsRows,""" +
+      s""""state_rows":$hdfsStateRows,"state_mem_bytes":$hdfsStateMem},""" +
+      s""""rocksdb":{"sec":${f(rockSec)},"rows":$rockRows,""" +
+      s""""state_rows":$rockStateRows,"state_mem_bytes":$rockStateMem},""" +
+      s""""rows_equal":${hdfsRows == rockRows}}"""
+    val candJson =
+      s"""{"sf01":$cand01,"sf1":$cand1,"ratio":${f(candRatio)},""" +
+      s""""superlinear":${candRatio > 15.0}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
-      s""""queries":$queryJson,"skew":$skewJson}"""
+      s""""queries":$queryJson,"skew":$skewJson,""" +
+      s""""st13_state_store_sf1":$stateJson,"ss1_candidates":$candJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Captures the peak state-operator footprint (numRowsTotal /
+  * memoryUsedBytes) across a streaming query's progress events — the
+  * scale gate's evidence that a state-store provider holds the st13
+  * session state within bounds. Max, not last: availableNow runs can
+  * shrink state at the final watermark-driven eviction. */
+final class StateCapListener extends StreamingQueryListener {
+  @volatile var maxStateRows: Long = 0L
+  @volatile var maxStateMem: Long = 0L
+
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit =
+    e.progress.stateOperators.foreach { so =>
+      maxStateRows = math.max(maxStateRows, so.numRowsTotal)
+      maxStateMem = math.max(maxStateMem, so.memoryUsedBytes)
+    }
+
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}

@@ -3,41 +3,42 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** approx_count_distinct (HLL++) has no cross-engine oracle — bound its
-  * error against the exact count instead (default rsd = 0.05; assert a
-  * generous 4x that to keep the test stable across sketch seeds). */
+/** approx1/approx2 are VERDICT queries (round 8): the sketch value never
+  * leaves the query — it emits the exact aggregate plus a within-bound int
+  * the DuckDB oracle pins to literal 1. These specs assert the verdict
+  * holds and that the exact column really is the exact aggregate (i.e. the
+  * query can't pass by emitting a wrong "exact" next to a vacuous 1).
+  */
 class ApproxSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
-  test("approx distinct users per event_type is within 20% of exact") {
-    val approx = SparkEntry.queries("approx1_distinct")(spark, TestSession.sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx1: every within_bound verdict is 1 and exact_users is exact") {
+    val rows = SparkEntry.queries("approx1_distinct")(spark, TestSession.sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     val exact = Tables.t(spark, TestSession.sf, "events")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
+    assert(rows.keySet === exact.keySet)
     exact.foreach { case (k, n) =>
-      val a = approx(k).toDouble
-      assert(math.abs(a - n) / math.max(n, 1L) <= 0.20,
-        s"$k: approx $a vs exact $n")
+      val (got, ok) = rows(k)
+      assert(got === n, s"$k: exact_users $got != independent exact $n")
+      assert(ok === 1, s"$k: HLL sketch drifted outside the 20% bound")
     }
   }
 
-  test("approx p50 per event_type sits inside the exact p40..p60 band") {
-    val approx = SparkEntry.queries("approx2_quantile")(spark, TestSession.sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    // approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
-    // the p40..p60 band is ~100x looser — stable across sketch layouts
-    val bands = Tables.t(spark, TestSession.sf, "events")
+  test("approx2: every within_bound verdict is 1 and p50_exact is exact") {
+    val rows = SparkEntry.queries("approx2_quantile")(spark, TestSession.sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val exact = Tables.t(spark, TestSession.sf, "events")
       .groupBy("event_type")
-      .agg(expr("percentile(value, 0.4)").as("lo"),
-        expr("percentile(value, 0.6)").as("hi"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet === bands.keySet)
-    bands.foreach { case (k, (lo, hi)) =>
-      val a = approx(k)
-      assert(a >= lo && a <= hi, s"$k: approx p50 $a outside [$lo, $hi]")
+      .agg(expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === exact.keySet)
+    exact.foreach { case (k, p) =>
+      val (got, ok) = rows(k)
+      assert(got === p, s"$k: p50_exact $got != independent exact $p")
+      assert(ok === 1, s"$k: approx p50 left the exact p40..p60 band")
     }
   }
 }

@@ -317,4 +317,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.keySet === Set(1 -> 1, 1 -> 2))
     assert(got(1 -> 1) === expect(1) && got(1 -> 2) === expect(2))
   }
+
+  test("animated GIF: lossless LZW pixels, per-frame delays, sampling, garbage") {
+    import graft.multimodal.Gif
+    // 3 frames of arbitrary bytes — LZW must round-trip them EXACTLY
+    val payload = Array.tabulate[Byte](192)(i => ((i * 37 + 11) % 256).toByte)
+    val gif = Gif.GifEncoder(width = 8, height = 8).encode(payload)
+    val p = Gif.parse(gif).get
+    assert(p.width === 8 && p.height === 8)
+    assert(p.frames.map(_.idx) === Vector(0, 1, 2))
+    assert(p.frames.map(_.delayCs) === Vector(4, 5, 6)) // 4 + (k % 5)
+    p.frames.foreach { f =>
+      val img = Gif.decodeFrame(f)
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert((img.getRGB(x, y) & 0xff) === (payload(f.idx * 64 + y * 8 + x) & 0xff),
+          s"frame ${f.idx} pixel ($x,$y): LZW round-trip not exact")
+    }
+    // one-pass extractor: facts + sampled frames; garbage id contributes 0 rows
+    val df = mediaDf(Seq(1 -> gif, 2 -> Array[Byte](1, 2, 3)))
+    val rows = Gif.extractVideoFrameFeatures(df, "id", "content", everyN = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(4)) -> r).toMap
+    assert(rows.keySet === Set(1 -> 0, 1 -> 2))
+    rows.foreach { case ((_, k), r) =>
+      assert(r.getInt(1) === 8 && r.getInt(2) === 8 && r.getLong(3) === 3L)
+      assert(r.getInt(5) === 4 + (k % 5))
+      assert(r.getLong(6) ===
+        payload.slice(k * 64, k * 64 + 64).map(b => (b & 0xff).toLong).sum)
+    }
+    // whole-frames-only: a trailing partial chunk is dropped
+    val short = Gif.GifEncoder(width = 8, height = 8).encode(payload.take(100))
+    assert(Gif.parse(short).get.frames.size === 1)
+  }
 }
