@@ -67,6 +67,16 @@ object GraftFunctions {
   def poly_hash(c: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
 
+  /** Canonical Unicode normalization (NFC/NFD/NFKC/NFKD). */
+  def unicode_norm(c: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(
+      UnicodeNorm(ColumnBridge.expression(c), form, stripMarks = false))
+
+  /** Accent stripping: NFD-decompose, drop category-M marks, recompose. */
+  def strip_accents(c: Column): Column =
+    ColumnBridge.column(
+      UnicodeNorm(ColumnBridge.expression(c), "NFC", stripMarks = true))
+
   /** SQL registration: `SELECT poly_hash(text) FROM ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

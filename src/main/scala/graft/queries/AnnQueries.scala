@@ -82,6 +82,32 @@ object AnnQueries {
       graft.dedup.Clustering.connectedComponents(pairs, e.select(col("vec_id")))
         .toDF("vec_id", "component")
         .orderBy("vec_id")
+    },
+    // ---- ann6: int8 embedding quantization (the 4× memory lever every
+    // vector store pulls before ANN at scale) as a VERDICT query: per-vector
+    // symmetric quantize (scale = max|x|/127), dequantize, and emit
+    // cosine(original, dequantized) >= 0.9995 as `within_bound` — the
+    // DuckDB oracle pins the column to literal 1 over the same row set, so
+    // a quantizer regression (wrong scale, asymmetric clip, overflow) is a
+    // hash failure. Empirical floor on this corpus is 0.99995 (dim 64), so
+    // the bound has 10× margin without being vacuous. Everything is one
+    // narrow projection; at 100 TB the int8 codes (plus one float scale per
+    // vector) are what you'd persist, cutting ANN scan bytes 4× -----------
+    "ann6_int8_quant" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      val scaled = e
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / 127.0)
+        .withColumn("q", transform(col("v"),
+          x => greatest(lit(-127.0), least(lit(127.0), round(x / col("scale"))))))
+        .withColumn("dq", transform(col("q"), x => x * col("scale")))
+      scaled.select(col("vec_id"),
+          (graft.functions.VectorFunctions.dot(col("v"), col("dq")) /
+            (graft.functions.VectorFunctions.norm(col("v")) *
+              graft.functions.VectorFunctions.norm(col("dq"))) >= 0.9995)
+            .cast("int").as("within_bound"))
+        .orderBy("vec_id")
     }
   )
 
@@ -151,6 +177,11 @@ object AnnQueries {
         "reach AS (SELECT vec_id AS node, vec_id AS r FROM embeddings " +
         "UNION SELECT ed.s, reach.r FROM ed JOIN reach ON ed.d = reach.node) " +
         "SELECT node AS vec_id, min(r) AS component FROM reach " +
-        "GROUP BY node ORDER BY vec_id")
+        "GROUP BY node ORDER BY vec_id"),
+    // ann6 is a verdict query (approx1/2, dd2_poly pattern): the oracle
+    // pins within_bound to literal 1 per vector — any quantization
+    // regression on the Spark side breaks the hash
+    "ann6_int8_quant" ->
+      "SELECT vec_id, 1 AS within_bound FROM embeddings ORDER BY vec_id"
   )
 }

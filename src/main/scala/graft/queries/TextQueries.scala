@@ -274,7 +274,7 @@ object TextQueries {
         .rowsBetween(W.unboundedPreceding, W.currentRow)
       val tot = docs.agg(count(lit(1)).as("n"))
       val cuts = vc.withColumn("cc", sum(col("c")).over(wcum))
-        .crossJoin(tot)
+        .crossJoin(broadcast(tot))
         .select(col("n_chars").as("v"), col("cc"), col("n"),
           explode(sequence(lit(1), lit(9))).as("i"))
         .filter(col("cc") * 10 >= col("i") * col("n"))
@@ -346,6 +346,124 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"),
           (col("freq_sum").cast("double") / col("n_tokens") /
             col("n_total").cast("double")).as("mean_freq"))
+        .orderBy("doc_id")
+    },
+    // ---- tx19: corpus-level duplicate-SEGMENT removal (the C4/RefinedWeb
+    // boilerplate pass, re-shaped for a single-line corpus: "lines" are
+    // consecutive 3-token windows). Segment counts are a plain co-keyed
+    // hash-agg on the segment string — the gram-co-keyed regime (tx18), so
+    // the dup table is never collected or broadcast and the pass holds at
+    // corpus scale where the duplicate set itself is huge. Docs whose every
+    // segment is boilerplate survive as empty strings (left join), exactly
+    // like C4's cleaned shards ----------------------------------------------
+    "tx19_segment_dedup" -> { (s, dir) =>
+      graft.dedup.SegmentDedup.clean(Tables.t(s, dir, "documents"),
+          "doc_id", "text", n = 3, maxFreq = 3)
+        .orderBy("doc_id")
+    },
+    // ---- tx20: Gopher-style repetition/quality rule battery — the named
+    // filter set (Rae et al. 2021 §A1.1) over this corpus's shape: mean
+    // word length window, stop-word floor, duplicate-segment ceiling, and
+    // top-bigram character-mass ceiling. All integer counts + final double
+    // divisions (hash-exact cross-engine, no libm). Word stats stay NARROW
+    // (higher-order aggregate over the token array, no explode); only the
+    // bigram mass needs a per-(doc,gram) hash-agg, co-keyed on doc_id.
+    // Tie-handling: "top bigram mass" is max over grams of cnt·len(gram) —
+    // deterministic under count ties without a lexicographic tiebreak ------
+    "tx20_gopher_rules" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      val word = docs.select(col("doc_id"), length(col("text")).as("text_chars"),
+        size(col("toks")).as("n_toks"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("tok_chars"),
+        size(filter(col("toks"), t => t.isin("the", "a"))).as("n_stop"),
+        size(graft.dedup.SegmentDedup.segments(col("toks"), 3)).as("n_segs"),
+        size(array_distinct(graft.dedup.SegmentDedup.segments(col("toks"), 3)))
+          .as("n_dist"))
+      val topBigram = docs
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), (size(col("toks")) - 2).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c") * length(col("gram"))).as("top_chars"))
+      word.join(topBigram, "doc_id")
+        .select(col("doc_id"),
+          (col("tok_chars").cast("double") / col("n_toks")).as("mean_word_len"),
+          (col("n_stop").cast("double") / col("n_toks")).as("stop_frac"),
+          (lit(1.0) - col("n_dist").cast("double") / col("n_segs")).as("dup_seg_frac"),
+          (col("top_chars").cast("double") / col("text_chars")).as("top_bigram_frac"))
+        .withColumn("passes",
+          (col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+            col("stop_frac") >= 0.03 && col("dup_seg_frac") <= 0.02 &&
+            col("top_bigram_frac") <= 0.12).cast("int"))
+        .orderBy("doc_id")
+    },
+    // ---- tx21: naive-Bayes quality classifier — the in-engine stand-in
+    // for the fastText-style model-based filters (CCNet/DataComp): train
+    // per-token log-odds from source-labeled subsets, score every doc.
+    // Two corpus passes: (1) token-co-keyed class counts over the LABELED
+    // slice; (2) broadcast vocab re-join against all docs (tx12's regime —
+    // at corpus scale the broadcast side must be the min-count-pruned
+    // vocab). Per-token weights round to DECIMAL(18,8) BEFORE the per-doc
+    // sum, so the aggregation is exact decimal arithmetic — order-free,
+    // unlike a double sum — and the one libm call per DISTINCT token is the
+    // only float op (tx17's accepted regime). Label decided on the exact
+    // decimal score so the class boundary is hash-stable too --------------
+    "tx21_nb_classifier" -> { (s, dir) =>
+      val D8 = org.apache.spark.sql.types.DecimalType(18, 8)
+      val docs = Tables.t(s, dir, "documents")
+      val lab = docs.withColumn("y",
+        when(col("source").isin("src1", "src3", "src5"), 1)
+          .when(col("source").isin("src2", "src4", "src6"), 0))
+        .filter(col("y").isNotNull)
+      val ltok = lab.select(col("y"), explode(tokens(col("text"))).as("tok"))
+      val vocab = ltok.groupBy("tok")
+        .agg(sum(col("y")).as("pos_cnt"), sum(lit(1) - col("y")).as("neg_cnt"))
+      val tot = vocab.agg(sum("pos_cnt").as("pos_tot"),
+        sum("neg_cnt").as("neg_tot"), count(lit(1)).as("v"))
+      val prior = lab.agg(
+        log(sum(col("y")).cast("double") / sum(lit(1) - col("y")))
+          .cast(D8).as("p"))
+      val alltok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val scored = alltok
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("w",
+          (log((coalesce(col("pos_cnt"), lit(0L)) + 1.0) / (col("pos_tot") + col("v"))) -
+            log((coalesce(col("neg_cnt"), lit(0L)) + 1.0) / (col("neg_tot") + col("v"))))
+            .cast(D8))
+        .groupBy("doc_id").agg(sum(col("w")).as("s"))
+      // NO final re-round: the 8dp decimal sum is already exact/order-free,
+      // and a decimal→decimal(18,6) recast has engine-divergent TIE
+      // handling (Spark HALF_UP vs DuckDB half-even) on the ...50 values
+      // the 8dp grid genuinely produces. decimal→double is correctly
+      // rounded (tie-free off the binary grid) on both engines.
+      scored.crossJoin(broadcast(prior))
+        .withColumn("r", col("s") + col("p"))
+        .select(col("doc_id"), col("r").cast("double").as("nb_score"),
+          (col("r") > 0).cast("int").as("pred_pos"))
+        .orderBy("doc_id")
+    },
+    // ---- tx22: Unicode canonicalization — NFC normalize + accent strip
+    // via the native codegen expression (functions/UnicodeNormalize; Spark
+    // has no built-in). The corpus is ASCII, so the query first INJECTS
+    // decomposed accents deterministically (odd doc_ids: e → e+U+0301) with
+    // the same rewrite on both engines, then checks the full normalized
+    // STRINGS hash-equal (DuckDB nfc_normalize/strip_accents are the
+    // oracle). Codepoint counts prove the composition actually happened
+    // (n_nfc < n_raw on injected docs) -------------------------------------
+    "tx22_unicode_normalize" -> { (s, dir) =>
+      import graft.functions.GraftFunctions
+      val injected = when(col("doc_id") % 2 === 1,
+        regexp_replace(col("text"), "e", "e\u0301")).otherwise(col("text"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), injected.as("itext"))
+        .select(col("doc_id"),
+          GraftFunctions.unicode_norm(col("itext")).as("nfc"),
+          GraftFunctions.strip_accents(col("itext")).as("stripped"),
+          length(col("itext")).cast("long").as("n_raw"),
+          length(GraftFunctions.unicode_norm(col("itext"))).cast("long").as("n_nfc"))
         .orderBy("doc_id")
     },
     // search-index dual fields: raw columns untouched + analyzed __tokens
@@ -598,6 +716,61 @@ object TextQueries {
     "tx5_tokenized_fields" ->
       ("SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
         "array_to_string(string_split(text, ' ')[1:5], ' ') AS head_tokens " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    "tx19_segment_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "segs AS (SELECT doc_id, g.i AS pos, array_to_string(toks[3*g.i+1:3*g.i+3],' ') AS seg " +
+        "FROM t, unnest(generate_series(0, (len(toks)-1)//3)) AS g(i)), " +
+        "cnt AS (SELECT seg, count(*) AS n FROM segs GROUP BY 1), " +
+        "re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned " +
+        "FROM segs JOIN cnt USING (seg) WHERE n < 3 GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned " +
+        "FROM documents d LEFT JOIN re r USING (doc_id) ORDER BY doc_id"),
+    "tx20_gopher_rules" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, count(*) AS n_toks, sum(length(tok)) AS tok_chars, " +
+        "sum(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) AS n_stop " +
+        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1), " +
+        "segs AS (SELECT doc_id, array_to_string(toks[3*g.i+1:3*g.i+3],' ') AS seg " +
+        "FROM t, unnest(generate_series(0, (len(toks)-1)//3)) AS g(i)), " +
+        "sg AS (SELECT doc_id, count(*) AS n_segs, count(DISTINCT seg) AS n_dist FROM segs GROUP BY 1), " +
+        "bgc AS (SELECT doc_id, gram, count(*) AS c FROM " +
+        "(SELECT doc_id, array_to_string(toks[g.i+1:g.i+2],' ') AS gram " +
+        "FROM t, unnest(generate_series(0, len(toks)-2)) AS g(i)) GROUP BY 1,2), " +
+        "bgm AS (SELECT doc_id, max(c * length(gram)) AS top_chars FROM bgc GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(w.tok_chars AS DOUBLE)/w.n_toks AS mean_word_len, " +
+        "CAST(w.n_stop AS DOUBLE)/w.n_toks AS stop_frac, " +
+        "1.0 - CAST(sg.n_dist AS DOUBLE)/sg.n_segs AS dup_seg_frac, " +
+        "CAST(bgm.top_chars AS DOUBLE)/length(t.text) AS top_bigram_frac, " +
+        "CAST(CAST(w.tok_chars AS DOUBLE)/w.n_toks >= 3 AND CAST(w.tok_chars AS DOUBLE)/w.n_toks <= 10 " +
+        "AND CAST(w.n_stop AS DOUBLE)/w.n_toks >= 0.03 " +
+        "AND 1.0 - CAST(sg.n_dist AS DOUBLE)/sg.n_segs <= 0.02 " +
+        "AND CAST(bgm.top_chars AS DOUBLE)/length(t.text) <= 0.12 AS INT) AS passes " +
+        "FROM t JOIN w USING (doc_id) JOIN sg USING (doc_id) JOIN bgm USING (doc_id) " +
+        "ORDER BY doc_id"),
+    "tx21_nb_classifier" ->
+      ("WITH lab AS (SELECT doc_id, string_split(text,' ') AS toks, " +
+        "CASE WHEN source IN ('src1','src3','src5') THEN 1 " +
+        "WHEN source IN ('src2','src4','src6') THEN 0 END AS y FROM documents), " +
+        "ltok AS (SELECT doc_id, y, unnest(toks) AS tok FROM lab WHERE y IS NOT NULL), " +
+        "vocab AS (SELECT tok, sum(y) AS pos_cnt, sum(1-y) AS neg_cnt FROM ltok GROUP BY 1), " +
+        "tot AS (SELECT sum(pos_cnt) AS pos_tot, sum(neg_cnt) AS neg_tot, count(*) AS v FROM vocab), " +
+        "prior AS (SELECT CAST(ln(CAST(sum(CASE WHEN y=1 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "sum(CASE WHEN y=0 THEN 1 ELSE 0 END)) AS DECIMAL(18,8)) AS p " +
+        "FROM lab WHERE y IS NOT NULL), " +
+        "alltok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), " +
+        "scored AS (SELECT a.doc_id, sum(CAST(" +
+        "ln((coalesce(vb.pos_cnt,0)+1.0)/(tot.pos_tot+tot.v)) - " +
+        "ln((coalesce(vb.neg_cnt,0)+1.0)/(tot.neg_tot+tot.v)) AS DECIMAL(18,8))) AS s " +
+        "FROM alltok a LEFT JOIN vocab vb ON a.tok = vb.tok, tot GROUP BY 1) " +
+        "SELECT s.doc_id, CAST(s.s + p.p AS DOUBLE) AS nb_score, " +
+        "CAST(s.s + p.p > 0 AS INT) AS pred_pos " +
+        "FROM scored s, prior p ORDER BY doc_id"),
+    "tx22_unicode_normalize" ->
+      ("WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1 " +
+        "THEN replace(text, 'e', 'e' || chr(769)) ELSE text END AS itext FROM documents) " +
+        "SELECT doc_id, nfc_normalize(itext) AS nfc, strip_accents(itext) AS stripped, " +
+        "length(itext) AS n_raw, length(nfc_normalize(itext)) AS n_nfc " +
+        "FROM inj ORDER BY doc_id")
   )
 }
