@@ -77,6 +77,14 @@ object GraftFunctions {
     ColumnBridge.column(
       UnicodeNorm(ColumnBridge.expression(c), "NFC", stripMarks = true))
 
+  /** BPE-encode under a learned merge list ([[Bpe.train]]). */
+  def bpe_encode(c: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), merges))
+
+  /** Inverse of [[bpe_encode]]: units → original single-space text. */
+  def bpe_decode(c: Column): Column =
+    ColumnBridge.column(BpeDecode(ColumnBridge.expression(c)))
+
   /** SQL registration: `SELECT poly_hash(text) FROM ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

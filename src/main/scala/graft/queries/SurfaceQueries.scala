@@ -502,6 +502,28 @@ object SurfaceQueries {
         .orderBy("event_id")
     },
     // ---- ST3/windowed: event-time tumbling day windows ------------------
+    // ---- st15: streaming trending top-k — the drift/trending monitor over
+    // the same hourly stateful count the windowed-agg family maintains
+    // (watermark-evicted state), with the top-3-per-window rank applied to
+    // the FINAL streamed counts (a window over the aggregated frame, each
+    // partition ≤ |event_type| rows — never the raw stream). Deterministic
+    // tiebreak: count desc, then event_type. -----------------------------
+    "st15_stream_trending" -> { (s, dir) =>
+      val raw = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val withTs = Tables.normalizeTs(raw)
+      val counts = Streams.runWindowedAgg(withTs, df =>
+          df.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n")),
+          statePartitions = Some(8))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("wstart")).orderBy(desc("n"), asc("event_type"))
+      counts.select(col("window.start").as("wstart"), col("event_type"), col("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("wstart", "rank")
+    },
     "st3_window_agg" -> { (s, dir) =>
       val raw = Streams.parquetStream(s, s"$dir/events.parquet",
         s.read.parquet(s"$dir/events.parquet").schema)
@@ -754,6 +776,13 @@ object SurfaceQueries {
       ("SELECT date_trunc('day', ts) AS wstart, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"),
+    "st15_stream_trending" ->
+      ("WITH c AS (SELECT date_trunc('hour', ts) AS wstart, event_type, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT wstart, event_type, n, CAST(row_number() OVER " +
+        "(PARTITION BY wstart ORDER BY n DESC, event_type) AS INT) AS rank FROM c) " +
+        "SELECT wstart, event_type, n, rank FROM r WHERE rank <= 3 " +
+        "ORDER BY wstart, rank"),
     // the stream aggregates what ts3's batch groupBy aggregates, and the
     // scoring module is shared verbatim — so is the oracle
     "st14_stream_anomaly" -> AnalyticsQueries.oracle("ts3_rolling_anomaly")

@@ -466,6 +466,30 @@ object TextQueries {
           length(GraftFunctions.unicode_norm(col("itext"))).cast("long").as("n_nfc"))
         .orderBy("doc_id")
     },
+    // ---- tx23: BPE tokenizer TRAINED on the corpus (functions/Bpe), then
+    // applied via the codegen encode/decode expressions — as a VERDICT
+    // query: `roundtrip_ok` (decode∘encode == original text) pins the
+    // merge-application semantics, `did_compress` (fewer units than the
+    // char+marker floor, i.e. ≥1 learned merge fired in EVERY doc) pins
+    // that training actually learned the corpus's frequent pairs — the
+    // oracle writes literal 1s for both, so a trainer or encoder
+    // regression is a hash failure. Train: one full-corpus word-count
+    // pass, then vocabulary-sized distributed rounds with a 1-row argmax
+    // collect each (KMeans-codebook regime). BpeSpec pins the learned
+    // merges on a hand-computed corpus ------------------------------------
+    "tx23_bpe_roundtrip" -> { (s, dir) =>
+      import graft.functions.GraftFunctions._
+      val docs = Tables.t(s, dir, "documents")
+      val merges = graft.functions.Bpe.train(docs, "text", numMerges = 10)
+      docs.select(col("doc_id"), col("text"),
+          bpe_encode(col("text"), merges).as("units"))
+        .select(col("doc_id"),
+          (bpe_decode(col("units")) === col("text")).cast("int").as("roundtrip_ok"),
+          // initial units per doc = chars-excl-spaces + one Eow per word
+          // = length(text) + 1; strictly fewer ⇔ some merge applied
+          (size(col("units")) < length(col("text")) + 1).cast("int").as("did_compress"))
+        .orderBy("doc_id")
+    },
     // search-index dual fields: raw columns untouched + analyzed __tokens
     // arrays per SearchIndexSchema (tokenize-by-default, overrides opt out)
     "tx5_tokenized_fields" -> { (s, dir) =>
@@ -771,6 +795,10 @@ object TextQueries {
         "THEN replace(text, 'e', 'e' || chr(769)) ELSE text END AS itext FROM documents) " +
         "SELECT doc_id, nfc_normalize(itext) AS nfc, strip_accents(itext) AS stripped, " +
         "length(itext) AS n_raw, length(nfc_normalize(itext)) AS n_nfc " +
-        "FROM inj ORDER BY doc_id")
+        "FROM inj ORDER BY doc_id"),
+    // tx23 is a verdict query: both audit columns must be literally 1 for
+    // every document — roundtrip identity and at-least-one-merge-applied
+    "tx23_bpe_roundtrip" ->
+      "SELECT doc_id, 1 AS roundtrip_ok, 1 AS did_compress FROM documents ORDER BY doc_id"
   )
 }
