@@ -127,8 +127,12 @@ object QueryCompiler {
       // time-typed columns (TimeSlice already prunes on the same values)
       case d: java.util.Date if isTime(f) => new java.sql.Timestamp(d.getTime)
       case i: java.time.Instant if isTime(f) => java.sql.Timestamp.from(i)
+      // UTC midnight, NOT the JVM-default-zone midnight: TimeSlice.toInstant
+      // interprets the same LocalDate at UTC for partition pruning, and a
+      // zone mismatch here would prune partitions the compiled predicate
+      // still matches (silent row loss on non-UTC hosts)
       case ld: java.time.LocalDate if isTime(f) =>
-        java.sql.Timestamp.valueOf(ld.atStartOfDay)
+        java.sql.Timestamp.from(ld.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
       case l: Long if isTime(f) => new java.sql.Timestamp(l)
       case other => other
     }

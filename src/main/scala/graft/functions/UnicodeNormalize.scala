@@ -27,24 +27,37 @@ case class UnicodeNorm(child: Expression, form: String, stripMarks: Boolean)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(UnicodeNorm.run(
-      input.asInstanceOf[UTF8String].toString, form, stripMarks))
+  // resolve ONCE at construction: an invalid form fails fast at plan time
+  // (not per-row deep in a task), nothing user-supplied is ever
+  // interpolated into generated Java source, and the hot loop skips the
+  // per-row enum lookup
+  private val normForm: Normalizer.Form = Normalizer.Form.valueOf(form)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(UnicodeNorm.runForm(
+      input.asInstanceOf[UTF8String].toString, normForm, stripMarks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("normForm", normForm,
+      "java.text.Normalizer.Form")
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  graft.functions.UnicodeNorm.run($c.toString(), "$form", $stripMarks));
+         |  graft.functions.UnicodeNorm.runForm($c.toString(), $formRef, $stripMarks));
        """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNorm =
     copy(child = newChild)
 }
 
 object UnicodeNorm {
+  /** String-form convenience (tests, ad-hoc callers). */
+  def run(s: String, form: String, stripMarks: Boolean): String =
+    runForm(s, Normalizer.Form.valueOf(form), stripMarks)
+
   /** Static worker shared by eval and codegen (PolyHash.step pattern). */
-  def run(s: String, form: String, stripMarks: Boolean): String = {
-    if (!stripMarks) return Normalizer.normalize(s, Normalizer.Form.valueOf(form))
+  def runForm(s: String, form: Normalizer.Form, stripMarks: Boolean): String = {
+    if (!stripMarks) return Normalizer.normalize(s, form)
     // decompose so every mark is its own code point, drop category-M points
     val d = Normalizer.normalize(s, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)

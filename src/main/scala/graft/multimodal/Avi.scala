@@ -312,7 +312,10 @@ object Avi {
     src.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        parseHeader(bytes) match {
+        // NULL content rows follow the unparseable-bytes contract
+        // (contribute 0 rows), not an NPE in the task
+        if (bytes == null) Iterator.empty
+        else parseHeader(bytes) match {
           case None => Iterator.empty
           case Some(hd) =>
             val all = frames(bytes, hd).toIndexedSeq

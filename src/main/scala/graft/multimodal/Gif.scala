@@ -320,7 +320,10 @@ object Gif {
     src.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        parse(bytes) match {
+        // NULL content rows follow the unparseable-bytes contract
+        // (contribute 0 rows), not an NPE in the task
+        if (bytes == null) Iterator.empty
+        else parse(bytes) match {
           case None => Iterator.empty
           case Some(p) =>
             val n = p.frames.size.toLong

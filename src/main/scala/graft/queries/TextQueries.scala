@@ -380,10 +380,15 @@ object TextQueries {
         size(graft.dedup.SegmentDedup.segments(col("toks"), 3)).as("n_segs"),
         size(array_distinct(graft.dedup.SegmentDedup.segments(col("toks"), 3)))
           .as("n_dist"))
+      // single-token guard: sequence(0, -1) would DESCEND in Spark and
+      // slice(_, 0, _) throws — empty array instead, so the explode drops
+      // the doc exactly like the oracle's empty generate_series
+      // (wordShingles' convention)
       val topBigram = docs
-        .select(col("doc_id"), explode(transform(
+        .select(col("doc_id"), explode(when(size(col("toks")) >= 2, transform(
           sequence(lit(0), (size(col("toks")) - 2).cast("int")),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("gram"))
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(max(col("c") * length(col("gram"))).as("top_chars"))

@@ -151,6 +151,29 @@ class DslSpec extends AnyFunSuite {
     assert(maxF <= removedMin)
   }
 
+  test("coerceDates maps LocalDate to UTC midnight regardless of JVM zone") {
+    // TimeSlice.toInstant prunes partitions at UTC midnight; the compiled
+    // row predicate must agree or pruning silently drops matching rows on
+    // non-UTC hosts. Flip the JVM default zone to force the divergence the
+    // old atStartOfDay (local-zone) coercion had.
+    import graft.dsl._
+    val s = spark
+    import s.implicits._
+    val df = Seq(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-02T00:00:00Z")))
+      .toDF("ts")
+    val ld = java.time.LocalDate.of(2024, 1, 2)
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      val q = QueryCompiler.coerceDates(df, SingleQuery(Seq(Eq("ts", ld))))
+      val v = q.asInstanceOf[SingleQuery].clauses.head
+        .asInstanceOf[Eq].value.asInstanceOf[java.sql.Timestamp]
+      assert(v.toInstant == java.time.Instant.parse("2024-01-02T00:00:00Z"))
+    } finally java.util.TimeZone.setDefault(prev)
+  }
+
   test("F12 TimeSlice: interval algebra over the query tree") {
     import graft.dsl.TimeSlice
     import java.time.Instant
