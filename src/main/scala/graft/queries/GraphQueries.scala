@@ -270,6 +270,14 @@ object GraphQueries {
             .cast("double").as("pagerank"))
         .orderBy("node")
     },
+    // ---- g16: label-propagation communities over the same co-service
+    // graph — 2 synchronous deterministic rounds (most-frequent neighbor
+    // label, ties → smallest), oracle = 2 unrolled argmax CTEs. Completes
+    // the named-algorithm set (triangles/BFS/walks/PageRank/CC) ----------
+    "g16_label_prop" -> { (s, dir) =>
+      graft.graph.LabelProp.propagate(coServiceEdges(s, dir), iters = 2)
+        .orderBy("node")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -357,6 +365,22 @@ object GraphQueries {
         "FROM p2 p JOIN e ON e.u = p.node GROUP BY 1) f ON f.node = d.node) " +
         "SELECT node, CAST(CAST(pr AS DECIMAL(18,6)) AS DOUBLE) AS pagerank " +
         "FROM p3 ORDER BY node"),
+    // two unrolled synchronous LPA rounds; per-round argmax replicated as
+    // row_number over (count desc, label) — same tiebreak as the engine's
+    // min(struct(-n, label)) aggregate
+    "g16_label_prop" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e), " +
+        "c1 AS (SELECT e.u AS node, l.label, count(*) AS n FROM e JOIN l0 l ON e.v = l.node GROUP BY 1, 2), " +
+        "l1 AS (SELECT node, label FROM (SELECT node, label, " +
+        "row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn FROM c1) WHERE rn = 1), " +
+        "c2 AS (SELECT e.u AS node, l.label, count(*) AS n FROM e JOIN l1 l ON e.v = l.node GROUP BY 1, 2), " +
+        "l2 AS (SELECT node, label FROM (SELECT node, label, " +
+        "row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn FROM c2) WHERE rn = 1) " +
+        "SELECT node, label FROM l2 ORDER BY node"),
     // orientation is an engine-side detail; the count is orientation-free,
     // so the degree-ordered path shares g10's oracle formulation
     "g11_triangle_degree" ->

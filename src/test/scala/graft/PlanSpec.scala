@@ -328,6 +328,34 @@ class PlanSpec extends AnyFunSuite {
       s"node-count crossJoins must broadcast, not product:\n$plan")
   } }
 
+  test("label propagation rounds are co-keyed equi-joins — no product, no window") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("g16_label_prop")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"LPA neighbor-label delivery must stay an equi-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-node argmax must be the min(struct) aggregate, not a window sort:\n$plan")
+  } }
+
+  test("segment dedup counts co-key on the segment — no product, no collect-side state") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("tx19_segment_dedup")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"segment-frequency re-join degenerated:\n$plan")
+  } }
+
+  test("NB classifier broadcasts the vocab and the 1-row stats") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("tx21_nb_classifier")(spark, TestSession.sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab/log-odds should arrive by broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row stat joins must broadcast, not product:\n$plan")
+  } }
+
   test("binned range join plans as an equi-join on (key, bin) — no nested loop") { uncached {
     val plan = formattedPlan(
       SparkEntry.queries("j8_range_join")(spark, TestSession.sf))
