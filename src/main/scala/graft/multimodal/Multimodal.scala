@@ -392,6 +392,27 @@ object Multimodal {
     * readers — no external demuxer). Parses the container header for format
     * facts and streams the frames once for the amplitude sum. */
   object WavDecoder {
+    /** Zero-centered samples (s − 128) of an 8-bit UNSIGNED mono PCM
+      * container; None for any other layout or unparseable bytes. */
+    def samples8(bytes: Array[Byte]): Option[Array[Int]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+            None
+          else {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            Some(out.toByteArray.map(b => (b & 0xff) - 128))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
     def audioFeatures(bytes: Array[Byte]): Row =
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -428,6 +449,65 @@ object Multimodal {
       contentCol: String): DataFrame =
     extractRowFeatures(df, idCol, contentCol, AudioFeatureType,
       WavDecoder.audioFeatures)
+
+  /** Char-class amplitude modulation: lowercase letters map below the 8-bit
+    * PCM zero point (128), everything else above — so a text-derived
+    * waveform genuinely oscillates and frame features (zero crossings)
+    * become data-dependent instead of vacuously signless ASCII. Exactly
+    * reproducible byte arithmetic for the oracle. */
+  final case object CharClassModulator extends MediaTransform {
+    def transformBatch(batch: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      batch.map(_.map { b =>
+        val u = b & 0xff
+        if (u >= 97) b else (256 - u).toByte
+      })
+  }
+
+  /** Per-frame features from the REAL decoder: frame index, sample count,
+    * integer energy Σ(s−128)², and zero crossings (adjacent sample pairs
+    * straddling the zero point) — the classic VAD (voice-activity) pair,
+    * all exact integer math so the oracle reproduces them bit-for-bit. */
+  val AudioFrameFeatureType: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy", LongType),
+    StructField("zero_crossings", LongType)))
+
+  /** Analysis-frame decomposition over [[WavDecoder]]: each record's 8-bit
+    * unsigned mono PCM split into consecutive `frameLen`-sample windows
+    * (partial tail kept). Narrow (mapPartitions flatMap), unparseable or
+    * NULL content contributes 0 rows. */
+  def extractAudioFrameFeatures(df: DataFrame, idCol: String,
+      contentCol: String, frameLen: Int = 100): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val src = df.select(org.apache.spark.sql.functions.col(idCol),
+      org.apache.spark.sql.functions.col(contentCol))
+    val idField = src.schema.head
+    implicit val enc: Encoder[Row] =
+      Encoders.row(StructType(idField +: AudioFrameFeatureType.fields.toSeq))
+    src.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val samples = if (bytes == null) None else WavDecoder.samples8(bytes)
+        samples match {
+          case None => Iterator.empty
+          case Some(ss) =>
+            ss.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+              var energy = 0L
+              var zc = 0L
+              var i = 0
+              while (i < fr.length) {
+                val v = fr(i).toLong
+                energy += v * v
+                if (i > 0 && fr(i - 1) * v < 0) zc += 1
+                i += 1
+              }
+              Row(r.get(0), fi, fr.length, energy, zc)
+            }
+        }
+      }
+    }(enc)
+  }
 
   /** Run the decoder over batches of `batchSize` records (mapPartitions —
     * narrow, no shuffle), appending the feature struct columns to the id

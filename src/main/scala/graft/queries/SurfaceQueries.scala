@@ -179,6 +179,22 @@ object SurfaceQueries {
       Multimodal.extractAudioFeatures(wav, "doc_id", "content")
         .orderBy("doc_id")
     },
+    // ---- mm11: frame-level audio analysis (the VAD feature pair — frame
+    // energy + zero-crossing rate) over the REAL decoder. The char-class
+    // modulator maps lowercase letters below the PCM zero point and
+    // everything else above, so the text-derived waveform genuinely
+    // oscillates (crossings land on word boundaries) and both features are
+    // data-dependent; all integer math, oracle-predicted per frame from
+    // the text bytes -----------------------------------------------------
+    "mm11_audio_frames" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 400).cast("binary"))
+      val wav = Multimodal.resizeContent(
+        Multimodal.resizeContent(docs, "content", Multimodal.CharClassModulator),
+        "content", Multimodal.PcmWavEncoder(sampleRate = 8000))
+      Multimodal.extractAudioFrameFeatures(wav, "doc_id", "content", frameLen = 100)
+        .orderBy("doc_id", "frame_idx")
+    },
     // ---- multimodal audio resample: encode → REAL decode → keep every
     // 4th sample → re-encode → REAL decode again. The oracle predicts the
     // decimated container facts and exact amplitude sum straight from the
@@ -595,6 +611,23 @@ object SurfaceQueries {
     "mm3_resize" ->
       ("SELECT doc_id, substr(text, 1, 40) AS content, 40 AS n " +
         "FROM documents ORDER BY doc_id"),
+    // mm11: per-frame energy/zero-crossings predicted from the text bytes
+    // through the SAME char-class modulation (letters < zero point < rest);
+    // crossings counted within frames only, both engines
+    "mm11_audio_frames" ->
+      ("WITH t AS (SELECT doc_id, substr(text, 1, 400) AS s FROM documents), " +
+        "fr AS (SELECT doc_id, g.i AS fi, substr(s, CAST(100*g.i + 1 AS BIGINT), 100) AS fs " +
+        "FROM t, unnest(generate_series(0, (strlen(s)-1)//100)) AS g(i)), " +
+        "samp AS (SELECT doc_id, fi, g.j AS j, strlen(fs) AS n, " +
+        "CASE WHEN ascii(substr(fs, CAST(g.j AS BIGINT), 1)) >= 97 " +
+        "THEN ascii(substr(fs, CAST(g.j AS BIGINT), 1)) - 128 " +
+        "ELSE 128 - ascii(substr(fs, CAST(g.j AS BIGINT), 1)) END AS v " +
+        "FROM fr, unnest(generate_series(1, strlen(fs))) AS g(j)), " +
+        "sv AS (SELECT doc_id, fi, n, v, lag(v) OVER (PARTITION BY doc_id, fi ORDER BY j) AS pv FROM samp) " +
+        "SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(max(n) AS INT) AS n_samples, " +
+        "CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy, " +
+        "CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings " +
+        "FROM sv GROUP BY doc_id, fi ORDER BY doc_id, frame_idx"),
     // NOTE like the mm1/mm2 oracles, this assumes the documents corpus is
     // ASCII without newlines/empty text (true of the generated testdata):
     // regexp '.' skips newlines and strlen counts bytes, so a non-ASCII or

@@ -149,6 +149,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).getInt(1) === 8000 && out(2).getLong(3) === 3)
   }
 
+  test("audio frame features: exact per-frame energy/crossings, modulator, garbage drops") {
+    // 5 hand-computed samples after centering (s-128): 10, -20, 30, -40, 5
+    val pcm = Array[Byte](138.toByte, 108.toByte, 158.toByte, 88.toByte, 133.toByte)
+    val df = mediaDf(Seq(1 -> pcm, 2 -> Array[Byte](9, 9) /* wraps to a valid 2-sample wav */))
+    val wav = Multimodal.resizeContent(df, "content",
+      Multimodal.PcmWavEncoder(sampleRate = 8000))
+    val rows = Multimodal.extractAudioFrameFeatures(wav, "id", "content", frameLen = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    // frame 0 = [10,-20,30]: energy 100+400+900, crossings at both adjacencies
+    val f0 = rows((1, 0))
+    assert(f0.getInt(2) === 3 && f0.getLong(3) === 1400L && f0.getLong(4) === 2L)
+    // frame 1 = [-40,5]: partial tail, one crossing
+    val f1 = rows((1, 1))
+    assert(f1.getInt(2) === 2 && f1.getLong(3) === 1625L && f1.getLong(4) === 1L)
+    // crossings are counted WITHIN frames only: the 30 → -40 boundary flip
+    // must not appear in either frame (2+1 crossings total, not 4)
+    assert(rows.keys.count(_._1 == 1) === 2)
+
+    // char-class modulation: 'a'(97) stays below zero, ' '(32) flips above
+    val mod = Multimodal.CharClassModulator.transformBatch(
+      Seq(Array[Byte]('a'.toByte, ' '.toByte, 'z'.toByte))).head
+    assert(((mod(0) & 0xff) - 128) === (97 - 128))
+    assert(((mod(1) & 0xff) - 128) === (256 - 32 - 128))
+    assert(((mod(2) & 0xff) - 128) === (122 - 128))
+  }
+
   test("WavDecoder yields null features for non-audio bytes, row preserved") {
     val df = mediaDf(Seq(7 -> Array[Byte](9, 9, 9, 9)))
     val out = Multimodal.extractAudioFeatures(df, "id", "content").collect().head
