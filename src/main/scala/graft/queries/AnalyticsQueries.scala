@@ -313,6 +313,63 @@ object AnalyticsQueries {
             <= lit(0.20) * greatest(col("exact_users"), lit(1L)))
             .cast("int").as("within_bound"))
         .orderBy("event_type")
+    },
+    // ---- approx3: MERGEABLE distinct sketches (Apache DataSketches HLL
+    // via hll_sketch_agg) — the incremental-analytics path approx1's
+    // one-shot HLL++ can't give you: per-partition/day/source sketches
+    // persist as bytes and UNION without rescanning history. Verdict query:
+    // every per-type sketch estimate AND the union-of-sketches estimate
+    // must land within 5% of the exact count (lgK=12 → ~2.3% rse, 2σ
+    // margin); oracle pins literal 1s over the type set + the __ALL__ row.
+    // At 100 TB the sketches are the only cross-partition state — KBs per
+    // key, associative, shuffle-free to merge --------------------------
+    "approx3_hll_union" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val perType = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct(col("user_id")).as("exact"))
+      val typed = perType.select(col("event_type"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("exact")).cast("double")
+          <= lit(0.05) * col("exact")).cast("int").as("within_bound"))
+      val merged = perType.agg(expr("hll_union_agg(sk)").as("u"))
+        .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact"))))
+        .select(lit("__ALL__").as("event_type"),
+          (abs(expr("hll_sketch_estimate(u)") - col("exact")).cast("double")
+            <= lit(0.05) * col("exact")).cast("int").as("within_bound"))
+      typed.unionByName(merged).orderBy("event_type")
+    },
+    // ---- ts5: population-stability-index drift between consecutive days'
+    // event-type distributions — the standard ML-serving drift statistic.
+    // Laplace-smoothed shares over the full day×type grid (so a type
+    // disappearing for a day contributes a finite term instead of ±inf);
+    // per-term DECIMAL(18,8) rounding BEFORE the per-day sum (exact,
+    // order-free — the tx21 regime), one libm pair per term ---------------
+    "ts5_psi_drift" -> { (s, dir) =>
+      val D8 = org.apache.spark.sql.types.DecimalType(18, 8)
+      val ev = Tables.t(s, dir, "events")
+        .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val days = ev.select("day").distinct()
+      val types = ev.select("event_type").distinct()
+      val nTypes = broadcast(types.agg(count(lit(1)).as("t")))
+      val grid = days.crossJoin(broadcast(types))
+        .join(cnt, Seq("day", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val tot = grid.groupBy("day").agg(sum(col("n")).as("tot"))
+      val p = grid.join(tot, "day").crossJoin(nTypes)
+        .select(col("day"), col("event_type"),
+          ((col("n") + 1).cast("double") / (col("tot") + col("t"))).as("p"))
+      val prev = p.select(col("day").as("pday"), col("event_type"),
+        col("p").as("p0"))
+      p.join(prev,
+          col("day") === col("pday") + expr("INTERVAL 1 DAY") &&
+            p("event_type") === prev("event_type"))
+        .select(col("day"),
+          (((col("p") - col("p0")) * log(col("p") / col("p0"))).cast(D8))
+            .as("term"))
+        .groupBy("day").agg(sum(col("term")).as("s"))
+        .select(col("day"), col("s").cast("double").as("psi"))
+        .orderBy("day")
     }
   )
 
@@ -432,6 +489,28 @@ object AnalyticsQueries {
     "approx1_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "1 AS within_bound FROM events GROUP BY event_type ORDER BY event_type"),
+    "approx3_hll_union" ->
+      ("SELECT event_type, 1 AS within_bound FROM " +
+        "(SELECT DISTINCT event_type FROM events " +
+        "UNION ALL SELECT '__ALL__' AS event_type) ORDER BY event_type"),
+    "ts5_psi_drift" ->
+      ("WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
+        "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +
+        "days AS (SELECT DISTINCT day FROM ev), " +
+        "types AS (SELECT DISTINCT event_type FROM ev), " +
+        "tn AS (SELECT count(*) AS t FROM types), " +
+        "grid AS (SELECT d.day, ty.event_type, coalesce(c.n, 0) AS n " +
+        "FROM days d CROSS JOIN types ty " +
+        "LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type), " +
+        "tot AS (SELECT day, sum(n) AS tot FROM grid GROUP BY 1), " +
+        "p AS (SELECT g.day, g.event_type, " +
+        "CAST(g.n + 1 AS DOUBLE) / (tot.tot + tn.t) AS p " +
+        "FROM grid g JOIN tot ON tot.day = g.day CROSS JOIN tn), " +
+        "j AS (SELECT p1.day, CAST((p1.p - p0.p) * ln(p1.p / p0.p) AS DECIMAL(18,8)) AS term " +
+        "FROM p p1 JOIN p p0 ON p1.day = p0.day + INTERVAL 1 DAY " +
+        "AND p1.event_type = p0.event_type) " +
+        "SELECT CAST(day AS TIMESTAMP) AS day, CAST(sum(term) AS DOUBLE) AS psi " +
+        "FROM j GROUP BY day ORDER BY day"),
     "w4_range_frame" ->
       ("SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
