@@ -37,7 +37,11 @@ object BenchScale {
     "st11_stream_full_join", "ss1_overlap_join", "dd6_dedup_clusters",
     "dd15_incremental_cc", "ed1_editdist_join", "dd8_semantic_dedup",
     "dd2_minhash_lsh_poly", "g13_walk_counts", "tx8_top_tokens",
-    "u16_merge_into", "mm5_image_neardup", "mm9_video_mjpeg")
+    "u16_merge_into", "mm5_image_neardup", "mm9_video_mjpeg",
+    // round-8 iterative/trained/codec additions: LPA rounds scale with
+    // edges, BPE training with the corpus pass + vocab rounds, audio
+    // frame analysis with decoded samples
+    "g16_label_prop", "tx23_bpe_roundtrip", "mm11_audio_frames")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
