@@ -43,6 +43,24 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a b c d e"), (2L, "f g h")))
   }
 
+  test("clean law: with an infinite frequency ceiling, reassembly is lossless (seeded random corpora)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val docs = (1L to 20L).map { id =>
+        val words = (0 until (1 + rnd.nextInt(15)))
+          .map(_ => ('a' + rnd.nextInt(4)).toChar.toString * (1 + rnd.nextInt(3)))
+        (id, words.mkString(" "))
+      }
+      val n = 1 + rnd.nextInt(4)
+      val out = SegmentDedup.clean(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, maxFreq = Long.MaxValue)
+        .as[(Long, String)].collect().toMap
+      docs.foreach { case (id, text) =>
+        assert(out(id) == text, s"n=$n lossless reassembly broke for '$text'")
+      }
+    }
+  }
+
   test("UnicodeNorm: NFC composes, strip removes marks, non-BMP passes through") {
     val dEcl = "e\u0301clair" // decomposed e + combining acute
     val pEcl = "\u00e9clair" // precomposed e-acute
