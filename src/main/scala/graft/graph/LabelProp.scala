@@ -24,21 +24,27 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** Labels after `iters` synchronous rounds over the UNDIRECTED closure of
-    * `edges` (one-direction (u,v) frame). Initial label = node id. */
-  def propagate(edges: DataFrame, iters: Int): DataFrame = {
-    val und = edges.select(col("u"), col("v"))
-      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-    var labels = und.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    * `edges` (one-direction (u,v) frame). Initial label = node id.
+    * `checkpointDir` selects [[graft.ops.IterTrunc]]'s cluster-reliable
+    * mode (HDFS/S3 parquet round-trips) — same convention as Bfs/Walks. */
+  def propagate(edges: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val trunc = new graft.ops.IterTrunc(edges.sparkSession, checkpointDir, "lpa")
+    // pin the undirected edge set: it is read by EVERY round, and for a
+    // derived edge frame (g16: a lineitem self-join + distinct) leaving it
+    // lazy would re-execute that upstream iters+1 times
+    val und = trunc.pin(edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v"))))
+    val labelChan = trunc.channel()
+    var labels = labelChan(und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")))
     for (_ <- 1 to iters) {
-      labels = und.join(labels, und("v") === labels("node"))
+      labels = labelChan(und.join(labels, und("v") === labels("node"))
         .select(und("u").as("node"), col("label"))
         .groupBy("node", "label").agg(count(lit(1)).as("n"))
         .groupBy("node")
         .agg(min(struct((-col("n")).as("negN"), col("label"))).as("w"))
-        .select(col("node"), col("w.label").as("label"))
-        .localCheckpoint(true) // truncate the per-round join lineage
+        .select(col("node"), col("w.label").as("label")))
     }
     labels
   }

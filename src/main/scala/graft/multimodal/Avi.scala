@@ -146,6 +146,7 @@ object Avi {
     * None when the bytes aren't a parseable AVI. Tolerates unknown chunks
     * (skipped by their declared size, word-aligned) and an absent `idx1`. */
   def parseHeader(bytes: Array[Byte]): Option[Header] = {
+    if (bytes == null) return None // NULL content = unparseable, 0 rows
     if (bytes.length < 12 || !isCC(bytes, 0, "RIFF") || !isCC(bytes, 8, "AVI "))
       return None
     val riffEnd = math.min(bytes.length.toLong, 8L + readLe32(bytes, 4)).toInt

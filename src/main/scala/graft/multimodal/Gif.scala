@@ -185,6 +185,7 @@ object Gif {
     * parseable GIF; a malformed tail truncates the frame list rather than
     * yielding a phantom frame ([[Avi.frames]]' rule). */
   def parse(bytes: Array[Byte]): Option[Parsed] = {
+    if (bytes == null) return None // NULL content = unparseable, 0 rows
     if (bytes.length < 13) return None
     val hdr = new String(bytes, 0, 6, "US-ASCII")
     if (hdr != "GIF89a" && hdr != "GIF87a") return None

@@ -92,8 +92,12 @@ object Multimodal {
     implicit val enc: Encoder[Row] = Encoders.row(df.schema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val out = transform.transformBatch(
-          batch.map(_.getAs[Array[Byte]](contentIdx)))
+        // NULL content passes through untransformed (null in → null out):
+        // transforms receive only real byte arrays, so no MediaTransform
+        // implementation has to carry its own null guard
+        val raw = batch.map(_.getAs[Array[Byte]](contentIdx))
+        val transformed = transform.transformBatch(raw.filter(_ != null)).iterator
+        val out = raw.map(b => if (b == null) null else transformed.next())
         batch.iterator.zip(out.iterator).map { case (r, bytes) =>
           Row.fromSeq(r.toSeq.updated(contentIdx, bytes))
         }
@@ -133,8 +137,12 @@ object Multimodal {
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val frames = sampler.sampleBatch(
-          batch.map(_.getAs[Array[Byte]](contentIdx)))
+        // NULL content yields zero frames; samplers see only real arrays
+        // (same contract as resizeContent)
+        val raw = batch.map(_.getAs[Array[Byte]](contentIdx))
+        val sampled = sampler.sampleBatch(raw.filter(_ != null)).iterator
+        val frames = raw.map(b =>
+          if (b == null) Seq.empty[(Int, Array[Byte])] else sampled.next())
         batch.iterator.zip(frames.iterator).flatMap { case (r, fs) =>
           fs.map { case (i, bytes) => Row(r.get(idIdx), i, bytes) }
         }
@@ -156,7 +164,8 @@ object Multimodal {
     * memory, no temp-file round trip per image. */
   object ImageIoDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try {
+      if (bytes == null) None // NULL content = undecodable
+      else try {
         javax.imageio.ImageIO.setUseCache(false)
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       } catch { case _: Exception => None }

@@ -76,6 +76,7 @@ object Y4m {
   /** Parse the stream header; None when the bytes aren't Y4M or declare a
     * geometry/rate/colorspace this decoder can't size. */
   def parseHeader(bytes: Array[Byte]): Option[Header] = {
+    if (bytes == null) return None // NULL content = unparseable, 0 rows
     val nl = bytes.indexOf('\n'.toByte)
     if (nl < 0) return None
     val line = new String(bytes, 0, nl, "US-ASCII")
@@ -202,7 +203,10 @@ object Y4m {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
-        parseHeader(bytes) match {
+        // NULL content rows follow the unparseable-bytes contract
+        // (contribute 0 rows), same as the Avi/Gif extractors
+        if (bytes == null) Iterator.empty[Row]
+        else parseHeader(bytes) match {
           case None => Iterator.empty[Row]
           case Some(hd) =>
             var prev: Array[Byte] = null

@@ -12,10 +12,6 @@ import graft.functions.Bpe
   * Pure driver-side (no Spark job per trial) except the training law.
   */
 object BpePropSpec extends Properties("Bpe") {
-  // the training law runs a small Spark job per trial; 20 trials keeps the
-  // suite fast while still quantifying over corpora
-  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(20)
 
 
   private val genWord: Gen[String] =
@@ -57,6 +53,21 @@ object BpePropSpec extends Properties("Bpe") {
       Bpe.mergePass(units.toIndexedSeq, "a", "b").mkString ==
         units.mkString
     }
+
+}
+
+/** The one Spark-backed law, in its own object so ITS reduced trial count
+  * doesn't weaken the cheap pure-driver laws above (they keep ScalaCheck's
+  * default 100 trials). */
+object BpeTrainPropSpec extends Properties("BpeTrain") {
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(15) // each trial runs a small Spark training job
+
+  private val genWord: Gen[String] =
+    for {
+      n <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
 
   property("encode reproduces the trained vocabulary's unit sequences") = {
     val spark = TestSession.spark

@@ -175,6 +175,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(((mod(2) & 0xff) - 128) === (122 - 128))
   }
 
+  test("NULL content contract: transforms pass null through, extractors emit 0 rows") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1, "x"), (2, null.asInstanceOf[String]))
+      .toDF("id", "t").withColumn("content",
+        org.apache.spark.sql.functions.col("t").cast("binary"))
+    // resize: null in → null out, non-null transformed, row count kept
+    val resized = Multimodal.resizeContent(df, "content",
+      Multimodal.CharClassModulator).collect().map(r => r.getInt(0) -> r).toMap
+    assert(resized(2).isNullAt(resized(2).fieldIndex("content")))
+    assert(!resized(1).isNullAt(resized(1).fieldIndex("content")))
+    // frame sampler: null yields zero frames, no NPE
+    assert(Multimodal.sampleFrames(df, "id", "content",
+      Multimodal.FakeFrameSampler(1, 1))
+      .filter(org.apache.spark.sql.functions.col("id") === 2).count() === 0)
+    // every real parser treats null as unparseable
+    assert(graft.multimodal.Y4m.parseHeader(null).isEmpty)
+    assert(graft.multimodal.Avi.parseHeader(null).isEmpty)
+    assert(graft.multimodal.Gif.parse(null).isEmpty)
+    assert(Multimodal.ImageIoDecoder.decode(null).isEmpty)
+    assert(Multimodal.WavDecoder.samples8(null).isEmpty)
+  }
+
   test("WavDecoder yields null features for non-audio bytes, row preserved") {
     val df = mediaDf(Seq(7 -> Array[Byte](9, 9, 9, 9)))
     val out = Multimodal.extractAudioFeatures(df, "id", "content").collect().head
