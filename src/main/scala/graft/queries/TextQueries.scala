@@ -39,6 +39,54 @@ object TextQueries {
         .select("doc_id", "pred_lang", "quality", "source")
         .orderBy("doc_id")
     },
+    // ---- pp3: the FULL curation pipeline end-to-end in one plan — the
+    // round-8 showcase that the library's pieces COMPOSE: corpus-level
+    // segment dedup (tx19's SegmentDedup) → quality gate on the CLEANED
+    // text (tx20's stop-word floor + length) → exact-dedup keep-first on
+    // the cleaned fingerprint (dd1) → decontamination vs the src0
+    // reference set (tx18's gram novelty, computed on cleaned text) →
+    // deterministic md5 split (tx16). Every stage is the already-oracled
+    // mechanism; the oracle chains the same CTEs. Scale shape: segment and
+    // gram stages co-key on the segment/gram string, dedup on the
+    // fingerprint, everything else narrow — no stage collects or
+    // broadcasts anything corpus-proportional -----------------------------
+    "pp3_full_pipeline" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val cleaned = graft.dedup.SegmentDedup.clean(docs, "doc_id", "text",
+          n = 3, maxFreq = 3)
+        .filter(col("cleaned") =!= "")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val gated = cleaned
+        .withColumn("ct", tokens(col("cleaned")))
+        .withColumn("n_toks", size(col("ct")).cast("long"))
+        .withColumn("n_stop", size(filter(col("ct"), t => t.isin("the", "a"))))
+        .filter(col("n_toks") >= 5 &&
+          col("n_stop").cast("double") / col("n_toks") >= 0.02)
+      val kept = gated
+        .withColumn("fp", md5(col("cleaned")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      val refGrams = docs.filter(col("source") === "src0")
+        .select(explode(graft.dedup.TextDedup.wordShingles(
+          tokens(col("text")), 3)).as("g")).distinct()
+        .withColumn("hit", lit(1))
+      val novelty = kept
+        .select(col("doc_id"),
+          explode(graft.dedup.TextDedup.wordShingles(col("ct"), 3)).as("g"))
+        .join(refGrams, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg((sum(when(col("hit").isNull, 1.0).otherwise(0.0)) /
+          count(lit(1))).as("novelty"))
+      val h = graft.dedup.TextDedup.md5Int(col("doc_id").cast("string")) % 100
+      kept.join(novelty, "doc_id")
+        .filter(col("source") =!= "src0" && col("novelty") >= 0.3)
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test")
+            .as("split"))
+        .orderBy("doc_id")
+    },
     "tx1_langid" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .withColumn("toks", tokens(col("text")))
@@ -746,6 +794,35 @@ object TextQueries {
       ("SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
         "array_to_string(string_split(text, ' ')[1:5], ' ') AS head_tokens " +
         "FROM documents ORDER BY doc_id"),
+    // pp3 chains the tx19/tx20/dd1/tx18/tx16 oracle mechanisms verbatim
+    "pp3_full_pipeline" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), "
+        + "segs AS (SELECT doc_id, g.i AS pos, array_to_string(toks[3*g.i+1:3*g.i+3],' ') AS seg "
+        + "FROM t, unnest(generate_series(0, (len(toks)-1)//3)) AS g(i)), "
+        + "cnt AS (SELECT seg, count(*) AS n FROM segs GROUP BY 1), "
+        + "re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned "
+        + "FROM segs JOIN cnt USING (seg) WHERE n < 3 GROUP BY doc_id), "
+        + "base AS (SELECT d.doc_id, d.source, r.cleaned FROM documents d JOIN re r USING (doc_id) "
+        + "WHERE r.cleaned <> ''), "
+        + "w AS (SELECT doc_id, count(*) AS n_toks, "
+        + "sum(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) AS n_stop "
+        + "FROM (SELECT doc_id, unnest(string_split(cleaned,' ')) AS tok FROM base) GROUP BY 1), "
+        + "gated AS (SELECT b.* FROM base b JOIN w USING (doc_id) "
+        + "WHERE w.n_toks >= 5 AND CAST(w.n_stop AS DOUBLE)/w.n_toks >= 0.02), "
+        + "kept AS (SELECT * FROM (SELECT g.*, row_number() OVER (PARTITION BY md5(cleaned) ORDER BY doc_id) AS rn FROM gated g) WHERE rn = 1), "
+        + "refg AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS rg "
+        + "FROM t JOIN documents d USING (doc_id), unnest(generate_series(0, len(toks)-3)) AS u(i) "
+        + "WHERE d.source = 'src0'), "
+        + "dg AS (SELECT k.doc_id, unnest(list_distinct([array_to_string(ct[i+1:i+3], ' ') "
+        + "FOR i IN generate_series(0, len(ct)-3)])) AS g "
+        + "FROM (SELECT doc_id, string_split(cleaned, ' ') AS ct FROM kept) k(doc_id, ct)), "
+        + "nov AS (SELECT doc_id, CAST(sum(CASE WHEN rg IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS novelty "
+        + "FROM dg LEFT JOIN refg ON dg.g = refg.rg GROUP BY 1) "
+        + "SELECT k.doc_id, k.source, CAST(len(string_split(k.cleaned,' ')) AS BIGINT) AS n_toks, "
+        + "CASE WHEN list_reduce([strpos('0123456789abcdef', c) - 1 FOR c IN regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '.')], (a, d) -> a * 16 + d) % 100 < 80 THEN 'train' "
+        + "WHEN list_reduce([strpos('0123456789abcdef', c) - 1 FOR c IN regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '.')], (a, d) -> a * 16 + d) % 100 < 90 THEN 'val' ELSE 'test' END AS split "
+        + "FROM kept k JOIN nov USING (doc_id) "
+        + "WHERE k.source <> 'src0' AND nov.novelty >= 0.3 ORDER BY doc_id"),
     "tx19_segment_dedup" ->
       ("WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
         "segs AS (SELECT doc_id, g.i AS pos, array_to_string(toks[3*g.i+1:3*g.i+3],' ') AS seg " +

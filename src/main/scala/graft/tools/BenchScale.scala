@@ -41,7 +41,9 @@ object BenchScale {
     // round-8 iterative/trained/codec additions: LPA rounds scale with
     // edges, BPE training with the corpus pass + vocab rounds, audio
     // frame analysis with decoded samples
-    "g16_label_prop", "tx23_bpe_roundtrip", "mm11_audio_frames")
+    "g16_label_prop", "tx23_bpe_roundtrip", "mm11_audio_frames",
+    // the full composed curation pipeline: five chained co-keyed stages
+    "pp3_full_pipeline")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
