@@ -29,6 +29,7 @@ object LabelProp {
     * mode (HDFS/S3 parquet round-trips) — same convention as Bfs/Walks. */
   def propagate(edges: DataFrame, iters: Int,
       checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
     val trunc = new graft.ops.IterTrunc(edges.sparkSession, checkpointDir, "lpa")
     // pin the undirected edge set: it is read by EVERY round, and for a
     // derived edge frame (g16: a lineitem self-join + distinct) leaving it

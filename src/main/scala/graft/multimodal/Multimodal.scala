@@ -530,8 +530,12 @@ object Multimodal {
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val bytes = batch.map(r => r.getAs[Array[Byte]](contentIdx))
-        val features = decoder.decodeBatch(bytes)
+        // NULL content → all-null feature row (same contract as
+        // resizeContent/sampleFrames: decoders see only real arrays)
+        val raw = batch.map(r => r.getAs[Array[Byte]](contentIdx))
+        val decoded = decoder.decodeBatch(raw.filter(_ != null)).iterator
+        val nullRow = Row.fromSeq(FeatureType.fields.map(_ => null).toSeq)
+        val features = raw.map(b => if (b == null) nullRow else decoded.next())
         batch.iterator.zip(features.iterator).map { case (r, f) =>
           Row.fromSeq(r.get(idIdx) +: f.toSeq)
         }

@@ -203,10 +203,8 @@ object Y4m {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
-        // NULL content rows follow the unparseable-bytes contract
-        // (contribute 0 rows), same as the Avi/Gif extractors
-        if (bytes == null) Iterator.empty[Row]
-        else parseHeader(bytes) match {
+        // null content: parseHeader returns None (unparseable contract)
+        parseHeader(bytes) match {
           case None => Iterator.empty[Row]
           case Some(hd) =>
             var prev: Array[Byte] = null

@@ -810,17 +810,19 @@ object TextQueries {
         + "gated AS (SELECT b.* FROM base b JOIN w USING (doc_id) "
         + "WHERE w.n_toks >= 5 AND CAST(w.n_stop AS DOUBLE)/w.n_toks >= 0.02), "
         + "kept AS (SELECT * FROM (SELECT g.*, row_number() OVER (PARTITION BY md5(cleaned) ORDER BY doc_id) AS rn FROM gated g) WHERE rn = 1), "
-        + "refg AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS rg "
-        + "FROM t JOIN documents d USING (doc_id), unnest(generate_series(0, len(toks)-3)) AS u(i) "
-        + "WHERE d.source = 'src0'), "
-        + "dg AS (SELECT k.doc_id, unnest(list_distinct([array_to_string(ct[i+1:i+3], ' ') "
-        + "FOR i IN generate_series(0, len(ct)-3)])) AS g "
-        + "FROM (SELECT doc_id, string_split(cleaned, ' ') AS ct FROM kept) k(doc_id, ct)), "
+        // the canonical shingle definition (DedupQueries.shinglesSql — the
+        // same fragment tx18 and the dd oracles use) applied to the src0
+        // reference set and the cleaned survivors
+        + s"refg AS (SELECT DISTINCT unnest(${DedupQueries.shinglesSql}) AS rg "
+        + "FROM t JOIN documents d USING (doc_id) WHERE d.source = 'src0'), "
+        + s"dg AS (SELECT doc_id, unnest(${DedupQueries.shinglesSql}) AS g "
+        + "FROM (SELECT doc_id, string_split(cleaned, ' ') AS toks FROM kept)), "
         + "nov AS (SELECT doc_id, CAST(sum(CASE WHEN rg IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS novelty "
         + "FROM dg LEFT JOIN refg ON dg.g = refg.rg GROUP BY 1) "
         + "SELECT k.doc_id, k.source, CAST(len(string_split(k.cleaned,' ')) AS BIGINT) AS n_toks, "
-        + "CASE WHEN list_reduce([strpos('0123456789abcdef', c) - 1 FOR c IN regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '.')], (a, d) -> a * 16 + d) % 100 < 80 THEN 'train' "
-        + "WHEN list_reduce([strpos('0123456789abcdef', c) - 1 FOR c IN regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '.')], (a, d) -> a * 16 + d) % 100 < 90 THEN 'val' ELSE 'test' END AS split "
+        // canonical split hash (DedupQueries.md5IntSql — tx16's fragment)
+        + s"CASE WHEN ${DedupQueries.md5IntSql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train' "
+        + s"WHEN ${DedupQueries.md5IntSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val' ELSE 'test' END AS split "
         + "FROM kept k JOIN nov USING (doc_id) "
         + "WHERE k.source <> 'src0' AND nov.novelty >= 0.3 ORDER BY doc_id"),
     "tx19_segment_dedup" ->

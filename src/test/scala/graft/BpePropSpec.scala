@@ -11,14 +11,18 @@ import graft.functions.Bpe
   * reproduced exactly by encoding (train and apply share one merge-pass).
   * Pure driver-side (no Spark job per trial) except the training law.
   */
-object BpePropSpec extends Properties("Bpe") {
-
-
-  private val genWord: Gen[String] =
+/** One word generator for both Properties objects below — a single corpus
+  * distribution for every BPE law. */
+private[graft] object BpeGen {
+  val genWord: Gen[String] =
     for {
       n <- Gen.chooseNum(1, 8)
       cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
     } yield cs.mkString
+}
+
+object BpePropSpec extends Properties("Bpe") {
+  import BpeGen.genWord
 
   private val genText: Gen[String] =
     for {
@@ -60,14 +64,9 @@ object BpePropSpec extends Properties("Bpe") {
   * doesn't weaken the cheap pure-driver laws above (they keep ScalaCheck's
   * default 100 trials). */
 object BpeTrainPropSpec extends Properties("BpeTrain") {
+  import BpeGen.genWord
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(15) // each trial runs a small Spark training job
-
-  private val genWord: Gen[String] =
-    for {
-      n <- Gen.chooseNum(1, 8)
-      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
-    } yield cs.mkString
 
   property("encode reproduces the trained vocabulary's unit sequences") = {
     val spark = TestSession.spark
