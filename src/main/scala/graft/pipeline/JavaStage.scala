@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import java.net.URI
+import javax.tools.{Diagnostic, DiagnosticCollector, JavaFileObject,
+  SimpleJavaFileObject, ToolProvider}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** X4 script stage, for real: the reference runs arbitrary USER-AUTHORED
+  * script in its Spark jobs via a JSR-223 engine
+  * (`aleph2_analytic_services_spark/.../assets/SparkJsInterpreterTopology.java:123-160`
+  * — Nashorn, removed from Java 17). This is the JVM-native re-expression:
+  * user-supplied JAVA SOURCE is compiled AT RUNTIME with the JDK's own
+  * `javax.tools.JavaCompiler` (in-memory, no files, no extra deps) into a
+  * `java.util.function.Function<String, String>` record mapper, and the
+  * compiled CLASS BYTES — not the source — ship to executors where a
+  * per-JVM classloader cache defines them once per stage. Complementing
+  * [[ExprStage]] (runtime-authored Catalyst expressions, optimizer-visible),
+  * this covers the arbitrary-imperative-logic half of the script contract:
+  * loops, state, helper classes — anything Java — at full JIT speed rather
+  * than interpreter speed.
+  *
+  * Scale shape: compilation happens ONCE on the driver; executors receive
+  * kilobytes of class bytes through the closure and run the user function
+  * inside `mapPartitions` (narrow, no shuffle). The classloader cache key
+  * is the bytes' content hash, so repeated stages / task retries never
+  * redefine classes, and two stages with different source coexist.
+  */
+object JavaStage {
+
+  /** In-memory compile of one compilation unit; returns EVERY emitted class
+    * (inner/anonymous classes included) as name → bytes.
+    * Fails fast with the compiler's own diagnostics. */
+  def compile(className: String, source: String): Map[String, Array[Byte]] = {
+    val compiler = Option(ToolProvider.getSystemJavaCompiler).getOrElse(
+      sys.error("no system Java compiler (JRE instead of JDK?)"))
+    val diags = new DiagnosticCollector[JavaFileObject]
+    val srcObj = new SimpleJavaFileObject(
+        URI.create(s"string:///${className.replace('.', '/')}.java"),
+        JavaFileObject.Kind.SOURCE) {
+      override def getCharContent(ignore: Boolean): CharSequence = source
+    }
+    val out = mutable.Map.empty[String, java.io.ByteArrayOutputStream]
+    val stdFm = compiler.getStandardFileManager(diags, null, null)
+    val fm = new javax.tools.ForwardingJavaFileManager[javax.tools.JavaFileManager](stdFm) {
+      override def getJavaFileForOutput(loc: javax.tools.JavaFileManager.Location,
+          name: String, kind: JavaFileObject.Kind,
+          sibling: javax.tools.FileObject): JavaFileObject =
+        new SimpleJavaFileObject(
+            URI.create(s"bytes:///${name.replace('.', '/')}.class"), kind) {
+          override def openOutputStream(): java.io.OutputStream = {
+            val bos = new java.io.ByteArrayOutputStream()
+            out(name) = bos
+            bos
+          }
+        }
+    }
+    val ok = compiler.getTask(null, fm, diags, null, null,
+      java.util.List.of(srcObj)).call()
+    fm.close()
+    if (!ok) {
+      val msgs = diags.getDiagnostics.asScala
+        .filter(_.getKind == Diagnostic.Kind.ERROR)
+        .map(d => s"line ${d.getLineNumber}: ${d.getMessage(null)}")
+      sys.error(s"user stage source failed to compile:\n${msgs.mkString("\n")}")
+    }
+    out.view.mapValues(_.toByteArray).toMap
+  }
+
+  /** Executor-side class cache: one defined classloader per distinct class-
+    * bytes bundle per JVM (content-hashed), shared across tasks/retries. */
+  private val loaderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ClassLoader]()
+
+  private def bundleKey(classes: Map[String, Array[Byte]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    classes.toSeq.sortBy(_._1).foreach { case (n, b) =>
+      md.update(n.getBytes("UTF-8")); md.update(b)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def loaderFor(classes: Map[String, Array[Byte]]): ClassLoader =
+    loaderCache.computeIfAbsent(bundleKey(classes), _ =>
+      new ClassLoader(getClass.getClassLoader) {
+        override def findClass(name: String): Class[_] =
+          classes.get(name) match {
+            case Some(b) => defineClass(name, b, 0, b.length)
+            case None => throw new ClassNotFoundException(name)
+          }
+      })
+
+  /** Instantiate the user mapper from shipped class bytes (used inside
+    * tasks; public for the spec). */
+  def instantiate(className: String,
+      classes: Map[String, Array[Byte]]): java.util.function.Function[String, String] =
+    loaderFor(classes).loadClass(className)
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[java.util.function.Function[String, String]]
+
+  /** The stage: compile `source` (a public class `className` implementing
+    * `java.util.function.Function<String,String>`) and map `inCol` through
+    * it as `outCol`. Compile errors surface at PLAN time on the driver with
+    * javac's diagnostics, not per-task. NULL input follows the engine-wide
+    * contract: null in → null out, the user function never sees it. */
+  def stage(df: DataFrame, inCol: String, outCol: String,
+      className: String, source: String): DataFrame = {
+    val classes = compile(className, source) // driver-side, once
+    val inIdx = df.schema.fieldIndex(inCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.StringType))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      lazy val fn = instantiate(className, classes) // per-JVM cached loader
+      it.map { r =>
+        val in = r.getString(inIdx)
+        val mapped = if (in == null) null else fn.apply(in)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ mapped)
+      }
+    }
+  }
+}

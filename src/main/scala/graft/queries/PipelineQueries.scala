@@ -127,6 +127,37 @@ object PipelineQueries {
         where = Some("lang <> 'de'"))
         .run(docs(s, dir))
         .orderBy("tag", "doc_id")
+    },
+    // ---- X4 script stage, the imperative half: USER-AUTHORED JAVA SOURCE
+    // compiled at runtime (javax.tools — the JVM-native answer to the
+    // reference's Nashorn stage, which Java 17 removed) and run as a
+    // record mapper inside mapPartitions. The source below is genuinely
+    // imperative (loop + StringBuilder + helper call), compiled on the
+    // driver, shipped as class bytes; the oracle replays its semantics in
+    // SQL. A compile error would fail at plan time with javac diagnostics
+    "x8_java_stage" -> { (s, dir) =>
+      val src =
+        """public class ReverseWords
+          |    implements java.util.function.Function<String, String> {
+          |  private static String join(String[] w) {
+          |    StringBuilder b = new StringBuilder();
+          |    for (int i = w.length - 1; i >= 0; i--) {
+          |      b.append(w[i]);
+          |      if (i > 0) b.append(' ');
+          |    }
+          |    return b.toString();
+          |  }
+          |  public String apply(String s) {
+          |    String[] w = s.split(" ");
+          |    return join(w) + "|" + w.length;
+          |  }
+          |}""".stripMargin
+      graft.pipeline.JavaStage.stage(
+          docs(s, dir).select("doc_id", "text"),
+          inCol = "text", outCol = "mapped",
+          className = "ReverseWords", source = src)
+        .select("doc_id", "mapped")
+        .orderBy("doc_id")
     }
   )
 
@@ -157,6 +188,10 @@ object PipelineQueries {
         "UNION ALL " +
         "SELECT doc_id, 'long' AS tag, n_chars * 2 AS v FROM documents " +
         "WHERE lang <> 'de' AND n_chars >= 400" +
-        ") ORDER BY tag, doc_id")
+        ") ORDER BY tag, doc_id"),
+    "x8_java_stage" ->
+      ("SELECT doc_id, array_to_string(list_reverse(string_split(text, ' ')), ' ') " +
+        "|| '|' || len(string_split(text, ' ')) AS mapped " +
+        "FROM documents ORDER BY doc_id")
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.JavaStage
+
+/** The runtime-compiled user stage: javac diagnostics at plan time, inner
+  * classes shipped with the bundle, per-JVM loader caching, null
+  * passthrough, and end-to-end mapping through Spark tasks. */
+class JavaStageSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("compiles and maps through Spark tasks, null passes through") {
+    val s2 = spark
+    import s2.implicits._
+    val src =
+      """public class Up implements java.util.function.Function<String, String> {
+        |  public String apply(String s) { return s.toUpperCase(); }
+        |}""".stripMargin
+    val out = JavaStage.stage(
+        Seq((1L, "ab c"), (2L, null.asInstanceOf[String])).toDF("id", "t"),
+        "t", "u", "Up", src)
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((1L, "ab c", "AB C"), (2L, null, null)))
+  }
+
+  test("compile errors fail fast with javac line diagnostics") {
+    val e = intercept[RuntimeException] {
+      JavaStage.compile("Broken", "public class Broken { int x = }")
+    }
+    assert(e.getMessage.contains("failed to compile"))
+    assert(e.getMessage.contains("line 1"))
+  }
+
+  test("inner and anonymous classes ride along in the bundle") {
+    val src =
+      """public class Outer implements java.util.function.Function<String, String> {
+        |  private static class Helper {
+        |    static String twice(String s) { return s + s; }
+        |  }
+        |  public String apply(String s) {
+        |    Runnable r = new Runnable() { public void run() {} };
+        |    r.run();
+        |    return Helper.twice(s);
+        |  }
+        |}""".stripMargin
+    val classes = JavaStage.compile("Outer", src)
+    assert(classes.keySet.exists(_.contains("Outer$Helper")))
+    assert(JavaStage.instantiate("Outer", classes).apply("xy") == "xyxy")
+  }
+
+  test("same bundle instantiates from one cached loader; different bundles coexist") {
+    val srcA =
+      """public class A implements java.util.function.Function<String, String> {
+        |  public String apply(String s) { return "A" + s; }
+        |}""".stripMargin
+    val srcB =
+      """public class A implements java.util.function.Function<String, String> {
+        |  public String apply(String s) { return "B" + s; }
+        |}""".stripMargin
+    val ca = JavaStage.compile("A", srcA)
+    val cb = JavaStage.compile("A", srcB)
+    val fa1 = JavaStage.instantiate("A", ca)
+    val fa2 = JavaStage.instantiate("A", ca)
+    val fb = JavaStage.instantiate("A", cb)
+    // same bundle -> same defined class (one loader), so same Class object
+    assert(fa1.getClass eq fa2.getClass)
+    // two SOURCES for the same class name coexist via distinct loaders
+    assert(fa1.apply("x") == "Ax" && fb.apply("x") == "Bx")
+    assert(fa1.getClass ne fb.getClass)
+  }
+}
