@@ -8,7 +8,6 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Encoders}
-import org.apache.spark.sql.functions._
 
 /** X4 script stage, for real: the reference runs arbitrary USER-AUTHORED
   * script in its Spark jobs via a JSR-223 engine
@@ -24,11 +23,18 @@ import org.apache.spark.sql.functions._
   * loops, state, helper classes — anything Java — at full JIT speed rather
   * than interpreter speed.
   *
-  * Scale shape: compilation happens ONCE on the driver; executors receive
-  * kilobytes of class bytes through the closure and run the user function
-  * inside `mapPartitions` (narrow, no shuffle). The classloader cache key
-  * is the bytes' content hash, so repeated stages / task retries never
-  * redefine classes, and two stages with different source coexist.
+  * Scale shape: compilation happens ONCE on the driver; the class bytes
+  * ship as a Spark BROADCAST (once per executor, not per task) and the
+  * user function runs inside `mapPartitions` (narrow, no shuffle). The
+  * classloader cache key is the bytes' content hash and the cache is a
+  * small LRU, so repeated stages / task retries never redefine classes,
+  * different sources coexist, and iterating on source in a long-lived
+  * session can't leak metaspace without bound.
+  *
+  * Trust model: identical to the reference's script stage — the source
+  * runs with the executor's privileges, so whoever may submit a stage may
+  * run code on the cluster. Gate at job-submission level (as the reference
+  * does for its JS), not here.
   */
 object JavaStage {
 
@@ -59,9 +65,10 @@ object JavaStage {
           }
         }
     }
-    val ok = compiler.getTask(null, fm, diags, null, null,
-      java.util.List.of(srcObj)).call()
-    fm.close()
+    val ok =
+      try compiler.getTask(null, fm, diags, null, null,
+        java.util.List.of(srcObj)).call()
+      finally fm.close() // javac's call() can throw; don't leak the manager
     if (!ok) {
       val msgs = diags.getDiagnostics.asScala
         .filter(_.getKind == Diagnostic.Kind.ERROR)
@@ -72,9 +79,17 @@ object JavaStage {
   }
 
   /** Executor-side class cache: one defined classloader per distinct class-
-    * bytes bundle per JVM (content-hashed), shared across tasks/retries. */
+    * bytes bundle per JVM (content-hashed), shared across tasks/retries.
+    * Bounded LRU: iterating on stage source in a long-lived session makes
+    * new bundles; unbounded retention would leak metaspace. */
+  private val MaxLoaders = 64
   private val loaderCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ClassLoader]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, ClassLoader](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ClassLoader]): Boolean =
+          size() > MaxLoaders
+      })
 
   private def bundleKey(classes: Map[String, Array[Byte]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -86,11 +101,20 @@ object JavaStage {
 
   private def loaderFor(classes: Map[String, Array[Byte]]): ClassLoader =
     loaderCache.computeIfAbsent(bundleKey(classes), _ =>
+      // CHILD-FIRST for bundle names: a user class whose name collides with
+      // something on the executor classpath must load the USER bytes, not
+      // silently resolve to the classpath twin
       new ClassLoader(getClass.getClassLoader) {
-        override def findClass(name: String): Class[_] =
-          classes.get(name) match {
-            case Some(b) => defineClass(name, b, 0, b.length)
-            case None => throw new ClassNotFoundException(name)
+        override protected def loadClass(name: String, resolve: Boolean): Class[_] =
+          getClassLoadingLock(name).synchronized {
+            val c = Option(findLoadedClass(name)).getOrElse {
+              classes.get(name) match {
+                case Some(b) => defineClass(name, b, 0, b.length)
+                case None => super.loadClass(name, false)
+              }
+            }
+            if (resolve) resolveClass(c)
+            c
           }
       })
 
@@ -109,7 +133,15 @@ object JavaStage {
     * contract: null in → null out, the user function never sees it. */
   def stage(df: DataFrame, inCol: String, outCol: String,
       className: String, source: String): DataFrame = {
+    // every misuse surfaces HERE, on the driver, before any Spark job —
+    // the stage's whole error contract (like the compile diagnostics)
+    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$inCol must be STRING (the user mapper is Function<String,String>); " +
+        s"got ${df.schema(inCol).dataType.simpleString}")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists in the input schema")
     val classes = compile(className, source) // driver-side, once
+    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
     val inIdx = df.schema.fieldIndex(inCol)
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+
@@ -118,7 +150,7 @@ object JavaStage {
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       Encoders.row(outSchema)
     df.mapPartitions { it =>
-      lazy val fn = instantiate(className, classes) // per-JVM cached loader
+      lazy val fn = instantiate(className, bcClasses.value) // per-JVM cached loader
       it.map { r =>
         val in = r.getString(inIdx)
         val mapped = if (in == null) null else fn.apply(in)

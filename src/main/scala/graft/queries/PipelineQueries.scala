@@ -148,7 +148,9 @@ object PipelineQueries {
           |    return b.toString();
           |  }
           |  public String apply(String s) {
-          |    String[] w = s.split(" ");
+          |    // limit -1: KEEP trailing empty strings, matching both the
+          |    // oracle's string_split and Spark's own split() semantics
+          |    String[] w = s.split(" ", -1);
           |    return join(w) + "|" + w.length;
           |  }
           |}""".stripMargin

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.JavaStage
@@ -23,6 +22,24 @@ class JavaStageSpec extends AnyFunSuite {
         "t", "u", "Up", src)
       .orderBy("id").as[(Long, String, String)].collect().toSeq
     assert(out == Seq((1L, "ab c", "AB C"), (2L, null, null)))
+  }
+
+  test("plan-time schema checks: non-string input and outCol collision") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "x")).toDF("id", "t")
+    val src =
+      """public class Id implements java.util.function.Function<String, String> {
+        |  public String apply(String s) { return s; }
+        |}""".stripMargin
+    val e1 = intercept[IllegalArgumentException] {
+      JavaStage.stage(df, "id", "out", "Id", src)
+    }
+    assert(e1.getMessage.contains("must be STRING"))
+    val e2 = intercept[IllegalArgumentException] {
+      JavaStage.stage(df, "t", "t", "Id", src)
+    }
+    assert(e2.getMessage.contains("already exists"))
   }
 
   test("compile errors fail fast with javac line diagnostics") {
