@@ -85,8 +85,24 @@ object GraftFunctions {
   def bpe_decode(c: Column): Column =
     ColumnBridge.column(BpeDecode(ColumnBridge.expression(c)))
 
-  /** SQL registration: `SELECT poly_hash(text) FROM ...`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** SQL registration — the engine's custom expressions usable from
+    * `spark.sql` (Q1's arbitrary-SQL surface reaches them too):
+    * `poly_hash(s)`, `unicode_norm(s[, form])`, `strip_accents(s)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "unicode_norm", {
+        case Seq(e) => UnicodeNorm(e, "NFC", stripMarks = false)
+        case Seq(e, f) => UnicodeNorm(e,
+          f.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+          stripMarks = false)
+        case other => throw new IllegalArgumentException(
+          s"unicode_norm expects 1 or 2 args, got ${other.size}")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "strip_accents",
+      exprs => UnicodeNorm(exprs.head, "NFC", stripMarks = true), "scala_udf")
+  }
 }

@@ -122,9 +122,13 @@ object JavaStage {
     * tasks; public for the spec). */
   def instantiate(className: String,
       classes: Map[String, Array[Byte]]): java.util.function.Function[String, String] =
-    loaderFor(classes).loadClass(className)
-      .getDeclaredConstructor().newInstance()
+    instantiateRaw(className, classes)
       .asInstanceOf[java.util.function.Function[String, String]]
+
+  private def instantiateRaw(className: String,
+      classes: Map[String, Array[Byte]]): AnyRef =
+    loaderFor(classes).loadClass(className)
+      .getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
 
   /** The stage: compile `source` (a public class `className` implementing
     * `java.util.function.Function<String,String>`) and map `inCol` through
@@ -155,6 +159,42 @@ object JavaStage {
         val in = r.getString(inIdx)
         val mapped = if (in == null) null else fn.apply(in)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ mapped)
+      }
+    }
+  }
+
+  /** The EMIT-CALLBACK form of the script contract (the reference's JS
+    * stage emits 0..N records per input): user class implements
+    * `java.util.function.Function<String, java.util.List<String>>`; each
+    * emitted string becomes one output row alongside the input's other
+    * columns. Same compile/broadcast/loader machinery as [[stage]]; NULL
+    * input emits nothing. */
+  def flatStage(df: DataFrame, inCol: String, outCol: String,
+      className: String, source: String): DataFrame = {
+    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$inCol must be STRING; got ${df.schema(inCol).dataType.simpleString}")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists in the input schema")
+    val classes = compile(className, source)
+    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
+    val inIdx = df.schema.fieldIndex(inCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.StringType))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      lazy val fn = instantiateRaw(className, bcClasses.value)
+        .asInstanceOf[java.util.function.Function[String, java.util.List[String]]]
+      it.flatMap { r =>
+        val in = r.getString(inIdx)
+        if (in == null) Iterator.empty
+        else {
+          val base = r.toSeq
+          fn.apply(in).iterator().asScala.map(e =>
+            org.apache.spark.sql.Row.fromSeq(base :+ e))
+        }
       }
     }
   }

@@ -24,6 +24,41 @@ class JavaStageSpec extends AnyFunSuite {
     assert(out == Seq((1L, "ab c", "AB C"), (2L, null, null)))
   }
 
+  test("flatStage: user emit callback yields 0..N rows per input") {
+    val s2 = spark
+    import s2.implicits._
+    val src =
+      """public class EmitTokens
+        |    implements java.util.function.Function<String, java.util.List<String>> {
+        |  public java.util.List<String> apply(String s) {
+        |    java.util.List<String> out = new java.util.ArrayList<>();
+        |    for (String t : s.split(" ", -1)) if (t.length() > 1) out.add(t);
+        |    return out; // 0..N emits, like the reference's JS emit callback
+        |  }
+        |}""".stripMargin
+    val out = JavaStage.flatStage(
+        Seq((1L, "ab c de"), (2L, "x"), (3L, null.asInstanceOf[String]))
+          .toDF("id", "t"),
+        "t", "tok", "EmitTokens", src)
+      .select("id", "tok").orderBy("id", "tok")
+      .as[(Long, String)].collect().toSeq
+    // id 1 emits 2 rows, id 2 emits none (all short), null emits none
+    assert(out == Seq((1L, "ab"), (1L, "de")))
+  }
+
+  test("graft expressions are callable from spark.sql after register()") {
+    graft.functions.GraftFunctions.register(spark)
+    // escape-written literals: decomposed e+U+0301 in, composed U+00E9 out
+    val r = spark.sql(
+      "SELECT unicode_norm('e\u0301clair') AS n, strip_accents('e\u0301clair') AS st, " +
+        "unicode_norm('\ufb01le', 'NFKC') AS k, poly_hash('ab') AS h")
+      .collect().head
+    assert(r.getString(0) == "\u00e9clair")
+    assert(r.getString(1) == "eclair")
+    assert(r.getString(2) == "file")
+    assert(r.getLong(3) == (('a'.toLong * 31 + 'b') % 1000000007L))
+  }
+
   test("plan-time schema checks: non-string input and outCol collision") {
     val s2 = spark
     import s2.implicits._
