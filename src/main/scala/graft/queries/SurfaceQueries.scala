@@ -137,6 +137,37 @@ object SurfaceQueries {
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
         .orderBy("event_type")
     },
+    // ---- s10: WARC web-archive ingestion (sources/Warc) — documents are
+    // muxed into multi-record gzipped archives (50 records per blob, the
+    // real CommonCrawl unit-of-work shape), then parsed back through the
+    // REAL container+DEFLATE path; the oracle reconstructs every record
+    // field straight from the table, so a header-layout, length-accounting
+    // or gzip slip anywhere in the round-trip breaks the hash -------------
+    "s10_warc_roundtrip" -> { (s, dir) =>
+      import graft.sources.Warc
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      implicit val e1 = org.apache.spark.sql.Encoders.product[(Long, Long, String, String)]
+      implicit val e2 = org.apache.spark.sql.Encoders.scalaLong
+      implicit val e3 = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+      val archives = docs
+        .select(col("doc_id"), (col("doc_id") / 50).cast("long").as("arch"),
+          col("source"), col("text"))
+        .as[(Long, Long, String, String)]
+        .groupByKey(_._2)
+        .mapGroups { (arch, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, _, src, text) =>
+            Warc.Record(s"http://$src.example.com/doc/$id",
+              200 + (id % 2).toInt * 104, text)
+          }
+          (arch, Warc.writeArchive(recs, gzip = true))
+        }
+        .toDF("arch", "content")
+      Warc.readArchives(archives, "arch", "content")
+        .select(col("url"), col("status"), col("body"))
+        .orderBy("url")
+    },
     // ---- S4/multimodal: binary column + metadata + batched decode stub --
     "mm1_media_features" -> { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
@@ -755,6 +786,10 @@ object SurfaceQueries {
     "s9_csv_roundtrip" ->
       ("SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS uid_sum " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "s10_warc_roundtrip" ->
+      ("SELECT 'http://' || source || '.example.com/doc/' || doc_id AS url, " +
+        "CAST(200 + (doc_id % 2) * 104 AS INT) AS status, text AS body " +
+        "FROM documents ORDER BY url"),
     "st5_stream_dedup" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
     "st7_stream_join" ->
