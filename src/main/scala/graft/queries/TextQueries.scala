@@ -87,6 +87,30 @@ object TextQueries {
             .as("split"))
         .orderBy("doc_id")
     },
+    // ---- tx24: HTML main-content extraction — the step between WARC
+    // ingestion (s10) and the text pipeline: strip boilerplate blocks
+    // (nav/footer), flatten remaining markup to text, report the
+    // text-to-markup ratio (the classic boilerplate-density quality
+    // signal). The corpus is plain text, so the query first SYNTHESIZES
+    // the page deterministically (nav + main div with <br> breaks +
+    // footer) with the same construction on both engines — the tx22
+    // injection pattern. All narrow regex projections -------------------
+    "tx24_html_extract" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><nav>site menu doc "), col("doc_id").cast("string"),
+        lit("</nav><div class=\"main\"><p>"),
+        regexp_replace(col("text"), " the ", " the<br> "),
+        lit("</p></div><footer>(c) "), col("source"), lit("</footer></html>"))
+      val stripped = regexp_replace(
+        regexp_replace(html, "(?s)<nav>.*?</nav>", ""),
+        "(?s)<footer>.*?</footer>", "")
+      val flat = trim(regexp_replace(stripped, "<[^>]*>", " "))
+      val content = regexp_replace(flat, " +", " ")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), content.as("content"),
+          (length(content).cast("double") / length(html)).as("text_ratio"))
+        .orderBy("doc_id")
+    },
     "tx1_langid" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .withColumn("toks", tokens(col("text")))
@@ -883,6 +907,16 @@ object TextQueries {
     // tx23 is a verdict query: both audit columns must be literally 1 for
     // every document — roundtrip identity and at-least-one-merge-applied
     "tx23_bpe_roundtrip" ->
-      "SELECT doc_id, 1 AS roundtrip_ok, 1 AS did_compress FROM documents ORDER BY doc_id"
+      "SELECT doc_id, 1 AS roundtrip_ok, 1 AS did_compress FROM documents ORDER BY doc_id",
+    "tx24_html_extract" ->
+      ("WITH h AS (SELECT doc_id, '<html><nav>site menu doc ' || doc_id || " +
+        "'</nav><div class=\"main\"><p>' || replace(text, ' the ', ' the<br> ') || " +
+        "'</p></div><footer>(c) ' || source || '</footer></html>' AS html FROM documents), " +
+        "x AS (SELECT doc_id, html, regexp_replace(regexp_replace(html, " +
+        "'(?s)<nav>.*?</nav>', '', 'g'), '(?s)<footer>.*?</footer>', '', 'g') AS stripped FROM h), " +
+        "t AS (SELECT doc_id, html, trim(regexp_replace(stripped, '<[^>]*>', ' ', 'g')) AS flat FROM x) " +
+        "SELECT doc_id, regexp_replace(flat, ' +', ' ', 'g') AS content, " +
+        "CAST(length(regexp_replace(flat, ' +', ' ', 'g')) AS DOUBLE) / length(html) AS text_ratio " +
+        "FROM t ORDER BY doc_id")
   )
 }
