@@ -90,19 +90,37 @@ object GraftFunctions {
     * `poly_hash(s)`, `unicode_norm(s[, form])`, `strip_accents(s)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def arity1(name: String)(build: Expression => Expression)
+        : Seq[Expression] => Expression = {
+      case Seq(e) => build(e)
+      case other => throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${other.size}")
+    }
     reg.createOrReplaceTempFunction(
-      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+      "poly_hash", arity1("poly_hash")(PolyHash(_)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "unicode_norm", {
         case Seq(e) => UnicodeNorm(e, "NFC", stripMarks = false)
-        case Seq(e, f) => UnicodeNorm(e,
-          f.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
-          stripMarks = false)
+        case Seq(e, f) =>
+          // the form must be a STRING LITERAL — eval() on a non-foldable
+          // or non-string expression dies opaquely mid-analysis otherwise
+          val form = f match {
+            case lit if lit.foldable => lit.eval() match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case other => throw new IllegalArgumentException(
+                s"unicode_norm form must be a string literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "unicode_norm form must be a string literal (NFC/NFD/NFKC/NFKD), " +
+                "not a column or expression")
+          }
+          UnicodeNorm(e, form, stripMarks = false)
         case other => throw new IllegalArgumentException(
           s"unicode_norm expects 1 or 2 args, got ${other.size}")
       }, "scala_udf")
     reg.createOrReplaceTempFunction(
       "strip_accents",
-      exprs => UnicodeNorm(exprs.head, "NFC", stripMarks = true), "scala_udf")
+      arity1("strip_accents")(UnicodeNorm(_, "NFC", stripMarks = true)),
+      "scala_udf")
   }
 }

@@ -130,6 +130,27 @@ object JavaStage {
     loaderFor(classes).loadClass(className)
       .getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
 
+  /** Shared plan-time prologue of [[stage]]/[[flatStage]]: every misuse
+    * surfaces HERE, on the driver, before any Spark job — the stage's
+    * whole error contract (like the compile diagnostics). */
+  private def prologue(df: DataFrame, inCol: String, outCol: String,
+      className: String, source: String)
+      : (org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]], Int,
+         org.apache.spark.sql.Encoder[org.apache.spark.sql.Row]) = {
+    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$inCol must be STRING (the user mapper consumes String); " +
+        s"got ${df.schema(inCol).dataType.simpleString}")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists in the input schema")
+    val classes = compile(className, source) // driver-side, once
+    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.StringType))
+    (bcClasses, df.schema.fieldIndex(inCol), Encoders.row(outSchema))
+  }
+
   /** The stage: compile `source` (a public class `className` implementing
     * `java.util.function.Function<String,String>`) and map `inCol` through
     * it as `outCol`. Compile errors surface at PLAN time on the driver with
@@ -137,22 +158,8 @@ object JavaStage {
     * contract: null in → null out, the user function never sees it. */
   def stage(df: DataFrame, inCol: String, outCol: String,
       className: String, source: String): DataFrame = {
-    // every misuse surfaces HERE, on the driver, before any Spark job —
-    // the stage's whole error contract (like the compile diagnostics)
-    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
-      s"$inCol must be STRING (the user mapper is Function<String,String>); " +
-        s"got ${df.schema(inCol).dataType.simpleString}")
-    require(!df.columns.contains(outCol),
-      s"output column $outCol already exists in the input schema")
-    val classes = compile(className, source) // driver-side, once
-    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
-    val inIdx = df.schema.fieldIndex(inCol)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+
-        org.apache.spark.sql.types.StructField(outCol,
-          org.apache.spark.sql.types.StringType))
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      Encoders.row(outSchema)
+    val (bcClasses, inIdx, enc0) = prologue(df, inCol, outCol, className, source)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] = enc0
     df.mapPartitions { it =>
       lazy val fn = instantiate(className, bcClasses.value) // per-JVM cached loader
       it.map { r =>
@@ -171,28 +178,20 @@ object JavaStage {
     * input emits nothing. */
   def flatStage(df: DataFrame, inCol: String, outCol: String,
       className: String, source: String): DataFrame = {
-    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
-      s"$inCol must be STRING; got ${df.schema(inCol).dataType.simpleString}")
-    require(!df.columns.contains(outCol),
-      s"output column $outCol already exists in the input schema")
-    val classes = compile(className, source)
-    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
-    val inIdx = df.schema.fieldIndex(inCol)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+
-        org.apache.spark.sql.types.StructField(outCol,
-          org.apache.spark.sql.types.StringType))
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      Encoders.row(outSchema)
+    val (bcClasses, inIdx, enc0) = prologue(df, inCol, outCol, className, source)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] = enc0
     df.mapPartitions { it =>
       lazy val fn = instantiateRaw(className, bcClasses.value)
         .asInstanceOf[java.util.function.Function[String, java.util.List[String]]]
       it.flatMap { r =>
         val in = r.getString(inIdx)
-        if (in == null) Iterator.empty
+        // null input OR a null returned list = 0 emits (emit-callback
+        // style commonly returns null to mean "skip")
+        val emitted = if (in == null) null else fn.apply(in)
+        if (emitted == null) Iterator.empty
         else {
           val base = r.toSeq
-          fn.apply(in).iterator().asScala.map(e =>
+          emitted.iterator().asScala.map(e =>
             org.apache.spark.sql.Row.fromSeq(base :+ e))
         }
       }

@@ -28,10 +28,16 @@ object Warc {
 
   final case class Record(url: String, status: Int, body: String)
 
-  /** Serialize records into one (optionally gzipped) WARC archive blob. */
+  /** Serialize records into one (optionally gzipped) WARC archive blob.
+    * Writer-side misuse fails HERE with a clear message — a CR/LF in the
+    * url would inject header lines and silently corrupt the framing for
+    * every subsequent record. */
   def writeArchive(records: Seq[Record], gzip: Boolean): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     records.foreach { r =>
+      require(r.url != null && !r.url.exists(c => c == '\r' || c == '\n'),
+        s"url must be non-null without CR/LF: ${r.url}")
+      require(r.body != null, s"body must be non-null (url ${r.url})")
       val body = r.body.getBytes(UTF_8)
       val header =
         s"WARC/1.0\r\n" +
@@ -85,7 +91,9 @@ object Warc {
         .map(_.split(": ", 2)).collect { case Array(k, v) => k -> v }.toMap
       val len = fields.get("Content-Length").flatMap(_.toIntOption).getOrElse(-1)
       val bodyStart = headEnd + 4
-      if (len < 0 || bodyStart + len > raw.length)
+      // overflow-safe: a crafted Content-Length near Int.MaxValue must hit
+      // the truncation path, not wrap negative and blow past the guard
+      if (len < 0 || len > raw.length - bodyStart)
         return Some(records.result()) // truncated body: drop trailing record
       records += Record(
         fields.getOrElse("WARC-Target-URI", ""),
@@ -114,6 +122,9 @@ object Warc {
 
   /** One archive blob row → 0..N typed record rows; narrow flatMap. */
   def readArchives(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    require(df.schema(contentCol).dataType == BinaryType,
+      s"$contentCol must be BINARY (archive blobs); " +
+        s"got ${df.schema(contentCol).dataType.simpleString}")
     val src = df.select(col(idCol), col(contentCol))
     val idField = src.schema.head
     implicit val enc: org.apache.spark.sql.Encoder[Row] =

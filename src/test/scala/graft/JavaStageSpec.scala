@@ -44,6 +44,15 @@ class JavaStageSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     // id 1 emits 2 rows, id 2 emits none (all short), null emits none
     assert(out == Seq((1L, "ab"), (1L, "de")))
+
+    // a user function returning NULL (emit-callback "skip") = 0 emits
+    val nullSrc =
+      """public class NullSkip
+        |    implements java.util.function.Function<String, java.util.List<String>> {
+        |  public java.util.List<String> apply(String s) { return null; }
+        |}""".stripMargin
+    assert(JavaStage.flatStage(Seq((1L, "x")).toDF("id", "t"),
+      "t", "o", "NullSkip", nullSrc).count() === 0)
   }
 
   test("graft expressions are callable from spark.sql after register()") {
@@ -57,6 +66,17 @@ class JavaStageSpec extends AnyFunSuite {
     assert(r.getString(1) == "eclair")
     assert(r.getString(2) == "file")
     assert(r.getLong(3) == (('a'.toLong * 31 + 'b') % 1000000007L))
+    // arity and literal-form misuse fail with clear messages, not silently
+    assert(intercept[Exception](spark.sql("SELECT poly_hash('a','b')").collect())
+      .getMessage.contains("exactly 1 argument"))
+    // non-foldable form arg (rand() is non-deterministic) -> clear error
+    assert(intercept[Exception](
+        spark.sql("SELECT unicode_norm('a', CAST(rand() AS STRING))").collect())
+      .getMessage.contains("string literal"))
+    // foldable-but-invalid form name surfaces the enum error at plan time
+    assert(intercept[Exception](
+        spark.sql("SELECT unicode_norm('a', 'nfc')").collect())
+      .getMessage.contains("No enum constant"))
   }
 
   test("plan-time schema checks: non-string input and outCol collision") {

@@ -32,6 +32,21 @@ class WarcSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.head == recs.head && got.size < recs.size)
   }
 
+  test("crafted Content-Length near Int.MaxValue hits the truncation path, not overflow") {
+    val evil = ("WARC/1.0\r\nWARC-Target-URI: http://x\r\n" +
+      "Content-Length: 2147483647\r\n\r\nshort").getBytes
+    assert(Warc.parseArchive(evil).contains(Seq.empty)) // truncated, no throw
+  }
+
+  test("writer rejects CR/LF urls and null bodies at write time") {
+    assert(intercept[IllegalArgumentException](
+      Warc.writeArchive(Seq(Warc.Record("http://x\r\nInjected: 1", 200, "b")),
+        gzip = false)).getMessage.contains("CR/LF"))
+    assert(intercept[IllegalArgumentException](
+      Warc.writeArchive(Seq(Warc.Record("http://x", 200, null)), gzip = false))
+      .getMessage.contains("non-null"))
+  }
+
   test("garbage, NULL, and corrupt gzip are unparseable (None), never throw") {
     assert(Warc.parseArchive(null).isEmpty)
     assert(Warc.parseArchive("not a warc at all".getBytes).isEmpty)
