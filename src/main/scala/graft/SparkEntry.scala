@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.SurfaceQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.SurfaceQueries.oracle ++
       graft.queries.GraphQueries.oracle ++
       graft.queries.OpsQueries.oracle ++
-      graft.queries.AnalyticsQueries.oracle
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

@@ -101,6 +101,33 @@ object AnalyticsQueries {
       graft.ops.RollingAnomaly.zScores(daily)
         .orderBy("event_type", "day_us")
     },
+    // ---- ts6: EWMA smoothing over the ts3 daily series — the trend
+    // baseline next to ts3's z-score gate. adjust=true form over a
+    // 14-row window: ewma_t = Σ_j (1-α)^j·x_{t-j} / Σ_j (1-α)^j. α is
+    // DELIBERATELY 1/2: every weight is a power of two (exact dyadic
+    // double — verified pow(0.5,k) == 2^-k in both engines), products
+    // against integer-valued counts are exponent shifts, and both engines
+    // fold the window list sequentially left-to-right — so the doubles are
+    // BIT-IDENTICAL cross-engine and the result hash-matches with no
+    // DECIMAL rounding (ts3's exact-integer-sums trick, extended to
+    // exponential weights). Scale shape: same single (type, day) shuffle
+    // as ts3; the window list holds ≤ 14 doubles per row ------------------
+    "ts6_ewma" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day_us")
+        .rowsBetween(-13, org.apache.spark.sql.expressions.Window.currentRow)
+      daily
+        .withColumn("xs", collect_list(col("n").cast("double")).over(w))
+        .withColumn("ewma", expr(
+          "aggregate(transform(xs, (x, i) -> x * pow(0.5D, size(xs) - 1 - i)), " +
+            "0D, (a, b) -> a + b) / (2.0D - pow(0.5D, size(xs) - 1))"))
+        .select(col("event_type"), col("day_us"), col("n"), col("ewma"))
+        .orderBy("event_type", "day_us")
+    },
     // ---- sequential-conversion funnel: first click, first purchase
     // within 24h after it, first signup within 24h after that; keys keep
     // nulls from their first missed step (150 -> 67 -> 19 at sf0.01) ------
@@ -426,6 +453,19 @@ object AnalyticsQueries {
         "CASE WHEN varr > 0.0 THEN (n - mu) / sqrt(varr) ELSE 0.0 END AS z, " +
         "CASE WHEN varr > 0.0 THEN abs((n - mu) / sqrt(varr)) > 2.0 ELSE FALSE END AS is_anomaly " +
         "FROM zs ORDER BY event_type, day_us"),
+    // same dyadic-exact fold: list() ordered by the window frame, 1-based
+    // list_transform index (len-i) mirrors the engine's 0-based size-1-i;
+    // list_reduce's implicit first-element seed equals the engine's 0D+x0
+    "ts6_ewma" ->
+      ("WITH daily AS (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "win AS (SELECT event_type, day_us, n, list(CAST(n AS DOUBLE)) OVER w AS xs " +
+        "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_us " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, day_us, n, " +
+        "list_reduce(list_transform(xs, (x, i) -> x * pow(0.5, len(xs) - i)), " +
+        "(a, b) -> a + b) / (2.0 - pow(0.5, len(xs) - 1)) AS ewma " +
+        "FROM win ORDER BY event_type, day_us"),
     "fn1_funnel" ->
       ("WITH c AS (SELECT user_id, min(epoch_us(ts)) AS t_click FROM events " +
         "WHERE event_type = 'click' GROUP BY user_id), " +

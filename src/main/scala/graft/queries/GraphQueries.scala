@@ -278,6 +278,17 @@ object GraphQueries {
       graft.graph.LabelProp.propagate(coServiceEdges(s, dir), iters = 2)
         .orderBy("node")
     },
+    // ---- g17: k-core decomposition over the same co-service graph —
+    // iterative peeling to the unique fixpoint (KCore); the emitted in-core
+    // degree column is the certificate (min over it is ≥ k by definition).
+    // Oracle = a recursive CTE carrying the survivor set as ONE list-typed
+    // row per round (DuckDB's single-recursive-reference rule forbids the
+    // two endpoint joins otherwise), unrolled past convergence ------------
+    "g17_kcore" -> { (s, dir) =>
+      graft.graph.KCore.kCore(coServiceEdges(s, dir), k = 5)
+        .withColumnRenamed("deg", "core_deg")
+        .orderBy("node")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -452,6 +463,30 @@ object GraphQueries {
         "max(l_extendedprice) AS price, CAST(count(*) AS BIGINT) AS n " +
         "FROM lineitem l LEFT JOIN alias a ON 'o' || l.l_orderkey = a.cand_id " +
         "GROUP BY 2, 3 ORDER BY src, dst"),
+    // k-core peel as a recursive CTE: each round is ONE row (i, [survivor
+    // list]) because DuckDB allows a single reference to the recursive
+    // table and the degree test needs the survivor set on BOTH endpoints;
+    // 30 rounds is far past this graph's peeling depth, and the final
+    // round's set is the fixpoint the engine's converged loop returns
+    "g17_kcore" ->
+      ("WITH RECURSIVE " +
+        "li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+        "peel(i, vs) AS (" +
+        "SELECT 0, list(DISTINCT u ORDER BY u) FROM e " +
+        "UNION ALL " +
+        "SELECT i + 1, (" +
+        "WITH cur AS (SELECT unnest(vs) AS x), " +
+        "deg AS (SELECT e.u, count(*) AS d FROM e " +
+        "JOIN cur c1 ON e.u = c1.x JOIN cur c2 ON e.v = c2.x GROUP BY e.u) " +
+        "SELECT COALESCE(list(u ORDER BY u), []) FROM deg WHERE d >= 5" +
+        ") FROM peel WHERE i < 30), " +
+        "core AS (SELECT unnest(vs) AS node FROM peel WHERE i = 30) " +
+        "SELECT e.u AS node, count(*) AS core_deg FROM e " +
+        "JOIN core c1 ON e.u = c1.node JOIN core c2 ON e.v = c2.node " +
+        "GROUP BY e.u ORDER BY node"),
     "reg1_bucket_registry" ->
       ("SELECT '/buckets/' || lower(r_name) AS full_name, " +
         "'buckets_' || replace(lower(r_name), ' ', '_') AS signature, " +

@@ -168,6 +168,34 @@ object SurfaceQueries {
         .select(col("url"), col("status"), col("body"))
         .orderBy("url")
     },
+    // ---- S4/sources: ZIP document-bundle round-trip (s11) — 50 docs per
+    // archive through the REAL java.util.zip DEFLATE encoder + streaming
+    // local-header walk (Zips), per-entry CRC verified. The oracle
+    // recomputes name/size/body straight from the table, so an entry-
+    // framing, DEFLATE, or UTF-8 slip anywhere breaks the hash -----------
+    "s11_zip_roundtrip" -> { (s, dir) =>
+      import graft.sources.Zips
+      implicit val e1 = org.apache.spark.sql.Encoders.product[(Long, Long, String, String)]
+      implicit val e2 = org.apache.spark.sql.Encoders.scalaLong
+      implicit val e3 = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+      val archives = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") / 50).cast("long").as("arch"),
+          col("source"), col("text"))
+        .as[(Long, Long, String, String)]
+        .groupByKey(_._2)
+        .mapGroups { (arch, it) =>
+          val entries = it.toSeq.sortBy(_._1).map { case (id, _, src, text) =>
+            Zips.Entry(s"$src/$id.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          (arch, Zips.writeZip(entries))
+        }
+        .toDF("arch", "content")
+      Zips.readZips(archives, "arch", "content")
+        .select(col("entry_name"), col("n_bytes"), col("body"))
+        .orderBy("entry_name")
+    },
     // ---- S4/multimodal: binary column + metadata + batched decode stub --
     "mm1_media_features" -> { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
@@ -790,6 +818,11 @@ object SurfaceQueries {
       ("SELECT 'http://' || source || '.example.com/doc/' || doc_id AS url, " +
         "CAST(200 + (doc_id % 2) * 104 AS INT) AS status, text AS body " +
         "FROM documents ORDER BY url"),
+    // strlen = BYTE length (UTF-8), matching the decompressed entry size
+    "s11_zip_roundtrip" ->
+      ("SELECT source || '/' || doc_id || '.txt' AS entry_name, " +
+        "CAST(strlen(text) AS BIGINT) AS n_bytes, text AS body " +
+        "FROM documents ORDER BY entry_name"),
     "st5_stream_dedup" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
     "st7_stream_join" ->
