@@ -102,29 +102,15 @@ object AnalyticsQueries {
         .orderBy("event_type", "day_us")
     },
     // ---- ts6: EWMA smoothing over the ts3 daily series — the trend
-    // baseline next to ts3's z-score gate. adjust=true form over a
-    // 14-row window: ewma_t = Σ_j (1-α)^j·x_{t-j} / Σ_j (1-α)^j. α is
-    // DELIBERATELY 1/2: every weight is a power of two (exact dyadic
-    // double — verified pow(0.5,k) == 2^-k in both engines), products
-    // against integer-valued counts are exponent shifts, and both engines
-    // fold the window list sequentially left-to-right — so the doubles are
-    // BIT-IDENTICAL cross-engine and the result hash-matches with no
-    // DECIMAL rounding (ts3's exact-integer-sums trick, extended to
-    // exponential weights). Scale shape: same single (type, day) shuffle
-    // as ts3; the window list holds ≤ 14 doubles per row ------------------
+    // baseline next to ts3's z-score gate; the dyadic-exact α=1/2 math and
+    // its bit-identical cross-engine argument live in [[graft.ops.Ewma]]
+    // (the module st16 reuses on a stream, ST4 contract) ------------------
     "ts6_ewma" -> { (s, dir) =>
       val daily = Tables.t(s, dir, "events")
         .groupBy(col("event_type"),
           unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
         .agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("day_us")
-        .rowsBetween(-13, org.apache.spark.sql.expressions.Window.currentRow)
-      daily
-        .withColumn("xs", collect_list(col("n").cast("double")).over(w))
-        .withColumn("ewma", expr(
-          "aggregate(transform(xs, (x, i) -> x * pow(0.5D, size(xs) - 1 - i)), " +
-            "0D, (a, b) -> a + b) / (2.0D - pow(0.5D, size(xs) - 1))"))
+      graft.ops.Ewma.smooth(daily)
         .select(col("event_type"), col("day_us"), col("n"), col("ewma"))
         .orderBy("event_type", "day_us")
     },
@@ -365,6 +351,85 @@ object AnalyticsQueries {
             <= lit(0.05) * col("exact")).cast("int").as("within_bound"))
       typed.unionByName(merged).orderBy("event_type")
     },
+    // ---- approx4: count-min sketch (Cormode & Muthukrishnan 2005) —
+    // the mergeable point-query sketch next to approx3's HLL. The sketch
+    // IS a (d=4 rows × w=8 buckets) aggregate table: one explode over the
+    // d hash rows + a map-side-combined count, so every partition
+    // contributes ≤ d·w partial counters and the shuffle is CONSTANT-size
+    // regardless of corpus — the merge step of a distributed CMS is
+    // exactly Spark's partial aggregation. w is deliberately tiny (vocab
+    // 31 > 8 buckets) so estimates genuinely OVER-count: the oracle
+    // replicates the full sketch math (same md5 row-salted hashes), so a
+    // hash, bucketing, or min-over-rows slip changes est and breaks the
+    // hash; ge_exact pins the one-sided CMS guarantee ---------------------
+    "approx4_countmin" -> { (s, dir) =>
+      import graft.dedup.TextDedup.md5Int
+      val (d, w) = (4, 8)
+      val probes = Seq("the", "spark", "join", "vector", "data", "a",
+        "zzz_absent", "model")
+      val rows = array((0 until d).map(lit): _*)
+      val tok = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+      val sketch = tok.select(explode(rows).as("i"), col("t"))
+        .select(col("i"),
+          (md5Int(concat(col("i").cast("string"), lit(":"), col("t"))) % w).as("b"))
+        .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+      val probeDf = s.createDataFrame(probes.map(Tuple1(_))).toDF("p")
+      val est = probeDf.select(col("p"), explode(rows).as("i"))
+        .withColumn("b",
+          md5Int(concat(col("i").cast("string"), lit(":"), col("p"))) % w)
+        .join(sketch, Seq("i", "b"), "left")
+        .groupBy("p").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      val exact = tok.filter(col("t").isin(probes: _*))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      est.join(exact.withColumnRenamed("t", "p"), Seq("p"), "left")
+        .select(col("p").as("token"), col("est"),
+          coalesce(col("c"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("c"), lit(0L))).cast("int").as("ge_exact"))
+        .orderBy("token")
+    },
+    // ---- approx5: theta-sketch SET OPERATIONS (the sketch family's
+    // distinguishing capability vs HLL: intersection and difference
+    // cardinalities, not just union) — distinct click-users ∩/∪/\
+    // purchase-users via Spark 4's native theta_* expressions, each
+    // verdict-checked against the exact set algebra (approx3 pattern: the
+    // oracle writes literal 1s, a sketch regression breaks the hash).
+    // Scale shape: sketches are bounded-size binary aggregates with
+    // map-side partial merge; the exact side is two co-keyed distincts
+    // (the audit cost, same trade as dd2_poly) ----------------------------
+    "approx5_theta_setops" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      val sk = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val ests = sk.agg(
+        expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("est_inter"),
+        expr("theta_sketch_estimate(theta_union_agg(sk))").as("est_union"),
+        // pairwise op needs the two sketches side by side; first() over the
+        // when()-masked column is deterministic here (exactly one non-null)
+        expr("theta_sketch_estimate(theta_difference(" +
+          "first(CASE WHEN event_type = 'click' THEN sk END, true), " +
+          "first(CASE WHEN event_type = 'purchase' THEN sk END, true)))")
+          .as("est_diff"))
+      val exacts = clicks.intersect(purch).agg(count(lit(1)).as("ex_inter"))
+        .crossJoin(clicks.union(purch).distinct()
+          .agg(count(lit(1)).as("ex_union")))
+        .crossJoin(clicks.except(purch).agg(count(lit(1)).as("ex_diff")))
+      val bound = (est: org.apache.spark.sql.Column,
+          ex: org.apache.spark.sql.Column) =>
+        (abs(est.cast("double") - ex) <= lit(0.05) * ex).cast("int")
+      ests.crossJoin(broadcast(exacts))
+        .select(
+          bound(col("est_inter"), col("ex_inter")).as("inter_ok"),
+          bound(col("est_union"), col("ex_union")).as("union_ok"),
+          bound(col("est_diff"), col("ex_diff")).as("diff_ok"))
+        .withColumn("op", lit("click_purchase_users"))
+        .select("op", "inter_ok", "union_ok", "diff_ok")
+    },
     // ---- ts5: population-stability-index drift between consecutive days'
     // event-type distributions — the standard ML-serving drift statistic.
     // Laplace-smoothed shares over the full day×type grid (so a type
@@ -533,6 +598,28 @@ object AnalyticsQueries {
       ("SELECT event_type, 1 AS within_bound FROM " +
         "(SELECT DISTINCT event_type FROM events " +
         "UNION ALL SELECT '__ALL__' AS event_type) ORDER BY event_type"),
+    // verdict query (approx3 pattern): literal 1s — any estimate drifting
+    // past 5% of the exact set-algebra answer breaks the hash
+    "approx5_theta_setops" ->
+      ("SELECT 'click_purchase_users' AS op, 1 AS inter_ok, 1 AS union_ok, " +
+        "1 AS diff_ok"),
+    // full CMS replica: same row-salted md5 buckets, same min-over-rows —
+    // est is the SKETCH's answer on both sides, not the exact count
+    "approx4_countmin" -> {
+      val h = (x: String) => DedupQueries.md5IntSql(x) + " % 8"
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "h AS (SELECT i, " + h("i::VARCHAR || ':' || t") + " AS b, count(*) AS cnt " +
+        "FROM tok, unnest(generate_series(0, 3)) AS g(i) GROUP BY 1, 2), " +
+        "probes(p) AS (VALUES ('the'),('spark'),('join'),('vector'),('data'),('a'),('zzz_absent'),('model')), " +
+        "pb AS (SELECT p, i, " + h("i::VARCHAR || ':' || p") + " AS b " +
+        "FROM probes, unnest(generate_series(0, 3)) AS g(i)), " +
+        "est AS (SELECT p, min(COALESCE(h.cnt, 0)) AS est FROM pb " +
+        "LEFT JOIN h ON h.i = pb.i AND h.b = pb.b GROUP BY p), " +
+        "ex AS (SELECT t, count(*) AS c FROM tok GROUP BY t) " +
+        "SELECT p AS token, est, COALESCE(c, 0) AS exact, " +
+        "CAST(est >= COALESCE(c, 0) AS INT) AS ge_exact " +
+        "FROM est LEFT JOIN ex ON est.p = ex.t ORDER BY token"
+    },
     "ts5_psi_drift" ->
       ("WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
         "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +

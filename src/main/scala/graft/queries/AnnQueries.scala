@@ -108,6 +108,36 @@ object AnnQueries {
               graft.functions.VectorFunctions.norm(col("dq"))) >= 0.9995)
             .cast("int").as("within_bound"))
         .orderBy("vec_id")
+    },
+    // ---- fe1: per-dimension standardization (z-score) — the feature-
+    // normalization step upstream of every distance-based op (kmeans/IVF
+    // assume comparable dim scales). Determinism without rounding: each
+    // float→double element is exact, per-dim Σv and Σv² are summed in
+    // DECIMAL(28,12) (order-free), and mean/var/sigma/z are then the
+    // identical correctly-rounded IEEE expression tree on both engines —
+    // the tx21/ts5 exact-sum regime applied to floats. Scale shape: stats
+    // are a |dims|-row aggregate broadcast back onto a narrow projection;
+    // dims are pruned BEFORE the explode-aggregate so only 4 of 64
+    // elements per vector ever shuffle. Output restricted to vec_id < 50
+    // to keep the dump small; the stats see every row ---------------------
+    "fe1_embed_standardize" -> { (s, dir) =>
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val x = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .filter(col("pos") < 4)
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("double").as("v"))
+      val st = x.groupBy("dim").agg(count(lit(1)).as("n"),
+        sum(col("v").cast(d28)).cast("double").as("s1"),
+        sum((col("v") * col("v")).cast(d28)).cast("double").as("s2"))
+      val mu = st.select(col("dim"), (col("s1") / col("n")).as("mu"),
+        sqrt(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n"))).as("sigma"))
+      x.filter(col("vec_id") < 50).join(broadcast(mu), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(col("sigma") > 0, (col("v") - col("mu")) / col("sigma"))
+            .otherwise(lit(0.0)).as("z"))
+        .orderBy("vec_id", "dim")
     }
   )
 
@@ -182,6 +212,19 @@ object AnnQueries {
     // pins within_bound to literal 1 per vector — any quantization
     // regression on the Spark side breaks the hash
     "ann6_int8_quant" ->
-      "SELECT vec_id, 1 AS within_bound FROM embeddings ORDER BY vec_id"
+      "SELECT vec_id, 1 AS within_bound FROM embeddings ORDER BY vec_id",
+    // same DECIMAL(28,12) exact sums; 1-based generate_series(1,4)
+    // mirrors the engine's 0-based pos filter + pos+1 rename
+    "fe1_embed_standardize" ->
+      ("WITH x AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v " +
+        "FROM embeddings, unnest(generate_series(1, 4)) AS g(i)), " +
+        "st AS (SELECT dim, count(*) AS n, " +
+        "CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS s2 FROM x GROUP BY dim), " +
+        "mu AS (SELECT dim, s1 / n AS mu, " +
+        "sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM st) " +
+        "SELECT vec_id, x.dim AS dim, " +
+        "CASE WHEN sigma > 0 THEN (v - mu) / sigma ELSE 0.0 END AS z " +
+        "FROM x JOIN mu ON x.dim = mu.dim WHERE vec_id < 50 ORDER BY vec_id, dim")
   )
 }

@@ -88,6 +88,29 @@ object CurationQueries {
           col("r").cast(DecimalType(18, 6)).cast("double").as("keep_rate"))
         .orderBy("doc_id")
     },
+    // ---- pp6: domain blocklist + per-domain cap — the C4-style web-corpus
+    // hygiene step between WARC ingestion (s10) and text curation: parse
+    // the host out of each document's URL, drop blocklisted domains, and
+    // keep at most 10 docs per surviving domain (md5 order, deterministic —
+    // over-crawled hosts can't dominate the mix). Scale shape: host
+    // extraction is a narrow regexp projection, the blocklist is a literal
+    // broadcast predicate, and the cap is one window sort PER DOMAIN (the
+    // partition key), never a global sort -------------------------------
+    "pp6_domain_cap" -> { (s, dir) =>
+      val blocked = Seq("src3.example.com", "src7.example.com")
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("url", concat(lit("http://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id")))
+      docs
+        .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+        .filter(!col("host").isin(blocked: _*))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("host")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("host"), col("rn"))
+        .orderBy("host", "rn")
+    },
     // ---- pp5: exact stratified sample — precisely k docs per stratum,
     // chosen by md5 order (deterministic, uniform, stable under corpus
     // growth ONLY for the retained prefix — unlike pp4's rate filter this
@@ -139,6 +162,18 @@ object CurationQueries {
         "FROM documents d JOIN rates USING (lang) " +
         "WHERE " + md5IntSql("CAST(doc_id AS VARCHAR)") +
         " % 1000000 < CAST(floor(r * 1000000) AS BIGINT) ORDER BY doc_id"),
+    // same regexp host parse (identical RE2-compatible pattern), same md5
+    // cap order
+    "pp6_domain_cap" ->
+      ("WITH u AS (SELECT doc_id, 'http://' || source || '.example.com/doc/' || doc_id AS url " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)/', 1) AS host FROM u " +
+        "WHERE regexp_extract(url, '^https?://([^/]+)/', 1) " +
+        "NOT IN ('src3.example.com', 'src7.example.com')) " +
+        "SELECT doc_id, host, CAST(rn AS INT) AS rn FROM (" +
+        "SELECT doc_id, host, row_number() OVER (PARTITION BY host " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM h) " +
+        "WHERE rn <= 10 ORDER BY host, rn"),
     "pp5_stratified_sample" ->
       ("SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (" +
         "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +

@@ -473,6 +473,24 @@ object SurfaceQueries {
             unix_micros(col("window.start")).as("day_us"), col("n")))
         .orderBy("event_type", "day_us")
     },
+    // ---- ST4 module reuse, trend edition: the SAME Ewma module as batch
+    // ts6 applied to a watermarked streaming daily aggregate (st14's shape
+    // with RollingAnomaly swapped for Ewma) — batch/stream parity for the
+    // smoothing baseline, state watermark-bounded, partitions pinned ------
+    "st16_stream_ewma" -> { (s, dir) =>
+      val raw = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      val withTs = Tables.normalizeTs(raw)
+      val daily = Streams.runWindowedAgg(withTs, df =>
+          df.withWatermark("ts", "1 day")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n")),
+          statePartitions = Some(8))
+      graft.ops.Ewma.smooth(
+          daily.select(col("event_type"),
+            unix_micros(col("window.start")).as("day_us"), col("n")))
+        .orderBy("event_type", "day_us")
+    },
     // ---- stream-stream interval join: click → purchase conversions within
     // an hour, watermark-bounded join state on both sides
     "st7_stream_join" -> { (s, dir) =>
@@ -886,6 +904,9 @@ object SurfaceQueries {
         "ORDER BY wstart, rank"),
     // the stream aggregates what ts3's batch groupBy aggregates, and the
     // scoring module is shared verbatim — so is the oracle
-    "st14_stream_anomaly" -> AnalyticsQueries.oracle("ts3_rolling_anomaly")
+    "st14_stream_anomaly" -> AnalyticsQueries.oracle("ts3_rolling_anomaly"),
+    // batch/stream parity by construction: same module, same oracle (the
+    // st14 convention applied to ts6)
+    "st16_stream_ewma" -> AnalyticsQueries.oracle("ts6_ewma")
   )
 }
