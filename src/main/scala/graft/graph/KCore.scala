@@ -48,16 +48,22 @@ object KCore {
     var cur = chan(und.select(col("u").as("node")).distinct())
     var n = cur.count()
     var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds && n > 0) {
+    var converged = n == 0
+    while (!converged && rounds < maxRounds) {
       val next = chan(degreesWithin(cur).filter(col("deg") >= k)
         .select("node"))
       val m = next.count()
-      converged = m == n
+      converged = m == n || m == 0
       cur = next
       n = m
       rounds += 1
     }
+    // a silent partial peel would return vertices whose deg column
+    // violates the ≥ k certificate — fail loudly instead (a path graph
+    // peels 2 nodes/round, so deep chains CAN exhaust small maxRounds)
+    if (!converged) sys.error(
+      s"KCore: no fixpoint after $maxRounds rounds ($n survivors, still " +
+        "shrinking) — raise maxRounds; a partial peel is not a k-core")
     // final pass re-derives the in-core degree so callers get the
     // certificate column (every deg is ≥ k by construction at fixpoint)
     degreesWithin(cur)

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{CRC32, ZipEntry, ZipInputStream, ZipOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -52,9 +52,11 @@ object Zips {
 
   /** Parse one ZIP blob. Entries before a corruption point are returned;
     * None when the blob is NULL/garbage (no parseable entry). Directory
-    * entries are skipped. Each entry's CRC32 is recomputed and verified
-    * against the stored value when the header carries one — a silent
-    * DEFLATE slip surfaces as a dropped entry, not corrupt text. */
+    * entries are skipped. CRC32 integrity is `ZipInputStream`'s own:
+    * it verifies each entry's stored CRC at entry end and throws, so a
+    * DEFLATE slip drops the corrupt entry AND everything after it (the
+    * stream position is unrecoverable) — same truncation contract as a
+    * physically cut archive. */
   def parseZip(bytes: Array[Byte]): Option[Seq[Entry]] = {
     if (bytes == null || bytes.length < 4) return None
     val out = Seq.newBuilder[Entry]
@@ -68,15 +70,12 @@ object Zips {
           val buf = new Array[Byte](8192)
           var n = zis.read(buf)
           while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
-          val body = bos.toByteArray
-          val crcOk = e.getCrc < 0 || {
-            val c = new CRC32(); c.update(body); c.getValue == e.getCrc
-          }
-          if (crcOk) { out += Entry(e.getName, body); any = true }
+          out += Entry(e.getName, bos.toByteArray)
+          any = true
         }
         e = zis.getNextEntry
       }
-    } catch { case _: Exception => /* truncated: keep what parsed */ }
+    } catch { case _: Exception => /* truncated/corrupt: keep what parsed */ }
     if (any) Some(out.result()) else None
   }
 

@@ -55,6 +55,15 @@ class KCoreSpec extends AnyFunSuite {
     assert(run(Seq((1L, 2L), (2L, 3L)), 2).isEmpty)
   }
 
+  test("exhausting maxRounds before the fixpoint fails loudly, never returns a partial peel") {
+    // a path peels one endpoint pair per round: 12 nodes need 5 rounds at
+    // k=2 to drain; maxRounds=2 must throw, not return mid-peel survivors
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val e = intercept[RuntimeException](
+      KCore.kCore(edgesDf(path), k = 2, maxRounds = 2).collect())
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
   test("matches brute-force sequential peeling on a generated graph, " +
     "and every in-core degree is ≥ k") {
     // deterministic pseudo-random sparse graph on 40 nodes

@@ -36,11 +36,21 @@ class ZipSpec extends AnyFunSuite {
 
   test("truncated archive keeps complete leading entries, drops the tail") {
     val full = Zips.writeZip(entries)
-    // cut before the central directory AND inside entry 2's data
-    val cut = java.util.Arrays.copyOf(full, 40)
-    val got = Zips.parseZip(cut)
-    // either the first entry parsed, or nothing did (None) — never a throw
-    assert(got.forall(es => es.sizeIs <= entries.size))
+    // cut at every length: whatever parses must be an exact prefix of the
+    // original entries, byte-for-byte — and some cut must yield a strictly
+    // partial (non-empty, non-total) parse
+    var sawPartial = false
+    for (len <- 1 until full.length) {
+      val got = Zips.parseZip(java.util.Arrays.copyOf(full, len))
+        .getOrElse(Seq.empty)
+      assert(got.sizeIs <= entries.size, s"len=$len")
+      got.zip(entries).foreach { case (g, e) =>
+        assert(g.name == e.name && java.util.Arrays.equals(g.body, e.body),
+          s"len=$len entry ${e.name}")
+      }
+      if (got.nonEmpty && got.size < entries.size) sawPartial = true
+    }
+    assert(sawPartial, "no cut produced a partial parse — test is vacuous")
   }
 
   test("garbage and NULL are unparseable (None), never throw") {
