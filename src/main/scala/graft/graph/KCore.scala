@@ -68,4 +68,50 @@ object KCore {
     // certificate column (every deg is ≥ k by construction at fixpoint)
     degreesWithin(cur)
   }
+
+  /** The full peeling TRAJECTORY for `k`: every vertex with the round
+    * (1-based) in which the synchronous peel removed it, `-1` for k-core
+    * survivors. Strictly stronger than [[kCore]]'s membership certificate —
+    * the layer sequence pins every intermediate survivor set, so an
+    * off-by-one-round bug that still converges to the right core is
+    * caught. Same per-round shape as [[kCore]] plus one anti-join (the
+    * removed set, appended to a channel-truncated accumulator). */
+  def peelLayers(edges: DataFrame, k: Int, maxRounds: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val trunc = new graft.ops.IterTrunc(edges.sparkSession, checkpointDir,
+      "kcore-layers")
+    val und = trunc.pin(edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v"))))
+    val chan = trunc.channel()
+    val layerChan = trunc.channel()
+
+    def degreesWithin(survivors: DataFrame): DataFrame =
+      und.join(survivors.select(col("node").as("__su")), und("u") === col("__su"))
+        .join(survivors.select(col("node").as("__sv")), und("v") === col("__sv"))
+        .groupBy(und("u").as("node")).agg(count(lit(1)).as("deg"))
+
+    var cur = chan(und.select(col("u").as("node")).distinct())
+    var layers = cur.limit(0).withColumn("layer", lit(1))
+    var n = cur.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged && rounds < maxRounds) {
+      val next = chan(degreesWithin(cur).filter(col("deg") >= k)
+        .select("node"))
+      layers = layerChan(layers.unionByName(
+        cur.join(next, Seq("node"), "left_anti")
+          .withColumn("layer", lit(rounds + 1))))
+      val m = next.count()
+      converged = m == n || m == 0
+      cur = next
+      n = m
+      rounds += 1
+    }
+    if (!converged) sys.error(
+      s"KCore: no fixpoint after $maxRounds rounds ($n survivors, still " +
+        "shrinking) — raise maxRounds; a partial trajectory is not a peel")
+    layers.unionByName(cur.withColumn("layer", lit(-1)))
+  }
 }

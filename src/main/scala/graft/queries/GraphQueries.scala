@@ -289,6 +289,15 @@ object GraphQueries {
         .withColumnRenamed("deg", "core_deg")
         .orderBy("node")
     },
+    // ---- g18: the full k-core peeling TRAJECTORY — per-vertex removal
+    // round (the "onion layer"), -1 for survivors. Pins every intermediate
+    // survivor set of g17's peel, so a convergent-but-wrong round order is
+    // a hash failure; oracle derives layers from the same recursive CTE
+    // (max round each vertex still appears in) ----------------------------
+    "g18_peel_layers" -> { (s, dir) =>
+      graft.graph.KCore.peelLayers(coServiceEdges(s, dir), k = 5)
+        .orderBy("node")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -487,6 +496,27 @@ object GraphQueries {
         "SELECT e.u AS node, count(*) AS core_deg FROM e " +
         "JOIN core c1 ON e.u = c1.node JOIN core c2 ON e.v = c2.node " +
         "GROUP BY e.u ORDER BY node"),
+    // same peel CTE as g17; a vertex's layer = 1 + the last round it
+    // survived (max i it appears in), -1 when it reaches the i=30 fixpoint
+    "g18_peel_layers" ->
+      ("WITH RECURSIVE " +
+        "li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+        "peel(i, vs) AS (" +
+        "SELECT 0, list(DISTINCT u ORDER BY u) FROM e " +
+        "UNION ALL " +
+        "SELECT i + 1, (" +
+        "WITH cur AS (SELECT unnest(vs) AS x), " +
+        "deg AS (SELECT e.u, count(*) AS d FROM e " +
+        "JOIN cur c1 ON e.u = c1.x JOIN cur c2 ON e.v = c2.x GROUP BY e.u) " +
+        "SELECT COALESCE(list(u ORDER BY u), []) FROM deg WHERE d >= 5" +
+        ") FROM peel WHERE i < 30), " +
+        "r AS (SELECT i, unnest(vs) AS node FROM peel), " +
+        "mx AS (SELECT node, max(i) AS mx FROM r GROUP BY node) " +
+        "SELECT node, CAST(CASE WHEN mx = 30 THEN -1 ELSE mx + 1 END AS INT) AS layer " +
+        "FROM mx ORDER BY node"),
     "reg1_bucket_registry" ->
       ("SELECT '/buckets/' || lower(r_name) AS full_name, " +
         "'buckets_' || replace(lower(r_name), ' ', '_') AS signature, " +

@@ -43,7 +43,12 @@ object BenchScale {
     // frame analysis with decoded samples
     "g16_label_prop", "tx23_bpe_roundtrip", "mm11_audio_frames",
     // the full composed curation pipeline: five chained co-keyed stages
-    "pp3_full_pipeline")
+    "pp3_full_pipeline",
+    // round-8 session-2 additions whose SCALING is the question: k-core
+    // peeling rounds grow with graph depth, the bigram-LM model tables
+    // with vocab², the ZIP demux with archive bytes, the CMS sketch must
+    // stay constant-size by construction
+    "g17_kcore", "tx25_bigram_lm", "s11_zip_roundtrip", "approx4_countmin")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride

@@ -80,4 +80,35 @@ class KCoreSpec extends AnyFunSuite {
     val got = run(cliquePlusTail, 1)
     assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  /** Reference synchronous-peel trajectory: layer = round removed, -1 core. */
+  private def bruteLayers(es: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var adj = es.flatMap(e => Seq(e, e.swap)).distinct
+      .groupMap(_._1)(_._2).map { case (n, vs) => n -> vs.toSet }
+    val layers = scala.collection.mutable.Map.empty[Long, Int]
+    var round = 1
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, vs) if vs.size < k => n }.toSet
+      changed = drop.nonEmpty
+      drop.foreach(layers(_) = round)
+      adj = (adj -- drop).map { case (n, vs) => n -> (vs -- drop) }
+      round += 1
+    }
+    layers.toMap ++ adj.keySet.map(_ -> -1)
+  }
+
+  test("peelLayers matches the brute-force synchronous trajectory") {
+    // clique+tail at k=2: 6 peels in round 1, 5 in round 2, clique survives
+    val got = KCore.peelLayers(edgesDf(cliquePlusTail), 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> -1, 2L -> -1, 3L -> -1, 4L -> -1, 5L -> 2, 6L -> 1))
+    val es = (for (i <- 0L until 40L; j <- (i + 1) until 40L
+      if ((i * 7919 + j * 104729) % 13) < 3) yield (i, j)).toSeq
+    for (k <- Seq(2, 4, 6)) {
+      val g = KCore.peelLayers(edgesDf(es), k).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(g == bruteLayers(es, k), s"k=$k")
+    }
+  }
 }
