@@ -140,6 +140,30 @@ object OpsQueries {
             "v" -> col("new_v"), "st" -> col("new_st"))))
         .orderBy("o_orderkey")
     },
+    // ---- cdc3: SCD Type-2 history build — three order snapshots (base,
+    // price bump for key%7, status flip for key%5) collapsed into
+    // effective-dated rows by Scd2's gaps-and-islands (two key-partitioned
+    // windows + one agg; first() inside a run is deterministic because a
+    // run is BY CONSTRUCTION attribute-constant, and the oracle's min()
+    // agrees for the same reason). Completes the CDC family: cdc1 diffs,
+    // cdc2 applies, cdc3 accumulates history -----------------------------
+    "cdc3_scd2" -> { (s, dir) =>
+      val base = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("st"))
+      val p2 = when(col("o_orderkey") % 7 === 0, col("price") + 10)
+        .otherwise(col("price"))
+      val s3 = when(col("o_orderkey") % 5 === 0, lit("X")).otherwise(col("st"))
+      val snaps = base.withColumn("version", lit(1L))
+        .unionByName(base.withColumn("price", p2).withColumn("version", lit(2L)))
+        .unionByName(base.withColumn("price", p2).withColumn("st", s3)
+          .withColumn("version", lit(3L)))
+      graft.ops.Scd2.build(snaps, Seq("o_orderkey"), "version",
+          Seq("price", "st"))
+        .select(col("o_orderkey"), col("valid_from"), col("valid_to"),
+          col("price"), col("st"), col("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    },
     // ---- S7: legacy V1 query object with control fields -----------------
     "s7_legacy_query" -> { (s, dir) =>
       val q = LegacyQuerySource.parse(Map(
@@ -311,6 +335,28 @@ object OpsQueries {
         "FROM old o FULL JOIN new n ON o.k = n.k " +
         "WHERE n.k IS NULL OR o.k IS NULL OR o.v <> n.v OR o.st <> n.st " +
         "ORDER BY op, o_orderkey"),
+    // same gaps-and-islands: per-attr IS DISTINCT FROM ≡ the engine's
+    // null-safe struct comparison; min() over the attribute-constant run
+    // equals the engine's first()
+    "cdc3_scd2" ->
+      ("WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st FROM orders), " +
+        "snaps AS (SELECT k, CAST(1 AS BIGINT) AS version, price, st FROM base " +
+        "UNION ALL SELECT k, 2, CASE WHEN k % 7 = 0 THEN price + 10 ELSE price END, st FROM base " +
+        "UNION ALL SELECT k, 3, CASE WHEN k % 7 = 0 THEN price + 10 ELSE price END, " +
+        "CASE WHEN k % 5 = 0 THEN 'X' ELSE st END FROM base), " +
+        "w AS (SELECT k, version, price, st, " +
+        "CASE WHEN lag(price) OVER kw IS DISTINCT FROM price " +
+        "OR lag(st) OVER kw IS DISTINCT FROM st THEN 1 ELSE 0 END AS start " +
+        "FROM snaps WINDOW kw AS (PARTITION BY k ORDER BY version)), " +
+        "runs AS (SELECT k, version, price, st, " +
+        "sum(start) OVER (PARTITION BY k ORDER BY version) AS run FROM w), " +
+        "byrun AS (SELECT k, run, min(version) AS valid_from, " +
+        "min(price) AS price, min(st) AS st FROM runs GROUP BY k, run) " +
+        "SELECT k AS o_orderkey, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from) AS valid_to, " +
+        "price, st, " +
+        "CAST(lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from) IS NULL AS INT) AS is_current " +
+        "FROM byrun ORDER BY o_orderkey, valid_from"),
     "bf1_bloom_prune" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey " +

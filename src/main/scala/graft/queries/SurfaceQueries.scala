@@ -254,6 +254,22 @@ object SurfaceQueries {
       Multimodal.extractAudioFrameFeatures(wav, "doc_id", "content", frameLen = 100)
         .orderBy("doc_id", "frame_idx")
     },
+    // ---- mm12: spectral tone classification — per-doc square-wave tone
+    // (index = doc_id % 4, integer-exact phase math) → real PCM/WAV wrap →
+    // real javax.sound decode → Goertzel argmax over the 4 candidate
+    // bins. The oracle predicts the detected index AND the exact
+    // high-sample count from the same integer formula (no float
+    // replication — detection margins are orders of magnitude, see Tone) -
+    "mm12_audio_tone" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content",
+          expr("chr(48 + doc_id % 4)").cast("binary"))
+      val wav = Multimodal.resizeContent(
+        Multimodal.resizeContent(docs, "content", graft.multimodal.Tone.ToneGen()),
+        "content", Multimodal.PcmWavEncoder(sampleRate = graft.multimodal.Tone.Rate))
+      graft.multimodal.Tone.extractToneFeatures(wav, "doc_id", "content")
+        .orderBy("doc_id")
+    },
     // ---- multimodal audio resample: encode → REAL decode → keep every
     // 4th sample → re-encode → REAL decode again. The oracle predicts the
     // decimated container facts and exact amplitude sum straight from the
@@ -836,6 +852,17 @@ object SurfaceQueries {
       ("SELECT 'http://' || source || '.example.com/doc/' || doc_id AS url, " +
         "CAST(200 + (doc_id % 2) * 104 AS INT) AS status, text AS body " +
         "FROM documents ORDER BY url"),
+    // the same integer phase formula the synth uses: sample i of tone k is
+    // high iff floor(i*2f/8000) is even; detection itself is pinned to the
+    // literal expected index (margin argument in Tone's scaladoc)
+    "mm12_audio_tone" ->
+      ("WITH f(k, f) AS (VALUES (0, 500), (1, 700), (2, 900), (3, 1100)), " +
+        "hi AS (SELECT k, count(*) AS n_high FROM f, " +
+        "unnest(generate_series(0, 799)) AS g(i) " +
+        "WHERE ((i * 2 * f) // 8000) % 2 = 0 GROUP BY k) " +
+        "SELECT d.doc_id, CAST(800 AS BIGINT) AS n_samples, hi.n_high, " +
+        "CAST(d.doc_id % 4 AS INT) AS tone_idx " +
+        "FROM documents d JOIN hi ON d.doc_id % 4 = hi.k ORDER BY doc_id"),
     // strlen = BYTE length (UTF-8), matching the decompressed entry size
     "s11_zip_roundtrip" ->
       ("SELECT source || '/' || doc_id || '.txt' AS entry_name, " +
