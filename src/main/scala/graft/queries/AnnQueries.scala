@@ -109,6 +109,15 @@ object AnnQueries {
             .cast("int").as("within_bound"))
         .orderBy("vec_id")
     },
+    // ---- ann7: hard-negative mining — per query, the 2 most-similar
+    // vectors the label says are WRONG (contrastive-training data mining
+    // over the embeddings table's label column); ann1's broadcast shape
+    // with the label-inequality predicate fused into the join ------------
+    "ann7_hard_negatives" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      Ann.hardNegatives(e.filter(col("vec_id") < 8), e, k = 2)
+        .orderBy("q_id", "rank")
+    },
     // ---- fe1: per-dimension standardization (z-score) — the feature-
     // normalization step upstream of every distance-based op (kmeans/IVF
     // assume comparable dim scales). Determinism without rounding: each
@@ -213,6 +222,14 @@ object AnnQueries {
     // regression on the Spark side breaks the hash
     "ann6_int8_quant" ->
       "SELECT vec_id, 1 AS within_bound FROM embeddings ORDER BY vec_id",
+    "ann7_hard_negatives" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id < 8 AND q.label <> c.label) " +
+        "WHERE rank <= 2 ORDER BY q_id, rank"),
     // same DECIMAL(28,12) exact sums; 1-based generate_series(1,4)
     // mirrors the engine's 0-based pos filter + pos+1 rename
     "fe1_embed_standardize" ->

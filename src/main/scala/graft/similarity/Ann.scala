@@ -42,6 +42,28 @@ object Ann {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k most
+    * cosine-similar corpus items with a DIFFERENT label (the classic
+    * in-batch-negatives upgrade — near neighbors that the label says are
+    * wrong). Same broadcast-queries shape as [[bruteForceTopK]] with the
+    * label-inequality predicate fused into the join, so excluded
+    * same-label pairs never materialize a row. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "vec_id", qVec: String = "embedding",
+      qLabel: String = "label", cId: String = "vec_id",
+      cVec: String = "embedding", cLabel: String = "label"): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"),
+      col(qLabel).as("q_label"))
+    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"),
+      col(cLabel).as("c_label"))
+    val scored = c.join(broadcast(q), col("c_label") =!= col("q_label"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
   /** Sign bits under `planes` deterministic pseudo-random hyperplanes →
     * bucket id (long); coef(p, d) = ((p*31 + d)*2654435761 mod 2^31) / 2^31
     * - 0.5, reproducible in SQL. Computed by the native codegen'd
