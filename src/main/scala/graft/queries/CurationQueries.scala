@@ -111,6 +111,32 @@ object CurationQueries {
         .select(col("doc_id"), col("host"), col("rn"))
         .orderBy("host", "rn")
     },
+    // ---- pp7: dataset card — the per-source datasheet every corpus
+    // release ships (docs, token volume, language mix, exact-dup rate) in
+    // ONE plan: a narrow token-count projection, one global fingerprint
+    // count (co-keyed on the md5, the dd1 mechanism) re-joined to tag
+    // duplicated docs, then a single per-source aggregate. The dup ratio
+    // is an exact integer pair; avg tokens is DECIMAL-rounded (the one
+    // division) ----------------------------------------------------------
+    "pp7_dataset_card" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("text")).as("fp"))
+      val fpCounts = docs.groupBy("fp").agg(count(lit(1)).as("fp_n"))
+      docs.join(fpCounts, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum((col("fp_n") > 1).cast("long")).as("n_dup_docs"))
+        .withColumn("avg_tokens",
+          (col("total_tokens").cast("double") / col("n_docs"))
+            .cast(DecimalType(18, 6)).cast("double"))
+        .select("source", "n_docs", "total_tokens", "avg_tokens", "n_langs",
+          "n_dup_docs")
+        .orderBy("source")
+    },
     // ---- pp5: exact stratified sample — precisely k docs per stratum,
     // chosen by md5 order (deterministic, uniform, stable under corpus
     // growth ONLY for the retained prefix — unlike pp4's rate filter this
@@ -174,6 +200,17 @@ object CurationQueries {
         "SELECT doc_id, host, row_number() OVER (PARTITION BY host " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM h) " +
         "WHERE rn <= 10 ORDER BY host, rn"),
+    "pp7_dataset_card" ->
+      ("WITH d AS (SELECT doc_id, source, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "md5(text) AS fp FROM documents), " +
+        "fc AS (SELECT fp, count(*) AS fp_n FROM d GROUP BY fp) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(CAST(CAST(sum(n_tokens) AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_tokens, " +
+        "count(DISTINCT lang) AS n_langs, " +
+        "CAST(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs " +
+        "FROM d JOIN fc USING (fp) GROUP BY source ORDER BY source"),
     "pp5_stratified_sample" ->
       ("SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (" +
         "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
