@@ -289,6 +289,32 @@ object GraphQueries {
         .withColumnRenamed("deg", "core_deg")
         .orderBy("node")
     },
+    // ---- g19: link prediction by Adamic–Adar — for every NON-adjacent
+    // supplier pair two hops apart, Σ 1/ln(deg(w)) over common neighbors
+    // w (the classic who-should-be-connected score). Shape: one wedge
+    // equi-join on the middle vertex (g10's mechanism), an anti-join
+    // against the canonical edge set to drop existing edges, a broadcast
+    // degree re-join, then one co-keyed sum. Each 1/ln term is rounded to
+    // DECIMAL(28,12) BEFORE the sum (ts5's regime): the sum is exact and
+    // order-free, so the score hash-matches despite libm ln drift --------
+    "g19_adamic_adar" -> { (s, dir) =>
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val e0 = coServiceEdges(s, dir) // canonical u < v
+      val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+      val wedges = und.select(col("u").as("a"), col("v").as("w"))
+        .join(und.select(col("u").as("w"), col("v").as("b")), "w")
+        .filter(col("a") < col("b"))
+      val nonAdj = wedges.join(
+        e0.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+      nonAdj.join(broadcast(deg), "w")
+        .withColumn("term", (lit(1.0) / log(col("deg").cast("double"))).cast(d28))
+        .groupBy(col("a").as("u"), col("b").as("v"))
+        .agg(sum(col("term")).cast("double").as("aa_score"),
+          count(lit(1)).as("n_common"))
+        .orderBy("u", "v")
+    },
     // ---- g18: the full k-core peeling TRAJECTORY — per-vertex removal
     // round (the "onion layer"), -1 for survivors. Pins every intermediate
     // survivor set of g17's peel, so a convergent-but-wrong round order is
@@ -496,6 +522,22 @@ object GraphQueries {
         "SELECT e.u AS node, count(*) AS core_deg FROM e " +
         "JOIN core c1 ON e.u = c1.node JOIN core c2 ON e.v = c2.node " +
         "GROUP BY e.u ORDER BY node"),
+    // same wedge/anti-join algebra; per-term DECIMAL(28,12) round before
+    // the exact sum mirrors the engine
+    "g19_adamic_adar" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+        "deg AS (SELECT u AS w, count(*) AS deg FROM e GROUP BY u), " +
+        "wed AS (SELECT e1.u AS a, e1.v AS w, e2.v AS b FROM e e1 " +
+        "JOIN e e2 ON e1.v = e2.u WHERE e1.u < e2.v), " +
+        "nonadj AS (SELECT a, w, b FROM wed WHERE NOT EXISTS " +
+        "(SELECT 1 FROM e0 WHERE e0.u = wed.a AND e0.v = wed.b)) " +
+        "SELECT a AS u, b AS v, " +
+        "CAST(sum(CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS aa_score, " +
+        "count(*) AS n_common " +
+        "FROM nonadj JOIN deg USING (w) GROUP BY a, b ORDER BY u, v"),
     // same peel CTE as g17; a vertex's layer = 1 + the last round it
     // survived (max i it appears in), -1 when it reaches the i=30 fixpoint
     "g18_peel_layers" ->

@@ -140,6 +140,25 @@ object OpsQueries {
             "v" -> col("new_v"), "st" -> col("new_st"))))
         .orderBy("o_orderkey")
     },
+    // ---- dq4: equi-width histogram of a numeric column per event type —
+    // the binned-distribution profile next to dq1's moments. Two exact
+    // aggregations: global min/max (1 row, broadcast back) fix the bin
+    // edges, then one co-keyed (type, bin) count. Bin index is
+    // floor((v−min)/width) clamped to the last bin — min/max/width are
+    // identical doubles on both engines, so the floor is too (no epsilon,
+    // no rounding) -------------------------------------------------------
+    "dq4_histogram" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val edges = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(edges))
+        .withColumn("bin", least(lit(9L),
+          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10.0))
+            .cast("long")))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    },
     // ---- cdc3: SCD Type-2 history build — three order snapshots (base,
     // price bump for key%7, status flip for key%5) collapsed into
     // effective-dated rows by Scd2's gaps-and-islands (two key-partitioned
@@ -335,6 +354,14 @@ object OpsQueries {
         "FROM old o FULL JOIN new n ON o.k = n.k " +
         "WHERE n.k IS NULL OR o.k IS NULL OR o.v <> n.v OR o.st <> n.st " +
         "ORDER BY op, o_orderkey"),
+    // identical IEEE edge/bin arithmetic; least() clamps the max value
+    // into the last bin on both sides
+    "dq4_histogram" ->
+      ("WITH edges AS (SELECT min(value) AS lo, max(value) AS hi FROM events) " +
+        "SELECT event_type, " +
+        "least(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bin, " +
+        "count(*) AS n FROM events CROSS JOIN edges " +
+        "GROUP BY 1, 2 ORDER BY event_type, bin"),
     // same gaps-and-islands: per-attr IS DISTINCT FROM ≡ the engine's
     // null-safe struct comparison; min() over the attribute-constant run
     // equals the engine's first()

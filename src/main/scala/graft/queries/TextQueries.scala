@@ -178,6 +178,35 @@ object TextQueries {
             .as("rep_ratio"))
         .orderBy("doc_id")
     },
+    // ---- tx26: per-document TF-IDF keyword extraction — top-3 terms per
+    // doc (tagging/retrieval surface next to tx15's query-side BM25).
+    // Shape: tf from one explode+agg co-keyed on (doc, token); df is a
+    // vocab-sized aggregate joined back on the token key. Ranking uses
+    // the DECIMAL(18,6)-ROUNDED score (desc, then token): tf·ln(N/df) has
+    // real-arithmetic ties across different (tf, df) pairs — e.g.
+    // 2·ln4 = 1·ln16 — whose last-ulp libm drift would otherwise order
+    // differently per engine; rounding first makes every near-tie an
+    // exact tie broken by the token string ------------------------------
+    "tx26_tfidf_keywords" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val tf = docs.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = docs.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "token").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * log(col("n_docs").cast("double") / col("df")))
+            .cast(D6).cast("double"))
+      scored.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("token"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("score"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("doc_id", "rank")
+    },
     // ---- BM25 retrieval scoring (the retrieval half of contamination /
     // dedup tooling): score every document against a fixed query term set.
     // Shape: tf from one narrow explode+filter (terms pre-filter BEFORE the
@@ -747,6 +776,20 @@ object TextQueries {
     // every arithmetic input forced to DOUBLE before the math so DuckDB's
     // DECIMAL literal arithmetic can't diverge from Spark's double path;
     // the final DECIMAL(18,6) round matches the engine side
+    // same rounded-score rank: CAST to DECIMAL(18,6) BEFORE the window
+    // order so real-arithmetic score ties break on the token string
+    "tx26_tfidf_keywords" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), " +
+        "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token), " +
+        "sc AS (SELECT doc_id, token, " +
+        "CAST(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) AS DOUBLE) AS score " +
+        "FROM tf JOIN df USING (token) CROSS JOIN n) " +
+        "SELECT doc_id, token, score, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT doc_id, token, score, row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc) " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank"),
     "tx15_bm25" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d), " +
