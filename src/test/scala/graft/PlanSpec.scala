@@ -458,4 +458,52 @@ class PlanSpec extends AnyFunSuite {
     for (c <- Seq("l_comment", "l_shipdate", "l_tax", "l_discount"))
       assert(!rs.contains(c), s"unpruned column $c in lineitem scan: $rs")
   }}
+
+  test("bigram-LM scoring: model tables arrive by join, vocab size by 1-row broadcast, no product") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("tx25_bigram_lm")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"LM scoring must never product:\n$plan")
+    // the 1-row vocab-size side rides a broadcast (nested-loop on 1 row is
+    // the intended cross-join shape; a CartesianProduct is not)
+    assert(plan.contains("Broadcast"), s"expected broadcast sides:\n$plan")
+  } }
+
+  test("TF-IDF keywords: df re-join co-keys on the token — no product") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("tx26_tfidf_keywords")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct"), s"tf×df degenerated:\n$plan")
+  } }
+
+  test("domain cap: one exchange on the host key feeds the per-domain window") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("pp6_domain_cap")(spark, TestSession.sf))
+    assert(plan.contains("Window"), s"expected per-host window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unexpected product:\n$plan")
+  } }
+
+  test("embedding standardization: per-dim stats broadcast back, dims pruned before the agg") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("fe1_embed_standardize")(spark, TestSession.sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats should re-join by broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
+  } }
+
+  test("Adamic-Adar: wedge join and adjacency anti-join stay equi-joins — no product") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("g19_adamic_adar")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge/anti-join degenerated to a product:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected adjacency anti-join:\n$plan")
+  } }
+
+  test("CMS sketch: counter table aggregates map-side before its shuffle (partial_count)") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("approx4_countmin")(spark, TestSession.sf))
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"sketch counters must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
+  } }
 }

@@ -87,4 +87,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("Ewma laws: window=1 is identity, constant series is a fixed point, " +
+    "and the 2-row case matches hand arithmetic exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ewmaOf(rows: Seq[(String, Long, Long)], window: Int): Map[Long, Double] =
+      graft.ops.Ewma.smooth(rows.toDF("event_type", "day_us", "n"),
+          window = window)
+        .collect().map(r => r.getAs[Long]("day_us") -> r.getAs[Double]("ewma"))
+        .toMap
+    val series = (0L until 20L).map(d => ("k", d, d * 3 + 1))
+    // window=1: only the current row, weight 1 → ewma == n exactly
+    assert(ewmaOf(series, 1) == series.map(r => r._2 -> r._3.toDouble).toMap)
+    // constant series: any weighting averages to the constant, bit-exactly
+    // (dyadic weights + exact denominator)
+    val const = (0L until 20L).map(d => ("k", d, 7L))
+    assert(ewmaOf(const, 14).values.forall(_ == 7.0))
+    // hand check at row 2: (x0·0.5 + x1) / 1.5
+    val two = Seq(("k", 0L, 10L), ("k", 1L, 16L))
+    assert(ewmaOf(two, 14)(1L) == (10.0 * 0.5 + 16.0) / 1.5)
+  }
 }
