@@ -240,6 +240,53 @@ object Multimodal {
       contentCol: String): DataFrame =
     extractRowFeatures(df, idCol, contentCol, ImageHashType, aHash64)
 
+  /** Deterministic token-raster PNG: pixel j of the 8×8 gray image is the
+    * low byte of `String.hashCode` of the quantile-sampled sorted-distinct
+    * token — the shared fixture behind q:mm5 (near-dup) and q:mm13
+    * (histogram). The low byte is a 31-polynomial mod 256, so a SQL oracle
+    * can predict every pixel without a PNG decoder. */
+  def tokenRasterPng(text: String): Array[Byte] = {
+    val toks = text.split(' ').distinct.sorted
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var j = 0
+    while (j < 64) {
+      val v = if (toks.isEmpty) 0
+        else toks(((j.toLong * toks.length) / 64).toInt).hashCode & 0xff
+      img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
+      j += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  val LumaHistogramType: StructType = StructType(Seq(
+    StructField("b0", LongType), StructField("b1", LongType),
+    StructField("b2", LongType), StructField("b3", LongType)))
+
+  /** 4-bin equi-width luma histogram over the REAL decoder (bin = luma/64;
+    * gray rasters make red == luma exactly). Undecodable → null bins. */
+  def extractImageHistograms(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    extractRowFeatures(df, idCol, contentCol, LumaHistogramType, { bytes =>
+      ImageIoDecoder.decode(bytes) match {
+        case None => Row(null, null, null, null)
+        case Some(img) =>
+          val bins = new Array[Long](4)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              bins(((img.getRGB(x, y) >> 16) & 0xff) / 64) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          Row(bins(0), bins(1), bins(2), bins(3))
+      }
+    })
+
   /** Real resize: ImageIO decode → nearest-neighbor scale → PNG re-encode.
     * Nearest-neighbor (not Graphics2D filtering) so the output raster is
     * bit-deterministic across JVMs/platforms. Undecodable inputs pass

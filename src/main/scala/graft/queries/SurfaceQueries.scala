@@ -254,6 +254,19 @@ object SurfaceQueries {
       Multimodal.extractAudioFrameFeatures(wav, "doc_id", "content", frameLen = 100)
         .orderBy("doc_id", "frame_idx")
     },
+    // ---- mm13: PIXEL-EXACT image analytics — 4-bin luma histogram of the
+    // token-raster PNG through the REAL ImageIO encode/decode round-trip.
+    // Pixel j is hashCode&0xff of a sampled token = a 31-polynomial mod
+    // 256, so the oracle predicts EVERY pixel from text — the first image
+    // query where the hash pins the full decoded raster, not a derived
+    // hash or containment audit like mm5 --------------------------------
+    "mm13_image_histogram" -> { (s, dir) =>
+      val toPng = udf(Multimodal.tokenRasterPng _)
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("png", toPng(col("text")))
+      Multimodal.extractImageHistograms(docs, "doc_id", "png")
+        .orderBy("doc_id")
+    },
     // ---- mm12: spectral tone classification — per-doc square-wave tone
     // (index = doc_id % 4, integer-exact phase math) → real PCM/WAV wrap →
     // real javax.sound decode → Goertzel argmax over the 4 candidate
@@ -300,21 +313,7 @@ object SurfaceQueries {
     // quantile-sampled raster shifts globally under token insertion.
     // MultimodalSpec still pins aHash semantics on known pixels.) ---------
     "mm5_image_neardup" -> { (s, dir) =>
-      val toPng = udf((text: String) => {
-        val toks = text.split(' ').distinct.sorted
-        val img = new java.awt.image.BufferedImage(8, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var j = 0
-        while (j < 64) {
-          val v = if (toks.isEmpty) 0
-            else toks(((j.toLong * toks.length) / 64).toInt).hashCode & 0xff
-          img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
-          j += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        bos.toByteArray
-      })
+      val toPng = udf(Multimodal.tokenRasterPng _)
       val docs = Tables.t(s, dir, "documents")
         .withColumn("png", toPng(col("text")))
       val hashes = Multimodal.extractImageHashes(docs, "doc_id", "png")
@@ -852,6 +851,21 @@ object SurfaceQueries {
       ("SELECT 'http://' || source || '.example.com/doc/' || doc_id AS url, " +
         "CAST(200 + (doc_id % 2) * 104 AS INT) AS status, text AS body " +
         "FROM documents ORDER BY url"),
+    // every pixel predicted from text: Java's hashCode low byte is a
+    // 31-polynomial mod 256 over UTF-16 units (= codepoints for this BMP
+    // corpus), seeded by the first char exactly like list_reduce
+    "mm13_image_histogram" ->
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS s FROM documents), " +
+        "px AS (SELECT doc_id, " +
+        "list_reduce([unicode(c) FOR c IN regexp_extract_all(s[CAST((j * len(s)) // 64 AS BIGINT) + 1], '.')], " +
+        "(a, c) -> (a * 31 + c) % 256) // 64 AS bin " +
+        "FROM t, unnest(generate_series(0, 63)) AS g(j)) " +
+        "SELECT doc_id, " +
+        "CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0, " +
+        "CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1, " +
+        "CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2, " +
+        "CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3 " +
+        "FROM px GROUP BY doc_id ORDER BY doc_id"),
     // the same integer phase formula the synth uses: sample i of tone k is
     // high iff floor(i*2f/8000) is even; detection itself is pinned to the
     // literal expected index (margin argument in Tone's scaladoc)
