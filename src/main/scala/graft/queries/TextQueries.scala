@@ -207,6 +207,25 @@ object TextQueries {
           col("rank").cast("int").as("rank"))
         .orderBy("doc_id", "rank")
     },
+    // ---- tx27: padding-waste accounting — the batching-efficiency
+    // analytic behind length-bucketed training: docs batched 8-by-8 in id
+    // order (batch id = doc_id div 8 — a narrow projection, no global
+    // window), per-batch padded-token waste vs the 128-cap truncated
+    // lengths. waste/(n·max) is an exact integer ratio → identical double
+    // division, no rounding ----------------------------------------------
+    "tx27_padding_waste" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          least(size(split(col("text"), " ")).cast("long"), lit(128L)).as("len"))
+        .groupBy((col("doc_id") / 8).cast("long").as("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+          sum(col("len")).as("total_tokens"))
+        .withColumn("waste",
+          col("n_docs") * col("max_len") - col("total_tokens"))
+        .withColumn("waste_ratio", col("waste").cast("double") /
+          (col("n_docs") * col("max_len")).cast("double"))
+        .orderBy("batch_id")
+    },
     // ---- BM25 retrieval scoring (the retrieval half of contamination /
     // dedup tooling): score every document against a fixed query term set.
     // Shape: tf from one narrow explode+filter (terms pre-filter BEFORE the
@@ -776,6 +795,16 @@ object TextQueries {
     // every arithmetic input forced to DOUBLE before the math so DuckDB's
     // DECIMAL literal arithmetic can't diverge from Spark's double path;
     // the final DECIMAL(18,6) round matches the engine side
+    "tx27_padding_waste" ->
+      ("WITH d AS (SELECT doc_id, least(CAST(len(string_split(text, ' ')) AS BIGINT), 128) AS len " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id // 8 AS batch_id, count(*) AS n_docs, " +
+        "max(len) AS max_len, CAST(sum(len) AS BIGINT) AS total_tokens " +
+        "FROM d GROUP BY 1) " +
+        "SELECT batch_id, n_docs, max_len, total_tokens, " +
+        "n_docs * max_len - total_tokens AS waste, " +
+        "CAST(n_docs * max_len - total_tokens AS DOUBLE) / (n_docs * max_len) AS waste_ratio " +
+        "FROM b ORDER BY batch_id"),
     // same rounded-score rank: CAST to DECIMAL(18,6) BEFORE the window
     // order so real-arithmetic score ties break on the token string
     "tx26_tfidf_keywords" ->
