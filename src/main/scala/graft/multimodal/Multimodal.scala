@@ -246,7 +246,10 @@ object Multimodal {
     * (histogram). The low byte is a 31-polynomial mod 256, so a SQL oracle
     * can predict every pixel without a PNG decoder. */
   def tokenRasterPng(text: String): Array[Byte] = {
-    val toks = text.split(' ').distinct.sorted
+    // NULL text renders the all-zero raster (not an NPE): the unparseable-
+    // content contract for a fixture generator is a deterministic image
+    val toks = if (text == null) Array.empty[String]
+      else text.split(' ').distinct.sorted
     val img = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var j = 0

@@ -121,7 +121,7 @@ object CurationQueries {
     "pp7_dataset_card" -> { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
           md5(col("text")).as("fp"))
       val fpCounts = docs.groupBy("fp").agg(count(lit(1)).as("fp_n"))
       docs.join(fpCounts, "fp")

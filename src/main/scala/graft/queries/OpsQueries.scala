@@ -148,13 +148,19 @@ object OpsQueries {
     // identical doubles on both engines, so the floor is too (no epsilon,
     // no rounding) -------------------------------------------------------
     "dq4_histogram" -> { (s, dir) =>
+      // NULL values are excluded (a histogram of observations, not a
+      // null-count — dq1 profiles nulls); a degenerate hi == lo range
+      // puts everything in bin 0 rather than dividing by a zero width
+      // (where Spark's floor(NaN)→0 and DuckDB's →NULL would diverge)
       val ev = Tables.t(s, dir, "events")
         .select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
       val edges = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
       ev.crossJoin(broadcast(edges))
-        .withColumn("bin", least(lit(9L),
-          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10.0))
-            .cast("long")))
+        .withColumn("bin", when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(9L),
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10.0))
+              .cast("long"))))
         .groupBy("event_type", "bin")
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bin")
@@ -357,10 +363,12 @@ object OpsQueries {
     // identical IEEE edge/bin arithmetic; least() clamps the max value
     // into the last bin on both sides
     "dq4_histogram" ->
-      ("WITH edges AS (SELECT min(value) AS lo, max(value) AS hi FROM events) " +
+      ("WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), " +
+        "edges AS (SELECT min(value) AS lo, max(value) AS hi FROM ev) " +
         "SELECT event_type, " +
-        "least(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bin, " +
-        "count(*) AS n FROM events CROSS JOIN edges " +
+        "CASE WHEN hi = lo THEN 0 ELSE " +
+        "least(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT)) END AS bin, " +
+        "count(*) AS n FROM ev CROSS JOIN edges " +
         "GROUP BY 1, 2 ORDER BY event_type, bin"),
     // same gaps-and-islands: per-attr IS DISTINCT FROM ≡ the engine's
     // null-safe struct comparison; min() over the attribute-constant run

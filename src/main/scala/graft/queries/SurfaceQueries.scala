@@ -853,13 +853,19 @@ object SurfaceQueries {
         "FROM documents ORDER BY url"),
     // every pixel predicted from text: Java's hashCode low byte is a
     // 31-polynomial mod 256 over UTF-16 units (= codepoints for this BMP
-    // corpus), seeded by the first char exactly like list_reduce
+    // corpus), seeded by the first char exactly like list_reduce. '(?s).'
+    // keeps newline chars hashCode counts (RE2 '.' would drop them); the
+    // CASE catches ''/NULL tokens whose hashCode is 0 (list_reduce on an
+    // empty list errors rather than folding to 0)
     "mm13_image_histogram" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS s FROM documents), " +
+        "tk AS (SELECT doc_id, s[CAST((j * len(s)) // 64 AS BIGINT) + 1] AS tok " +
+        "FROM t, unnest(generate_series(0, 63)) AS g(j)), " +
         "px AS (SELECT doc_id, " +
-        "list_reduce([unicode(c) FOR c IN regexp_extract_all(s[CAST((j * len(s)) // 64 AS BIGINT) + 1], '.')], " +
-        "(a, c) -> (a * 31 + c) % 256) // 64 AS bin " +
-        "FROM t, unnest(generate_series(0, 63)) AS g(j)) " +
+        "CASE WHEN tok IS NULL OR tok = '' THEN 0 ELSE " +
+        "list_reduce([unicode(c) FOR c IN regexp_extract_all(tok, '(?s).')], " +
+        "(a, c) -> (a * 31 + c) % 256) END // 64 AS bin " +
+        "FROM tk) " +
         "SELECT doc_id, " +
         "CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0, " +
         "CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1, " +

@@ -216,7 +216,7 @@ object TextQueries {
     "tx27_padding_waste" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("doc_id"),
-          least(size(split(col("text"), " ")).cast("long"), lit(128L)).as("len"))
+          least(size(tokens(col("text"))).cast("long"), lit(128L)).as("len"))
         .groupBy((col("doc_id") / 8).cast("long").as("batch_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
           sum(col("len")).as("total_tokens"))
