@@ -430,6 +430,43 @@ object AnalyticsQueries {
         .withColumn("op", lit("click_purchase_users"))
         .select("op", "inter_ok", "union_ok", "diff_ok")
     },
+    // ---- approx6: sketch-estimated Jaccard similarity between EVERY pair
+    // of event-type user sets — the constant-size planning primitive for
+    // "how much do these 100 TB partitions overlap" questions where exact
+    // distincts are the cost being avoided. J = |A∩B|/|A∪B| from the
+    // pairwise theta sketches (a self-join of 5 sketch rows); each
+    // estimate is verdict-checked against the exact set algebra ----------
+    "approx6_sketch_jaccard" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy("event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val pairs = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+          expr("theta_sketch_estimate(theta_intersection(a.sk, b.sk))")
+            .as("est_inter"),
+          expr("theta_sketch_estimate(theta_union(a.sk, b.sk))").as("est_union"))
+        .withColumn("est_jaccard", col("est_inter") / col("est_union"))
+      val users = ev.distinct()
+      val exact = users.as("x").join(users.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_inter"))
+      val counts = users.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      pairs.join(exact, Seq("ta", "tb"))
+        .join(counts.withColumnRenamed("event_type", "ta")
+          .withColumnRenamed("n", "na"), "ta")
+        .join(counts.withColumnRenamed("event_type", "tb")
+          .withColumnRenamed("n", "nb"), "tb")
+        .withColumn("exact_jaccard", col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+        .select(col("ta"), col("tb"),
+          (abs(col("est_jaccard") - col("exact_jaccard")) <= lit(0.05))
+            .cast("int").as("within_bound"))
+        .orderBy("ta", "tb")
+    },
     // ---- ts5: population-stability-index drift between consecutive days'
     // event-type distributions — the standard ML-serving drift statistic.
     // Laplace-smoothed shares over the full day×type grid (so a type
@@ -598,6 +635,11 @@ object AnalyticsQueries {
       ("SELECT event_type, 1 AS within_bound FROM " +
         "(SELECT DISTINCT event_type FROM events " +
         "UNION ALL SELECT '__ALL__' AS event_type) ORDER BY event_type"),
+    // verdict query: all 10 type pairs, absolute Jaccard error ≤ 0.05
+    "approx6_sketch_jaccard" ->
+      ("WITH t AS (SELECT DISTINCT event_type FROM events) " +
+        "SELECT a.event_type AS ta, b.event_type AS tb, 1 AS within_bound " +
+        "FROM t a JOIN t b ON a.event_type < b.event_type ORDER BY ta, tb"),
     // verdict query (approx3 pattern): literal 1s — any estimate drifting
     // past 5% of the exact set-algebra answer breaks the hash
     "approx5_theta_setops" ->
