@@ -506,6 +506,31 @@ object SurfaceQueries {
             unix_micros(col("window.start")).as("day_us"), col("n")))
         .orderBy("event_type", "day_us")
     },
+    // ---- st17: checkpoint RESUME exactly-once — run the stream to
+    // completion on half the source files, grow the source, run AGAIN
+    // with the SAME checkpoint: the file-source log must process only the
+    // unseen files. A resume bug in either direction is an oracle
+    // failure: reprocessing duplicates ids, a lost log drops them — the
+    // oracle is simply the full table --------------------------------
+    "st17_stream_resume" -> { (s, dir) =>
+      import java.nio.file.Files
+      val events = s.read.parquet(s"$dir/events.parquet")
+      val src = Files.createTempDirectory("graft_resume_src").toString
+      val out = Files.createTempDirectory("graft_resume_out").toString
+      val ckpt = Files.createTempDirectory("graft_resume_ckpt").toString
+      events.filter(col("event_id") % 2 === 0)
+        .write.mode("append").parquet(src)
+      def runOnce(): Unit = Streams.runToParquetAt(
+        Streams.parquetStream(s, src, events.schema), out, ckpt)
+      runOnce() // even ids land; checkpoint remembers the files
+      events.filter(col("event_id") % 2 =!= 0)
+        .write.mode("append").parquet(src)
+      runOnce() // ONLY the new files may be processed
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .orderBy("event_id")
+    },
     // ---- stream-stream interval join: click → purchase conversions within
     // an hour, watermark-bounded join state on both sides
     "st7_stream_join" -> { (s, dir) =>
@@ -889,6 +914,9 @@ object SurfaceQueries {
         "CAST(strlen(text) AS BIGINT) AS n_bytes, text AS body " +
         "FROM documents ORDER BY entry_name"),
     "st5_stream_dedup" ->
+      "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
+    // exactly-once across the restart: every id exactly once = the table
+    "st17_stream_resume" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
     "st7_stream_join" ->
       // micros on both sides: Spark's ts is nanos floor-divided to micros,

@@ -90,9 +90,21 @@ object Streams {
   def runToParquet(stream: DataFrame, transform: DataFrame => DataFrame = identity,
       statePartitions: Option[Int] = None,
       stateStoreProvider: Option[String] = None): DataFrame = {
-    val spark = stream.sparkSession
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    runToParquetAt(stream, out, ckpt, transform, statePartitions,
+      stateStoreProvider)
+  }
+
+  /** [[runToParquet]] with CALLER-owned sink and checkpoint paths — the
+    * restart/resume surface: invoking again with the same `ckpt` after the
+    * source grew processes ONLY the unseen files (the file-source log is
+    * the exactly-once ledger; q:st17 turns that into an oracle check). */
+  def runToParquetAt(stream: DataFrame, out: String, ckpt: String,
+      transform: DataFrame => DataFrame = identity,
+      statePartitions: Option[Int] = None,
+      stateStoreProvider: Option[String] = None): DataFrame = {
+    val spark = stream.sparkSession
     withStreamConf(spark, statePartitions, stateStoreProvider) {
       val q = transform(stream).writeStream
         .format("parquet")
