@@ -140,6 +140,21 @@ object OpsQueries {
             "v" -> col("new_v"), "st" -> col("new_st"))))
         .orderBy("o_orderkey")
     },
+    // ---- h1: recursive hierarchy explosion — the WITH RECURSIVE surface
+    // Spark SQL lacks, as an operator: customers arranged into a dense
+    // tree (parent = key div 8, root 0), exploded into (node, depth,
+    // materialized path) by Hierarchy's frontier loop; the oracle IS a
+    // recursive CTE, so engine recursion is checked against real SQL
+    // recursion ----------------------------------------------------------
+    "h1_hierarchy" -> { (s, dir) =>
+      // custkey 0 IS the root — as a child row it would be a self-loop
+      val children = Tables.t(s, dir, "customer")
+        .filter(col("c_custkey") > 0)
+        .select(col("c_custkey").as("child"),
+          expr("c_custkey div 8").as("parent"))
+      graft.ops.Hierarchy.explode(children, "child", "parent", rootId = 0L)
+        .orderBy("node")
+    },
     // ---- dq4: equi-width histogram of a numeric column per event type —
     // the binned-distribution profile next to dq1's moments. Two exact
     // aggregations: global min/max (1 row, broadcast back) fix the bin
@@ -360,6 +375,16 @@ object OpsQueries {
         "FROM old o FULL JOIN new n ON o.k = n.k " +
         "WHERE n.k IS NULL OR o.k IS NULL OR o.v <> n.v OR o.st <> n.st " +
         "ORDER BY op, o_orderkey"),
+    // genuine SQL recursion as the oracle for the engine's frontier loop
+    "h1_hierarchy" ->
+      ("WITH RECURSIVE c AS (SELECT c_custkey AS child, c_custkey // 8 AS parent " +
+        "FROM customer WHERE c_custkey > 0), " +
+        "h(node, depth, path) AS (" +
+        "SELECT CAST(0 AS BIGINT), 0, '0' " +
+        "UNION ALL " +
+        "SELECT c.child, h.depth + 1, h.path || '/' || c.child " +
+        "FROM c JOIN h ON c.parent = h.node) " +
+        "SELECT node, depth, path FROM h ORDER BY node"),
     // identical IEEE edge/bin arithmetic; least() clamps the max value
     // into the last bin on both sides
     "dq4_histogram" ->
