@@ -155,6 +155,27 @@ object OpsQueries {
       graft.ops.Hierarchy.explode(children, "child", "parent", rootId = 0L)
         .orderBy("node")
     },
+    // ---- h2: subtree rollup over the h1 tree — the reason hierarchies
+    // get materialized paths: every node's subtree total (count + balance)
+    // falls out of ONE explode of the path into its ancestors + one
+    // co-keyed aggregation, no per-level joins. Balances are summed in
+    // DECIMAL(28,12) (exact, order-free) ---------------------------------
+    "h2_subtree_rollup" -> { (s, dir) =>
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val cust = Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val children = cust.filter(col("c_custkey") > 0)
+        .select(col("c_custkey").as("child"),
+          expr("c_custkey div 8").as("parent"))
+      val tree = graft.ops.Hierarchy.explode(children, "child", "parent",
+        rootId = 0L)
+      tree.join(cust, tree("node") === cust("c_custkey"))
+        .select(explode(split(col("path"), "/")).as("anc"), col("c_acctbal"))
+        .groupBy(col("anc").cast("long").as("node"))
+        .agg(count(lit(1)).as("subtree_n"),
+          sum(col("c_acctbal").cast(d28)).cast("double").as("subtree_bal"))
+        .orderBy("node")
+    },
     // ---- dq4: equi-width histogram of a numeric column per event type —
     // the binned-distribution profile next to dq1's moments. Two exact
     // aggregations: global min/max (1 row, broadcast back) fix the bin
@@ -375,6 +396,20 @@ object OpsQueries {
         "FROM old o FULL JOIN new n ON o.k = n.k " +
         "WHERE n.k IS NULL OR o.k IS NULL OR o.v <> n.v OR o.st <> n.st " +
         "ORDER BY op, o_orderkey"),
+    // the recursive CTE's paths feed the same ancestor-explode rollup
+    "h2_subtree_rollup" ->
+      ("WITH RECURSIVE c AS (SELECT c_custkey AS child, c_custkey // 8 AS parent " +
+        "FROM customer WHERE c_custkey > 0), " +
+        "h(node, depth, path) AS (" +
+        "SELECT CAST(0 AS BIGINT), 0, '0' " +
+        "UNION ALL " +
+        "SELECT c.child, h.depth + 1, h.path || '/' || c.child " +
+        "FROM c JOIN h ON c.parent = h.node), " +
+        "x AS (SELECT unnest(string_split(h.path, '/')) AS anc, cu.c_acctbal " +
+        "FROM h JOIN customer cu ON h.node = cu.c_custkey) " +
+        "SELECT CAST(anc AS BIGINT) AS node, count(*) AS subtree_n, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(28,12))) AS DOUBLE) AS subtree_bal " +
+        "FROM x GROUP BY 1 ORDER BY node"),
     // genuine SQL recursion as the oracle for the engine's frontier loop
     "h1_hierarchy" ->
       ("WITH RECURSIVE c AS (SELECT c_custkey AS child, c_custkey // 8 AS parent " +
