@@ -31,27 +31,33 @@ object Hierarchy {
     val edges = trunc.pin(children
       .select(col(childCol).cast("long").as("child"),
         col(parentCol).cast("long").as("parent")))
-    val frontChan = trunc.channel()
-    val accChan = trunc.channel()
 
-    var frontier = frontChan(edges.sparkSession.range(1)
+    def expand(frontier: DataFrame): DataFrame = edges
+      .join(frontier, edges("parent") === frontier("node"))
+      .select(edges("child").as("node"), (frontier("depth") + 1).as("depth"),
+        concat(frontier("path"), lit("/"), edges("child")).as("path"))
+
+    // each round's frontier is PINNED (never deleted) and the closure is
+    // unioned ONCE after the loop — a channel-accumulated closure would
+    // rewrite O(depth × rows) bytes for a result that is only read at the
+    // end (unlike Bfs, nothing inside the loop consumes the accumulator)
+    var frontier = trunc.pin(edges.sparkSession.range(1)
       .select(lit(rootId).as("node"), lit(0).as("depth"),
         lit(rootId.toString).as("path")))
-    var acc = accChan(frontier)
+    val rounds = scala.collection.mutable.ListBuffer(frontier)
     var depth = 0
     var n = 1L
     while (n > 0 && depth < maxDepth) {
-      frontier = frontChan(edges
-        .join(frontier, edges("parent") === frontier("node"))
-        .select(edges("child").as("node"), (frontier("depth") + 1).as("depth"),
-          concat(frontier("path"), lit("/"), edges("child")).as("path")))
+      frontier = trunc.pin(expand(frontier))
       n = frontier.count()
-      if (n > 0) acc = accChan(acc.unionByName(frontier))
+      if (n > 0) rounds += frontier
       depth += 1
     }
-    if (n > 0) sys.error(
-      s"Hierarchy: frontier still non-empty at depth $maxDepth — cycle or " +
-        "tree deeper than maxDepth; a truncated closure is not an answer")
-    acc
+    // nodes AT depth == maxDepth are legitimate (already accumulated);
+    // only a frontier that would expand FURTHER means cycle/overdepth
+    if (n > 0 && expand(frontier).limit(1).count() > 0) sys.error(
+      s"Hierarchy: frontier still expanding past depth $maxDepth — cycle " +
+        "or tree deeper than maxDepth; a truncated closure is not an answer")
+    rounds.reduce(_ unionByName _)
   }
 }

@@ -455,7 +455,11 @@ object AnalyticsQueries {
         .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
         .agg(count(lit(1)).as("n_inter"))
       val counts = users.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      pairs.join(exact, Seq("ta", "tb"))
+      // LEFT join + coalesce: a disjoint pair (zero common users — exact
+      // Jaccard 0, the most decisive overlap answer) has no row in the
+      // exact-intersection aggregate and must not vanish from the output
+      pairs.join(exact, Seq("ta", "tb"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
         .join(counts.withColumnRenamed("event_type", "ta")
           .withColumnRenamed("n", "na"), "ta")
         .join(counts.withColumnRenamed("event_type", "tb")
