@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.GraphQueries.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracle ++
       graft.queries.OpsQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.WebQueries.oracle
 }
