@@ -158,4 +158,44 @@ object OverlapJoin {
       .filter(col("jacc") >= minJaccard)
       .select("id_a", "id_b", "jacc")
   }
+
+  /** Directed containment join: pairs with `|src ∩ dst| / |src| >=
+    * minContainPct/100` — the ASYMMETRIC near-dup class Jaccard misses
+    * (a short document quoted inside a long one scores near-zero Jaccard
+    * but containment ~1). Only sets with at least `minSize` distinct
+    * elements participate: containment's required overlap `ceil(t·|src|)`
+    * shrinks with the source, so a corpus-wide candidate floor needs a
+    * size floor — `T = ceil(t·minSize)` is then a valid absolute overlap
+    * bound for EVERY qualifying pair, and [[join]]'s prefix filter applies
+    * unchanged (lossless). The threshold is integer cross-multiplied
+    * (`overlap·100 >= pct·|src|`) — an exact rational compare, no float
+    * epsilon on the accept/reject edge.
+    *
+    * Scale shape: [[join]] at `T` plus one co-keyed size re-join; the
+    * direction split is a union of two projections of the same pair table.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, setCol: String,
+      minContainPct: Int, minSize: Int): DataFrame = {
+    require(minContainPct >= 1 && minContainPct <= 100,
+      s"minContainPct must be in [1, 100]: $minContainPct")
+    require(minSize >= 1, s"minSize must be >= 1: $minSize")
+    val t = math.max(1, math.ceil(minContainPct * minSize / 100.0).toInt)
+
+    val sets = docs
+      .select(col(idCol).as("__cid"), array_distinct(col(setCol)).as("__cset"))
+      .filter(size(col("__cset")) >= minSize)
+    val sizes = sets.select(col("__cid"), size(col("__cset")).as("__csz"))
+    val pairs = join(sets, "__cid", "__cset", t)
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("overlap"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("overlap")))
+    directed
+      .join(sizes.select(col("__cid").as("src"), col("__csz").as("src_sz")),
+        "src")
+      .filter(col("overlap") * 100 >= col("src_sz") * minContainPct)
+      .select(col("src"), col("dst"), col("overlap"),
+        col("src_sz").cast("long").as("src_sz"),
+        (col("overlap").cast("double") / col("src_sz")).as("containment"))
+  }
 }

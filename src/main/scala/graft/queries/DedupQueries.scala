@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.dedup.TextDedup._
@@ -314,6 +315,23 @@ object DedupQueries {
         .select(col("id_a").as("d1"), col("id_b").as("d2"), col("overlap"))
         .orderBy("d1", "d2")
     },
+    // directed containment join: src's 5-token shingles >= 90% inside dst —
+    // the asymmetric quote/subset near-dup class Jaccard misses. Same
+    // PPJoin prefix machinery as ss1 at the size-floor overlap bound
+    // T = ceil(0.9 * 20); integer cross-multiplied threshold (no float
+    // edge); the DECIMAL(18,6) round is presentation only. Oracle = the
+    // naive all-shared-shingle self-join, directed
+    "dd16_containment_join" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("__toks", split(col("text"), " "))
+        .withColumn("__sh", wordShingles(col("__toks"), 5))
+      graft.dedup.OverlapJoin
+        .containmentJoin(docs, "doc_id", "__sh", minContainPct = 90,
+          minSize = 20)
+        .withColumn("containment",
+          col("containment").cast(DecimalType(18, 6)).cast("double"))
+        .orderBy("src", "dst")
+    },
     // embedding-cosine near-dup scores for consecutive vec pairs
     "dd5_embed_cosine" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
@@ -380,6 +398,22 @@ object DedupQueries {
         "pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS overlap " +
         "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY d1, d2) " +
         "SELECT d1, d2, overlap FROM pair WHERE overlap >= 10 ORDER BY d1, d2"),
+    // same naive formulation, directed, with the size floor and the exact
+    // integer cross-multiplied containment threshold
+    "dd16_containment_join" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS s " +
+        "FROM tok, unnest(generate_series(0, len(toks)-5)) AS g(i)), " +
+        "sz AS (SELECT doc_id, count(*) AS csz FROM sh GROUP BY doc_id " +
+        "HAVING count(*) >= 20), " +
+        "e AS (SELECT sh.doc_id, s, csz FROM sh JOIN sz USING (doc_id)), " +
+        "ov AS (SELECT a.doc_id AS src, b.doc_id AS dst, a.csz AS src_sz, " +
+        "count(*) AS overlap FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT src, dst, CAST(overlap AS BIGINT) AS overlap, " +
+        "CAST(src_sz AS BIGINT) AS src_sz, " +
+        "CAST(CAST(CAST(overlap AS DOUBLE) / src_sz AS DECIMAL(18,6)) AS DOUBLE) AS containment " +
+        "FROM ov WHERE overlap * 100 >= 90 * src_sz ORDER BY src, dst"),
     "dd1_exact_dedup" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, " +
         "min(doc_id) AS rep_id, count(*) AS n_dups FROM documents " +

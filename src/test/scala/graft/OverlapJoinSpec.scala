@@ -63,6 +63,38 @@ class OverlapJoinSpec extends AnyFunSuite {
     assert(naive.exists(_._3 < 0.75), "want pairs near the threshold")
   }
 
+  test("containment join: randomized sets match the naive directed reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(53)
+    def elem(): String = s"e${rnd.nextInt(200)}"
+    // containment structure: every third id is a strict SUBSET of the
+    // previous id (the quote-inside-a-long-doc shape) — high containment
+    // one way, low the other; Jaccard would miss these
+    val base = (1L to 60L).map(i => (i, Seq.fill(12 + rnd.nextInt(20))(elem())))
+    val docs = base.map { case (i, s) =>
+      if (i % 3 == 0) (i, base((i - 2).toInt)._2.distinct.take(11)) else (i, s)
+    }
+    val (pct, minSize) = (90, 10)
+    val got = OverlapJoin
+      .containmentJoin(docs.toDF("id", "s"), "id", "s", pct, minSize)
+      .select("src", "dst", "overlap", "src_sz")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val sets = docs.map { case (i, s) => i -> s.toSet }.toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys
+      if a != b && sets(a).size >= minSize && sets(b).size >= minSize
+      ov = (sets(a) & sets(b)).size
+      if ov * 100 >= pct * sets(a).size
+    } yield (a, b, ov.toLong, sets(a).size.toLong)).toSeq.sorted
+    assert(got === naive)
+    assert(got.nonEmpty)
+    // the asymmetry is real: some qualifying (src, dst) has no (dst, src)
+    val dirs = got.map(r => (r._1, r._2)).toSet
+    assert(got.exists(r => !dirs.contains((r._2, r._1))),
+      "want a pair contained one way only")
+  }
+
   test("sets smaller than the threshold never pair; empty sets are safe") {
     val spark2 = spark
     import spark2.implicits._
