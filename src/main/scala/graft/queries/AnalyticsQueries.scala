@@ -471,6 +471,31 @@ object AnalyticsQueries {
             .cast("int").as("within_bound"))
         .orderBy("ta", "tb")
     },
+    // ---- ts7: seasonal (day-of-week) baseline removal — the
+    // deseasonalization step before any volume alerting: a Monday spike is
+    // only a spike relative to Mondays. baseline = per-(type, dow) mean of
+    // the daily counts (one exact integer sum / count division, rounded
+    // DECIMAL(18,6) so both engines carry the same double); residual =
+    // day's count minus its baseline. dow alignment: Spark dayofweek is
+    // 1=Sunday, DuckDB's 0=Sunday — the Spark side subtracts 1. Scale
+    // shape: daily counts are one map-side-combined agg; the baseline is a
+    // (types × 7)-row table re-joined co-keyed — never a window over the
+    // raw events ----------------------------------------------------------
+    "ts7_seasonal_baseline" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val daily = Tables.t(s, dir, "events")
+        .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek(col("day")) - 1)
+      val base = daily.groupBy("event_type", "dow")
+        .agg((sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+          .cast(D6).cast("double").as("baseline"))
+      daily.join(base, Seq("event_type", "dow"))
+        .select(col("day"), col("event_type"), col("n"), col("baseline"),
+          (col("n").cast("double") - col("baseline"))
+            .cast(D6).cast("double").as("residual"))
+        .orderBy("day", "event_type")
+    },
     // ---- ts5: population-stability-index drift between consecutive days'
     // event-type distributions — the standard ML-serving drift statistic.
     // Laplace-smoothed shares over the full day×type grid (so a type
@@ -666,6 +691,19 @@ object AnalyticsQueries {
         "CAST(est >= COALESCE(c, 0) AS INT) AS ge_exact " +
         "FROM est LEFT JOIN ex ON est.p = ex.t ORDER BY token"
     },
+    // same exact sum/count division + DECIMAL rounds; DuckDB dayofweek is
+    // already 0=Sunday
+    "ts7_seasonal_baseline" ->
+      ("WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "base AS (SELECT event_type, dayofweek(day) AS dow, " +
+        "CAST(CAST(CAST(sum(n) AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS baseline " +
+        "FROM daily GROUP BY 1, 2) " +
+        "SELECT CAST(d.day AS TIMESTAMP) AS day, d.event_type AS event_type, d.n AS n, " +
+        "b.baseline AS baseline, " +
+        "CAST(CAST(CAST(d.n AS DOUBLE) - b.baseline AS DECIMAL(18,6)) AS DOUBLE) AS residual " +
+        "FROM daily d JOIN base b ON d.event_type = b.event_type " +
+        "AND dayofweek(d.day) = b.dow ORDER BY day, d.event_type"),
     "ts5_psi_drift" ->
       ("WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
         "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +

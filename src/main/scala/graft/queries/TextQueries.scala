@@ -213,6 +213,33 @@ object TextQueries {
     // window), per-batch padded-token waste vs the 128-cap truncated
     // lengths. waste/(n·max) is an exact integer ratio → identical double
     // division, no rounding ----------------------------------------------
+    // ---- tx28: tokenizer vocabulary coverage / OOV rate — the shipping
+    // check before a tokenizer meets a corpus: the vocab is the TOP-20
+    // most frequent tokens of the reference slice (vocabs are size-capped;
+    // an uncapped vocab here would cover everything and measure nothing),
+    // and every source reports instance + type OOV against it. Scale
+    // shape: the cap ranks only the VOCAB-sized count table (bounded by
+    // vocabulary, not corpus); coverage is one co-keyed left join on the
+    // token and a map-side-combinable per-source aggregate — the vocab is
+    // never collected to the driver -------------------------------------
+    "tx28_vocab_coverage" -> { (s, dir) =>
+      val toks = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val vocab = toks.filter(col("source") === "src0")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(vocab, Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(col("tok")).as("n_types"),
+          countDistinct(when(col("__in").isNull, col("tok"))).as("n_oov_types"))
+        .withColumn("oov_rate", (col("n_oov").cast("double") /
+          col("n_tokens").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double"))
+        .orderBy("source")
+    },
     "tx27_padding_waste" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("doc_id"),
@@ -795,6 +822,18 @@ object TextQueries {
     // every arithmetic input forced to DOUBLE before the math so DuckDB's
     // DECIMAL literal arithmetic can't diverge from Spark's double path;
     // the final DECIMAL(18,6) round matches the engine side
+    // same capped vocab: top-20 src0 tokens by (count DESC, token)
+    "tx28_vocab_coverage" ->
+      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tok " +
+        "WHERE source = 'src0' GROUP BY tok ORDER BY n DESC, tok LIMIT 20)), " +
+        "j AS (SELECT t.source, t.tok, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov " +
+        "FROM tok t LEFT JOIN v ON t.tok = v.tok) " +
+        "SELECT source, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "count(DISTINCT tok) AS n_types, " +
+        "count(DISTINCT CASE WHEN oov = 1 THEN tok END) AS n_oov_types, " +
+        "CAST(CAST(CAST(sum(oov) AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate " +
+        "FROM j GROUP BY source ORDER BY source"),
     "tx27_padding_waste" ->
       ("WITH d AS (SELECT doc_id, least(CAST(len(string_split(text, ' ')) AS BIGINT), 128) AS len " +
         "FROM documents), " +
