@@ -568,6 +568,66 @@ object Multimodal {
     }(enc)
   }
 
+  val ImagePatchFeatureType: StructType = StructType(Seq(
+    StructField("patch_idx", IntegerType),
+    StructField("n_px", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("px_min", IntegerType),
+    StructField("px_max", IntegerType)))
+
+  /** ViT-style patch decomposition over the REAL decoder: the raster split
+    * into a `patchW` × `patchH` grid (edge patches keep their partial
+    * size), one row per patch with exact integer luma stats — the
+    * patchify step in front of a vision encoder, row-major patch order.
+    * Narrow (mapPartitions flatMap); NULL or undecodable content
+    * contributes 0 rows, matching [[extractAudioFrameFeatures]]'s
+    * contract. */
+  def extractImagePatches(df: DataFrame, idCol: String, contentCol: String,
+      patchW: Int = 4, patchH: Int = 4): DataFrame = {
+    require(patchW > 0 && patchH > 0, "patch dims must be positive")
+    val src = df.select(org.apache.spark.sql.functions.col(idCol),
+      org.apache.spark.sql.functions.col(contentCol))
+    val idField = src.schema.head
+    implicit val enc: Encoder[Row] =
+      Encoders.row(StructType(idField +: ImagePatchFeatureType.fields.toSeq))
+    src.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val dec = if (bytes == null) None else ImageIoDecoder.decode(bytes)
+        dec match {
+          case None => Iterator.empty
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val nCols = (w + patchW - 1) / patchW
+            val nRows = (h + patchH - 1) / patchH
+            Iterator.tabulate(nRows * nCols) { p =>
+              val py = p / nCols
+              val px = p % nCols
+              var sum = 0L
+              var mn = 255
+              var mx = 0
+              var n = 0
+              var y = py * patchH
+              while (y < math.min((py + 1) * patchH, h)) {
+                var x = px * patchW
+                while (x < math.min((px + 1) * patchW, w)) {
+                  val v = (img.getRGB(x, y) >> 16) & 0xff
+                  sum += v
+                  n += 1
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  x += 1
+                }
+                y += 1
+              }
+              Row(r.get(0), p, n, sum, mn, mx)
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Run the decoder over batches of `batchSize` records (mapPartitions —
     * narrow, no shuffle), appending the feature struct columns to the id
     * column. */

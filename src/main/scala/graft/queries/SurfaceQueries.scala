@@ -267,6 +267,20 @@ object SurfaceQueries {
       Multimodal.extractImageHistograms(docs, "doc_id", "png")
         .orderBy("doc_id")
     },
+    // ---- mm14: ViT-style patchify — the 8×8 token-raster PNG decoded by
+    // the REAL ImageIO round-trip and split into four 4×4 patches (the
+    // patch-embedding front door of a vision encoder), exact integer luma
+    // stats per patch. Same pixel-exact regime as mm13: every pixel is
+    // hashCode&0xff of a sampled token, so the oracle predicts each
+    // patch's sum/min/max from text alone; a row-major patch-order or
+    // grid-arithmetic slip shifts pixels between patches and hash-fails -
+    "mm14_image_patches" -> { (s, dir) =>
+      val toPng = udf(Multimodal.tokenRasterPng _)
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("png", toPng(col("text")))
+      Multimodal.extractImagePatches(docs, "doc_id", "png")
+        .orderBy("doc_id", "patch_idx")
+    },
     // ---- mm12: spectral tone classification — per-doc square-wave tone
     // (index = doc_id % 4, integer-exact phase math) → real PCM/WAV wrap →
     // real javax.sound decode → Goertzel argmax over the 4 candidate
@@ -897,6 +911,22 @@ object SurfaceQueries {
         "CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2, " +
         "CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3 " +
         "FROM px GROUP BY doc_id ORDER BY doc_id"),
+    // mm13's pixel formula, regrouped by the row-major 4×4 patch grid:
+    // pixel j sits at (row j//8, col j%8) → patch (row//4)*2 + col//4
+    "mm14_image_patches" ->
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS s FROM documents), " +
+        "tk AS (SELECT doc_id, j, s[CAST((j * len(s)) // 64 AS BIGINT) + 1] AS tok " +
+        "FROM t, unnest(generate_series(0, 63)) AS g(j)), " +
+        "px AS (SELECT doc_id, j, " +
+        "CASE WHEN tok IS NULL OR tok = '' THEN 0 ELSE " +
+        "list_reduce([unicode(c) FOR c IN regexp_extract_all(tok, '(?s).')], " +
+        "(a, c) -> (a * 31 + c) % 256) END AS v FROM tk), " +
+        "pp AS (SELECT doc_id, CAST(((j // 8) // 4) * 2 + ((j % 8) // 4) AS INT) AS patch_idx, v " +
+        "FROM px) " +
+        "SELECT doc_id, patch_idx, CAST(count(*) AS INT) AS n_px, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max " +
+        "FROM pp GROUP BY doc_id, patch_idx ORDER BY doc_id, patch_idx"),
     // the same integer phase formula the synth uses: sample i of tone k is
     // high iff floor(i*2f/8000) is even; detection itself is pinned to the
     // literal expected index (margin argument in Tone's scaladoc)

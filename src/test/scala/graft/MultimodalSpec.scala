@@ -58,6 +58,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).getLong(4) === hash)
   }
 
+  test("image patches: row-major grid, partial edge patches, exact stats") {
+    // 10×6 with 4×4 patches → 3×2 grid; the right column is 2 px wide and
+    // the bottom row 2 px tall — the q:mm14 fixture (8×8) divides evenly,
+    // so the partial-edge contract is pinned here
+    val df = mediaDf(Seq(1 -> png(10, 6), 2 -> Array[Byte](9, 9)))
+    val out = Multimodal.extractImagePatches(df, "id", "content")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    assert(!out.keys.exists(_._1 == 2), "undecodable content emits 0 rows")
+    assert(out.keys.count(_._1 == 1) === 6)
+    for (p <- 0 until 6) {
+      val (py, px) = (p / 3, p % 3)
+      val vals = for {
+        y <- (py * 4) until math.min(py * 4 + 4, 6)
+        x <- (px * 4) until math.min(px * 4 + 4, 10)
+      } yield x * 17 % 256 // red channel == the extractor's luma read
+      val r = out((1, p))
+      assert(r.getInt(2) === vals.size)
+      assert(r.getLong(3) === vals.map(_.toLong).sum)
+      assert(r.getInt(4) === vals.min && r.getInt(5) === vals.max)
+    }
+  }
+
   test("ImageIoResizer produces real 4x4 pixels = nearest-neighbor of source") {
     val src = png(8, 8)
     val out = Multimodal.resizeContent(
