@@ -270,6 +270,41 @@ object GraphQueries {
             .cast("double").as("pagerank"))
         .orderBy("node")
     },
+    // ---- g20: HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    // canonical co-service edges (u < v — direction is the point of HITS:
+    // a hub points, an authority is pointed at). Two synchronous
+    // auth-then-hub rounds, L1-normalized; every sum is per-term
+    // DECIMAL(28,12)-cast (exact, order-free — the pp4 normalizer regime)
+    // so both engines divide the SAME doubles. Scale shape per round: two
+    // co-keyed equi-joins + map-side-combined sums and a 1-row norm
+    // broadcast — identical to g15's join geometry --------------------------
+    "g20_hits" -> { (s, dir) =>
+      val D = org.apache.spark.sql.types.DecimalType(28, 12)
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val edges = coServiceEdges(s, dir)
+      val nodes = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node"))).distinct()
+      var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+      var auth = hub.select(col("node"), col("hub").as("auth"))
+      for (_ <- 1 to 2) {
+        val ra = edges.join(hub.select(col("node").as("u"), col("hub")), "u")
+          .groupBy(col("v").as("node")).agg(sum(col("hub").cast(D)).as("r"))
+        auth = nodes.join(ra, Seq("node"), "left")
+          .crossJoin(broadcast(ra.agg(sum(col("r")).as("z"))))
+          .select(col("node"), (coalesce(col("r"), lit(0).cast(D))
+            .cast("double") / col("z").cast("double")).as("auth"))
+        val rh = edges.join(auth.select(col("node").as("v"), col("auth")), "v")
+          .groupBy(col("u").as("node")).agg(sum(col("auth").cast(D)).as("r"))
+        hub = nodes.join(rh, Seq("node"), "left")
+          .crossJoin(broadcast(rh.agg(sum(col("r")).as("z"))))
+          .select(col("node"), (coalesce(col("r"), lit(0).cast(D))
+            .cast("double") / col("z").cast("double")).as("hub"))
+      }
+      auth.join(hub, "node")
+        .select(col("node"), col("auth").cast(D6).cast("double").as("auth"),
+          col("hub").cast(D6).cast("double").as("hub"))
+        .orderBy("node")
+    },
     // ---- g16: label-propagation communities over the same co-service
     // graph — 2 synchronous deterministic rounds (most-frequent neighbor
     // label, ties → smallest), oracle = 2 unrolled argmax CTEs. Completes
@@ -411,6 +446,37 @@ object GraphQueries {
         "FROM p2 p JOIN e ON e.u = p.node GROUP BY 1) f ON f.node = d.node) " +
         "SELECT node, CAST(CAST(pr AS DECIMAL(18,6)) AS DOUBLE) AS pagerank " +
         "FROM p3 ORDER BY node"),
+    // two unrolled auth-then-hub rounds on the DIRECTED canonical edges;
+    // the same per-term DECIMAL(28,12) casts make every sum order-free
+    "g20_hits" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "n AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e), " +
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM n), " +
+        "ra1 AS (SELECT e.v AS node, sum(CAST(h.hub AS DECIMAL(28,12))) AS r " +
+        "FROM e JOIN h0 h ON h.node = e.u GROUP BY 1), " +
+        "za1 AS (SELECT sum(r) AS z FROM ra1), " +
+        "a1 AS (SELECT n.node, CAST(coalesce(r, 0) AS DOUBLE) / CAST(z AS DOUBLE) AS auth " +
+        "FROM n LEFT JOIN ra1 USING (node) CROSS JOIN za1), " +
+        "rh1 AS (SELECT e.u AS node, sum(CAST(a.auth AS DECIMAL(28,12))) AS r " +
+        "FROM e JOIN a1 a ON a.node = e.v GROUP BY 1), " +
+        "zh1 AS (SELECT sum(r) AS z FROM rh1), " +
+        "h1 AS (SELECT n.node, CAST(coalesce(r, 0) AS DOUBLE) / CAST(z AS DOUBLE) AS hub " +
+        "FROM n LEFT JOIN rh1 USING (node) CROSS JOIN zh1), " +
+        "ra2 AS (SELECT e.v AS node, sum(CAST(h.hub AS DECIMAL(28,12))) AS r " +
+        "FROM e JOIN h1 h ON h.node = e.u GROUP BY 1), " +
+        "za2 AS (SELECT sum(r) AS z FROM ra2), " +
+        "a2 AS (SELECT n.node, CAST(coalesce(r, 0) AS DOUBLE) / CAST(z AS DOUBLE) AS auth " +
+        "FROM n LEFT JOIN ra2 USING (node) CROSS JOIN za2), " +
+        "rh2 AS (SELECT e.u AS node, sum(CAST(a.auth AS DECIMAL(28,12))) AS r " +
+        "FROM e JOIN a2 a ON a.node = e.v GROUP BY 1), " +
+        "zh2 AS (SELECT sum(r) AS z FROM rh2), " +
+        "h2 AS (SELECT n.node, CAST(coalesce(r, 0) AS DOUBLE) / CAST(z AS DOUBLE) AS hub " +
+        "FROM n LEFT JOIN rh2 USING (node) CROSS JOIN zh2) " +
+        "SELECT a2.node, CAST(CAST(auth AS DECIMAL(18,6)) AS DOUBLE) AS auth, " +
+        "CAST(CAST(hub AS DECIMAL(18,6)) AS DOUBLE) AS hub " +
+        "FROM a2 JOIN h2 USING (node) ORDER BY node"),
     // two unrolled synchronous LPA rounds; per-round argmax replicated as
     // row_number over (count desc, label) — same tiebreak as the engine's
     // min(struct(-n, label)) aggregate
