@@ -63,6 +63,21 @@ object Url {
       i => array_join(slice(labels, i + 1, size(labels) - i), "."))
   }
 
+  /** The LONGEST of `suffixes` matching `host` ('' when clean) as a pure
+    * codegen Column — the literal-rule-list variant of [[blockBySuffix]]
+    * for config-sized blocklists: a filter + fold over the host's ≤ ~10
+    * label suffixes, no join, no aggregation, STATELESS — usable
+    * unchanged inside a streaming projection where [[blockBySuffix]]'s
+    * groupBy would demand watermarked state. */
+  def blockedByLiteral(host: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty, "blockedByLiteral: empty blocklist")
+    val rules = array(suffixes.map(lit): _*)
+    aggregate(
+      filter(labelSuffixes(host), s => array_contains(rules, s)),
+      lit(""),
+      (acc, s) => when(length(s) > length(acc), s).otherwise(acc))
+  }
+
   /** Annotate `df` with the LONGEST blocklist suffix matching `hostCol`
     * (`blocked_by`, '' when clean): explode the host's label suffixes,
     * equi-join the broadcast rule table, keep the max-length match per row.

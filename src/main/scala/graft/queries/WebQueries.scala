@@ -26,7 +26,7 @@ object WebQueries {
   /** Deterministic messy-URL fixture: scheme case flips on doc_id%2, a
     * default :443 port appears on %3, a trailing slash on %4, a fragment
     * on %5; every URL carries a utm_ tracking param and unsorted params. */
-  private def messyUrl = concat(
+  private[queries] def messyUrl = concat(
     when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
     lit("://WWW."), col("source"), lit(".Example.COM"),
     when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
@@ -61,6 +61,26 @@ object WebQueries {
     // hosts × rules regex product. The oracle takes the opposite, small-N
     // plan (a LIKE per rule) — same answer from a different shape is the
     // point of the check --------------------------------------------------
+    // ---- st18: the SAME Url module inside Structured Streaming — the
+    // ST4 batch-module-reuse contract for web hygiene: a document stream
+    // gets canonical_url + blocked_by as a pure STATELESS projection
+    // (blockedByLiteral is a codegen filter+fold over label suffixes — no
+    // join, no aggregation, so append mode needs no watermark/state at
+    // all). The oracle recomputes both columns per doc in SQL ------------
+    "st18_stream_url_hygiene" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = graft.streaming.Streams.parquetStream(
+        s, s"$dir/documents.parquet", schema)
+      graft.streaming.Streams.runToParquet(raw, st =>
+          st.select(col("doc_id"), messyUrl.as("url"))
+            .withColumn("canonical_url", Url.canonicalize(col("url")))
+            .withColumn("blocked_by", Url.blockedByLiteral(
+              Url.host(col("url")),
+              Seq("src3.example.com", "src7.example.com")))
+            .select(col("doc_id"), col("canonical_url"), col("blocked_by"),
+              (col("blocked_by") =!= "").cast("int").as("blocked")))
+        .orderBy("doc_id")
+    },
     "url2_suffix_blocklist" -> { (s, dir) =>
       val hosts = Tables.t(s, dir, "documents")
         .select(col("doc_id"),
@@ -112,6 +132,36 @@ object WebQueries {
         "p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q FROM p)) " +
         "SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc, " +
         "count(DISTINCT url) AS n_spellings FROM c GROUP BY 1 ORDER BY 1"),
+    // per-doc canonical + host + blocklist verdict — the same fixture and
+    // canonicalization replica as url1, ungrouped; host replicates
+    // Url.host (lowered authority, ANY trailing :port stripped)
+    "st18_stream_url_hygiene" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://WWW.' || " +
+        "source || '.Example.COM' || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || " +
+        "'/Doc/' || (doc_id % 40) || " +
+        "(CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || " +
+        "'?utm_source=feed&b=2&a=' || (doc_id % 3) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url FROM documents), " +
+        "p AS (SELECT doc_id, url, " + canonSql + " FROM u), " +
+        "c AS (SELECT doc_id, scheme || '://' || " +
+        "(CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '') " +
+        "WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '') ELSE hp END) || " +
+        "regexp_replace(COALESCE(regexp_extract(base, " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), ''), '/+$', '') || " +
+        "(CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url, " +
+        "regexp_replace(hp, ':[0-9]+$', '') AS host FROM " +
+        "(SELECT *, array_to_string(list_sort(list_filter(string_split(" +
+        "COALESCE(regexp_extract(base, '\\?([^#]*)', 1), ''), '&'), " +
+        "p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q FROM p)), " +
+        "m AS (SELECT doc_id, canonical_url, " +
+        "CASE WHEN host = 'src3.example.com' OR host LIKE '%.src3.example.com' " +
+        "THEN 'src3.example.com' " +
+        "WHEN host = 'src7.example.com' OR host LIKE '%.src7.example.com' " +
+        "THEN 'src7.example.com' ELSE '' END AS blocked_by FROM c) " +
+        "SELECT doc_id, canonical_url, blocked_by, " +
+        "CAST(blocked_by <> '' AS INT) AS blocked FROM m ORDER BY doc_id"),
     // longest-rule-first CASE (22 > 19 > 16 chars) mirrors the engine's
     // max-length winner; a rule matches its exact host or any '.'-boundary
     // subdomain, never a label fragment

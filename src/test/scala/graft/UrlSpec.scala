@@ -48,6 +48,22 @@ class UrlSpec extends AnyFunSuite {
       3L -> "", 4L -> ""))
   }
 
+  test("blockedByLiteral (stateless codegen) agrees with blockBySuffix (join)") {
+    import spark.implicits._
+    val hosts = Seq((1L, "example.com"), (2L, "a.example.com"),
+      (3L, "notexample.com"), (4L, "cdn.media.s.example.com"), (5L, "com"))
+      .toDF("doc_id", "host")
+    val rules = Seq("example.com", "media.s.example.com", "com")
+    val viaJoin = Url.blockBySuffix(hosts, "host", rules, Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val viaLit = hosts
+      .select(col("doc_id"), Url.blockedByLiteral(col("host"), rules).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaLit == viaJoin)
+    assert(viaLit(4L) === "media.s.example.com") // longest, not 'com'
+    assert(viaLit(3L) === "com") // matches the TLD rule only, on the label
+  }
+
   test("longest matching rule wins") {
     import spark.implicits._
     val hosts = Seq((1L, "cdn.media.s.example.com")).toDF("doc_id", "host")
