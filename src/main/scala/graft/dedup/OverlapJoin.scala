@@ -37,8 +37,9 @@ object OverlapJoin {
     * @return (id_a, id_b, overlap) with id_a < id_b — one row per
     *         qualifying pair, overlap = exact |A ∩ B| */
   def join(docs: DataFrame, idCol: String, setCol: String,
-      minOverlap: Int): DataFrame = {
-    val (elems, cand) = buildCandidates(docs, idCol, setCol, minOverlap)
+      minOverlap: Int, assumeDistinct: Boolean = false): DataFrame = {
+    val (elems, cand) = buildCandidates(docs, idCol, setCol, minOverlap,
+      assumeDistinct)
 
     // verify: exact intersection size, computed only for candidates
     val ea = elems.select(col("__id").as("id_a"), col("__e"))
@@ -58,13 +59,19 @@ object OverlapJoin {
     buildCandidates(docs, idCol, setCol, minOverlap)._2
 
   private def buildCandidates(docs: DataFrame, idCol: String, setCol: String,
-      minOverlap: Int): (DataFrame, DataFrame) = {
+      minOverlap: Int, assumeDistinct: Boolean = false): (DataFrame, DataFrame) = {
     require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
 
     // one row per (doc, distinct element); sets smaller than T can never
-    // qualify and are dropped before they cost anything
+    // qualify and are dropped before they cost anything. `assumeDistinct`
+    // skips the O(|set|) normalization when the caller already collapsed
+    // duplicates (containmentJoin's size stage) — duplicate elements
+    // under assumeDistinct=true would inflate overlap counts, so it is
+    // a contract, not a hint
     val elems = docs
-      .select(col(idCol).as("__id"), array_distinct(col(setCol)).as("__set"))
+      .select(col(idCol).as("__id"),
+        (if (assumeDistinct) col(setCol) else array_distinct(col(setCol)))
+          .as("__set"))
       .filter(size(col("__set")) >= minOverlap)
       .select(col("__id"), size(col("__set")).as("__sz"),
         explode(col("__set")).as("__e"))
@@ -185,7 +192,9 @@ object OverlapJoin {
       .select(col(idCol).as("__cid"), array_distinct(col(setCol)).as("__cset"))
       .filter(size(col("__cset")) >= minSize)
     val sizes = sets.select(col("__cid"), size(col("__cset")).as("__csz"))
-    val pairs = join(sets, "__cid", "__cset", t)
+    // assumeDistinct: sets is already normalized above — join must not
+    // re-run array_distinct over every set
+    val pairs = join(sets, "__cid", "__cset", t, assumeDistinct = true)
     val directed = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("overlap"))
       .unionByName(pairs

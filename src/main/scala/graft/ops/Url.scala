@@ -29,9 +29,18 @@ object Url {
     * Malformed input (no `scheme://`) canonicalizes its parseable parts and
     * never throws — hygiene must not kill the batch. */
   def canonicalize(url: Column): Column = {
-    val base = regexp_replace(url, "#.*$", "")
+    // (?s) so '#' strips to true end-of-input in BOTH Java regex and RE2
+    // (without it, Java's $ matches before a trailing newline and RE2's
+    // does not — a newline-bearing crawl URL would canonicalize
+    // differently cross-engine)
+    val base = regexp_replace(url, "(?s)#.*", "")
     val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    // strip userinfo BEFORE anything reads the authority: the classic
+    // 'https://good.com@blocked.example.com/' @-spoof must not evade the
+    // host-derived blocklist
+    val hostPort = regexp_replace(
+      lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ".*@", "")
     val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .otherwise(hostPort)
@@ -45,11 +54,11 @@ object Url {
       when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
   }
 
-  /** Host part of the canonical form (no port, lowercased). */
+  /** Host part of the canonical form (no userinfo, no port, lowercased). */
   def host(url: Column): Column = {
-    val hp = lower(regexp_extract(regexp_replace(url, "#.*$", ""),
+    val hp = lower(regexp_extract(regexp_replace(url, "(?s)#.*", ""),
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    regexp_replace(hp, ":\\d+$", "")
+    regexp_replace(regexp_replace(hp, ".*@", ""), ":\\d+$", "")
   }
 
   /** Every dot-label suffix of `host` ("a.b.c" → ["a.b.c", "b.c", "c"]) —
@@ -72,10 +81,15 @@ object Url {
   def blockedByLiteral(host: Column, suffixes: Seq[String]): Column = {
     require(suffixes.nonEmpty, "blockedByLiteral: empty blocklist")
     val rules = array(suffixes.map(lit): _*)
-    aggregate(
-      filter(labelSuffixes(host), s => array_contains(rules, s)),
-      lit(""),
-      (acc, s) => when(length(s) > length(acc), s).otherwise(acc))
+    // coalesce: a NULL host must read as clean (''), matching
+    // blockBySuffix's contract (explode drops the row, left join
+    // coalesces) — without it the fold propagates NULL
+    coalesce(
+      aggregate(
+        filter(labelSuffixes(host), s => array_contains(rules, s)),
+        lit(""),
+        (acc, s) => when(length(s) > length(acc), s).otherwise(acc)),
+      lit(""))
   }
 
   /** Annotate `df` with the LONGEST blocklist suffix matching `hostCol`

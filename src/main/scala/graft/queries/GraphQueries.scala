@@ -285,7 +285,9 @@ object GraphQueries {
       val nodes = edges.select(col("u").as("node"))
         .unionByName(edges.select(col("v").as("node"))).distinct()
       var hub = nodes.select(col("node"), lit(1.0).as("hub"))
-      var auth = hub.select(col("node"), col("hub").as("auth"))
+      // auth has no initial value in auth-then-hub HITS — round 1 derives
+      // it from the all-ones hub before any read
+      var auth: DataFrame = null
       for (_ <- 1 to 2) {
         val ra = edges.join(hub.select(col("node").as("u"), col("hub")), "u")
           .groupBy(col("v").as("node")).agg(sum(col("hub").cast(D)).as("r"))

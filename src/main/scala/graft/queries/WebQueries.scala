@@ -100,15 +100,15 @@ object WebQueries {
     }
   )
 
-  // shared canonicalization replica: identical regexes, identical list
-  // algebra — COALESCE guards DuckDB's NULL on regexp no-match (Spark
-  // returns '' there)
+  // shared canonicalization replica: identical regexes ((?s) fragment
+  // strip, userinfo '.*@' strip), identical list algebra — COALESCE
+  // guards DuckDB's NULL on regexp no-match (Spark returns '' there)
   private val canonSql =
-    "regexp_replace(url, '#.*$', '') AS base, " +
-      "lower(COALESCE(regexp_extract(regexp_replace(url, '#.*$', ''), " +
+    "regexp_replace(url, '(?s)#.*', '') AS base, " +
+      "lower(COALESCE(regexp_extract(regexp_replace(url, '(?s)#.*', ''), " +
       "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme, " +
-      "lower(COALESCE(regexp_extract(regexp_replace(url, '#.*$', ''), " +
-      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS hp"
+      "regexp_replace(lower(COALESCE(regexp_extract(regexp_replace(url, '(?s)#.*', ''), " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')), '.*@', '') AS hp"
 
   val oracle: Map[String, String] = Map(
     "url1_canonicalize" ->

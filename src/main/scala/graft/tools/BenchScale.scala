@@ -48,7 +48,12 @@ object BenchScale {
     // peeling rounds grow with graph depth, the bigram-LM model tables
     // with vocab², the ZIP demux with archive bytes, the CMS sketch must
     // stay constant-size by construction
-    "g17_kcore", "tx25_bigram_lm", "s11_zip_roundtrip", "approx4_countmin")
+    "g17_kcore", "tx25_bigram_lm", "s11_zip_roundtrip", "approx4_countmin",
+    // round-8 session-3: the containment join shares ss1's candidate
+    // machinery (higher floor T=18 vs ss1's 10 → shorter prefixes, fewer
+    // candidates) but adds the directed split + two size re-joins — gated
+    // to confirm those extra stages stay linear alongside the candidates
+    "dd16_containment_join")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride

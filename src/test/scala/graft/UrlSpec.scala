@@ -37,6 +37,30 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("ftp://Mixed.Case/KeepPath") === "ftp://mixed.case/KeepPath")
   }
 
+  test("userinfo @-spoof cannot evade the host or the blocklist") {
+    assert(canon("https://good.com@Blocked.Example.COM/x")
+      === "https://blocked.example.com/x")
+    val got = spark.range(1).select(
+      Url.blockedByLiteral(Url.host(
+        lit("https://good.com@sub.blocked.example.com:8443/x")),
+        Seq("blocked.example.com"))).head.getString(0)
+    assert(got === "blocked.example.com")
+  }
+
+  test("NULL host reads as clean ('') through both blocklist paths") {
+    import spark.implicits._
+    val hosts = Seq((1L, null.asInstanceOf[String]), (2L, "a.example.com"))
+      .toDF("doc_id", "host")
+    val viaLit = hosts.select(col("doc_id"),
+        Url.blockedByLiteral(col("host"), Seq("example.com")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaJoin = Url.blockBySuffix(hosts, "host", Seq("example.com"),
+        Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(viaLit == Map(1L -> "", 2L -> "example.com"))
+    assert(viaJoin == viaLit)
+  }
+
   test("suffix rules match on label boundaries only") {
     import spark.implicits._
     val hosts = Seq((1L, "example.com"), (2L, "a.example.com"),
