@@ -28,6 +28,17 @@ object AnnQueries {
       Ann.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 3)
         .orderBy("q_id", "rank")
     },
+    // ---- ann8: exact cosine RADIUS search — "every neighbor within the
+    // radius", the unbounded-count primitive top-k can't express (dedup
+    // candidate pulls and contamination sweeps want ALL matches, not 3).
+    // No window, no per-query sort: scan → broadcast query side → codegen
+    // cosine filter; the threshold compare is bit-identical cross-engine
+    // because both engines fold the dot product in index order -----------
+    "ann8_range_search" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      Ann.rangeSearch(e.filter(col("vec_id") < 32), e, minSim = 0.35)
+        .orderBy("q_id", "c_id")
+    },
     // LSH-bucketed top-3 (8 sign-projection planes): the scale path — the
     // corpus-side shuffle key is the bucket, candidates bounded per bucket
     "ann2_lsh_topk" -> { (s, dir) =>
@@ -171,6 +182,13 @@ object AnnQueries {
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
         "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
+    "ann8_range_search" ->
+      ("SELECT q_id, c_id, sim FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id) " +
+        "WHERE sim >= 0.35 ORDER BY q_id, c_id"),
     "ann2_lsh_topk" ->
       (bucketCte +
         " SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +

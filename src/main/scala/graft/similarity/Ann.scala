@@ -42,6 +42,24 @@ object Ann {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Exact cosine RADIUS search: every corpus item with `sim >= minSim`
+    * per query — the retrieval primitive top-k can't express ("all near
+    * neighbors", result count unbounded and data-dependent). Same
+    * broadcast-queries shape as [[bruteForceTopK]], but radius search
+    * needs no window and no per-query sort at all — the threshold is the
+    * whole operator, so the plan is scan → broadcast product → filter,
+    * fully codegen. Self-pairs are excluded. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, minSim: Double,
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .filter(col("sim") >= minSim)
+      .select("q_id", "c_id", "sim")
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k most
     * cosine-similar corpus items with a DIFFERENT label (the classic
     * in-batch-negatives upgrade — near neighbors that the label says are
