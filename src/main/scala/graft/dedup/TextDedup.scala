@@ -42,6 +42,16 @@ object TextDedup {
   def baseHash(c: Column, useMd5: Boolean): Column =
     if (useMd5) md5Int(c) else graft.functions.GraftFunctions.poly_hash(c)
 
+  /** THE deterministic 80/10/10 train/val/test split (md5-mod-100 of the
+    * id) — one definition, shared by tx16 (the split itself) and dq7 (the
+    * leakage audit over it); a drifted copy of the thresholds is exactly
+    * the bug class dq7 exists to catch. SQL twin:
+    * [[graft.queries.DedupQueries.splitSql]]. */
+  def trainValTestSplit(id: Column): Column = {
+    val h = md5Int(id.cast("string")) % 100
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
   /** Word n-gram shingles (distinct) from a token array:
     * shingle_i = tokens[i..i+n-1] joined by space. Documents with fewer than
     * n tokens yield an empty set — `sequence` with stop < start would count

@@ -21,6 +21,13 @@ object DedupQueries {
   private[queries] def md5IntSql(x: String): String =
     s"list_reduce([strpos('0123456789abcdef', c) - 1 FOR c IN regexp_extract_all(substr(md5($x), 1, 8), '.')], (a, d) -> a * 16 + d)"
 
+  /** DuckDB twin of [[graft.dedup.TextDedup.trainValTestSplit]] — the ONE
+    * 80/10/10 split CASE, shared by the tx16 and dq7 oracles. */
+  private[queries] val splitSql: String = {
+    val h = md5IntSql("CAST(doc_id AS VARCHAR)") + " % 100"
+    s"CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val' ELSE 'test' END"
+  }
+
   /** DuckDB fragment: distinct word-3-gram shingles of `text` (shared with
     * TextQueries' tx18 novelty oracle — ONE shingle definition per corpus). */
   private[queries] val shinglesSql =

@@ -176,28 +176,20 @@ object OpsQueries {
           sum(col("c_acctbal").cast(d28)).cast("double").as("subtree_bal"))
         .orderBy("node")
     },
-    // ---- dq4: equi-width histogram of a numeric column per event type —
-    // the binned-distribution profile next to dq1's moments. Two exact
-    // aggregations: global min/max (1 row, broadcast back) fix the bin
-    // edges, then one co-keyed (type, bin) count. Bin index is
-    // floor((v−min)/width) clamped to the last bin — min/max/width are
-    // identical doubles on both engines, so the floor is too (no epsilon,
-    // no rounding) -------------------------------------------------------
     // ---- dq7: train/val/test split LEAKAGE — the eval-contamination bug
     // class: two NEAR-duplicate documents (≥ 10 shared 5-token shingles,
     // ss1's pair definition and lossless prefix-filtered machinery) land
-    // in different splits of tx16's deterministic md5-mod-100 split,
-    // silently inflating eval scores. Pairs are split-labeled by two
-    // co-keyed joins and counted per unordered split pair; non-empty
-    // output IS the finding. Scale shape = ss1's + two equi-joins --------
+    // in different splits of tx16's deterministic md5-mod-100 split
+    // (trainValTestSplit — the ONE shared definition), silently inflating
+    // eval scores. Pairs are split-labeled by two co-keyed joins and
+    // counted per unordered split pair; non-empty output IS the finding.
+    // Scale shape = ss1's + two equi-joins -------------------------------
     "dq7_split_leakage" -> { (s, dir) =>
-      val h = graft.dedup.TextDedup.md5Int(col("doc_id").cast("string")) % 100
       val docs = Tables.t(s, dir, "documents")
         .withColumn("__toks", split(col("text"), " "))
         .withColumn("__sh", graft.dedup.TextDedup.wordShingles(col("__toks"), 5))
       val splits = Tables.t(s, dir, "documents").select(col("doc_id"),
-        when(h < 80, "train").when(h < 90, "val").otherwise("test")
-          .as("split"))
+        graft.dedup.TextDedup.trainValTestSplit(col("doc_id")).as("split"))
       graft.dedup.OverlapJoin.join(docs, "doc_id", "__sh", minOverlap = 10)
         .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")),
           "id_a")
@@ -209,6 +201,13 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_leaked_pairs"))
         .orderBy("split_a", "split_b")
     },
+    // ---- dq4: equi-width histogram of a numeric column per event type —
+    // the binned-distribution profile next to dq1's moments. Two exact
+    // aggregations: global min/max (1 row, broadcast back) fix the bin
+    // edges, then one co-keyed (type, bin) count. Bin index is
+    // floor((v−min)/width) clamped to the last bin — min/max/width are
+    // identical doubles on both engines, so the floor is too (no epsilon,
+    // no rounding) -------------------------------------------------------
     "dq4_histogram" -> { (s, dir) =>
       // NULL values are excluded (a histogram of observations, not a
       // null-count — dq1 profiles nulls); a degenerate hi == lo range
@@ -446,27 +445,25 @@ object OpsQueries {
         "SELECT c.child, h.depth + 1, h.path || '/' || c.child " +
         "FROM c JOIN h ON c.parent = h.node) " +
         "SELECT node, depth, path FROM h ORDER BY node"),
-    // identical IEEE edge/bin arithmetic; least() clamps the max value
-    // into the last bin on both sides
-    // ss1's naive all-shared-shingle pair formulation + tx16's split CASE;
-    // the engine side only ever joins prefix-indexed shingles
-    "dq7_split_leakage" -> {
-      val h = graft.queries.DedupQueries.md5IntSql("CAST(doc_id AS VARCHAR)") +
-        " % 100"
-      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+    // ss1's naive all-shared-shingle pair formulation + the shared
+    // splitSql CASE; the engine side only ever joins prefix-indexed
+    // shingles
+    "dq7_split_leakage" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS s " +
         "FROM tok, unnest(generate_series(0, len(toks)-5)) AS g(i)), " +
         "pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS overlap " +
         "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "sp AS (SELECT doc_id, CASE WHEN " + h + " < 80 THEN 'train' " +
-        "WHEN " + h + " < 90 THEN 'val' ELSE 'test' END AS split FROM documents) " +
+        "sp AS (SELECT doc_id, " + graft.queries.DedupQueries.splitSql +
+        " AS split FROM documents) " +
         "SELECT least(sa.split, sb.split) AS split_a, " +
         "greatest(sa.split, sb.split) AS split_b, count(*) AS n_leaked_pairs " +
         "FROM pair JOIN sp sa ON sa.doc_id = pair.d1 " +
         "JOIN sp sb ON sb.doc_id = pair.d2 " +
         "WHERE overlap >= 10 AND sa.split <> sb.split " +
-        "GROUP BY 1, 2 ORDER BY split_a, split_b"
-    },
+        "GROUP BY 1, 2 ORDER BY split_a, split_b"),
+    // identical IEEE edge/bin arithmetic; least() clamps the max value
+    // into the last bin on both sides
     "dq4_histogram" ->
       ("WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), " +
         "edges AS (SELECT min(value) AS lo, max(value) AS hi FROM ev) " +

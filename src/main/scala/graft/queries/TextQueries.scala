@@ -295,11 +295,9 @@ object TextQueries {
     // stable under corpus growth (a doc's split never changes when other
     // docs arrive) -------------------------------------------------------
     "tx16_train_split" -> { (s, dir) =>
-      val h = graft.dedup.TextDedup.md5Int(col("doc_id").cast("string")) % 100
       Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          when(h < 80, "train").when(h < 90, "val").otherwise("test")
-            .as("split"))
+          graft.dedup.TextDedup.trainValTestSplit(col("doc_id")).as("split"))
         .orderBy("doc_id")
     },
     // ---- n-gram novelty vs a reference corpus: per doc, the fraction of
@@ -873,12 +871,9 @@ object TextQueries {
         ") AS DECIMAL(18,6)) AS DOUBLE) AS bm25 " +
         "FROM tf JOIN dfq USING (token) CROSS JOIN st " +
         "GROUP BY doc_id ORDER BY doc_id"),
-    "tx16_train_split" -> {
-      val h = DedupQueries.md5IntSql("CAST(doc_id AS VARCHAR)") + " % 100"
-      "SELECT doc_id, source, CASE WHEN " + h + " < 80 THEN 'train' " +
-        "WHEN " + h + " < 90 THEN 'val' ELSE 'test' END AS split " +
-        "FROM documents ORDER BY doc_id"
-    },
+    "tx16_train_split" ->
+      ("SELECT doc_id, source, " + DedupQueries.splitSql + " AS split " +
+        "FROM documents ORDER BY doc_id"),
     "tx18_ngram_novelty" ->
       ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
         s"g AS (SELECT doc_id, source, ${DedupQueries.shinglesSql} AS gs FROM t), " +

@@ -48,13 +48,22 @@ object Ann {
     * broadcast-queries shape as [[bruteForceTopK]], but radius search
     * needs no window and no per-query sort at all — the threshold is the
     * whole operator, so the plan is scan → broadcast product → filter,
-    * fully codegen. Self-pairs are excluded. */
+    * fully codegen.
+    *
+    * `excludeSelf` drops id-equal pairs — correct ONLY when queries and
+    * corpus share an id space (the self-sweep case). Pass false when the
+    * two sides are different tables whose ids coincidentally overlap
+    * (e.g. both numbered from 0), or real matches at equal ids vanish;
+    * note [[bruteForceTopK]] never excludes, so the default here is the
+    * self-sweep convention, not an invariant of the file. */
   def rangeSearch(queries: DataFrame, corpus: DataFrame, minSim: Double,
       qId: String = "vec_id", qVec: String = "embedding",
-      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+      cId: String = "vec_id", cVec: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
     val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    c.join(broadcast(q),
+        if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
       .filter(col("sim") >= minSim)
       .select("q_id", "c_id", "sim")

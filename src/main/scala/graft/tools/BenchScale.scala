@@ -52,8 +52,11 @@ object BenchScale {
     // round-8 session-3: the containment join shares ss1's candidate
     // machinery (higher floor T=18 vs ss1's 10 → shorter prefixes, fewer
     // candidates) but adds the directed split + two size re-joins — gated
-    // to confirm those extra stages stay linear alongside the candidates
-    "dd16_containment_join")
+    // to confirm those extra stages stay linear alongside the candidates;
+    // dq7 is ss1's pair stage + two split joins; ann8 is the O(|Q|·corpus)
+    // broadcast product — linear in the corpus for a fixed query batch,
+    // and the gate pins that
+    "dd16_containment_join", "dq7_split_leakage", "ann8_range_search")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
