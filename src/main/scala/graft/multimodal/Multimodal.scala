@@ -247,9 +247,13 @@ object Multimodal {
     * can predict every pixel without a PNG decoder. */
   def tokenRasterPng(text: String): Array[Byte] = {
     // NULL text renders the all-zero raster (not an NPE): the unparseable-
-    // content contract for a fixture generator is a deterministic image
+    // content contract for a fixture generator is a deterministic image.
+    // Empty tokens are filtered: Java's split(' ') drops TRAILING empties
+    // but keeps leading/interior ones, while the oracle's string_split
+    // keeps all — an explicit filter on BOTH sides is the only tokenization
+    // the two engines agree on for texts with edge/repeated spaces
     val toks = if (text == null) Array.empty[String]
-      else text.split(' ').distinct.sorted
+      else text.split(' ').filter(_.nonEmpty).distinct.sorted
     val img = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var j = 0

@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Ewma {
 
+  /** The one smoothing-window constant both engines derive from: ts6/st16
+    * pass it explicitly and interpolate `DefaultWindow - 1` into the
+    * oracle's ROWS frame, so engine and oracle can never desynchronize by
+    * editing one side's literal. */
+  val DefaultWindow: Int = 14
+
   def smooth(daily: DataFrame, keyCol: String = "event_type",
       dayCol: String = "day_us", nCol: String = "n",
-      window: Int = 14): DataFrame = {
+      window: Int = DefaultWindow): DataFrame = {
     require(window >= 1 && window <= 64,
       s"window must be in [1, 64] (2^-w underflows far beyond), got $window")
     val w = Window.partitionBy(keyCol).orderBy(dayCol)

@@ -26,8 +26,13 @@ object Url {
     *   - trailing slashes stripped from the path (`/a/` == `/a`, `/` == ``)
     *   - query params: empty and `utm_*` tracking params dropped, the rest
     *     sorted (param order never changes the resource)
-    * Malformed input (no `scheme://`) canonicalizes its parseable parts and
-    * never throws — hygiene must not kill the batch. */
+    * Malformed input (no `scheme://`) canonicalizes to NULL and never
+    * throws — hygiene must not kill the batch, but distinct malformed
+    * inputs must stay IDENTIFIABLE: an empty-scheme passthrough would
+    * collapse every `://`-prefixed fragment sharing a query string into one
+    * canonical dedup group, silently merging unrelated records. NULL keys
+    * group together too, but as an explicit "unparseable" bucket a caller
+    * can filter or quarantine, not a fake resource identity. */
   def canonicalize(url: Column): Column = {
     // (?s) so '#' strips to true end-of-input in BOTH Java regex and RE2
     // (without it, Java's $ matches before a trailing newline and RE2's
@@ -50,8 +55,9 @@ object Url {
     val rawQ = regexp_extract(base, "\\?([^#]*)", 1)
     val q = array_join(array_sort(filter(split(rawQ, "&"),
       p => p =!= "" && !startswith(p, lit("utm_")))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 
   /** Host part of the canonical form (no userinfo, no port, lowercased). */

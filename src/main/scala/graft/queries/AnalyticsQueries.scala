@@ -110,7 +110,7 @@ object AnalyticsQueries {
         .groupBy(col("event_type"),
           unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
         .agg(count(lit(1)).as("n"))
-      graft.ops.Ewma.smooth(daily)
+      graft.ops.Ewma.smooth(daily, window = graft.ops.Ewma.DefaultWindow)
         .select(col("event_type"), col("day_us"), col("n"), col("ewma"))
         .orderBy("event_type", "day_us")
     },
@@ -592,7 +592,7 @@ object AnalyticsQueries {
         "count(*) AS n FROM events GROUP BY 1, 2), " +
         "win AS (SELECT event_type, day_us, n, list(CAST(n AS DOUBLE)) OVER w AS xs " +
         "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_us " +
-        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        s"ROWS BETWEEN ${graft.ops.Ewma.DefaultWindow - 1} PRECEDING AND CURRENT ROW)) " +
         "SELECT event_type, day_us, n, " +
         "list_reduce(list_transform(xs, (x, i) -> x * pow(0.5, len(xs) - i)), " +
         "(a, b) -> a + b) / (2.0 - pow(0.5, len(xs) - 1)) AS ewma " +

@@ -336,9 +336,13 @@ object SurfaceQueries {
         .withColumn("__hit", lit(1))
       // twin-set pairs via an md5 set-fingerprint equi-join (never a text
       // comparison shuffle of full documents)
+      // filter('') matches tokenRasterPng's tokenization: Spark split keeps
+      // trailing empties, Java String.split drops them — the twin key must
+      // see the same token set the raster samples
       val keyed = Tables.t(s, dir, "documents")
         .select(col("doc_id"), md5(concat_ws("\u001E",
-          sort_array(array_distinct(split(col("text"), " "))))).as("__k"))
+          sort_array(array_distinct(filter(split(col("text"), " "),
+            t => t =!= ""))))).as("__k"))
       val twins = keyed.as("a").join(keyed.as("b"),
           col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -517,7 +521,8 @@ object SurfaceQueries {
           statePartitions = Some(8))
       graft.ops.Ewma.smooth(
           daily.select(col("event_type"),
-            unix_micros(col("window.start")).as("day_us"), col("n")))
+            unix_micros(col("window.start")).as("day_us"), col("n")),
+          window = graft.ops.Ewma.DefaultWindow)
         .orderBy("event_type", "day_us")
     },
     // ---- st17: checkpoint RESUME exactly-once — run the stream to
@@ -815,7 +820,7 @@ object SurfaceQueries {
     // aHash→band path makes the engine emit 0 → hash mismatch
     "mm5_image_neardup" ->
       ("WITH t AS (SELECT doc_id, " +
-        "list_sort(list_distinct(string_split(text, ' '))) AS s FROM documents) " +
+        "list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS s FROM documents) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS captured " +
         "FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id " +
         "ORDER BY doc_a, doc_b"),
@@ -897,7 +902,7 @@ object SurfaceQueries {
     // CASE catches ''/NULL tokens whose hashCode is 0 (list_reduce on an
     // empty list errors rather than folding to 0)
     "mm13_image_histogram" ->
-      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS s FROM documents), " +
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS s FROM documents), " +
         "tk AS (SELECT doc_id, s[CAST((j * len(s)) // 64 AS BIGINT) + 1] AS tok " +
         "FROM t, unnest(generate_series(0, 63)) AS g(j)), " +
         "px AS (SELECT doc_id, " +
@@ -914,7 +919,7 @@ object SurfaceQueries {
     // mm13's pixel formula, regrouped by the row-major 4×4 patch grid:
     // pixel j sits at (row j//8, col j%8) → patch (row//4)*2 + col//4
     "mm14_image_patches" ->
-      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS s FROM documents), " +
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS s FROM documents), " +
         "tk AS (SELECT doc_id, j, s[CAST((j * len(s)) // 64 AS BIGINT) + 1] AS tok " +
         "FROM t, unnest(generate_series(0, 63)) AS g(j)), " +
         "px AS (SELECT doc_id, j, " +

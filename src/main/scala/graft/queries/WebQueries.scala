@@ -121,12 +121,12 @@ object WebQueries {
         "'?utm_source=feed&b=2&a=' || (doc_id % 3) || " +
         "(CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url FROM documents), " +
         "p AS (SELECT doc_id, url, " + canonSql + " FROM u), " +
-        "c AS (SELECT doc_id, url, scheme || '://' || " +
+        "c AS (SELECT doc_id, url, CASE WHEN scheme = '' THEN NULL ELSE scheme || '://' || " +
         "(CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '') " +
         "WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '') ELSE hp END) || " +
         "regexp_replace(COALESCE(regexp_extract(base, " +
         "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), ''), '/+$', '') || " +
-        "(CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url FROM " +
+        "(CASE WHEN q <> '' THEN '?' || q ELSE '' END) END AS canonical_url FROM " +
         "(SELECT *, array_to_string(list_sort(list_filter(string_split(" +
         "COALESCE(regexp_extract(base, '\\?([^#]*)', 1), ''), '&'), " +
         "p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q FROM p)) " +
@@ -145,12 +145,12 @@ object WebQueries {
         "'?utm_source=feed&b=2&a=' || (doc_id % 3) || " +
         "(CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url FROM documents), " +
         "p AS (SELECT doc_id, url, " + canonSql + " FROM u), " +
-        "c AS (SELECT doc_id, scheme || '://' || " +
+        "c AS (SELECT doc_id, CASE WHEN scheme = '' THEN NULL ELSE scheme || '://' || " +
         "(CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '') " +
         "WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '') ELSE hp END) || " +
         "regexp_replace(COALESCE(regexp_extract(base, " +
         "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), ''), '/+$', '') || " +
-        "(CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url, " +
+        "(CASE WHEN q <> '' THEN '?' || q ELSE '' END) END AS canonical_url, " +
         "regexp_replace(hp, ':[0-9]+$', '') AS host FROM " +
         "(SELECT *, array_to_string(list_sort(list_filter(string_split(" +
         "COALESCE(regexp_extract(base, '\\?([^#]*)', 1), ''), '&'), " +

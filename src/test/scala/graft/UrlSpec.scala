@@ -32,8 +32,12 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("https://ex.com/?") === "https://ex.com")
   }
 
-  test("malformed input canonicalizes parseable parts, never throws") {
-    assert(canon("not a url") === "://")
+  test("malformed input canonicalizes to NULL (identifiable), never throws") {
+    // NULL, not a '://'-prefixed residue: distinct malformed inputs must
+    // not collapse into one canonical dedup group (they'd silently merge
+    // unrelated records in url1-style groupBy-canonical dedup)
+    assert(canon("not a url") === null)
+    assert(canon("relative/path?a=1") === null)
     assert(canon("ftp://Mixed.Case/KeepPath") === "ftp://mixed.case/KeepPath")
   }
 
