@@ -419,4 +419,52 @@ class MultimodalSpec extends AnyFunSuite {
     val short = Gif.GifEncoder(width = 8, height = 8).encode(payload.take(100))
     assert(Gif.parse(short).get.frames.size === 1)
   }
+
+  test("samples8 chunk walk agrees with the javax.sound reference on every input class") {
+    import graft.multimodal.Multimodal.WavDecoder
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(pcm: Array[Byte], channels: Int = 1, bits: Int = 8,
+        tag: Int = 1, extraChunk: Boolean = false): Array[Byte] = {
+      val rate = 8000
+      val blockAlign = channels * (bits / 8)
+      val extra = if (extraChunk)
+        "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")
+      else Array.empty[Byte]
+      val pad = pcm.length % 2
+      val body = "WAVE".getBytes("US-ASCII") ++
+        extra ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(tag) ++ le16(channels) ++
+        le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+        "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm ++
+        Array.fill[Byte](pad)(0)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val pcmOdd = Array.tabulate[Byte](101)(i => ((i * 37) % 256).toByte)
+    val pcmEven = Array.tabulate[Byte](64)(i => ((i * 91 + 5) % 256).toByte)
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "canonical odd (pad byte)" -> wav(pcmOdd),
+      "canonical even" -> wav(pcmEven),
+      "empty data" -> wav(Array.empty[Byte]),
+      "extra LIST chunk before fmt" -> wav(pcmEven, extraChunk = true),
+      "16-bit rejected" -> wav(pcmEven, bits = 16),
+      "stereo rejected" -> wav(pcmEven, channels = 2),
+      "non-PCM tag rejected" -> wav(pcmEven, tag = 7),
+      "encoder output odd" ->
+        Multimodal.PcmWavEncoder(8000).transformBatch(Seq(pcmOdd)).head,
+      "encoder output even" ->
+        Multimodal.PcmWavEncoder(8000).transformBatch(Seq(pcmEven)).head,
+      "truncated header" -> wav(pcmEven).take(20),
+      "truncated data" -> wav(pcmEven).dropRight(10),
+      "garbage" -> Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+    cases.foreach { case (name, bytes) =>
+      val fast = WavDecoder.samples8(bytes)
+      val ref = WavDecoder.samples8ViaAudioSystem(bytes)
+      assert(fast.map(_.toSeq) === ref.map(_.toSeq), s"case: $name")
+    }
+    // and the decode is genuinely the zero-centered PCM payload
+    assert(WavDecoder.samples8(wav(pcmOdd)).get.toSeq ===
+      pcmOdd.toSeq.map(b => (b & 0xff) - 128))
+  }
 }
