@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   *
   * All three modalities decode for REAL with pure-JDK codecs: images via
   * `javax.imageio` (PNG/JPEG/BMP/GIF — [[ImageIoDecoder]],
-  * [[ImageIoResizer]]), audio via `javax.sound` (WAV/AIFF/AU —
-  * [[WavDecoder]], [[PcmWavEncoder]]), video both uncompressed (the
-  * YUV4MPEG2 container, [[Y4m]]) and compressed (MJPEG-in-AVI, [[Avi]]:
-  * RIFF demux + per-frame `javax.imageio` JPEG decode). Only inter-frame
-  * entropy-coded codecs (H.264/VP9 &c.) still ride the
+  * [[ImageIoResizer]]), audio via the [[WavDecoder]] RIFF chunk walk +
+  * `javax.sound` for multi-format facts (WAV/AIFF/AU), video uncompressed
+  * (the YUV4MPEG2 container, [[Y4m]]), intra-frame compressed
+  * (MJPEG-in-AVI, [[Avi]]; animated GIF/LZW, [[Gif]]) and INTER-FRAME
+  * entropy-coded ([[Apng]]: zlib frame data + fcTL dispose/blend
+  * composition, where a frame's visible canvas depends on all prior
+  * frames). Only motion-PREDICTED codecs (H.264/VP9 &c., where prediction
+  * lives inside the entropy-coded bitstream) still ride the
   * [[FakeDecoder]]/[[FakeFrameSampler]] stand-ins — no pure-JDK decoder
   * for them exists and the zero-egress sandbox ships no native demuxer.
   * The Spark-side plumbing is identical either way and is what matters at

@@ -41,6 +41,12 @@ object RollingAnomaly {
       // exceeds ~3e9 events/day (possible at 100 TB), while the oracle
       // engine promotes BIGINT sums to 128-bit — the decimal sum stays
       // exact on both sides, and the value cast below is unchanged.
+      // Measured cost of the exactness: the decimal window sum is
+      // interpreted BigDecimal math where the long sum was codegen'd
+      // primitives — ts3's clean-bench time doubled (0.16s → 0.34s at
+      // sf0.1) when this landed. Accepted: the input is a daily aggregate
+      // (|keys|×|days| rows), so the constant factor rides on tiny data;
+      // the overflow class it removes is not recoverable after the fact.
       .withColumn("s2", sum(col(nCol).cast(DecimalType(18, 0))
         * col(nCol).cast(DecimalType(18, 0))).over(w))
       .withColumn("mu", col("s1").cast("double") / col("cnt"))

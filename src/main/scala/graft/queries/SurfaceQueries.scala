@@ -412,6 +412,28 @@ object SurfaceQueries {
           col("frame_idx"), col("delay_cs"), col("luma_sum"))
         .orderBy("doc_id", "frame_idx")
     },
+    // ---- video: APNG — the INTER-FRAME entropy-coded format (zlib frame
+    // data through the real Inflater; fcTL dispose/blend composition means
+    // frame k's visible canvas depends on frames 0..k-1). Frame 0 is the
+    // full 8×8 canvas (64 bytes); extra frame k a 8×2 patch (16 bytes) at
+    // a cycling row offset, dispose k%3 (NONE/BACKGROUND/PREVIOUS), blend
+    // k%2 (SOURCE/OVER; OVER pixels whose byte is a space are transparent
+    // and leave the canvas showing). The oracle replays the whole
+    // composition recurrence in SQL (recursive CTE carrying the 64-pixel
+    // canvas as a list) and predicts every composed luma sum from text —
+    // a slip in the chunk walk, CRC, zlib splice, dispose regions, or
+    // blend arithmetic breaks the hash ----
+    "mm15_video_apng" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 192).cast("binary"))
+      val vids = Multimodal.resizeContent(docs, "content",
+        graft.multimodal.Apng.ApngEncoder())
+      graft.multimodal.Apng.extractFrameFeatures(vids, "doc_id", "content")
+        .select(col("doc_id"), col("canvas_w"), col("canvas_h"),
+          col("n_frames"), col("frame_idx"), col("y_off"), col("delay_cs"),
+          col("dispose_op"), col("blend_op"), col("composed_luma"))
+        .orderBy("doc_id", "frame_idx")
+    },
     // ---- video temporal features: frame-to-frame luma delta through the
     // same Y4M round-trip — the scene-change/motion signal; one narrow
     // pass holding only the previous plane per record ----
@@ -840,6 +862,45 @@ object SurfaceQueries {
         "regexp_extract_all(substr(c, CAST(k * 64 + 1 AS BIGINT), 64), '.')], " +
         "(a, b) -> a + b) AS luma_sum " +
         "FROM k ORDER BY doc_id, frame_idx"),
+    // APNG path: the oracle REPLAYS the inter-frame composition — a
+    // recursive CTE carries the 64-pixel canvas as a BIGINT list (0 =
+    // transparent black), applying per frame the blend (OVER keeps the
+    // canvas pixel where the payload byte is a space) and then the dispose
+    // (BACKGROUND zeroes the patch rows; PREVIOUS reverts to the pre-frame
+    // canvas — the frame only touched its own region, so whole-state
+    // revert is identical). rendered = the canvas as displayed, what the
+    // engine sums; state = what the next frame composites onto
+    "mm15_video_apng" ->
+      ("WITH RECURSIVE v AS (SELECT doc_id, substr(text, 1, 192) AS c FROM documents " +
+        "WHERE strlen(substr(text, 1, 192)) >= 64), " +
+        "f AS (SELECT doc_id, c, LEAST((strlen(c) - 64) // 16, 8) AS n_extras FROM v), " +
+        "comp(doc_id, k, rendered, state, n_extras, c) AS (" +
+        "SELECT doc_id, 0, " +
+        "list_transform(generate_series(1, 64), p -> CAST(ascii(substr(c, CAST(p AS BIGINT), 1)) AS BIGINT)), " +
+        "list_transform(generate_series(1, 64), p -> CAST(ascii(substr(c, CAST(p AS BIGINT), 1)) AS BIGINT)), " +
+        "n_extras, c FROM f " +
+        "UNION ALL " +
+        "SELECT doc_id, k + 1, rend, " +
+        "CASE WHEN (k + 1) % 3 = 1 THEN list_transform(generate_series(1, 64), " +
+        "p -> CASE WHEN (p - 1) // 8 >= 2 * (k % 4) AND (p - 1) // 8 < 2 * (k % 4) + 2 " +
+        "THEN CAST(0 AS BIGINT) ELSE rend[p] END) " +
+        "WHEN (k + 1) % 3 = 2 THEN state ELSE rend END, " +
+        "n_extras, c FROM (" +
+        "SELECT doc_id, k, state, n_extras, c, " +
+        "list_transform(generate_series(1, 64), p -> " +
+        "CASE WHEN (p - 1) // 8 >= 2 * (k % 4) AND (p - 1) // 8 < 2 * (k % 4) + 2 THEN " +
+        "CASE WHEN k % 2 = 0 AND ascii(substr(c, CAST(64 + k * 16 + (p - 1) - 16 * (k % 4) + 1 AS BIGINT), 1)) = 32 " +
+        "THEN state[p] ELSE CAST(ascii(substr(c, CAST(64 + k * 16 + (p - 1) - 16 * (k % 4) + 1 AS BIGINT), 1)) AS BIGINT) END " +
+        "ELSE state[p] END) AS rend " +
+        "FROM comp WHERE k < n_extras)) " +
+        "SELECT doc_id, 8 AS canvas_w, 8 AS canvas_h, " +
+        "CAST(n_extras + 1 AS BIGINT) AS n_frames, CAST(k AS INTEGER) AS frame_idx, " +
+        "CAST(CASE WHEN k = 0 THEN 0 ELSE 2 * ((k - 1) % 4) END AS INTEGER) AS y_off, " +
+        "CAST(2 + (k % 5) AS INTEGER) AS delay_cs, " +
+        "CAST(CASE WHEN k = 0 THEN 0 ELSE k % 3 END AS INTEGER) AS dispose_op, " +
+        "CAST(CASE WHEN k = 0 THEN 0 ELSE k % 2 END AS INTEGER) AS blend_op, " +
+        "list_reduce(rendered, (a, b) -> a + b) AS composed_luma " +
+        "FROM comp ORDER BY doc_id, frame_idx"),
     // per doc: frame k (k>=1) vs k-1 are consecutive 64-char chunks;
     // delta_sum = sum of per-position absolute byte differences
     "mm7_video_motion" ->
