@@ -87,6 +87,24 @@ object SqlSurface {
       b.signature
     }
 
+  /** The cross-PROCESS half of the X5 bridge: [[exposeBuckets]]' temp views
+    * are session-scoped, so a separate python interpreter resolves buckets
+    * by signature from a JSON manifest of storage paths instead — the same
+    * hand-off shape as the reference's driver shim (`aleph2_driver.py:1-32`
+    * built the user script's inputs from paths the Java side staged).
+    * `tools/graft_pyspark_driver.py` is the python half
+    * (`GraftContext.input(signature)` / `emit(df)`); PySparkBridgeSpec
+    * executes the full Scala → python → Scala round trip. */
+  def writePythonManifest(store: graft.store.BucketStore, buckets: Seq[Bucket],
+      file: java.nio.file.Path, stage: String = "processed"): Unit = {
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = buckets
+      .map(b => s"${jstr(b.signature)}: ${jstr(store.stagePath(b, stage))}")
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(file, (json + "\n").getBytes("UTF-8"))
+  }
+
   /** Q3 `name_mappings` analog: view with renamed columns. */
   def renamedView(spark: SparkSession, df: DataFrame, viewName: String,
       mappings: Map[String, String]): Unit = {

@@ -114,6 +114,14 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
       buffer: Option[String] = None): DataFrame =
     spark.read.parquet(stageDir(b, stage, buffer).toString)
 
+  /** Storage path of a stage's current dir — the cross-process handle the
+    * python bridge manifests by signature (X5,
+    * [[graft.sql.SqlSurface.writePythonManifest]]): a separate PySpark
+    * process can't see this session's temp views, but it can read the
+    * bucket's parquet directly. */
+  def stagePath(b: Bucket, stage: String = "processed"): String =
+    stageDir(b, stage, None).toAbsolutePath.toString
+
   /** F12 read path: apply a DSL query to a stage with the query's implied
     * date range turned into a PARTITION predicate first. [[graft.dsl.TimeSlice]]
     * extracts a sound time interval from the query tree; truncating its ends
