@@ -31,8 +31,44 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   import BucketStore._
 
   private def bucketRoot(b: Bucket): Path = Paths.get(rootDir, b.signature)
-  private def stageDir(b: Bucket, stage: String, buffer: Option[String]): Path =
-    bucketRoot(b).resolve(stage).resolve(buffer.map("buffer_" + _).getOrElse("current"))
+  private def stageRoot(b: Bucket, stage: String): Path =
+    bucketRoot(b).resolve(stage)
+
+  // ---- pointer-file indirection -----------------------------------------
+  // A stage's primary ("current") and each named buffer resolve through a
+  // small `_PTR_<role>` file naming the physical data dir. Data dirs are
+  // NEVER renamed while addressable — promote swaps the two pointer files,
+  // each replaced by an atomic rename, so a concurrent reader resolves
+  // either the old dir or the new dir, never a half-swapped state and never
+  // a missing path (the old two-directory-rename swap had a window with no
+  // `current` at all). The same discipline is what holds on an object
+  // store, where directory renames are O(files) copies and not atomic, but
+  // a single small pointer object CAN be replaced atomically.
+  // Legacy layout (no pointer file) falls back to the literal dir name.
+
+  private def roleName(buffer: Option[String]): String =
+    buffer.map("buffer_" + _).getOrElse("current")
+
+  private def readPointer(root: Path, role: String): Option[String] = {
+    val p = root.resolve("_PTR_" + role)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  private def writePointer(root: Path, role: String, target: String): Unit = {
+    Files.createDirectories(root)
+    val tmp = root.resolve("_PTR_" + role + ".tmp" + System.nanoTime())
+    Files.write(tmp, target.getBytes("UTF-8"))
+    Files.move(tmp, root.resolve("_PTR_" + role),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def stageDir(b: Bucket, stage: String, buffer: Option[String]): Path = {
+    val root = stageRoot(b, stage)
+    val role = roleName(buffer)
+    root.resolve(readPointer(root, role).getOrElse(role))
+  }
 
   /** Derive the partition column from the temporal schema. Lexicographic
     * partition values == chronological order, so time-range predicates prune.
@@ -173,16 +209,41 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   }
 
   /** Atomic promote of a secondary buffer to primary — the ping-pong swap
-    * (`ElasticsearchIndexService.java:495-520`): current → buffer_<name>,
-    * buffer → current, via two directory renames (metadata-only). */
+    * (`ElasticsearchIndexService.java:495-520`): after it, `current`
+    * resolves to the buffer's data and `buffer_<name>` to the old primary's.
+    * Readers are never broken mid-swap: the buffer's physical dir first
+    * gets a stable versioned name (legal — a buffer is a staging area, no
+    * reader addresses it during its own promote), then the `current`
+    * pointer is replaced in ONE atomic rename (the visibility switch), then
+    * the buffer pointer is re-aimed at the demoted dir. A reader that
+    * resolved `current` just before the switch keeps reading the old dir,
+    * which nothing here renames or deletes — StoreCrudSpec's concurrent
+    * promote test runs this race for real. */
   def promote(b: Bucket, stage: String, buffer: String): Unit = {
-    val cur = stageDir(b, stage, None)
-    val buf = stageDir(b, stage, Some(buffer))
+    val root = stageRoot(b, stage)
+    val curName = readPointer(root, "current").getOrElse("current")
+    val bufRole = roleName(Some(buffer))
+    val bufName = readPointer(root, bufRole).getOrElse(bufRole)
+    val buf = root.resolve(bufName)
     require(Files.exists(buf), s"no such buffer: $buf")
-    val tmp = cur.resolveSibling("swap_tmp_" + System.nanoTime())
-    if (Files.exists(cur)) Files.move(cur, tmp, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(buf, cur, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(tmp)) Files.move(tmp, buf, StandardCopyOption.ATOMIC_MOVE)
+    val newName =
+      if (bufName.startsWith("v_")) bufName
+      else {
+        val v = "v_" + System.nanoTime()
+        Files.move(buf, root.resolve(v), StandardCopyOption.ATOMIC_MOVE)
+        v
+      }
+    writePointer(root, "current", newName) // the atomic visibility switch
+    writePointer(root, bufRole, curName)
+  }
+
+  /** Tear a buffer down: its resolved data dir AND its pointer (a dangling
+    * pointer would make the next buffer write and read resolve to
+    * different dirs). */
+  private def deleteBuffer(b: Bucket, stage: String, buffer: String): Unit = {
+    val root = stageRoot(b, stage)
+    deleteDir(stageDir(b, stage, Some(buffer)))
+    Files.deleteIfExists(root.resolve("_PTR_" + roleName(Some(buffer))))
   }
 
   /** Rewrite a stage in place with writer/reader atomicity: write the new
@@ -203,11 +264,16 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     try writeBuf(Some(buf))
     catch {
       case e: Throwable =>
-        deleteDir(stageDir(b, stage, Some(buf))) // promote never ran
+        deleteBuffer(b, stage, buf) // promote never ran
         throw e
     }
     promote(b, stage, buf)
-    deleteDir(stageDir(b, stage, Some(buf)))
+    // reclaim the superseded primary immediately (post-promote, the buffer
+    // role resolves to it). In-flight jobs that resolved the OLD current
+    // before the switch race only with this deletion — the same window the
+    // reference has between alias swap and old-index delete; a deployment
+    // wanting zero-race long readers defers this to a retention sweep.
+    deleteBuffer(b, stage, buf)
   }
 
   /** Small-file compaction: rewrite a stage so each time partition lands in

@@ -50,6 +50,57 @@ class StoreCrudSpec extends AnyFunSuite {
     assert(store.read(b, buffer = Some("staging")).columns.contains("r_regionkey"))
   }
 
+  test("promote is atomic under concurrent readers: old or new, never missing, never a mix") {
+    val store = freshStore()
+    val b = Bucket("/test/pp_race")
+    val N = 2000L
+    def gen(tag: Int) =
+      spark.range(N).select(lit(tag).as("g"), col("id"))
+    store.write(b, gen(0))
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // a full aggregate over whatever `current` resolves to: one
+          // generation tag, all N rows — a half-swapped view (two tags) or
+          // a vanished path both count as violations
+          val rows = store.read(b).groupBy("g").count().collect()
+          if (rows.length != 1)
+            violations.add("mixed generations: " + rows.mkString(", "))
+          else if (rows(0).getLong(1) != N)
+            violations.add("partial generation: " + rows(0))
+          reads.incrementAndGet()
+        } catch {
+          case e: Exception => violations.add("read failed mid-promote: " + e)
+        }
+      }
+    })
+    reader.start()
+    try {
+      // fresh buffer name per cycle: promote parks each superseded primary
+      // under that buffer's pointer, so no dir is overwritten or deleted
+      // while the reader races — the PROMOTE is the only thing under test
+      (1 to 10).foreach { i =>
+        store.write(b, gen(i), buffer = Some(s"pp$i"))
+        store.promote(b, "processed", s"pp$i")
+      }
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(violations.isEmpty,
+      s"${violations.size} atomicity violations; first: ${violations.peek()}")
+    assert(reads.get() > 0, "reader never completed a read — no race exercised")
+    val fin = store.read(b).groupBy("g").count().collect()
+    assert(fin.length === 1 && fin(0).getInt(0) === 10 && fin(0).getLong(1) === N)
+    // and the full demotion chain stayed addressable (ping-pong contract)
+    assert(store.read(b, buffer = Some("pp10")).groupBy("g").count()
+      .head.getInt(0) === 9)
+  }
+
   test("compaction collapses micro-batch small files per time partition, data intact") {
     val store = freshStore()
     val events = Tables.t(spark, TestSession.sf, "events").cache()
@@ -329,13 +380,19 @@ class StoreCrudSpec extends AnyFunSuite {
     val stable = store.read(b).select("k", "amount")
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(stable === Map(1 -> 10, 2 -> 25, 4 -> 40))
-    // no buffer_* dirs may survive any of the three calls
+    // no buffer dirs or stale version dirs may survive any of the three
+    // calls: the only data dir left is the one the current pointer names
     val ls = Files.list(root.resolve(b.signature).resolve("processed"))
     val entries = try {
       val it = ls.iterator(); val buf = scala.collection.mutable.Buffer[String]()
       while (it.hasNext) buf += it.next().getFileName.toString
       buf.toSeq
     } finally ls.close()
-    assert(entries === Seq("current"), s"orphan buffers: $entries")
+    val activeName =
+      java.nio.file.Paths.get(store.stagePath(b)).getFileName.toString
+    assert(entries.filterNot(_.startsWith("_PTR_")) === Seq(activeName),
+      s"orphan buffers: $entries")
+    assert(entries.filterNot(_.startsWith("_PTR_")).forall(!_.startsWith("buffer_")),
+      s"buffer dir survived: $entries")
   }
 }
