@@ -39,6 +39,27 @@ object AnnQueries {
       Ann.rangeSearch(e.filter(col("vec_id") < 32), e, minSim = 0.35)
         .orderBy("q_id", "c_id")
     },
+    // ---- ann9: late-interaction (MaxSim) over MULTI-vector docs — the
+    // ColBERT-style second-stage ranker: doc = bag of token vectors
+    // (embeddings grouped by vec_id % 100, token order = vec_id), score =
+    // Σ_q max_d dot. The whole score is one codegen higher-order
+    // projection (aggregate/array_max/transform around the native dot
+    // fold) — no UDF, no token-vector explode; query side broadcast. The
+    // oracle replays the same fold with list lambdas ---------------------
+    "ann9_maxsim" -> { (s, dir) =>
+      val v = Tables.t(s, dir, "embeddings")
+        .select((col("vec_id") % 100).as("doc_id"), col("vec_id"),
+          col("embedding"))
+      val docs = v.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("sv"))
+        .select(col("doc_id"),
+          transform(col("sv"), x => x.getField("embedding")).as("vecs"))
+      graft.similarity.MaxSim.topK(
+          docs.filter(col("doc_id") < 4), docs, k = 3,
+          qId = "doc_id", qVecs = "vecs", cId = "doc_id", cVecs = "vecs")
+        .orderBy("q_doc", "rank")
+    },
     // LSH-bucketed top-3 (8 sign-projection planes): the scale path — the
     // corpus-side shuffle key is the bucket, candidates bounded per bucket
     "ann2_lsh_topk" -> { (s, dir) =>
@@ -189,6 +210,22 @@ object AnnQueries {
         "FROM embeddings q, embeddings c " +
         "WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id) " +
         "WHERE sim >= 0.35 ORDER BY q_id, c_id"),
+    // MaxSim: docs as ordered vector lists; the score folds query tokens
+    // left-to-right (list_reduce's seedless fold == the engine's 0-seeded
+    // one, 0 + x == x exactly) around list_dot_product's index-order fold
+    "ann9_maxsim" ->
+      ("WITH v AS (SELECT vec_id % 100 AS doc_id, vec_id, " +
+        "embedding::DOUBLE[] AS e FROM embeddings), " +
+        "d AS (SELECT doc_id, list(e ORDER BY vec_id) AS vs FROM v GROUP BY doc_id), " +
+        "s AS (SELECT q.doc_id AS q_doc, c.doc_id AS c_doc, " +
+        "list_reduce(list_transform(q.vs, qt -> " +
+        "list_reduce(list_transform(c.vs, dt -> list_dot_product(qt, dt)), " +
+        "(a, b) -> greatest(a, b))), (a, b) -> a + b) AS score " +
+        "FROM d q, d c WHERE q.doc_id < 4) " +
+        "SELECT q_doc, c_doc, score, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q_doc, c_doc, score, " +
+        "row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, c_doc) AS rank " +
+        "FROM s) WHERE rank <= 3 ORDER BY q_doc, rank"),
     "ann2_lsh_topk" ->
       (bucketCte +
         " SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +

@@ -31,6 +31,32 @@ object CoreQueries {
   private lazy val f12Root: String =
     java.nio.file.Files.createTempDirectory("graft_f12").toString
 
+  private lazy val dppRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_dpp").toString
+
+  /** The dpp1 plan, pre-orderBy — shared with PlanSpec's executed-plan
+    * assertion (the query itself hash-checks the rows). */
+  private[graft] def dpp1(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.store.BucketStore(s, dppRoot)
+    val b = graft.model.Bucket("/dpp/events", graft.model.DataSchema(
+      temporal = Some(graft.model.TemporalSchema("ts",
+        graft.model.GroupingPeriod.Daily))))
+    store.write(b, Tables.t(s, dir, "events"),
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val fact = store.read(b)
+    // days of interest derived from a TABLE: '2024-01-03'..'2024-01-07';
+    // a literal IN list would be folded into a static partition filter —
+    // the point here is the filter only materializes at RUNTIME
+    val dim = Tables.t(s, dir, "nation").filter(col("n_nationkey") < 5)
+      .select(concat(lit("2024-01-"),
+        lpad((col("n_nationkey") + 3).cast("string"), 2, "0")).as("day"))
+    fact.join(dim, fact(graft.store.BucketStore.PartitionCol) === dim("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- F1: when/equals ----------------------------------------------
     "f1_when_eq" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
@@ -118,6 +144,17 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"),
           col("ts").cast("long").as("ts_s"),
           col(graft.store.BucketStore.PartitionCol).as("day"))
+    },
+    // ---- dpp1: DYNAMIC partition pruning — the runtime half of F12's
+    // static time-slice pruning: the days of interest arrive from a dim
+    // TABLE (not a literal the optimizer could fold), so only Spark's DPP
+    // subquery can prune the time-partitioned fact scan, at runtime, to
+    // the dim's days. PlanSpec asserts `dynamicpruning` appears in the
+    // executed scan's partition filters; this query hash-checks the
+    // result. At 100 TB this is the difference between scanning 5 days
+    // and scanning the whole fact table whenever the day list is data ----
+    "dpp1_dynamic_prune" -> { (s, dir) =>
+      dpp1(s, dir).orderBy("day")
     },
     // ---- read path: point lookup / counts (SURVEY §2.2 tail) ----------
     "r1_get_by_id" -> { (s, dir) => val t = (n: String) => Tables.t(s, dir, n)
@@ -290,6 +327,14 @@ object CoreQueries {
         "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events " +
         "WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-09' " +
         "AND event_type = 'click' ORDER BY event_id"),
+    // the dim days re-derived from nation exactly as the engine builds them
+    "dpp1_dynamic_prune" ->
+      ("WITH d AS (SELECT '2024-01-' || lpad(CAST(n_nationkey + 3 AS VARCHAR), 2, '0') AS day " +
+        "FROM nation WHERE n_nationkey < 5), " +
+        "e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value FROM events) " +
+        "SELECT d.day AS day, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total " +
+        "FROM e JOIN d ON e.day = d.day GROUP BY d.day ORDER BY day"),
     "r1_get_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 100",
     "r2_count_by_spec" ->

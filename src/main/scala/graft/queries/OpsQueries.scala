@@ -250,6 +250,36 @@ object OpsQueries {
           col("price"), col("st"), col("is_current"))
         .orderBy("o_orderkey", "valid_from")
     },
+    // ---- cdc4: incremental aggregate maintenance — apply a signed CDC
+    // changeset (insert/update/delete with old+new values) to a per-key
+    // (count, total) aggregate WITHOUT rescanning the base facts; exact
+    // DECIMAL retraction, keys whose count hits zero drop out. Scale
+    // shape: delta pre-agg (map-side combined) + ONE co-keyed full-outer
+    // merge — cost is O(|delta| + |agg keys|), never O(base). The oracle
+    // recomputes the aggregate from the post-change fact table directly,
+    // so maintained-equals-recomputed is the checked contract ------------
+    "cdc4_incremental_agg" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val base = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val oldAgg = base.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("total"))
+      val changes = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(lit("i").as("op"), col("o_custkey"),
+          lit(null).cast("double").as("old_v"),
+          col("o_totalprice").as("new_v"))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 1)
+          .select(lit("u").as("op"), col("o_custkey"),
+            col("o_totalprice").as("old_v"),
+            (col("o_totalprice") + 100).as("new_v")))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 2)
+          .select(lit("d").as("op"), col("o_custkey"),
+            col("o_totalprice").as("old_v"),
+            lit(null).cast("double").as("new_v")))
+      graft.ops.IncrementalAgg.applyDelta(oldAgg, changes, Seq("o_custkey"))
+        .orderBy("o_custkey")
+    },
     // ---- S7: legacy V1 query object with control fields -----------------
     "s7_legacy_query" -> { (s, dir) =>
       val q = LegacyQuerySource.parse(Map(
@@ -376,6 +406,17 @@ object OpsQueries {
         "ORDER BY subsystem, level, message, win_start")
 
   val oracle: Map[String, String] = Map(
+    // the recompute-from-scratch truth the maintained aggregate must equal
+    // exactly: final facts = base (%10 != 0 kept, minus deletes %10==2)
+    // plus inserts (%10==0), with updates (%10==1) at the new price
+    "cdc4_incremental_agg" ->
+      ("WITH f AS (SELECT o_custkey, " +
+        "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100 " +
+        "ELSE o_totalprice END AS p " +
+        "FROM orders WHERE o_orderkey % 10 <> 2) " +
+        "SELECT o_custkey, count(*) AS n, " +
+        "CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total " +
+        "FROM f GROUP BY 1 ORDER BY 1"),
     "dq1_profile" ->
       ("SELECT 'o_orderkey' AS col, count(*) AS n_rows, count(*)-count(o_orderkey) AS n_nulls, " +
         "count(DISTINCT o_orderkey) AS n_distinct, CAST(min(o_orderkey) AS VARCHAR) AS min_v, " +

@@ -18,7 +18,17 @@ final class StateCapListener extends StreamingQueryListener {
       e: StreamingQueryListener.QueryProgressEvent): Unit =
     e.progress.stateOperators.foreach { so =>
       maxStateRows = math.max(maxStateRows, so.numRowsTotal)
-      maxStateMem = math.max(maxStateMem, so.memoryUsedBytes)
+      // memoryUsedBytes alone is racy for the on-heap provider: a progress
+      // event posted after the final commit can estimate an already-
+      // unloaded map at a few hundred bytes. The provider custom metrics
+      // carry the real figures; take the max across all of them.
+      val custom = Option(so.customMetrics).map { m =>
+        Seq("stateOnCurrentVersionSizeBytes", "loadedMapCacheSizeBytes",
+          "rocksdbTotalMemoryUsage")
+          .flatMap(k => Option(m.get(k)).map(_.longValue))
+          .foldLeft(0L)(math.max)
+      }.getOrElse(0L)
+      maxStateMem = math.max(maxStateMem, math.max(so.memoryUsedBytes, custom))
     }
 
   override def onQueryTerminated(

@@ -108,6 +108,16 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("dpp1: runtime day list prunes the fact scan via dynamic partition pruning") {
+    val df = graft.queries.CoreQueries.dpp1(spark, TestSession.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the dim's days are only known at runtime, so the scan's partition
+    // filter must be a DPP subquery — a static filter can't exist here,
+    // and its absence means the whole fact table scans at 100 TB
+    assert(plan.contains("dynamicpruning"), s"no DPP subquery in plan:\n$plan")
+    assert(df.count() === 5) // one row per dim day
+  }
+
   test("F12: DSL date range becomes a partition filter and skips files") {
     val store = new graft.store.BucketStore(spark,
       java.nio.file.Files.createTempDirectory("graft_f12spec").toString)
