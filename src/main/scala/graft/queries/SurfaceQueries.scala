@@ -615,6 +615,56 @@ object SurfaceQueries {
           coalesce(col("cu"), col("pu")).as("user_id"))
         .orderBy(col("click_id"), col("p_id"))
     },
+    // ---- st19: streaming MAINTAINED ROLLUP — cdc4's IncrementalAgg under
+    // foreachBatch (the ST4 batch-module-reuse contract for materialized
+    // views): the source is split into 4 real micro-batches
+    // (maxFilesPerTrigger=1 over 4 files), each batch becomes a signed
+    // insert changeset folded into a persistent (n, total) aggregate
+    // through the store's reader-atomic rewrite — refresh cost per batch
+    // is O(|batch| + |agg keys|), never O(history). Exactly-once effects
+    // over at-least-once foreachBatch: the applied batch id commits as a
+    // sentinel row INSIDE the same buffer+promote as the rollup (one
+    // atomic visibility switch covers both), and replayed ids skip. The
+    // oracle recomputes the rollup from all events at once — maintained
+    // == recomputed across an arbitrary batch history --------------------
+    "st19_stream_rollup" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val store = new graft.store.BucketStore(s,
+        java.nio.file.Files.createTempDirectory("graft_st19").toString)
+      val b = graft.model.Bucket("/stream/rollup", graft.model.DataSchema())
+      val aggSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("n", LongType),
+        StructField("total", DecimalType(18, 2))))
+      store.write(b, s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), aggSchema))
+      // 4-file staging of the source → 4 genuine micro-batches
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st19_src").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val raw = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      Streams.runForeachBatchIds(raw) { (batch, id) =>
+        val applied = store.read(b).filter(col("user_id") === -1L)
+          .agg(max(col("total"))).head().getDecimal(0)
+        val lastId = if (applied == null) -1L else applied.longValueExact()
+        if (id > lastId) {
+          val delta = batch.filter(col("event_type") === "purchase")
+            .select(lit("i").as("op"), col("user_id"),
+              lit(null).cast("double").as("old_v"), col("value").as("new_v"))
+          store.rewrite(b, "processed") { cur =>
+            graft.ops.IncrementalAgg
+              .applyDelta(cur.filter(col("user_id") =!= -1L), delta,
+                Seq("user_id"))
+              .unionByName(s.range(1).select(lit(-1L).as("user_id"),
+                lit(0L).as("n"), lit(id).cast("decimal(18,2)").as("total")))
+          }
+        }
+      }
+      store.read(b).filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("n"), col("total"))
+        .orderBy("user_id")
+    },
     // ---- streaming upsert sink: per micro-batch, reduce to the latest
     // event per user and MERGE it into the bucket store (buffer+promote →
     // each batch lands atomically). The merge's order guard — update only
@@ -1078,6 +1128,14 @@ object SurfaceQueries {
     "st14_stream_anomaly" -> AnalyticsQueries.oracle("ts3_rolling_anomaly"),
     // batch/stream parity by construction: same module, same oracle (the
     // st14 convention applied to ts6)
-    "st16_stream_ewma" -> AnalyticsQueries.oracle("ts6_ewma")
+    "st16_stream_ewma" -> AnalyticsQueries.oracle("ts6_ewma"),
+    // the maintained rollup must equal the from-scratch recompute over all
+    // events, independent of the 4-way micro-batch split (DECIMAL-exact
+    // additive folds commute with batching)
+    "st19_stream_rollup" ->
+      ("SELECT user_id, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY 1")
   )
 }

@@ -145,12 +145,26 @@ object Streams {
     * EFFECTS on top of Structured Streaming's at-least-once foreachBatch. */
   def runForeachBatch(stream: DataFrame,
       statePartitions: Option[Int] = None,
-      stateStoreProvider: Option[String] = None)(f: DataFrame => Unit): Unit = {
+      stateStoreProvider: Option[String] = None)(f: DataFrame => Unit): Unit =
+    runForeachBatchIds(stream, statePartitions, stateStoreProvider) {
+      (batch, _) => f(batch)
+    }
+
+  /** [[runForeachBatch]] with the micro-batch id exposed — the handle an
+    * ADDITIVE sink needs for exactly-once effects: foreachBatch is
+    * at-least-once, and an idempotence guard keyed on the batch id (skip
+    * ids already applied, recorded atomically WITH the sink write) is the
+    * standard discipline; st19 commits the id inside the same
+    * buffer+promote as the rollup itself. */
+  def runForeachBatchIds(stream: DataFrame,
+      statePartitions: Option[Int] = None,
+      stateStoreProvider: Option[String] = None)(
+      f: (DataFrame, Long) => Unit): Unit = {
     val spark = stream.sparkSession
     val ckpt = Files.createTempDirectory("graft_fb_ckpt").toString
     withStreamConf(spark, statePartitions, stateStoreProvider) {
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) => f(batch) }
+        .foreachBatch { (batch: DataFrame, id: Long) => f(batch, id) }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()

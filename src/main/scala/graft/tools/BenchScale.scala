@@ -250,10 +250,15 @@ object BenchScale {
     // carries the biggest state of the stream family). Same pipeline, both
     // providers; wall time, result rows (must be equal — provider is a
     // layout choice, never a semantics choice), and the state operator's
-    // numRowsTotal / memoryUsedBytes from the progress events. RocksDB's
-    // memoryUsedBytes is its block-cache+memtable figure — the point is
-    // that it stays BOUNDED (off-heap, spillable) while the HDFS-backed
-    // provider's number is the whole key universe living on-heap. --------
+    // numRowsTotal / memory from the progress events. RocksDB's figure is
+    // its block-cache+memtable total — bounded, off-heap, spillable — and
+    // is the memory evidence here. The on-heap provider's memoryUsedBytes
+    // is NOT load-bearing: an availableNow run posts its progress event
+    // after the final commit, when the version map may already be
+    // unloaded, so the estimate can read near-zero (observed: 954k state
+    // rows reported at a few KB; the same query has also reported ~315 MB
+    // when the event caught the map loaded). rows_equal + state_rows +
+    // the RocksDB bound are the stable claims. ---------------------------
     def st13Run(provider: Option[String]): (Double, Long, Long, Long) = {
       val cap = new graft.tools.StateCapListener
       spark.streams.addListener(cap)
