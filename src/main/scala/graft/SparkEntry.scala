@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.OpsQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.WebQueries.queries
+      graft.queries.WebQueries.queries ++
+      graft.queries.SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.OpsQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.WebQueries.oracle
+      graft.queries.WebQueries.oracle ++
+      graft.queries.SearchQueries.oracle
 }

@@ -528,6 +528,48 @@ object AnalyticsQueries {
         .groupBy("day").agg(sum(col("term")).as("s"))
         .select(col("day"), col("s").cast("double").as("psi"))
         .orderBy("day")
+    },
+    // ---- ts8: autocorrelation function (lags 1..3) of each event type's
+    // daily-volume series — the seasonality/persistence diagnostic next to
+    // ts5's drift and ts7's baseline. Series is the DENSE day×type grid
+    // (ts5's construction: a missing day is a 0, not a skipped lag).
+    // Pearson r per (type, lag) from six EXACT integer sums (counts are
+    // ints, so Σx/Σy/Σxx/Σyy/Σxy are overflow-safe BIGINTs at any corpus
+    // size) — floating point enters only in the final num/√·√ step, with
+    // one DECIMAL(18,6) round on both engines. Scale shape: one map-side-
+    // combined daily agg over the corpus; everything after runs on the
+    // day×type grid (tiny), lag windows partitioned per type --------------
+    "ts8_autocorr" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.t(s, dir, "events")
+        .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val grid = ev.select("day").distinct()
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
+        .join(cnt, Seq("day", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val w = W.partitionBy("event_type").orderBy("day")
+      val pairs = grid
+        .select(col("event_type"), col("n"),
+          lag("n", 1).over(w).as("l1"), lag("n", 2).over(w).as("l2"),
+          lag("n", 3).over(w).as("l3"))
+        .selectExpr("event_type", "n",
+          "stack(3, 1, l1, 2, l2, 3, l3) AS (lag_k, y)")
+        .filter(col("y").isNotNull)
+      pairs.groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("np"), sum(col("n")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("n") * col("n")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("n") * col("y")).as("sxy"))
+        .select(col("event_type"), col("lag_k"),
+          ((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("np") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("np") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))))
+            .cast(D6).cast("double").as("acf"))
+        .orderBy("event_type", "lag_k")
     }
   )
 
@@ -722,6 +764,28 @@ object AnalyticsQueries {
         "AND p1.event_type = p0.event_type) " +
         "SELECT CAST(day AS TIMESTAMP) AS day, CAST(sum(term) AS DOUBLE) AS psi " +
         "FROM j GROUP BY day ORDER BY day"),
+    // six exact integer sums (DuckDB's HUGEINT ⊇ Spark's BIGINT on this
+    // data); float enters only at num/√·√, then one DECIMAL(18,6) round
+    "ts8_autocorr" ->
+      ("WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
+        "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +
+        "grid AS (SELECT d.day, ty.event_type, coalesce(c.n, 0) AS n " +
+        "FROM (SELECT DISTINCT day FROM ev) d " +
+        "CROSS JOIN (SELECT DISTINCT event_type FROM ev) ty " +
+        "LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type), " +
+        "lagged AS (SELECT event_type, n, " +
+        "lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2, lag(n, 3) OVER w AS l3 " +
+        "FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
+        "st AS (SELECT event_type, 1 AS lag_k, n AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL " +
+        "UNION ALL SELECT event_type, 2, n, l2 FROM lagged WHERE l2 IS NOT NULL " +
+        "UNION ALL SELECT event_type, 3, n, l3 FROM lagged WHERE l3 IS NOT NULL), " +
+        "agg AS (SELECT event_type, lag_k, count(*) AS np, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM st GROUP BY 1, 2) " +
+        "SELECT event_type, lag_k, CAST(CAST(" +
+        "CAST(np * sxy - sx * sy AS DOUBLE) / " +
+        "(sqrt(CAST(np * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(np * syy - sy * sy AS DOUBLE))) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS acf " +
+        "FROM agg ORDER BY event_type, lag_k"),
     "w4_range_frame" ->
       ("SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +

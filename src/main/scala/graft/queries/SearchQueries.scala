@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Search-index construction and query execution — the operator family the
+  * reference delegates wholesale to its Elasticsearch backend
+  * (`aleph2_crud_service_elasticsearch/.../ElasticsearchCrudService.java`:
+  * every `*_SearchIndexService` bucket gets a full-text index built for it).
+  * A Spark-native engine has to build that index as a JOB, so the family is
+  * expressed as oracle-checked dataframe plans: posting construction (idx1),
+  * positional phrase execution (idx2), conjunctive boolean retrieval (idx3),
+  * and the blocking/scoring record-linkage workload (rl1) that
+  * entity-resolution on such an index feeds.
+  *
+  * Scale shapes (100 TB): every query keys its one shuffle on the token (or
+  * the block key) — never on raw text; posting heads are bounded by a
+  * rank-window (sort-based, spills) instead of an in-memory `collect_set` of
+  * a stop-word's full posting list; phrase/boolean execution pre-filters
+  * positions to the query terms BEFORE any join, so only the query terms'
+  * postings ever shuffle — the classic term-at-a-time engine shape.
+  */
+object SearchQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, token, tf) term-frequency grid — the map phase of every
+    * index build; partial-aggregates map-side before its single shuffle. */
+  private def tfGrid(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- idx1: inverted-index construction — per-token dictionary stats
+    // (df, total tf) plus the first-10 postings head. The head is taken
+    // with a rank window over the (token, doc_id) grid (sort-based, spills
+    // to disk) and only THEN collected — a stop-word token never holds its
+    // full posting list in one aggregation buffer, which a naive
+    // sort_array(collect_list(...)) would. Dictionary and head join
+    // co-keyed on token (one exchange reused) --------------------------
+    "idx1_inverted_index" -> { (s, dir) =>
+      val tf = tfGrid(Tables.t(s, dir, "documents"))
+      val dict = tf.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      val head = tf
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("token").orderBy("doc_id")))
+        .filter(col("rn") <= 10)
+        .groupBy("token")
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string"))).as("head_postings"))
+      dict.join(head, "token")
+        .select(col("token"), col("df"), col("tf_total"), col("head_postings"))
+        .orderBy("token")
+    },
+    // ---- idx2: positional phrase query ("fast table") — exactly how an
+    // engine executes a phrase over positional postings: posexplode to
+    // (doc_id, pos, token), FILTER to the two phrase terms (so only those
+    // terms' position postings survive the scan — predicate runs before
+    // the shuffle), then join term-1 positions to term-2 positions on
+    // (doc_id, pos+1). The join keys on doc_id; both sides are
+    // query-term-sized, not corpus-sized ------------------------------
+    "idx2_phrase_search" -> { (s, dir) =>
+      val Seq(t1, t2) = Seq("fast", "table")
+      val pos = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "token")
+      val p1 = pos.filter(col("token") === t1).select(col("doc_id"), col("pos"))
+      val p2 = pos.filter(col("token") === t2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      p1.join(p2, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("doc_id")
+    },
+    // ---- idx3: conjunctive (AND) boolean retrieval — docs containing ALL
+    // of {spark, join, vector}, with the summed within-doc tf as a crude
+    // rank key. No join at all: the term filter pushes to the scan, the
+    // surviving postings aggregate once on doc_id, and HAVING
+    // count(distinct token) = |terms| is the intersection. (A term-at-a-
+    // time engine would intersect df-ascending; the one-agg form is the
+    // same work without materializing intermediate lists.) -------------
+    "idx3_bool_retrieval" -> { (s, dir) =>
+      val terms = Seq("spark", "join", "vector")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy("doc_id")
+        .agg(count_distinct(col("token")).as("n_terms"),
+          count(lit(1)).as("total_tf"))
+        .filter(col("n_terms") === terms.size)
+        .select(col("doc_id"), col("total_tf"))
+        .orderBy("doc_id")
+    },
+    // ---- rl1: blocked record linkage (entity resolution) — the classic
+    // dirty-master match. The dirty side is synthesized DETERMINISTICALLY
+    // (same construction in the oracle, the mm12/tx22 injection pattern):
+    // every custkey%3==0 record drops its name's 10th char (the first
+    // zero-pad digit). Candidate generation is a BLOCK equi-join on
+    // (last-4-of-name, nationkey) — never all-pairs; the suffix block key
+    // survives the char-drop because the deletion shifts only the prefix.
+    // Each candidate is scored Fellegi–Sunter-style with integer agreement
+    // weights (4·exact-name + 2·lev==1 + 1·balance-agree), and the winner
+    // per dirty record is one max(struct(...)) agg — the d1 winner-pick
+    // shape, co-keyed on the dirty id --------------------------------
+    "rl1_record_linkage" -> { (s, dir) =>
+      val cust = Tables.t(s, dir, "customer")
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 1000000).as("d_id"),
+          concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 9))
+            .as("d_name"),
+          col("c_nationkey").as("d_nationkey"),
+          col("c_acctbal").as("d_acctbal"))
+        .withColumn("blk", substring(col("d_name"), -4, 4))
+      val master = cust
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), substring(col("c_name"), -4, 4).as("blk"))
+      val scored = dirty.join(master,
+          dirty("blk") === master("blk") &&
+            dirty("d_nationkey") === master("c_nationkey"))
+        .withColumn("lev", levenshtein(col("d_name"), col("c_name")))
+        .filter(col("lev") <= 1)
+        .withColumn("w",
+          when(col("lev") === 0, 4).otherwise(0) +
+            when(col("lev") === 1, 2).otherwise(0) +
+            when(abs(col("d_acctbal") - col("c_acctbal")) < 0.005, 1)
+              .otherwise(0))
+      scored.groupBy("d_id")
+        .agg(max(struct(col("w"), (-col("c_custkey")).as("nk"))).as("win"),
+          count(lit(1)).as("n_candidates"))
+        .select(col("d_id"), (-col("win.nk")).as("matched_custkey"),
+          col("win.w").as("match_weight"), col("n_candidates"))
+        .orderBy("d_id")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "idx1_inverted_index" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dict AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total " +
+        "FROM tf GROUP BY token), " +
+        "r AS (SELECT token, doc_id, row_number() OVER " +
+        "(PARTITION BY token ORDER BY doc_id) AS rn FROM tf), " +
+        "h AS (SELECT token, array_to_string(list_sort(list(doc_id)), ',') " +
+        "AS head_postings FROM r WHERE rn <= 10 GROUP BY token) " +
+        "SELECT dict.token AS token, df, tf_total, head_postings " +
+        "FROM dict JOIN h ON dict.token = h.token ORDER BY token"),
+    "idx2_phrase_search" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, unnest(toks) AS token, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM t), " +
+        "p1 AS (SELECT doc_id, pos FROM p WHERE token = 'fast'), " +
+        "p2 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE token = 'table') " +
+        "SELECT p1.doc_id AS doc_id, count(*) AS n_matches " +
+        "FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p1.pos = p2.pos " +
+        "GROUP BY p1.doc_id ORDER BY doc_id"),
+    "idx3_bool_retrieval" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "SELECT doc_id, count(*) AS total_tf FROM tok " +
+        "WHERE token IN ('spark', 'join', 'vector') " +
+        "GROUP BY doc_id HAVING count(DISTINCT token) = 3 ORDER BY doc_id"),
+    "rl1_record_linkage" ->
+      ("WITH dirty AS (SELECT c_custkey + 1000000 AS d_id, " +
+        "substr(c_name, 1, 9) || substr(c_name, 11, 9) AS d_name, " +
+        "c_nationkey AS d_nationkey, c_acctbal AS d_acctbal " +
+        "FROM customer WHERE c_custkey % 3 = 0), " +
+        "cand AS (SELECT d.d_id, m.c_custkey, " +
+        "levenshtein(d.d_name, m.c_name) AS lev, d.d_acctbal, m.c_acctbal " +
+        "FROM dirty d JOIN customer m " +
+        "ON substr(d.d_name, -4) = substr(m.c_name, -4) " +
+        "AND d.d_nationkey = m.c_nationkey " +
+        "WHERE levenshtein(d.d_name, m.c_name) <= 1), " +
+        "scored AS (SELECT d_id, c_custkey, " +
+        "CASE WHEN lev = 0 THEN 4 ELSE 0 END + " +
+        "CASE WHEN lev = 1 THEN 2 ELSE 0 END + " +
+        "CASE WHEN abs(d_acctbal - c_acctbal) < 0.005 THEN 1 ELSE 0 END AS w " +
+        "FROM cand), " +
+        "win AS (SELECT d_id, max(struct_pack(w := w, nk := -c_custkey)) AS win, " +
+        "count(*) AS n_candidates FROM scored GROUP BY d_id) " +
+        "SELECT d_id, -win.nk AS matched_custkey, win.w AS match_weight, " +
+        "n_candidates FROM win ORDER BY d_id")
+  )
+}
