@@ -297,6 +297,26 @@ object SurfaceQueries {
       graft.multimodal.Tone.extractToneFeatures(wav, "doc_id", "content")
         .orderBy("doc_id")
     },
+    // ---- mm16: STFT spectrogram — frequency-hopping square wave (frame j's
+    // tone = (doc_id + j) % 4, 6 frames × 256 samples, integer-exact phase
+    // math) → real PCM/WAV wrap → real chunk-walk decode → hand-rolled
+    // radix-2 FFT per frame → dominant non-DC bin. Each candidate lands
+    // exactly on bin f·256/8000 ∈ {16,24,32,40} (no leakage) and the
+    // fundamental beats the strongest harmonic ≥2.4× in amplitude, so the
+    // oracle predicts every frame's peak bin AND exact high-sample count
+    // from the integer formula — full-spectrum sibling of mm12's Goertzel -
+    "mm16_spectrogram" -> { (s, dir) =>
+      val sg = graft.multimodal.Spectrogram
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content",
+          expr("cast(array_join(transform(sequence(0, 5), " +
+            "j -> chr(48 + (doc_id + j) % 4)), '') as binary)"))
+      val wav = Multimodal.resizeContent(
+        Multimodal.resizeContent(docs, "content", sg.HopToneGen()),
+        "content", Multimodal.PcmWavEncoder(sampleRate = sg.Rate))
+      sg.extractSpectrogram(wav, "doc_id", "content")
+        .orderBy("doc_id", "frame_idx")
+    },
     // ---- multimodal audio resample: encode → REAL decode → keep every
     // 4th sample → re-encode → REAL decode again. The oracle predicts the
     // decimated container facts and exact amplitude sum straight from the
@@ -1054,6 +1074,21 @@ object SurfaceQueries {
         "SELECT d.doc_id, CAST(800 AS BIGINT) AS n_samples, hi.n_high, " +
         "CAST(d.doc_id % 4 AS INT) AS tone_idx " +
         "FROM documents d JOIN hi ON d.doc_id % 4 = hi.k ORDER BY doc_id"),
+    // same integer phase formula as the hop synth, per 256-sample frame;
+    // peak_bin is pinned to each tone's exact fundamental bin f*256/8000
+    // (margin argument in Fft's scaladoc)
+    "mm16_spectrogram" ->
+      ("WITH f(k, freq, bin) AS (VALUES (0, 500, 16), (1, 750, 24), " +
+        "(2, 1000, 32), (3, 1250, 40)), " +
+        "hi AS (SELECT k, bin, count(*) AS n_high FROM f, " +
+        "unnest(generate_series(0, 255)) AS g(i) " +
+        "WHERE ((i * 2 * freq) // 8000) % 2 = 0 GROUP BY k, bin), " +
+        "fr AS (SELECT d.doc_id, j, CAST((d.doc_id + j) % 4 AS INT) AS k " +
+        "FROM documents d, unnest(generate_series(0, 5)) AS s(j)) " +
+        "SELECT fr.doc_id AS doc_id, CAST(fr.j AS INT) AS frame_idx, " +
+        "CAST(256 AS INT) AS n_samples, hi.n_high, " +
+        "CAST(hi.bin AS INT) AS peak_bin " +
+        "FROM fr JOIN hi ON fr.k = hi.k ORDER BY doc_id, frame_idx"),
     // strlen = BYTE length (UTF-8), matching the decompressed entry size
     "s11_zip_roundtrip" ->
       ("SELECT source || '/' || doc_id || '.txt' AS entry_name, " +
