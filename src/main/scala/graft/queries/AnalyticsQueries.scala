@@ -570,6 +570,42 @@ object AnalyticsQueries {
                 .cast("double"))))
             .cast(D6).cast("double").as("acf"))
         .orderBy("event_type", "lag_k")
+    },
+    // ---- ts9: offline changepoint scan (binary segmentation's first
+    // step) — for every candidate split day t of each type's daily-volume
+    // series, the between-segment variance statistic
+    // (S_t·T − t·S)² / (t·(T−t)): the numerator is EXACT BIGINT algebra
+    // (the cross-multiplied mean difference), floating point enters only
+    // at the final square/divide — both IEEE-exact-rounded ops, so the
+    // doubles are bit-identical cross-engine (no libm), then one
+    // DECIMAL(18,6) round. Series = the dense ts5 grid. Scale shape: one
+    // map-side-combined daily agg over the corpus; the scan itself runs
+    // on the day×type grid (tiny) with both window passes sharing a
+    // single per-type exchange ------------------------------------------
+    "ts9_changepoint" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.t(s, dir, "events")
+        .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val grid = ev.select("day").distinct()
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
+        .join(cnt, Seq("day", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val wOrd = W.partitionBy("event_type").orderBy("day")
+      val wAll = W.partitionBy("event_type")
+      val num = (col("st") * col("big_t") - col("t") * col("s"))
+        .cast("double")
+      grid
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("st", sum(col("n")).over(wOrd))
+        .withColumn("big_t", count(lit(1)).over(wAll).cast("long"))
+        .withColumn("s", sum(col("n")).over(wAll))
+        .filter(col("t") < col("big_t"))
+        .select(col("event_type"), col("day"),
+          (num * num / (col("t") * (col("big_t") - col("t"))).cast("double"))
+            .cast(D6).cast("double").as("cp_stat"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -786,6 +822,25 @@ object AnalyticsQueries {
         "(sqrt(CAST(np * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(np * syy - sy * sy AS DOUBLE))) " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS acf " +
         "FROM agg ORDER BY event_type, lag_k"),
+    // exact BIGINT numerator; float only at the square/divide (IEEE-exact
+    // ops, no libm), then one DECIMAL(18,6) round — same regime as ts8
+    "ts9_changepoint" ->
+      ("WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
+        "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +
+        "grid AS (SELECT d.day, ty.event_type, coalesce(c.n, 0) AS n " +
+        "FROM (SELECT DISTINCT day FROM ev) d " +
+        "CROSS JOIN (SELECT DISTINCT event_type FROM ev) ty " +
+        "LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type), " +
+        "w AS (SELECT event_type, day, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY day) AS t, " +
+        "sum(n) OVER (PARTITION BY event_type ORDER BY day) AS st, " +
+        "count(*) OVER (PARTITION BY event_type) AS big_t, " +
+        "sum(n) OVER (PARTITION BY event_type) AS s FROM grid) " +
+        "SELECT event_type, CAST(day AS TIMESTAMP) AS day, CAST(CAST(" +
+        "CAST(st * big_t - t * s AS DOUBLE) * CAST(st * big_t - t * s AS DOUBLE) / " +
+        "CAST(t * (big_t - t) AS DOUBLE) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS cp_stat " +
+        "FROM w WHERE t < big_t ORDER BY event_type, day"),
     "w4_range_frame" ->
       ("SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +

@@ -652,6 +652,41 @@ object TextQueries {
           size(col("text__tokens")).as("n_tokens"),
           array_join(slice(col("text__tokens"), 1, 5), " ").as("head_tokens"))
         .orderBy("doc_id")
+    },
+    // ---- tx29: PMI collocation mining — the phrase-detection statistic
+    // behind tokenizer vocab construction and word2vec-style phrase
+    // merging: PMI(x,y) = ln(c(xy)·N² / (B·c(x)·c(y))) over adjacent
+    // bigrams, min-support 5. Everything inside the ln is exact integer
+    // algebra; the double products are IEEE-exact-rounded in the same
+    // left-assoc order on both engines, so only ln's last ulp varies →
+    // one DECIMAL(18,6) round. Scale shape: bigrams are built NARROW
+    // (zip toks with its own tail — no positional self-join), counts are
+    // map-side-combined on (w1,w2); unigram counts re-join CO-KEYED on
+    // the token (the vocab is corpus-sized — never broadcast, never
+    // collected); N/B ride a 1-row broadcast ---------------------------
+    "tx29_pmi_collocations" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val docs = Tables.t(s, dir, "documents")
+        .select(tokens(col("text")).as("toks"))
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val totals = broadcast(docs.agg(
+        sum(size(col("toks")).cast("long")).as("n_tok"),
+        sum((size(col("toks")) - 1).cast("long")).as("n_big")))
+      val bg = docs.select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+        .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(totals)
+        .select(col("w1"), col("w2"), col("n_xy"),
+          log(col("n_xy").cast("double") * col("n_tok") * col("n_tok") /
+            (col("n_big").cast("double") * col("c1") * col("c2")))
+            .cast(D6).cast("double").as("pmi"))
+        .orderBy("w1", "w2")
     }
   )
 
@@ -1023,6 +1058,27 @@ object TextQueries {
         "t AS (SELECT doc_id, html, trim(regexp_replace(stripped, '<[^>]*>', ' ', 'g')) AS flat FROM x) " +
         "SELECT doc_id, regexp_replace(flat, ' +', ' ', 'g') AS content, " +
         "CAST(length(regexp_replace(flat, ' +', ' ', 'g')) AS DOUBLE) / length(html) AS text_ratio " +
-        "FROM t ORDER BY doc_id")
+        "FROM t ORDER BY doc_id"),
+    // integer-exact ratio inside ln, same left-assoc double products; one
+    // DECIMAL(18,6) round absorbs ln's cross-libm ulp
+    "tx29_pmi_collocations" ->
+      ("WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents), " +
+        "uni AS (SELECT t AS w, count(*) AS c FROM " +
+        "(SELECT unnest(toks) AS t FROM d) GROUP BY t), " +
+        "tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tok, " +
+        "CAST(sum(len(toks) - 1) AS BIGINT) AS n_big FROM d), " +
+        "p AS (SELECT row_number() OVER () AS rid, toks FROM d), " +
+        "u AS (SELECT rid, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM p), " +
+        "bg AS (SELECT a.w AS w1, b.w AS w2 FROM u a JOIN u b " +
+        "ON a.rid = b.rid AND b.i = a.i + 1), " +
+        "bc AS (SELECT w1, w2, count(*) AS n_xy FROM bg " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT w1, w2, n_xy, CAST(CAST(ln(" +
+        "(CAST(n_xy AS DOUBLE) * n_tok * n_tok) / " +
+        "(CAST(n_big AS DOUBLE) * c1 * c2)) AS DECIMAL(18,6)) AS DOUBLE) AS pmi " +
+        "FROM bc " +
+        "JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1) " +
+        "JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2) " +
+        "CROSS JOIN tot ORDER BY w1, w2")
   )
 }

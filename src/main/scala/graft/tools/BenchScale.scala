@@ -72,7 +72,15 @@ object BenchScale {
     // workload — edge endpoint resolution + dedup-merge + the composed
     // lifecycle) had no sf1 evidence despite being bench spots #13-14;
     // vertices/edges scale with the lineitem copies machinery
-    "g8_resolve_merge", "g9_graph_lifecycle")
+    "g8_resolve_merge", "g9_graph_lifecycle",
+    // round-9: the inverted-index build is the suite's biggest single
+    // explode→shuffle (every token of every doc); the per-token rank
+    // window must stay linear as posting lists grow 10×. mm16 is the
+    // mm11 class (frame explosion over decoded audio) plus an FFT per
+    // frame — gated for the same reason mm11 earned its entry. rl1 is
+    // NOT gated: it scales with `customer`, which the synthesis keeps
+    // fixed (dimension), so its ratio would measure nothing
+    "idx1_inverted_index", "mm16_spectrogram")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
