@@ -317,6 +317,26 @@ object SurfaceQueries {
       sg.extractSpectrogram(wav, "doc_id", "content")
         .orderBy("doc_id", "frame_idx")
     },
+    // ---- st20: the SAME spectrogram module as a streaming stage — codec
+    // decode + FFT are stateless narrow work, so the batch pipeline runs
+    // under Structured Streaming unchanged (append mode, no watermark/
+    // state), extending the batch-module-reuse contract (ST4) from column
+    // transforms to the mapPartitions codec/DSP path. Same oracle as mm16 -
+    "st20_stream_spectrogram" -> { (s, dir) =>
+      val sg = graft.multimodal.Spectrogram
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = graft.streaming.Streams.parquetStream(
+        s, s"$dir/documents.parquet", schema)
+      graft.streaming.Streams.runToParquet(raw, st => {
+        val docs = st.withColumn("content",
+          expr("cast(array_join(transform(sequence(0, 5), " +
+            "j -> chr(48 + (doc_id + j) % 4)), '') as binary)"))
+        val wav = Multimodal.resizeContent(
+          Multimodal.resizeContent(docs, "content", sg.HopToneGen()),
+          "content", Multimodal.PcmWavEncoder(sampleRate = sg.Rate))
+        sg.extractSpectrogram(wav, "doc_id", "content")
+      }).orderBy("doc_id", "frame_idx")
+    },
     // ---- multimodal audio resample: encode → REAL decode → keep every
     // 4th sample → re-encode → REAL decode again. The oracle predicts the
     // decimated container facts and exact amplitude sum straight from the
@@ -1078,6 +1098,19 @@ object SurfaceQueries {
     // peak_bin is pinned to each tone's exact fundamental bin f*256/8000
     // (margin argument in Fft's scaladoc)
     "mm16_spectrogram" ->
+      ("WITH f(k, freq, bin) AS (VALUES (0, 500, 16), (1, 750, 24), " +
+        "(2, 1000, 32), (3, 1250, 40)), " +
+        "hi AS (SELECT k, bin, count(*) AS n_high FROM f, " +
+        "unnest(generate_series(0, 255)) AS g(i) " +
+        "WHERE ((i * 2 * freq) // 8000) % 2 = 0 GROUP BY k, bin), " +
+        "fr AS (SELECT d.doc_id, j, CAST((d.doc_id + j) % 4 AS INT) AS k " +
+        "FROM documents d, unnest(generate_series(0, 5)) AS s(j)) " +
+        "SELECT fr.doc_id AS doc_id, CAST(fr.j AS INT) AS frame_idx, " +
+        "CAST(256 AS INT) AS n_samples, hi.n_high, " +
+        "CAST(hi.bin AS INT) AS peak_bin " +
+        "FROM fr JOIN hi ON fr.k = hi.k ORDER BY doc_id, frame_idx"),
+    // identical prediction: the streaming run is the same stateless module
+    "st20_stream_spectrogram" ->
       ("WITH f(k, freq, bin) AS (VALUES (0, 500, 16), (1, 750, 24), " +
         "(2, 1000, 32), (3, 1250, 40)), " +
         "hi AS (SELECT k, bin, count(*) AS n_high FROM f, " +
