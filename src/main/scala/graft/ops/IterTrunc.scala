@@ -64,6 +64,22 @@ private[graft] final class IterTrunc(spark: SparkSession,
         prev = Some(p)
         out
       }
-    case None => _.localCheckpoint(true)
+    case None => df => {
+      val ck = df.localCheckpoint(true)
+      // localCheckpoint truncates the plan but PRESERVES the source plan's
+      // estimated statistics on the resulting LogicalRDD. A channel feeds
+      // its own output back into the next round's joins, so those
+      // estimates COMPOUND geometrically round over round (measured in
+      // Scc: sizeInBytes growing from 52 bits to ~7 million bits in ~15
+      // materializations) — the optimizer then spends its time multiplying
+      // megabit BigIntegers and ultimately dies with "BigInteger would
+      // overflow supported range". Re-wrapping the checkpointed RDD in a
+      // fresh DataFrame resets stats to the constant default (AQE still
+      // re-plans joins from ACTUAL runtime sizes, so broadcast decisions
+      // are unaffected); the Row re-encode this costs is per-scan over
+      // bounded iteration state, noise next to the joins themselves. The
+      // parquet mode needs no such reset: its stats come from file sizes.
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
   }
 }

@@ -606,6 +606,48 @@ object AnalyticsQueries {
           (num * num / (col("t") * (col("big_t") - col("t"))).cast("double"))
             .cast(D6).cast("double").as("cp_stat"))
         .orderBy("event_type", "day")
+    },
+    // ---- approx7: CMS inner-product JOIN-SIZE estimation (Cormode &
+    // Muthukrishnan §4.2) — the optimizer's question ("how big is
+    // clicks ⋈ purchases on user_id?") answered from two constant-size
+    // sketches without running the join: est = min_i Σ_b cA[i,b]·cB[i,b].
+    // Deterministic guarantees cross-checked as verdict columns computed
+    // identically on both engines: est ≥ exact ALWAYS (collisions only
+    // add mass), and est ≤ exact + (e/w)·|A|·|B| w.h.p. (flagged with the
+    // slightly-looser rational ε = 2.72/64 so neither engine computes
+    // e via libm). Scale shape: each sketch is a ≤ d·w counter table
+    // with map-side partial aggregation — the shuffle is CONSTANT-size
+    // regardless of corpus, and the d·w join runs on sketch cells ------
+    "approx7_join_size" -> { (s, dir) =>
+      import graft.dedup.TextDedup.md5Int
+      val (d, w) = (6, 64)
+      val rows = array((0 until d).map(lit): _*)
+      val ev = Tables.t(s, dir, "events")
+      def cms(et: String, cname: String) = ev
+        .filter(col("event_type") === et)
+        .select(explode(rows).as("i"),
+          col("user_id").cast("string").as("k"))
+        .select(col("i"),
+          (md5Int(concat(col("i").cast("string"), lit(":"), col("k"))) % w)
+            .as("b"))
+        .groupBy("i", "b").agg(count(lit(1)).as(cname))
+      val est = cms("click", "ca").join(cms("purchase", "cb"), Seq("i", "b"))
+        .groupBy("i").agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("est"))
+      val exact = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("nc"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(count(lit(1)).as("np")), "user_id")
+        .agg(coalesce(sum(col("nc") * col("np")), lit(0L)).as("exact"))
+      val tot = ev.agg(
+        sum((col("event_type") === "click").cast("long")).as("na"),
+        sum((col("event_type") === "purchase").cast("long")).as("nb"))
+      est.crossJoin(broadcast(exact)).crossJoin(broadcast(tot))
+        .select(col("est"), col("exact"),
+          (col("est") >= col("exact")).cast("int").as("ge_exact"),
+          (col("est").cast("double") <= col("exact").cast("double") +
+            lit(0.0425) * col("na") * col("nb")).cast("int")
+            .as("within_bound"))
     }
   )
 
@@ -841,6 +883,28 @@ object AnalyticsQueries {
         "CAST(t * (big_t - t) AS DOUBLE) " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS cp_stat " +
         "FROM w WHERE t < big_t ORDER BY event_type, day"),
+    // full sketch replica (same md5 row-hashes), so est and both verdict
+    // columns are exact integer/rational arithmetic on both engines
+    "approx7_join_size" -> {
+      def cmsSql(et: String, cname: String): String =
+        s"SELECT i, ${graft.queries.DedupQueries.md5IntSql(
+          "i::VARCHAR || ':' || CAST(user_id AS VARCHAR)")} % 64 AS b, " +
+          s"count(*) AS $cname FROM events, unnest(generate_series(0, 5)) AS g(i) " +
+          s"WHERE event_type = '$et' GROUP BY 1, 2"
+      "WITH ca AS (" + cmsSql("click", "ca") + "), " +
+        "cb AS (" + cmsSql("purchase", "cb") + "), " +
+        "est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM " +
+        "(SELECT i, sum(ca * cb) AS ip FROM ca JOIN cb USING (i, b) GROUP BY i)), " +
+        "ex AS (SELECT CAST(coalesce(sum(nc * np), 0) AS BIGINT) AS exact FROM " +
+        "(SELECT user_id, count(*) AS nc FROM events WHERE event_type = 'click' GROUP BY 1) c " +
+        "JOIN (SELECT user_id, count(*) AS np FROM events WHERE event_type = 'purchase' GROUP BY 1) p " +
+        "USING (user_id)), " +
+        "tot AS (SELECT CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS na, " +
+        "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS nb FROM events) " +
+        "SELECT est, exact, CAST(est >= exact AS INT) AS ge_exact, " +
+        "CAST(CAST(est AS DOUBLE) <= CAST(exact AS DOUBLE) + 0.0425 * na * nb AS INT) " +
+        "AS within_bound FROM est CROSS JOIN ex CROSS JOIN tot"
+    },
     "w4_range_frame" ->
       ("SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +

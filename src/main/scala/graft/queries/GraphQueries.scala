@@ -307,6 +307,36 @@ object GraphQueries {
           col("hub").cast(D6).cast("double").as("hub"))
         .orderBy("node")
     },
+    // ---- g21: strongly connected components over a DIRECTED graph — the
+    // cycle-structure operator none of g10-g20 covers (their co-service
+    // edges are canonicalized u<v, a DAG by construction). Input: the
+    // purchase "handoff" graph — within each (event_type, day), an edge
+    // from each user to the next user in time iff the gap is ≤ 150s (a
+    // session-adjacency graph; the gap keeps it sparse enough to have
+    // real structure: at sf0.01 a 24-node giant, two mid components, 99
+    // singletons). Engine = Scc's FW-BW-min coloring (equi-joins +
+    // O(diameter) batched relaxation); oracle = full recursive closure +
+    // min over the mutual-reachability set, feasible because the demo
+    // graph is small — the ENGINE path never materializes a closure ----
+    "g21_scc" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), date_trunc("DAY", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = Tables.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead("user_id", 1).over(W))
+        .withColumn("nts", lead("ts", 1).over(W))
+      val e = seq.filter(col("nxt").isNotNull &&
+          col("nxt") =!= col("user_id") &&
+          unix_micros(col("nts")) <= unix_micros(col("ts")) + 150000000L)
+        .select(col("user_id").as("u"), col("nxt").as("v")).distinct()
+      val comp = graft.graph.Scc.scc(e)
+      comp.join(comp.groupBy("scc_id").agg(count(lit(1)).as("scc_size")),
+          "scc_id")
+        .select(col("node").as("user_id"), col("scc_id"), col("scc_size"))
+        .orderBy("user_id")
+    },
     // ---- g16: label-propagation communities over the same co-service
     // graph — 2 synchronous deterministic rounds (most-frequent neighbor
     // label, ties → smallest), oracle = 2 unrolled argmax CTEs. Completes
@@ -479,6 +509,27 @@ object GraphQueries {
         "SELECT a2.node, CAST(CAST(auth AS DECIMAL(18,6)) AS DOUBLE) AS auth, " +
         "CAST(CAST(hub AS DECIMAL(18,6)) AS DOUBLE) AS hub " +
         "FROM a2 JOIN h2 USING (node) ORDER BY node"),
+    // the oracle takes the O(n^2)-closure shortcut the engine never may:
+    // scc_id(v) = min over {u : u ~>* v AND v ~>* u} (self included via
+    // the identity rows); the micros gap comparison mirrors unix_micros
+    "g21_scc" ->
+      ("WITH RECURSIVE seq AS (SELECT event_type, user_id, ts, " +
+        "lead(user_id) OVER w AS nxt, lead(ts) OVER w AS nts " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts) " +
+        "ORDER BY ts, event_id)), " +
+        "e AS (SELECT DISTINCT user_id AS u, nxt AS v FROM seq " +
+        "WHERE nxt IS NOT NULL AND nxt <> user_id " +
+        "AND epoch_us(nts) <= epoch_us(ts) + 150000000), " +
+        "n AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e), " +
+        "reach(a, b) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b), " +
+        "r2 AS (SELECT a, b FROM reach UNION ALL SELECT node, node FROM n), " +
+        "scc AS (SELECT f.b AS node, min(f.a) AS scc_id FROM r2 f " +
+        "JOIN r2 g ON g.a = f.b AND g.b = f.a GROUP BY f.b), " +
+        "sz AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY 1) " +
+        "SELECT scc.node AS user_id, scc.scc_id AS scc_id, sz.scc_size " +
+        "FROM scc JOIN sz USING (scc_id) ORDER BY user_id"),
     // two unrolled synchronous LPA rounds; per-round argmax replicated as
     // row_number over (count desc, label) — same tiebreak as the engine's
     // min(struct(-n, label)) aggregate
