@@ -226,6 +226,21 @@ object OpsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bin")
     },
+    // ---- dq8: k-anonymity audit — the privacy gate next to tx6's PII
+    // scrub: group the table by its quasi-identifier tuple (nation,
+    // segment, banded balance — banding is itself the generalization step
+    // of k-anonymization) and flag every equivalence class smaller than
+    // k=5 as re-identifiable. Exact, one map-side-combined aggregation;
+    // the band division is shared IEEE double math (floor(x/1000)) ------
+    "dq8_k_anonymity" -> { (s, dir) =>
+      Tables.t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("k_anonymous", (col("group_size") >= 5).cast("int"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    },
     // ---- cdc3: SCD Type-2 history build — three order snapshots (base,
     // price bump for key%7, status flip for key%5) collapsed into
     // effective-dated rows by Scd2's gaps-and-islands (two key-partitioned
@@ -513,6 +528,12 @@ object OpsQueries {
         "least(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT)) END AS bin, " +
         "count(*) AS n FROM ev CROSS JOIN edges " +
         "GROUP BY 1, 2 ORDER BY event_type, bin"),
+    // same QI tuple and IEEE band arithmetic; exact counts
+    "dq8_k_anonymity" ->
+      ("SELECT c_nationkey, c_mktsegment, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
+        "count(*) AS group_size, CAST(count(*) >= 5 AS INT) AS k_anonymous " +
+        "FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     // same gaps-and-islands: per-attr IS DISTINCT FROM ≡ the engine's
     // null-safe struct comparison; min() over the attribute-constant run
     // equals the engine's first()
