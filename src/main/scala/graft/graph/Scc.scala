@@ -53,6 +53,14 @@ object Scc {
     val nChan = trunc.channel()
     val aChan = trunc.channel()
 
+    // one channel PAIR per fixpoint direction, allocated once and reused
+    // across outer rounds: a fresh pair per minLabels call would leave its
+    // final file undeleted every round in parquet-checkpoint mode (a
+    // channel only deletes when IT writes again). Reuse is safe because a
+    // round's mf/mb outputs are consumed into the eChan/nChan/aChan
+    // materializations below before the next round's fixpoints write
+    val chansF = Array(trunc.channel(), trunc.channel())
+    val chansB = Array(trunc.channel(), trunc.channel())
     var e = eChan(edges.select(col("u"), col("v")).filter(col("u") =!= col("v"))
       .distinct())
     var nodes = nChan(e.select(col("u").as("node"))
@@ -61,9 +69,9 @@ object Scc {
     var remaining = nodes.count()
     var outer = 0
     while (remaining > 0 && outer < maxOuter) {
-      val mf = minLabels(e, nodes, maxHops, trunc)
+      val mf = minLabels(e, nodes, maxHops, chansF)
       val mb = minLabels(e.select(col("v").as("u"), col("u").as("v")),
-        nodes, maxHops, trunc)
+        nodes, maxHops, chansB)
       val lab = nodes
         .join(mf.withColumnRenamed("lbl", "mf"), "node")
         .join(mb.withColumnRenamed("lbl", "mb"), "node")
@@ -103,11 +111,10 @@ object Scc {
     * ancestor's ancestors are ancestors). `maxHops` counts BATCHES of
     * [[StepsPerBatch]] steps. */
   private def minLabels(e: DataFrame, nodes: DataFrame, maxHops: Int,
-      trunc: graft.ops.IterTrunc): DataFrame = {
-    // two alternating channels: a channel deletes ITS previous file when a
-    // new one lands, so with labPrev alive one batch behind, the file
+      chans: Array[DataFrame => DataFrame]): DataFrame = {
+    // the two channels alternate: a channel deletes ITS previous file when
+    // a new one lands, so with labPrev alive one batch behind, the file
     // being deleted is always two batches old — nothing live reads it
-    val chans = Array(trunc.channel(), trunc.channel())
     val D = DecimalType(38, 0)
     var lab = chans(0)(nodes.withColumn("lbl", col("node")))
     var labPrev = lab

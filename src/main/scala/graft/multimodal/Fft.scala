@@ -33,8 +33,8 @@ object Fft {
     * `re.length` must be a power of two; `im` the same length. */
   def transform(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length
-    require(n == im.length && (n & (n - 1)) == 0,
-      s"radix-2 FFT needs power-of-two length; got ${re.length}/${im.length}")
+    require(n == im.length && n > 0 && (n & (n - 1)) == 0,
+      s"radix-2 FFT needs positive power-of-two length; got ${re.length}/${im.length}")
     // bit-reversal permutation
     var j = 0
     var i = 1

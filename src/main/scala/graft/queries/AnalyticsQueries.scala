@@ -40,6 +40,30 @@ object AnalyticsQueries {
       step = dayUs, fill = Map("n_events" -> lit(0L)))
   }
 
+  /** Shared ts5/ts8/ts9 series: the DENSE day×event_type daily-volume grid
+    * (day, event_type, n) — a missing day is an explicit 0, not a skipped
+    * lag. One map-side-combined daily agg; everything downstream runs on
+    * the tiny grid. */
+  private def dayTypeGrid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+    ev.select("day").distinct()
+      .crossJoin(broadcast(ev.select("event_type").distinct()))
+      .join(ev.groupBy("day", "event_type").agg(count(lit(1)).as("n")),
+        Seq("day", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /** The same grid as DuckDB CTEs (splice after WITH — defines ev, cnt,
+    * grid), shared by the ts5/ts8/ts9 oracles. */
+  private val dayTypeGridSql: String =
+    "ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
+      "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +
+      "grid AS (SELECT d.day, ty.event_type, coalesce(c.n, 0) AS n " +
+      "FROM (SELECT DISTINCT day FROM ev) d " +
+      "CROSS JOIN (SELECT DISTINCT event_type FROM ev) ty " +
+      "LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type)"
+
   val queries: Map[String, Q] = Map(
     // ---- window ranking: top-3 orders per customer by price -------------
     "w1_window_rank" -> { (s, dir) =>
@@ -504,15 +528,9 @@ object AnalyticsQueries {
     // order-free — the tx21 regime), one libm pair per term ---------------
     "ts5_psi_drift" -> { (s, dir) =>
       val D8 = org.apache.spark.sql.types.DecimalType(18, 8)
-      val ev = Tables.t(s, dir, "events")
-        .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
-      val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
-      val days = ev.select("day").distinct()
-      val types = ev.select("event_type").distinct()
-      val nTypes = broadcast(types.agg(count(lit(1)).as("t")))
-      val grid = days.crossJoin(broadcast(types))
-        .join(cnt, Seq("day", "event_type"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val grid = dayTypeGrid(s, dir)
+      val nTypes = broadcast(grid.select("event_type").distinct()
+        .agg(count(lit(1)).as("t")))
       val tot = grid.groupBy("day").agg(sum(col("n")).as("tot"))
       val p = grid.join(tot, "day").crossJoin(nTypes)
         .select(col("day"), col("event_type"),
@@ -533,22 +551,20 @@ object AnalyticsQueries {
     // daily-volume series — the seasonality/persistence diagnostic next to
     // ts5's drift and ts7's baseline. Series is the DENSE day×type grid
     // (ts5's construction: a missing day is a 0, not a skipped lag).
-    // Pearson r per (type, lag) from six EXACT integer sums (counts are
-    // ints, so Σx/Σy/Σxx/Σyy/Σxy are overflow-safe BIGINTs at any corpus
-    // size) — floating point enters only in the final num/√·√ step, with
-    // one DECIMAL(18,6) round on both engines. Scale shape: one map-side-
-    // combined daily agg over the corpus; everything after runs on the
-    // day×type grid (tiny), lag windows partitioned per type --------------
+    // Pearson r per (type, lag) from six EXACT sums carried as
+    // DECIMAL(38,0) (same exactness window as DuckDB's HUGEINT — BIGINT
+    // n·n terms would overflow first at extreme daily volumes); floating
+    // point enters only in the final num/√·√ step (√ is IEEE
+    // exact-rounded, not libm-variable), with one DECIMAL(18,6) round on
+    // both engines. Degenerate series (a lag with < 2 pairs, or zero
+    // variance on either side) are DROPPED on both sides — their r is
+    // 0/0, where the engines' NaN/error behavior diverges. Lag windows
+    // run per type on the tiny grid --------------
     "ts8_autocorr" -> { (s, dir) =>
       val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val W = org.apache.spark.sql.expressions.Window
-      val ev = Tables.t(s, dir, "events")
-        .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
-      val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
-      val grid = ev.select("day").distinct()
-        .crossJoin(broadcast(ev.select("event_type").distinct()))
-        .join(cnt, Seq("day", "event_type"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val grid = dayTypeGrid(s, dir)
       val w = W.partitionBy("event_type").orderBy("day")
       val pairs = grid
         .select(col("event_type"), col("n"),
@@ -558,16 +574,17 @@ object AnalyticsQueries {
           "stack(3, 1, l1, 2, l2, 3, l3) AS (lag_k, y)")
         .filter(col("y").isNotNull)
       pairs.groupBy("event_type", "lag_k")
-        .agg(count(lit(1)).as("np"), sum(col("n")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("n") * col("n")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("n") * col("y")).as("sxy"))
-        .select(col("event_type"), col("lag_k"),
+        .agg(count(lit(1)).cast(D38).as("np"),
+          sum(col("n")).cast(D38).as("sx"), sum(col("y")).cast(D38).as("sy"),
+          sum((col("n") * col("n")).cast(D38)).as("sxx"),
+          sum((col("y") * col("y")).cast(D38)).as("syy"),
+          sum((col("n") * col("y")).cast(D38)).as("sxy"))
+        .withColumn("vx", col("np") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("np") * col("syy") - col("sy") * col("sy"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+        .select(col("event_type"), col("lag_k").cast("int").as("lag_k"),
           ((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("np") * col("sxx") - col("sx") * col("sx"))
-              .cast("double")) *
-              sqrt((col("np") * col("syy") - col("sy") * col("sy"))
-                .cast("double"))))
+            (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))))
             .cast(D6).cast("double").as("acf"))
         .orderBy("event_type", "lag_k")
     },
@@ -585,13 +602,7 @@ object AnalyticsQueries {
     "ts9_changepoint" -> { (s, dir) =>
       val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
       val W = org.apache.spark.sql.expressions.Window
-      val ev = Tables.t(s, dir, "events")
-        .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
-      val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
-      val grid = ev.select("day").distinct()
-        .crossJoin(broadcast(ev.select("event_type").distinct()))
-        .join(cnt, Seq("day", "event_type"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val grid = dayTypeGrid(s, dir)
       val wOrd = W.partitionBy("event_type").orderBy("day")
       val wAll = W.partitionBy("event_type")
       val num = (col("st") * col("big_t") - col("t") * col("s"))
@@ -615,7 +626,10 @@ object AnalyticsQueries {
     // identically on both engines: est ≥ exact ALWAYS (collisions only
     // add mass), and est ≤ exact + (e/w)·|A|·|B| w.h.p. (flagged with the
     // slightly-looser rational ε = 2.72/64 so neither engine computes
-    // e via libm). Scale shape: each sketch is a ≤ d·w counter table
+    // e via libm). The inner product is summed as DECIMAL(38,0) (HUGEINT
+    // on the oracle side) — a BIGINT sum would overflow near
+    // |A|·|B|/w > 2^63 and silently break the est ≥ exact invariant.
+    // Scale shape: each sketch is a ≤ d·w counter table
     // with map-side partial aggregation — the shuffle is CONSTANT-size
     // regardless of corpus, and the d·w join runs on sketch cells ------
     "approx7_join_size" -> { (s, dir) =>
@@ -631,14 +645,18 @@ object AnalyticsQueries {
           (md5Int(concat(col("i").cast("string"), lit(":"), col("k"))) % w)
             .as("b"))
         .groupBy("i", "b").agg(count(lit(1)).as(cname))
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val est = cms("click", "ca").join(cms("purchase", "cb"), Seq("i", "b"))
-        .groupBy("i").agg(sum(col("ca") * col("cb")).as("ip"))
+        .groupBy("i").agg(sum((col("ca") * col("cb")).cast(D38)).as("ip"))
         .agg(min(col("ip")).as("est"))
       val exact = ev.filter(col("event_type") === "click")
         .groupBy("user_id").agg(count(lit(1)).as("nc"))
         .join(ev.filter(col("event_type") === "purchase")
           .groupBy("user_id").agg(count(lit(1)).as("np")), "user_id")
-        .agg(coalesce(sum(col("nc") * col("np")), lit(0L)).as("exact"))
+        .agg(coalesce(sum((col("nc") * col("np"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("exact"))
       val tot = ev.agg(
         sum((col("event_type") === "click").cast("long")).as("na"),
         sum((col("event_type") === "purchase").cast("long")).as("nb"))
@@ -825,14 +843,8 @@ object AnalyticsQueries {
         "FROM daily d JOIN base b ON d.event_type = b.event_type " +
         "AND dayofweek(d.day) = b.dow ORDER BY day, d.event_type"),
     "ts5_psi_drift" ->
-      ("WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
-        "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +
-        "days AS (SELECT DISTINCT day FROM ev), " +
-        "types AS (SELECT DISTINCT event_type FROM ev), " +
-        "tn AS (SELECT count(*) AS t FROM types), " +
-        "grid AS (SELECT d.day, ty.event_type, coalesce(c.n, 0) AS n " +
-        "FROM days d CROSS JOIN types ty " +
-        "LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type), " +
+      ("WITH " + dayTypeGridSql + ", " +
+        "tn AS (SELECT count(DISTINCT event_type) AS t FROM grid), " +
         "tot AS (SELECT day, sum(n) AS tot FROM grid GROUP BY 1), " +
         "p AS (SELECT g.day, g.event_type, " +
         "CAST(g.n + 1 AS DOUBLE) / (tot.tot + tn.t) AS p " +
@@ -842,15 +854,11 @@ object AnalyticsQueries {
         "AND p1.event_type = p0.event_type) " +
         "SELECT CAST(day AS TIMESTAMP) AS day, CAST(sum(term) AS DOUBLE) AS psi " +
         "FROM j GROUP BY day ORDER BY day"),
-    // six exact integer sums (DuckDB's HUGEINT ⊇ Spark's BIGINT on this
-    // data); float enters only at num/√·√, then one DECIMAL(18,6) round
+    // six exact sums in HUGEINT (≡ the engine's DECIMAL(38,0) window);
+    // zero-variance / short lag series dropped on both sides; float only
+    // at num/√·√ (√ is IEEE exact-rounded), one DECIMAL(18,6) round
     "ts8_autocorr" ->
-      ("WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
-        "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +
-        "grid AS (SELECT d.day, ty.event_type, coalesce(c.n, 0) AS n " +
-        "FROM (SELECT DISTINCT day FROM ev) d " +
-        "CROSS JOIN (SELECT DISTINCT event_type FROM ev) ty " +
-        "LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type), " +
+      ("WITH " + dayTypeGridSql + ", " +
         "lagged AS (SELECT event_type, n, " +
         "lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2, lag(n, 3) OVER w AS l3 " +
         "FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
@@ -858,21 +866,19 @@ object AnalyticsQueries {
         "UNION ALL SELECT event_type, 2, n, l2 FROM lagged WHERE l2 IS NOT NULL " +
         "UNION ALL SELECT event_type, 3, n, l3 FROM lagged WHERE l3 IS NOT NULL), " +
         "agg AS (SELECT event_type, lag_k, count(*) AS np, sum(x) AS sx, sum(y) AS sy, " +
-        "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM st GROUP BY 1, 2) " +
+        "sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy, " +
+        "sum(CAST(x AS HUGEINT) * y) AS sxy FROM st GROUP BY 1, 2), " +
+        "v AS (SELECT *, np * sxx - CAST(sx AS HUGEINT) * sx AS vx, " +
+        "np * syy - CAST(sy AS HUGEINT) * sy AS vy FROM agg) " +
         "SELECT event_type, lag_k, CAST(CAST(" +
-        "CAST(np * sxy - sx * sy AS DOUBLE) / " +
-        "(sqrt(CAST(np * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(np * syy - sy * sy AS DOUBLE))) " +
+        "CAST(np * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / " +
+        "(sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS acf " +
-        "FROM agg ORDER BY event_type, lag_k"),
+        "FROM v WHERE vx > 0 AND vy > 0 ORDER BY event_type, lag_k"),
     // exact BIGINT numerator; float only at the square/divide (IEEE-exact
     // ops, no libm), then one DECIMAL(18,6) round — same regime as ts8
     "ts9_changepoint" ->
-      ("WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), " +
-        "cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2), " +
-        "grid AS (SELECT d.day, ty.event_type, coalesce(c.n, 0) AS n " +
-        "FROM (SELECT DISTINCT day FROM ev) d " +
-        "CROSS JOIN (SELECT DISTINCT event_type FROM ev) ty " +
-        "LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type), " +
+      ("WITH " + dayTypeGridSql + ", " +
         "w AS (SELECT event_type, day, " +
         "row_number() OVER (PARTITION BY event_type ORDER BY day) AS t, " +
         "sum(n) OVER (PARTITION BY event_type ORDER BY day) AS st, " +
@@ -893,9 +899,9 @@ object AnalyticsQueries {
           s"WHERE event_type = '$et' GROUP BY 1, 2"
       "WITH ca AS (" + cmsSql("click", "ca") + "), " +
         "cb AS (" + cmsSql("purchase", "cb") + "), " +
-        "est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM " +
-        "(SELECT i, sum(ca * cb) AS ip FROM ca JOIN cb USING (i, b) GROUP BY i)), " +
-        "ex AS (SELECT CAST(coalesce(sum(nc * np), 0) AS BIGINT) AS exact FROM " +
+        "est AS (SELECT CAST(min(ip) AS DECIMAL(38,0)) AS est FROM " +
+        "(SELECT i, sum(CAST(ca AS HUGEINT) * cb) AS ip FROM ca JOIN cb USING (i, b) GROUP BY i)), " +
+        "ex AS (SELECT CAST(coalesce(sum(CAST(nc AS HUGEINT) * np), 0) AS DECIMAL(38,0)) AS exact FROM " +
         "(SELECT user_id, count(*) AS nc FROM events WHERE event_type = 'click' GROUP BY 1) c " +
         "JOIN (SELECT user_id, count(*) AS np FROM events WHERE event_type = 'purchase' GROUP BY 1) p " +
         "USING (user_id)), " +

@@ -18,6 +18,34 @@ object SurfaceQueries {
   /** Shared st7/st10 front half: land events in a fresh dir, stream it
     * back, and project the click / purchase join sides. One definition so
     * the two interval-join queries can only differ in join type. */
+  /** The ONE hop-tone spectrogram pipeline (content synthesis → HopToneGen
+    * → WAV wrap → framed FFT), shared by mm16 (batch) and st20 (the same
+    * module under Structured Streaming) so the two can't drift. */
+  private def hopSpectrogram(docs: DataFrame): DataFrame = {
+    val sg = graft.multimodal.Spectrogram
+    val synth = docs.withColumn("content",
+      expr("cast(array_join(transform(sequence(0, 5), " +
+        "j -> chr(48 + (doc_id + j) % 4)), '') as binary)"))
+    val wav = Multimodal.resizeContent(
+      Multimodal.resizeContent(synth, "content", sg.HopToneGen()),
+      "content", Multimodal.PcmWavEncoder(sampleRate = sg.Rate))
+    sg.extractSpectrogram(wav, "doc_id", "content")
+  }
+
+  /** One oracle prediction for both spectrogram runs (st20 IS mm16). */
+  private val hopSpectrogramSql: String =
+    "WITH f(k, freq, bin) AS (VALUES (0, 500, 16), (1, 750, 24), " +
+      "(2, 1000, 32), (3, 1250, 40)), " +
+      "hi AS (SELECT k, bin, count(*) AS n_high FROM f, " +
+      "unnest(generate_series(0, 255)) AS g(i) " +
+      "WHERE ((i * 2 * freq) // 8000) % 2 = 0 GROUP BY k, bin), " +
+      "fr AS (SELECT d.doc_id, j, CAST((d.doc_id + j) % 4 AS INT) AS k " +
+      "FROM documents d, unnest(generate_series(0, 5)) AS s(j)) " +
+      "SELECT fr.doc_id AS doc_id, CAST(fr.j AS INT) AS frame_idx, " +
+      "CAST(256 AS INT) AS n_samples, hi.n_high, " +
+      "CAST(hi.bin AS INT) AS peak_bin " +
+      "FROM fr JOIN hi ON fr.k = hi.k ORDER BY doc_id, frame_idx"
+
   private def clickPurchaseStreams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.t(s, dir, "events")
     val tmp = java.nio.file.Files.createTempDirectory("graft_joinsrc").toString
@@ -306,15 +334,7 @@ object SurfaceQueries {
     // oracle predicts every frame's peak bin AND exact high-sample count
     // from the integer formula — full-spectrum sibling of mm12's Goertzel -
     "mm16_spectrogram" -> { (s, dir) =>
-      val sg = graft.multimodal.Spectrogram
-      val docs = Tables.t(s, dir, "documents")
-        .withColumn("content",
-          expr("cast(array_join(transform(sequence(0, 5), " +
-            "j -> chr(48 + (doc_id + j) % 4)), '') as binary)"))
-      val wav = Multimodal.resizeContent(
-        Multimodal.resizeContent(docs, "content", sg.HopToneGen()),
-        "content", Multimodal.PcmWavEncoder(sampleRate = sg.Rate))
-      sg.extractSpectrogram(wav, "doc_id", "content")
+      hopSpectrogram(Tables.t(s, dir, "documents"))
         .orderBy("doc_id", "frame_idx")
     },
     // ---- st20: the SAME spectrogram module as a streaming stage — codec
@@ -323,19 +343,11 @@ object SurfaceQueries {
     // state), extending the batch-module-reuse contract (ST4) from column
     // transforms to the mapPartitions codec/DSP path. Same oracle as mm16 -
     "st20_stream_spectrogram" -> { (s, dir) =>
-      val sg = graft.multimodal.Spectrogram
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val raw = graft.streaming.Streams.parquetStream(
         s, s"$dir/documents.parquet", schema)
-      graft.streaming.Streams.runToParquet(raw, st => {
-        val docs = st.withColumn("content",
-          expr("cast(array_join(transform(sequence(0, 5), " +
-            "j -> chr(48 + (doc_id + j) % 4)), '') as binary)"))
-        val wav = Multimodal.resizeContent(
-          Multimodal.resizeContent(docs, "content", sg.HopToneGen()),
-          "content", Multimodal.PcmWavEncoder(sampleRate = sg.Rate))
-        sg.extractSpectrogram(wav, "doc_id", "content")
-      }).orderBy("doc_id", "frame_idx")
+      graft.streaming.Streams.runToParquet(raw, hopSpectrogram)
+        .orderBy("doc_id", "frame_idx")
     },
     // ---- multimodal audio resample: encode → REAL decode → keep every
     // 4th sample → re-encode → REAL decode again. The oracle predicts the
@@ -1097,31 +1109,9 @@ object SurfaceQueries {
     // same integer phase formula as the hop synth, per 256-sample frame;
     // peak_bin is pinned to each tone's exact fundamental bin f*256/8000
     // (margin argument in Fft's scaladoc)
-    "mm16_spectrogram" ->
-      ("WITH f(k, freq, bin) AS (VALUES (0, 500, 16), (1, 750, 24), " +
-        "(2, 1000, 32), (3, 1250, 40)), " +
-        "hi AS (SELECT k, bin, count(*) AS n_high FROM f, " +
-        "unnest(generate_series(0, 255)) AS g(i) " +
-        "WHERE ((i * 2 * freq) // 8000) % 2 = 0 GROUP BY k, bin), " +
-        "fr AS (SELECT d.doc_id, j, CAST((d.doc_id + j) % 4 AS INT) AS k " +
-        "FROM documents d, unnest(generate_series(0, 5)) AS s(j)) " +
-        "SELECT fr.doc_id AS doc_id, CAST(fr.j AS INT) AS frame_idx, " +
-        "CAST(256 AS INT) AS n_samples, hi.n_high, " +
-        "CAST(hi.bin AS INT) AS peak_bin " +
-        "FROM fr JOIN hi ON fr.k = hi.k ORDER BY doc_id, frame_idx"),
+    "mm16_spectrogram" -> hopSpectrogramSql,
     // identical prediction: the streaming run is the same stateless module
-    "st20_stream_spectrogram" ->
-      ("WITH f(k, freq, bin) AS (VALUES (0, 500, 16), (1, 750, 24), " +
-        "(2, 1000, 32), (3, 1250, 40)), " +
-        "hi AS (SELECT k, bin, count(*) AS n_high FROM f, " +
-        "unnest(generate_series(0, 255)) AS g(i) " +
-        "WHERE ((i * 2 * freq) // 8000) % 2 = 0 GROUP BY k, bin), " +
-        "fr AS (SELECT d.doc_id, j, CAST((d.doc_id + j) % 4 AS INT) AS k " +
-        "FROM documents d, unnest(generate_series(0, 5)) AS s(j)) " +
-        "SELECT fr.doc_id AS doc_id, CAST(fr.j AS INT) AS frame_idx, " +
-        "CAST(256 AS INT) AS n_samples, hi.n_high, " +
-        "CAST(hi.bin AS INT) AS peak_bin " +
-        "FROM fr JOIN hi ON fr.k = hi.k ORDER BY doc_id, frame_idx"),
+    "st20_stream_spectrogram" -> hopSpectrogramSql,
     // strlen = BYTE length (UTF-8), matching the decompressed entry size
     "s11_zip_roundtrip" ->
       ("SELECT source || '/' || doc_id || '.txt' AS entry_name, " +
