@@ -80,7 +80,13 @@ object BenchScale {
     // frame — gated for the same reason mm11 earned its entry. rl1 is
     // NOT gated: it scales with `customer`, which the synthesis keeps
     // fixed (dimension), so its ratio would measure nothing
-    "idx1_inverted_index", "mm16_spectrogram")
+    "idx1_inverted_index", "mm16_spectrogram",
+    // bench spot #1: the iterative SCC coloring — rounds scale with the
+    // handoff graph's DIAMETER, which shrinks as density grows (measured:
+    // 12-16 relaxation steps at sf0.01, 6 at sf0.1), so the gate pins
+    // that 10x data does not mean 10x rounds; per-copy disjoint user
+    // namespaces keep the subgraphs independent
+    "g21_scc")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
