@@ -297,6 +297,47 @@ object Multimodal {
       }
     })
 
+  val EdgeFeatureType: StructType = StructType(Seq(
+    StructField("grad_sum", LongType),
+    StructField("grad_max", LongType),
+    StructField("n_edge", LongType)))
+
+  /** Sobel gradient features over the decoded luma raster — the classic
+    * edge-energy signal of a blur/quality-filter stage, as an INTEGER-exact
+    * 3×3 convolution (|gx| + |gy| per interior pixel; no sqrt, so a SQL
+    * oracle can replay it pixel-for-pixel). Undecodable content → nulls. */
+  def extractEdgeFeatures(df: DataFrame, idCol: String, contentCol: String,
+      edgeThreshold: Int = 255): DataFrame =
+    extractRowFeatures(df, idCol, contentCol, EdgeFeatureType, { bytes =>
+      ImageIoDecoder.decode(bytes) match {
+        case None => Row(null, null, null)
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          def p(x: Int, y: Int): Int = (img.getRGB(x, y) >> 16) & 0xff
+          var sum = 0L
+          var mx = 0L
+          var ne = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = p(x + 1, y - 1) + 2 * p(x + 1, y) + p(x + 1, y + 1) -
+                p(x - 1, y - 1) - 2 * p(x - 1, y) - p(x - 1, y + 1)
+              val gy = p(x - 1, y + 1) + 2 * p(x, y + 1) + p(x + 1, y + 1) -
+                p(x - 1, y - 1) - 2 * p(x, y - 1) - p(x + 1, y - 1)
+              val g = math.abs(gx).toLong + math.abs(gy)
+              sum += g
+              if (g > mx) mx = g
+              if (g >= edgeThreshold) ne += 1
+              x += 1
+            }
+            y += 1
+          }
+          Row(sum, mx, ne)
+      }
+    })
+
   /** Real resize: ImageIO decode → nearest-neighbor scale → PNG re-encode.
     * Nearest-neighbor (not Graphics2D filtering) so the output raster is
     * bit-deterministic across JVMs/platforms. Undecodable inputs pass

@@ -27,6 +27,26 @@ import graft.functions.TextFunctions.tokens
 object SearchQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The ONE deterministic dirty-master fixture shared by rl1/rl2: every
+    * custkey%3==0 record drops its name's 10th char (the first zero-pad
+    * digit) and re-ids into a disjoint +1000000 namespace. The last-4
+    * suffix block key survives the char-drop because the deletion shifts
+    * only the prefix. */
+  private def dirtyCustomers(cust: DataFrame): DataFrame =
+    cust.filter(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") + 1000000).as("d_id"),
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 9))
+          .as("d_name"),
+        col("c_nationkey").as("d_nationkey"),
+        col("c_acctbal").as("d_acctbal"))
+
+  /** DuckDB twin of [[dirtyCustomers]] (defines `dirty`). */
+  private val dirtySql: String =
+    "dirty AS (SELECT c_custkey + 1000000 AS d_id, " +
+      "substr(c_name, 1, 9) || substr(c_name, 11, 9) AS d_name, " +
+      "c_nationkey AS d_nationkey, c_acctbal AS d_acctbal " +
+      "FROM customer WHERE c_custkey % 3 = 0)"
+
   /** (doc_id, token, tf) term-frequency grid — the map phase of every
     * index build; partial-aggregates map-side before its single shuffle. */
   private def tfGrid(docs: DataFrame): DataFrame =
@@ -108,12 +128,7 @@ object SearchQueries {
     // shape, co-keyed on the dirty id --------------------------------
     "rl1_record_linkage" -> { (s, dir) =>
       val cust = Tables.t(s, dir, "customer")
-      val dirty = cust.filter(col("c_custkey") % 3 === 0)
-        .select((col("c_custkey") + 1000000).as("d_id"),
-          concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 9))
-            .as("d_name"),
-          col("c_nationkey").as("d_nationkey"),
-          col("c_acctbal").as("d_acctbal"))
+      val dirty = dirtyCustomers(cust)
         .withColumn("blk", substring(col("d_name"), -4, 4))
       val master = cust
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -134,6 +149,41 @@ object SearchQueries {
         .select(col("d_id"), (-col("win.nk")).as("matched_custkey"),
           col("win.w").as("match_weight"), col("n_candidates"))
         .orderBy("d_id")
+    },
+    // ---- rl2: golden-record build (survivorship) — the step after rl1's
+    // pairwise matching: ALL lev<=1 candidate pairs (not just winners)
+    // become edges of a bipartite dirty↔master graph, transitive
+    // closure via the SAME connected-components machinery as dd6 (two
+    // dirty records sharing a master merge into one entity), then one
+    // survivorship agg per cluster (member counts + max balance — the
+    // MDM "pick the best attribute" rule). Scale shape: block equi-join
+    // candidates, co-keyed CC rounds, one map-side-combined agg; nothing
+    // corpus-sized is broadcast -----------------------------------------
+    "rl2_golden_record" -> { (s, dir) =>
+      val cust = Tables.t(s, dir, "customer")
+      val dirty = dirtyCustomers(cust)
+        .withColumn("blk", substring(col("d_name"), -4, 4))
+      val master = cust
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), substring(col("c_name"), -4, 4).as("blk"))
+      val edges = dirty.join(master,
+          dirty("blk") === master("blk") &&
+            dirty("d_nationkey") === master("c_nationkey"))
+        .filter(levenshtein(col("d_name"), col("c_name")) <= 1)
+        .select(col("d_id").as("s"), col("c_custkey").as("d"))
+      val nodes = edges.select(col("s").as("node"))
+        .unionByName(edges.select(col("d").as("node"))).distinct()
+      val comp = graft.dedup.Clustering
+        .connectedComponents(edges, nodes).toDF("node", "cluster")
+      val bal = cust.select(col("c_custkey").as("node"), col("c_acctbal"))
+        .unionByName(dirtyCustomers(cust)
+          .select(col("d_id").as("node"), col("d_acctbal").as("c_acctbal")))
+      comp.join(bal, "node")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum((col("node") >= 1000000).cast("long")).as("n_dirty"),
+          max(col("c_acctbal")).as("golden_acctbal"))
+        .orderBy("cluster")
     })
 
   val oracle: Map[String, String] = Map(
@@ -163,10 +213,7 @@ object SearchQueries {
         "WHERE token IN ('spark', 'join', 'vector') " +
         "GROUP BY doc_id HAVING count(DISTINCT token) = 3 ORDER BY doc_id"),
     "rl1_record_linkage" ->
-      ("WITH dirty AS (SELECT c_custkey + 1000000 AS d_id, " +
-        "substr(c_name, 1, 9) || substr(c_name, 11, 9) AS d_name, " +
-        "c_nationkey AS d_nationkey, c_acctbal AS d_acctbal " +
-        "FROM customer WHERE c_custkey % 3 = 0), " +
+      ("WITH " + dirtySql + ", " +
         "cand AS (SELECT d.d_id, m.c_custkey, " +
         "levenshtein(d.d_name, m.c_name) AS lev, d.d_acctbal, m.c_acctbal " +
         "FROM dirty d JOIN customer m " +
@@ -181,6 +228,26 @@ object SearchQueries {
         "win AS (SELECT d_id, max(struct_pack(w := w, nk := -c_custkey)) AS win, " +
         "count(*) AS n_candidates FROM scored GROUP BY d_id) " +
         "SELECT d_id, -win.nk AS matched_custkey, win.w AS match_weight, " +
-        "n_candidates FROM win ORDER BY d_id")
+        "n_candidates FROM win ORDER BY d_id"),
+    // closure over the SAME bipartite candidate edges; cluster id = min
+    // node id of the component (the engine's CC label convention)
+    "rl2_golden_record" ->
+      ("WITH RECURSIVE " + dirtySql + ", " +
+        "cand AS (SELECT d.d_id, m.c_custkey FROM dirty d JOIN customer m " +
+        "ON substr(d.d_name, -4) = substr(m.c_name, -4) " +
+        "AND d.d_nationkey = m.c_nationkey " +
+        "WHERE levenshtein(d.d_name, m.c_name) <= 1), " +
+        "e AS (SELECT d_id AS s, c_custkey AS d FROM cand " +
+        "UNION SELECT c_custkey, d_id FROM cand), " +
+        "n AS (SELECT DISTINCT s AS node FROM e), " +
+        "reach(node, r) AS (SELECT node, node FROM n " +
+        "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node), " +
+        "comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node), " +
+        "bal AS (SELECT c_custkey AS node, c_acctbal FROM customer " +
+        "UNION ALL SELECT d_id, d_acctbal FROM dirty) " +
+        "SELECT cluster, count(*) AS n_members, " +
+        "CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty, " +
+        "max(c_acctbal) AS golden_acctbal " +
+        "FROM comp JOIN bal USING (node) GROUP BY cluster ORDER BY cluster")
   )
 }

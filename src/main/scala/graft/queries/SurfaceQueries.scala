@@ -32,6 +32,19 @@ object SurfaceQueries {
     sg.extractSpectrogram(wav, "doc_id", "content")
   }
 
+  /** mm13's pixel formula as shared CTEs (t → tk → px(doc_id, j, v)):
+    * pixel j is the 31-polynomial-mod-256 low byte of the quantile-sampled
+    * sorted-distinct token — used by the mm14 patch and mm17 convolution
+    * oracles. */
+  private val rasterPxSql: String =
+    "t AS (SELECT doc_id, list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS s FROM documents), " +
+      "tk AS (SELECT doc_id, j, s[CAST((j * len(s)) // 64 AS BIGINT) + 1] AS tok " +
+      "FROM t, unnest(generate_series(0, 63)) AS g(j)), " +
+      "px AS (SELECT doc_id, j, " +
+      "CASE WHEN tok IS NULL OR tok = '' THEN 0 ELSE " +
+      "list_reduce([unicode(c) FOR c IN regexp_extract_all(tok, '(?s).')], " +
+      "(a, c) -> (a * 31 + c) % 256) END AS v FROM tk)"
+
   /** One oracle prediction for both spectrogram runs (st20 IS mm16). */
   private val hopSpectrogramSql: String =
     "WITH f(k, freq, bin) AS (VALUES (0, 500, 16), (1, 750, 24), " +
@@ -308,6 +321,19 @@ object SurfaceQueries {
         .withColumn("png", toPng(col("text")))
       Multimodal.extractImagePatches(docs, "doc_id", "png")
         .orderBy("doc_id", "patch_idx")
+    },
+    // ---- mm17: Sobel edge energy — an integer-exact 3×3 convolution over
+    // the decoded 8×8 token raster (real ImageIO round-trip), the classic
+    // blur/quality gate of an image-curation stage. |gx|+|gy| avoids the
+    // sqrt, so the oracle replays the FULL convolution from text via
+    // mm13's pixel formula — a kernel-sign, border-handling, or
+    // row/column-major slip shifts gradients and hash-fails -------------
+    "mm17_image_edges" -> { (s, dir) =>
+      val toPng = udf(Multimodal.tokenRasterPng _)
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("png", toPng(col("text")))
+      Multimodal.extractEdgeFeatures(docs, "doc_id", "png")
+        .orderBy("doc_id")
     },
     // ---- mm12: spectral tone classification — per-doc square-wave tone
     // (index = doc_id % 4, integer-exact phase math) → real PCM/WAV wrap →
@@ -1082,19 +1108,29 @@ object SurfaceQueries {
     // mm13's pixel formula, regrouped by the row-major 4×4 patch grid:
     // pixel j sits at (row j//8, col j%8) → patch (row//4)*2 + col//4
     "mm14_image_patches" ->
-      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS s FROM documents), " +
-        "tk AS (SELECT doc_id, j, s[CAST((j * len(s)) // 64 AS BIGINT) + 1] AS tok " +
-        "FROM t, unnest(generate_series(0, 63)) AS g(j)), " +
-        "px AS (SELECT doc_id, j, " +
-        "CASE WHEN tok IS NULL OR tok = '' THEN 0 ELSE " +
-        "list_reduce([unicode(c) FOR c IN regexp_extract_all(tok, '(?s).')], " +
-        "(a, c) -> (a * 31 + c) % 256) END AS v FROM tk), " +
+      ("WITH " + rasterPxSql + ", " +
         "pp AS (SELECT doc_id, CAST(((j // 8) // 4) * 2 + ((j % 8) // 4) AS INT) AS patch_idx, v " +
         "FROM px) " +
         "SELECT doc_id, patch_idx, CAST(count(*) AS INT) AS n_px, " +
         "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
         "CAST(max(v) AS INT) AS px_max " +
         "FROM pp GROUP BY doc_id, patch_idx ORDER BY doc_id, patch_idx"),
+    // the full Sobel replay: 1-based list index of pixel (x, y) is
+    // y*8 + x + 1; interior pixels only (x, y in 1..6), |gx|+|gy| exact
+    "mm17_image_edges" ->
+      ("WITH " + rasterPxSql + ", " +
+        "pxl AS (SELECT doc_id, list(v ORDER BY j) AS p FROM px GROUP BY doc_id), " +
+        "g AS (SELECT doc_id, " +
+        "abs(p[(y-1)*8+x+2] + 2*p[y*8+x+2] + p[(y+1)*8+x+2] " +
+        "- p[(y-1)*8+x] - 2*p[y*8+x] - p[(y+1)*8+x]) " +
+        "+ abs(p[(y+1)*8+x] + 2*p[(y+1)*8+x+1] + p[(y+1)*8+x+2] " +
+        "- p[(y-1)*8+x] - 2*p[(y-1)*8+x+1] - p[(y-1)*8+x+2]) AS grad " +
+        "FROM pxl, unnest(generate_series(1, 6)) AS gx(x), " +
+        "unnest(generate_series(1, 6)) AS gy(y)) " +
+        "SELECT doc_id, CAST(sum(grad) AS BIGINT) AS grad_sum, " +
+        "CAST(max(grad) AS BIGINT) AS grad_max, " +
+        "CAST(sum(CASE WHEN grad >= 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge " +
+        "FROM g GROUP BY doc_id ORDER BY doc_id"),
     // the same integer phase formula the synth uses: sample i of tone k is
     // high iff floor(i*2f/8000) is even; detection itself is pinned to the
     // literal expected index (margin argument in Tone's scaladoc)
