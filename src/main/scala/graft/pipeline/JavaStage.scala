@@ -170,6 +170,54 @@ object JavaStage {
     }
   }
 
+  /** The REDUCE half of the user-code contract (X2's grouped combine, the
+    * way [[stage]] is X4's map): user class implements
+    * `java.util.function.BinaryOperator<String>` and folds each key's
+    * values to one. Runs through `reduceGroups`, whose `ReduceAggregator`
+    * does MAP-SIDE partial merges — the user function IS the combiner, so
+    * it must be associative AND commutative (Spark fixes neither the fold
+    * order nor the partitioning; the A4 combiner-eligibility contract
+    * applies to user Java exactly as it does to declarative reduces).
+    * NULL values are dropped before the fold (the user function never
+    * sees null; a key with only nulls disappears). Same driver-compile /
+    * broadcast-bytes / per-JVM loader-cache machinery as [[stage]]. */
+  def reduceStage(df: DataFrame, keyCol: String, valCol: String,
+      className: String, source: String): DataFrame = {
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType &&
+        df.schema(valCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$keyCol and $valCol must be STRING (the user reducer folds " +
+        s"Strings); got ${df.schema(keyCol).dataType.simpleString}/" +
+        df.schema(valCol).dataType.simpleString)
+    val classes = compile(className, source) // driver-side, once
+    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val holder = new ReducerHolder(className, bcClasses)
+    df.select(df(keyCol), df(valCol)).filter(df(valCol).isNotNull)
+      .as[(String, String)](pairEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.STRING)
+      .reduceGroups(holder.fold _)
+      .toDF(keyCol, valCol)
+  }
+
+  /** Executor-side: the user BinaryOperator from shipped bytes (loader is
+    * per-JVM cached, so this is a map lookup after the first task). */
+  def instantiateOperator(className: String,
+      classes: Map[String, Array[Byte]]): java.util.function.BinaryOperator[String] =
+    instantiateRaw(className, classes)
+      .asInstanceOf[java.util.function.BinaryOperator[String]]
+
+  /** Serializable capture for the reduce closure: the operator is
+    * instantiated lazily ONCE per deserialized task instance, not per
+    * fold call (per-call reflection + a synchronized loader lookup would
+    * be per-row overhead in the hot merge path). */
+  private final class ReducerHolder(className: String,
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+      extends Serializable {
+    @transient private lazy val op = instantiateOperator(className, bc.value)
+    def fold(a: String, b: String): String = op.apply(a, b)
+  }
+
   /** The EMIT-CALLBACK form of the script contract (the reference's JS
     * stage emits 0..N records per input): user class implements
     * `java.util.function.Function<String, java.util.List<String>>`; each

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, length}
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -160,6 +161,31 @@ object PipelineQueries {
           className = "ReverseWords", source = src)
         .select("doc_id", "mapped")
         .orderBy("doc_id")
+    },
+    // ---- x9: the REDUCE half of the user-code contract (X2's grouped
+    // combine the way x8 is X4's map) — user Java BinaryOperator compiled
+    // at runtime, class bytes broadcast, folded per key via reduceGroups
+    // (map-side partial merges: the user function IS the combiner, so the
+    // A4 associative+commutative gate applies). The fixture fn is a total-
+    // order max (longer wins, tie → lexicographically greater), so the
+    // fold is order/partitioning-invariant and the oracle is an argmax --
+    "x9_java_reduce" -> { (s, dir) =>
+      val src =
+        """public class LongestDoc
+          |    implements java.util.function.BinaryOperator<String> {
+          |  public String apply(String a, String b) {
+          |    if (a.length() != b.length())
+          |      return a.length() > b.length() ? a : b;
+          |    return a.compareTo(b) >= 0 ? a : b;
+          |  }
+          |}""".stripMargin
+      graft.pipeline.JavaStage.reduceStage(
+          docs(s, dir).select("source", "text"),
+          keyCol = "source", valCol = "text",
+          className = "LongestDoc", source = src)
+        .withColumnRenamed("text", "winner")
+        .withColumn("winner_len", length(col("winner")))
+        .orderBy("source")
     }
   )
 
@@ -194,6 +220,14 @@ object PipelineQueries {
     "x8_java_stage" ->
       ("SELECT doc_id, array_to_string(list_reverse(string_split(text, ' ')), ' ') " +
         "|| '|' || len(string_split(text, ' ')) AS mapped " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    // the fold of a total-order max is the argmax regardless of fold
+    // order/partitioning — exactly why the reducer contract demands an
+    // associative+commutative operator
+    "x9_java_reduce" ->
+      ("SELECT source, text AS winner, CAST(length(text) AS INT) AS winner_len " +
+        "FROM (SELECT source, text, row_number() OVER (PARTITION BY source " +
+        "ORDER BY length(text) DESC, text DESC) AS rn FROM documents) " +
+        "WHERE rn = 1 ORDER BY source")
   )
 }

@@ -55,6 +55,39 @@ class JavaStageSpec extends AnyFunSuite {
       "t", "o", "NullSkip", nullSrc).count() === 0)
   }
 
+  test("reduceStage: user BinaryOperator folds per key with null values dropped") {
+    val s2 = spark
+    import s2.implicits._
+    val src =
+      """public class Cat implements java.util.function.BinaryOperator<String> {
+        |  public String apply(String a, String b) {
+        |    // total-order max: longer wins, tie -> lexicographically greater
+        |    if (a.length() != b.length()) return a.length() > b.length() ? a : b;
+        |    return a.compareTo(b) >= 0 ? a : b;
+        |  }
+        |}""".stripMargin
+    val df = Seq(("k1", "bb"), ("k1", "aaa"), ("k1", "ccc"), ("k2", "z"),
+      ("k3", null.asInstanceOf[String]))
+      .toDF("k", "v").repartition(4)
+    val out = JavaStage.reduceStage(df, "k", "v", "Cat", src)
+      .orderBy("k").as[(String, String)].collect().toSeq
+    // k3 had only nulls -> disappears; k1's fold = the total-order max
+    assert(out == Seq(("k1", "ccc"), ("k2", "z")))
+  }
+
+  test("reduceStage rejects non-string columns at plan time") {
+    val s2 = spark
+    import s2.implicits._
+    val src =
+      """public class Id implements java.util.function.BinaryOperator<String> {
+        |  public String apply(String a, String b) { return a; }
+        |}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      JavaStage.reduceStage(Seq((1, "x")).toDF("k", "v"), "k", "v", "Id", src)
+    }
+    assert(e.getMessage.contains("must be STRING"))
+  }
+
   test("graft expressions are callable from spark.sql after register()") {
     graft.functions.GraftFunctions.register(spark)
     // escape-written literals: decomposed e+U+0301 in, composed U+00E9 out
