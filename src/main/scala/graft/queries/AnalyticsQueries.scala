@@ -618,6 +618,40 @@ object AnalyticsQueries {
             .cast(D6).cast("double").as("cp_stat"))
         .orderBy("event_type", "day")
     },
+    // ---- ts10: classical additive seasonal decomposition of each type's
+    // daily series — trend = centered 7-day moving average (full windows
+    // only), seasonal = per-weekday mean of the detrended series,
+    // residual = the rest. Float discipline: s7/7.0 and the final
+    // subtractions are IEEE-exact ops on identical inputs; the one
+    // order-sensitive float SUM (detrended terms) goes through per-term
+    // DECIMAL(28,12) casts (the pp4/g20 regime); weekday key is pure
+    // integer epoch-day % 7 (Spark's and DuckDB's dayofweek disagree on
+    // 0- vs 1-based Sunday — sidestepped entirely). Scale shape: the ts8
+    // grid story — one daily agg, then window+join work on the tiny grid -
+    "ts10_decompose" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      val t = dayTypeGrid(s, dir)
+        .withColumn("s7", sum(col("n")).over(W))
+        .withColumn("c7", count(lit(1)).over(W))
+        .filter(col("c7") === 7)
+        .withColumn("trend", col("s7").cast("double") / lit(7.0))
+        .withColumn("det", col("n").cast("double") - col("trend"))
+        .withColumn("wd", expr("(unix_micros(day) div 86400000000) % 7"))
+      val seas = t.groupBy("event_type", "wd")
+        .agg(sum(col("det").cast(D28)).as("sd"), count(lit(1)).as("cnt"))
+        .withColumn("seasonal", col("sd").cast("double") / col("cnt"))
+        .select("event_type", "wd", "seasonal")
+      t.join(seas, Seq("event_type", "wd"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("trend").cast(D6).cast("double").as("trend"),
+          col("seasonal").cast(D6).cast("double").as("seasonal"),
+          (col("det") - col("seasonal")).cast(D6).cast("double")
+            .as("residual"))
+        .orderBy("event_type", "day")
+    },
     // ---- approx7: CMS inner-product JOIN-SIZE estimation (Cormode &
     // Muthukrishnan §4.2) — the optimizer's question ("how big is
     // clicks ⋈ purchases on user_id?") answered from two constant-size
@@ -889,6 +923,25 @@ object AnalyticsQueries {
         "CAST(t * (big_t - t) AS DOUBLE) " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS cp_stat " +
         "FROM w WHERE t < big_t ORDER BY event_type, day"),
+    // identical IEEE steps; the detrended-series sum is the one ordered
+    // float fold — per-term DECIMAL(28,12) makes it order-free
+    "ts10_decompose" ->
+      ("WITH " + dayTypeGridSql + ", " +
+        "t AS (SELECT event_type, day, n, sum(n) OVER w AS s7, " +
+        "count(*) OVER w AS c7 FROM grid WINDOW w AS " +
+        "(PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "d AS (SELECT event_type, day, n, CAST(s7 AS DOUBLE) / 7.0 AS trend, " +
+        "CAST(n AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS det, " +
+        "(epoch_us(day) // 86400000000) % 7 AS wd FROM t WHERE c7 = 7), " +
+        "se AS (SELECT event_type, wd, " +
+        "CAST(sum(CAST(det AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS seasonal " +
+        "FROM d GROUP BY 1, 2) " +
+        "SELECT d.event_type AS event_type, CAST(d.day AS TIMESTAMP) AS day, d.n AS n, " +
+        "CAST(CAST(trend AS DECIMAL(18,6)) AS DOUBLE) AS trend, " +
+        "CAST(CAST(seasonal AS DECIMAL(18,6)) AS DOUBLE) AS seasonal, " +
+        "CAST(CAST(det - seasonal AS DECIMAL(18,6)) AS DOUBLE) AS residual " +
+        "FROM d JOIN se USING (event_type, wd) ORDER BY event_type, day"),
     // full sketch replica (same md5 row-hashes), so est and both verdict
     // columns are exact integer/rational arithmetic on both engines
     "approx7_join_size" -> {
