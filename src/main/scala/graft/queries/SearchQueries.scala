@@ -150,6 +150,32 @@ object SearchQueries {
           col("win.w").as("match_weight"), col("n_candidates"))
         .orderBy("d_id")
     },
+    // ---- idx4: "did you mean" spelling correction — the search-UX step
+    // over the idx1 dictionary: for each misspelled query term, the
+    // lev<=1 dictionary token with the highest document frequency (tie →
+    // lexicographically greatest, one max(struct) agg). Candidates come
+    // from a LENGTH-BAND equi-join (each probe explodes into len-1..len+1
+    // keys; a lev<=1 neighbor cannot differ in length by more) — the
+    // dictionary is corpus-vocab-sized and never crossed with itself;
+    // the probe side is a broadcast-small query batch ------------------
+    "idx4_spell_correct" -> { (s, dir) =>
+      val probes = Seq("spak", "joinx", "vectr", "tablee")
+      val dict = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count_distinct(col("doc_id")).as("df"))
+        .withColumn("len", length(col("tok")))
+      val pr = s.createDataFrame(probes.map(Tuple1(_))).toDF("q")
+        .select(col("q"), explode(array(length(col("q")) - 1,
+          length(col("q")), length(col("q")) + 1)).as("len"))
+      broadcast(pr).join(dict, "len")
+        .filter(levenshtein(col("q"), col("tok")) <= 1)
+        .groupBy("q")
+        .agg(max(struct(col("df"), col("tok"))).as("w"),
+          count(lit(1)).as("n_candidates"))
+        .select(col("q"), col("w.tok").as("suggestion"),
+          col("w.df").as("df"), col("n_candidates"))
+        .orderBy("q")
+    },
     // ---- rl2: golden-record build (survivorship) — the step after rl1's
     // pairwise matching: ALL lev<=1 candidate pairs (not just winners)
     // become edges of a bipartite dirty↔master graph, transitive
@@ -229,6 +255,20 @@ object SearchQueries {
         "count(*) AS n_candidates FROM scored GROUP BY d_id) " +
         "SELECT d_id, -win.nk AS matched_custkey, win.w AS match_weight, " +
         "n_candidates FROM win ORDER BY d_id"),
+    // same length-band blocking expressed as a non-equi |Δlen|<=1 (the
+    // engine's exploded equi-keys cover exactly that band); struct max
+    // orders by (df, tok) on both engines
+    "idx4_spell_correct" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "dict AS (SELECT t AS tok, count(DISTINCT doc_id) AS df, length(t) AS len " +
+        "FROM tok GROUP BY t), " +
+        "probes(q) AS (VALUES ('spak'), ('joinx'), ('vectr'), ('tablee')), " +
+        "cand AS (SELECT q, tok, df FROM probes JOIN dict " +
+        "ON abs(length(q) - len) <= 1 WHERE levenshtein(q, tok) <= 1), " +
+        "w AS (SELECT q, max(struct_pack(df := df, tok := tok)) AS w, " +
+        "count(*) AS n_candidates FROM cand GROUP BY q) " +
+        "SELECT q, w.tok AS suggestion, w.df AS df, n_candidates " +
+        "FROM w ORDER BY q"),
     // closure over the SAME bipartite candidate edges; cluster id = min
     // node id of the component (the engine's CC label convention)
     "rl2_golden_record" ->
