@@ -652,6 +652,49 @@ object AnalyticsQueries {
             .as("residual"))
         .orderBy("event_type", "day")
     },
+    // ---- ts11: lead-lag cross-correlation between two series — does
+    // 'view' volume lead 'click' volume? For each lag k in -3..3, the
+    // Pearson correlation of (view_t, click_{t+k}) over the shared daily
+    // grid. Float discipline is the ts8 regime: every sum is exact
+    // DECIMAL(38,0) integer algebra over counts, float enters only at the
+    // final sqrt/divide (IEEE-exact ops), then one DECIMAL(18,6) round.
+    // Scale shape: the daily agg is the only corpus-sized pass; the shift
+    // window and the correlation run on the tiny day grid. The one
+    // unpartitioned window is bounded by the CALENDAR (one row per day),
+    // not the corpus — same argument as ts9's per-type series ------------
+    "ts11_crosscorr" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val grid = dayTypeGrid(s, dir)
+      val xy = grid.filter(col("event_type") === "view")
+        .select(col("day"), col("n").as("x"))
+        .join(grid.filter(col("event_type") === "click")
+          .select(col("day"), col("n").as("y")), "day")
+      val pairs = xy
+        .select(col("x"),
+          lead("y", 3).over(W).as("lm3"), lead("y", 2).over(W).as("lm2"),
+          lead("y", 1).over(W).as("lm1"), col("y").as("y0"),
+          lag("y", 1).over(W).as("lp1"), lag("y", 2).over(W).as("lp2"),
+          lag("y", 3).over(W).as("lp3"))
+        .selectExpr("x",
+          "stack(7, -3, lm3, -2, lm2, -1, lm1, 0, y0, 1, lp1, 2, lp2, 3, lp3) AS (lag_k, yk)")
+        .filter(col("yk").isNotNull)
+      pairs.groupBy("lag_k")
+        .agg(count(lit(1)).cast(D38).as("np"),
+          sum(col("x")).cast(D38).as("sx"), sum(col("yk")).cast(D38).as("sy"),
+          sum((col("x") * col("x")).cast(D38)).as("sxx"),
+          sum((col("yk") * col("yk")).cast(D38)).as("syy"),
+          sum((col("x") * col("yk")).cast(D38)).as("sxy"))
+        .withColumn("vx", col("np") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("np") * col("syy") - col("sy") * col("sy"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+        .select(col("lag_k").cast("int").as("lag_k"),
+          ((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))))
+            .cast(D6).cast("double").as("ccf"))
+        .orderBy("lag_k")
+    },
     // ---- approx7: CMS inner-product JOIN-SIZE estimation (Cormode &
     // Muthukrishnan §4.2) — the optimizer's question ("how big is
     // clicks ⋈ purchases on user_id?") answered from two constant-size
@@ -942,6 +985,34 @@ object AnalyticsQueries {
         "CAST(CAST(seasonal AS DECIMAL(18,6)) AS DOUBLE) AS seasonal, " +
         "CAST(CAST(det - seasonal AS DECIMAL(18,6)) AS DOUBLE) AS residual " +
         "FROM d JOIN se USING (event_type, wd) ORDER BY event_type, day"),
+    // same exact-HUGEINT moment algebra as ts8; lead/lag shifts mirror the
+    // engine's single day-ordered window
+    "ts11_crosscorr" ->
+      ("WITH " + dayTypeGridSql + ", " +
+        "x AS (SELECT day, n AS x FROM grid WHERE event_type = 'view'), " +
+        "y AS (SELECT day, n AS y FROM grid WHERE event_type = 'click'), " +
+        "xy AS (SELECT x.day, x.x, y.y FROM x JOIN y ON x.day = y.day), " +
+        "sh AS (SELECT x, lead(y, 3) OVER w AS lm3, lead(y, 2) OVER w AS lm2, " +
+        "lead(y, 1) OVER w AS lm1, y AS y0, lag(y, 1) OVER w AS lp1, " +
+        "lag(y, 2) OVER w AS lp2, lag(y, 3) OVER w AS lp3 " +
+        "FROM xy WINDOW w AS (ORDER BY day)), " +
+        "st AS (SELECT -3 AS lag_k, x, lm3 AS yk FROM sh WHERE lm3 IS NOT NULL " +
+        "UNION ALL SELECT -2, x, lm2 FROM sh WHERE lm2 IS NOT NULL " +
+        "UNION ALL SELECT -1, x, lm1 FROM sh WHERE lm1 IS NOT NULL " +
+        "UNION ALL SELECT 0, x, y0 FROM sh " +
+        "UNION ALL SELECT 1, x, lp1 FROM sh WHERE lp1 IS NOT NULL " +
+        "UNION ALL SELECT 2, x, lp2 FROM sh WHERE lp2 IS NOT NULL " +
+        "UNION ALL SELECT 3, x, lp3 FROM sh WHERE lp3 IS NOT NULL), " +
+        "agg AS (SELECT lag_k, count(*) AS np, sum(x) AS sx, sum(yk) AS sy, " +
+        "sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(yk AS HUGEINT) * yk) AS syy, " +
+        "sum(CAST(x AS HUGEINT) * yk) AS sxy FROM st GROUP BY 1), " +
+        "v AS (SELECT *, np * sxx - CAST(sx AS HUGEINT) * sx AS vx, " +
+        "np * syy - CAST(sy AS HUGEINT) * sy AS vy FROM agg) " +
+        "SELECT lag_k, CAST(CAST(" +
+        "CAST(np * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / " +
+        "(sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS ccf " +
+        "FROM v WHERE vx > 0 AND vy > 0 ORDER BY lag_k"),
     // full sketch replica (same md5 row-hashes), so est and both verdict
     // columns are exact integer/rational arithmetic on both engines
     "approx7_join_size" -> {

@@ -241,6 +241,31 @@ object OpsQueries {
         .withColumn("k_anonymous", (col("group_size") >= 5).cast("int"))
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     },
+    // ---- dq9: Benford first-digit audit — the classic fabricated-data
+    // screen for financial columns: observed first-significant-digit
+    // counts of o_totalprice vs the Benford expectation N·log10(1+1/d),
+    // with the per-digit chi-square contribution. Counts are exact
+    // integers; float enters only at log10/square/divide (identical IEEE
+    // inputs on both engines), then the one DECIMAL(18,6) round. Scale
+    // shape: one map-side-combined digit agg + a 1-row broadcast of N —
+    // nothing corpus-sized moves -----------------------------------------
+    "dq9_benford" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val digits = Tables.t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .as("digit"))
+      val n = digits.agg(count(lit(1)).as("total"))
+      digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(n))
+        .withColumn("ne", col("total").cast("double") *
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+        .select(col("digit"), col("n_obs"),
+          col("ne").cast(D6).cast("double").as("n_exp"),
+          ((col("n_obs").cast("double") - col("ne")) *
+            (col("n_obs").cast("double") - col("ne")) / col("ne"))
+            .cast(D6).cast("double").as("chi2"))
+        .orderBy("digit")
+    },
     // ---- cdc3: SCD Type-2 history build — three order snapshots (base,
     // price bump for key%7, status flip for key%5) collapsed into
     // effective-dated rows by Scd2's gaps-and-islands (two key-partitioned
@@ -534,6 +559,19 @@ object OpsQueries {
         "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
         "count(*) AS group_size, CAST(count(*) >= 5 AS INT) AS k_anonymous " +
         "FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // same exact digit counts; ne is computed unrounded in a CTE so chi2
+    // uses the same operand the engine does
+    "dq9_benford" ->
+      ("WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders), " +
+        "c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1), " +
+        "t AS (SELECT count(*) AS total FROM d), " +
+        "e AS (SELECT digit, n_obs, " +
+        "CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS ne " +
+        "FROM c CROSS JOIN t) " +
+        "SELECT digit, n_obs, CAST(CAST(ne AS DECIMAL(18,6)) AS DOUBLE) AS n_exp, " +
+        "CAST(CAST((CAST(n_obs AS DOUBLE) - ne) * (CAST(n_obs AS DOUBLE) - ne) / ne " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS chi2 " +
+        "FROM e ORDER BY digit"),
     // same gaps-and-islands: per-attr IS DISTINCT FROM ≡ the engine's
     // null-safe struct comparison; min() over the attribute-constant run
     // equals the engine's first()
