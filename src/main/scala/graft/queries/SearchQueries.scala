@@ -210,6 +210,45 @@ object SearchQueries {
           sum((col("node") >= 1000000).cast("long")).as("n_dirty"),
           max(col("c_acctbal")).as("golden_acctbal"))
         .orderBy("cluster")
+    },
+    // ---- idx5: query-likelihood ranked retrieval with Dirichlet
+    // smoothing (μ=100) — the language-modeling alternative to tx15's
+    // BM25: score(d,q) = Σ_t ln((tf + μ·ctf_t/|C|)/(dl + μ)), summed over
+    // ALL query terms (zero-tf terms contribute the smoothed collection
+    // probability) for every doc matching ≥1 term. Scale shape: candidates
+    // are bounded by the query terms' postings (the term filter runs
+    // before any shuffle); the per-term stats (ctf, |C|) are a 3-row and a
+    // 1-row broadcast; the candidate×term grid is |candidates|·|q| rows,
+    // never corpus×vocab. Float: per-term DECIMAL(28,12) makes the 3-term
+    // ln sum order-free, one DECIMAL(18,6) round -------------------------
+    "idx5_query_likelihood" -> { (s, dir) =>
+      val terms = Seq("spark", "join", "vector")
+      val mu = 100.0
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val toks = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      val cl = docs.agg(sum(col("dl").cast("long")).cast("double").as("cl"))
+      val qtoks = toks.filter(col("token").isin(terms: _*))
+      val tf = qtoks.groupBy("doc_id", "dl", "token")
+        .agg(count(lit(1)).as("tf"))
+      val ctf = qtoks.groupBy("token").agg(count(lit(1)).as("ctf"))
+      tf.select("doc_id", "dl").distinct()
+        .crossJoin(broadcast(ctf))
+        .join(tf, Seq("doc_id", "dl", "token"), "left")
+        .withColumn("tf", coalesce(col("tf"), lit(0L)))
+        .crossJoin(broadcast(cl))
+        .withColumn("term_ll", log(
+          (col("tf").cast("double") +
+            lit(mu) * col("ctf").cast("double") / col("cl")) /
+            (col("dl").cast("double") + lit(mu))))
+        .groupBy("doc_id")
+        .agg(sum(col("term_ll").cast(D28)).cast("double").as("ll"))
+        .select(col("doc_id"), col("ll").cast(D6).cast("double").as("ql_score"))
+        .orderBy("doc_id")
     })
 
   val oracle: Map[String, String] = Map(
@@ -288,6 +327,27 @@ object SearchQueries {
         "SELECT cluster, count(*) AS n_members, " +
         "CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty, " +
         "max(c_acctbal) AS golden_acctbal " +
-        "FROM comp JOIN bal USING (node) GROUP BY cluster ORDER BY cluster")
+        "FROM comp JOIN bal USING (node) GROUP BY cluster ORDER BY cluster"),
+    // same candidate×term grid with zero-tf smoothing; |C| = the exploded
+    // token count (≡ the engine's sum(dl)); per-term DECIMAL(28,12) sum
+    "idx5_query_likelihood" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d), " +
+        "tk AS (SELECT doc_id, dl, unnest(toks) AS token FROM dd), " +
+        "cl AS (SELECT CAST(count(*) AS DOUBLE) AS cl FROM tk), " +
+        "ft AS (SELECT doc_id, dl, token, count(*) AS tf FROM tk " +
+        "WHERE token IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3), " +
+        "ctf AS (SELECT token, count(*) AS ctf FROM tk " +
+        "WHERE token IN ('spark', 'join', 'vector') GROUP BY 1), " +
+        "cand AS (SELECT DISTINCT doc_id, dl FROM ft), " +
+        "grid AS (SELECT c.doc_id, c.dl, t.token, t.ctf, coalesce(f.tf, 0) AS tf " +
+        "FROM cand c CROSS JOIN ctf t " +
+        "LEFT JOIN ft f ON f.doc_id = c.doc_id AND f.token = t.token), " +
+        "sc AS (SELECT doc_id, ln((CAST(tf AS DOUBLE) + " +
+        "100.0 * CAST(ctf AS DOUBLE) / (SELECT cl FROM cl)) / " +
+        "(CAST(dl AS DOUBLE) + 100.0)) AS term_ll FROM grid) " +
+        "SELECT doc_id, CAST(CAST(CAST(sum(CAST(term_ll AS DECIMAL(28,12))) " +
+        "AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS ql_score " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")
   )
 }

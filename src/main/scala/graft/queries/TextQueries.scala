@@ -687,6 +687,43 @@ object TextQueries {
             (col("n_big").cast("double") * col("c1") * col("c2")))
             .cast(D6).cast("double").as("pmi"))
         .orderBy("w1", "w2")
+    },
+    // ---- tx30: Zipf-law fit per source — OLS slope/intercept of
+    // ln(freq) on ln(rank) over each source's top-100 tokens, the classic
+    // corpus-health diagnostic (natural text ≈ -1; templated/spam corpora
+    // deviate). Float discipline: ln of small exact ints, per-term
+    // DECIMAL(28,12) casts make the moment sums order-free (the pp4/g20
+    // regime), the closed-form slope is then identical IEEE double
+    // algebra, one DECIMAL(18,6) round. Scale shape: one map-side-combined
+    // token count is the only corpus-sized pass; the rank window runs per
+    // source over its vocab (sort-based, spills) and the regression runs
+    // on ≤100 rows per source --------------------------------------------
+    "tx30_zipf" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("cnt").desc, col("token"))
+      val cnt = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      val xy = cnt.withColumn("rank", row_number().over(W))
+        .filter(col("rank") <= 100)
+        .select(col("source"), log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      xy.groupBy("source")
+        .agg(count(lit(1)).cast("double").as("np"),
+          sum(col("x").cast(D28)).cast("double").as("sx"),
+          sum(col("y").cast(D28)).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(D28)).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(D28)).cast("double").as("sxy"))
+        .withColumn("slope",
+          (col("np") * col("sxy") - col("sx") * col("sy")) /
+            (col("np") * col("sxx") - col("sx") * col("sx")))
+        .select(col("source"), col("np").cast("long").as("n_terms"),
+          col("slope").cast(D6).cast("double").as("zipf_slope"),
+          ((col("sy") - col("slope") * col("sx")) / col("np"))
+            .cast(D6).cast("double").as("intercept"))
+        .orderBy("source")
     }
   )
 
@@ -1079,6 +1116,26 @@ object TextQueries {
         "FROM bc " +
         "JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1) " +
         "JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2) " +
-        "CROSS JOIN tot ORDER BY w1, w2")
+        "CROSS JOIN tot ORDER BY w1, w2"),
+    // same rank tie-break (cnt DESC, token), same per-term DECIMAL(28,12)
+    // moment sums, same closed-form double algebra
+    "tx30_zipf" ->
+      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2), " +
+        "r AS (SELECT source, cnt, row_number() OVER " +
+        "(PARTITION BY source ORDER BY cnt DESC, token) AS rank FROM c), " +
+        "xy AS (SELECT source, ln(rank) AS x, ln(cnt) AS y FROM r WHERE rank <= 100), " +
+        "a AS (SELECT source, CAST(count(*) AS DOUBLE) AS np, " +
+        "CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy " +
+        "FROM xy GROUP BY source), " +
+        "sl AS (SELECT source, np, sx, sy, " +
+        "(np * sxy - sx * sy) / (np * sxx - sx * sx) AS slope FROM a) " +
+        "SELECT source, CAST(np AS BIGINT) AS n_terms, " +
+        "CAST(CAST(slope AS DECIMAL(18,6)) AS DOUBLE) AS zipf_slope, " +
+        "CAST(CAST((sy - slope * sx) / np AS DECIMAL(18,6)) AS DOUBLE) AS intercept " +
+        "FROM sl ORDER BY source")
   )
 }
