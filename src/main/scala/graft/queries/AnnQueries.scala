@@ -179,6 +179,29 @@ object AnnQueries {
           when(col("sigma") > 0, (col("v") - col("mu")) / col("sigma"))
             .otherwise(lit(0.0)).as("z"))
         .orderBy("vec_id", "dim")
+    },
+    // ---- fe2: hashing-trick featurization — categorical features mapped
+    // to a fixed K=16 bucket space via the cross-engine md5 hash, with a
+    // second independent hash choosing the ±1 sign (Weinberger et al.'s
+    // collision-unbiasing device). Output = the per-segment hashed
+    // feature vector (bucket, signed sum, feature count). Pure narrow
+    // projection + one map-side-combined agg over ≤|segments|·K cells —
+    // the vocabulary is never collected, the feature space is O(K)
+    // regardless of cardinality --------------------------------------------
+    "fe2_feature_hash" -> { (s, dir) =>
+      import graft.dedup.TextDedup.md5Int
+      val K = 16
+      val feats = Tables.t(s, dir, "customer")
+        .select(col("c_mktsegment"), explode(array(
+          concat(lit("seg="), col("c_mktsegment")),
+          concat(lit("nat="), col("c_nationkey").cast("string")))).as("feat"))
+      feats.select(col("c_mktsegment"),
+          (md5Int(col("feat")) % K).as("bucket"),
+          when(md5Int(concat(col("feat"), lit("#s"))) % 2 === 0, 1L)
+            .otherwise(-1L).as("sign"))
+        .groupBy("c_mktsegment", "bucket")
+        .agg(sum(col("sign")).as("val"), count(lit(1)).as("n_feats"))
+        .orderBy("c_mktsegment", "bucket")
     }
   )
 
@@ -297,6 +320,18 @@ object AnnQueries {
         "sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM st) " +
         "SELECT vec_id, x.dim AS dim, " +
         "CASE WHEN sigma > 0 THEN (v - mu) / sigma ELSE 0.0 END AS z " +
-        "FROM x JOIN mu ON x.dim = mu.dim WHERE vec_id < 50 ORDER BY vec_id, dim")
+        "FROM x JOIN mu ON x.dim = mu.dim WHERE vec_id < 50 ORDER BY vec_id, dim"),
+    // same md5 bucket/sign hashes (DedupQueries.md5IntSql — the ONE
+    // cross-engine hash device); BIGINT casts because DuckDB's sum(int)
+    // returns HUGEINT
+    "fe2_feature_hash" ->
+      ("WITH f AS (SELECT c_mktsegment, " +
+        "unnest(['seg=' || c_mktsegment, 'nat=' || CAST(c_nationkey AS VARCHAR)]) AS feat " +
+        "FROM customer), " +
+        s"h AS (SELECT c_mktsegment, (${DedupQueries.md5IntSql("feat")}) % 16 AS bucket, " +
+        s"CASE WHEN (${DedupQueries.md5IntSql("feat || '#s'")}) % 2 = 0 THEN 1 ELSE -1 END AS sign " +
+        "FROM f) " +
+        "SELECT c_mktsegment, bucket, CAST(sum(sign) AS BIGINT) AS val, " +
+        "count(*) AS n_feats FROM h GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

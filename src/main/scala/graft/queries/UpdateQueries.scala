@@ -137,6 +137,22 @@ object UpdateQueries {
         .select(col("event_id"), col("r.k").as("k"))
         .orderBy("event_id")
     },
+    // U17 (beyond ref): optimistic-concurrency CAS update — stored
+    // version o_orderkey%5, CAS batch targets every key%4==0 expecting
+    // version 2; only the agreeing rows apply (+111 price, version bump),
+    // stale matches surface as 'conflict'. One co-keyed equi-join, zero
+    // per-document round trips -------------------------------------------
+    "u17_version_cas" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val target = orders.select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 5).as("version"))
+      val updates = orders.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), lit(2L).as("expected_version"),
+          (col("o_totalprice") + 111).as("new_price"))
+      graft.ops.OptimisticLock.casUpdate(target, updates, Seq("o_orderkey"),
+          "version", "expected_version", Map("o_totalprice" -> "new_price"))
+        .orderBy("o_orderkey")
+    },
     // U14 / D3: create-if-absent by _id — first batch wins, second only adds
     "u14_store_dedup" -> { (s, dir) =>
       val orders = Tables.t(s, dir, "orders")
@@ -206,6 +222,16 @@ object UpdateQueries {
         "FROM events ORDER BY event_id"),
     "u14_store_dedup" ->
       ("SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'mod3' END AS src " +
-        "FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 ORDER BY o_orderkey")
+        "FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 ORDER BY o_orderkey"),
+    // the CAS truth table as CASE guards: applied ⇔ key%4=0 ∧ version(=key%5)=2
+    "u17_version_cas" ->
+      ("SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 5 = 2 " +
+        "THEN o_totalprice + 111 ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 5 = 2 " +
+        "THEN o_orderkey % 5 + 1 ELSE o_orderkey % 5 END AS version, " +
+        "CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 5 = 2 THEN 'applied' " +
+        "WHEN o_orderkey % 4 = 0 THEN 'conflict' ELSE 'untouched' END AS cas_result " +
+        "FROM orders ORDER BY o_orderkey")
   )
 }
