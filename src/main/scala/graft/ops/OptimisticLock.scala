@@ -23,18 +23,34 @@ import org.apache.spark.sql.functions._
 object OptimisticLock {
 
   /** @param target  current table carrying `versionCol`
-    * @param updates CAS batch: key columns + `expectedVersionCol` (non-null
-    *                by contract) + the new-value columns named in `set`;
-    *                must be key-unique (a duplicate key would fan out the
-    *                join — same cardinality contract as MergeInto's source)
+    * @param updates CAS batch: key columns + `expectedVersionCol` + the
+    *                new-value columns named in `set`; key-unique (MERGE's
+    *                cardinality rule — checked, a duplicate key would fan
+    *                the target row out)
     * @param keys    equi-join key columns
     * @param set     target column → updates column holding its new value
     * @return target schema + `cas_result` ∈ applied/conflict/untouched */
   def casUpdate(target: DataFrame, updates: DataFrame, keys: Seq[String],
       versionCol: String, expectedVersionCol: String,
       set: Map[String, String]): DataFrame = {
-    val joined = target.join(updates, keys, "left")
-    val matched = col(expectedVersionCol).isNotNull
+    val collisions =
+      (target.columns.toSet & updates.columns.toSet) -- keys.toSet
+    require(collisions.isEmpty, s"non-key columns collide: $collisions")
+    require(!target.columns.contains("__cas") && !updates.columns.contains("__cas"),
+      "input columns must not be named __cas (reserved by OptimisticLock)")
+    val unknownTgt = set.keySet -- (target.columns.toSet -- keys.toSet - versionCol)
+    require(unknownTgt.isEmpty,
+      s"set targets are not non-key, non-version target columns (typo?): $unknownTgt")
+    val unknownSrc = (set.values.toSet + expectedVersionCol) -- updates.columns.toSet
+    require(unknownSrc.isEmpty,
+      s"set sources / expected-version column missing from the batch: $unknownSrc")
+    val dup = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    require(dup.isEmpty,
+      s"CAS batch has multiple rows for key ${dup.headOption.getOrElse("")}")
+
+    val joined = target.join(updates.withColumn("__cas", lit(1)), keys, "left")
+    val matched = col("__cas").isNotNull
     val applied = matched && col(versionCol) === col(expectedVersionCol)
     val outCols = target.columns.map {
       case c if set.contains(c) =>
