@@ -695,6 +695,37 @@ object AnalyticsQueries {
             .cast(D6).cast("double").as("ccf"))
         .orderBy("lag_k")
     },
+    // ---- ts12: Holt linear-trend exponential smoothing + h-step
+    // forecast per type — the 2-state recursion l_t = α·y_t +
+    // (1−α)(l+b), b_t = β(l_t−l) + (1−β)b, init (l=y₁, b=y₂−y₁), with
+    // DYADIC α=1/2, β=1/4 (the Ewma device): every multiplier is an
+    // exact power of two, each step is the same correctly-rounded IEEE
+    // mul/add sequence on both engines, so the fold is bit-identical
+    // cross-engine with NO decimal rounding — the oracle replays it as a
+    // recursive CTE. One-step-ahead SSE rides the same fold. Scale
+    // shape: the corpus-sized pass is the daily agg; the per-type fold
+    // runs over a calendar-bounded array (the ts9/ts11 argument) --------
+    "ts12_holt" -> { (s, dir) =>
+      val grid = dayTypeGrid(s, dir)
+      grid.groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(day, n))), " +
+          "p -> CAST(p.n AS DOUBLE))").as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .withColumn("h", expr(
+          "aggregate(slice(xs, 2, size(xs) - 1), " +
+            "named_struct('l', element_at(xs, 1), " +
+            "'b', element_at(xs, 2) - element_at(xs, 1), 'sse', 0D), " +
+            "(st, x) -> named_struct(" +
+            "'l', 0.5D * x + 0.5D * (st.l + st.b), " +
+            "'b', 0.25D * (0.5D * x + 0.5D * (st.l + st.b) - st.l) + 0.75D * st.b, " +
+            "'sse', st.sse + (x - st.l - st.b) * (x - st.l - st.b)))"))
+        .select(col("event_type"), col("h.l").as("level"),
+          col("h.b").as("trend"), col("h.sse").as("sse"),
+          (col("h.l") + col("h.b")).as("fc1"),
+          (col("h.l") + lit(2.0) * col("h.b")).as("fc2"),
+          (col("h.l") + lit(3.0) * col("h.b")).as("fc3"))
+        .orderBy("event_type")
+    },
     // ---- approx7: CMS inner-product JOIN-SIZE estimation (Cormode &
     // Muthukrishnan §4.2) — the optimizer's question ("how big is
     // clicks ⋈ purchases on user_id?") answered from two constant-size
@@ -1013,6 +1044,27 @@ object AnalyticsQueries {
         "(sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS ccf " +
         "FROM v WHERE vx > 0 AND vy > 0 ORDER BY lag_k"),
+    // the engine's fold replayed step-for-step as a recursive CTE — same
+    // dyadic multipliers, same IEEE op order, so doubles are bit-identical
+    "ts12_holt" ->
+      ("WITH RECURSIVE " + dayTypeGridSql + ", " +
+        "s AS (SELECT event_type, CAST(n AS DOUBLE) AS y, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY day) AS t, " +
+        "count(*) OVER (PARTITION BY event_type) AS tn FROM grid), " +
+        "init AS (SELECT a.event_type, a.y AS l, b.y - a.y AS b, " +
+        "CAST(0 AS DOUBLE) AS sse, 1 AS t FROM s a JOIN s b " +
+        "ON a.event_type = b.event_type AND a.t = 1 AND b.t = 2), " +
+        "rec AS (SELECT * FROM init " +
+        "UNION ALL SELECT r.event_type, " +
+        "0.5 * s.y + 0.5 * (r.l + r.b), " +
+        "0.25 * (0.5 * s.y + 0.5 * (r.l + r.b) - r.l) + 0.75 * r.b, " +
+        "r.sse + (s.y - r.l - r.b) * (s.y - r.l - r.b), r.t + 1 " +
+        "FROM rec r JOIN s ON s.event_type = r.event_type AND s.t = r.t + 1), " +
+        "fin AS (SELECT rec.*, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY t DESC) AS rk FROM rec) " +
+        "SELECT event_type, l AS level, b AS trend, sse, " +
+        "l + b AS fc1, l + 2.0 * b AS fc2, l + 3.0 * b AS fc3 " +
+        "FROM fin WHERE rk = 1 ORDER BY event_type"),
     // full sketch replica (same md5 row-hashes), so est and both verdict
     // columns are exact integer/rational arithmetic on both engines
     "approx7_join_size" -> {

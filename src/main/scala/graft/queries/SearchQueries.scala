@@ -249,6 +249,29 @@ object SearchQueries {
         .agg(sum(col("term_ll").cast(D28)).cast("double").as("ll"))
         .select(col("doc_id"), col("ll").cast(D6).cast("double").as("ql_score"))
         .orderBy("doc_id")
+    },
+    // ---- idx6: KWIC snippet generation — the search-results UX step: for
+    // every doc containing the query term, the ±3-token window around its
+    // FIRST occurrence. The term filter prunes the posexplode before the
+    // one (doc_id)-keyed min-agg; the snippet slice is a narrow projection
+    // on the re-joined token array — no corpus-sized window, no collect.
+    // Exact string output, hash-matches unrounded -------------------------
+    "idx6_kwic_snippets" -> { (s, dir) =>
+      val term = "spark"
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val first = docs
+        .select(col("doc_id"), posexplode(col("toks")))
+        .toDF("doc_id", "pos", "token")
+        .filter(col("token") === term)
+        .groupBy("doc_id").agg(min(col("pos")).as("p"))
+      docs.join(first, "doc_id")
+        .withColumn("start", greatest(col("p") - 3, lit(0)))
+        .withColumn("fin", least(col("p") + 3, size(col("toks")) - 1))
+        .select(col("doc_id"), col("p").cast("long").as("first_pos"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1,
+            col("fin") - col("start") + 1)).as("snippet"))
+        .orderBy("doc_id")
     })
 
   val oracle: Map[String, String] = Map(
@@ -348,6 +371,16 @@ object SearchQueries {
         "(CAST(dl AS DOUBLE) + 100.0)) AS term_ll FROM grid) " +
         "SELECT doc_id, CAST(CAST(CAST(sum(CAST(term_ll AS DECIMAL(28,12))) " +
         "AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS ql_score " +
-        "FROM sc GROUP BY doc_id ORDER BY doc_id")
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // same 0-based first-occurrence + clamped ±3 window; DuckDB's 1-based
+    // inclusive slice [a+1 : b+1] ≡ the engine's slice(start+1, b-a+1)
+    "idx6_kwic_snippets" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "u AS (SELECT doc_id, unnest(toks) AS token, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM d), " +
+        "f AS (SELECT doc_id, min(pos) AS p FROM u WHERE token = 'spark' GROUP BY doc_id) " +
+        "SELECT d.doc_id AS doc_id, CAST(p AS BIGINT) AS first_pos, " +
+        "array_to_string(toks[greatest(p - 3, 0) + 1 : least(p + 3, len(toks) - 1) + 1], ' ') AS snippet " +
+        "FROM d JOIN f ON d.doc_id = f.doc_id ORDER BY doc_id")
   )
 }
