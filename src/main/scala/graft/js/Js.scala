@@ -1,0 +1,1142 @@
+package graft.js
+
+import scala.collection.mutable
+
+/** A small, dependency-free, DETERMINISTIC JavaScript (ES5-expression
+  * subset) lexer + parser + tree-walking interpreter — the script language
+  * half of the reference's user-script stage
+  * (`aleph2_analytic_services_spark/.../assets/SparkJsInterpreterTopology.java:123-160`
+  * ran user JS through Nashorn, which Java 17 removed; [[graft.pipeline.JavaStage]]
+  * covers the compiled-user-code half, this covers the JS-language half).
+  *
+  * Supported surface (documented contract, checked by JsSpec):
+  *  - literals: numbers (doubles, JS semantics), single/double-quoted
+  *    strings with escapes, booleans, null, array + object literals;
+  *  - `var` declarations, assignment (`=`, `+=`, `-=`, `*=`, `/=`, `%=`),
+  *    prefix/postfix `++`/`--`;
+  *  - operators: `+ - * / %`, comparisons, `== != === !==`, `&& || !`,
+  *    unary `-`/`+`/`typeof`, ternary, grouping;
+  *  - member/index access and assignment (`a.b`, `a[i]`);
+  *  - `function` declarations + expressions, closures, `return`;
+  *  - `if`/`else`, `while`, C-style `for`, `for (k in obj)`, `break`,
+  *    `continue`;
+  *  - string methods (length, charAt, charCodeAt, indexOf, lastIndexOf,
+  *    substring, slice, split, trim, replace, toUpperCase, toLowerCase,
+  *    startsWith, endsWith, includes), array methods (length, push, pop,
+  *    join, indexOf, includes, slice, concat, reverse, map, filter,
+  *    reduce, sort), `Object.keys`, `Math.{abs,floor,ceil,round,sqrt,pow,
+  *    min,max,log,exp}`, `JSON.{parse,stringify}`, `String`/`Number`
+  *    conversion, `parseInt`, `parseFloat`, `isNaN`.
+  *
+  * Deliberately ABSENT for determinism: `Date`, `Math.random`, regular
+  * expressions, prototypes, `this`, `new`, exceptions (`try`/`throw`),
+  * getters, and the global object — a script touching them fails loudly.
+  * Numbers are IEEE doubles evaluated in source order, so results are
+  * bit-identical across executors and runs.
+  */
+object Js {
+
+  // ---- values ---------------------------------------------------------------
+
+  /** JS `undefined` (distinct from `null`). */
+  case object Undefined { override def toString = "undefined" }
+
+  /** JS array: mutable, reference semantics. */
+  final class JsArray(val items: mutable.ArrayBuffer[Any]) {
+    override def toString: String = Json.stringify(this)
+  }
+  object JsArray {
+    def apply(xs: Any*): JsArray = new JsArray(mutable.ArrayBuffer(xs: _*))
+  }
+
+  /** JS object: insertion-ordered, reference semantics. */
+  final class JsObject(val fields: mutable.LinkedHashMap[String, Any]) {
+    override def toString: String = Json.stringify(this)
+  }
+  object JsObject {
+    def apply(kvs: (String, Any)*): JsObject =
+      new JsObject(mutable.LinkedHashMap(kvs: _*))
+  }
+
+  /** User function value: params + body + defining environment (closure). */
+  final case class JsFunction(name: String, params: Seq[String],
+      body: Seq[Stmt], env: Env)
+
+  /** Host builtin exposed to scripts. */
+  final case class Builtin(name: String, fn: Seq[Any] => Any)
+
+  final class JsError(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new JsError(msg)
+
+  // ---- AST ------------------------------------------------------------------
+
+  sealed trait Expr
+  final case class NumLit(v: Double) extends Expr
+  final case class StrLit(v: String) extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  final case class ArrLit(items: Seq[Expr]) extends Expr
+  final case class ObjLit(props: Seq[(String, Expr)]) extends Expr
+  final case class Ident(name: String) extends Expr
+  final case class Member(obj: Expr, name: String) extends Expr
+  final case class Index(obj: Expr, idx: Expr) extends Expr
+  final case class Call(fn: Expr, args: Seq[Expr]) extends Expr
+  final case class Unary(op: String, e: Expr) extends Expr
+  final case class Update(op: String, target: Expr, prefix: Boolean) extends Expr
+  final case class Binary(op: String, l: Expr, r: Expr) extends Expr
+  final case class Logical(op: String, l: Expr, r: Expr) extends Expr
+  final case class Cond(c: Expr, t: Expr, f: Expr) extends Expr
+  final case class Assign(op: String, target: Expr, value: Expr) extends Expr
+  final case class FuncExpr(name: String, params: Seq[String], body: Seq[Stmt])
+      extends Expr
+
+  sealed trait Stmt
+  final case class ExprStmt(e: Expr) extends Stmt
+  final case class VarDecl(vars: Seq[(String, Option[Expr])]) extends Stmt
+  final case class If(c: Expr, t: Seq[Stmt], f: Seq[Stmt]) extends Stmt
+  final case class While(c: Expr, body: Seq[Stmt]) extends Stmt
+  final case class For(init: Option[Stmt], cond: Option[Expr],
+      update: Option[Expr], body: Seq[Stmt]) extends Stmt
+  final case class ForIn(name: String, obj: Expr, body: Seq[Stmt]) extends Stmt
+  final case class Return(e: Option[Expr]) extends Stmt
+  case object Break extends Stmt
+  case object Continue extends Stmt
+  final case class FuncDecl(name: String, params: Seq[String], body: Seq[Stmt])
+      extends Stmt
+
+  // ---- lexer ----------------------------------------------------------------
+
+  private final case class Tok(kind: String, text: String, pos: Int)
+
+  private val keywords = Set("var", "function", "return", "if", "else",
+    "while", "for", "in", "break", "continue", "true", "false", "null",
+    "typeof", "undefined")
+
+  private def lex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    def err(m: String) = fail(s"js lex error at $i: $m")
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && src(i + 1) == '/') {
+        while (i < n && src(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && src(i + 1) == '*') {
+        val end = src.indexOf("*/", i + 2)
+        if (end < 0) err("unterminated block comment")
+        i = end + 2
+      } else if (c.isDigit ||
+          (c == '.' && i + 1 < n && src(i + 1).isDigit)) {
+        val start = i
+        while (i < n && src(i).isDigit) i += 1
+        if (i < n && src(i) == '.') { i += 1; while (i < n && src(i).isDigit) i += 1 }
+        if (i < n && (src(i) == 'e' || src(i) == 'E')) {
+          i += 1
+          if (i < n && (src(i) == '+' || src(i) == '-')) i += 1
+          if (i >= n || !src(i).isDigit) err("malformed exponent")
+          while (i < n && src(i).isDigit) i += 1
+        }
+        out += Tok("num", src.substring(start, i), start)
+      } else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        val start = i
+        i += 1
+        while (i < n && src(i) != quote) {
+          if (src(i) == '\\') {
+            if (i + 1 >= n) err("unterminated escape")
+            src(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case '\\' => sb += '\\'; i += 2
+              case '\'' => sb += '\''; i += 2
+              case '"' => sb += '"'; i += 2
+              case '/' => sb += '/'; i += 2
+              case 'u' =>
+                if (i + 5 >= n) err("unterminated \\u escape")
+                sb += Integer.parseInt(src.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case other => err(s"unsupported escape \\$other")
+            }
+          } else { sb += src(i); i += 1 }
+        }
+        if (i >= n) err("unterminated string")
+        i += 1
+        out += Tok("str", sb.result(), start)
+      } else if (c.isLetter || c == '_' || c == '$') {
+        val start = i
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_' || src(i) == '$')) i += 1
+        val w = src.substring(start, i)
+        out += Tok(if (keywords(w)) w else "ident", w, start)
+      } else {
+        val three = if (i + 3 <= n) src.substring(i, i + 3) else ""
+        val two = if (i + 2 <= n) src.substring(i, i + 2) else ""
+        if (three == "===" || three == "!==") { out += Tok("punct", three, i); i += 3 }
+        else if (Set("==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=",
+            "/=", "%=", "++", "--")(two)) { out += Tok("punct", two, i); i += 2 }
+        else if ("+-*/%<>=!?:;,.(){}[]".indexOf(c) >= 0) {
+          out += Tok("punct", c.toString, i); i += 1
+        } else err(s"unexpected character '$c'")
+      }
+    }
+    out += Tok("eof", "", n)
+    out.result()
+  }
+
+  // ---- parser (Pratt) -------------------------------------------------------
+
+  /** Parse a whole script (a statement list). Throws [[JsError]] with a
+    * position on malformed input — surfacing at PLAN time on the driver. */
+  def parse(src: String): Seq[Stmt] = new Parser(lex(src)).script()
+
+  private final class Parser(toks: Vector[Tok]) {
+    private var p = 0
+    private def peek: Tok = toks(p)
+    private def at(kind: String, text: String = null): Boolean =
+      peek.kind == kind && (text == null || peek.text == text)
+    private def atPunct(text: String): Boolean = at("punct", text)
+    private def next(): Tok = { val t = toks(p); p += 1; t }
+    private def expect(kind: String, text: String = null): Tok = {
+      if (!at(kind, text))
+        fail(s"js parse error at ${peek.pos}: expected ${Option(text).getOrElse(kind)}, got '${peek.text}'")
+      next()
+    }
+    private def expectPunct(text: String): Tok = expect("punct", text)
+
+    def script(): Seq[Stmt] = {
+      val out = Seq.newBuilder[Stmt]
+      while (!at("eof")) out += statement()
+      out.result()
+    }
+
+    private def block(): Seq[Stmt] = {
+      expectPunct("{")
+      val out = Seq.newBuilder[Stmt]
+      while (!atPunct("}")) out += statement()
+      expectPunct("}")
+      out.result()
+    }
+
+    /** One statement; a trailing `;` is consumed when present (semicolons
+      * are optional at `}`/EOF boundaries — enough ASI for real scripts). */
+    private def statement(): Stmt = {
+      val s = statementNoSemi()
+      while (atPunct(";")) next()
+      s
+    }
+
+    private def statementNoSemi(): Stmt = {
+      if (at("var")) { next(); varDecl() }
+      else if (at("function")) {
+        next()
+        val name = expect("ident").text
+        val params = paramList()
+        FuncDecl(name, params, block())
+      }
+      else if (at("return")) {
+        next()
+        if (atPunct(";") || atPunct("}") || at("eof")) Return(None)
+        else Return(Some(expression()))
+      }
+      else if (at("if")) { next(); ifStmt() }
+      else if (at("while")) {
+        next(); expectPunct("(")
+        val c = expression(); expectPunct(")")
+        While(c, bodyOrSingle())
+      }
+      else if (at("for")) { next(); forStmt() }
+      else if (at("break")) { next(); Break }
+      else if (at("continue")) { next(); Continue }
+      else if (atPunct("{")) {
+        // a bare block at statement position (JS block, not an object
+        // literal): run its statements unconditionally
+        val stmts = block()
+        if (stmts.isEmpty) ExprStmt(NullLit) else If(BoolLit(true), stmts, Nil)
+      }
+      else ExprStmt(expression())
+    }
+
+    private def varDecl(): VarDecl = {
+      val vars = Seq.newBuilder[(String, Option[Expr])]
+      var more = true
+      while (more) {
+        val name = expect("ident").text
+        val init = if (atPunct("=")) { next(); Some(assignment()) } else None
+        vars += name -> init
+        if (atPunct(",")) next() else more = false
+      }
+      VarDecl(vars.result())
+    }
+
+    private def ifStmt(): Stmt = {
+      expectPunct("(")
+      val c = expression()
+      expectPunct(")")
+      val t = bodyOrSingle()
+      val f =
+        if (at("else")) {
+          next()
+          if (at("if")) { next(); Seq(ifStmt()) } else bodyOrSingle()
+        } else Nil
+      If(c, t, f)
+    }
+
+    private def bodyOrSingle(): Seq[Stmt] =
+      if (atPunct("{")) block() else Seq(statement())
+
+    private def forStmt(): Stmt = {
+      expectPunct("(")
+      // for (var k in obj) / for (k in obj)
+      val save = p
+      if (at("var") || at("ident")) {
+        val isVar = at("var")
+        if (isVar) next()
+        if (at("ident")) {
+          val name = next().text
+          if (at("in")) {
+            next()
+            val obj = expression()
+            expectPunct(")")
+            return ForIn(name, obj, bodyOrSingle())
+          }
+        }
+        p = save // not for-in; rewind and parse C-style
+      }
+      val init: Option[Stmt] =
+        if (atPunct(";")) None
+        else if (at("var")) { next(); Some(varDecl()) }
+        else Some(ExprStmt(expression()))
+      expectPunct(";")
+      val cond = if (atPunct(";")) None else Some(expression())
+      expectPunct(";")
+      val update = if (atPunct(")")) None else Some(expression())
+      expectPunct(")")
+      For(init, cond, update, bodyOrSingle())
+    }
+
+    private def paramList(): Seq[String] = {
+      expectPunct("(")
+      val out = Seq.newBuilder[String]
+      if (!atPunct(")")) {
+        out += expect("ident").text
+        while (atPunct(",")) { next(); out += expect("ident").text }
+      }
+      expectPunct(")")
+      out.result()
+    }
+
+    def expression(): Expr = assignment()
+
+    private def assignment(): Expr = {
+      val left = ternary()
+      if (atPunct("=") || atPunct("+=") || atPunct("-=") || atPunct("*=") ||
+          atPunct("/=") || atPunct("%=")) {
+        val op = next().text
+        left match {
+          case _: Ident | _: Member | _: Index =>
+            Assign(op, left, assignment())
+          case _ => fail(s"js parse error: invalid assignment target")
+        }
+      } else left
+    }
+
+    private def ternary(): Expr = {
+      val c = logicalOr()
+      if (atPunct("?")) {
+        next()
+        val t = assignment()
+        expectPunct(":")
+        Cond(c, t, assignment())
+      } else c
+    }
+
+    private def logicalOr(): Expr = {
+      var l = logicalAnd()
+      while (atPunct("||")) { next(); l = Logical("||", l, logicalAnd()) }
+      l
+    }
+    private def logicalAnd(): Expr = {
+      var l = equality()
+      while (atPunct("&&")) { next(); l = Logical("&&", l, equality()) }
+      l
+    }
+    private def equality(): Expr = {
+      var l = relational()
+      while (atPunct("==") || atPunct("!=") || atPunct("===") || atPunct("!==")) {
+        val op = next().text; l = Binary(op, l, relational())
+      }
+      l
+    }
+    private def relational(): Expr = {
+      var l = additive()
+      while (atPunct("<") || atPunct("<=") || atPunct(">") || atPunct(">=")) {
+        val op = next().text; l = Binary(op, l, additive())
+      }
+      l
+    }
+    private def additive(): Expr = {
+      var l = multiplicative()
+      while (atPunct("+") || atPunct("-")) {
+        val op = next().text; l = Binary(op, l, multiplicative())
+      }
+      l
+    }
+    private def multiplicative(): Expr = {
+      var l = unary()
+      while (atPunct("*") || atPunct("/") || atPunct("%")) {
+        val op = next().text; l = Binary(op, l, unary())
+      }
+      l
+    }
+    private def unary(): Expr = {
+      if (atPunct("!")) { next(); Unary("!", unary()) }
+      else if (atPunct("-")) { next(); Unary("-", unary()) }
+      else if (atPunct("+")) { next(); Unary("+", unary()) }
+      else if (at("typeof")) { next(); Unary("typeof", unary()) }
+      else if (atPunct("++") || atPunct("--")) {
+        val op = next().text
+        val t = unary()
+        t match {
+          case _: Ident | _: Member | _: Index => Update(op, t, prefix = true)
+          case _ => fail("js parse error: invalid ++/-- target")
+        }
+      }
+      else postfix()
+    }
+
+    private def postfix(): Expr = {
+      var e = primary()
+      var more = true
+      while (more) {
+        if (atPunct(".")) {
+          next(); e = Member(e, expect("ident").text)
+        } else if (atPunct("[")) {
+          next(); val i = expression(); expectPunct("]"); e = Index(e, i)
+        } else if (atPunct("(")) {
+          next()
+          val args = Seq.newBuilder[Expr]
+          if (!atPunct(")")) {
+            args += assignment()
+            while (atPunct(",")) { next(); args += assignment() }
+          }
+          expectPunct(")")
+          e = Call(e, args.result())
+        } else if (atPunct("++") || atPunct("--")) {
+          val op = next().text
+          e match {
+            case _: Ident | _: Member | _: Index =>
+              e = Update(op, e, prefix = false)
+            case _ => fail("js parse error: invalid ++/-- target")
+          }
+        } else more = false
+      }
+      e
+    }
+
+    private def primary(): Expr = {
+      if (at("num")) NumLit(next().text.toDouble)
+      else if (at("str")) StrLit(next().text)
+      else if (at("true")) { next(); BoolLit(true) }
+      else if (at("false")) { next(); BoolLit(false) }
+      else if (at("null")) { next(); NullLit }
+      else if (at("undefined")) { next(); Ident("undefined") }
+      else if (at("ident")) Ident(next().text)
+      else if (at("function")) {
+        next()
+        val name = if (at("ident")) next().text else ""
+        FuncExpr(name, paramList(), block())
+      }
+      else if (atPunct("(")) {
+        next(); val e = expression(); expectPunct(")"); e
+      }
+      else if (atPunct("[")) {
+        next()
+        val items = Seq.newBuilder[Expr]
+        if (!atPunct("]")) {
+          items += assignment()
+          while (atPunct(",")) { next(); items += assignment() }
+        }
+        expectPunct("]")
+        ArrLit(items.result())
+      }
+      else if (atPunct("{")) {
+        next()
+        val props = Seq.newBuilder[(String, Expr)]
+        if (!atPunct("}")) {
+          def prop(): Unit = {
+            val key =
+              if (at("str")) next().text
+              else if (at("num")) Json.numToString(next().text.toDouble)
+              else next().text // identifier or keyword used as a key
+            expectPunct(":")
+            props += key -> assignment()
+          }
+          prop()
+          while (atPunct(",")) { next(); prop() }
+        }
+        expectPunct("}")
+        ObjLit(props.result())
+      }
+      else fail(s"js parse error at ${peek.pos}: unexpected '${peek.text}'")
+    }
+  }
+
+  // ---- environment ----------------------------------------------------------
+
+  final class Env(parent: Option[Env]) {
+    private val vars = mutable.HashMap.empty[String, Any]
+    def declare(name: String, v: Any): Unit = vars(name) = v
+    def get(name: String): Any =
+      if (vars.contains(name)) vars(name)
+      else parent match {
+        case Some(e) => e.get(name)
+        case None => fail(s"$name is not defined")
+      }
+    def set(name: String, v: Any): Unit =
+      if (vars.contains(name)) vars(name) = v
+      else parent match {
+        case Some(e) => e.set(name, v)
+        case None => fail(s"$name is not defined") // no implicit globals
+      }
+    def child(): Env = new Env(Some(this))
+  }
+
+  // control-flow signals (no stack traces: these are flow, not errors)
+  private final class ReturnSig(val v: Any)
+      extends RuntimeException(null, null, false, false)
+  private final class BreakSig extends RuntimeException(null, null, false, false)
+  private final class ContinueSig extends RuntimeException(null, null, false, false)
+
+  // ---- interpreter ----------------------------------------------------------
+
+  /** Evaluate a script into a fresh global environment (with the standard
+    * builtins) and return it — call [[invoke]] against it afterwards. */
+  def load(stmts: Seq[Stmt]): Env = {
+    val g = globalEnv()
+    // hoist function declarations (mutual recursion), then run the body
+    stmts.foreach { case FuncDecl(n, ps, b) => g.declare(n, JsFunction(n, ps, b, g)); case _ => }
+    stmts.foreach { case _: FuncDecl => (); case s => exec(s, g) }
+    g
+  }
+
+  /** Call a named function defined by the loaded script. */
+  def invoke(env: Env, name: String, args: Seq[Any]): Any =
+    env.get(name) match {
+      case f: JsFunction => callFunction(f, args)
+      case other => fail(s"$name is not a function (got ${typeOf(other)})")
+    }
+
+  def callFunction(f: JsFunction, args: Seq[Any]): Any = {
+    val local = f.env.child()
+    f.params.zipWithIndex.foreach { case (p, i) =>
+      local.declare(p, if (i < args.length) args(i) else Undefined)
+    }
+    if (f.name.nonEmpty) local.declare(f.name, f) // named fn expr recursion
+    try { f.body.foreach(exec(_, local)); Undefined }
+    catch { case r: ReturnSig => r.v }
+  }
+
+  private def callValue(fv: Any, args: Seq[Any]): Any = fv match {
+    case f: JsFunction => callFunction(f, args)
+    case Builtin(_, fn) => fn(args)
+    case other => fail(s"not a function: ${typeOf(other)}")
+  }
+
+  private def exec(s: Stmt, env: Env): Unit = s match {
+    case ExprStmt(e) => eval(e, env)
+    case VarDecl(vars) =>
+      vars.foreach { case (n, init) =>
+        env.declare(n, init.map(eval(_, env)).getOrElse(Undefined))
+      }
+    case If(c, t, f) =>
+      if (truthy(eval(c, env))) t.foreach(exec(_, env))
+      else f.foreach(exec(_, env))
+    case While(c, body) =>
+      while (truthy(eval(c, env))) {
+        try body.foreach(exec(_, env))
+        catch {
+          case _: ContinueSig => ()
+          case _: BreakSig => return
+        }
+      }
+    case For(init, cond, update, body) =>
+      val scope = env.child()
+      init.foreach(exec(_, scope))
+      while (cond.forall(c => truthy(eval(c, scope)))) {
+        try body.foreach(exec(_, scope))
+        catch {
+          case _: ContinueSig => ()
+          case _: BreakSig => return
+        }
+        update.foreach(eval(_, scope))
+      }
+    case ForIn(name, objE, body) =>
+      val keys: Seq[Any] = eval(objE, env) match {
+        case o: JsObject => o.fields.keys.toSeq
+        case a: JsArray => a.items.indices.map(i => Json.numToString(i.toDouble))
+        case Undefined | null => Nil
+        case other => fail(s"for-in over ${typeOf(other)}")
+      }
+      val scope = env.child()
+      scope.declare(name, Undefined)
+      keys.foreach { k =>
+        scope.set(name, k)
+        try body.foreach(exec(_, scope))
+        catch {
+          case _: ContinueSig => ()
+          case _: BreakSig => return
+        }
+      }
+    case Return(e) => throw new ReturnSig(e.map(eval(_, env)).getOrElse(Undefined))
+    case Break => throw new BreakSig
+    case Continue => throw new ContinueSig
+    case FuncDecl(n, ps, b) => env.declare(n, JsFunction(n, ps, b, env))
+  }
+
+  def eval(e: Expr, env: Env): Any = e match {
+    case NumLit(v) => v
+    case StrLit(v) => v
+    case BoolLit(v) => v
+    case NullLit => null
+    case ArrLit(items) => new JsArray(mutable.ArrayBuffer(items.map(eval(_, env)): _*))
+    case ObjLit(props) =>
+      new JsObject(mutable.LinkedHashMap(props.map { case (k, v) => k -> eval(v, env) }: _*))
+    case Ident("undefined") => Undefined
+    case Ident(n) => env.get(n)
+    case Member(objE, name) => getMember(eval(objE, env), name)
+    case Index(objE, idxE) =>
+      val obj = eval(objE, env)
+      val idx = eval(idxE, env)
+      obj match {
+        case a: JsArray =>
+          val i = toNumber(idx).toInt
+          if (i >= 0 && i < a.items.length) a.items(i) else Undefined
+        case o: JsObject => o.fields.getOrElse(toStr(idx), Undefined)
+        case s: String =>
+          val i = toNumber(idx).toInt
+          if (i >= 0 && i < s.length) s.charAt(i).toString else Undefined
+        case other => fail(s"cannot index ${typeOf(other)}")
+      }
+    case Call(fnE, argEs) =>
+      val args = argEs.map(eval(_, env))
+      fnE match {
+        case Member(objE, name) =>
+          val obj = eval(objE, env)
+          getMember(obj, name) match {
+            case Builtin(_, fn) => fn(args)      // method already bound to obj
+            case f: JsFunction => callFunction(f, args)
+            case other => fail(s"$name is not a function (got ${typeOf(other)})")
+          }
+        case _ => callValue(eval(fnE, env), args)
+      }
+    case Unary(op, inner) =>
+      val v = eval(inner, env)
+      op match {
+        case "!" => !truthy(v)
+        case "-" => -toNumber(v)
+        case "+" => toNumber(v)
+        case "typeof" => typeOf(v)
+      }
+    case Update(op, target, prefix) =>
+      val old = toNumber(eval(target, env))
+      val neu = if (op == "++") old + 1 else old - 1
+      assignTo(target, neu, env)
+      if (prefix) neu else old
+    case Binary(op, lE, rE) => binary(op, eval(lE, env), eval(rE, env))
+    case Logical("&&", lE, rE) =>
+      val l = eval(lE, env); if (!truthy(l)) l else eval(rE, env)
+    case Logical("||", lE, rE) =>
+      val l = eval(lE, env); if (truthy(l)) l else eval(rE, env)
+    case Logical(op, _, _) => fail(s"unknown logical op $op")
+    case Cond(c, t, f) =>
+      if (truthy(eval(c, env))) eval(t, env) else eval(f, env)
+    case Assign("=", target, vE) =>
+      val v = eval(vE, env); assignTo(target, v, env); v
+    case Assign(op, target, vE) =>
+      val v = binary(op.stripSuffix("="), eval(target, env), eval(vE, env))
+      assignTo(target, v, env); v
+    case FuncExpr(name, ps, b) => JsFunction(name, ps, b, env)
+  }
+
+  private def assignTo(target: Expr, v: Any, env: Env): Unit = target match {
+    case Ident(n) => env.set(n, v)
+    case Member(objE, name) => eval(objE, env) match {
+      case o: JsObject => o.fields(name) = v
+      case other => fail(s"cannot set .$name on ${typeOf(other)}")
+    }
+    case Index(objE, idxE) =>
+      val obj = eval(objE, env)
+      val idx = eval(idxE, env)
+      obj match {
+        case a: JsArray =>
+          val i = toNumber(idx).toInt
+          if (i < 0) fail("negative array index assignment")
+          while (a.items.length <= i) a.items += Undefined
+          a.items(i) = v
+        case o: JsObject => o.fields(toStr(idx)) = v
+        case other => fail(s"cannot index-assign ${typeOf(other)}")
+      }
+    case _ => fail("invalid assignment target")
+  }
+
+  // ---- semantics helpers ------------------------------------------------------
+
+  def truthy(v: Any): Boolean = v match {
+    case null | Undefined => false
+    case b: Boolean => b
+    case d: Double => !(d == 0.0 || d.isNaN)
+    case s: String => s.nonEmpty
+    case _ => true
+  }
+
+  def toNumber(v: Any): Double = v match {
+    case d: Double => d
+    case b: Boolean => if (b) 1.0 else 0.0
+    case null => 0.0
+    case Undefined => Double.NaN
+    case s: String =>
+      val t = s.trim
+      if (t.isEmpty) 0.0
+      else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
+    case _ => Double.NaN
+  }
+
+  def toStr(v: Any): String = v match {
+    case s: String => s
+    case d: Double => Json.numToString(d)
+    case b: Boolean => b.toString
+    case null => "null"
+    case Undefined => "undefined"
+    case a: JsArray => a.items.map {
+      case null | Undefined => ""
+      case x => toStr(x)
+    }.mkString(",")
+    case _: JsObject => "[object Object]"
+    case f: JsFunction => s"function ${f.name}"
+    case Builtin(n, _) => s"function $n"
+    case other => String.valueOf(other)
+  }
+
+  def typeOf(v: Any): String = v match {
+    case _: Double => "number"
+    case _: String => "string"
+    case _: Boolean => "boolean"
+    case Undefined => "undefined"
+    case _: JsFunction | _: Builtin => "function"
+    case _ => "object" // null, arrays, objects — like JS
+  }
+
+  private def binary(op: String, l: Any, r: Any): Any = op match {
+    case "+" =>
+      (l, r) match {
+        case (a: String, b) => a + toStr(b)
+        case (a, b: String) => toStr(a) + b
+        case (a: JsArray, b) => toStr(a) + toStr(b)
+        case (a, b: JsArray) => toStr(a) + toStr(b)
+        case (a: JsObject, b) => toStr(a) + toStr(b)
+        case (a, b: JsObject) => toStr(a) + toStr(b)
+        case (a, b) => toNumber(a) + toNumber(b)
+      }
+    case "-" => toNumber(l) - toNumber(r)
+    case "*" => toNumber(l) * toNumber(r)
+    case "/" => toNumber(l) / toNumber(r)
+    case "%" => toNumber(l) % toNumber(r)
+    case "<" | "<=" | ">" | ">=" =>
+      (l, r) match {
+        case (a: String, b: String) =>
+          val c = a.compareTo(b)
+          op match {
+            case "<" => c < 0; case "<=" => c <= 0
+            case ">" => c > 0; case ">=" => c >= 0
+          }
+        case (a, b) =>
+          val (x, y) = (toNumber(a), toNumber(b))
+          op match {
+            case "<" => x < y; case "<=" => x <= y
+            case ">" => x > y; case ">=" => x >= y
+          }
+      }
+    case "===" => strictEquals(l, r)
+    case "!==" => !strictEquals(l, r)
+    case "==" => looseEquals(l, r)
+    case "!=" => !looseEquals(l, r)
+    case other => fail(s"unknown operator $other")
+  }
+
+  def strictEquals(l: Any, r: Any): Boolean = (l, r) match {
+    case (a: Double, b: Double) => a == b
+    case (a: String, b: String) => a == b
+    case (a: Boolean, b: Boolean) => a == b
+    case (null, null) => true
+    case (Undefined, Undefined) => true
+    case (a: AnyRef, b: AnyRef) => a eq b // reference equality for obj/arr/fn
+    case _ => false
+  }
+
+  private def looseEquals(l: Any, r: Any): Boolean = (l, r) match {
+    case (null, Undefined) | (Undefined, null) => true
+    case (a: Double, b: String) => a == toNumber(b)
+    case (a: String, b: Double) => toNumber(a) == b
+    case (a: Boolean, b) => looseEquals(toNumber(a), b)
+    case (a, b: Boolean) => looseEquals(a, toNumber(b))
+    case _ => strictEquals(l, r)
+  }
+
+  // ---- builtin library ------------------------------------------------------
+
+  private def arg(args: Seq[Any], i: Int): Any =
+    if (i < args.length) args(i) else Undefined
+
+  private def getMember(obj: Any, name: String): Any = obj match {
+    case s: String => stringMember(s, name)
+    case a: JsArray => arrayMember(a, name)
+    case o: JsObject => o.fields.getOrElse(name, Undefined)
+    case null => fail(s"cannot read .$name of null")
+    case Undefined => fail(s"cannot read .$name of undefined")
+    case other => fail(s"cannot read .$name of ${typeOf(other)}")
+  }
+
+  private def clampIdx(i: Double, len: Int): Int = {
+    val base = if (i < 0) len + i else i
+    math.max(0, math.min(len.toDouble, base)).toInt
+  }
+
+  private def stringMember(s: String, name: String): Any = name match {
+    case "length" => s.length.toDouble
+    case "charAt" => Builtin("charAt", a => {
+      val i = toNumber(arg(a, 0)).toInt
+      if (i >= 0 && i < s.length) s.charAt(i).toString else ""
+    })
+    case "charCodeAt" => Builtin("charCodeAt", a => {
+      val i = toNumber(arg(a, 0)).toInt
+      if (i >= 0 && i < s.length) s.charAt(i).toDouble else Double.NaN
+    })
+    case "indexOf" => Builtin("indexOf", a => s.indexOf(toStr(arg(a, 0))).toDouble)
+    case "lastIndexOf" =>
+      Builtin("lastIndexOf", a => s.lastIndexOf(toStr(arg(a, 0))).toDouble)
+    case "substring" => Builtin("substring", a => {
+      val from = math.max(0, math.min(s.length, toNumber(arg(a, 0)).toInt))
+      val to = arg(a, 1) match {
+        case Undefined => s.length
+        case v => math.max(0, math.min(s.length, toNumber(v).toInt))
+      }
+      s.substring(math.min(from, to), math.max(from, to))
+    })
+    case "slice" => Builtin("slice", a => {
+      val from = clampIdx(toNumber(arg(a, 0)), s.length)
+      val to = arg(a, 1) match {
+        case Undefined => s.length
+        case v => clampIdx(toNumber(v), s.length)
+      }
+      if (from >= to) "" else s.substring(from, to)
+    })
+    case "split" => Builtin("split", a => arg(a, 0) match {
+      case sep: String =>
+        val parts =
+          if (sep.isEmpty) s.map(_.toString)
+          else {
+            // JS split keeps trailing empty fields (unlike Java's default)
+            val out = mutable.ArrayBuffer.empty[String]
+            var start = 0
+            var idx = s.indexOf(sep)
+            while (idx >= 0) {
+              out += s.substring(start, idx)
+              start = idx + sep.length
+              idx = s.indexOf(sep, start)
+            }
+            out += s.substring(start)
+            out.toSeq
+          }
+        new JsArray(mutable.ArrayBuffer(parts: _*))
+      case _ => JsArray(s)
+    })
+    case "trim" => Builtin("trim", _ => s.trim)
+    case "toUpperCase" => Builtin("toUpperCase", _ => s.toUpperCase(java.util.Locale.ROOT))
+    case "toLowerCase" => Builtin("toLowerCase", _ => s.toLowerCase(java.util.Locale.ROOT))
+    case "replace" => Builtin("replace", a => {
+      // first occurrence only, literal strings (no regex — determinism)
+      val find = toStr(arg(a, 0)); val repl = toStr(arg(a, 1))
+      val i = s.indexOf(find)
+      if (i < 0) s else s.substring(0, i) + repl + s.substring(i + find.length)
+    })
+    case "startsWith" => Builtin("startsWith", a => s.startsWith(toStr(arg(a, 0))))
+    case "endsWith" => Builtin("endsWith", a => s.endsWith(toStr(arg(a, 0))))
+    case "includes" => Builtin("includes", a => s.contains(toStr(arg(a, 0))))
+    case other => fail(s"unsupported string member .$other")
+  }
+
+  private def arrayMember(arr: JsArray, name: String): Any = name match {
+    case "length" => arr.items.length.toDouble
+    case "push" => Builtin("push", a => { arr.items ++= a; arr.items.length.toDouble })
+    case "pop" => Builtin("pop", _ =>
+      if (arr.items.isEmpty) Undefined else arr.items.remove(arr.items.length - 1))
+    case "join" => Builtin("join", a => {
+      val sep = arg(a, 0) match { case Undefined => ","; case v => toStr(v) }
+      arr.items.map { case null | Undefined => ""; case x => toStr(x) }.mkString(sep)
+    })
+    case "indexOf" => Builtin("indexOf", a =>
+      arr.items.indexWhere(strictEquals(_, arg(a, 0))).toDouble)
+    case "includes" => Builtin("includes", a =>
+      arr.items.exists(strictEquals(_, arg(a, 0))))
+    case "slice" => Builtin("slice", a => {
+      val from = arg(a, 0) match {
+        case Undefined => 0; case v => clampIdx(toNumber(v), arr.items.length)
+      }
+      val to = arg(a, 1) match {
+        case Undefined => arr.items.length
+        case v => clampIdx(toNumber(v), arr.items.length)
+      }
+      new JsArray(mutable.ArrayBuffer(
+        (if (from >= to) Nil else arr.items.slice(from, to).toSeq): _*))
+    })
+    case "concat" => Builtin("concat", a => {
+      val out = mutable.ArrayBuffer(arr.items.toSeq: _*)
+      a.foreach {
+        case b: JsArray => out ++= b.items
+        case v => out += v
+      }
+      new JsArray(out)
+    })
+    case "reverse" => Builtin("reverse", _ => {
+      val rev = arr.items.reverse
+      arr.items.clear(); arr.items ++= rev; arr
+    })
+    case "map" => Builtin("map", a => new JsArray(
+      arr.items.zipWithIndex.map { case (v, i) =>
+        callValue(arg(a, 0), Seq(v, i.toDouble)) }))
+    case "filter" => Builtin("filter", a => new JsArray(
+      arr.items.zipWithIndex
+        .filter { case (v, i) => truthy(callValue(arg(a, 0), Seq(v, i.toDouble))) }
+        .map(_._1)))
+    case "reduce" => Builtin("reduce", a => {
+      val fn = arg(a, 0)
+      var (acc, start) = arg(a, 1) match {
+        case Undefined =>
+          if (arr.items.isEmpty) fail("reduce of empty array with no initial value")
+          (arr.items(0), 1)
+        case init => (init, 0)
+      }
+      (start until arr.items.length).foreach { i =>
+        acc = callValue(fn, Seq(acc, arr.items(i), i.toDouble))
+      }
+      acc
+    })
+    case "sort" => Builtin("sort", a => {
+      val sorted = arg(a, 0) match {
+        case Undefined => arr.items.sortBy(toStr) // JS default: string order
+        case cmp => arr.items.sortWith((x, y) => toNumber(callValue(cmp, Seq(x, y))) < 0)
+      }
+      arr.items.clear(); arr.items ++= sorted; arr
+    })
+    case other => fail(s"unsupported array member .$other")
+  }
+
+  private def globalEnv(): Env = {
+    val g = new Env(None)
+    g.declare("undefined", Undefined)
+    g.declare("NaN", Double.NaN)
+    g.declare("Infinity", Double.PositiveInfinity)
+    g.declare("Math", JsObject(
+      "abs" -> Builtin("abs", a => math.abs(toNumber(arg(a, 0)))),
+      "floor" -> Builtin("floor", a => math.floor(toNumber(arg(a, 0)))),
+      "ceil" -> Builtin("ceil", a => math.ceil(toNumber(arg(a, 0)))),
+      "round" -> Builtin("round", a => math.floor(toNumber(arg(a, 0)) + 0.5)),
+      "sqrt" -> Builtin("sqrt", a => math.sqrt(toNumber(arg(a, 0)))),
+      "pow" -> Builtin("pow", a => math.pow(toNumber(arg(a, 0)), toNumber(arg(a, 1)))),
+      "min" -> Builtin("min", a =>
+        if (a.isEmpty) Double.PositiveInfinity else a.map(toNumber).min),
+      "max" -> Builtin("max", a =>
+        if (a.isEmpty) Double.NegativeInfinity else a.map(toNumber).max),
+      "log" -> Builtin("log", a => math.log(toNumber(arg(a, 0)))),
+      "exp" -> Builtin("exp", a => math.exp(toNumber(arg(a, 0))))))
+    g.declare("JSON", JsObject(
+      "parse" -> Builtin("parse", a => Json.parse(toStr(arg(a, 0)))),
+      "stringify" -> Builtin("stringify", a => Json.stringify(arg(a, 0)))))
+    g.declare("Object", JsObject(
+      "keys" -> Builtin("keys", a => arg(a, 0) match {
+        case o: JsObject => new JsArray(mutable.ArrayBuffer(o.fields.keys.toSeq: _*))
+        case arr: JsArray => new JsArray(mutable.ArrayBuffer(
+          arr.items.indices.map(i => Json.numToString(i.toDouble)): _*))
+        case other => fail(s"Object.keys of ${typeOf(other)}")
+      })))
+    g.declare("String", Builtin("String", a => toStr(arg(a, 0))))
+    g.declare("Number", Builtin("Number", a => toNumber(arg(a, 0))))
+    g.declare("parseInt", Builtin("parseInt", a => {
+      val t = toStr(arg(a, 0)).trim
+      val m = t.takeWhile(c => c.isDigit || c == '-' || c == '+')
+      val digits = if (m.startsWith("-") || m.startsWith("+"))
+        m.head + m.tail.takeWhile(_.isDigit) else m.takeWhile(_.isDigit)
+      if (digits.isEmpty || digits == "-" || digits == "+") Double.NaN
+      else digits.toDouble.floor
+    }))
+    g.declare("parseFloat", Builtin("parseFloat", a => {
+      // JS parseFloat: longest valid numeric PREFIX ("2.5rem" → 2.5)
+      val t = toStr(arg(a, 0)).trim
+      var i = 0
+      if (i < t.length && (t(i) == '+' || t(i) == '-')) i += 1
+      var sawDigit = false
+      while (i < t.length && t(i).isDigit) { i += 1; sawDigit = true }
+      if (i < t.length && t(i) == '.') {
+        i += 1
+        while (i < t.length && t(i).isDigit) { i += 1; sawDigit = true }
+      }
+      if (sawDigit && i < t.length && (t(i) == 'e' || t(i) == 'E')) {
+        val save = i
+        i += 1
+        if (i < t.length && (t(i) == '+' || t(i) == '-')) i += 1
+        var expDigit = false
+        while (i < t.length && t(i).isDigit) { i += 1; expDigit = true }
+        if (!expDigit) i = save
+      }
+      if (!sawDigit) Double.NaN else t.substring(0, i).toDouble
+    }))
+    g.declare("isNaN", Builtin("isNaN", a => toNumber(arg(a, 0)).isNaN))
+    g
+  }
+
+  // ---- JSON bridge ------------------------------------------------------------
+
+  /** Minimal strict JSON parser/serializer over the interpreter's value
+    * types — the record bridge between Spark's `to_json` rows and scripts.
+    * Serialization is insertion-ordered and formats integral doubles
+    * without a decimal point (JS `JSON.stringify` number formatting for
+    * the integer range that matters). */
+  object Json {
+    def numToString(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" // JSON has no NaN/Inf (JS emits null)
+      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+
+    def stringify(v: Any): String = v match {
+      case null => "null"
+      case Undefined => "null" // stringify(undefined) at top level is undefined in JS; inside containers it's null — null is the deterministic choice
+      case b: Boolean => b.toString
+      case d: Double => numToString(d)
+      case s: String => quote(s)
+      case a: JsArray => a.items.map(stringify).mkString("[", ",", "]")
+      case o: JsObject =>
+        o.fields.map { case (k, x) => quote(k) + ":" + stringify(x) }
+          .mkString("{", ",", "}")
+      case other => fail(s"cannot stringify ${typeOf(other)}")
+    }
+
+    private def quote(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb ++= "\\\""
+        case '\\' => sb ++= "\\\\"
+        case '\n' => sb ++= "\\n"
+        case '\r' => sb ++= "\\r"
+        case '\t' => sb ++= "\\t"
+        case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+        case c => sb += c
+      }
+      sb.append('"').result()
+    }
+
+    def parse(s: String): Any = {
+      val p = new JsonParser(s)
+      val v = p.value()
+      p.skipWs()
+      if (!p.atEnd) fail(s"trailing JSON content at ${p.pos}")
+      v
+    }
+
+    private final class JsonParser(s: String) {
+      var pos = 0
+      def atEnd: Boolean = pos >= s.length
+      def skipWs(): Unit = while (!atEnd && s(pos).isWhitespace) pos += 1
+      private def err(m: String) = fail(s"JSON parse error at $pos: $m")
+      private def expect(c: Char): Unit = {
+        if (atEnd || s(pos) != c) err(s"expected '$c'")
+        pos += 1
+      }
+      def value(): Any = {
+        skipWs()
+        if (atEnd) err("unexpected end")
+        s(pos) match {
+          case '{' =>
+            pos += 1; skipWs()
+            val fields = mutable.LinkedHashMap.empty[String, Any]
+            if (!atEnd && s(pos) == '}') { pos += 1 }
+            else {
+              var more = true
+              while (more) {
+                skipWs()
+                val k = str()
+                skipWs(); expect(':')
+                fields(k) = value()
+                skipWs()
+                if (!atEnd && s(pos) == ',') pos += 1
+                else { expect('}'); more = false }
+              }
+            }
+            new JsObject(fields)
+          case '[' =>
+            pos += 1; skipWs()
+            val items = mutable.ArrayBuffer.empty[Any]
+            if (!atEnd && s(pos) == ']') { pos += 1 }
+            else {
+              var more = true
+              while (more) {
+                items += value()
+                skipWs()
+                if (!atEnd && s(pos) == ',') pos += 1
+                else { expect(']'); more = false }
+              }
+            }
+            new JsArray(items)
+          case '"' => str()
+          case 't' =>
+            if (s.startsWith("true", pos)) { pos += 4; true } else err("bad literal")
+          case 'f' =>
+            if (s.startsWith("false", pos)) { pos += 5; false } else err("bad literal")
+          case 'n' =>
+            if (s.startsWith("null", pos)) { pos += 4; null } else err("bad literal")
+          case c if c == '-' || c.isDigit =>
+            val start = pos
+            if (s(pos) == '-') pos += 1
+            while (!atEnd && s(pos).isDigit) pos += 1
+            if (!atEnd && s(pos) == '.') {
+              pos += 1; while (!atEnd && s(pos).isDigit) pos += 1
+            }
+            if (!atEnd && (s(pos) == 'e' || s(pos) == 'E')) {
+              pos += 1
+              if (!atEnd && (s(pos) == '+' || s(pos) == '-')) pos += 1
+              while (!atEnd && s(pos).isDigit) pos += 1
+            }
+            s.substring(start, pos).toDouble
+          case other => err(s"unexpected '$other'")
+        }
+      }
+      private def str(): String = {
+        expect('"')
+        val sb = new StringBuilder
+        while (!atEnd && s(pos) != '"') {
+          if (s(pos) == '\\') {
+            if (pos + 1 >= s.length) err("unterminated escape")
+            s(pos + 1) match {
+              case '"' => sb += '"'; pos += 2
+              case '\\' => sb += '\\'; pos += 2
+              case '/' => sb += '/'; pos += 2
+              case 'n' => sb += '\n'; pos += 2
+              case 't' => sb += '\t'; pos += 2
+              case 'r' => sb += '\r'; pos += 2
+              case 'b' => sb += '\b'; pos += 2
+              case 'f' => sb += '\f'; pos += 2
+              case 'u' =>
+                if (pos + 5 >= s.length) err("unterminated \\u")
+                sb += Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar
+                pos += 6
+              case other => err(s"bad escape \\$other")
+            }
+          } else { sb += s(pos); pos += 1 }
+        }
+        expect('"')
+        sb.result()
+      }
+    }
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, length}
+import org.apache.spark.sql.functions.{col, from_json, length, struct, to_json}
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -186,6 +186,44 @@ object PipelineQueries {
         .withColumnRenamed("text", "winner")
         .withColumn("winner_len", length(col("winner")))
         .orderBy("source")
+    },
+    // ---- x10: the JS-LANGUAGE half of the script contract, for real —
+    // user-authored JavaScript (loop, helper function, object literal,
+    // string/array methods) parsed ONCE on the driver and run per record
+    // by graft.js.Js, the engine's own deterministic ES5-subset
+    // interpreter (the reference's Nashorn stage without Nashorn). The
+    // record bridge is JSON both ways (to_json → handle(doc) → from_json);
+    // an empty text returns null → SQL NULL through the skip sentinel.
+    // The oracle replays the script's semantics in SQL ------------------
+    "x10_js_stage" -> { (s, dir) =>
+      val script =
+        """function longish(toks) {
+          |  var n = 0;
+          |  for (var i = 0; i < toks.length; i++) {
+          |    if (toks[i].length > 4) n++;
+          |  }
+          |  return n;
+          |}
+          |function handle(doc) {
+          |  if (doc.text === '') return null;
+          |  var toks = doc.text.split(' ');
+          |  return {
+          |    id: doc.doc_id,
+          |    longish: longish(toks),
+          |    head: toks.slice(0, 3).join('_'),
+          |    shout: doc.lang.toUpperCase()
+          |  };
+          |}""".stripMargin
+      val in = docs(s, dir).select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"))).as("rec"))
+      graft.pipeline.JsStage.stage(in, "rec", "out", script)
+        .select(col("doc_id"), from_json(col("out"),
+          "id BIGINT, longish BIGINT, head STRING, shout STRING",
+          Map.empty[String, String]).as("o"))
+        .select(col("doc_id"), col("o.id").as("id"),
+          col("o.longish").as("longish"), col("o.head").as("head"),
+          col("o.shout").as("shout"))
+        .orderBy("doc_id")
     }
   )
 
@@ -228,6 +266,17 @@ object PipelineQueries {
       ("SELECT source, text AS winner, CAST(length(text) AS INT) AS winner_len " +
         "FROM (SELECT source, text, row_number() OVER (PARTITION BY source " +
         "ORDER BY length(text) DESC, text DESC) AS rn FROM documents) " +
-        "WHERE rn = 1 ORDER BY source")
+        "WHERE rn = 1 ORDER BY source"),
+    // the user script's semantics restated declaratively: long-token count,
+    // first-3-token head, uppercased lang; '' text → all NULLs (the skip)
+    "x10_js_stage" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN text = '' THEN NULL ELSE doc_id END AS id, " +
+        "CASE WHEN text = '' THEN NULL ELSE " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) END AS longish, " +
+        "CASE WHEN text = '' THEN NULL ELSE " +
+        "array_to_string(string_split(text, ' ')[1:3], '_') END AS head, " +
+        "CASE WHEN text = '' THEN NULL ELSE upper(lang) END AS shout " +
+        "FROM documents ORDER BY doc_id")
   )
 }

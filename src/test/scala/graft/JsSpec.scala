@@ -1,0 +1,230 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.js.Js
+
+/** Language-surface contract of the [[graft.js.Js]] interpreter (pure, no
+  * Spark) plus the [[graft.pipeline.JsStage]] Spark plumbing: map form with
+  * null-skip sentinel, filter form, plan-time syntax errors. */
+class JsSpec extends AnyFunSuite {
+
+  /** Evaluate `expr` in a script that returns it from main(). */
+  private def run(script: String): Any =
+    Js.invoke(Js.load(Js.parse(script)), "main", Nil)
+
+  private def evalExpr(e: String): Any = run(s"function main() { return $e; }")
+
+  test("arithmetic, precedence, unary, ternary") {
+    assert(evalExpr("1 + 2 * 3") === 7.0)
+    assert(evalExpr("(1 + 2) * 3") === 9.0)
+    assert(evalExpr("7 % 3") === 1.0)
+    assert(evalExpr("-3 + +2") === -1.0)
+    assert(evalExpr("1 < 2 ? 'y' : 'n'") === "y")
+    assert(evalExpr("10 / 4") === 2.5)
+  }
+
+  test("string concat, number formatting, comparisons") {
+    assert(evalExpr("'a' + 'b'") === "ab")
+    assert(evalExpr("'n=' + 3") === "n=3")          // integral: no .0
+    assert(evalExpr("'n=' + 2.5") === "n=2.5")
+    assert(evalExpr("'b' > 'a'") === true)          // string order
+    assert(evalExpr("'10' < '9'") === true)         // string-string compares as strings
+    assert(evalExpr("10 < '9'") === false)          // mixed coerces to number
+  }
+
+  test("equality: strict vs loose") {
+    assert(evalExpr("1 === 1") === true)
+    assert(evalExpr("'1' === 1") === false)
+    assert(evalExpr("'1' == 1") === true)
+    assert(evalExpr("null == undefined") === true)
+    assert(evalExpr("null === undefined") === false)
+    assert(evalExpr("true == 1") === true)
+    assert(evalExpr("[1] === [1]") === false)       // reference equality
+  }
+
+  test("truthiness and logical operators return operands") {
+    assert(evalExpr("'' || 'fallback'") === "fallback")
+    assert(evalExpr("'x' && 'y'") === "y")
+    assert(evalExpr("0 && 'y'") === 0.0)
+    assert(evalExpr("!0") === true)
+    assert(evalExpr("!!'s'") === true)
+  }
+
+  test("var, assignment operators, ++/--") {
+    assert(run("function main() { var x = 1, y = 2; x += y; x *= 3; return x; }") === 9.0)
+    assert(run("function main() { var i = 5; var a = i++; return a + '|' + i; }") === "5|6")
+    assert(run("function main() { var i = 5; var a = ++i; return a + '|' + i; }") === "6|6")
+  }
+
+  test("if/else chains, while, for, break, continue") {
+    assert(run(
+      """function main() {
+        |  var n = 0;
+        |  for (var i = 0; i < 10; i++) {
+        |    if (i == 3) continue;
+        |    if (i == 7) break;
+        |    n += i;
+        |  }
+        |  return n; // 0+1+2+4+5+6
+        |}""".stripMargin) === 18.0)
+    assert(run(
+      """function main() {
+        |  var i = 0, s = '';
+        |  while (i < 3) { s += i; i++; }
+        |  return s;
+        |}""".stripMargin) === "012")
+    assert(run(
+      """function main(x) {
+        |  if (x > 0) return 'pos'; else if (x < 0) return 'neg';
+        |  return 'zero';
+        |}""".stripMargin) === "zero")
+  }
+
+  test("functions: closures, recursion, higher-order, hoisting") {
+    assert(run(
+      """function main() {
+        |  // declared AFTER use: top-level declarations hoist
+        |  return fib(10);
+        |}
+        |function fib(n) { return n < 2 ? n : fib(n - 1) + fib(n - 2); }
+        |""".stripMargin) === 55.0)
+    assert(run(
+      """function main() {
+        |  var add = function (a) { return function (b) { return a + b; }; };
+        |  var add3 = add(3);
+        |  return add3(4);
+        |}""".stripMargin) === 7.0)
+    assert(run(
+      """function main() {
+        |  var counter = function () {
+        |    var n = 0;
+        |    return function () { n++; return n; };
+        |  }();
+        |  counter(); counter();
+        |  return counter();
+        |}""".stripMargin) === 3.0)
+  }
+
+  test("objects and arrays: literals, access, mutation, for-in") {
+    assert(run(
+      """function main() {
+        |  var o = { a: 1, 'b c': 2 };
+        |  o.d = o.a + o['b c'];
+        |  var ks = [];
+        |  for (var k in o) ks.push(k);
+        |  return ks.join('|') + '=' + o.d;
+        |}""".stripMargin) === "a|b c|d=3")
+    assert(run(
+      """function main() {
+        |  var a = [3, 1, 2];
+        |  a.push(4);
+        |  a[0] = 5;
+        |  return a.join(',') + '#' + a.length;
+        |}""".stripMargin) === "5,1,2,4#4")
+    assert(evalExpr("({ x: 1 }).missing === undefined") === true)
+  }
+
+  test("string methods") {
+    assert(evalExpr("'Hello World'.toUpperCase()") === "HELLO WORLD")
+    assert(evalExpr("'Hello'.toLowerCase()") === "hello")
+    assert(evalExpr("'a,b,,c'.split(',').length") === 4.0) // trailing/empty kept
+    assert(evalExpr("'a b'.split('').length") === 3.0)
+    assert(evalExpr("'hello'.indexOf('ll')") === 2.0)
+    assert(evalExpr("'hello'.substring(1, 3)") === "el")
+    assert(evalExpr("'hello'.slice(-3)") === "llo")
+    assert(evalExpr("'  x '.trim()") === "x")
+    assert(evalExpr("'aXbXc'.replace('X', '-')") === "a-bXc") // first only
+    assert(evalExpr("'abc'.charAt(1)") === "b")
+    assert(evalExpr("'abc'.charCodeAt(0)") === 97.0)
+    assert(evalExpr("'abc'.startsWith('ab') && 'abc'.endsWith('c') && 'abc'.includes('b')") === true)
+    assert(evalExpr("'abc'[1]") === "b")
+  }
+
+  test("array methods: slice/concat/reverse/indexOf/map/filter/reduce/sort") {
+    assert(evalExpr("[1,2,3,4].slice(1, 3).join('')") === "23")
+    assert(evalExpr("[1,2].concat([3], 4).join('')") === "1234")
+    assert(evalExpr("[1,2,3].reverse().join('')") === "321")
+    assert(evalExpr("[5,6,7].indexOf(6)") === 1.0)
+    assert(evalExpr("[1,2,3].map(function (x) { return x * 2; }).join(',')") === "2,4,6")
+    assert(evalExpr("[1,2,3,4].filter(function (x) { return x % 2 == 0; }).join(',')") === "2,4")
+    assert(evalExpr("[1,2,3].reduce(function (a, b) { return a + b; }, 10)") === 16.0)
+    assert(evalExpr("[1,2,3].reduce(function (a, b) { return a + b; })") === 6.0)
+    assert(evalExpr("[3,1,2].sort(function (a, b) { return a - b; }).join('')") === "123")
+    assert(evalExpr("[10,9,1].sort().join(',')") === "1,10,9") // default: string order
+  }
+
+  test("globals: Math, JSON, Object.keys, conversions") {
+    assert(evalExpr("Math.max(1, 5, 3) + Math.min(2, 0)") === 5.0)
+    assert(evalExpr("Math.floor(2.7) + Math.ceil(2.1) + Math.round(2.5)") === 8.0)
+    assert(evalExpr("Math.pow(2, 10)") === 1024.0)
+    assert(evalExpr("Math.abs(-3) + Math.sqrt(16)") === 7.0)
+    assert(evalExpr("Object.keys({ a: 1, b: 2 }).join('')") === "ab")
+    assert(evalExpr("String(42)") === "42")
+    assert(evalExpr("Number('3') + 1") === 4.0)
+    assert(evalExpr("parseInt('42px')") === 42.0)
+    assert(evalExpr("parseFloat('2.5rem')") === 2.5)
+    assert(evalExpr("isNaN(Number('x'))") === true)
+    assert(evalExpr("typeof 1 + '|' + typeof 'x' + '|' + typeof true + '|' + typeof undefined + '|' + typeof null + '|' + typeof [] + '|' + typeof main")
+      === "number|string|boolean|undefined|object|object|function")
+  }
+
+  test("JSON round-trip: parse and stringify") {
+    assert(evalExpr("""JSON.parse('{"a": [1, "x", null, true]}').a[1]""") === "x")
+    assert(evalExpr("""JSON.stringify({ b: 2, a: [1.5, 'q"t'] })""")
+      === """{"b":2,"a":[1.5,"q\"t"]}""")  // insertion order, integral ints
+    assert(evalExpr("""JSON.stringify(JSON.parse('{"n": 42}'))""") === """{"n":42}""")
+  }
+
+  test("determinism guards: no Date, no Math.random, no implicit globals") {
+    intercept[Js.JsError](run("function main() { return Date.now(); }"))
+    intercept[Js.JsError](run("function main() { return Math.random(); }"))
+    intercept[Js.JsError](run("function main() { undeclared = 1; return 0; }"))
+    intercept[Js.JsError](Js.parse("function main( { return 1; }"))
+  }
+
+  // ---- Spark plumbing -------------------------------------------------------
+
+  private lazy val spark = TestSession.spark
+
+  test("JsStage.stage maps JSON records; null/undefined returns → SQL NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "", "de"),
+      (3L, "one two", "fr"))
+      .toDF("id", "text", "lang")
+      .select(col("id"), to_json(struct(col("id"), col("text"), col("lang"))).as("rec"))
+    val script =
+      """function handle(doc) {
+        |  if (doc.text === '') return null;
+        |  var toks = doc.text.split(' ');
+        |  return { id: doc.id, n: toks.length, shout: doc.lang.toUpperCase() };
+        |}""".stripMargin
+    val got = graft.pipeline.JsStage.stage(df, "rec", "out", script)
+      .orderBy("id").select("out").collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      """{"id":1,"n":3,"shout":"EN"}""",
+      null,
+      """{"id":3,"n":2,"shout":"FR"}"""))
+  }
+
+  test("JsStage.filterStage keeps truthy rows; syntax errors fail at plan time") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "keep me now"), (2L, "drop"), (3L, "also keep it"))
+      .toDF("id", "text")
+      .select(col("id"), to_json(struct(col("id"), col("text"))).as("rec"))
+    val kept = graft.pipeline.JsStage.filterStage(df, "rec",
+        "function handle(doc) { return doc.text.split(' ').length >= 3; }")
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 3L))
+    intercept[Js.JsError](graft.pipeline.JsStage.stage(df, "rec", "out",
+      "function handle(doc) { return doc. }"))
+    intercept[IllegalArgumentException](graft.pipeline.JsStage.stage(df, "rec",
+      "out", "function notHandle(doc) { return 1; }"))
+  }
+}
