@@ -156,7 +156,9 @@ object Js {
               case '/' => sb += '/'; i += 2
               case 'u' =>
                 if (i + 5 >= n) err("unterminated \\u escape")
-                sb += Integer.parseInt(src.substring(i + 2, i + 6), 16).toChar
+                val hex = src.substring(i + 2, i + 6)
+                sb += (try Integer.parseInt(hex, 16).toChar
+                  catch { case _: NumberFormatException => err(s"bad \\u$hex") })
                 i += 6
               case other => err(s"unsupported escape \\$other")
             }
@@ -517,7 +519,11 @@ object Js {
     val g = globalEnv()
     // hoist function declarations (mutual recursion), then run the body
     stmts.foreach { case FuncDecl(n, ps, b) => g.declare(n, JsFunction(n, ps, b, g)); case _ => }
-    stmts.foreach { case _: FuncDecl => (); case s => exec(s, g) }
+    try stmts.foreach { case _: FuncDecl => (); case s => exec(s, g) }
+    catch {
+      case _: ReturnSig => fail("return outside a function")
+      case _: BreakSig | _: ContinueSig => fail("break/continue outside a loop")
+    }
     g
   }
 
@@ -535,7 +541,13 @@ object Js {
     }
     if (f.name.nonEmpty) local.declare(f.name, f) // named fn expr recursion
     try { f.body.foreach(exec(_, local)); Undefined }
-    catch { case r: ReturnSig => r.v }
+    catch {
+      case r: ReturnSig => r.v
+      // a break/continue with no enclosing loop in THIS function must not
+      // escape into (and silently terminate) a loop in the caller
+      case _: BreakSig | _: ContinueSig =>
+        fail("break/continue outside a loop")
+    }
   }
 
   private def callValue(fv: Any, args: Seq[Any]): Any = fv match {
@@ -562,15 +574,16 @@ object Js {
         }
       }
     case For(init, cond, update, body) =>
-      val scope = env.child()
-      init.foreach(exec(_, scope))
-      while (cond.forall(c => truthy(eval(c, scope)))) {
-        try body.foreach(exec(_, scope))
+      // ES5 `var` is FUNCTION-scoped: the loop variable (and any var in the
+      // body) lives on after the loop — run directly in the enclosing env
+      init.foreach(exec(_, env))
+      while (cond.forall(c => truthy(eval(c, env)))) {
+        try body.foreach(exec(_, env))
         catch {
           case _: ContinueSig => ()
           case _: BreakSig => return
         }
-        update.foreach(eval(_, scope))
+        update.foreach(eval(_, env))
       }
     case ForIn(name, objE, body) =>
       val keys: Seq[Any] = eval(objE, env) match {
@@ -579,11 +592,10 @@ object Js {
         case Undefined | null => Nil
         case other => fail(s"for-in over ${typeOf(other)}")
       }
-      val scope = env.child()
-      scope.declare(name, Undefined)
+      env.declare(name, Undefined) // function-scoped, like the C-style for
       keys.foreach { k =>
-        scope.set(name, k)
-        try body.foreach(exec(_, scope))
+        env.set(name, k)
+        try body.foreach(exec(_, env))
         catch {
           case _: ContinueSig => ()
           case _: BreakSig => return
@@ -607,30 +619,15 @@ object Js {
     case Ident(n) => env.get(n)
     case Member(objE, name) => getMember(eval(objE, env), name)
     case Index(objE, idxE) =>
-      val obj = eval(objE, env)
-      val idx = eval(idxE, env)
-      obj match {
-        case a: JsArray =>
-          val i = toNumber(idx).toInt
-          if (i >= 0 && i < a.items.length) a.items(i) else Undefined
-        case o: JsObject => o.fields.getOrElse(toStr(idx), Undefined)
-        case s: String =>
-          val i = toNumber(idx).toInt
-          if (i >= 0 && i < s.length) s.charAt(i).toString else Undefined
-        case other => fail(s"cannot index ${typeOf(other)}")
-      }
+      readIndexed(eval(objE, env), eval(idxE, env))
     case Call(fnE, argEs) =>
-      val args = argEs.map(eval(_, env))
-      fnE match {
-        case Member(objE, name) =>
-          val obj = eval(objE, env)
-          getMember(obj, name) match {
-            case Builtin(_, fn) => fn(args)      // method already bound to obj
-            case f: JsFunction => callFunction(f, args)
-            case other => fail(s"$name is not a function (got ${typeOf(other)})")
-          }
-        case _ => callValue(eval(fnE, env), args)
+      // JS order: the callee reference evaluates BEFORE the arguments
+      val fv = fnE match {
+        case Member(objE, name) => getMember(eval(objE, env), name)
+        case Index(objE, idxE) => readIndexed(eval(objE, env), eval(idxE, env))
+        case _ => eval(fnE, env)
       }
+      callValue(fv, argEs.map(eval(_, env)))
     case Unary(op, inner) =>
       val v = eval(inner, env)
       op match {
@@ -640,9 +637,11 @@ object Js {
         case "typeof" => typeOf(v)
       }
     case Update(op, target, prefix) =>
-      val old = toNumber(eval(target, env))
+      // resolve the reference ONCE: `a[i++]++` must not re-run i++
+      val ref = resolveRef(target, env)
+      val old = toNumber(readRef(ref))
       val neu = if (op == "++") old + 1 else old - 1
-      assignTo(target, neu, env)
+      writeRef(ref, neu)
       if (prefix) neu else old
     case Binary(op, lE, rE) => binary(op, eval(lE, env), eval(rE, env))
     case Logical("&&", lE, rE) =>
@@ -653,32 +652,91 @@ object Js {
     case Cond(c, t, f) =>
       if (truthy(eval(c, env))) eval(t, env) else eval(f, env)
     case Assign("=", target, vE) =>
-      val v = eval(vE, env); assignTo(target, v, env); v
+      val ref = resolveRef(target, env)
+      val v = eval(vE, env); writeRef(ref, v); v
     case Assign(op, target, vE) =>
-      val v = binary(op.stripSuffix("="), eval(target, env), eval(vE, env))
-      assignTo(target, v, env); v
+      // resolve once so `a[i++] += x` reads and writes the SAME element
+      val ref = resolveRef(target, env)
+      val v = binary(op.stripSuffix("="), readRef(ref), eval(vE, env))
+      writeRef(ref, v); v
     case FuncExpr(name, ps, b) => JsFunction(name, ps, b, env)
   }
 
-  private def assignTo(target: Expr, v: Any, env: Env): Unit = target match {
-    case Ident(n) => env.set(n, v)
-    case Member(objE, name) => eval(objE, env) match {
+  /** A resolved assignment target: object/index sub-expressions evaluated
+    * exactly once (JS reference semantics — `a[i++] += 1` is one i++). */
+  private sealed trait Ref
+  private final case class VarRef(name: String, env: Env) extends Ref
+  private final case class PropRef(obj: Any, name: String) extends Ref
+  private final case class ElemRef(obj: Any, idx: Any) extends Ref
+
+  private def resolveRef(target: Expr, env: Env): Ref = target match {
+    case Ident(n) => VarRef(n, env)
+    case Member(objE, name) => PropRef(eval(objE, env), name)
+    case Index(objE, idxE) => ElemRef(eval(objE, env), eval(idxE, env))
+    case _ => fail("invalid assignment target")
+  }
+
+  private def readRef(ref: Ref): Any = ref match {
+    case VarRef(n, env) => env.get(n)
+    case PropRef(obj, name) => getMember(obj, name)
+    case ElemRef(obj, idx) => readIndexed(obj, idx)
+  }
+
+  private def writeRef(ref: Ref, v: Any): Unit = ref match {
+    case VarRef(n, env) => env.set(n, v)
+    case PropRef(obj, name) => obj match {
       case o: JsObject => o.fields(name) = v
       case other => fail(s"cannot set .$name on ${typeOf(other)}")
     }
-    case Index(objE, idxE) =>
-      val obj = eval(objE, env)
-      val idx = eval(idxE, env)
-      obj match {
-        case a: JsArray =>
-          val i = toNumber(idx).toInt
-          if (i < 0) fail("negative array index assignment")
-          while (a.items.length <= i) a.items += Undefined
-          a.items(i) = v
-        case o: JsObject => o.fields(toStr(idx)) = v
-        case other => fail(s"cannot index-assign ${typeOf(other)}")
+    case ElemRef(obj, idx) => obj match {
+      case a: JsArray =>
+        numericIndex(idx) match {
+          case Some(i) if i >= 0 =>
+            while (a.items.length <= i) a.items += Undefined
+            a.items(i) = v
+          case _ => fail(s"invalid array index '${toStr(idx)}' in assignment")
+        }
+      case o: JsObject => o.fields(toStr(idx)) = v
+      case other => fail(s"cannot index-assign ${typeOf(other)}")
+    }
+  }
+
+  /** `x[i]` read. Non-numeric keys on arrays/strings fall back to MEMBER
+    * lookup (JS: `a['length']` is the length property, `a[1.5]`/`a[NaN]`
+    * are absent properties → undefined — never a silent element 0). */
+  private def readIndexed(obj: Any, idx: Any): Any = obj match {
+    case o: JsObject => o.fields.getOrElse(toStr(idx), Undefined)
+    case a: JsArray =>
+      numericIndex(idx) match {
+        case Some(i) => if (i >= 0 && i < a.items.length) a.items(i) else Undefined
+        case None => idx match {
+          case s: String => arrayMember(a, s)
+          case d: Double if !d.isNaN => Undefined // fractional index
+          case _ => Undefined
+        }
       }
-    case _ => fail("invalid assignment target")
+    case s: String =>
+      numericIndex(idx) match {
+        case Some(i) => if (i >= 0 && i < s.length) s.charAt(i).toString else Undefined
+        case None => idx match {
+          case k: String => stringMember(s, k)
+          case _ => Undefined
+        }
+      }
+    case null => fail(s"cannot index null")
+    case Undefined => fail(s"cannot index undefined")
+    case other => fail(s"cannot index ${typeOf(other)}")
+  }
+
+  /** The integral index of `idx` if it IS one (a whole-number double, or a
+    * string that is the canonical form of one); None otherwise. */
+  private def numericIndex(idx: Any): Option[Int] = idx match {
+    case d: Double if !d.isNaN && d == math.rint(d) &&
+      math.abs(d) <= Int.MaxValue => Some(d.toInt)
+    case b: Boolean => Some(if (b) 1 else 0)
+    case s: String if s.nonEmpty && s.forall(_.isDigit) && s.length <= 9 =>
+      Some(s.toInt)
+    case _ => None
   }
 
   // ---- semantics helpers ------------------------------------------------------
@@ -1006,7 +1064,10 @@ object Js {
   object Json {
     def numToString(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" // JSON has no NaN/Inf (JS emits null)
-      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      // every integral double in (-2^63, 2^63) converts exactly via toLong;
+      // JS prints these without a decimal point up to 1e21, so the long
+      // form is the JS-compatible one for the whole BIGINT range
+      else if (d == math.rint(d) && math.abs(d) < 9.2e18) d.toLong.toString
       else d.toString
 
     def stringify(v: Any): String = v match {
@@ -1098,13 +1159,17 @@ object Js {
           case c if c == '-' || c.isDigit =>
             val start = pos
             if (s(pos) == '-') pos += 1
+            if (atEnd || !s(pos).isDigit) err("digit expected") // rejects '-', '-.5'
             while (!atEnd && s(pos).isDigit) pos += 1
             if (!atEnd && s(pos) == '.') {
-              pos += 1; while (!atEnd && s(pos).isDigit) pos += 1
+              pos += 1
+              if (atEnd || !s(pos).isDigit) err("digit expected after '.'")
+              while (!atEnd && s(pos).isDigit) pos += 1
             }
             if (!atEnd && (s(pos) == 'e' || s(pos) == 'E')) {
               pos += 1
               if (!atEnd && (s(pos) == '+' || s(pos) == '-')) pos += 1
+              if (atEnd || !s(pos).isDigit) err("digit expected in exponent")
               while (!atEnd && s(pos).isDigit) pos += 1
             }
             s.substring(start, pos).toDouble
@@ -1128,7 +1193,9 @@ object Js {
               case 'f' => sb += '\f'; pos += 2
               case 'u' =>
                 if (pos + 5 >= s.length) err("unterminated \\u")
-                sb += Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar
+                val hex = s.substring(pos + 2, pos + 6)
+                sb += (try Integer.parseInt(hex, 16).toChar
+                  catch { case _: NumberFormatException => err(s"bad \\u$hex") })
                 pos += 6
               case other => err(s"bad escape \\$other")
             }

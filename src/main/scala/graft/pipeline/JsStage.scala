@@ -57,14 +57,13 @@ object JsStage {
   private def astFor(script: String): Seq[Js.Stmt] =
     astCache.computeIfAbsent(key(script), _ => Js.parse(script))
 
-  /** Driver-side plan-time validation shared by the stage forms. */
-  private def prologue(df: DataFrame, inCol: String, outCol: String,
+  /** Driver-side plan-time validation shared by the stage forms (the map
+    * form additionally checks its output column). */
+  private def prologue(df: DataFrame, inCol: String,
       script: String, fnName: String): Int = {
     require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
       s"$inCol must be STRING (JSON records); " +
         s"got ${df.schema(inCol).dataType.simpleString}")
-    require(!df.columns.contains(outCol),
-      s"output column $outCol already exists in the input schema")
     val ast = Js.parse(script) // fail fast with the parser's position info
     require(ast.exists { case Js.FuncDecl(n, _, _) => n == fnName; case _ => false },
       s"script must declare `function $fnName(...)`")
@@ -75,7 +74,9 @@ object JsStage {
     * returns null/undefined (or the input is NULL). */
   def stage(df: DataFrame, inCol: String, outCol: String, script: String,
       fnName: String = "handle"): DataFrame = {
-    val inIdx = prologue(df, inCol, outCol, script, fnName)
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists in the input schema")
+    val inIdx = prologue(df, inCol, script, fnName)
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+
         org.apache.spark.sql.types.StructField(outCol,
@@ -103,12 +104,7 @@ object JsStage {
     * NULL input rows are dropped — the predicate never sees them). */
   def filterStage(df: DataFrame, inCol: String, script: String,
       fnName: String = "handle"): DataFrame = {
-    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
-      s"$inCol must be STRING (JSON records)")
-    val ast = Js.parse(script)
-    require(ast.exists { case Js.FuncDecl(n, _, _) => n == fnName; case _ => false },
-      s"script must declare `function $fnName(...)`")
-    val inIdx = df.schema.fieldIndex(inCol)
+    val inIdx = prologue(df, inCol, script, fnName)
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       Encoders.row(df.schema)
     val bcScript = df.sparkSession.sparkContext.broadcast(script)

@@ -671,14 +671,16 @@ object AnalyticsQueries {
         .select(col("day"), col("n").as("x"))
         .join(grid.filter(col("event_type") === "click")
           .select(col("day"), col("n").as("y")), "day")
+      // y_{t+k}: lead(y,k) for k>0, lag(y,-k) for k<0 — labels follow the
+      // contract corr(x_t, y_{t+k}), so positive k = clicks AFTER the view
       val pairs = xy
         .select(col("x"),
-          lead("y", 3).over(W).as("lm3"), lead("y", 2).over(W).as("lm2"),
-          lead("y", 1).over(W).as("lm1"), col("y").as("y0"),
-          lag("y", 1).over(W).as("lp1"), lag("y", 2).over(W).as("lp2"),
-          lag("y", 3).over(W).as("lp3"))
+          lead("y", 3).over(W).as("yp3"), lead("y", 2).over(W).as("yp2"),
+          lead("y", 1).over(W).as("yp1"), col("y").as("y0"),
+          lag("y", 1).over(W).as("ym1"), lag("y", 2).over(W).as("ym2"),
+          lag("y", 3).over(W).as("ym3"))
         .selectExpr("x",
-          "stack(7, -3, lm3, -2, lm2, -1, lm1, 0, y0, 1, lp1, 2, lp2, 3, lp3) AS (lag_k, yk)")
+          "stack(7, -3, ym3, -2, ym2, -1, ym1, 0, y0, 1, yp1, 2, yp2, 3, yp3) AS (lag_k, yk)")
         .filter(col("yk").isNotNull)
       pairs.groupBy("lag_k")
         .agg(count(lit(1)).cast(D38).as("np"),
@@ -1023,17 +1025,17 @@ object AnalyticsQueries {
         "x AS (SELECT day, n AS x FROM grid WHERE event_type = 'view'), " +
         "y AS (SELECT day, n AS y FROM grid WHERE event_type = 'click'), " +
         "xy AS (SELECT x.day, x.x, y.y FROM x JOIN y ON x.day = y.day), " +
-        "sh AS (SELECT x, lead(y, 3) OVER w AS lm3, lead(y, 2) OVER w AS lm2, " +
-        "lead(y, 1) OVER w AS lm1, y AS y0, lag(y, 1) OVER w AS lp1, " +
-        "lag(y, 2) OVER w AS lp2, lag(y, 3) OVER w AS lp3 " +
+        "sh AS (SELECT x, lead(y, 3) OVER w AS yp3, lead(y, 2) OVER w AS yp2, " +
+        "lead(y, 1) OVER w AS yp1, y AS y0, lag(y, 1) OVER w AS ym1, " +
+        "lag(y, 2) OVER w AS ym2, lag(y, 3) OVER w AS ym3 " +
         "FROM xy WINDOW w AS (ORDER BY day)), " +
-        "st AS (SELECT -3 AS lag_k, x, lm3 AS yk FROM sh WHERE lm3 IS NOT NULL " +
-        "UNION ALL SELECT -2, x, lm2 FROM sh WHERE lm2 IS NOT NULL " +
-        "UNION ALL SELECT -1, x, lm1 FROM sh WHERE lm1 IS NOT NULL " +
+        "st AS (SELECT -3 AS lag_k, x, ym3 AS yk FROM sh WHERE ym3 IS NOT NULL " +
+        "UNION ALL SELECT -2, x, ym2 FROM sh WHERE ym2 IS NOT NULL " +
+        "UNION ALL SELECT -1, x, ym1 FROM sh WHERE ym1 IS NOT NULL " +
         "UNION ALL SELECT 0, x, y0 FROM sh " +
-        "UNION ALL SELECT 1, x, lp1 FROM sh WHERE lp1 IS NOT NULL " +
-        "UNION ALL SELECT 2, x, lp2 FROM sh WHERE lp2 IS NOT NULL " +
-        "UNION ALL SELECT 3, x, lp3 FROM sh WHERE lp3 IS NOT NULL), " +
+        "UNION ALL SELECT 1, x, yp1 FROM sh WHERE yp1 IS NOT NULL " +
+        "UNION ALL SELECT 2, x, yp2 FROM sh WHERE yp2 IS NOT NULL " +
+        "UNION ALL SELECT 3, x, yp3 FROM sh WHERE yp3 IS NOT NULL), " +
         "agg AS (SELECT lag_k, count(*) AS np, sum(x) AS sx, sum(yk) AS sy, " +
         "sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(yk AS HUGEINT) * yk) AS syy, " +
         "sum(CAST(x AS HUGEINT) * yk) AS sxy FROM st GROUP BY 1), " +

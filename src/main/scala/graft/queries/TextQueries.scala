@@ -716,6 +716,10 @@ object TextQueries {
           sum(col("y").cast(D28)).cast("double").as("sy"),
           sum((col("x") * col("x")).cast(D28)).cast("double").as("sxx"),
           sum((col("x") * col("y")).cast(D28)).cast("double").as("sxy"))
+        // a one-token source has zero x-variance → 0/0; drop it on both
+        // engines (the ts8/ts11 degenerate-series rule) rather than let
+        // NaN diverge at the DECIMAL cast
+        .filter(col("np") * col("sxx") - col("sx") * col("sx") > 0)
         .withColumn("slope",
           (col("np") * col("sxy") - col("sx") * col("sy")) /
             (col("np") * col("sxx") - col("sx") * col("sx")))
@@ -1132,7 +1136,8 @@ object TextQueries {
         "CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy " +
         "FROM xy GROUP BY source), " +
         "sl AS (SELECT source, np, sx, sy, " +
-        "(np * sxy - sx * sy) / (np * sxx - sx * sx) AS slope FROM a) " +
+        "(np * sxy - sx * sy) / (np * sxx - sx * sx) AS slope FROM a " +
+        "WHERE np * sxx - sx * sx > 0) " +
         "SELECT source, CAST(np AS BIGINT) AS n_terms, " +
         "CAST(CAST(slope AS DECIMAL(18,6)) AS DOUBLE) AS zipf_slope, " +
         "CAST(CAST((sy - slope * sx) / np AS DECIMAL(18,6)) AS DOUBLE) AS intercept " +

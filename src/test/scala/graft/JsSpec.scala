@@ -176,6 +176,80 @@ class JsSpec extends AnyFunSuite {
     assert(evalExpr("""JSON.stringify(JSON.parse('{"n": 42}'))""") === """{"n":42}""")
   }
 
+  test("bracket access: property names and non-integral indices never alias element 0") {
+    assert(evalExpr("[10, 20]['length']") === 2.0)   // member, not a[0]
+    assert(evalExpr("'abc'['length']") === 3.0)
+    assert(evalExpr("[10, 20][1.5] === undefined") === true)
+    assert(evalExpr("[10, 20][0/0] === undefined") === true)
+    assert(evalExpr("[10, 20]['1']") === 20.0)        // canonical numeric string
+    assert(evalExpr("({ '1.5': 'x' })[1.5]") === "x") // object keys stringify
+    intercept[Js.JsError](run(
+      "function main() { var a = [1]; a[0/0] = 9; return a; }"))
+  }
+
+  test("compound assignment and ++ resolve the target reference exactly once") {
+    assert(run(
+      """function main() {
+        |  var i = 0; var a = [1, 2, 3];
+        |  a[i++] += 10;             // must read AND write a[0]
+        |  return a.join(',') + '|' + i;
+        |}""".stripMargin) === "11,2,3|1")
+    assert(run(
+      """function main() {
+        |  var calls = 0; var o = { x: 5 };
+        |  function f() { calls++; return o; }
+        |  f().x++;
+        |  return o.x + '|' + calls; // one call, not two
+        |}""".stripMargin) === "6|1")
+  }
+
+  test("var is function-scoped: the loop variable survives the loop") {
+    assert(run(
+      """function main(xs) {
+        |  for (var i = 0; i < 3; i++) { var last = i; }
+        |  var ks = '';
+        |  for (var k in { a: 1 }) { }
+        |  return i + '|' + last + '|' + k;
+        |}""".stripMargin) === "3|2|a")
+  }
+
+  test("break/continue cannot escape a function into the caller's loop") {
+    intercept[Js.JsError](run(
+      """function helper(x) { if (x) break; }
+        |function main() {
+        |  var n = 0;
+        |  for (var i = 0; i < 5; i++) { helper(i == 2); n++; }
+        |  return n;
+        |}""".stripMargin))
+    intercept[Js.JsError](Js.load(Js.parse("break;")))
+  }
+
+  test("callee evaluates before arguments (JS order)") {
+    assert(run(
+      """function main() {
+        |  var s = '';
+        |  var o = { m: function (x) { return 0; } };
+        |  function callee() { s += 'f'; return o; }
+        |  function arg() { s += 'g'; return 1; }
+        |  callee().m(arg());
+        |  return s;
+        |}""".stripMargin) === "fg")
+  }
+
+  test("JSON parser rejects malformed numbers and bad escapes with JsError") {
+    intercept[Js.JsError](evalExpr("JSON.parse('-')"))
+    intercept[Js.JsError](evalExpr("JSON.parse('1e')"))
+    intercept[Js.JsError](evalExpr("JSON.parse('-.5')"))
+    intercept[Js.JsError](evalExpr("JSON.parse('\"\\\\uZZZZ\"')"))
+    assert(evalExpr("JSON.parse('-0.5e2')") === -50.0)
+  }
+
+  test("stringify keeps the whole BIGINT integer range in plain notation") {
+    assert(evalExpr("JSON.stringify(2000000000000000)") === "2000000000000000")
+    assert(evalExpr("JSON.stringify(9007199254740992)") === "9007199254740992")
+    assert(evalExpr("JSON.stringify(-3e15)") === "-3000000000000000")
+  }
+
   test("determinism guards: no Date, no Math.random, no implicit globals") {
     intercept[Js.JsError](run("function main() { return Date.now(); }"))
     intercept[Js.JsError](run("function main() { return Math.random(); }"))
