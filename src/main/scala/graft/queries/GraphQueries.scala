@@ -337,6 +337,36 @@ object GraphQueries {
         .select(col("node").as("user_id"), col("scc_id"), col("scc_size"))
         .orderBy("user_id")
     },
+    // ---- g23: degree assortativity (Newman's r) of the co-service graph
+    // — do high-degree suppliers co-serve other high-degree suppliers?
+    // Pearson correlation of (deg u, deg v) over the DIRECTED edge list
+    // (both orientations — the standard convention, and it makes the
+    // moment sums symmetric). The ts8 float regime: exact DECIMAL(38,0)
+    // integer moments, float only at the final sqrt/divide, one
+    // DECIMAL(18,6) round. Scale shape: one co-keyed degree agg + two
+    // broadcast-joinable degree lookups; the correlation is a 1-row agg -
+    "g23_assortativity" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e0 = coServiceEdges(s, dir)
+      val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+      und
+        .join(deg.select(col("w").as("u"), col("deg").as("dx")), "u")
+        .join(deg.select(col("w").as("v"), col("deg").as("dy")), "v")
+        .agg(count(lit(1)).cast(D38).as("m"),
+          sum(col("dx")).cast(D38).as("sx"), sum(col("dy")).cast(D38).as("sy"),
+          sum((col("dx") * col("dx")).cast(D38)).as("sxx"),
+          sum((col("dy") * col("dy")).cast(D38)).as("syy"),
+          sum((col("dx") * col("dy")).cast(D38)).as("sxy"))
+        .withColumn("vx", col("m") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("m") * col("syy") - col("sy") * col("sy"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+        .select(col("m").cast("long").as("n_directed_edges"),
+          ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))))
+            .cast(D6).cast("double").as("assortativity"))
+    },
     // ---- g16: label-propagation communities over the same co-service
     // graph — 2 synchronous deterministic rounds (most-frequent neighbor
     // label, ties → smallest), oracle = 2 unrolled argmax CTEs. Completes
@@ -657,6 +687,25 @@ object GraphQueries {
         "CAST(sum(CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS aa_score, " +
         "count(*) AS n_common " +
         "FROM nonadj JOIN deg USING (w) GROUP BY a, b ORDER BY u, v"),
+    // same directed-edge-list Pearson with exact HUGEINT moments
+    "g23_assortativity" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+        "deg AS (SELECT u AS w, count(*) AS deg FROM e GROUP BY u), " +
+        "p AS (SELECT d1.deg AS dx, d2.deg AS dy FROM e " +
+        "JOIN deg d1 ON e.u = d1.w JOIN deg d2 ON e.v = d2.w), " +
+        "a AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy, " +
+        "sum(CAST(dx AS HUGEINT) * dx) AS sxx, sum(CAST(dy AS HUGEINT) * dy) AS syy, " +
+        "sum(CAST(dx AS HUGEINT) * dy) AS sxy FROM p), " +
+        "v AS (SELECT *, m * sxx - CAST(sx AS HUGEINT) * sx AS vx, " +
+        "m * syy - CAST(sy AS HUGEINT) * sy AS vy FROM a) " +
+        "SELECT CAST(m AS BIGINT) AS n_directed_edges, CAST(CAST(" +
+        "CAST(m * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / " +
+        "(sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS assortativity " +
+        "FROM v WHERE vx > 0 AND vy > 0"),
     // same peel CTE as g17; a vertex's layer = 1 + the last round it
     // survived (max i it appears in), -1 when it reaches the i=30 fixpoint
     "g18_peel_layers" ->

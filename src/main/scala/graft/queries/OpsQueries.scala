@@ -266,6 +266,28 @@ object OpsQueries {
             .cast(D6).cast("double").as("chi2"))
         .orderBy("digit")
     },
+    // ---- dq10: functional-dependency audit — the schema-profiling step
+    // behind "is this column a key / does A determine B": for each
+    // candidate FD, the number of LHS groups, the groups carrying >1
+    // distinct RHS (the violations), and the row mass inside violating
+    // groups. One map-side-combined agg per candidate, exact counts; a
+    // held FD (the PK) reports zeros, a broken one quantifies HOW broken -
+    "dq10_fd_audit" -> { (s, dir) =>
+      def fd(df: DataFrame, name: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs))
+          .agg(count_distinct(col(rhs)).as("d"), count(lit(1)).as("n"))
+          .agg(lit(name).as("fd"), count(lit(1)).as("n_groups"),
+            sum((col("d") > 1).cast("long")).as("violating_groups"),
+            coalesce(sum(when(col("d") > 1, col("n"))), lit(0L))
+              .as("violating_rows"))
+      fd(Tables.t(s, dir, "orders"),
+          "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionByName(fd(Tables.t(s, dir, "lineitem"),
+          "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+        .unionByName(fd(Tables.t(s, dir, "customer"),
+          "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+        .orderBy("fd")
+    },
     // ---- cdc3: SCD Type-2 history build — three order snapshots (base,
     // price bump for key%7, status flip for key%5) collapsed into
     // effective-dated rows by Scd2's gaps-and-islands (two key-partitioned
@@ -572,6 +594,21 @@ object OpsQueries {
         "CAST(CAST((CAST(n_obs AS DOUBLE) - ne) * (CAST(n_obs AS DOUBLE) - ne) / ne " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS chi2 " +
         "FROM e ORDER BY digit"),
+    // same per-candidate group profile; BIGINT casts (DuckDB sums promote)
+    "dq10_fd_audit" -> {
+      def fdSql(table: String, name: String, lhs: String, rhs: String) =
+        s"SELECT '$name' AS fd, count(*) AS n_groups, " +
+          "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups, " +
+          "CAST(coalesce(sum(CASE WHEN d > 1 THEN n END), 0) AS BIGINT) AS violating_rows " +
+          s"FROM (SELECT $lhs, count(DISTINCT $rhs) AS d, count(*) AS n " +
+          s"FROM $table GROUP BY 1)"
+      fdSql("orders", "o_orderkey->o_custkey", "o_orderkey", "o_custkey") +
+        " UNION ALL " +
+        fdSql("lineitem", "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag") +
+        " UNION ALL " +
+        fdSql("customer", "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment") +
+        " ORDER BY fd"
+    },
     // same gaps-and-islands: per-attr IS DISTINCT FROM ≡ the engine's
     // null-safe struct comparison; min() over the attribute-constant run
     // equals the engine's first()

@@ -196,36 +196,56 @@ object PipelineQueries {
     // an empty text returns null → SQL NULL through the skip sentinel.
     // The oracle replays the script's semantics in SQL ------------------
     "x10_js_stage" -> { (s, dir) =>
-      val script =
-        """function longish(toks) {
-          |  var n = 0;
-          |  for (var i = 0; i < toks.length; i++) {
-          |    if (toks[i].length > 4) n++;
-          |  }
-          |  return n;
-          |}
-          |function handle(doc) {
-          |  if (doc.text === '') return null;
-          |  var toks = doc.text.split(' ');
-          |  return {
-          |    id: doc.doc_id,
-          |    longish: longish(toks),
-          |    head: toks.slice(0, 3).join('_'),
-          |    shout: doc.lang.toUpperCase()
-          |  };
-          |}""".stripMargin
-      val in = docs(s, dir).select(col("doc_id"),
-        to_json(struct(col("doc_id"), col("text"), col("lang"))).as("rec"))
-      graft.pipeline.JsStage.stage(in, "rec", "out", script)
-        .select(col("doc_id"), from_json(col("out"),
-          "id BIGINT, longish BIGINT, head STRING, shout STRING",
-          Map.empty[String, String]).as("o"))
-        .select(col("doc_id"), col("o.id").as("id"),
-          col("o.longish").as("longish"), col("o.head").as("head"),
-          col("o.shout").as("shout"))
+      jsTransform(docs(s, dir)).orderBy("doc_id")
+    },
+    // ---- st21: the SAME JS script + stage inside Structured Streaming —
+    // the ST4 module-reuse contract for user scripts (the reference's JS
+    // ran in streaming enrichment exactly like batch): a stateless narrow
+    // mapPartitions projection, so it drops into append mode with zero
+    // state; the batch oracle is the whole-table truth ------------------
+    "st21_stream_js" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = graft.streaming.Streams.parquetStream(
+        s, s"$dir/documents.parquet", schema)
+      graft.streaming.Streams.runToParquet(raw, jsTransform)
         .orderBy("doc_id")
     }
   )
+
+  /** THE user JS script + record bridge shared by x10 (batch) and st21
+    * (the same stage inside Structured Streaming) — one definition per
+    * engine, the st14/ts3 module-reuse pattern applied to user scripts. */
+  private val jsScript =
+    """function longish(toks) {
+      |  var n = 0;
+      |  for (var i = 0; i < toks.length; i++) {
+      |    if (toks[i].length > 4) n++;
+      |  }
+      |  return n;
+      |}
+      |function handle(doc) {
+      |  if (doc.text === '') return null;
+      |  var toks = doc.text.split(' ');
+      |  return {
+      |    id: doc.doc_id,
+      |    longish: longish(toks),
+      |    head: toks.slice(0, 3).join('_'),
+      |    shout: doc.lang.toUpperCase()
+      |  };
+      |}""".stripMargin
+
+  /** to_json → JsStage(handle) → from_json typed projection. */
+  private def jsTransform(df: DataFrame): DataFrame = {
+    val in = df.select(col("doc_id"),
+      to_json(struct(col("doc_id"), col("text"), col("lang"))).as("rec"))
+    graft.pipeline.JsStage.stage(in, "rec", "out", jsScript)
+      .select(col("doc_id"), from_json(col("out"),
+        "id BIGINT, longish BIGINT, head STRING, shout STRING",
+        Map.empty[String, String]).as("o"))
+      .select(col("doc_id"), col("o.id").as("id"),
+        col("o.longish").as("longish"), col("o.head").as("head"),
+        col("o.shout").as("shout"))
+  }
 
   val oracle: Map[String, String] = Map(
     "a1_pipeline_map" ->
@@ -268,15 +288,22 @@ object PipelineQueries {
         "ORDER BY length(text) DESC, text DESC) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY source"),
     // the user script's semantics restated declaratively: long-token count,
-    // first-3-token head, uppercased lang; '' text → all NULLs (the skip)
-    "x10_js_stage" ->
-      ("SELECT doc_id, " +
-        "CASE WHEN text = '' THEN NULL ELSE doc_id END AS id, " +
-        "CASE WHEN text = '' THEN NULL ELSE " +
-        "CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) END AS longish, " +
-        "CASE WHEN text = '' THEN NULL ELSE " +
-        "array_to_string(string_split(text, ' ')[1:3], '_') END AS head, " +
-        "CASE WHEN text = '' THEN NULL ELSE upper(lang) END AS shout " +
-        "FROM documents ORDER BY doc_id")
+    // first-3-token head, uppercased lang; '' text → all NULLs (the skip).
+    // st21 runs the SAME script in streaming over the same table → same SQL
+    "x10_js_stage" -> jsOracleSql,
+    "st21_stream_js" -> jsOracleSql
   )
+
+  /** The ONE declarative restatement of [[jsScript]], shared by the
+    * x10/st21 oracles (a def: the oracle map initializes eagerly, and a
+    * val declared below it would still be null at that point). */
+  private def jsOracleSql: String =
+    ("SELECT doc_id, " +
+      "CASE WHEN text = '' THEN NULL ELSE doc_id END AS id, " +
+      "CASE WHEN text = '' THEN NULL ELSE " +
+      "CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) END AS longish, " +
+      "CASE WHEN text = '' THEN NULL ELSE " +
+      "array_to_string(string_split(text, ' ')[1:3], '_') END AS head, " +
+      "CASE WHEN text = '' THEN NULL ELSE upper(lang) END AS shout " +
+      "FROM documents ORDER BY doc_id")
 }
