@@ -317,6 +317,18 @@ object AnalyticsQueries {
           percent_rank().over(w).as("pr"))
         .orderBy("o_custkey", "o_orderkey")
     },
+    // ---- w6: cumulative distribution — the remaining rank-family window
+    // (cume_dist = rank-with-ties / n; the (price, key) order is unique so
+    // both engines divide the same integers — identical IEEE quotients,
+    // hash-matches unrounded like w5's percent_rank) ----------------------
+    "w6_cume_dist" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
     // ---- approximate quantile (KLL-style sketch): the sketch VALUE is not
     // bit-reproducible across engines, but the BOUND is — the query emits
     // its own verdict (approx p50 inside the exact p40..p60 band; accuracy
@@ -899,6 +911,10 @@ object AnalyticsQueries {
         "percent_rank() OVER w AS pr FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "w6_cume_dist" ->
+      ("SELECT o_orderkey, o_orderpriority, cume_dist() OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cd " +
+        "FROM orders ORDER BY o_orderkey"),
     // the verdict-query oracles: the engine-specific sketch value never
     // leaves the query — only the exact aggregate (cross-engine
     // hash-comparable) and the bound verdict, which the oracle pins to 1

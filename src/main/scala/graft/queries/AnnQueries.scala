@@ -180,6 +180,31 @@ object AnnQueries {
             .otherwise(lit(0.0)).as("z"))
         .orderBy("vec_id", "dim")
     },
+    // ---- ann10: IVF recall audit — the quality gate every approximate
+    // index needs next to its speed story: per query, |IVF top-3 ∩ exact
+    // top-3| / 3 with the ann1/ann3 paths composed verbatim (same
+    // tie-breaks, so both sets are deterministic and the recall is a
+    // cross-engine-stable exact fraction). Scale shape: both retrievals
+    // broadcast the query side; the audit join is per-(q,c) on the two
+    // k-bounded result sets ------------------------------------------------
+    "ann10_recall_audit" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val e = Tables.t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      val exact = Ann.bruteForceTopK(q, e, k = 3).select("q_id", "c_id")
+      val ivf = Ann.ivfTopK(q, e, cents, k = 3, nprobe = 2)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      exact.join(ivf, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .select(col("q_id"), col("k"), col("hits"),
+          (col("hits").cast("double") / col("k"))
+            .cast(D6).cast("double").as("recall"))
+        .orderBy("q_id")
+    },
     // ---- fe2: hashing-trick featurization — categorical features mapped
     // to a fixed K=16 bucket space via the cross-engine md5 hash, with a
     // second independent hash choosing the ±1 sign (Weinberger et al.'s
@@ -321,6 +346,30 @@ object AnnQueries {
         "SELECT vec_id, x.dim AS dim, " +
         "CASE WHEN sigma > 0 THEN (v - mu) / sigma ELSE 0.0 END AS z " +
         "FROM x JOIN mu ON x.dim = mu.dim WHERE vec_id < 50 ORDER BY vec_id, dim"),
+    // the ann1 and ann3 CTEs composed, then a per-query intersection count
+    "ann10_recall_audit" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 4), " +
+        "corp AS (SELECT vec_id, v, cent_id FROM (" +
+        s"SELECT e.vec_id, e.v, cent.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.v", "cent.cv")}, cent.cent_id) AS cr " +
+        "FROM e, cent) WHERE cr = 1), " +
+        "qry AS (SELECT vec_id, v, cent_id FROM (" +
+        s"SELECT e.vec_id, e.v, cent.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.v", "cent.cv")}, cent.cent_id) AS cr " +
+        "FROM e, cent WHERE e.vec_id < 8) WHERE cr <= 2), " +
+        "ivf AS (SELECT q_id, c_id FROM (" +
+        s"SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosV DESC, c.vec_id) AS rank " +
+        "FROM qry q JOIN corp c ON q.cent_id = c.cent_id) WHERE rank <= 3), " +
+        "ex AS (SELECT q_id, c_id FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) WHERE rank <= 3) " +
+        "SELECT ex.q_id AS q_id, count(*) AS k, " +
+        "CAST(sum(CASE WHEN ivf.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, " +
+        "CAST(CAST(CAST(sum(CASE WHEN ivf.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS recall " +
+        "FROM ex LEFT JOIN ivf ON ex.q_id = ivf.q_id AND ex.c_id = ivf.c_id " +
+        "GROUP BY ex.q_id ORDER BY q_id"),
     // same md5 bucket/sign hashes (DedupQueries.md5IntSql — the ONE
     // cross-engine hash device); BIGINT casts because DuckDB's sum(int)
     // returns HUGEINT

@@ -86,7 +86,13 @@ object BenchScale {
     // 12-16 relaxation steps at sf0.01, 6 at sf0.1), so the gate pins
     // that 10x data does not mean 10x rounds; per-copy disjoint user
     // namespaces keep the subgraphs independent
-    "g21_scc")
+    "g21_scc",
+    // round-9: the JS interpreter stage — per-row cost is constant by
+    // construction (parse once per JVM, fresh env per partition), so the
+    // gate pins that throughput is genuinely linear and the per-record
+    // JSON parse/stringify doesn't hide an accidental corpus-sized
+    // allocation
+    "x10_js_stage")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
@@ -303,17 +309,34 @@ object BenchScale {
     // count at sf0.1 vs sf1 — the mechanism behind ss1's worst-in-gate
     // time ratio. Counted with one extra count() on the exposed candidate
     // stage (same shingle prep as the query). -----------------------------
-    def ss1Candidates(dir: String): Long = {
-      val docs = Tables.t(spark, dir, "documents")
-        .withColumn("__toks", split(col("text"), " "))
-        .withColumn("__sh", graft.dedup.TextDedup.wordShingles(col("__toks"), 5))
-      graft.dedup.OverlapJoin.candidates(docs, "doc_id", "__sh", minOverlap = 10)
-        .count()
+    def shingled(dir: String) = Tables.t(spark, dir, "documents")
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("__sh", graft.dedup.TextDedup.wordShingles(col("__toks"), 5))
+    def ss1Candidates(dir: String): Long =
+      graft.dedup.OverlapJoin.candidates(shingled(dir), "doc_id", "__sh",
+        minOverlap = 10).count()
+    // dd16's candidate stage (same machinery, the containment parameters:
+    // size gate >= 20 distinct shingles, absolute floor T = ceil(90%·20) =
+    // 18) — counted so a time-ratio move (2.8 in the r8 gate → ~11 on the
+    // r9 corpus) is attributable: if candidates grew ~linearly with data
+    // while absolute counts rose with the corpus's duplicate structure,
+    // the operator is linear-in-candidates, not super-linear in data
+    def dd16Candidates(dir: String): Long = {
+      val sets = shingled(dir)
+        .select(col("doc_id").as("__cid"),
+          array_distinct(col("__sh")).as("__cset"))
+        .filter(size(col("__cset")) >= 20)
+      graft.dedup.OverlapJoin.candidates(sets, "__cid", "__cset",
+        minOverlap = 18).count()
     }
     val cand01 = ss1Candidates(sf01)
     val cand1 = ss1Candidates(sf1)
     val candRatio = if (cand01 > 0) cand1.toDouble / cand01 else -1.0
     System.err.println(f"[scale] ss1 candidates sf0.1 $cand01 sf1 $cand1 ratio $candRatio%.2f")
+    val dd16c01 = dd16Candidates(sf01)
+    val dd16c1 = dd16Candidates(sf1)
+    val dd16Ratio = if (dd16c01 > 0) dd16c1.toDouble / dd16c01 else -1.0
+    System.err.println(f"[scale] dd16 candidates sf0.1 $dd16c01 sf1 $dd16c1 ratio $dd16Ratio%.2f")
 
     def f(d: Double): String = "%.3f".format(d)
     // marginal-cost gate: subtract the fixed per-query floor before the
@@ -346,11 +369,15 @@ object BenchScale {
     val candJson =
       s"""{"sf01":$cand01,"sf1":$cand1,"ratio":${f(candRatio)},""" +
       s""""superlinear":${candRatio > 15.0}}"""
+    val dd16Json =
+      s"""{"sf01":$dd16c01,"sf1":$dd16c1,"ratio":${f(dd16Ratio)},""" +
+      s""""superlinear":${dd16Ratio > 15.0}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
       s""""marginal_floor_sec":${f(floor)},"marginal_flag_threshold":$MarginalFlag,""" +
       s""""queries":$queryJson,"skew":$skewJson,""" +
-      s""""st13_state_store_sf1":$stateJson,"ss1_candidates":$candJson}"""
+      s""""st13_state_store_sf1":$stateJson,"ss1_candidates":$candJson,""" +
+      s""""dd16_candidates":$dd16Json}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))
