@@ -740,6 +740,39 @@ object AnalyticsQueries {
           (col("h.l") + lit(3.0) * col("h.b")).as("fc3"))
         .orderBy("event_type")
     },
+    // ---- ts13: Theil–Sen robust trend — the median of all pairwise
+    // slopes of each type's daily series (outlier-immune where OLS and
+    // Holt are not; the robust-statistics counterpart to ts12). Slopes
+    // are identical IEEE divisions of exact integers; the median is an
+    // EXACT RANK pick (lower median, (m+1) div 2) over the
+    // (slope, t1, t2)-ordered pairs — fully deterministic cross-engine,
+    // no averaging, one DECIMAL(18,6) round at the end. Scale shape: the
+    // corpus-sized pass is the daily agg; the O(T²) pair join runs on the
+    // calendar-bounded grid (T days), partitioned per type --------------
+    "ts13_theil_sen" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val W = org.apache.spark.sql.expressions.Window
+      val g = dayTypeGrid(s, dir)
+        .withColumn("t",
+          row_number().over(W.partitionBy("event_type").orderBy("day"))
+            .cast("long"))
+        .select(col("event_type"), col("t"), col("n"))
+      val pairs = g.as("a").join(g.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.t") < col("b.t"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.n") - col("a.n")).cast("double") /
+            (col("b.t") - col("a.t")).cast("double")).as("slope"),
+          col("a.t").as("t1"), col("b.t").as("t2"))
+      pairs
+        .withColumn("rk", row_number().over(W.partitionBy("event_type")
+          .orderBy(col("slope"), col("t1"), col("t2"))))
+        .withColumn("m", count(lit(1)).over(W.partitionBy("event_type")))
+        .filter(col("rk") === expr("(m + 1) div 2"))
+        .select(col("event_type"), col("m").as("n_pairs"),
+          col("slope").cast(D6).cast("double").as("theil_sen"))
+        .orderBy("event_type")
+    },
     // ---- approx7: CMS inner-product JOIN-SIZE estimation (Cormode &
     // Muthukrishnan §4.2) — the optimizer's question ("how big is
     // clicks ⋈ purchases on user_id?") answered from two constant-size
@@ -1083,6 +1116,21 @@ object AnalyticsQueries {
         "SELECT event_type, l AS level, b AS trend, sse, " +
         "l + b AS fc1, l + 2.0 * b AS fc2, l + 3.0 * b AS fc3 " +
         "FROM fin WHERE rk = 1 ORDER BY event_type"),
+    // same exact-rank lower median over identically-computed slopes
+    "ts13_theil_sen" ->
+      ("WITH " + dayTypeGridSql + ", " +
+        "g AS (SELECT event_type, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY day) AS t, n FROM grid), " +
+        "p AS (SELECT a.event_type AS event_type, " +
+        "CAST(b.n - a.n AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope, " +
+        "a.t AS t1, b.t AS t2 FROM g a JOIN g b " +
+        "ON a.event_type = b.event_type AND a.t < b.t), " +
+        "r AS (SELECT event_type, slope, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY slope, t1, t2) AS rk, " +
+        "count(*) OVER (PARTITION BY event_type) AS m FROM p) " +
+        "SELECT event_type, m AS n_pairs, " +
+        "CAST(CAST(slope AS DECIMAL(18,6)) AS DOUBLE) AS theil_sen " +
+        "FROM r WHERE rk = (m + 1) // 2 ORDER BY event_type"),
     // full sketch replica (same md5 row-hashes), so est and both verdict
     // columns are exact integer/rational arithmetic on both engines
     "approx7_join_size" -> {

@@ -209,6 +209,26 @@ object PipelineQueries {
         s, s"$dir/documents.parquet", schema)
       graft.streaming.Streams.runToParquet(raw, jsTransform)
         .orderBy("doc_id")
+    },
+    // ---- x11: the FILTER form of the JS stage — user-authored predicate
+    // scripts (the reference's JS quality gates): keep docs that are ≥30
+    // tokens AND mention 'spark' at least twice; JS truthiness decides ---
+    "x11_js_filter" -> { (s, dir) =>
+      val script =
+        """function handle(doc) {
+          |  var toks = doc.text.split(' ');
+          |  if (toks.length < 30) return false;
+          |  var n = 0;
+          |  for (var i = 0; i < toks.length; i++) {
+          |    if (toks[i] === 'spark') n++;
+          |  }
+          |  return n >= 2;
+          |}""".stripMargin
+      val in = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        to_json(struct(col("doc_id"), col("text"))).as("rec"))
+      graft.pipeline.JsStage.filterStage(in, "rec", script)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     }
   )
 
@@ -291,7 +311,13 @@ object PipelineQueries {
     // first-3-token head, uppercased lang; '' text → all NULLs (the skip).
     // st21 runs the SAME script in streaming over the same table → same SQL
     "x10_js_stage" -> jsOracleSql,
-    "st21_stream_js" -> jsOracleSql
+    "st21_stream_js" -> jsOracleSql,
+    // the predicate restated as a WHERE clause
+    "x11_js_filter" ->
+      ("SELECT doc_id, n_chars FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 30 " +
+        "AND len(list_filter(string_split(text, ' '), t -> t = 'spark')) >= 2 " +
+        "ORDER BY doc_id")
   )
 
   /** The ONE declarative restatement of [[jsScript]], shared by the
