@@ -124,6 +124,25 @@ object TextQueries {
           qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
         .orderBy("doc_id")
     },
+    // ---- tx31: classifier evaluation — tx1's language-ID scored against
+    // the corpus's labeled lang as a confusion matrix with per-true-lang
+    // fractions (the recall diagonal): the model-eval primitive every
+    // heuristic classifier in the curation pipeline needs next to its
+    // predictions (ann10's audit pattern applied to text). One agg over
+    // the narrow scored projection + a |langs|-row total re-join ---------
+    "tx31_langid_eval" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val pred = Tables.t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .select(col("lang"), langIdFromTokens(col("toks")).as("pred_lang"))
+      val cells = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val tot = pred.groupBy("lang").agg(count(lit(1)).as("total"))
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          (col("n").cast("double") / col("total"))
+            .cast(D6).cast("double").as("frac"))
+        .orderBy("lang", "pred_lang")
+    },
     "tx3_token_counts" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("doc_id"),
@@ -977,6 +996,14 @@ object TextQueries {
         "FROM g ORDER BY doc_id"),
     "tx1_langid" ->
       s"SELECT doc_id, $langCase AS pred_lang FROM documents ORDER BY doc_id",
+    // the same langCase scored against the labels (one fragment, tx1's)
+    "tx31_langid_eval" ->
+      (s"WITH p AS (SELECT lang, $langCase AS pred_lang FROM documents), " +
+        "c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2), " +
+        "t AS (SELECT lang, count(*) AS total FROM p GROUP BY 1) " +
+        "SELECT c.lang AS lang, pred_lang, n, " +
+        "CAST(CAST(CAST(n AS DOUBLE) / total AS DECIMAL(18,6)) AS DOUBLE) AS frac " +
+        "FROM c JOIN t ON c.lang = t.lang ORDER BY lang, pred_lang"),
     "tx2_quality" -> {
       val stop = scoreSql(LangMarkers.head._2)
       // mirror TextFunctions.qualityScore arithmetic order exactly
