@@ -356,9 +356,11 @@ object GraphQueries {
         .join(deg.select(col("w").as("v"), col("deg").as("dy")), "v")
         .agg(count(lit(1)).cast(D38).as("m"),
           sum(col("dx")).cast(D38).as("sx"), sum(col("dy")).cast(D38).as("sy"),
-          sum((col("dx") * col("dx")).cast(D38)).as("sxx"),
-          sum((col("dy") * col("dy")).cast(D38)).as("syy"),
-          sum((col("dx") * col("dy")).cast(D38)).as("sxy"))
+          // cast each FACTOR before multiplying (the oracle's HUGEINT
+          // order): a degree past ~3e9 would wrap a long×long product
+          sum(col("dx").cast(D38) * col("dy").cast(D38)).as("sxy"),
+          sum(col("dx").cast(D38) * col("dx").cast(D38)).as("sxx"),
+          sum(col("dy").cast(D38) * col("dy").cast(D38)).as("syy"))
         .withColumn("vx", col("m") * col("sxx") - col("sx") * col("sx"))
         .withColumn("vy", col("m") * col("syy") - col("sy") * col("sy"))
         .filter(col("vx") > 0 && col("vy") > 0)

@@ -136,7 +136,9 @@ object TextQueries {
         .withColumn("toks", tokens(col("text")))
         .select(col("lang"), langIdFromTokens(col("toks")).as("pred_lang"))
       val cells = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-      val tot = pred.groupBy("lang").agg(count(lit(1)).as("total"))
+      // totals from the already-aggregated cells — ONE corpus scan, the
+      // interpreted langId scoring runs once, not twice
+      val tot = cells.groupBy("lang").agg(sum(col("n")).as("total"))
       cells.join(broadcast(tot), "lang")
         .select(col("lang"), col("pred_lang"), col("n"),
           (col("n").cast("double") / col("total"))

@@ -322,12 +322,17 @@ object BenchScale {
     // while absolute counts rose with the corpus's duplicate structure,
     // the operator is linear-in-candidates, not super-linear in data
     def dd16Candidates(dir: String): Long = {
+      // the q:dd16 parameters, with T derived by containmentJoin's own
+      // formula — an edit to the query's constants shows up here instead
+      // of silently counting a stage the query no longer computes
+      val (minContainPct, minSize) = (90, 20)
+      val t = math.max(1, math.ceil(minContainPct * minSize / 100.0).toInt)
       val sets = shingled(dir)
         .select(col("doc_id").as("__cid"),
           array_distinct(col("__sh")).as("__cset"))
-        .filter(size(col("__cset")) >= 20)
+        .filter(size(col("__cset")) >= minSize)
       graft.dedup.OverlapJoin.candidates(sets, "__cid", "__cset",
-        minOverlap = 18).count()
+        minOverlap = t).count()
     }
     val cand01 = ss1Candidates(sf01)
     val cand1 = ss1Candidates(sf1)

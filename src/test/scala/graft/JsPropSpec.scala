@@ -71,10 +71,24 @@ object JsPropSpec extends Properties("JsJson") {
       Js.Json.numToString(n.toDouble) == n.toDouble.toLong.toString
     }
 
-  property("strict equality is reflexive; == agrees with === on same types") =
+  property("strict equality is reflexive (except NaN, as in JS)") =
     Prop.forAll(genScalar) { v =>
-      val refl = v == null || Js.strictEquals(v, v) ||
+      v == null || Js.strictEquals(v, v) ||
         (v match { case d: Double => d.isNaN; case _ => false })
-      refl
+    }
+
+  property("== agrees with === on same-type operands") =
+    Prop.forAll(genScalar, genScalar) { (a, b) =>
+      val sameType = (a, b) match {
+        case (_: Double, _: Double) | (_: String, _: String) |
+             (_: Boolean, _: Boolean) | (null, null) => true
+        case _ => false
+      }
+      !sameType || {
+        // evaluate THROUGH the interpreter so the looseEquals path runs
+        val env = Js.load(Js.parse(
+          "function eq(a, b) { return (a == b) === (a === b); }"))
+        Js.invoke(env, "eq", Seq(a, b)) == true
+      }
     }
 }
