@@ -270,6 +270,22 @@ object AnalyticsQueries {
       val c = o.filter(col("o_orderstatus") === "P").select("o_custkey")
       a.intersect(b).except(c).orderBy("o_custkey")
     },
+    // ---- set2: BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL) — the
+    // multiplicity-preserving half of J4's set surface (set1 is the
+    // distinct half): per customer, min(countA, countB) survives the
+    // intersection, countA − countB the difference. Results aggregated to
+    // multiplicities so the output is deterministic ----------------------
+    "set2_bag_ops" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val ia = a.intersectAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("m")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("m")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea).select("op", "o_custkey", "m")
+        .orderBy("op", "o_custkey")
+    },
     // ---- F11: dot-path nested field access through the query DSL --------
     "f11_dot_path" -> { (s, dir) =>
       val ev = Tables.t(s, dir, "events")
@@ -1179,6 +1195,15 @@ object AnalyticsQueries {
         "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
         "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P' " +
         "ORDER BY o_custkey"),
+    // same bag semantics, same multiplicity aggregation
+    "set2_bag_ops" ->
+      ("WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'), " +
+        "b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'), " +
+        "ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b), " +
+        "ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b) " +
+        "SELECT 'intersect_all' AS op, o_custkey, count(*) AS m FROM ia GROUP BY 2 " +
+        "UNION ALL SELECT 'except_all', o_custkey, count(*) FROM ea GROUP BY 2 " +
+        "ORDER BY op, o_custkey"),
     "f11_dot_path" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k " +
         "FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90 " +

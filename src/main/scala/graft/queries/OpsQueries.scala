@@ -288,6 +288,35 @@ object OpsQueries {
           "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
         .orderBy("fd")
     },
+    // ---- dq11: profile DRIFT between two snapshots — dq1's one-scan
+    // column profile computed on the base table and on a deterministically
+    // drifted twin (nulls injected %11, values scaled %7, rows dropped
+    // %13), then diffed per column: the "did yesterday's load change the
+    // data's shape" monitoring primitive. Two one-scan profiles + a
+    // |cols|-row join; exact counts ---------------------------------------
+    "dq11_profile_drift" -> { (s, dir) =>
+      val base = Tables.t(s, dir, "orders")
+      val drifted = base
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 10)
+            .otherwise(col("o_totalprice")))
+        .filter(col("o_orderkey") % 13 =!= 0)
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      def slim(df: DataFrame, suf: String) =
+        graft.ops.DataQuality.profile(df, cols)
+          .select(col("col"), col("n_rows").as(s"rows_$suf"),
+            col("n_nulls").as(s"nulls_$suf"),
+            col("n_distinct").as(s"nd_$suf"))
+      slim(base, "a").join(slim(drifted, "b"), "col")
+        .select(col("col"),
+          (col("rows_b") - col("rows_a")).as("row_drift"),
+          (col("nulls_b") - col("nulls_a")).as("null_drift"),
+          (col("nd_b") - col("nd_a")).as("distinct_drift"))
+        .orderBy("col")
+    },
     // ---- cdc3: SCD Type-2 history build — three order snapshots (base,
     // price bump for key%7, status flip for key%5) collapsed into
     // effective-dated rows by Scd2's gaps-and-islands (two key-partitioned
@@ -594,6 +623,25 @@ object OpsQueries {
         "CAST(CAST((CAST(n_obs AS DOUBLE) - ne) * (CAST(n_obs AS DOUBLE) - ne) / ne " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS chi2 " +
         "FROM e ORDER BY digit"),
+    // same drifted twin, same count/distinct/null profile algebra
+    "dq11_profile_drift" ->
+      ("WITH d AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS st, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 10 ELSE o_totalprice END AS tp " +
+        "FROM orders WHERE o_orderkey % 13 <> 0), " +
+        "pa AS (SELECT count(*) AS n, count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS nd1, " +
+        "count(o_orderstatus) AS c2, count(DISTINCT o_orderstatus) AS nd2, " +
+        "count(o_totalprice) AS c3, count(DISTINCT o_totalprice) AS nd3 FROM orders), " +
+        "pb AS (SELECT count(*) AS n, count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS nd1, " +
+        "count(st) AS c2, count(DISTINCT st) AS nd2, " +
+        "count(tp) AS c3, count(DISTINCT tp) AS nd3 FROM d) " +
+        "SELECT 'o_orderkey' AS col, pb.n - pa.n AS row_drift, " +
+        "(pb.n - pb.c1) - (pa.n - pa.c1) AS null_drift, pb.nd1 - pa.nd1 AS distinct_drift FROM pa, pb " +
+        "UNION ALL SELECT 'o_orderstatus', pb.n - pa.n, " +
+        "(pb.n - pb.c2) - (pa.n - pa.c2), pb.nd2 - pa.nd2 FROM pa, pb " +
+        "UNION ALL SELECT 'o_totalprice', pb.n - pa.n, " +
+        "(pb.n - pb.c3) - (pa.n - pa.c3), pb.nd3 - pa.nd3 FROM pa, pb " +
+        "ORDER BY col"),
     // same per-candidate group profile; BIGINT casts (DuckDB sums promote)
     "dq10_fd_audit" -> {
       def fdSql(table: String, name: String, lhs: String, rhs: String) =
