@@ -88,6 +88,31 @@ object AnalyticsQueries {
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     },
+    // ---- ses2: behavior transition matrix — first-order Markov chain
+    // over each user's event sequence (from_type → to_type counts + the
+    // per-from transition probability): the "what do users do next"
+    // product-analytics primitive next to ses1's sessions and fn1's
+    // funnel. Ties on ts break on event_id (the ses1 convention). One
+    // user-partitioned lead + a map-side-combined cell agg; totals re-join
+    // from the already-aggregated |types|² cells (one corpus scan) -------
+    "ses2_transition_matrix" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val pairs = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(W))
+        .filter(col("to_type").isNotNull)
+      val cells = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("from_type").agg(sum(col("n")).as("total"))
+      cells.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("total"))
+            .cast(D6).cast("double").as("p"))
+        .orderBy("from_type", "to_type")
+    },
     // ---- time-series gap fill: dense daily activity series per user —
     // missing days zero-filled from a per-key sequence/explode grid (no
     // driver state, co-partitioned grid join), then a running total over
@@ -856,6 +881,18 @@ object AnalyticsQueries {
         "SELECT user_id, min(tus) AS session_start, max(tus) AS session_end, " +
         "count(*) AS n_events FROM s GROUP BY user_id, sid " +
         "ORDER BY user_id, session_start"),
+    // same (ts, event_id) order, same cell/total algebra; total is a
+    // HUGEINT in DuckDB — division through DOUBLE on both sides
+    "ses2_transition_matrix" ->
+      ("WITH p AS (SELECT user_id, event_type AS from_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type " +
+        "FROM events), " +
+        "c AS (SELECT from_type, to_type, count(*) AS n FROM p " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT from_type, sum(n) AS total FROM c GROUP BY 1) " +
+        "SELECT c.from_type AS from_type, to_type, n, " +
+        "CAST(CAST(CAST(n AS DOUBLE) / total AS DECIMAL(18,6)) AS DOUBLE) AS p " +
+        "FROM c JOIN t ON c.from_type = t.from_type ORDER BY from_type, to_type"),
     "ts1_gap_fill" ->
       ("WITH bounds AS (SELECT user_id, date_trunc('day', min(ts)) AS d0, " +
         "date_trunc('day', max(ts)) AS d1 FROM events GROUP BY user_id), " +
