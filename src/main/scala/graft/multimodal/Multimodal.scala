@@ -297,6 +297,60 @@ object Multimodal {
       }
     })
 
+  val AugmentFeatureType: StructType = StructType(Seq(
+    StructField("wsum_orig", LongType),
+    StructField("wsum_hflip", LongType),
+    StructField("wsum_rot90", LongType)))
+
+  /** Geometric augmentation — the training-data augmentation stage —
+    * through the REAL decode: horizontal mirror (out(x,y) = in(w−1−x, y))
+    * and 90°-CLOCKWISE rotation (dest(x,y) = src(y, h−1−x), dims swapped)
+    * executed as actual BufferedImage pixel moves, each result pinned by
+    * the exact position-weighted luma sum Σ luma(x,y)·(x + W·y + 1) over
+    * the TRANSFORMED raster. The weights make geometry observable: a
+    * mirror-axis or transpose-vs-rotate slip moves luma between weights
+    * and hash-fails against the oracle's closed-form reweighting of the
+    * source pixels. Undecodable content → null sums. Narrow per-record
+    * work like every codec stage. */
+  def augmentImages(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    extractRowFeatures(df, idCol, contentCol, AugmentFeatureType, { bytes =>
+      ImageIoDecoder.decode(bytes) match {
+        case None => Row(null, null, null)
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          def wsum(im: java.awt.image.BufferedImage): Long = {
+            var s = 0L
+            var y = 0
+            while (y < im.getHeight) {
+              var x = 0
+              while (x < im.getWidth) {
+                s += (((im.getRGB(x, y) >> 16) & 0xff).toLong *
+                  (x + im.getWidth * y + 1))
+                x += 1
+              }
+              y += 1
+            }
+            s
+          }
+          def make(wi: Int, hi: Int)(src: (Int, Int) => Int) = {
+            val out = new java.awt.image.BufferedImage(wi, hi,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < hi) {
+              var x = 0
+              while (x < wi) { out.setRGB(x, y, src(x, y)); x += 1 }
+              y += 1
+            }
+            out
+          }
+          val hflip = make(w, h)((x, y) => img.getRGB(w - 1 - x, y))
+          val rot90 = make(h, w)((x, y) => img.getRGB(y, h - 1 - x))
+          Row(wsum(img), wsum(hflip), wsum(rot90))
+      }
+    })
+
   val EdgeFeatureType: StructType = StructType(Seq(
     StructField("grad_sum", LongType),
     StructField("grad_max", LongType),

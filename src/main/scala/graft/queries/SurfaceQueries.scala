@@ -308,6 +308,20 @@ object SurfaceQueries {
       Multimodal.extractImageHistograms(docs, "doc_id", "png")
         .orderBy("doc_id")
     },
+    // ---- mm18: geometric augmentation — horizontal flip + 90°-clockwise
+    // rotation of the decoded token raster as REAL pixel moves, each
+    // variant pinned by the exact position-weighted luma sum (weight
+    // x + 8y + 1 on the TRANSFORMED image). The oracle reweights the
+    // SOURCE pixel stream in closed form: orig j+1, hflip
+    // (7−j%8)+8·(j/8)+1, rot90 (7−j/8)+8·(j%8)+1 — any axis/transpose
+    // slip moves luma between weights and hash-fails -----------------------
+    "mm18_image_augment" -> { (s, dir) =>
+      val toPng = udf(Multimodal.tokenRasterPng _)
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("png", toPng(col("text")))
+      Multimodal.augmentImages(docs, "doc_id", "png")
+        .orderBy("doc_id")
+    },
     // ---- mm14: ViT-style patchify — the 8×8 token-raster PNG decoded by
     // the REAL ImageIO round-trip and split into four 4×4 patches (the
     // patch-embedding front door of a vision encoder), exact integer luma
@@ -1104,6 +1118,21 @@ object SurfaceQueries {
         "CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1, " +
         "CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2, " +
         "CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3 " +
+        "FROM px GROUP BY doc_id ORDER BY doc_id"),
+    // mm13's pixel formula with the three closed-form position weights
+    "mm18_image_augment" ->
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS s FROM documents), " +
+        "tk AS (SELECT doc_id, j, s[CAST((j * len(s)) // 64 AS BIGINT) + 1] AS tok " +
+        "FROM t, unnest(generate_series(0, 63)) AS g(j)), " +
+        "px AS (SELECT doc_id, j, " +
+        "CASE WHEN tok IS NULL OR tok = '' THEN 0 ELSE " +
+        "list_reduce([unicode(c) FOR c IN regexp_extract_all(tok, '(?s).')], " +
+        "(a, c) -> (a * 31 + c) % 256) END AS v " +
+        "FROM tk) " +
+        "SELECT doc_id, " +
+        "CAST(sum(v * (j + 1)) AS BIGINT) AS wsum_orig, " +
+        "CAST(sum(v * ((7 - j % 8) + 8 * (j // 8) + 1)) AS BIGINT) AS wsum_hflip, " +
+        "CAST(sum(v * ((7 - j // 8) + 8 * (j % 8) + 1)) AS BIGINT) AS wsum_rot90 " +
         "FROM px GROUP BY doc_id ORDER BY doc_id"),
     // mm13's pixel formula, regrouped by the row-major 4×4 patch grid:
     // pixel j sits at (row j//8, col j%8) → patch (row//4)*2 + col//4

@@ -709,6 +709,37 @@ object TextQueries {
             .cast(D6).cast("double").as("pmi"))
         .orderBy("w1", "w2")
     },
+    // ---- tx32: greedy generation from the corpus bigram model — the
+    // inference-shaped workload on a Spark-trained LM: from each of the 3
+    // most frequent tokens, walk 5 greedy steps of next(w) = argmax over
+    // bigram counts (tie → lexicographically greatest successor, one
+    // max(struct) per head word — the rl1 winner-pick shape). The next-
+    // token table is vocab-co-keyed and never collected; the 5 steps are
+    // unrolled co-keyed joins against it (a fixed-K chain, not a driver
+    // loop). A dead-end head simply stops emitting --------------------
+    "tx32_greedy_generate" -> { (s, dir) =>
+      val toksDf = Tables.t(s, dir, "documents")
+        .select(tokens(col("text")).as("ts"))
+      val uni = toksDf.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val seeds = uni.orderBy(col("c").desc, col("w")).limit(3)
+        .select(col("w").as("seed"))
+      val bg = toksDf.select(explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("p"))
+        .select(col("p.0").as("w1"), col("p.1").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val next = bg.groupBy("w1")
+        .agg(max(struct(col("c"), col("w2"))).as("m"))
+        .select(col("w1"), col("m.w2").as("nx"))
+      var cur = seeds.select(col("seed"), col("seed").as("tok"))
+      val steps = (1 to 5).map { k =>
+        cur = cur.join(next, col("tok") === col("w1"))
+          .select(col("seed"), col("nx").as("tok"))
+        cur.select(col("seed"), lit(k).as("step"), col("tok"))
+      }
+      steps.reduce(_ unionByName _).orderBy("seed", "step")
+    },
     // ---- tx30: Zipf-law fit per source — OLS slope/intercept of
     // ln(freq) on ln(rank) over each source's top-100 tokens, the classic
     // corpus-health diagnostic (natural text ≈ -1; templated/spam corpora
@@ -1150,6 +1181,30 @@ object TextQueries {
         "JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1) " +
         "JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2) " +
         "CROSS JOIN tot ORDER BY w1, w2"),
+    // same bigram construction as tx29's oracle (rid/subscripts join),
+    // same (count, successor) struct-max winner pick, 5 unrolled steps
+    "tx32_greedy_generate" ->
+      ("WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents), " +
+        "u AS (SELECT t AS w, count(*) AS c FROM " +
+        "(SELECT unnest(ts) AS t FROM d) GROUP BY 1), " +
+        "seeds AS (SELECT w AS seed FROM u ORDER BY c DESC, w LIMIT 3), " +
+        "p AS (SELECT row_number() OVER () AS rid, ts FROM d), " +
+        "un AS (SELECT rid, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM p), " +
+        "bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c FROM un a " +
+        "JOIN un b ON a.rid = b.rid AND b.i = a.i + 1 GROUP BY 1, 2), " +
+        "n0 AS (SELECT w1, max(struct_pack(c := c, w2 := w2)) AS m FROM bg GROUP BY w1), " +
+        "nx AS (SELECT w1, m.w2 AS nx FROM n0), " +
+        "s1 AS (SELECT seed, nx AS tok FROM seeds JOIN nx ON seed = w1), " +
+        "s2 AS (SELECT seed, nx.nx AS tok FROM s1 JOIN nx ON s1.tok = nx.w1), " +
+        "s3 AS (SELECT seed, nx.nx AS tok FROM s2 JOIN nx ON s2.tok = nx.w1), " +
+        "s4 AS (SELECT seed, nx.nx AS tok FROM s3 JOIN nx ON s3.tok = nx.w1), " +
+        "s5 AS (SELECT seed, nx.nx AS tok FROM s4 JOIN nx ON s4.tok = nx.w1) " +
+        "SELECT seed, 1 AS step, tok FROM s1 " +
+        "UNION ALL SELECT seed, 2, tok FROM s2 " +
+        "UNION ALL SELECT seed, 3, tok FROM s3 " +
+        "UNION ALL SELECT seed, 4, tok FROM s4 " +
+        "UNION ALL SELECT seed, 5, tok FROM s5 " +
+        "ORDER BY seed, step"),
     // same rank tie-break (cnt DESC, token), same per-term DECIMAL(28,12)
     // moment sums, same closed-form double algebra
     "tx30_zipf" ->
