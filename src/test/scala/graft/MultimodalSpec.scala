@@ -80,6 +80,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("augmentImages: flip/rotate geometry on an asymmetric raster, exact weighted sums") {
+    // 3×2 raster (asymmetric, so any axis slip changes the sums); luma ==
+    // the red channel x*17%256. Weight on a W-wide image is x + W*y + 1.
+    val df = mediaDf(Seq(1 -> png(3, 2), 2 -> Array[Byte](7)))
+    def red(x: Int): Long = (x * 17 % 256).toLong
+    // original 3×2: rows y=0,1; luma depends only on x
+    val orig = (for (y <- 0 until 2; x <- 0 until 3)
+      yield red(x) * (x + 3 * y + 1)).sum
+    // hflip: out(x,y) = in(2-x, y), same dims
+    val hfl = (for (y <- 0 until 2; x <- 0 until 3)
+      yield red(2 - x) * (x + 3 * y + 1)).sum
+    // rot90 clockwise: dest is 2×3; dest(x,y) = src(y, 1-x), weight x+2y+1
+    val rot = (for (y <- 0 until 3; x <- 0 until 2)
+      yield red(y) * (x + 2 * y + 1)).sum
+    val out = Multimodal.augmentImages(df, "id", "content")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getLong(1) === orig)
+    assert(out(1).getLong(2) === hfl)
+    assert(out(1).getLong(3) === rot)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
   test("ImageIoResizer produces real 4x4 pixels = nearest-neighbor of source") {
     val src = png(8, 8)
     val out = Multimodal.resizeContent(
