@@ -53,6 +53,55 @@ object SearchQueries {
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
 
+  /** THE BM25 scoring definition (k1=1.2, b=0.75) — one formula shared by
+    * tx15 (per-doc scores) and idx7 (ranked retrieval), so the two can
+    * never drift. Returns (doc_id, bm25_raw) UNROUNDED; callers apply the
+    * DECIMAL(18,6) round. Scale shape: the term filter prunes the explode
+    * before the one (doc, term) shuffle; df and the corpus stats ride
+    * broadcasts. */
+  private[queries] def bm25Raw(docs0: DataFrame, terms: Seq[String])
+      : DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = docs0
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(
+        tf.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))),
+        "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("score", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("score")).as("bm25_raw"))
+  }
+
+  /** DuckDB twin of [[bm25Raw]]: CTEs ending in
+    * `scores(doc_id, bm25_raw)` — splice after WITH. */
+  private[queries] val bm25Sql: String =
+    "d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d), " +
+      "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd), " +
+      "tf AS (SELECT doc_id, dl, t AS token, count(*) AS tf FROM " +
+      "(SELECT doc_id, dl, unnest(toks) AS t FROM dd) " +
+      "WHERE t IN ('spark', 'join', 'vector') GROUP BY doc_id, dl, t), " +
+      "dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token), " +
+      "scores AS (SELECT doc_id, sum(" +
+      "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + CAST(0.5 AS DOUBLE)) + 1.0) * " +
+      "(tf * CAST(2.2 AS DOUBLE)) / " +
+      "(tf + 1.2 * (CAST(0.25 AS DOUBLE) + 0.75 * dl / avgdl))" +
+      ") AS bm25_raw " +
+      "FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY doc_id)"
+
   val queries: Map[String, Q] = Map(
     // ---- idx1: inverted-index construction — per-token dictionary stats
     // (df, total tf) plus the first-10 postings head. The head is taken
@@ -250,6 +299,24 @@ object SearchQueries {
         .select(col("doc_id"), col("ll").cast(D6).cast("double").as("ql_score"))
         .orderBy("doc_id")
     },
+    // ---- idx7: ranked retrieval — the top-5 documents by BM25 for the
+    // canonical 3-term query, THE one scoring definition shared with tx15
+    // ([[bm25Raw]]). Ranking orders by the DECIMAL(18,6)-rounded score
+    // (then doc_id): raw doubles could differ in the last ulp across
+    // engines' ln, and a near-tie must not flip ranks. The rank window
+    // runs over the CANDIDATES (docs matching ≥1 term), not the corpus --
+    "idx7_bm25_topk" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val scored = bm25Raw(Tables.t(s, dir, "documents"),
+          Seq("spark", "join", "vector"))
+        .select(col("doc_id"),
+          col("bm25_raw").cast(D6).cast("double").as("bm25"))
+      val W = Window.orderBy(col("bm25").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(W))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("doc_id"), col("bm25"))
+        .orderBy("rank")
+    },
     // ---- idx6: KWIC snippet generation — the search-results UX step: for
     // every doc containing the query term, the ±3-token window around its
     // FIRST occurrence. The term filter prunes the posexplode before the
@@ -372,6 +439,13 @@ object SearchQueries {
         "SELECT doc_id, CAST(CAST(CAST(sum(CAST(term_ll AS DECIMAL(28,12))) " +
         "AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS ql_score " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // the ONE scoring fragment; ranking on the rounded score, rank INT
+    "idx7_bm25_topk" ->
+      ("WITH " + bm25Sql + ", " +
+        "r AS (SELECT doc_id, CAST(CAST(bm25_raw AS DECIMAL(18,6)) AS DOUBLE) AS bm25 FROM scores) " +
+        "SELECT CAST(rank AS INTEGER) AS rank, doc_id, bm25 FROM (" +
+        "SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM r) " +
+        "WHERE rank <= 5 ORDER BY rank"),
     // same 0-based first-occurrence + clamped ±3 window; DuckDB's 1-based
     // inclusive slice [a+1 : b+1] ≡ the engine's slice(start+1, b-a+1)
     "idx6_kwic_snippets" ->

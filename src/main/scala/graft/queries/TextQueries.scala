@@ -282,31 +282,13 @@ object TextQueries {
     // full-corpus pass is the scan itself; idf/avgdl ride along as 1-row /
     // |terms|-row broadcasts. Score rounded DECIMAL(18,6) on both sides
     // (ln differs in last ulp across libms). ----------------------------
+    // scoring now lives in SearchQueries.bm25Raw — ONE definition shared
+    // with idx7's ranked retrieval (the f414cb9 drift-proofing rule)
     "tx15_bm25" -> { (s, dir) =>
-      val terms = Seq("spark", "join", "vector")
-      val k1 = 1.2
-      val b = 0.75
-      val docs = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")))
-      val stats = docs.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-        .filter(col("token").isin(terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      tf.join(broadcast(
-          tf.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))), "token")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf", log(
-          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)))
-        .withColumn("score", col("idf") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id").agg(sum(col("score")).as("s"))
+      SearchQueries.bm25Raw(Tables.t(s, dir, "documents"),
+          Seq("spark", "join", "vector"))
         .select(col("doc_id"),
-          col("s").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          col("bm25_raw").cast(org.apache.spark.sql.types.DecimalType(18, 6))
             .cast("double").as("bm25"))
         .orderBy("doc_id")
     },
@@ -984,21 +966,11 @@ object TextQueries {
         "SELECT doc_id, token, score, row_number() OVER (" +
         "PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc) " +
         "WHERE rank <= 3 ORDER BY doc_id, rank"),
+    // the ONE scoring fragment (SearchQueries.bm25Sql), rounded here
     "tx15_bm25" ->
-      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d), " +
-        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd), " +
-        "tf AS (SELECT doc_id, dl, t AS token, count(*) AS tf FROM " +
-        "(SELECT doc_id, dl, unnest(toks) AS t FROM dd) " +
-        "WHERE t IN ('spark', 'join', 'vector') GROUP BY doc_id, dl, t), " +
-        "dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token) " +
-        "SELECT doc_id, CAST(CAST(sum(" +
-        "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + CAST(0.5 AS DOUBLE)) + 1.0) * " +
-        "(tf * CAST(2.2 AS DOUBLE)) / " +
-        "(tf + 1.2 * (CAST(0.25 AS DOUBLE) + 0.75 * dl / avgdl))" +
-        ") AS DECIMAL(18,6)) AS DOUBLE) AS bm25 " +
-        "FROM tf JOIN dfq USING (token) CROSS JOIN st " +
-        "GROUP BY doc_id ORDER BY doc_id"),
+      ("WITH " + SearchQueries.bm25Sql + " " +
+        "SELECT doc_id, CAST(CAST(bm25_raw AS DECIMAL(18,6)) AS DOUBLE) AS bm25 " +
+        "FROM scores ORDER BY doc_id"),
     "tx16_train_split" ->
       ("SELECT doc_id, source, " + DedupQueries.splitSql + " AS split " +
         "FROM documents ORDER BY doc_id"),
