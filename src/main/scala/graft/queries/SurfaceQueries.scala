@@ -537,6 +537,30 @@ object SurfaceQueries {
       graft.multimodal.Y4m.extractTemporalFeatures(vids, "doc_id", "content")
         .orderBy("doc_id", "frame_idx")
     },
+    // ---- mm20: scene-cut detection — the video-curation step on top of
+    // mm7's exact temporal deltas: frame k is a cut when its |Y_k−Y_{k−1}|
+    // sum exceeds 2× the video's mean delta, decided by integer
+    // cross-multiplication (delta·n > total·2 — no float mean), then one
+    // per-video agg (cut count + first cut index). Videos under 2 frames
+    // have no deltas and drop out on both engines ------------------------
+    "mm20_scene_cuts" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("content", substring(col("text"), 1, 384).cast("binary"))
+      val vids = Multimodal.resizeContent(docs, "content",
+        graft.multimodal.Y4m.Y4mEncoder(width = 8, height = 8))
+      val deltas = graft.multimodal.Y4m
+        .extractTemporalFeatures(vids, "doc_id", "content")
+      val tot = deltas.groupBy("doc_id")
+        .agg(sum(col("delta_sum")).as("td"), count(lit(1)).as("nf"))
+      deltas.join(tot, "doc_id")
+        .withColumn("is_cut",
+          (col("delta_sum") * col("nf") > col("td") * 2).cast("long"))
+        .groupBy("doc_id")
+        .agg(max(col("nf")).as("n_deltas"),
+          sum(col("is_cut")).as("n_cuts"),
+          min(when(col("is_cut") === 1, col("frame_idx"))).as("first_cut"))
+        .orderBy("doc_id")
+    },
     // ---- ST1: passthrough stream (availableNow over events parquet) -----
     "st1_passthrough" -> { (s, dir) =>
       val batchDf = Tables.t(s, dir, "events")
@@ -1054,6 +1078,20 @@ object SurfaceQueries {
         "ascii(substr(c, CAST((k - 1) * 64 + i AS BIGINT), 1))) " +
         "FOR i IN generate_series(1, 64)], (a, b) -> a + b) AS BIGINT) AS delta_sum " +
         "FROM k ORDER BY doc_id, frame_idx"),
+    // mm7's exact delta CTE + the same integer cross-multiplied cut rule
+    "mm20_scene_cuts" ->
+      ("WITH v AS (SELECT doc_id, substr(text, 1, 384) AS c FROM documents), " +
+        "f AS (SELECT doc_id, c, strlen(c) // 64 AS n_frames FROM v), " +
+        "k AS (SELECT doc_id, c, unnest(generate_series(1, n_frames - 1)) AS k FROM f), " +
+        "d AS (SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, " +
+        "CAST(list_reduce([abs(ascii(substr(c, CAST(k * 64 + i AS BIGINT), 1)) - " +
+        "ascii(substr(c, CAST((k - 1) * 64 + i AS BIGINT), 1))) " +
+        "FOR i IN generate_series(1, 64)], (a, b) -> a + b) AS BIGINT) AS delta_sum FROM k), " +
+        "t AS (SELECT doc_id, sum(delta_sum) AS td, count(*) AS nf FROM d GROUP BY 1) " +
+        "SELECT d.doc_id AS doc_id, CAST(max(nf) AS BIGINT) AS n_deltas, " +
+        "CAST(sum(CASE WHEN delta_sum * nf > td * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts, " +
+        "CAST(min(CASE WHEN delta_sum * nf > td * 2 THEN frame_idx END) AS INTEGER) AS first_cut " +
+        "FROM d JOIN t ON d.doc_id = t.doc_id GROUP BY 1 ORDER BY doc_id"),
     "st1_passthrough" ->
       "SELECT event_id, user_id, event_type, value, props FROM events ORDER BY event_id",
     "st2_stream_enrich" ->
