@@ -100,6 +100,10 @@ object AnalyticsQueries {
       val W = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
       val pairs = Tables.t(s, dir, "events")
+        // NULL ts has no position in a sequence — and the engines disagree
+        // on where it would sort (Spark NULLS FIRST vs DuckDB NULLS LAST
+        // in window ORDER BY), so it is excluded EXPLICITLY on both sides
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("tus"), col("event_type").as("from_type"))
         .withColumn("to_type", lead(col("from_type"), 1).over(W))
@@ -886,7 +890,7 @@ object AnalyticsQueries {
     "ses2_transition_matrix" ->
       ("WITH p AS (SELECT user_id, event_type AS from_type, " +
         "lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type " +
-        "FROM events), " +
+        "FROM events WHERE ts IS NOT NULL), " +
         "c AS (SELECT from_type, to_type, count(*) AS n FROM p " +
         "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
         "t AS (SELECT from_type, sum(n) AS total FROM c GROUP BY 1) " +

@@ -53,14 +53,19 @@ object SearchQueries {
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
 
+  /** The canonical 3-term query — the ONE terms list bm25Sql interpolates
+    * and both bm25 callers (tx15/idx7) pass; a caller with different
+    * terms must supply its own oracle fragment. */
+  private[queries] val Bm25Terms: Seq[String] = Seq("spark", "join", "vector")
+
   /** THE BM25 scoring definition (k1=1.2, b=0.75) — one formula shared by
     * tx15 (per-doc scores) and idx7 (ranked retrieval), so the two can
     * never drift. Returns (doc_id, bm25_raw) UNROUNDED; callers apply the
     * DECIMAL(18,6) round. Scale shape: the term filter prunes the explode
     * before the one (doc, term) shuffle; df and the corpus stats ride
     * broadcasts. */
-  private[queries] def bm25Raw(docs0: DataFrame, terms: Seq[String])
-      : DataFrame = {
+  private[queries] def bm25Raw(docs0: DataFrame,
+      terms: Seq[String] = Bm25Terms): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val docs = docs0
@@ -93,7 +98,8 @@ object SearchQueries {
       "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd), " +
       "tf AS (SELECT doc_id, dl, t AS token, count(*) AS tf FROM " +
       "(SELECT doc_id, dl, unnest(toks) AS t FROM dd) " +
-      "WHERE t IN ('spark', 'join', 'vector') GROUP BY doc_id, dl, t), " +
+      s"WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) " +
+      "GROUP BY doc_id, dl, t), " +
       "dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token), " +
       "scores AS (SELECT doc_id, sum(" +
       "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + CAST(0.5 AS DOUBLE)) + 1.0) * " +
@@ -307,13 +313,16 @@ object SearchQueries {
     // runs over the CANDIDATES (docs matching ≥1 term), not the corpus --
     "idx7_bm25_topk" -> { (s, dir) =>
       val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
-      val scored = bm25Raw(Tables.t(s, dir, "documents"),
-          Seq("spark", "join", "vector"))
+      val scored = bm25Raw(Tables.t(s, dir, "documents"))
         .select(col("doc_id"),
           col("bm25_raw").cast(D6).cast("double").as("bm25"))
-      val W = Window.orderBy(col("bm25").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(W))
-        .filter(col("rank") <= 5)
+      // distributed take-ordered (orderBy+limit), NOT a global rank
+      // window — the candidate set is corpus-fraction-sized at scale and
+      // must never funnel through one partition; the rank window then
+      // runs over exactly 5 rows
+      val top = scored.orderBy(col("bm25").desc, col("doc_id")).limit(5)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
         .select(col("rank"), col("doc_id"), col("bm25"))
         .orderBy("rank")
     },

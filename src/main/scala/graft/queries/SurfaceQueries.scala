@@ -550,9 +550,13 @@ object SurfaceQueries {
         graft.multimodal.Y4m.Y4mEncoder(width = 8, height = 8))
       val deltas = graft.multimodal.Y4m
         .extractTemporalFeatures(vids, "doc_id", "content")
-      val tot = deltas.groupBy("doc_id")
-        .agg(sum(col("delta_sum")).as("td"), count(lit(1)).as("nf"))
-      deltas.join(tot, "doc_id")
+      // per-video totals via a window over the SAME scan — a groupBy+join
+      // would put the decode in two plan branches and demux every video
+      // twice
+      val perVid = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      deltas
+        .withColumn("td", sum(col("delta_sum")).over(perVid))
+        .withColumn("nf", count(lit(1)).over(perVid))
         .withColumn("is_cut",
           (col("delta_sum") * col("nf") > col("td") * 2).cast("long"))
         .groupBy("doc_id")

@@ -285,8 +285,7 @@ object TextQueries {
     // scoring now lives in SearchQueries.bm25Raw — ONE definition shared
     // with idx7's ranked retrieval (the f414cb9 drift-proofing rule)
     "tx15_bm25" -> { (s, dir) =>
-      SearchQueries.bm25Raw(Tables.t(s, dir, "documents"),
-          Seq("spark", "join", "vector"))
+      SearchQueries.bm25Raw(Tables.t(s, dir, "documents"))
         .select(col("doc_id"),
           col("bm25_raw").cast(org.apache.spark.sql.types.DecimalType(18, 6))
             .cast("double").as("bm25"))
