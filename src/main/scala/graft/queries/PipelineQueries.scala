@@ -214,23 +214,39 @@ object PipelineQueries {
     // scripts (the reference's JS quality gates): keep docs that are ≥30
     // tokens AND mention 'spark' at least twice; JS truthiness decides ---
     "x11_js_filter" -> { (s, dir) =>
-      val script =
-        """function handle(doc) {
-          |  var toks = doc.text.split(' ');
-          |  if (toks.length < 30) return false;
-          |  var n = 0;
-          |  for (var i = 0; i < toks.length; i++) {
-          |    if (toks[i] === 'spark') n++;
-          |  }
-          |  return n >= 2;
-          |}""".stripMargin
-      val in = docs(s, dir).select(col("doc_id"), col("n_chars"),
-        to_json(struct(col("doc_id"), col("text"))).as("rec"))
-      graft.pipeline.JsStage.filterStage(in, "rec", script)
-        .select("doc_id", "n_chars")
+      jsFilter(docs(s, dir).select(col("doc_id"), col("n_chars"),
+          to_json(struct(col("doc_id"), col("text"))).as("rec")))
+        .orderBy("doc_id")
+    },
+    // ---- st22: the SAME JS predicate inside Structured Streaming — the
+    // second half of the ST4 module-reuse story for user scripts (st21 is
+    // the map form): a stateless filter, zero state, append mode ---------
+    "st22_stream_js_filter" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = graft.streaming.Streams.parquetStream(
+        s, s"$dir/documents.parquet", schema)
+      graft.streaming.Streams.runToParquet(raw, st =>
+          jsFilter(st.select(col("doc_id"), col("n_chars"),
+            to_json(struct(col("doc_id"), col("text"))).as("rec"))))
         .orderBy("doc_id")
     }
   )
+
+  /** THE x11/st22 predicate + projection — one definition per engine. */
+  private def jsFilter(in: DataFrame): DataFrame = {
+    val script =
+      """function handle(doc) {
+        |  var toks = doc.text.split(' ');
+        |  if (toks.length < 30) return false;
+        |  var n = 0;
+        |  for (var i = 0; i < toks.length; i++) {
+        |    if (toks[i] === 'spark') n++;
+        |  }
+        |  return n >= 2;
+        |}""".stripMargin
+    graft.pipeline.JsStage.filterStage(in, "rec", script)
+      .select("doc_id", "n_chars")
+  }
 
   /** THE user JS script + record bridge shared by x10 (batch) and st21
     * (the same stage inside Structured Streaming) — one definition per
@@ -312,13 +328,18 @@ object PipelineQueries {
     // st21 runs the SAME script in streaming over the same table → same SQL
     "x10_js_stage" -> jsOracleSql,
     "st21_stream_js" -> jsOracleSql,
-    // the predicate restated as a WHERE clause
-    "x11_js_filter" ->
-      ("SELECT doc_id, n_chars FROM documents " +
-        "WHERE len(string_split(text, ' ')) >= 30 " +
-        "AND len(list_filter(string_split(text, ' '), t -> t = 'spark')) >= 2 " +
-        "ORDER BY doc_id")
+    // the predicate restated as a WHERE clause; st22 runs the same script
+    // in streaming over the same table → same SQL
+    "x11_js_filter" -> jsFilterOracleSql,
+    "st22_stream_js_filter" -> jsFilterOracleSql
   )
+
+  /** The ONE declarative restatement of [[jsFilter]]'s predicate. */
+  private def jsFilterOracleSql: String =
+    ("SELECT doc_id, n_chars FROM documents " +
+      "WHERE len(string_split(text, ' ')) >= 30 " +
+      "AND len(list_filter(string_split(text, ' '), t -> t = 'spark')) >= 2 " +
+      "ORDER BY doc_id")
 
   /** The ONE declarative restatement of [[jsScript]], shared by the
     * x10/st21 oracles (a def: the oracle map initializes eagerly, and a
