@@ -4,6 +4,33 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Final-schema convention, enforced mechanically: no DecimalType may
+    * reach an emitted query schema (nested included). DECIMAL is the one
+    * type the driver's cross-engine hasher canonicalizes differently
+    * between a Spark-written parquet and the DuckDB oracle — every round-9
+    * hash failure was exactly this, with cell-identical values. Queries
+    * compute in DECIMAL internally (exact, order-independent addition) and
+    * cast the final emitted columns to DOUBLE/BIGINT. Throwing here turns a
+    * silent driver-red into a loud local failure. */
+  private[graft] def lintFinalSchema(
+      name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    def offenders(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType      => Seq(path)
+      case s: StructType       => s.fields.toSeq.flatMap(f =>
+        offenders(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType        => offenders(a.elementType, s"$path[]")
+      case m: MapType          => offenders(m.keyType, s"$path<key>") ++
+        offenders(m.valueType, s"$path<val>")
+      case _                   => Nil
+    }
+    val bad = schema.fields.toSeq.flatMap(f => offenders(f.dataType, f.name))
+    require(bad.isEmpty,
+      s"[lint] query '$name' emits DECIMAL in its final schema " +
+        s"(${bad.mkString(", ")}); cast the emitted column to DOUBLE/BIGINT " +
+        "— keep DECIMAL arithmetic internal (driver hashing contract)")
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing names = run only those queries (local iteration aid;
@@ -18,8 +45,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        lintFinalSchema(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

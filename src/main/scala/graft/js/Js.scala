@@ -710,6 +710,9 @@ object Js {
       numericIndex(idx) match {
         case Some(i) => if (i >= 0 && i < a.items.length) a.items(i) else Undefined
         case None => idx match {
+          // non-canonical digit strings ("01") are absent properties in JS,
+          // not method names — undefined, not a loud unknown-member fail
+          case s: String if s.nonEmpty && s.forall(_.isDigit) => Undefined
           case s: String => arrayMember(a, s)
           case d: Double if !d.isNaN => Undefined // fractional index
           case _ => Undefined
@@ -719,6 +722,7 @@ object Js {
       numericIndex(idx) match {
         case Some(i) => if (i >= 0 && i < s.length) s.charAt(i).toString else Undefined
         case None => idx match {
+          case k: String if k.nonEmpty && k.forall(_.isDigit) => Undefined
           case k: String => stringMember(s, k)
           case _ => Undefined
         }
@@ -733,9 +737,10 @@ object Js {
   private def numericIndex(idx: Any): Option[Int] = idx match {
     case d: Double if !d.isNaN && d == math.rint(d) &&
       math.abs(d) <= Int.MaxValue => Some(d.toInt)
-    case b: Boolean => Some(if (b) 1 else 0)
-    case s: String if s.nonEmpty && s.forall(_.isDigit) && s.length <= 9 =>
-      Some(s.toInt)
+    // ONLY the canonical decimal form is an index (JS: a["01"] and a[true]
+    // are plain property reads → undefined, never element accesses)
+    case s: String if s.nonEmpty && s.forall(_.isDigit) && s.length <= 9 &&
+      (s.length == 1 || s.head != '0') => Some(s.toInt)
     case _ => None
   }
 
@@ -1022,12 +1027,28 @@ object Js {
     g.declare("String", Builtin("String", a => toStr(arg(a, 0))))
     g.declare("Number", Builtin("Number", a => toNumber(arg(a, 0))))
     g.declare("parseInt", Builtin("parseInt", a => {
-      val t = toStr(arg(a, 0)).trim
-      val m = t.takeWhile(c => c.isDigit || c == '-' || c == '+')
-      val digits = if (m.startsWith("-") || m.startsWith("+"))
-        m.head + m.tail.takeWhile(_.isDigit) else m.takeWhile(_.isDigit)
-      if (digits.isEmpty || digits == "-" || digits == "+") Double.NaN
-      else digits.toDouble.floor
+      // Full JS parseInt: explicit radix 2..36, 0x/0X hex auto-detection,
+      // longest valid-digit prefix, NaN on empty. Deterministic (pure
+      // string → number), so it fits the interpreter's contract.
+      var t = toStr(arg(a, 0)).trim
+      val sign = if (t.startsWith("-")) { t = t.tail; -1.0 }
+        else { if (t.startsWith("+")) t = t.tail; 1.0 }
+      val rArg = arg(a, 1)
+      var radix = if (rArg == Undefined || rArg == null) 0
+        else toNumber(rArg).toInt
+      if (radix == 16 || radix == 0) {
+        if (t.length >= 2 && t.charAt(0) == '0' &&
+          (t.charAt(1) == 'x' || t.charAt(1) == 'X')) {
+          t = t.substring(2); radix = 16
+        } else if (radix == 0) radix = 10
+      }
+      if (radix < 2 || radix > 36) Double.NaN
+      else {
+        val digits = t.takeWhile(c => Character.digit(c, radix) >= 0)
+        if (digits.isEmpty) Double.NaN
+        else sign * digits.foldLeft(0.0)((acc, c) =>
+          acc * radix + Character.digit(c, radix))
+      }
     }))
     g.declare("parseFloat", Builtin("parseFloat", a => {
       // JS parseFloat: longest valid numeric PREFIX ("2.5rem" → 2.5)

@@ -29,10 +29,19 @@ object OptimisticLock {
     *                the target row out)
     * @param keys    equi-join key columns
     * @param set     target column → updates column holding its new value
+    * @param checkUniqueKeys when true (default), EAGERLY runs one Spark
+    *                job over the updates batch (a groupBy on the keys)
+    *                before the plan is returned, to reject duplicate-key
+    *                batches loudly instead of silently fanning target rows
+    *                out. The batch is the SMALL side of a CAS (a retry
+    *                queue, not a corpus), so the scan is cheap — but a
+    *                caller that already guarantees uniqueness (e.g. the
+    *                batch is itself the output of a groupBy on the keys)
+    *                can pass false to keep plan construction lazy.
     * @return target schema + `cas_result` ∈ applied/conflict/untouched */
   def casUpdate(target: DataFrame, updates: DataFrame, keys: Seq[String],
       versionCol: String, expectedVersionCol: String,
-      set: Map[String, String]): DataFrame = {
+      set: Map[String, String], checkUniqueKeys: Boolean = true): DataFrame = {
     val collisions =
       (target.columns.toSet & updates.columns.toSet) -- keys.toSet
     require(collisions.isEmpty, s"non-key columns collide: $collisions")
@@ -44,10 +53,14 @@ object OptimisticLock {
     val unknownSrc = (set.values.toSet + expectedVersionCol) -- updates.columns.toSet
     require(unknownSrc.isEmpty,
       s"set sources / expected-version column missing from the batch: $unknownSrc")
-    val dup = updates.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
-    require(dup.isEmpty,
-      s"CAS batch has multiple rows for key ${dup.headOption.getOrElse("")}")
+    if (checkUniqueKeys) {
+      val dup = updates.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+      require(dup.isEmpty,
+        "CAS batch has multiple rows for key " + dup.headOption.map(r =>
+          keys.map(k => s"$k=${r.getAs[Any](k)}").mkString("(", ", ", ")"))
+          .getOrElse(""))
+    }
 
     val joined = target.join(updates.withColumn("__cas", lit(1)), keys, "left")
     val matched = col("__cas").isNotNull

@@ -742,9 +742,12 @@ object AnalyticsQueries {
       pairs.groupBy("lag_k")
         .agg(count(lit(1)).cast(D38).as("np"),
           sum(col("x")).cast(D38).as("sx"), sum(col("yk")).cast(D38).as("sy"),
-          sum((col("x") * col("x")).cast(D38)).as("sxx"),
-          sum((col("yk") * col("yk")).cast(D38)).as("syy"),
-          sum((col("x") * col("yk")).cast(D38)).as("sxy"))
+          // cast EACH FACTOR before the multiply (the g23 rule): the
+          // oracle multiplies in HUGEINT, and a long×long product formed
+          // first would wrap past ~3e9 daily counts before its cast
+          sum(col("x").cast(D38) * col("x").cast(D38)).as("sxx"),
+          sum(col("yk").cast(D38) * col("yk").cast(D38)).as("syy"),
+          sum(col("x").cast(D38) * col("yk").cast(D38)).as("sxy"))
         .withColumn("vx", col("np") * col("sxx") - col("sx") * col("sx"))
         .withColumn("vy", col("np") * col("syy") - col("sy") * col("sy"))
         .filter(col("vx") > 0 && col("vy") > 0)
@@ -860,8 +863,12 @@ object AnalyticsQueries {
       val tot = ev.agg(
         sum((col("event_type") === "click").cast("long")).as("na"),
         sum((col("event_type") === "purchase").cast("long")).as("nb"))
+      // overflow safety lives in the DECIMAL(38,0) sums above; the emitted
+      // est/exact are well inside 2^53 so the final DOUBLE cast is exact
+      // (Verify lints DecimalType out of final schemas — driver contract)
       est.crossJoin(broadcast(exact)).crossJoin(broadcast(tot))
-        .select(col("est"), col("exact"),
+        .select(col("est").cast("double").as("est"),
+          col("exact").cast("double").as("exact"),
           (col("est") >= col("exact")).cast("int").as("ge_exact"),
           (col("est").cast("double") <= col("exact").cast("double") +
             lit(0.0425) * col("na") * col("nb")).cast("int")
@@ -1206,7 +1213,7 @@ object AnalyticsQueries {
         "USING (user_id)), " +
         "tot AS (SELECT CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS na, " +
         "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS nb FROM events) " +
-        "SELECT est, exact, CAST(est >= exact AS INT) AS ge_exact, " +
+        "SELECT CAST(est AS DOUBLE) AS est, CAST(exact AS DOUBLE) AS exact, CAST(est >= exact AS INT) AS ge_exact, " +
         "CAST(CAST(est AS DOUBLE) <= CAST(exact AS DOUBLE) + 0.0425 * na * nb AS INT) " +
         "AS within_bound FROM est CROSS JOIN ex CROSS JOIN tot"
     },

@@ -369,6 +369,9 @@ object OpsQueries {
             col("o_totalprice").as("old_v"),
             lit(null).cast("double").as("new_v")))
       graft.ops.IncrementalAgg.applyDelta(oldAgg, changes, Seq("o_custkey"))
+        // exact DECIMAL retraction internally; emit DOUBLE (Verify lints
+        // DecimalType out of final schemas — driver hashing contract)
+        .withColumn("total", col("total").cast("double"))
         .orderBy("o_custkey")
     },
     // ---- S7: legacy V1 query object with control fields -----------------
@@ -506,7 +509,7 @@ object OpsQueries {
         "ELSE o_totalprice END AS p " +
         "FROM orders WHERE o_orderkey % 10 <> 2) " +
         "SELECT o_custkey, count(*) AS n, " +
-        "CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total " +
+        "CAST(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total " +
         "FROM f GROUP BY 1 ORDER BY 1"),
     "dq1_profile" ->
       ("SELECT 'o_orderkey' AS col, count(*) AS n_rows, count(*)-count(o_orderkey) AS n_nulls, " +

@@ -67,6 +67,12 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) =
     Tables.t(s, dir, "documents")
 
+  /** Record-bridge JSON options: emit explicit nulls — to_json's default
+    * DROPS null fields, so a NULL text/lang would reach a user script as
+    * `undefined` and e.g. doc.text.split would throw instead of hitting
+    * the scripts' `=== null` guards (the oracle's SQL NULL semantics). */
+  private val jsonOpts = Map("ignoreNullFields" -> "false")
+
   val queries: Map[String, Q] = Map(
     // A1: batch stage chain in mapPartitions (passthrough + map stage)
     "a1_pipeline_map" -> { (s, dir) =>
@@ -215,7 +221,7 @@ object PipelineQueries {
     // tokens AND mention 'spark' at least twice; JS truthiness decides ---
     "x11_js_filter" -> { (s, dir) =>
       jsFilter(docs(s, dir).select(col("doc_id"), col("n_chars"),
-          to_json(struct(col("doc_id"), col("text"))).as("rec")))
+          to_json(struct(col("doc_id"), col("text")), jsonOpts).as("rec")))
         .orderBy("doc_id")
     },
     // ---- st22: the SAME JS predicate inside Structured Streaming — the
@@ -227,7 +233,7 @@ object PipelineQueries {
         s, s"$dir/documents.parquet", schema)
       graft.streaming.Streams.runToParquet(raw, st =>
           jsFilter(st.select(col("doc_id"), col("n_chars"),
-            to_json(struct(col("doc_id"), col("text"))).as("rec"))))
+            to_json(struct(col("doc_id"), col("text")), jsonOpts).as("rec"))))
         .orderBy("doc_id")
     }
   )
@@ -236,6 +242,7 @@ object PipelineQueries {
   private def jsFilter(in: DataFrame): DataFrame = {
     val script =
       """function handle(doc) {
+        |  if (doc.text === null) return false;  // NULL predicate excludes, like SQL WHERE
         |  var toks = doc.text.split(' ');
         |  if (toks.length < 30) return false;
         |  var n = 0;
@@ -260,20 +267,21 @@ object PipelineQueries {
       |  return n;
       |}
       |function handle(doc) {
-      |  if (doc.text === '') return null;
+      |  if (doc.text === null || doc.text === '') return null;
       |  var toks = doc.text.split(' ');
       |  return {
       |    id: doc.doc_id,
       |    longish: longish(toks),
       |    head: toks.slice(0, 3).join('_'),
-      |    shout: doc.lang.toUpperCase()
+      |    shout: doc.lang === null ? null : doc.lang.toUpperCase()
       |  };
       |}""".stripMargin
 
   /** to_json → JsStage(handle) → from_json typed projection. */
   private def jsTransform(df: DataFrame): DataFrame = {
     val in = df.select(col("doc_id"),
-      to_json(struct(col("doc_id"), col("text"), col("lang"))).as("rec"))
+      to_json(struct(col("doc_id"), col("text"), col("lang")), jsonOpts)
+        .as("rec"))
     graft.pipeline.JsStage.stage(in, "rec", "out", jsScript)
       .select(col("doc_id"), from_json(col("out"),
         "id BIGINT, longish BIGINT, head STRING, shout STRING",

@@ -746,7 +746,11 @@ object SurfaceQueries {
     // sentinel row INSIDE the same buffer+promote as the rollup (one
     // atomic visibility switch covers both), and replayed ids skip. The
     // oracle recomputes the rollup from all events at once — maintained
-    // == recomputed across an arbitrary batch history --------------------
+    // == recomputed across an arbitrary batch history. COMPUTE is
+    // O(|batch| + |agg keys|) but the copy-on-write refresh WRITES the
+    // whole aggregate per batch — right for rollup-sized tables, wrong
+    // for 10^9 keys on 1-min triggers; the partitioned-rewrite upgrade
+    // path is documented in SCALE.md §5 ("Maintained-rollup refresh") ----
     "st19_stream_rollup" -> { (s, dir) =>
       import org.apache.spark.sql.types._
       val store = new graft.store.BucketStore(s,
@@ -782,7 +786,9 @@ object SurfaceQueries {
         }
       }
       store.read(b).filter(col("user_id") =!= -1L)
-        .select(col("user_id"), col("n"), col("total"))
+        // maintained state stays DECIMAL(18,2); emit DOUBLE (Verify lints
+        // DecimalType out of final schemas — driver hashing contract)
+        .select(col("user_id"), col("n"), col("total").cast("double").as("total"))
         .orderBy("user_id")
     },
     // ---- streaming upsert sink: per micro-batch, reduce to the latest
@@ -1299,7 +1305,7 @@ object SurfaceQueries {
     // additive folds commute with batching)
     "st19_stream_rollup" ->
       ("SELECT user_id, count(*) AS n, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total " +
         "FROM events WHERE event_type = 'purchase' " +
         "GROUP BY 1 ORDER BY 1")
   )

@@ -92,7 +92,20 @@ object BenchScale {
     // gate pins that throughput is genuinely linear and the per-record
     // JSON parse/stringify doesn't hide an accidental corpus-sized
     // allocation
-    "x10_js_stage")
+    "x10_js_stage",
+    // round-10: the remaining heavy-tail entrants. st19 is the maintained
+    // rollup — per-batch cost claims O(|batch| + |agg keys|); at 10× data
+    // both the batches and the key space grow ~10×, so the gate pins the
+    // claim empirically (a hidden O(history) rescan would go quadratic).
+    // mm15 is the APNG inter-frame composition (Inflater + dispose/blend
+    // replay — decoded-pixel-linear like mm9/mm11). rl2 chains rl1's
+    // blocked linkage with dd6's CC survivorship — both stages are
+    // candidate-bounded, the gate confirms the composition stays so.
+    // idx7 is the BM25 global top-k: per-term posting scoring + a
+    // distributed takeOrdered — must stay posting-linear, never
+    // collect-the-corpus
+    "st19_stream_rollup", "mm15_video_apng", "rl2_golden_record",
+    "idx7_bm25_topk")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride

@@ -163,6 +163,13 @@ class JsSpec extends AnyFunSuite {
     assert(evalExpr("String(42)") === "42")
     assert(evalExpr("Number('3') + 1") === 4.0)
     assert(evalExpr("parseInt('42px')") === 42.0)
+    assert(evalExpr("parseInt('ff', 16)") === 255.0)
+    assert(evalExpr("parseInt('0x10')") === 16.0)
+    assert(evalExpr("parseInt('-0X1A')") === -26.0)
+    assert(evalExpr("parseInt('101', 2)") === 5.0)
+    assert(evalExpr("parseInt('z', 36)") === 35.0)
+    assert(evalExpr("isNaN(parseInt('10', 1))") === true)
+    assert(evalExpr("isNaN(parseInt('g', 16))") === true)
     assert(evalExpr("parseFloat('2.5rem')") === 2.5)
     assert(evalExpr("isNaN(Number('x'))") === true)
     assert(evalExpr("typeof 1 + '|' + typeof 'x' + '|' + typeof true + '|' + typeof undefined + '|' + typeof null + '|' + typeof [] + '|' + typeof main")
@@ -182,6 +189,8 @@ class JsSpec extends AnyFunSuite {
     assert(evalExpr("[10, 20][1.5] === undefined") === true)
     assert(evalExpr("[10, 20][0/0] === undefined") === true)
     assert(evalExpr("[10, 20]['1']") === 20.0)        // canonical numeric string
+    assert(evalExpr("[10, 20]['01'] === undefined") === true) // leading zero: property, not index
+    assert(evalExpr("[10, 20][true] === undefined") === true) // booleans are property names
     assert(evalExpr("({ '1.5': 'x' })[1.5]") === "x") // object keys stringify
     intercept[Js.JsError](run(
       "function main() { var a = [1]; a[0/0] = 9; return a; }"))

@@ -489,4 +489,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(WavDecoder.samples8(wav(pcmOdd)).get.toSeq ===
       pcmOdd.toSeq.map(b => (b & 0xff) - 128))
   }
+
+  test("tokenRasterPng: edge/repeated/trailing spaces match the normalized text") {
+    // the explicit empty-token filter is the only tokenization Java's
+    // split(' ') (drops trailing empties) and the oracle's string_split
+    // (keeps them) agree on — rasters must be byte-identical across all
+    // whitespace-degenerate forms of the same token multiset
+    val norm = Multimodal.tokenRasterPng("alpha beta gamma")
+    for (v <- Seq("alpha beta gamma ", " alpha beta gamma",
+        "alpha  beta   gamma", "alpha beta gamma   "))
+      assert(Multimodal.tokenRasterPng(v).toSeq === norm.toSeq, s"'$v'")
+    // NULL text → the all-zero raster, deterministically (no NPE)
+    assert(Multimodal.tokenRasterPng(null).toSeq ===
+      Multimodal.tokenRasterPng("").toSeq)
+  }
 }
