@@ -22,17 +22,31 @@ import scala.collection.mutable
   *    `continue`;
   *  - string methods (length, charAt, charCodeAt, indexOf, lastIndexOf,
   *    substring, slice, split, trim, replace, toUpperCase, toLowerCase,
-  *    startsWith, endsWith, includes), array methods (length, push, pop,
-  *    join, indexOf, includes, slice, concat, reverse, map, filter,
-  *    reduce, sort), `Object.keys`, `Math.{abs,floor,ceil,round,sqrt,pow,
-  *    min,max,log,exp}`, `JSON.{parse,stringify}`, `String`/`Number`
-  *    conversion, `parseInt`, `parseFloat`, `isNaN`.
+  *    startsWith, endsWith, includes, match, search), array methods
+  *    (length, push, pop, join, indexOf, includes, slice, concat,
+  *    reverse, map, filter, reduce, sort), `Object.keys`,
+  *    `Math.{abs,floor,ceil,round,sqrt,pow,min,max,log,exp}`,
+  *    `JSON.{parse,stringify}`, `String`/`Number` conversion, `parseInt`
+  *    (with radix and 0x), `parseFloat`, `isNaN`;
+  *  - regular-expression literals (`/re/gims`) backed by
+  *    `java.util.regex` (deterministic): `re.test/exec/source/flags`,
+  *    and regex forms of `split`/`replace`/`match`/`search` (replace
+  *    takes `$&`/`$1..$9`/`$$` substitutions or a callback). Documented
+  *    deviations from ECMA-262: PATTERN SYNTAX IS JAVA'S (corner-case
+  *    character-class/escape differences), `exec` is stateless (no
+  *    `lastIndex`; always matches from 0 — iterate with `match` + `g`
+  *    instead) and its result array carries no `.index` property;
+  *  - `throw` / `try`-`catch`-`finally` (pure control flow): any value
+  *    throws; runtime errors (member of null, not-a-function, unknown
+  *    member — JS TypeErrors) are catchable as `{name, message}` objects,
+  *    exactly as deterministic as the evaluation that raises them; a
+  *    global `Error(msg)` factory covers the `throw Error('x')` form
+  *    (`new` is still unsupported).
   *
-  * Deliberately ABSENT for determinism: `Date`, `Math.random`, regular
-  * expressions, prototypes, `this`, `new`, exceptions (`try`/`throw`),
-  * getters, and the global object — a script touching them fails loudly.
-  * Numbers are IEEE doubles evaluated in source order, so results are
-  * bit-identical across executors and runs.
+  * Deliberately ABSENT for determinism: `Date`, `Math.random`,
+  * prototypes, `this`, `new`, getters, and the global object — a script
+  * touching them fails loudly. Numbers are IEEE doubles evaluated in
+  * source order, so results are bit-identical across executors and runs.
   */
 object Js {
 
@@ -56,6 +70,35 @@ object Js {
   object JsObject {
     def apply(kvs: (String, Any)*): JsObject =
       new JsObject(mutable.LinkedHashMap(kvs: _*))
+  }
+
+  /** Compiled regex value (reference semantics, like JS RegExp objects).
+    * Pattern syntax is java.util.regex — deterministic, same matches on
+    * every executor. The `g` flag only changes the match/replace/split
+    * API behavior; compilation maps i→CASE_INSENSITIVE, m→MULTILINE,
+    * s→DOTALL. */
+  final class JsRegExp(val source: String, val flags: String) {
+    val global: Boolean = flags.contains('g')
+    def pattern: java.util.regex.Pattern = JsRegExp.compiled(source, flags)
+    override def toString: String = s"/$source/$flags"
+  }
+  object JsRegExp {
+    // per-JVM compile cache: RegexLit AST nodes are broadcast as strings
+    // (java Pattern is not serializable) and compile once per executor
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+    private[js] def compiled(src: String, flags: String): java.util.regex.Pattern =
+      cache.computeIfAbsent(flags + " " + src, { _ =>
+        var f = 0
+        if (flags.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE
+        if (flags.contains('m')) f |= java.util.regex.Pattern.MULTILINE
+        if (flags.contains('s')) f |= java.util.regex.Pattern.DOTALL
+        try java.util.regex.Pattern.compile(src, f)
+        catch {
+          case e: java.util.regex.PatternSyntaxException =>
+            fail(s"invalid regex /$src/: ${e.getDescription}")
+        }
+      })
   }
 
   /** User function value: params + body + defining environment (closure). */
@@ -89,6 +132,7 @@ object Js {
   final case class Assign(op: String, target: Expr, value: Expr) extends Expr
   final case class FuncExpr(name: String, params: Seq[String], body: Seq[Stmt])
       extends Expr
+  final case class RegexLit(pattern: String, flags: String) extends Expr
 
   sealed trait Stmt
   final case class ExprStmt(e: Expr) extends Stmt
@@ -103,6 +147,9 @@ object Js {
   case object Continue extends Stmt
   final case class FuncDecl(name: String, params: Seq[String], body: Seq[Stmt])
       extends Stmt
+  final case class Throw(e: Expr) extends Stmt
+  final case class TryStmt(body: Seq[Stmt], param: Option[String],
+      handler: Option[Seq[Stmt]], fin: Seq[Stmt]) extends Stmt
 
   // ---- lexer ----------------------------------------------------------------
 
@@ -110,10 +157,22 @@ object Js {
 
   private val keywords = Set("var", "function", "return", "if", "else",
     "while", "for", "in", "break", "continue", "true", "false", "null",
-    "typeof", "undefined")
+    "typeof", "undefined", "try", "catch", "finally", "throw")
+
+  /** Division/regex disambiguation: a `/` STARTS a regex literal unless
+    * the previous token can end an operand (number, string, identifier,
+    * the value keywords, or a closing `)`/`]` / postfix `++`/`--`) —
+    * the standard single-token-lookbehind heuristic. */
+  private def regexCanFollow(prev: Tok): Boolean = prev match {
+    case null => true
+    case Tok("num" | "str" | "regex" | "ident", _, _) => false
+    case Tok("true" | "false" | "null" | "undefined", _, _) => false
+    case Tok("punct", ")" | "]" | "++" | "--", _) => false
+    case _ => true
+  }
 
   private def lex(src: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+    val out = mutable.ArrayBuffer.empty[Tok]
     var i = 0
     val n = src.length
     def err(m: String) = fail(s"js lex error at $i: $m")
@@ -126,6 +185,35 @@ object Js {
         val end = src.indexOf("*/", i + 2)
         if (end < 0) err("unterminated block comment")
         i = end + 2
+      } else if (c == '/' && regexCanFollow(out.lastOption.orNull)) {
+        // regex literal: body to the unescaped closing '/', where '/'
+        // inside a [...] class does not close; then letter flags
+        val start = i
+        i += 1
+        val body = new StringBuilder
+        var inClass = false
+        var closed = false
+        while (i < n && !closed) {
+          val rc = src(i)
+          if (rc == '\n') err("unterminated regex literal")
+          else if (rc == '\\') {
+            if (i + 1 >= n) err("unterminated regex escape")
+            body += rc += src(i + 1); i += 2
+          } else if (rc == '[') { inClass = true; body += rc; i += 1 }
+          else if (rc == ']') { inClass = false; body += rc; i += 1 }
+          else if (rc == '/' && !inClass) { closed = true; i += 1 }
+          else { body += rc; i += 1 }
+        }
+        if (!closed) err("unterminated regex literal")
+        val fStart = i
+        while (i < n && src(i).isLetter) i += 1
+        val flags = src.substring(fStart, i)
+        val bad = flags.filterNot("gims".contains(_))
+        if (bad.nonEmpty) err(s"unsupported regex flag(s) '$bad' (supported: gims)")
+        if (flags.distinct != flags) err(s"duplicate regex flags '$flags'")
+        // flags FIRST ("<flags> <body>"): the body may itself contain
+        // spaces, the flags never do - the parser splits at the first one
+        out += Tok("regex", flags + " " + body.result(), start)
       } else if (c.isDigit ||
           (c == '.' && i + 1 < n && src(i + 1).isDigit)) {
         val start = i
@@ -184,7 +272,7 @@ object Js {
       }
     }
     out += Tok("eof", "", n)
-    out.result()
+    out.toVector
   }
 
   // ---- parser (Pratt) -------------------------------------------------------
@@ -251,6 +339,22 @@ object Js {
       else if (at("for")) { next(); forStmt() }
       else if (at("break")) { next(); Break }
       else if (at("continue")) { next(); Continue }
+      else if (at("throw")) { next(); Throw(expression()) }
+      else if (at("try")) {
+        next()
+        val body = block()
+        val (param, handler) =
+          if (at("catch")) {
+            next(); expectPunct("(")
+            val p = expect("ident").text
+            expectPunct(")")
+            (Some(p), Some(block()))
+          } else (None, None)
+        val fin = if (at("finally")) { next(); block() } else Nil
+        if (handler.isEmpty && fin.isEmpty)
+          fail(s"js parse error at ${peek.pos}: try requires catch or finally")
+        TryStmt(body, param, handler, fin)
+      }
       else if (atPunct("{")) {
         // a bare block at statement position (JS block, not an object
         // literal): run its statements unconditionally
@@ -440,6 +544,15 @@ object Js {
     private def primary(): Expr = {
       if (at("num")) NumLit(next().text.toDouble)
       else if (at("str")) StrLit(next().text)
+      else if (at("regex")) {
+        val t = next().text
+        val sep = t.indexOf(' ') // "<flags> <body>", flags never contain one
+        val lit = RegexLit(t.substring(sep + 1), t.substring(0, sep))
+        // compile NOW: a bad pattern fails at parse (= plan) time on the
+        // driver, not per-row on an executor
+        JsRegExp.compiled(lit.pattern, lit.flags)
+        lit
+      }
       else if (at("true")) { next(); BoolLit(true) }
       else if (at("false")) { next(); BoolLit(false) }
       else if (at("null")) { next(); NullLit }
@@ -510,6 +623,21 @@ object Js {
       extends RuntimeException(null, null, false, false)
   private final class BreakSig extends RuntimeException(null, null, false, false)
   private final class ContinueSig extends RuntimeException(null, null, false, false)
+  /** A value thrown by script `throw` — catchable by script `try`. */
+  private final class ThrowSig(val v: Any)
+      extends RuntimeException(null, null, false, false)
+
+  /** The `{name, message}` object a catch clause binds for an ENGINE
+    * runtime error (member of null, not a function, … — JS TypeErrors). */
+  private def errorObject(msg: String): JsObject =
+    JsObject("name" -> "Error", "message" -> msg)
+
+  /** Render an uncaught thrown value for the host-side JsError. */
+  private def describeThrown(v: Any): String = v match {
+    case o: JsObject if o.fields.contains("message") =>
+      s"${o.fields.getOrElse("name", "Error")}: ${toStr(o.fields("message"))}"
+    case other => toStr(other)
+  }
 
   // ---- interpreter ----------------------------------------------------------
 
@@ -523,14 +651,22 @@ object Js {
     catch {
       case _: ReturnSig => fail("return outside a function")
       case _: BreakSig | _: ContinueSig => fail("break/continue outside a loop")
+      case t: ThrowSig => fail(s"uncaught exception: ${describeThrown(t.v)}")
     }
     g
   }
 
-  /** Call a named function defined by the loaded script. */
+  /** Call a named function defined by the loaded script. A script
+    * exception that escapes the call surfaces as a host JsError here —
+    * the engine boundary, same contract as any other runtime failure. */
   def invoke(env: Env, name: String, args: Seq[Any]): Any =
     env.get(name) match {
-      case f: JsFunction => callFunction(f, args)
+      case f: JsFunction =>
+        try callFunction(f, args)
+        catch {
+          case t: ThrowSig =>
+            fail(s"uncaught exception: ${describeThrown(t.v)}")
+        }
       case other => fail(s"$name is not a function (got ${typeOf(other)})")
     }
 
@@ -605,6 +741,27 @@ object Js {
     case Break => throw new BreakSig
     case Continue => throw new ContinueSig
     case FuncDecl(n, ps, b) => env.declare(n, JsFunction(n, ps, b, env))
+    case Throw(e) => throw new ThrowSig(eval(e, env))
+    case TryStmt(body, param, handler, fin) =>
+      // Scala try/finally gives the JS contract directly: the finally
+      // block runs on normal exit, on a caught/propagating exception, AND
+      // on return/break/continue unwinding through the try — and anything
+      // the finally block itself throws or returns supersedes.
+      try {
+        try body.foreach(exec(_, env))
+        catch {
+          case t: ThrowSig if handler.isDefined =>
+            val h = env.child()
+            param.foreach(h.declare(_, t.v))
+            handler.get.foreach(exec(_, h))
+          // engine runtime errors are JS TypeErrors — catchable, bound as
+          // {name, message}; deterministic because the evaluation is
+          case e: JsError if handler.isDefined =>
+            val h = env.child()
+            param.foreach(h.declare(_, errorObject(e.getMessage)))
+            handler.get.foreach(exec(_, h))
+        }
+      } finally fin.foreach(exec(_, env))
   }
 
   def eval(e: Expr, env: Env): Any = e match {
@@ -660,6 +817,7 @@ object Js {
       val v = binary(op.stripSuffix("="), readRef(ref), eval(vE, env))
       writeRef(ref, v); v
     case FuncExpr(name, ps, b) => JsFunction(name, ps, b, env)
+    case RegexLit(p, f) => new JsRegExp(p, f) // fresh object per eval, like JS
   }
 
   /** A resolved assignment target: object/index sub-expressions evaluated
@@ -855,10 +1013,66 @@ object Js {
   private def getMember(obj: Any, name: String): Any = obj match {
     case s: String => stringMember(s, name)
     case a: JsArray => arrayMember(a, name)
+    case r: JsRegExp => regexMember(r, name)
     case o: JsObject => o.fields.getOrElse(name, Undefined)
     case null => fail(s"cannot read .$name of null")
     case Undefined => fail(s"cannot read .$name of undefined")
     case other => fail(s"cannot read .$name of ${typeOf(other)}")
+  }
+
+  private def regexMember(r: JsRegExp, name: String): Any = name match {
+    case "source" => r.source
+    case "flags" => r.flags
+    case "global" => r.global
+    case "ignoreCase" => r.flags.contains('i')
+    case "multiline" => r.flags.contains('m')
+    case "test" => Builtin("test", a => r.pattern.matcher(toStr(arg(a, 0))).find())
+    case "exec" => Builtin("exec", a => {
+      // STATELESS exec (no lastIndex): always the first match from 0.
+      // Iterating all matches = s.match(/re/g); this keeps the value
+      // deterministic and the classic while(exec) misuse impossible.
+      val m = r.pattern.matcher(toStr(arg(a, 0)))
+      if (!m.find()) null
+      else new JsArray(mutable.ArrayBuffer((0 to m.groupCount).map { g =>
+        val s = m.group(g)
+        if (s == null) Undefined else (s: Any)
+      }: _*))
+    })
+    case other => fail(s"unsupported regex member .$other")
+  }
+
+  /** `$&`/`$1..$9`/`$$` substitution for string-form regex replace. */
+  private def regexSubst(repl: String, m: java.util.regex.Matcher): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < repl.length) {
+      val c = repl.charAt(i)
+      if (c == '$' && i + 1 < repl.length) {
+        repl.charAt(i + 1) match {
+          case '$' => sb += '$'; i += 2
+          case '&' => sb ++= m.group(0); i += 2
+          case d if d.isDigit =>
+            val g = d - '0'
+            if (g >= 1 && g <= m.groupCount) {
+              val s = m.group(g)
+              if (s != null) sb ++= s
+              i += 2
+            } else { sb += c; i += 1 } // out-of-range: literal, like JS
+          case _ => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.result()
+  }
+
+  /** Callback-form replace: fn(match, p1..pn) — JS argument shape minus
+    * the trailing (offset, string) pair. */
+  private def regexReplFn(fn: Any, m: java.util.regex.Matcher): String = {
+    val args = (0 to m.groupCount).map { g =>
+      val s = m.group(g)
+      if (s == null) (Undefined: Any) else (s: Any)
+    }
+    toStr(callValue(fn, args))
   }
 
   private def clampIdx(i: Double, len: Int): Int = {
@@ -895,9 +1109,13 @@ object Js {
       }
       if (from >= to) "" else s.substring(from, to)
     })
-    case "split" => Builtin("split", a => arg(a, 0) match {
-      case sep: String =>
-        val parts =
+    case "split" => Builtin("split", a => {
+      val limit = arg(a, 1) match {
+        case Undefined => Int.MaxValue
+        case v => toNumber(v).toInt
+      }
+      val parts: Seq[String] = arg(a, 0) match {
+        case sep: String =>
           if (sep.isEmpty) s.map(_.toString)
           else {
             // JS split keeps trailing empty fields (unlike Java's default)
@@ -912,17 +1130,72 @@ object Js {
             out += s.substring(start)
             out.toSeq
           }
-        new JsArray(mutable.ArrayBuffer(parts: _*))
-      case _ => JsArray(s)
+        case re: JsRegExp =>
+          // java's -1 limit keeps trailing empties, matching JS; the one
+          // divergence (leading zero-width-match empties) is a Java-syntax
+          // corner documented in the interpreter contract
+          re.pattern.split(s, -1).toSeq
+        case _ => Seq(s)
+      }
+      new JsArray(mutable.ArrayBuffer(parts.take(math.max(0, limit)): _*))
     })
     case "trim" => Builtin("trim", _ => s.trim)
     case "toUpperCase" => Builtin("toUpperCase", _ => s.toUpperCase(java.util.Locale.ROOT))
     case "toLowerCase" => Builtin("toLowerCase", _ => s.toLowerCase(java.util.Locale.ROOT))
-    case "replace" => Builtin("replace", a => {
-      // first occurrence only, literal strings (no regex — determinism)
-      val find = toStr(arg(a, 0)); val repl = toStr(arg(a, 1))
-      val i = s.indexOf(find)
-      if (i < 0) s else s.substring(0, i) + repl + s.substring(i + find.length)
+    case "replace" => Builtin("replace", a => arg(a, 0) match {
+      case re: JsRegExp =>
+        // g → all matches, else first; repl is a $-substitution string or
+        // a callback fn(match, p1..pn)
+        val m = re.pattern.matcher(s)
+        val repl = arg(a, 1)
+        val sb = new StringBuilder
+        var last = 0
+        var go = m.find()
+        while (go) {
+          sb ++= s.substring(last, m.start())
+          sb ++= (repl match {
+            case fn @ (_: JsFunction | _: Builtin) => regexReplFn(fn, m)
+            case v => regexSubst(toStr(v), m)
+          })
+          last = m.end()
+          // zero-width match must still advance, or this never terminates
+          go = re.global && (if (m.end() > m.start()) m.find()
+            else m.end() < s.length && m.find(m.end() + 1))
+        }
+        sb ++= s.substring(last)
+        sb.result()
+      case find0 =>
+        // first occurrence only, literal string pattern (JS semantics)
+        val find = toStr(find0); val repl = toStr(arg(a, 1))
+        val i = s.indexOf(find)
+        if (i < 0) s else s.substring(0, i) + repl + s.substring(i + find.length)
+    })
+    case "match" => Builtin("match", a => arg(a, 0) match {
+      case re: JsRegExp if re.global =>
+        // all full-match strings, or null when none (JS)
+        val m = re.pattern.matcher(s)
+        val out = mutable.ArrayBuffer.empty[Any]
+        var pos = 0
+        while (pos <= s.length && m.find(pos)) {
+          out += m.group(0)
+          pos = if (m.end() > m.start()) m.end() else m.end() + 1
+        }
+        if (out.isEmpty) null else new JsArray(out)
+      case re: JsRegExp =>
+        // exec shape: [full, groups...] or null
+        val m = re.pattern.matcher(s)
+        if (!m.find()) null
+        else new JsArray(mutable.ArrayBuffer((0 to m.groupCount).map { g =>
+          val gs = m.group(g)
+          if (gs == null) (Undefined: Any) else (gs: Any)
+        }: _*))
+      case other => fail(s"match expects a regex, got ${typeOf(other)}")
+    })
+    case "search" => Builtin("search", a => arg(a, 0) match {
+      case re: JsRegExp =>
+        val m = re.pattern.matcher(s)
+        if (m.find()) m.start().toDouble else -1.0
+      case other => fail(s"search expects a regex, got ${typeOf(other)}")
     })
     case "startsWith" => Builtin("startsWith", a => s.startsWith(toStr(arg(a, 0))))
     case "endsWith" => Builtin("endsWith", a => s.endsWith(toStr(arg(a, 0))))
@@ -1072,6 +1345,12 @@ object Js {
       if (!sawDigit) Double.NaN else t.substring(0, i).toDouble
     }))
     g.declare("isNaN", Builtin("isNaN", a => toNumber(arg(a, 0)).isNaN))
+    // plain-call Error factory: `throw Error('x')` (valid JS) — covers the
+    // `new Error('x')` idiom without supporting `new`
+    g.declare("Error", Builtin("Error", a => errorObject(arg(a, 0) match {
+      case Undefined => ""
+      case v => toStr(v)
+    })))
     g
   }
 
@@ -1101,6 +1380,7 @@ object Js {
       case o: JsObject =>
         o.fields.map { case (k, x) => quote(k) + ":" + stringify(x) }
           .mkString("{", ",", "}")
+      case _: JsRegExp => "{}" // JS: a RegExp has no enumerable own props
       case other => fail(s"cannot stringify ${typeOf(other)}")
     }
 

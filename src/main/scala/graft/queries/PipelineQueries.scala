@@ -235,6 +235,43 @@ object PipelineQueries {
           jsFilter(st.select(col("doc_id"), col("n_chars"),
             to_json(struct(col("doc_id"), col("text")), jsonOpts).as("rec"))))
         .orderBy("doc_id")
+    },
+    // ---- x12: a REGEX-bearing user script — the construct real
+    // Nashorn-era reference scripts leaned on hardest, now first-class in
+    // the interpreter (java.util.regex-backed literals + try/catch). The
+    // script extracts the first j-word via the match-then-index idiom
+    // (no-match → null → the index throws → catch maps it to null — the
+    // TypeError-as-control-flow pattern real scripts use), counts s-token
+    // substrings with a global match, strips vowels with a global
+    // replace, and tokenizes on a regex split; the oracle replays all
+    // four in DuckDB's RE2 (patterns chosen inside the Java∩RE2 common
+    // subset; DuckDB regexp_extract's ''-on-no-match is NULLIF'd to the
+    // script's null) ------------------------------------------------------
+    "x12_js_regex" -> { (s, dir) =>
+      val script =
+        """function handle(doc) {
+          |  if (doc.text === null) return null;
+          |  var first;
+          |  try { first = doc.text.match(/j[a-z]+/)[0]; }
+          |  catch (e) { first = null; }
+          |  return {
+          |    doc_id: doc.doc_id,
+          |    first_j: first,
+          |    n_s: (doc.text.match(/s[a-z]+/g) || []).length,
+          |    vowlen: doc.text.replace(/[aeiou]/g, '').length,
+          |    n_tok: doc.text.split(/ +/).length
+          |  };
+          |}""".stripMargin
+      val in = docs(s, dir).select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("text")), jsonOpts).as("rec"))
+      graft.pipeline.JsStage.stage(in, "rec", "out", script)
+        .select(col("doc_id"), from_json(col("out"),
+          "doc_id BIGINT, first_j STRING, n_s BIGINT, vowlen BIGINT, n_tok BIGINT",
+          Map.empty[String, String]).as("o"))
+        .select(col("doc_id"), col("o.first_j").as("first_j"),
+          col("o.n_s").as("n_s"), col("o.vowlen").as("vowlen"),
+          col("o.n_tok").as("n_tok"))
+        .orderBy("doc_id")
     }
   )
 
@@ -339,7 +376,13 @@ object PipelineQueries {
     // the predicate restated as a WHERE clause; st22 runs the same script
     // in streaming over the same table → same SQL
     "x11_js_filter" -> jsFilterOracleSql,
-    "st22_stream_js_filter" -> jsFilterOracleSql
+    "st22_stream_js_filter" -> jsFilterOracleSql,
+    "x12_js_regex" ->
+      ("SELECT doc_id, NULLIF(regexp_extract(text, 'j[a-z]+'), '') AS first_j, " +
+        "len(regexp_extract_all(text, 's[a-z]+')) AS n_s, " +
+        "length(regexp_replace(text, '[aeiou]', '', 'g')) AS vowlen, " +
+        "len(string_split_regex(text, ' +')) AS n_tok " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id")
   )
 
   /** The ONE declarative restatement of [[jsFilter]]'s predicate. */

@@ -310,4 +310,105 @@ class JsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](graft.pipeline.JsStage.stage(df, "rec",
       "out", "function notHandle(doc) { return 1; }"))
   }
+
+  test("regex literals: test/exec/source/flags, division stays division") {
+    assert(evalExpr("/ab+c/.test('xabbbc')") === true)
+    assert(evalExpr("/ab+c/.test('xac')") === false)
+    assert(evalExpr("/AB/i.test('xaby')") === true)
+    assert(evalExpr("/a./s.test('a\\n')") === true)
+    assert(evalExpr("/^b/m.test('a\\nb')") === true)
+    assert(evalExpr("/(\\d+)-(\\d+)/.exec('x 12-34 y').join('|')") === "12-34|12|34")
+    assert(evalExpr("/zzz/.exec('abc') === null") === true)
+    assert(evalExpr("/a(b)?c/.exec('ac')[1] === undefined") === true)
+    assert(evalExpr("/x[/]y/.test('x/y')") === true) // '/' inside a class
+    assert(evalExpr("/ab/.source + '|' + /ab/gi.flags") === "ab|gi")
+    assert(evalExpr("/ab/g.global && !/ab/.global") === true)
+    // the lookbehind heuristic: these are all DIVISION
+    assert(evalExpr("10 / 2 / 5") === 1.0)
+    assert(run("function main() { var x = 12; var y = 3; return x / y; }") === 4.0)
+    assert(run("function main() { var a = [8]; return a[0] / 2; }") === 4.0)
+    assert(run("function main() { return (6) / 3; }") === 2.0)
+  }
+
+  test("regex string methods: match, search, split, replace") {
+    assert(evalExpr("'a1b22c333'.match(/\\d+/g).join(',')") === "1,22,333")
+    assert(evalExpr("'a1b22'.match(/b(\\d+)/)[1]") === "22")
+    assert(evalExpr("'abc'.match(/z/) === null && 'abc'.match(/z/g) === null") === true)
+    assert(evalExpr("'hello world'.search(/o w/)") === 4.0)
+    assert(evalExpr("'abc'.search(/z/)") === -1.0)
+    assert(evalExpr("'a1b2c'.split(/\\d/).join('|')") === "a|b|c")
+    assert(evalExpr("'a,b,'.split(/,/).length") === 3.0) // trailing empty kept
+    assert(evalExpr("'a,b,c'.split(/,/, 2).join('|')") === "a|b")
+    assert(evalExpr("'a-b-c'.replace(/-/, '_')") === "a_b-c")     // first only
+    assert(evalExpr("'a-b-c'.replace(/-/g, '_')") === "a_b_c")    // all with g
+    assert(evalExpr("'ab12cd'.replace(/(\\d)(\\d)/, '$2$1')") === "ab21cd")
+    assert(evalExpr("'x1y'.replace(/\\d/, '[$&]')") === "x[1]y")
+    assert(evalExpr("'cost: 5'.replace(/\\d/, '$$')") === "cost: $")
+    // callback form: fn(match, p1...)
+    assert(evalExpr(
+      "'a1b2'.replace(/(\\d)/g, function(m, d) { return '<' + d + '>'; })")
+      === "a<1>b<2>")
+    // zero-width global replace terminates and interleaves
+    assert(evalExpr("'ab'.replace(/x*/g, '-')") === "-a-b-")
+  }
+
+  test("regex errors: bad pattern at parse time, bad flags, JSON stringify") {
+    intercept[Js.JsError](Js.parse("function main() { return /[/.test('a'); }"))
+    intercept[Js.JsError](Js.parse("function main() { return /a(/.test('a'); }"))
+    intercept[Js.JsError](Js.parse("function main() { return /a/y.test('a'); }"))
+    assert(evalExpr("JSON.stringify({ r: /ab/g })") === """{"r":{}}""")
+    assert(evalExpr("typeof /ab/") === "object")
+    assert(evalExpr("String(/ab/gi)") === "/ab/gi")
+  }
+
+  test("throw / try-catch-finally: values, Error factory, engine TypeErrors") {
+    assert(run(
+      """function main() {
+        |  try { throw 'boom'; } catch (e) { return 'caught:' + e; }
+        |}""".stripMargin) === "caught:boom")
+    assert(run(
+      """function main() {
+        |  try { throw Error('bad input'); }
+        |  catch (e) { return e.name + '/' + e.message; }
+        |}""".stripMargin) === "Error/bad input")
+    // engine runtime error (member of null) is catchable as {name, message}
+    assert(run(
+      """function main() {
+        |  var x = null;
+        |  try { return x.field; } catch (e) { return 'te:' + e.name; }
+        |}""".stripMargin) === "te:Error")
+    // finally runs on both paths and return-through-try
+    assert(run(
+      """function main() {
+        |  var log = [];
+        |  try { log.push('t'); throw 1; }
+        |  catch (e) { log.push('c'); }
+        |  finally { log.push('f'); }
+        |  try { log.push('t2'); } finally { log.push('f2'); }
+        |  return log.join('');
+        |}""".stripMargin) === "tcft2f2")
+    assert(run(
+      """function f() {
+        |  try { return 'r'; } finally { sideEffect.push('fin'); }
+        |}
+        |var sideEffect = [];
+        |function main() { var v = f(); return v + '|' + sideEffect.join(''); }
+        |""".stripMargin) === "r|fin")
+    // rethrow propagates; uncaught surfaces as a host JsError
+    val e = intercept[Js.JsError](run(
+      """function main() {
+        |  try { throw Error('inner'); }
+        |  catch (e) { throw e; }
+        |}""".stripMargin))
+    assert(e.getMessage.contains("inner"))
+    // catch scope: the binding does not leak
+    assert(run(
+      """function main() {
+        |  var e = 'outer';
+        |  try { throw 'x'; } catch (e) {}
+        |  return e;
+        |}""".stripMargin) === "outer")
+    // try without catch/finally is a parse error
+    intercept[Js.JsError](Js.parse("function main() { try { } return 1; }"))
+  }
 }
