@@ -374,6 +374,84 @@ object OpsQueries {
         .withColumn("total", col("total").cast("double"))
         .orderBy("o_custkey")
     },
+    // ---- cdc6: PARTITIONED maintained rollup — the upgrade path cdc4/
+    // st19's copy-on-write refresh documents in SCALE.md §5, shipped: the
+    // (user_id → n, total) aggregate lives in a PartitionedStore (16
+    // xxhash64 partitions, manifest-committed), and each of 4 sequential
+    // delta batches (events quartered by event_id % 4) refreshes ONLY the
+    // partitions its delta keys hash to — per-batch write I/O is
+    // O(touched partitions), not O(all keys), and the one atomic manifest
+    // rename keeps readers on a consistent view version throughout
+    // (PartitionedRollupSpec pins untouched-bytes-identical + failure
+    // atomicity; this query pins the maintained VALUES: after all
+    // batches, maintained == recomputed-from-scratch, the cdc4 contract)
+    "cdc6_partitioned_rollup" -> { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdc6").toString
+      val ps = new graft.store.PartitionedStore(s, root, Seq("user_id"), 16)
+      val ev = Tables.t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      // empty initial rollup (schema from an impossible filter)
+      ps.init(ev.filter(lit(false)).groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("total")))
+      for (batch <- 0L until 4L) {
+        val delta = ev.filter(col("event_id") % 4 === batch)
+          .select(lit("i").as("op"), col("user_id"),
+            lit(null).cast("double").as("old_v"), col("value").as("new_v"))
+          .cache()
+        val touched = ps.touchedBy(delta)
+        if (touched.nonEmpty) {
+          val cur = ps.readPartitions(touched)
+          ps.refresh(touched,
+            graft.ops.IncrementalAgg.applyDelta(cur, delta, Seq("user_id")))
+        }
+        delta.unpersist()
+      }
+      ps.read()
+        .select(col("user_id"), col("n"), col("total").cast("double").as("total"))
+        .orderBy("user_id")
+    },
+    // ---- cdc5: incremental JOIN maintenance — the view half of cdc4's
+    // aggregate maintenance: a materialized orders⋈customer view absorbs
+    // a CDC batch touching BOTH sides (order inserts/updates/deletes +
+    // customer balance updates and deletions) via the delta decomposition
+    // in IncrementalJoin — anti-join survivors + two delta-bounded joins,
+    // never re-running the base join. The oracle recomputes the join from
+    // the post-change tables directly, so maintained == recomputed is the
+    // checked contract (the cdc4 contract applied to joins) --------------
+    "cdc5_incremental_join" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = Tables.t(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      // base tables BEFORE the batch (inserts %10==0 not yet present;
+      // updated rows at their old values; deletes still present)
+      val aOld = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val bOld = cust
+      val vOld = aOld.join(bOld, col("o_custkey") === col("c_custkey"))
+      // post-change tables (how the caller maintains them is its business;
+      // here they are the direct apply of the synthetic changes)
+      val aNew = orders.filter(col("o_orderkey") % 10 =!= 2)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 1, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+      val bNew = cust.filter(col("c_custkey") % 31 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 3, col("c_acctbal") + 50)
+            .otherwise(col("c_acctbal")))
+      val aChanged = orders.filter(col("o_orderkey") % 10 <= 2)
+        .select("o_orderkey").distinct()
+      val bChanged = cust
+        .filter(col("c_custkey") % 7 === 3 || col("c_custkey") % 31 === 0)
+        .select("c_custkey").distinct()
+      graft.ops.IncrementalJoin.applyDelta(vOld, aNew, bNew,
+          aChanged, bChanged,
+          aKey = "o_orderkey", bKey = "c_custkey",
+          joinExpr = "o_custkey = c_custkey")
+        .orderBy("o_orderkey")
+    },
     // ---- S7: legacy V1 query object with control fields -----------------
     "s7_legacy_query" -> { (s, dir) =>
       val q = LegacyQuerySource.parse(Map(
@@ -503,6 +581,30 @@ object OpsQueries {
     // the recompute-from-scratch truth the maintained aggregate must equal
     // exactly: final facts = base (%10 != 0 kept, minus deletes %10==2)
     // plus inserts (%10==0), with updates (%10==1) at the new price
+    // maintained-equals-recomputed for the PARTITIONED rollup: same truth
+    // as st19's (all purchases, grouped), independent of the 4-way batch
+    // split AND of the partition routing (DECIMAL folds commute)
+    "cdc6_partitioned_rollup" ->
+      ("SELECT user_id, count(*) AS n, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY 1"),
+    // the recompute-from-scratch truth for the maintained JOIN view:
+    // post-change orders (deletes %10==2 out, updates %10==1 re-priced,
+    // inserts %10==0 present) joined to post-change customers (deletes
+    // %31==0 out, %7==3 re-balanced)
+    "cdc5_incremental_join" ->
+      ("WITH a AS (SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100 " +
+        "ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 <> 2), " +
+        "b AS (SELECT c_custkey, " +
+        "CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 50 " +
+        "ELSE c_acctbal END AS c_acctbal, c_mktsegment " +
+        "FROM customer WHERE c_custkey % 31 <> 0) " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "c_custkey, c_acctbal, c_mktsegment " +
+        "FROM a JOIN b ON o_custkey = c_custkey ORDER BY o_orderkey"),
     "cdc4_incremental_agg" ->
       ("WITH f AS (SELECT o_custkey, " +
         "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100 " +

