@@ -67,6 +67,15 @@ object GraftFunctions {
   def poly_hash(c: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
 
+  /** Bounded-heap top-k aggregate ([[TopKAgg]]): the k largest values of
+    * `c` (struct = lexicographic order; pack `struct(rank, tiebreaks,
+    * payload)`), descending. O(k) state per group, map-side partial. */
+  def top_k(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKAgg(ColumnBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
+
   /** Canonical Unicode normalization (NFC/NFD/NFKC/NFKD). */
   def unicode_norm(c: Column, form: String = "NFC"): Column =
     ColumnBridge.column(

@@ -75,6 +75,28 @@ object AnalyticsQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
         .orderBy("o_custkey", "rnk")
     },
+    // ---- w7: the SAME top-3-per-customer answer as w1, via the
+    // bounded-heap top_k AGGREGATE instead of a window rank — the scale
+    // path: w1's window sorts every customer's full order set to keep 3
+    // rows; top_k keeps an O(3) heap per key with a map-side partial pass
+    // (each input partition ships ≤3 candidates per key into the
+    // shuffle), so one hot customer can never OOM an executor and
+    // nothing sorts the full input. Packing struct(price, -orderkey)
+    // makes the struct's lexicographic order = (price DESC, orderkey
+    // ASC), and posexplode recovers w1's rank column. Oracle = w1's
+    // window formulation — the two implementations must agree row-for-row
+    "w7_topk_agg" -> { (s, dir) =>
+      import graft.functions.GraftFunctions.top_k
+      Tables.t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(top_k(struct(col("o_totalprice"),
+          (-col("o_orderkey")).as("nk")), 3).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), (-col("t.nk")).as("o_orderkey"),
+          col("t.o_totalprice").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rnk"))
+        .orderBy("o_custkey", "rnk")
+    },
     // ---- batch sessionization: 30-min-gap session windows per user, the
     // landed-log sibling of st4 (same gap, no cross-batch state — one
     // (user, ts) sort carries both window functions and the session agg).
@@ -978,6 +1000,12 @@ object AnalyticsQueries {
         "CAST(count(DISTINCT user_id) AS BIGINT) AS active_users, count(*) AS n_events " +
         "FROM act GROUP BY cohort, woff ORDER BY cohort_us, week_offset"),
     "w1_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk " +
+        "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
+    // the heap aggregate must reproduce the window formulation exactly
+    "w7_topk_agg" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +
         "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk " +
