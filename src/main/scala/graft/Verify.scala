@@ -66,7 +66,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs dump only the selected oracles: verify_local counts an
+    // oracle with no written output as FAIL (the lint/crash loudness
+    // contract), and the full oracle map would flood a selective
+    // iteration run with false "missing" failures
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

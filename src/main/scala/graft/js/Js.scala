@@ -1065,6 +1065,44 @@ object Js {
     sb.result()
   }
 
+  /** ES5 String.prototype.split with a regex separator (§15.5.4.14):
+    * separators match ANCHORED at the cursor, captured groups are SPLICED
+    * into the output (Java's Pattern.split silently drops them), an empty
+    * match adjacent to the previous split point advances instead of
+    * emitting an empty field, and ''.split(/matching-empty/) is []. */
+  private def regexSplit(s: String, re: JsRegExp): Seq[Any] = {
+    val m = re.pattern.matcher(s)
+    // transparent + non-anchoring bounds: ^ must mean the TRUE string
+    // start (JS), not "wherever the split cursor currently is"
+    m.useTransparentBounds(true).useAnchoringBounds(false)
+    def groupsOf: Seq[Any] = (1 to m.groupCount).map { g =>
+      val gs = m.group(g)
+      if (gs == null) (Undefined: Any) else (gs: Any)
+    }
+    if (s.isEmpty) {
+      m.region(0, 0)
+      return if (m.lookingAt()) Nil else Seq(s)
+    }
+    val out = mutable.ArrayBuffer.empty[Any]
+    var p = 0 // start of the current unsplit run
+    var q = 0 // match cursor
+    while (q < s.length) {
+      m.region(q, s.length)
+      if (m.lookingAt()) {
+        val e = m.end()
+        if (e == p) q += 1 // empty match at the previous split point
+        else {
+          out += s.substring(p, q)
+          out ++= groupsOf
+          p = e
+          q = math.max(e, q + (if (e == q) 1 else 0))
+        }
+      } else q += 1
+    }
+    out += s.substring(p)
+    out.toSeq
+  }
+
   /** Callback-form replace: fn(match, p1..pn) — JS argument shape minus
     * the trailing (offset, string) pair. */
   private def regexReplFn(fn: Any, m: java.util.regex.Matcher): String = {
@@ -1114,7 +1152,7 @@ object Js {
         case Undefined => Int.MaxValue
         case v => toNumber(v).toInt
       }
-      val parts: Seq[String] = arg(a, 0) match {
+      val parts: Seq[Any] = arg(a, 0) match {
         case sep: String =>
           if (sep.isEmpty) s.map(_.toString)
           else {
@@ -1130,11 +1168,7 @@ object Js {
             out += s.substring(start)
             out.toSeq
           }
-        case re: JsRegExp =>
-          // java's -1 limit keeps trailing empties, matching JS; the one
-          // divergence (leading zero-width-match empties) is a Java-syntax
-          // corner documented in the interpreter contract
-          re.pattern.split(s, -1).toSeq
+        case re: JsRegExp => regexSplit(s, re)
         case _ => Seq(s)
       }
       new JsArray(mutable.ArrayBuffer(parts.take(math.max(0, limit)): _*))
@@ -1317,10 +1351,18 @@ object Js {
       }
       if (radix < 2 || radix > 36) Double.NaN
       else {
-        val digits = t.takeWhile(c => Character.digit(c, radix) >= 0)
+        // ASCII [0-9a-zA-Z] ONLY, per ECMA-262 — Character.digit would
+        // also accept fullwidth/Devanagari digits and silently diverge
+        // from a SQL oracle replaying the same parse
+        def digitVal(c: Char): Int =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'z') c - 'a' + 10
+          else if (c >= 'A' && c <= 'Z') c - 'A' + 10
+          else -1
+        val digits = t.takeWhile(c => { val d = digitVal(c); d >= 0 && d < radix })
         if (digits.isEmpty) Double.NaN
         else sign * digits.foldLeft(0.0)((acc, c) =>
-          acc * radix + Character.digit(c, radix))
+          acc * radix + digitVal(c))
       }
     }))
     g.declare("parseFloat", Builtin("parseFloat", a => {

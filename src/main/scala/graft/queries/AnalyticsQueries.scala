@@ -898,6 +898,14 @@ object AnalyticsQueries {
     }
   )
 
+  /** Top-3 orders per customer (price DESC, orderkey tiebreak) — the one
+    * truth both w1 (window rank) and w7 (top_k aggregate) must match. */
+  private def top3OracleSql: String =
+    ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (" +
+      "SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk " +
+      "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk")
+
   val oracle: Map[String, String] = Map(
     // both window sorts carry the event_id tiebreaker: the e and s CTEs
     // are SEPARATE window evaluations in the oracle engine, and tied
@@ -999,17 +1007,11 @@ object AnalyticsQueries {
         "SELECT epoch_us(cohort) AS cohort_us, CAST(woff AS BIGINT) AS week_offset, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS active_users, count(*) AS n_events " +
         "FROM act GROUP BY cohort, woff ORDER BY cohort_us, week_offset"),
-    "w1_window_rank" ->
-      ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (" +
-        "SELECT o_custkey, o_orderkey, o_totalprice, " +
-        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk " +
-        "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
-    // the heap aggregate must reproduce the window formulation exactly
-    "w7_topk_agg" ->
-      ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (" +
-        "SELECT o_custkey, o_orderkey, o_totalprice, " +
-        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk " +
-        "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
+    "w1_window_rank" -> top3OracleSql,
+    // ONE oracle string for both formulations: w1 (window rank) and w7
+    // (bounded-heap aggregate) claim to compute the same answer — sharing
+    // the definition makes that claim drift-proof
+    "w7_topk_agg" -> top3OracleSql,
     "w2_window_running" ->
       ("SELECT o_custkey, o_orderkey, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER " +

@@ -377,12 +377,16 @@ object PipelineQueries {
     // in streaming over the same table → same SQL
     "x11_js_filter" -> jsFilterOracleSql,
     "st22_stream_js_filter" -> jsFilterOracleSql,
+    // NULL-text rows stay (the script's null return keeps the row with
+    // NULL fields through JsStage's skip sentinel), fields NULLed — the
+    // same row-preserving NULL semantics as the x10 oracle
     "x12_js_regex" ->
-      ("SELECT doc_id, NULLIF(regexp_extract(text, 'j[a-z]+'), '') AS first_j, " +
-        "len(regexp_extract_all(text, 's[a-z]+')) AS n_s, " +
-        "length(regexp_replace(text, '[aeiou]', '', 'g')) AS vowlen, " +
-        "len(string_split_regex(text, ' +')) AS n_tok " +
-        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id")
+      ("SELECT doc_id, " +
+        "CASE WHEN text IS NULL THEN NULL ELSE NULLIF(regexp_extract(text, 'j[a-z]+'), '') END AS first_j, " +
+        "CASE WHEN text IS NULL THEN NULL ELSE len(regexp_extract_all(text, 's[a-z]+')) END AS n_s, " +
+        "CASE WHEN text IS NULL THEN NULL ELSE length(regexp_replace(text, '[aeiou]', '', 'g')) END AS vowlen, " +
+        "CASE WHEN text IS NULL THEN NULL ELSE len(string_split_regex(text, ' +')) END AS n_tok " +
+        "FROM documents ORDER BY doc_id")
   )
 
   /** The ONE declarative restatement of [[jsFilter]]'s predicate. */
@@ -397,11 +401,11 @@ object PipelineQueries {
     * val declared below it would still be null at that point). */
   private def jsOracleSql: String =
     ("SELECT doc_id, " +
-      "CASE WHEN text = '' THEN NULL ELSE doc_id END AS id, " +
-      "CASE WHEN text = '' THEN NULL ELSE " +
+      "CASE WHEN text IS NULL OR text = '' THEN NULL ELSE doc_id END AS id, " +
+      "CASE WHEN text IS NULL OR text = '' THEN NULL ELSE " +
       "CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) END AS longish, " +
-      "CASE WHEN text = '' THEN NULL ELSE " +
+      "CASE WHEN text IS NULL OR text = '' THEN NULL ELSE " +
       "array_to_string(string_split(text, ' ')[1:3], '_') END AS head, " +
-      "CASE WHEN text = '' THEN NULL ELSE upper(lang) END AS shout " +
+      "CASE WHEN text IS NULL OR text = '' THEN NULL ELSE upper(lang) END AS shout " +
       "FROM documents ORDER BY doc_id")
 }

@@ -161,6 +161,14 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     val old = manifest()
     require(old.nonEmpty, s"store at $root not initialized")
     require(touched.forall(old.contains), "touched ids outside the store")
+    // schema drift check BEFORE any write: a refresh whose frame decayed
+    // (e.g. a lost DECIMAL cast → DOUBLE) would otherwise COMMIT parquet
+    // the pinned-schema read path can never decode again — persistent
+    // corruption behind an "atomic" switch
+    require(newState.schema.map(f => (f.name, f.dataType)) ==
+      storedSchema.map(f => (f.name, f.dataType)),
+      s"refresh schema ${newState.schema.simpleString} does not match the " +
+        s"store's pinned schema ${storedSchema.simpleString}")
     val stamp = s"refresh${System.nanoTime()}"
     try {
       val routed = newState.withColumn(PartCol, partitionId)
@@ -210,7 +218,11 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
   private def deleteDirQuiet(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = Files.walk(p)
+      // the walk stream holds a directory fd — close it or a refresh-heavy
+      // driver leaks one per cleanup until "Too many open files"
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
 }

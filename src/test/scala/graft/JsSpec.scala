@@ -170,6 +170,7 @@ class JsSpec extends AnyFunSuite {
     assert(evalExpr("parseInt('z', 36)") === 35.0)
     assert(evalExpr("isNaN(parseInt('10', 1))") === true)
     assert(evalExpr("isNaN(parseInt('g', 16))") === true)
+    assert(evalExpr("isNaN(parseInt('３'))") === true) // fullwidth digit: ASCII only, per ECMA
     assert(evalExpr("parseFloat('2.5rem')") === 2.5)
     assert(evalExpr("isNaN(Number('x'))") === true)
     assert(evalExpr("typeof 1 + '|' + typeof 'x' + '|' + typeof true + '|' + typeof undefined + '|' + typeof null + '|' + typeof [] + '|' + typeof main")
@@ -339,6 +340,13 @@ class JsSpec extends AnyFunSuite {
     assert(evalExpr("'a1b2c'.split(/\\d/).join('|')") === "a|b|c")
     assert(evalExpr("'a,b,'.split(/,/).length") === 3.0) // trailing empty kept
     assert(evalExpr("'a,b,c'.split(/,/, 2).join('|')") === "a|b")
+    // ES5 splice semantics Java's Pattern.split gets wrong:
+    assert(evalExpr("'a1b'.split(/(\\d)/).join('|')") === "a|1|b") // captures spliced
+    assert(evalExpr("'ab'.split(/x*/).join('|')") === "a|b")       // no edge empties
+    assert(evalExpr("''.split(/x*/).length") === 0.0)              // '' + empty match = []
+    assert(evalExpr("''.split(/,/).length") === 1.0)
+    assert(evalExpr("'aXb'.split(/^X/).length") === 1.0)           // ^ = true string start
+    assert(evalExpr("'a1b'.split(/(x)?(\\d)/)[1] === undefined") === true) // non-part. group
     assert(evalExpr("'a-b-c'.replace(/-/, '_')") === "a_b-c")     // first only
     assert(evalExpr("'a-b-c'.replace(/-/g, '_')") === "a_b_c")    // all with g
     assert(evalExpr("'ab12cd'.replace(/(\\d)(\\d)/, '$2$1')") === "ab21cd")

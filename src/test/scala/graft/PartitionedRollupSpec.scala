@@ -97,6 +97,21 @@ class PartitionedRollupSpec extends AnyFunSuite {
     assert(ps.read().count() === 3) // store unharmed
   }
 
+  test("a schema-drifting refresh is rejected BEFORE any write") {
+    // a decayed type (lost DECIMAL cast, renamed column) must not commit
+    // parquet the pinned-schema read path can never decode again
+    val ps = newStore()
+    ps.init(state(Seq((1L, 10L), (2L, 20L))))
+    val touched = ps.touchedBy(state(Seq((1L, 0L))))
+    val drifted = ps.readPartitions(touched)
+      .select(col("k"), col("v").cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      ps.refresh(touched, drifted)
+    }
+    assert(e.getMessage.contains("pinned schema"))
+    assert(ps.read().count() === 2) // store untouched
+  }
+
   test("partition routing agrees between state and delta by construction") {
     val ps = newStore(16)
     val keys = (0L until 200L).map(k => Tuple1(k)).toDF("k")

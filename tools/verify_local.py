@@ -49,15 +49,16 @@ def canon(v):
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return ("ts", v.isoformat())
     if isinstance(v, datetime.date):
-        return ("date", v.isoformat())
+        # normalize to a midnight timestamp: DuckDB's .df() renders DATE
+        # columns as datetime64, pyarrow keeps datetime.date — same value,
+        # asymmetric kinds without this
+        return ("ts", datetime.datetime(v.year, v.month, v.day).isoformat())
     if isinstance(v, (bytes, bytearray)):
         return ("bytes", bytes(v).hex())
     if isinstance(v, (list, tuple, np.ndarray)):
         return ("list", str([canon(x) for x in v]))
     if isinstance(v, dict):
         return ("struct", str(sorted((k, canon(x)) for k, x in v.items())))
-    if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
-        return ("null", "")
     return ("str", str(v))
 
 
@@ -83,6 +84,12 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     n_pass = n_fail = n_skip = 0
+    present = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracles) - present):
+        # Verify wrote no output (builder crash or the DECIMAL final-schema
+        # lint): a silent skip here would report all-green with a query gone
+        print(f"FAIL  {name}: no Spark output written (Verify failed or lint rejected)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
