@@ -69,4 +69,48 @@ object Bfs {
     }
     visited
   }
+
+  /** Tagged (per-source) hop levels: one row per (source, node) pair
+    * reachable within `maxHops`, with the exact minimum hop distance —
+    * the state [[hopLevels]] collapses to a min is kept per source here.
+    * This is the landmark/pivot BFS of sampled-closeness centrality
+    * (Eppstein–Wang): run the frontier expansion once with a composite
+    * (src, node) visited key instead of |sources| separate traversals.
+    * Each round's shuffle is the union of all sources' frontier out-edges
+    * co-keyed on the adjacency — rounds stay O(effective diameter) and
+    * driver state stays one frontier count per round, independent of the
+    * landmark count. */
+  def taggedHopLevels(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      undirected: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    val trunc = new graft.ops.IterTrunc(spark, checkpointDir, "bfs_tagged")
+    val visitedChan = trunc.channel()
+    val frontierChan = trunc.channel()
+
+    val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    val adj = trunc.pin(
+      (if (undirected) e0.union(e0.select(col("v"), col("u"))) else e0)
+        .distinct())
+
+    var visited = visitedChan(sources.toDF("src").distinct()
+      .select(col("src"), col("src").as("node"), lit(0).as("dist")))
+    var frontier = visited.select("src", "node")
+    var k = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && k < maxHops) {
+      k += 1
+      val next = frontierChan(adj.join(frontier, adj("u") === frontier("node"))
+        .select(frontier("src"), adj("v").as("node")).distinct()
+        .join(visited.select("src", "node"), Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(k)))
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visitedChan(visited.union(next))
+        frontier = next.select("src", "node")
+      }
+    }
+    visited
+  }
 }

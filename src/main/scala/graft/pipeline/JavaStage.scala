@@ -170,6 +170,40 @@ object JavaStage {
     }
   }
 
+  /** The FILTER form of the user-code contract (the quality-gate shape
+    * x11 gives user JS): user class implements
+    * `java.util.function.Predicate<String>` over `inCol`; rows whose
+    * predicate returns false are dropped. NULL input follows the
+    * engine-wide skip contract: the predicate never sees null, the row is
+    * dropped (x11's falsy-null rule). Same driver-compile /
+    * broadcast-bytes / per-JVM loader-cache machinery as [[stage]];
+    * stateless and narrow, so it drops into streaming append mode
+    * unchanged (q:st24 runs this exact path). */
+  def filterStage(df: DataFrame, inCol: String,
+      className: String, source: String): DataFrame = {
+    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$inCol must be STRING (the user predicate consumes String); " +
+        s"got ${df.schema(inCol).dataType.simpleString}")
+    val classes = compile(className, source) // driver-side, once
+    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
+    val inIdx = df.schema.fieldIndex(inCol)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      lazy val p = instantiatePredicate(className, bcClasses.value)
+      it.filter { r =>
+        val in = r.getString(inIdx)
+        in != null && p.test(in)
+      }
+    }
+  }
+
+  /** Executor-side: the user Predicate from shipped bytes. */
+  def instantiatePredicate(className: String,
+      classes: Map[String, Array[Byte]]): java.util.function.Predicate[String] =
+    instantiateRaw(className, classes)
+      .asInstanceOf[java.util.function.Predicate[String]]
+
   /** The REDUCE half of the user-code contract (X2's grouped combine, the
     * way [[stage]] is X4's map): user class implements
     * `java.util.function.BinaryOperator<String>` and folds each key's

@@ -139,6 +139,31 @@ object AnalyticsQueries {
             .cast(D6).cast("double").as("p"))
         .orderBy("from_type", "to_type")
     },
+    // ---- sequence-pattern mining over per-user event streams (the
+    // MATCH_RECOGNIZE workload, regex-on-sequence form): each user's
+    // events collapse — in (ts, event_id) order via ONE arrival-order-
+    // invariant array_sort, ties broken by the unique id — to a string of
+    // type initials (c/e/p/s/v, all distinct), then codegen'd regexp_count
+    // finds conversion funnels (views→clicks→purchase) and error bursts.
+    // State per user is its own event string (bounded by per-user
+    // activity, the same bound ses1's sessionizer carries); the regex scan
+    // is linear, no joins, no window re-sort ------------------------------
+    "ses3_pattern_match" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        // NULL ts excluded explicitly on both sides (the ses2 rule)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("tus"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")).as("st"))
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("st"))), x => x.getField("ch")),
+          "").as("seq"))
+        .select(col("user_id"), length(col("seq")).as("seq_len"),
+          regexp_count(col("seq"), lit("v+c+p")).as("n_funnel"),
+          regexp_count(col("seq"), lit("ee+")).as("n_error_burst"))
+        .orderBy("user_id")
+    },
     // ---- time-series gap fill: dense daily activity series per user —
     // missing days zero-filled from a per-key sequence/explode grid (no
     // driver state, co-partitioned grid join), then a running total over
@@ -655,9 +680,12 @@ object AnalyticsQueries {
       pairs.groupBy("event_type", "lag_k")
         .agg(count(lit(1)).cast(D38).as("np"),
           sum(col("n")).cast(D38).as("sx"), sum(col("y")).cast(D38).as("sy"),
-          sum((col("n") * col("n")).cast(D38)).as("sxx"),
-          sum((col("y") * col("y")).cast(D38)).as("syy"),
-          sum((col("n") * col("y")).cast(D38)).as("sxy"))
+          // cast EACH FACTOR before the multiply (the g23/ts11 rule): the
+          // oracle multiplies in HUGEINT; a long×long product formed first
+          // would wrap past ~3e9 daily counts before its cast
+          sum(col("n").cast(D38) * col("n").cast(D38)).as("sxx"),
+          sum(col("y").cast(D38) * col("y").cast(D38)).as("syy"),
+          sum(col("n").cast(D38) * col("y").cast(D38)).as("sxy"))
         .withColumn("vx", col("np") * col("sxx") - col("sx") * col("sx"))
         .withColumn("vy", col("np") * col("syy") - col("sy") * col("sy"))
         .filter(col("vx") > 0 && col("vy") > 0)
@@ -872,16 +900,17 @@ object AnalyticsQueries {
         .groupBy("i", "b").agg(count(lit(1)).as(cname))
       val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val est = cms("click", "ca").join(cms("purchase", "cb"), Seq("i", "b"))
-        .groupBy("i").agg(sum((col("ca") * col("cb")).cast(D38)).as("ip"))
+        // cast EACH FACTOR before the multiply (the g23/ts11 rule) — the
+        // oracle multiplies in HUGEINT, and two >2^31.5 bucket counts at
+        // extreme scale would wrap a long×long product before its cast
+        .groupBy("i").agg(sum(col("ca").cast(D38) * col("cb").cast(D38)).as("ip"))
         .agg(min(col("ip")).as("est"))
       val exact = ev.filter(col("event_type") === "click")
         .groupBy("user_id").agg(count(lit(1)).as("nc"))
         .join(ev.filter(col("event_type") === "purchase")
           .groupBy("user_id").agg(count(lit(1)).as("np")), "user_id")
-        .agg(coalesce(sum((col("nc") * col("np"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-          lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as("exact"))
+        .agg(coalesce(sum(col("nc").cast(D38) * col("np").cast(D38)),
+          lit(0L).cast(D38)).as("exact"))
       val tot = ev.agg(
         sum((col("event_type") === "click").cast("long")).as("na"),
         sum((col("event_type") === "purchase").cast("long")).as("nb"))
@@ -895,6 +924,95 @@ object AnalyticsQueries {
           (col("est").cast("double") <= col("exact").cast("double") +
             lit(0.0425) * col("na") * col("nb")).cast("int")
             .as("within_bound"))
+    },
+    // ---- forecast backtest (the evaluation half ts12's Holt forecasts
+    // need): hold out each event_type's last 7 grid days, score the two
+    // classical baselines — naive (last train value) and seasonal-naive
+    // (value 7 days prior) — by MAE, and emit the skill score
+    // 1 − Σ|e_snaive|/Σ|e_naive| (the MASE ratio with the common horizon
+    // cancelled). Exact integer error sums; float only at the final two
+    // divisions; zero-denominator → NULL on both sides. One window pass
+    // per type + a |types|-row broadcast of the last train value ---------
+    "ts14_forecast_eval" -> { (s, dir) =>
+      val W = Window.partitionBy("event_type").orderBy("day")
+      val g = dayTypeGrid(s, dir)
+        .withColumn("rn", row_number().over(W))
+        .withColumn("snaive", lag("n", 7).over(W))
+        .withColumn("tmax",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+      val naiveVal = g.filter(col("rn") === col("tmax") - 7)
+        .select(col("event_type"), col("n").as("naive"))
+      g.filter(col("rn") > col("tmax") - 7)
+        .join(broadcast(naiveVal), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("horizon"),
+          sum(abs(col("n") - col("naive"))).as("se_naive"),
+          sum(abs(col("n") - col("snaive"))).as("se_snaive"))
+        .select(col("event_type"), col("horizon"),
+          (col("se_naive").cast("double") / col("horizon")).as("mae_naive"),
+          (col("se_snaive").cast("double") / col("horizon")).as("mae_snaive"),
+          when(col("se_naive") === 0, lit(null).cast("double"))
+            .otherwise(lit(1.0) -
+              col("se_snaive").cast("double") / col("se_naive").cast("double"))
+            .as("skill"))
+        .orderBy("event_type")
+    },
+    // ---- KMV (k-minimum-values) distinct-count sketch per event_type —
+    // the third mergeable cardinality sketch next to HLL (approx3) and
+    // theta (approx5), and the one whose state is just k hashes: merge =
+    // union-truncate, estimate = (k−1)/h_k normalized. Built on the
+    // bounded-heap top_k aggregate over NEGATED hashes (k smallest), so
+    // state is O(k) per group, the shuffle carries ≤ k candidates per
+    // (partition, key), and nothing sorts the full input. est is exact
+    // integer arithmetic until one IEEE-exact double division ------------
+    "approx8_kmv" -> { (s, dir) =>
+      import graft.dedup.TextDedup.md5Int
+      import graft.functions.GraftFunctions.top_k
+      val k = 64
+      val du = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h", md5Int(col("user_id").cast("string")))
+      du.groupBy("event_type")
+        .agg(top_k(-col("h"), k).as("negk"), count(lit(1)).as("exact"))
+        // k-th smallest hash = −(k-th element of the descending −h array);
+        // try_element_at: a not-full heap (fewer than k distincts) yields
+        // NULL — ANSI element_at would throw — and est falls back to exact
+        .withColumn("hk", -try_element_at(col("negk"), lit(k)))
+        .withColumn("est",
+          when(col("hk").isNotNull,
+            // (k−1) · 2^32 = 63 · 4294967296 — ONE shared literal so both
+            // engines parse the same decimal→binary rounding
+            lit(270582939648.0) / col("hk").cast("double"))
+            .otherwise(col("exact").cast("double")))
+        .select(col("event_type"), col("exact"), col("hk"),
+          col("est"),
+          (abs(col("est") - col("exact").cast("double")) /
+            col("exact").cast("double")).as("rel_err"))
+        .orderBy("event_type")
+    },
+    // ---- the SAME KMV sketch maintained as streaming state (ST4 for the
+    // sketch family): 4-file staging → 4 genuine micro-batches, per-type
+    // k-capped hash-set state in flatMapGroupsWithState, update-mode
+    // changelog with last-emission-per-key. The final state must equal
+    // approx8's one-shot batch sketch — merge is set-union-truncate, so
+    // the batch split cannot show through ---------------------------------
+    "st23_stream_kmv" -> { (s, dir) =>
+      import graft.dedup.TextDedup.md5Int
+      val srcDir =
+        java.nio.file.Files.createTempDirectory("graft_st23_src").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val raw = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val hashed = raw.select(col("event_type"),
+        md5Int(col("user_id").cast("string")).as("h"))
+      graft.streaming.Streams.runWindowedAgg(hashed,
+          df => graft.streaming.Streams.kmvDistinct(df, 64),
+          keyCols = Seq("key"), statePartitions = Some(8))
+        .select(col("key").as("event_type"), col("n_hashes"), col("hk"),
+          col("est"))
+        .orderBy("event_type")
     }
   )
 
@@ -1251,6 +1369,69 @@ object AnalyticsQueries {
       ("SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
         "AS n_last_hour FROM events ORDER BY event_id"),
+    // same dense grid, same window split (count over the dense grid ≡ max
+    // row_number), exact integer error sums, two final double divisions
+    "ts14_forecast_eval" ->
+      ("WITH " + dayTypeGridSql + ", " +
+        "g AS (SELECT event_type, day, n, row_number() OVER w AS rn, " +
+        "lag(n, 7) OVER w AS snaive, " +
+        "count(*) OVER (PARTITION BY event_type) AS tmax FROM grid " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
+        "nv AS (SELECT event_type, n AS naive FROM g WHERE rn = tmax - 7), " +
+        "ho AS (SELECT g.event_type, g.n, g.snaive, nv.naive FROM g " +
+        "JOIN nv USING (event_type) WHERE rn > tmax - 7) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS horizon, " +
+        "CAST(sum(abs(n - naive)) AS DOUBLE) / count(*) AS mae_naive, " +
+        "CAST(sum(abs(n - snaive)) AS DOUBLE) / count(*) AS mae_snaive, " +
+        "CASE WHEN sum(abs(n - naive)) = 0 THEN NULL " +
+        "ELSE 1.0 - CAST(sum(abs(n - snaive)) AS DOUBLE) / CAST(sum(abs(n - naive)) AS DOUBLE) END AS skill " +
+        "FROM ho GROUP BY event_type ORDER BY event_type"),
+    // same (ts, event_id)-ordered initial string via ordered string_agg;
+    // v+c+p / ee+ match identically under Java regex and RE2 (literal
+    // distinct letters, leftmost non-overlapping scan on both)
+    "ses3_pattern_match" ->
+      ("WITH s AS (SELECT user_id, " +
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY user_id) " +
+        "SELECT user_id, CAST(length(seq) AS INT) AS seq_len, " +
+        "CAST(len(regexp_extract_all(seq, 'v+c+p')) AS INT) AS n_funnel, " +
+        "CAST(len(regexp_extract_all(seq, 'ee+')) AS INT) AS n_error_burst " +
+        "FROM s ORDER BY user_id"),
+    // k-th smallest of the same md5 hash multiset (row_number over ORDER BY
+    // h — ties share the value, so position 64 is order-stable), one shared
+    // (k−1)·2^32 literal, one IEEE-exact double division
+    "approx8_kmv" ->
+      ("WITH du AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "h AS (SELECT event_type, " +
+        graft.queries.DedupQueries.md5IntSql("CAST(user_id AS VARCHAR)") +
+        " AS h FROM du), " +
+        "r AS (SELECT event_type, h, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS exact FROM h), " +
+        "a AS (SELECT event_type, CAST(max(exact) AS BIGINT) AS exact, " +
+        "CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS hk FROM r GROUP BY 1), " +
+        "b AS (SELECT event_type, exact, hk, " +
+        "CASE WHEN hk IS NOT NULL THEN CAST(270582939648 AS DOUBLE) / CAST(hk AS DOUBLE) " +
+        "ELSE CAST(exact AS DOUBLE) END AS est FROM a) " +
+        "SELECT event_type, exact, hk, est, " +
+        "abs(est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE) AS rel_err " +
+        "FROM b ORDER BY event_type"),
+    // final streaming state ≡ the batch sketch over DISTINCT hashes (the
+    // classic KMV form — hash collisions merge on both sides)
+    "st23_stream_kmv" ->
+      ("WITH du AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "hs AS (SELECT DISTINCT event_type, " +
+        graft.queries.DedupQueries.md5IntSql("CAST(user_id AS VARCHAR)") +
+        " AS h FROM du), " +
+        "r AS (SELECT event_type, h, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS nh FROM hs) " +
+        "SELECT event_type, CAST(least(max(nh), 64) AS INT) AS n_hashes, " +
+        "CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS hk, " +
+        "CASE WHEN max(CASE WHEN rn = 64 THEN h END) IS NOT NULL " +
+        "THEN CAST(270582939648 AS DOUBLE) / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) " +
+        "ELSE CAST(max(nh) AS DOUBLE) END AS est " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
     "q9_pivot" ->
       ("SELECT o_orderpriority AS priority, " +
         "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +

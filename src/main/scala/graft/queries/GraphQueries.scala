@@ -423,6 +423,27 @@ object GraphQueries {
       graft.graph.KCore.peelLayers(coServiceEdges(s, dir), k = 5)
         .orderBy("node")
     },
+    // landmark (sampled) closeness centrality — the Eppstein–Wang pivot
+    // estimate over the co-service graph: ONE tagged multi-source BFS
+    // (visited keyed (src, node)) from the 5 smallest supplier ids instead
+    // of 5 separate traversals; per-node landmark count + exact hop-sum,
+    // float only at the final count/sum division. Shuffle per round is the
+    // union of all landmarks' frontier out-edges co-keyed on the adjacency;
+    // at 100 TB the landmark count (not graph size) scales the state ------
+    "g24_closeness" -> { (s, dir) =>
+      val edges = coServiceEdges(s, dir)
+      val nodes = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n"))).distinct()
+      graft.graph.Bfs.taggedHopLevels(edges, nodes.orderBy("n").limit(5),
+          maxHops = 4)
+        .filter(col("src") =!= col("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).cast("int").as("n_landmarks"),
+          sum(col("dist")).as("total_dist"))
+        .withColumn("closeness",
+          col("n_landmarks").cast("double") / col("total_dist"))
+        .orderBy("node")
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -729,6 +750,21 @@ object GraphQueries {
         "mx AS (SELECT node, max(i) AS mx FROM r GROUP BY node) " +
         "SELECT node, CAST(CASE WHEN mx = 30 THEN -1 ELSE mx + 1 END AS INT) AS layer " +
         "FROM mx ORDER BY node"),
+    // per-landmark min distance via the tagged recursive walk (g12's CTE
+    // carrying the source), exact integer count/sum, one double division
+    "g24_closeness" ->
+      ("WITH RECURSIVE li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), " +
+        "src AS (SELECT DISTINCT u AS n FROM e ORDER BY n LIMIT 5), " +
+        "walk(s, n, d) AS (SELECT n, n, 0 FROM src " +
+        "UNION SELECT walk.s, e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.n WHERE walk.d < 4), " +
+        "mind AS (SELECT s, n, min(d) AS d FROM walk GROUP BY 1, 2) " +
+        "SELECT n AS node, CAST(count(*) AS INT) AS n_landmarks, " +
+        "CAST(sum(d) AS BIGINT) AS total_dist, " +
+        "CAST(count(*) AS DOUBLE) / sum(d) AS closeness " +
+        "FROM mind WHERE s <> n GROUP BY n ORDER BY node"),
     "reg1_bucket_registry" ->
       ("SELECT '/buckets/' || lower(r_name) AS full_name, " +
         "'buckets_' || replace(lower(r_name), ' ', '_') AS signature, " +

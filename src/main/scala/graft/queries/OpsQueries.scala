@@ -548,6 +548,33 @@ object OpsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("day")
     },
+    // ---- robust outlier audit: median/MAD (the robust z-score) per
+    // event_type — the outlier rule data-quality teams reach for when
+    // dq3's percentile clipping is too blunt. Two exact interpolated
+    // percentiles (the q7/dq3-proven percentile ≡ quantile_cont), each
+    // re-joined as a |types|-row broadcast; the 4.4478 (= 3·1.4826 robust
+    // sigma) threshold is a single shared literal so both engines parse
+    // the same decimal→binary rounding. One double compare per row ------
+    "dq12_mad_outliers" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val th = dev.groupBy("event_type")
+        .agg(max(col("med")).as("med"),
+          expr("percentile(adev, 0.5)").as("mad"),
+          count(lit(1)).as("n"))
+      dev.select("event_type", "adev")
+        .join(broadcast(th), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+        .agg(sum((col("adev") > lit(4.4478) * col("mad")).cast("long"))
+          .as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"),
+          col("n_outliers"),
+          (col("n_outliers").cast("double") / col("n")).as("rate"))
+        .orderBy("event_type")
+    },
     // X7×ST: the SAME merge/rate-limit module run as a streaming query
     // (shared batch/stream modules, ST4) — update-mode changelog, final
     // state must equal the batch result, so l2's oracle applies verbatim
@@ -819,6 +846,22 @@ object OpsQueries {
         "CASE subsystem WHEN '0' THEN 4 WHEN '1' THEN 1 ELSE 2 END AS thr FROM logs) " +
         "SELECT event_id, level, subsystem FROM ranked WHERE r >= thr ORDER BY event_id"),
     "l2_log_merge" -> logMergeOracleSql,
+    // same two interpolated medians (quantile_cont ≡ percentile), same
+    // single 4.4478 literal, exact counts, one double division
+    "dq12_mad_outliers" ->
+      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+        "FROM events GROUP BY 1), " +
+        "dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "th AS (SELECT event_type, max(med) AS med, " +
+        "quantile_cont(adev, 0.5) AS mad, count(*) AS n FROM dev GROUP BY 1) " +
+        "SELECT t.event_type, CAST(t.n AS BIGINT) AS n, t.med, t.mad, " +
+        "CAST(count(*) FILTER (WHERE d.adev > CAST(4.4478 AS DOUBLE) * t.mad) AS BIGINT) " +
+        "AS n_outliers, " +
+        "CAST(CAST(count(*) FILTER (WHERE d.adev > CAST(4.4478 AS DOUBLE) * t.mad) AS DOUBLE) " +
+        "/ t.n AS DOUBLE) AS rate " +
+        "FROM dev d JOIN th t USING (event_type) " +
+        "GROUP BY t.event_type, t.n, t.med, t.mad ORDER BY t.event_type"),
     "ret1_age_out" ->
       ("SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
         "CAST(count(*) AS BIGINT) AS n FROM events " +

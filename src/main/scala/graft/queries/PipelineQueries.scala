@@ -143,29 +143,40 @@ object PipelineQueries {
     // driver, shipped as class bytes; the oracle replays its semantics in
     // SQL. A compile error would fail at plan time with javac diagnostics
     "x8_java_stage" -> { (s, dir) =>
+      javaReverse(docs(s, dir)).orderBy("doc_id")
+    },
+    // ---- st24: the SAME user-Java map stage inside Structured Streaming —
+    // the ST4 module-reuse contract for compiled user code (st21 is its JS
+    // twin): class bytes broadcast once, stateless narrow mapPartitions,
+    // append mode, zero state; the batch oracle is the whole-table truth --
+    "st24_stream_java" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = graft.streaming.Streams.parquetStream(
+        s, s"$dir/documents.parquet", schema)
+      graft.streaming.Streams.runToParquet(raw, javaReverse)
+        .orderBy("doc_id")
+    },
+    // ---- x13: the FILTER form of the user-Java contract (x11's quality
+    // gate authored in Java instead of JS — the map/filter/reduce ×
+    // Java/JS matrix is now complete): an imperative predicate (split,
+    // loop, max) compiled at runtime, rows failing it dropped -------------
+    "x13_java_filter" -> { (s, dir) =>
       val src =
-        """public class ReverseWords
-          |    implements java.util.function.Function<String, String> {
-          |  private static String join(String[] w) {
-          |    StringBuilder b = new StringBuilder();
-          |    for (int i = w.length - 1; i >= 0; i--) {
-          |      b.append(w[i]);
-          |      if (i > 0) b.append(' ');
-          |    }
-          |    return b.toString();
-          |  }
-          |  public String apply(String s) {
-          |    // limit -1: KEEP trailing empty strings, matching both the
-          |    // oracle's string_split and Spark's own split() semantics
+        """public class QualityGate
+          |    implements java.util.function.Predicate<String> {
+          |  public boolean test(String s) {
+          |    // limit -1: KEEP trailing empties (string_split semantics)
           |    String[] w = s.split(" ", -1);
-          |    return join(w) + "|" + w.length;
+          |    if (w.length < 40) return false;
+          |    int mx = 0;
+          |    for (String t : w) if (t.length() > mx) mx = t.length();
+          |    return mx >= 8;
           |  }
           |}""".stripMargin
-      graft.pipeline.JavaStage.stage(
-          docs(s, dir).select("doc_id", "text"),
-          inCol = "text", outCol = "mapped",
-          className = "ReverseWords", source = src)
-        .select("doc_id", "mapped")
+      graft.pipeline.JavaStage.filterStage(
+          docs(s, dir).select("doc_id", "n_chars", "text"),
+          inCol = "text", className = "QualityGate", source = src)
+        .select("doc_id", "n_chars")
         .orderBy("doc_id")
     },
     // ---- x9: the REDUCE half of the user-code contract (X2's grouped
@@ -275,6 +286,34 @@ object PipelineQueries {
     }
   )
 
+  /** THE x8/st24 user-Java map stage — one definition, two drivers (batch
+    * and micro-batch), the same sharing jsTransform gives x10/st21. */
+  private def javaReverse(df: DataFrame): DataFrame = {
+    val src =
+      """public class ReverseWords
+        |    implements java.util.function.Function<String, String> {
+        |  private static String join(String[] w) {
+        |    StringBuilder b = new StringBuilder();
+        |    for (int i = w.length - 1; i >= 0; i--) {
+        |      b.append(w[i]);
+        |      if (i > 0) b.append(' ');
+        |    }
+        |    return b.toString();
+        |  }
+        |  public String apply(String s) {
+        |    // limit -1: KEEP trailing empty strings, matching both the
+        |    // oracle's string_split and Spark's own split() semantics
+        |    String[] w = s.split(" ", -1);
+        |    return join(w) + "|" + w.length;
+        |  }
+        |}""".stripMargin
+    graft.pipeline.JavaStage.stage(
+        df.select("doc_id", "text"),
+        inCol = "text", outCol = "mapped",
+        className = "ReverseWords", source = src)
+      .select("doc_id", "mapped")
+  }
+
   /** THE x11/st22 predicate + projection — one definition per engine. */
   private def jsFilter(in: DataFrame): DataFrame = {
     val script =
@@ -360,6 +399,18 @@ object PipelineQueries {
       ("SELECT doc_id, array_to_string(list_reverse(string_split(text, ' ')), ' ') " +
         "|| '|' || len(string_split(text, ' ')) AS mapped " +
         "FROM documents ORDER BY doc_id"),
+    // st24 runs the SAME compiled user class in streaming → same SQL
+    "st24_stream_java" ->
+      ("SELECT doc_id, array_to_string(list_reverse(string_split(text, ' ')), ' ') " +
+        "|| '|' || len(string_split(text, ' ')) AS mapped " +
+        "FROM documents ORDER BY doc_id"),
+    // the Java predicate restated as a WHERE clause (string_split keeps
+    // trailing empties, matching the split(" ", -1) in the user class)
+    "x13_java_filter" ->
+      ("SELECT doc_id, n_chars FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 40 AND " +
+        "list_max(list_transform(string_split(text, ' '), t -> length(t))) >= 8 " +
+        "ORDER BY doc_id"),
     // the fold of a total-order max is the argmax regardless of fold
     // order/partitioning — exactly why the reducer contract demands an
     // associative+commutative operator

@@ -151,6 +151,28 @@ object SearchQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
         .orderBy("doc_id")
     },
+    // ---- idx8: proximity query (spark NEAR/5 join) — idx2's positional
+    // machinery with the equality on pos relaxed to a ±5 window: both
+    // sides are still single-term position postings FILTERED before the
+    // doc_id equi-join (the range predicate runs on the joined pairs, a
+    // per-doc term-frequency-sized set — never corpus-sized), then one
+    // agg for the pair count and the tightest gap -------------------------
+    "idx8_proximity" -> { (s, dir) =>
+      val Seq(t1, t2) = Seq("spark", "join")
+      val pos = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "token")
+      val p1 = pos.filter(col("token") === t1)
+        .select(col("doc_id"), col("pos").as("p1"))
+      val p2 = pos.filter(col("token") === t2)
+        .select(col("doc_id"), col("pos").as("p2"))
+      p1.join(p2, Seq("doc_id"))
+        .filter(abs(col("p1") - col("p2")) <= 5)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("p1") - col("p2"))).as("min_gap"))
+        .orderBy("doc_id")
+    },
     // ---- idx3: conjunctive (AND) boolean retrieval — docs containing ALL
     // of {spark, join, vector}, with the summed within-doc tf as a crude
     // rank key. No join at all: the term filter pushes to the scan, the
@@ -370,6 +392,17 @@ object SearchQueries {
         "p2 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE token = 'table') " +
         "SELECT p1.doc_id AS doc_id, count(*) AS n_matches " +
         "FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p1.pos = p2.pos " +
+        "GROUP BY p1.doc_id ORDER BY doc_id"),
+    // same positional postings, |p1 − p2| ≤ 5 window, INT-cast gap
+    "idx8_proximity" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, unnest(toks) AS token, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM t), " +
+        "p1 AS (SELECT doc_id, pos AS p1 FROM p WHERE token = 'spark'), " +
+        "p2 AS (SELECT doc_id, pos AS p2 FROM p WHERE token = 'join') " +
+        "SELECT p1.doc_id AS doc_id, count(*) AS n_pairs, " +
+        "CAST(min(abs(p1 - p2)) AS INT) AS min_gap " +
+        "FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND abs(p1 - p2) <= 5 " +
         "GROUP BY p1.doc_id ORDER BY doc_id"),
     "idx3_bool_retrieval" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +

@@ -237,6 +237,55 @@ object Streams {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Mergeable KMV distinct sketch as streaming state — the ST4 claim for
+    * the sketch family: the same estimator q:approx8 computes in one batch
+    * aggregate, maintained incrementally per key with O(k) state. The
+    * sketch in its classic form IS a set of hashes: state = the k smallest
+    * DISTINCT hash values seen so far (colliding inputs merge by
+    * construction, on the batch side too), per-batch merge = bounded
+    * insert into a k-capped ordered set — never a union-then-sort of the
+    * whole batch. Emits the running (n_hashes, hk, est) per key per
+    * micro-batch in update mode; callers keep the last emission per key
+    * ([[runWindowedAgg]]'s changelog discipline). est = (k−1)·2^32 / h_k
+    * once the sketch is full, the exact running count before that.
+    *
+    * Input contract: two columns (key STRING, h LONG with h ∈ [0, 2^32)).
+    * Scale: state is k longs per key, partitioned by the groupByKey
+    * shuffle, checkpointed by Structured Streaming — no driver state. */
+  def kmvDistinct(hashed: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2 && k <= 100000, s"kmv: k must be in [2, 1e5], got $k")
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    // (k−1)·2^32: integer-exact in DOUBLE (< 2^53), the one constant both
+    // the oracle and the batch query (k = 64 → 270582939648) share
+    val scale = (k - 1).toDouble * 4294967296.0
+
+    def fn(key: String, rows: Iterator[(String, Long)],
+        state: GroupState[Array[Long]]): Iterator[(String, Int, Option[Long], Double)] = {
+      val ts = scala.collection.mutable.TreeSet.empty[Long]
+      state.getOption.foreach(ts ++= _)
+      rows.foreach { r =>
+        val h = r._2
+        if (ts.size < k) ts += h
+        else if (h < ts.max && ts.add(h)) ts -= ts.max
+      }
+      val merged = ts.toArray // ascending
+      state.update(merged)
+      val est =
+        if (merged.length == k) scale / merged.last.toDouble
+        else merged.length.toDouble
+      Iterator.single((key, merged.length,
+        if (merged.length == k) Some(merged.last) else None, est))
+    }
+
+    hashed.toDF("key", "h").as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF("key", "n_hashes", "hk", "est")
+  }
+
   /** Stateful stream deduplication: `dropDuplicates` on key columns with a
     * watermark bounding the dedup state (duplicates arriving within the
     * horizon are dropped; state for expired event times is reclaimed).

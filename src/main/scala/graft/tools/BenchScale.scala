@@ -105,7 +105,17 @@ object BenchScale {
     // distributed takeOrdered — must stay posting-linear, never
     // collect-the-corpus
     "st19_stream_rollup", "mm15_video_apng", "rl2_golden_record",
-    "idx7_bm25_topk")
+    "idx7_bm25_topk",
+    // round-10 session-2: cdc6 is the PARTITIONED maintained rollup —
+    // per-refresh cost claims O(|delta| + touched partitions), so 10× keys
+    // must not mean 10× rewrite cost beyond the extra partitions actually
+    // touched. g24 is the tagged multi-source BFS (state = landmarks ×
+    // reachable nodes; rounds shrink with density, the g21 effect). st23
+    // maintains the KMV sketch as streaming state — k longs per key,
+    // constant like approx4's CMS but through flatMapGroupsWithState.
+    // approx8 pins the top_k heap aggregate's O(k)-per-key shuffle cap.
+    "cdc6_partitioned_rollup", "g24_closeness", "st23_stream_kmv",
+    "approx8_kmv")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride

@@ -41,4 +41,51 @@ class ApproxSpec extends AnyFunSuite {
       assert(ok === 1, s"$k: approx p50 left the exact p40..p60 band")
     }
   }
+
+  test("approx8: hk is the exact 64th-smallest hash and est is stable " +
+    "under repartitioning (merge = heap union-truncate)") {
+    import graft.dedup.TextDedup.md5Int
+    val q = SparkEntry.queries("approx8_kmv")(spark, TestSession.sf)
+    val rows = q.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[java.lang.Long]("hk"), r.getDouble(3))))
+      .toMap
+    // independent hk: full sort of the distinct-user hash multiset per type
+    val sorted = Tables.t(spark, TestSession.sf, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", md5Int(col("user_id").cast("string")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") === 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("h")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, (exact, hk, est)) =>
+      if (exact >= 64) {
+        assert(hk != null && sorted.get(k).contains(hk.longValue),
+          s"$k: hk $hk != independent 64th-smallest ${sorted.get(k)}")
+        assert(est === 270582939648.0 / hk.doubleValue)
+        // KMV standard error is ~1/sqrt(k-1) = 12.6%; 4 sigma as a red line
+        assert(math.abs(est - exact) / exact < 0.504,
+          s"$k: KMV estimate $est vs exact $exact left the 4-sigma band")
+      } else {
+        // not-full heap: hk NULL, estimate degrades to the exact count
+        assert(hk == null && est === exact.toDouble,
+          s"$k: not-full heap must fall back to exact ($hk, $est, $exact)")
+      }
+    }
+    // partition-invariance: the 32-way shuffle in the query vs a skewed
+    // 3-partition layout must emit identical rows (heap merge is a set op)
+    val du = Tables.t(spark, TestSession.sf, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .repartition(3, col("user_id"))
+      .withColumn("h", md5Int(col("user_id").cast("string")))
+    val re = du.groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.top_k(-col("h"), 64).as("negk"))
+      .withColumn("hk", -try_element_at(col("negk"), lit(64)))
+      .collect().map(r => r.getString(0) -> r.getAs[java.lang.Long]("hk")).toMap
+    rows.foreach { case (k, (_, hk, _)) =>
+      assert(re(k) === hk, s"$k: hk drifted under repartitioning")
+    }
+  }
 }

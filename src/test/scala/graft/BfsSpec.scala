@@ -49,6 +49,41 @@ class BfsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
 
+  test("tagged hop levels: exact per-source distances on a known graph") {
+    // 1-2-3-4-5 chain, 10-11 island; landmarks 1 and 10
+    val edges = df2(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)))
+    val out = Bfs.taggedHopLevels(edges, df1(Seq(1L, 10L)), maxHops = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out === Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 4L) -> 3, (1L, 5L) -> 4,
+      (10L, 10L) -> 0, (10L, 11L) -> 1))
+  }
+
+  test("tagged collapse law: min over sources == multi-source hopLevels") {
+    // a graph with shared shells so the min genuinely collapses: two
+    // sources on opposite ends of a braided chain
+    val edges = df2(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 3L), (4L, 6L), (2L, 7L), (7L, 8L)))
+    val srcs = df1(Seq(1L, 6L))
+    val tagged = Bfs.taggedHopLevels(edges, srcs, maxHops = 10)
+    val collapsed = tagged.groupBy("node")
+      .agg(org.apache.spark.sql.functions.min("dist").as("dist"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val multi = toMap(Bfs.hopLevels(edges, srcs, maxHops = 10))
+    assert(collapsed === multi)
+  }
+
+  test("tagged directed + maxHops: per-source truncation independent") {
+    val edges = df2(Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 3L)))
+    val out = Bfs.taggedHopLevels(edges, df1(Seq(1L, 9L)), maxHops = 2,
+        undirected = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // src 1 reaches 2,3 within 2 hops (4 is 3 away); src 9 reaches 3,4
+    assert(out === Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2,
+      (9L, 9L) -> 0, (9L, 3L) -> 1, (9L, 4L) -> 2))
+  }
+
   test("checkpointDir mode: same levels, both channels cleaned eagerly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bfs")
     try {

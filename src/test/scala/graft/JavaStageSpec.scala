@@ -175,4 +175,22 @@ class JavaStageSpec extends AnyFunSuite {
     assert(fa1.apply("x") == "Ax" && fb.apply("x") == "Bx")
     assert(fa1.getClass ne fb.getClass)
   }
+
+  test("filterStage: predicate drops rows; NULL input is dropped unseen") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val src =
+      """public class LongOnly implements java.util.function.Predicate<String> {
+        |  public boolean test(String s) {
+        |    if (s == null) throw new IllegalStateException("saw null");
+        |    return s.length() >= 3;
+        |  }
+        |}""".stripMargin
+    val df = Seq((1L, "ab"), (2L, "abcd"), (3L, null.asInstanceOf[String]),
+      (4L, "xyz")).toDF("id", "v")
+    val out = JavaStage.filterStage(df, "v", "LongOnly", src)
+      .select("id").as[Long].collect().sorted
+    // null row dropped WITHOUT reaching the predicate (it would throw)
+    assert(out.toSeq == Seq(2L, 4L))
+  }
 }

@@ -516,4 +516,43 @@ class PlanSpec extends AnyFunSuite {
       s"sketch counters must combine map-side:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
   } }
+
+  test("proximity search: term postings filter before the doc_id equi-join") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("idx8_proximity")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"NEAR query degenerated to a non-equi plan:\n$plan")
+    // both single-term postings must be filtered below the join (the range
+    // |p1-p2|<=5 runs on joined pairs, but the token equality must not)
+    assert(plan.contains("spark") && plan.contains("join"),
+      s"term filters missing from the plan:\n$plan")
+  } }
+
+  test("MAD outliers: both percentile re-joins broadcast (|types|-row dims)") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("dq12_mad_outliers")(spark, TestSession.sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"median and MAD thresholds should both re-join by broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
+  } }
+
+  test("KMV sketch: top_k heap aggregates map-side (partial ObjectHashAggregate)") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("approx8_kmv")(spark, TestSession.sf))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate must run in ObjectHashAggregateExec:\n$plan")
+    // two phases: a partial pass before the exchange caps per-partition
+    // contributions at k per key
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"no map-side partial heap pass:\n$plan")
+  } }
+
+  test("sequence patterns: one sort-free aggregate per user, no window re-sort") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("ses3_pattern_match")(spark, TestSession.sf))
+    assert(!plan.contains("Window"),
+      s"the (ts,id) order must come from array_sort, not a window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
+  } }
 }
