@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * exits as soon as a frontier comes back empty (the same count that
   * materializes the round). Lineage is truncated per round
   * ([[graft.ops.IterTrunc]]) so the plan stays flat across iterations.
+  *
+  * [[hopLevels]] (visited keyed by node) and [[taggedHopLevels]] (visited
+  * keyed by (src, node) — per-landmark distances) share ONE expansion loop
+  * parameterized by the visited key; BfsSpec's collapse-law test pins
+  * their equivalence (min over sources of tagged ≡ multi-source).
   */
 object Bfs {
 
@@ -32,43 +37,11 @@ object Bfs {
     * @return (node, dist) — unreached nodes are absent, not null-padded */
   def hopLevels(edges: DataFrame, sources: DataFrame, maxHops: Int,
       undirected: Boolean = true,
-      checkpointDir: Option[String] = None): DataFrame = {
-    require(maxHops >= 0, "maxHops must be non-negative")
-    val spark = edges.sparkSession
-    val trunc = new graft.ops.IterTrunc(spark, checkpointDir, "bfs")
-    // two live state tables → one eager-delete channel each: a shared
-    // channel would delete the visited file while the frontier (or vice
-    // versa) still reads it
-    val visitedChan = trunc.channel()
-    val frontierChan = trunc.channel()
-
-    val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
-    val adj = trunc.pin(
-      (if (undirected) e0.union(e0.select(col("v"), col("u"))) else e0)
-        .distinct())
-
-    var visited = visitedChan(sources.toDF("node").distinct()
-      .withColumn("dist", lit(0)))
-    var frontier = visited.select("node")
-    var k = 0
-    var frontierSize = frontier.count()
-    while (frontierSize > 0 && k < maxHops) {
-      k += 1
-      // frontier's successors not yet visited = the distance-k shell;
-      // distinct() before the anti-join so a node reached over many edges
-      // enters once (and the anti-join probe stays small)
-      val next = frontierChan(adj.join(frontier, adj("u") === frontier("node"))
-        .select(adj("v").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(k)))
-      frontierSize = next.count()
-      if (frontierSize > 0) {
-        visited = visitedChan(visited.union(next))
-        frontier = next.select("node")
-      }
-    }
-    visited
-  }
+      checkpointDir: Option[String] = None): DataFrame =
+    expand(edges,
+      sources.toDF("node").distinct().withColumn("dist", lit(0)),
+      keyCols = Seq("node"), maxHops = maxHops, undirected = undirected,
+      checkpointDir = checkpointDir, tag = "bfs")
 
   /** Tagged (per-source) hop levels: one row per (source, node) pair
     * reachable within `maxHops`, with the exact minimum hop distance —
@@ -82,10 +55,28 @@ object Bfs {
     * landmark count. */
   def taggedHopLevels(edges: DataFrame, sources: DataFrame, maxHops: Int,
       undirected: Boolean = true,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    expand(edges,
+      sources.toDF("src").distinct()
+        .select(col("src"), col("src").as("node"), lit(0).as("dist")),
+      keyCols = Seq("src", "node"), maxHops = maxHops,
+      undirected = undirected, checkpointDir = checkpointDir,
+      tag = "bfs_tagged")
+
+  /** The ONE frontier-expansion loop. `visited0` must carry
+    * `keyCols :+ dist`, with the traversal position named `node` (the
+    * last key column); any other key columns (e.g. `src`) ride along as
+    * tags. */
+  private def expand(edges: DataFrame, visited0: DataFrame,
+      keyCols: Seq[String], maxHops: Int, undirected: Boolean,
+      checkpointDir: Option[String], tag: String): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
+    require(keyCols.last == "node", "the traversal key must end in `node`")
     val spark = edges.sparkSession
-    val trunc = new graft.ops.IterTrunc(spark, checkpointDir, "bfs_tagged")
+    val trunc = new graft.ops.IterTrunc(spark, checkpointDir, tag)
+    // two live state tables → one eager-delete channel each: a shared
+    // channel would delete the visited file while the frontier (or vice
+    // versa) still reads it
     val visitedChan = trunc.channel()
     val frontierChan = trunc.channel()
 
@@ -94,21 +85,24 @@ object Bfs {
       (if (undirected) e0.union(e0.select(col("v"), col("u"))) else e0)
         .distinct())
 
-    var visited = visitedChan(sources.toDF("src").distinct()
-      .select(col("src"), col("src").as("node"), lit(0).as("dist")))
-    var frontier = visited.select("src", "node")
+    val carry = keyCols.init
+    var visited = visitedChan(visited0)
+    var frontier = visited.select(keyCols.map(col): _*)
     var k = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0 && k < maxHops) {
       k += 1
+      // frontier's successors not yet visited = the distance-k shell;
+      // distinct() before the anti-join so a (tag, node) reached over many
+      // edges enters once (and the anti-join probe stays small)
       val next = frontierChan(adj.join(frontier, adj("u") === frontier("node"))
-        .select(frontier("src"), adj("v").as("node")).distinct()
-        .join(visited.select("src", "node"), Seq("src", "node"), "left_anti")
+        .select(carry.map(frontier(_)) :+ adj("v").as("node"): _*).distinct()
+        .join(visited.select(keyCols.map(col): _*), keyCols, "left_anti")
         .withColumn("dist", lit(k)))
       frontierSize = next.count()
       if (frontierSize > 0) {
         visited = visitedChan(visited.union(next))
-        frontier = next.select("src", "node")
+        frontier = next.select(keyCols.map(col): _*)
       }
     }
     visited

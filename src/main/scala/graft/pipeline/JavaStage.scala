@@ -130,25 +130,34 @@ object JavaStage {
     loaderFor(classes).loadClass(className)
       .getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
 
-  /** Shared plan-time prologue of [[stage]]/[[flatStage]]: every misuse
-    * surfaces HERE, on the driver, before any Spark job — the stage's
-    * whole error contract (like the compile diagnostics). */
+  /** Shared plan-time prologue of every String-consuming stage form
+    * ([[stage]]/[[flatStage]]/[[filterStage]]): every misuse surfaces
+    * HERE, on the driver, before any Spark job — the stage's whole error
+    * contract (like the compile diagnostics). */
+  private def inPrologue(df: DataFrame, inCol: String,
+      className: String, source: String)
+      : (org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]], Int) = {
+    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$inCol must be STRING (the user function consumes String); " +
+        s"got ${df.schema(inCol).dataType.simpleString}")
+    val classes = compile(className, source) // driver-side, once
+    (df.sparkSession.sparkContext.broadcast(classes),
+      df.schema.fieldIndex(inCol))
+  }
+
+  /** [[inPrologue]] + the mapper forms' output-column half. */
   private def prologue(df: DataFrame, inCol: String, outCol: String,
       className: String, source: String)
       : (org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]], Int,
          org.apache.spark.sql.Encoder[org.apache.spark.sql.Row]) = {
-    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
-      s"$inCol must be STRING (the user mapper consumes String); " +
-        s"got ${df.schema(inCol).dataType.simpleString}")
     require(!df.columns.contains(outCol),
       s"output column $outCol already exists in the input schema")
-    val classes = compile(className, source) // driver-side, once
-    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
+    val (bcClasses, inIdx) = inPrologue(df, inCol, className, source)
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+
         org.apache.spark.sql.types.StructField(outCol,
           org.apache.spark.sql.types.StringType))
-    (bcClasses, df.schema.fieldIndex(inCol), Encoders.row(outSchema))
+    (bcClasses, inIdx, Encoders.row(outSchema))
   }
 
   /** The stage: compile `source` (a public class `className` implementing
@@ -181,12 +190,7 @@ object JavaStage {
     * unchanged (q:st24 runs this exact path). */
   def filterStage(df: DataFrame, inCol: String,
       className: String, source: String): DataFrame = {
-    require(df.schema(inCol).dataType == org.apache.spark.sql.types.StringType,
-      s"$inCol must be STRING (the user predicate consumes String); " +
-        s"got ${df.schema(inCol).dataType.simpleString}")
-    val classes = compile(className, source) // driver-side, once
-    val bcClasses = df.sparkSession.sparkContext.broadcast(classes)
-    val inIdx = df.schema.fieldIndex(inCol)
+    val (bcClasses, inIdx) = inPrologue(df, inCol, className, source)
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       Encoders.row(df.schema)
     df.mapPartitions { it =>

@@ -971,9 +971,16 @@ object AnalyticsQueries {
       val k = 64
       val du = Tables.t(s, dir, "events")
         .select(col("event_type"), col("user_id")).distinct()
-        .withColumn("h", md5Int(col("user_id").cast("string")))
-      du.groupBy("event_type")
-        .agg(top_k(-col("h"), k).as("negk"), count(lit(1)).as("exact"))
+      // the classic KMV sketch IS a hash SET: distinct the hashes before
+      // the heap so colliding inputs merge — exactly the state st23's
+      // streaming twin keeps, so batch sketch ≡ final stream state holds
+      // under collisions too (not just on collision-free corpora)
+      val hs = du.select(col("event_type"),
+        md5Int(col("user_id").cast("string")).as("h")).distinct()
+      hs.groupBy("event_type")
+        .agg(top_k(-col("h"), k).as("negk"))
+        .join(du.groupBy("event_type").agg(count(lit(1)).as("exact")),
+          "event_type")
         // k-th smallest hash = −(k-th element of the descending −h array);
         // try_element_at: a not-full heap (fewer than k distincts) yields
         // NULL — ANSI element_at would throw — and est falls back to exact
@@ -998,13 +1005,8 @@ object AnalyticsQueries {
     // the batch split cannot show through ---------------------------------
     "st23_stream_kmv" -> { (s, dir) =>
       import graft.dedup.TextDedup.md5Int
-      val srcDir =
-        java.nio.file.Files.createTempDirectory("graft_st23_src").toString
-      s.read.parquet(s"$dir/events.parquet").repartition(4)
-        .write.mode("overwrite").parquet(srcDir)
-      val schema = s.read.parquet(srcDir).schema
-      val raw = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val raw = graft.streaming.Streams.stagedFileStream(
+        s.read.parquet(s"$dir/events.parquet"), nFiles = 4)
       val hashed = raw.select(col("event_type"),
         md5Int(col("user_id").cast("string")).as("h"))
       graft.streaming.Streams.runWindowedAgg(hashed,
@@ -1397,19 +1399,21 @@ object AnalyticsQueries {
         "CAST(len(regexp_extract_all(seq, 'v+c+p')) AS INT) AS n_funnel, " +
         "CAST(len(regexp_extract_all(seq, 'ee+')) AS INT) AS n_error_burst " +
         "FROM s ORDER BY user_id"),
-    // k-th smallest of the same md5 hash multiset (row_number over ORDER BY
-    // h — ties share the value, so position 64 is order-stable), one shared
-    // (k−1)·2^32 literal, one IEEE-exact double division
+    // k-th smallest of the same DISTINCT md5 hash set (classic KMV — the
+    // sketch is a hash set, identical to st23's streaming state), exact
+    // user count joined separately, one shared (k−1)·2^32 literal, one
+    // IEEE-exact double division
     "approx8_kmv" ->
       ("WITH du AS (SELECT DISTINCT event_type, user_id FROM events), " +
-        "h AS (SELECT event_type, " +
+        "hs AS (SELECT DISTINCT event_type, " +
         graft.queries.DedupQueries.md5IntSql("CAST(user_id AS VARCHAR)") +
         " AS h FROM du), " +
+        "ex AS (SELECT event_type, count(*) AS nu FROM du GROUP BY 1), " +
         "r AS (SELECT event_type, h, " +
-        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn, " +
-        "count(*) OVER (PARTITION BY event_type) AS exact FROM h), " +
-        "a AS (SELECT event_type, CAST(max(exact) AS BIGINT) AS exact, " +
-        "CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS hk FROM r GROUP BY 1), " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hs), " +
+        "a AS (SELECT r.event_type, CAST(max(ex.nu) AS BIGINT) AS exact, " +
+        "CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS hk " +
+        "FROM r JOIN ex ON r.event_type = ex.event_type GROUP BY 1), " +
         "b AS (SELECT event_type, exact, hk, " +
         "CASE WHEN hk IS NOT NULL THEN CAST(270582939648 AS DOUBLE) / CAST(hk AS DOUBLE) " +
         "ELSE CAST(exact AS DOUBLE) END AS est FROM a) " +

@@ -431,18 +431,24 @@ object GraphQueries {
     // union of all landmarks' frontier out-edges co-keyed on the adjacency;
     // at 100 TB the landmark count (not graph size) scales the state ------
     "g24_closeness" -> { (s, dir) =>
-      val edges = coServiceEdges(s, dir)
-      val nodes = edges.select(col("u").as("n"))
-        .union(edges.select(col("v").as("n"))).distinct()
-      graft.graph.Bfs.taggedHopLevels(edges, nodes.orderBy("n").limit(5),
-          maxHops = 4)
-        .filter(col("src") =!= col("node"))
-        .groupBy("node")
-        .agg(count(lit(1)).cast("int").as("n_landmarks"),
-          sum(col("dist")).as("total_dist"))
-        .withColumn("closeness",
-          col("n_landmarks").cast("double") / col("total_dist"))
-        .orderBy("node")
+      // the lineitem self-join behind the graph is the dominant stage and
+      // feeds BOTH the landmark pick and the traversal's pinned adjacency
+      // — persist so it runs once (safe to release after the call: the
+      // returned levels are checkpoint-backed by IterTrunc)
+      val edges = coServiceEdges(s, dir).persist()
+      try {
+        val nodes = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n"))).distinct()
+        graft.graph.Bfs.taggedHopLevels(edges, nodes.orderBy("n").limit(5),
+            maxHops = 4)
+          .filter(col("src") =!= col("node"))
+          .groupBy("node")
+          .agg(count(lit(1)).cast("int").as("n_landmarks"),
+            sum(col("dist")).as("total_dist"))
+          .withColumn("closeness",
+            col("n_landmarks").cast("double") / col("total_dist"))
+          .orderBy("node")
+      } finally edges.unpersist()
     },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the

@@ -568,8 +568,10 @@ object OpsQueries {
       dev.select("event_type", "adev")
         .join(broadcast(th), "event_type")
         .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
-        .agg(sum((col("adev") > lit(4.4478) * col("mad")).cast("long"))
-          .as("n_outliers"))
+        // coalesce: an all-NULL-value type sums NULL predicates to NULL
+        // where the oracle's count(*) FILTER yields 0 — align to 0
+        .agg(coalesce(sum((col("adev") > lit(4.4478) * col("mad"))
+          .cast("long")), lit(0L)).as("n_outliers"))
         .select(col("event_type"), col("n"), col("med"), col("mad"),
           col("n_outliers"),
           (col("n_outliers").cast("double") / col("n")).as("rate"))

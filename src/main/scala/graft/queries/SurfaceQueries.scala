@@ -762,12 +762,8 @@ object SurfaceQueries {
       store.write(b, s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), aggSchema))
       // 4-file staging of the source → 4 genuine micro-batches
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_st19_src").toString
-      s.read.parquet(s"$dir/events.parquet").repartition(4)
-        .write.mode("overwrite").parquet(srcDir)
-      val schema = s.read.parquet(srcDir).schema
-      val raw = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val raw = Streams.stagedFileStream(
+        s.read.parquet(s"$dir/events.parquet"), nFiles = 4)
       Streams.runForeachBatchIds(raw) { (batch, id) =>
         val applied = store.read(b).filter(col("user_id") === -1L)
           .agg(max(col("total"))).head().getDecimal(0)

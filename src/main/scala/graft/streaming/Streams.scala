@@ -85,6 +85,22 @@ object Streams {
     spark.readStream.schema(schema).parquet(effective)
   }
 
+  /** Stage a batch DataFrame as `nFiles` parquet files and open them as a
+    * file stream with `maxFilesPerTrigger=1` — the one recipe for GENUINE
+    * multi-micro-batch runs over driver testdata (a single file would
+    * collapse to one batch and never exercise cross-batch state). Used by
+    * the maintained-rollup (q:st19/cdc6) and streaming-sketch (q:st23)
+    * queries; results must be independent of this split by construction
+    * (exactly-once merge / associative-commutative state). */
+  def stagedFileStream(df: DataFrame, nFiles: Int): DataFrame = {
+    val spark = df.sparkSession
+    val srcDir = Files.createTempDirectory("graft_staged_src").toString
+    df.repartition(nFiles).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+  }
+
   /** ST1: run a passthrough (or transformed) stream to completion, landing
     * every micro-batch in a parquet dir; returns the landed data. */
   def runToParquet(stream: DataFrame, transform: DataFrame => DataFrame = identity,

@@ -50,10 +50,12 @@ class ApproxSpec extends AnyFunSuite {
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getAs[java.lang.Long]("hk"), r.getDouble(3))))
       .toMap
-    // independent hk: full sort of the distinct-user hash multiset per type
+    // independent hk: full sort of the DISTINCT hash set per type (classic
+    // KMV — the same set st23's streaming state keeps)
     val sorted = Tables.t(spark, TestSession.sf, "events")
       .select(col("event_type"), col("user_id")).distinct()
-      .withColumn("h", md5Int(col("user_id").cast("string")))
+      .select(col("event_type"), md5Int(col("user_id").cast("string")).as("h"))
+      .distinct()
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("event_type").orderBy("h")))
@@ -78,14 +80,31 @@ class ApproxSpec extends AnyFunSuite {
     // 3-partition layout must emit identical rows (heap merge is a set op)
     val du = Tables.t(spark, TestSession.sf, "events")
       .select(col("event_type"), col("user_id")).distinct()
-      .repartition(3, col("user_id"))
-      .withColumn("h", md5Int(col("user_id").cast("string")))
+      .select(col("event_type"), md5Int(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .repartition(3, col("h"))
     val re = du.groupBy("event_type")
       .agg(graft.functions.GraftFunctions.top_k(-col("h"), 64).as("negk"))
       .withColumn("hk", -try_element_at(col("negk"), lit(64)))
       .collect().map(r => r.getString(0) -> r.getAs[java.lang.Long]("hk")).toMap
     rows.foreach { case (k, (_, hk, _)) =>
       assert(re(k) === hk, s"$k: hk drifted under repartitioning")
+    }
+  }
+
+  test("st23: final streaming KMV state equals the approx8 batch sketch") {
+    def skMap(name: String) =
+      SparkEntry.queries(name)(spark, TestSession.sf)
+        .select("event_type", "hk", "est").collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[java.lang.Long]("hk"), r.getDouble(2)))).toMap
+    val batch = skMap("approx8_kmv")
+    val stream = skMap("st23_stream_kmv")
+    assert(batch.keySet === stream.keySet)
+    batch.foreach { case (k, (hk, est)) =>
+      val (shk, sest) = stream(k)
+      assert(shk === hk && sest === est,
+        s"$k: stream state ($shk, $sest) != batch sketch ($hk, $est)")
     }
   }
 }
