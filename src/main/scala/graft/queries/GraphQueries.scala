@@ -450,6 +450,28 @@ object GraphQueries {
           .orderBy("node")
       } finally edges.unpersist()
     },
+    // 2-sweep diameter lower bound (the double-BFS heuristic every graph
+    // profiler runs first): BFS from the smallest node → its most distant
+    // node a (ties → smallest id), BFS again from a → eccentricity(a) =
+    // the bound. Two frontier expansions on the shared Bfs loop, the
+    // 1-row argmax stays a DataFrame (no driver collect); exact integers
+    // throughout ----------------------------------------------------------
+    "g25_diameter_2sweep" -> { (s, dir) =>
+      val edges = coServiceEdges(s, dir).persist()
+      try {
+        val s0 = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .agg(min(col("n")).as("n"))
+        val b1 = graft.graph.Bfs.hopLevels(edges, s0, maxHops = 30)
+        val a = b1.orderBy(col("dist").desc, col("node")).limit(1)
+        val b2 = graft.graph.Bfs.hopLevels(edges, a.select("node"),
+          maxHops = 30)
+        val far = b2.orderBy(col("dist").desc, col("node")).limit(1)
+        a.select(col("node").as("node_a"), col("dist").as("ecc_start"))
+          .crossJoin(broadcast(far.select(col("node").as("node_b"),
+            col("dist").as("lb_diameter"))))
+      } finally edges.unpersist()
+    },
     // registry: bucket metadata CRUD on the engine's own CrudService — the
     // management-DB surface; descriptors derive from region rows so the
     // oracle can reproduce them (the collect is 5 control-plane rows)
@@ -756,6 +778,25 @@ object GraphQueries {
         "mx AS (SELECT node, max(i) AS mx FROM r GROUP BY node) " +
         "SELECT node, CAST(CASE WHEN mx = 30 THEN -1 ELSE mx + 1 END AS INT) AS layer " +
         "FROM mx ORDER BY node"),
+    // two chained recursive walks (the second seeded by the first's
+    // deterministic argmax), exact integer distances
+    "g25_diameter_2sweep" ->
+      ("WITH RECURSIVE li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48), " +
+        "e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), " +
+        "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), " +
+        "s0 AS (SELECT min(u) AS n FROM e), " +
+        "walk1(n, d) AS (SELECT n, 0 FROM s0 " +
+        "UNION SELECT e.v, walk1.d + 1 FROM walk1 JOIN e ON e.u = walk1.n WHERE walk1.d < 30), " +
+        "m1 AS (SELECT n, min(d) AS d FROM walk1 GROUP BY 1), " +
+        "a AS (SELECT n, d FROM m1 ORDER BY d DESC, n LIMIT 1), " +
+        "walk2(n, d) AS (SELECT n, 0 FROM (SELECT n FROM a) " +
+        "UNION SELECT e.v, walk2.d + 1 FROM walk2 JOIN e ON e.u = walk2.n WHERE walk2.d < 30), " +
+        "m2 AS (SELECT n, min(d) AS d FROM walk2 GROUP BY 1), " +
+        "b AS (SELECT n, d FROM m2 ORDER BY d DESC, n LIMIT 1) " +
+        "SELECT a.n AS node_a, CAST(a.d AS INT) AS ecc_start, " +
+        "b.n AS node_b, CAST(b.d AS INT) AS lb_diameter " +
+        "FROM a CROSS JOIN b"),
     // per-landmark min distance via the tagged recursive walk (g12's CTE
     // carrying the source), exact integer count/sum, one double division
     "g24_closeness" ->
