@@ -10,7 +10,9 @@ git add -A src tools SCALE.md README.md SURVEY.md FIXTURES.md build.sbt
 # correctness records, the scale gate, and the clean bench snapshot
 for f in LEAKCHECK.json BENCH_SCALE.json bench_out.json COPYCHECK.json \
     BENCH_r*.json CORRECTNESS_r*.json PROGRESS.jsonl; do
-  [ -e "$f" ] && git add "$f"
+  # skip .gitignore'd artifacts (e.g. COPYCHECK.json) — `git add` on an
+  # ignored path exits 1 under set -e and aborts the whole snapshot
+  if [ -e "$f" ] && ! git check-ignore -q "$f"; then git add "$f"; fi
 done
 git commit -m "${1:-Final round snapshot}"
 git status --short
