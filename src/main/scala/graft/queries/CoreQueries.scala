@@ -304,8 +304,51 @@ object CoreQueries {
         .filter(col("rn") === 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey")
+    },
+    // ---- percolation (reverse search): every record matched against a
+    // REGISTRY of stored DSL queries — the alerting workload the reference
+    // delegated to Elasticsearch's percolator. The 7-query registry
+    // compiles once into ONE fused codegen projection over one scan; the
+    // f1-f12 clause surface (eq, negated eq, in-list, 3 range forms,
+    // OR-of-subqueries) is exercised in its stored-query role ------------
+    "perc1_percolate" -> { (s, dir) =>
+      graft.ops.Percolator.matches(Tables.t(s, dir, "events"),
+          storedQueries, idCols = Seq("event_id"))
+        .orderBy("event_id", "query_id")
+    },
+    // ---- st25: the SAME registry percolating a STREAM — the actual
+    // alerting deployment shape (match-on-arrival): stateless narrow
+    // projection, append mode, zero state; batch oracle = the truth ------
+    "st25_stream_percolate" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.streaming.Streams.parquetStream(
+        s, s"$dir/events.parquet", schema)
+      graft.streaming.Streams.runToParquet(Tables.normalizeTs(raw),
+          st => graft.ops.Percolator.matches(st, storedQueries,
+            idCols = Seq("event_id")))
+        .orderBy("event_id", "query_id")
     }
   )
+
+  /** THE stored-query registry perc1/st25 percolate against — one
+    * definition, both drivers; ids sorted so ties in the output explode
+    * in registry order deterministically. */
+  private def storedQueries: Seq[(String, graft.dsl.QueryComponent)] = Seq(
+    "q_big_purchase" -> Query.allOf()
+      .when("event_type", "purchase").rangeAbove("value", 100.0),
+    "q_cheap_click" -> Query.allOf()
+      .when("event_type", "click").rangeBelow("value", 5.0),
+    "q_error_heavy" -> Query.allOf()
+      .when("event_type", "error").rangeAbove("user_id", 100L),
+    "q_hot_or" -> Query.or(
+      Query.allOf().when("event_type", "view").rangeAbove("value", 90.0),
+      Query.allOf().when("event_type", "signup").rangeAbove("value", 95.0)),
+    "q_mid_value" -> Query.allOf().rangeIn("value", 10.0, 20.0),
+    "q_not_view" -> Query.allOf()
+      .whenNot("event_type", "view").rangeAbove("value", 99.5),
+    "q_vip_action" -> Query.allOf()
+      .withAny("event_type", Seq("signup", "purchase"))
+      .rangeBelow("user_id", 20L))
 
   val oracle: Map[String, String] = Map(
     "f1_when_eq" ->
@@ -405,6 +448,22 @@ object CoreQueries {
     "d1_dedup_window" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +
-        "WHERE rn = 1 ORDER BY o_custkey")
+        "WHERE rn = 1 ORDER BY o_custkey"),
+    // each stored query restated as a literal WHERE (rangeAbove = >=,
+    // rangeBelow = <, rangeIn = [lo, hi), whenNot = IS DISTINCT FROM —
+    // the f1-f12-pinned clause semantics); st25 streams the same registry
+    "perc1_percolate" -> percolateOracleSql,
+    "st25_stream_percolate" -> percolateOracleSql
   )
+
+  private def percolateOracleSql: String =
+    ("SELECT event_id, query_id FROM (" +
+      "SELECT event_id, 'q_big_purchase' AS query_id FROM events WHERE event_type = 'purchase' AND value >= 100 " +
+      "UNION ALL SELECT event_id, 'q_cheap_click' FROM events WHERE event_type = 'click' AND value < 5 " +
+      "UNION ALL SELECT event_id, 'q_error_heavy' FROM events WHERE event_type = 'error' AND user_id >= 100 " +
+      "UNION ALL SELECT event_id, 'q_hot_or' FROM events WHERE (event_type = 'view' AND value >= 90) OR (event_type = 'signup' AND value >= 95) " +
+      "UNION ALL SELECT event_id, 'q_mid_value' FROM events WHERE value >= 10 AND value < 20 " +
+      "UNION ALL SELECT event_id, 'q_not_view' FROM events WHERE event_type IS DISTINCT FROM 'view' AND value >= 99.5 " +
+      "UNION ALL SELECT event_id, 'q_vip_action' FROM events WHERE event_type IN ('signup', 'purchase') AND user_id < 20" +
+      ") ORDER BY event_id, query_id")
 }

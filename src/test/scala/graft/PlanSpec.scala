@@ -548,6 +548,14 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial heap pass:\n$plan")
   } }
 
+  test("percolation: the whole registry fuses into ONE scan — no join, no per-query pass") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("perc1_percolate")(spark, TestSession.sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"stored-query matching must be one fused projection over one scan:\n$plan")
+    assert(!plan.contains("Join"), s"no query-table join should exist:\n$plan")
+  } }
+
   test("sequence patterns: one sort-free aggregate per user, no window re-sort") { uncached {
     val plan = formattedPlan(
       SparkEntry.queries("ses3_pattern_match")(spark, TestSession.sf))
