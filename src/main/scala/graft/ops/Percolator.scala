@@ -39,6 +39,13 @@ object Percolator {
     val ids = stored.map(_._1)
     require(ids.distinct.size == ids.size,
       s"duplicate stored query ids: ${ids.diff(ids.distinct).distinct}")
+    // meta riders (limit/orderBy/includes/excludes) have no meaning in a
+    // per-record match — honoring a limit would need global state, and
+    // silently ignoring it would under-deliver alerts. Reject at plan time.
+    val withMeta = stored.collect { case (id, q) if !q.meta.isEmpty => id }
+    require(withMeta.isEmpty,
+      s"stored queries must be pure predicates (no limit/orderBy/" +
+        s"includes/excludes): $withMeta")
     // one fused projection: qid where the query matches, NULL where not
     // (NULL-safe: a NULL-valued predicate is a non-match, the same
     // exclusion a WHERE clause applies)

@@ -45,4 +45,15 @@ class PercolatorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("q_buy"))
   }
+
+  test("meta riders (limit/orderBy/projection) are rejected at plan time") {
+    val withLimit = registry :+
+      ("q_capped" -> Query.allOf().when("event_type", "error").limit(10))
+    val e = intercept[IllegalArgumentException] {
+      Percolator.matches(df(), withLimit, Seq("event_id"))
+    }
+    // a limit would need global state to honor; silently ignoring it
+    // would under-deliver alerts — the guard must name the offender
+    assert(e.getMessage.contains("q_capped"))
+  }
 }
