@@ -23,6 +23,13 @@ final case class AddItems(field: String, values: Seq[Any], dedup: Boolean) exten
 final case class RemoveItems(field: String, values: Seq[Any]) extends UpdateOp
 /** U7 `$pull` with a nested query on array elements */
 final case class RemoveMatching(field: String, pred: QueryComponent) extends UpdateOp
+/** (beyond ref) Mongo `$set` with `arrayFilters` — `{"items.$[e].f": v}
+  * , arrayFilters: [{e: <pred>}]`: set a sub-field of the array ELEMENTS
+  * matching the element predicate, leaving other elements untouched.
+  * The positional-update surface RemoveMatching filters with, applied to
+  * mutation instead of removal. */
+final case class SetMatching(field: String, elemPred: QueryComponent,
+    subField: String, value: Any) extends UpdateOp
 /** U8 whole-document delete sentinel (`MongoDbUtils.java:303-304`) */
 case object DeleteDoc extends UpdateOp
 
@@ -36,6 +43,9 @@ final case class UpdateComponent(ops: Seq[UpdateOp] = Nil) {
   def pullAll(field: String, vs: Seq[Any]): UpdateComponent = add(RemoveItems(field, vs))
   def pull(field: String, pred: QueryComponent): UpdateComponent =
     add(RemoveMatching(field, pred))
+  def setMatching(field: String, elemPred: QueryComponent,
+      subField: String, v: Any): UpdateComponent =
+    add(SetMatching(field, elemPred, subField, v))
   def deleteDoc(): UpdateComponent = add(DeleteDoc)
 }
 

@@ -96,6 +96,20 @@ object UpdateCompiler {
             !QueryCompiler.compileWith(q, resolver)
           }
           writeAt(cur, f, guarded(pred, filter(col(f), keep), col(f)))
+        case SetMatching(f, q, sub, v) => // $set + arrayFilters ($[e])
+          // transform, not rebuild: withField patches ONE sub-field (dot
+          // paths included) and preserves every other element field; a
+          // NULL-predicate element is a non-match and passes unchanged
+          val patched = transform(col(f), x => {
+            val resolver: String => Column =
+              name => if (name.isEmpty) x
+                else name.split('.').foldLeft(x)(_.getField(_))
+            val ep = QueryCompiler.compileWith(q, resolver)
+            val curSub = sub.split('.').foldLeft(x)(_.getField(_))
+            x.withField(sub,
+              when(coalesce(ep, lit(false)), lit(v)).otherwise(curSub))
+          })
+          writeAt(cur, f, guarded(pred, patched, col(f)))
         case DeleteDoc => cur // handled above
       }
     }

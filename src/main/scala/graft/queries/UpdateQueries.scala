@@ -137,6 +137,27 @@ object UpdateQueries {
         .select(col("event_id"), col("r.k").as("k"))
         .orderBy("event_id")
     },
+    // U18 (beyond ref): Mongo $set + arrayFilters ($[e]) — mutate a
+    // sub-field of array-of-struct ELEMENTS matching an element predicate,
+    // inside documents matching the doc predicate. One transform()
+    // projection per doc (no explode/re-group round trip); element order,
+    // other fields, and non-matching docs pass through untouched ---------
+    "u18_array_elem_update" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty"),
+          col("l_returnflag").as("rf")))).as("items"),
+          count(lit(1)).as("n_items"))
+      UpdateCompiler.applyUpdate(docs,
+          QueryCompiler.compile(Query.allOf().rangeAbove("n_items", 5L)),
+          Update.update().setMatching("items",
+            Query.allOf().rangeAbove("qty", 45.0), "rf", "X"))
+        .select(col("l_orderkey"), explode(col("items")).as("x"))
+        .select(col("l_orderkey"), col("x.ln").as("ln"),
+          col("x.qty").as("qty"), col("x.rf").as("rf"))
+        .orderBy("l_orderkey", "ln")
+    },
     // U17 (beyond ref): optimistic-concurrency CAS update — stored
     // version o_orderkey%5, CAS batch targets every key%4==0 expecting
     // version 2; only the agreeing rows apply (+111 price, version bump),
@@ -223,6 +244,15 @@ object UpdateQueries {
     "u14_store_dedup" ->
       ("SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'mod3' END AS src " +
         "FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 ORDER BY o_orderkey"),
+    // the array-element update restated FLAT (no array round trip — an
+    // independent formulation): rf flips ⇔ the doc has ≥5 items AND the
+    // element's qty ≥ 45; everything else passes through
+    "u18_array_elem_update" ->
+      ("SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln, " +
+        "l_quantity AS qty, " +
+        "CASE WHEN count(*) OVER (PARTITION BY l_orderkey) >= 5 " +
+        "AND l_quantity >= 45 THEN 'X' ELSE l_returnflag END AS rf " +
+        "FROM lineitem ORDER BY l_orderkey, ln"),
     // the CAS truth table as CASE guards: applied ⇔ key%4=0 ∧ version(=key%5)=2
     "u17_version_cas" ->
       ("SELECT o_orderkey, " +

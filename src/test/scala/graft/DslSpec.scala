@@ -134,6 +134,31 @@ class DslSpec extends AnyFunSuite {
     assert(pulled.head.getAs[Seq[Int]]("xs") === Seq(1, 5))
   }
 
+  test("U18 setMatching ($set + arrayFilters): element-conditional patch") {
+    val df = orders.limit(4).withColumn("items", array(
+      struct(lit(1).as("ln"), lit(50.0).as("qty"), lit("A").as("rf")),
+      struct(lit(2).as("ln"), lit(10.0).as("qty"), lit("B").as("rf"))))
+    val out = UpdateCompiler.applyUpdate(df, lit(true),
+      Update.update().setMatching("items",
+        Query.allOf().rangeAbove("qty", 45.0), "rf", "X"))
+    val items = out.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("items")
+    // element 1 (qty 50) patched; element 2 untouched, ALL fields intact
+    assert(items.map(r => (r.getInt(0), r.getDouble(1), r.getString(2))) ===
+      Seq((1, 50.0, "X"), (2, 10.0, "B")))
+    // a NULL array and a non-matching doc predicate both pass through
+    val nulled = df.withColumn("items",
+      when(lit(false), col("items")).otherwise(lit(null)))
+    val outNull = UpdateCompiler.applyUpdate(nulled, lit(true),
+      Update.update().setMatching("items",
+        Query.allOf().rangeAbove("qty", 45.0), "rf", "X"))
+    assert(outNull.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("items") == null)
+    val unmatched = UpdateCompiler.applyUpdate(df, lit(false),
+      Update.update().setMatching("items",
+        Query.allOf().rangeAbove("qty", 45.0), "rf", "X"))
+    assert(unmatched.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("items")
+      .map(_.getString(2)) === Seq("A", "B"))
+  }
+
   test("U8/U11 delete: sentinel and top-k delete") {
     val pred = QueryCompiler.compile(Query.allOf().when("o_orderstatus", "F"))
     val deleted = UpdateCompiler.applyUpdate(orders, pred, Update.update().deleteDoc())
