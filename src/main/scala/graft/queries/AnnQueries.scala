@@ -180,6 +180,55 @@ object AnnQueries {
             .otherwise(lit(0.0)).as("z"))
         .orderBy("vec_id", "dim")
     },
+    // ---- fe3: distributed PCA, top principal component by power
+    // iteration — the linear-algebra op of the embedding family
+    // (whitening/drift analysis): mean-center, Gram matrix G = Cᵀ·C as a
+    // d²-bounded aggregate (every product term cast DECIMAL(28,12) before
+    // its sum — order-free, the fe1/pp4 regime), then THREE unrolled
+    // G·v/‖·‖ rounds from the fixed start v₀ = 1/√d. Convergence is not
+    // the contract — the identical correctly-rounded IEEE sequence on both
+    // engines is; λ is the Rayleigh quotient over n. Scale shape: after
+    // the one corpus-sized pass into G, everything is d²-sized co-keyed
+    // joins against broadcast d-row iterates — corpus-independent --------
+    "fe3_pca_power" -> { (s, dir) =>
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val emb = Tables.t(s, dir, "embeddings")
+      val x = emb.select(col("vec_id").as("id"), posexplode(col("embedding")))
+        .select(col("id"), col("pos").cast("int").as("i"),
+          col("col").cast("double").as("v"))
+      val m = x.groupBy("i")
+        .agg((sum(col("v").cast(d28)).cast("double") / count(lit(1))).as("mu"))
+      val c = x.join(broadcast(m), "i")
+        .select(col("id"), col("i"), (col("v") - col("mu")).as("v"))
+      val trunc = new graft.ops.IterTrunc(s, None, "pca")
+      val g = trunc.pin(c.as("a").join(c.as("b"), "id")
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          (col("a.v") * col("b.v")).as("p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p").cast(d28)).cast("double").as("gij")))
+      def mul(v: org.apache.spark.sql.DataFrame) =
+        g.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
+          .groupBy("i")
+          .agg(sum((col("gij") * col("vj")).cast(d28)).cast("double").as("w"))
+      var v = s.range(64)
+        .select(col("id").cast("int").as("i"), lit(0.125).as("v"))
+      for (_ <- 1 to 3) {
+        val w = mul(v)
+        val nrm = w.agg(
+          sqrt(sum((col("w") * col("w")).cast(d28)).cast("double")).as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("i"), (col("w") / col("nrm")).as("v"))
+      }
+      val lam = mul(v).join(v, "i")
+        .agg(sum((col("w") * col("v")).cast(d28)).cast("double").as("vgv"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n"))))
+        .select((col("vgv") / col("n")).as("lambda"))
+      v.crossJoin(broadcast(lam))
+        .select(col("i").as("dim"), col("v").cast(d6).cast("double").as("loading"),
+          col("lambda").cast(d6).cast("double").as("lambda"))
+        .orderBy("dim")
+    },
     // ---- ann10: IVF recall audit — the quality gate every approximate
     // index needs next to its speed story: per query, |IVF top-3 ∩ exact
     // top-3| / 3 with the ann1/ann3 paths composed verbatim (same
@@ -346,6 +395,36 @@ object AnnQueries {
         "SELECT vec_id, x.dim AS dim, " +
         "CASE WHEN sigma > 0 THEN (v - mu) / sigma ELSE 0.0 END AS z " +
         "FROM x JOIN mu ON x.dim = mu.dim WHERE vec_id < 50 ORDER BY vec_id, dim"),
+    // the same three unrolled G·v/‖·‖ rounds from v₀ = 0.125, every
+    // product term DECIMAL(28,12)-cast before its sum (order-free), one
+    // DECIMAL(18,6) round at the end
+    "fe3_pca_power" ->
+      ("WITH x AS (SELECT vec_id AS id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v " +
+        "FROM embeddings, unnest(generate_series(1, 64)) AS g(i)), " +
+        "m AS (SELECT i, CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu " +
+        "FROM x GROUP BY i), " +
+        "c AS (SELECT x.id, x.i, x.v - m.mu AS v FROM x JOIN m ON x.i = m.i), " +
+        "gm AS (SELECT a.i AS i, b.i AS j, " +
+        "CAST(sum(CAST(a.v * b.v AS DECIMAL(28,12))) AS DOUBLE) AS gij " +
+        "FROM c a JOIN c b ON a.id = b.id GROUP BY 1, 2), " +
+        "v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(64) t(i)), " +
+        "w1 AS (SELECT gm.i, CAST(sum(CAST(gm.gij * v0.v AS DECIMAL(28,12))) AS DOUBLE) AS w " +
+        "FROM gm JOIN v0 ON gm.j = v0.i GROUP BY 1), " +
+        "v1 AS (SELECT i, w / (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) FROM w1) AS v FROM w1), " +
+        "w2 AS (SELECT gm.i, CAST(sum(CAST(gm.gij * v1.v AS DECIMAL(28,12))) AS DOUBLE) AS w " +
+        "FROM gm JOIN v1 ON gm.j = v1.i GROUP BY 1), " +
+        "v2 AS (SELECT i, w / (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) FROM w2) AS v FROM w2), " +
+        "w3 AS (SELECT gm.i, CAST(sum(CAST(gm.gij * v2.v AS DECIMAL(28,12))) AS DOUBLE) AS w " +
+        "FROM gm JOIN v2 ON gm.j = v2.i GROUP BY 1), " +
+        "v3 AS (SELECT i, w / (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) FROM w3) AS v FROM w3), " +
+        "gv AS (SELECT gm.i, CAST(sum(CAST(gm.gij * v3.v AS DECIMAL(28,12))) AS DOUBLE) AS w " +
+        "FROM gm JOIN v3 ON gm.j = v3.i GROUP BY 1), " +
+        "lam AS (SELECT CAST(sum(CAST(gv.w * v3.v AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "(SELECT count(*) FROM embeddings) AS lambda FROM gv JOIN v3 ON gv.i = v3.i) " +
+        "SELECT CAST(v3.i AS INT) AS dim, " +
+        "CAST(CAST(v3.v AS DECIMAL(18,6)) AS DOUBLE) AS loading, " +
+        "CAST(CAST(lambda AS DECIMAL(18,6)) AS DOUBLE) AS lambda " +
+        "FROM v3, lam ORDER BY dim"),
     // the ann1 and ann3 CTEs composed, then a per-query intersection count
     "ann10_recall_audit" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
