@@ -199,14 +199,35 @@ object AnnQueries {
           col("col").cast("double").as("v"))
       val m = x.groupBy("i")
         .agg((sum(col("v").cast(d28)).cast("double") / count(lit(1))).as("mu"))
-      val c = x.join(broadcast(m), "i")
-        .select(col("id"), col("i"), (col("v") - col("mu")).as("v"))
+      // Gram matrix WITHOUT a self-join: the per-dim means ride back as ONE
+      // broadcast array, each vector centers narrowly (zip_with), and the
+      // outer-product terms double-posexplode straight into a map-side
+      // partial aggregate keyed by only d² cells — the shuffle carries
+      // partitions × 4096 partial sums, never the n·d² product rows (the
+      // id-keyed join variant shuffled and merged all of them: 8× slower)
+      val muArr = m.agg(sort_array(collect_list(struct(col("i"), col("mu"))))
+          .as("ms"))
+        .select(transform(col("ms"), _.getField("mu")).as("mu"))
+      val cvecs = emb.crossJoin(broadcast(muArr))
+        .select(zip_with(col("embedding"), col("mu"),
+          (e, mm) => e.cast("double") - mm).as("cv"))
+      // G is symmetric: generate ONLY the upper triangle (slice from i),
+      // aggregate d(d+1)/2 cells, mirror after — halves the exact-decimal
+      // term count, and the mirrored cell is the SAME exact sum (products
+      // commute, decimal addition is order-free), so the oracle's full
+      // d² formulation stays cell-identical
       val trunc = new graft.ops.IterTrunc(s, None, "pca")
-      val g = trunc.pin(c.as("a").join(c.as("b"), "id")
-        .select(col("a.i").as("i"), col("b.i").as("j"),
-          (col("a.v") * col("b.v")).as("p"))
+      val gUp = cvecs
+        .select(posexplode(col("cv")).as(Seq("i", "vi")), col("cv"))
+        .select(col("i"), col("vi"),
+          posexplode(slice(col("cv"), col("i") + 1, lit(64))))
+        .toDF("i", "vi", "dj", "vj")
+        .select(col("i"), (col("i") + col("dj")).as("j"),
+          (col("vi") * col("vj")).as("p"))
         .groupBy("i", "j")
-        .agg(sum(col("p").cast(d28)).cast("double").as("gij")))
+        .agg(sum(col("p").cast(d28)).cast("double").as("gij"))
+      val g = trunc.pin(gUp.unionByName(gUp.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gij"))))
       def mul(v: org.apache.spark.sql.DataFrame) =
         g.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
           .groupBy("i")

@@ -115,7 +115,13 @@ object BenchScale {
     // constant like approx4's CMS but through flatMapGroupsWithState.
     // approx8 pins the top_k heap aggregate's O(k)-per-key shuffle cap.
     "cdc6_partitioned_rollup", "g24_closeness", "st23_stream_kmv",
-    "approx8_kmv")
+    "approx8_kmv",
+    // round-10 session-2b: fe3 is the suite's single most expensive query
+    // (~7s warm at sf0.1) — one exact n·(d²/2)-term Gram pass (the
+    // bit-exact-contract cost a float-BLAS PCA wouldn't pay); the gate
+    // pins that it is LINEAR in the corpus (everything after the Gram
+    // pass is d²-sized and corpus-independent)
+    "fe3_pca_power")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
