@@ -59,6 +59,13 @@ object UpdateCompiler {
       case _ => None
     }
 
+  /** THE element-field resolver for array-element queries ($pull /
+    * $set+arrayFilters): "" is the element itself, dot paths walk nested
+    * struct fields — one definition so the two positional verbs can never
+    * fork their path semantics. */
+  private def elemResolver(x: Column): String => Column =
+    name => if (name.isEmpty) x else name.split('.').foldLeft(x)(_.getField(_))
+
   private def applyOps(df: DataFrame, pred: Column, u: UpdateComponent): DataFrame = {
     u.ops.foldLeft(df) { (cur, op) =>
       op match {
@@ -90,21 +97,15 @@ object UpdateCompiler {
           writeAt(cur, f,
             guarded(pred, array_except(col(f), array(vs.map(lit): _*)), col(f)))
         case RemoveMatching(f, q) => // $pull with nested query on elements
-          val keep = (x: Column) => {
-            val resolver: String => Column =
-              name => if (name.isEmpty) x else name.split('.').foldLeft(x)(_.getField(_))
-            !QueryCompiler.compileWith(q, resolver)
-          }
+          val keep = (x: Column) =>
+            !QueryCompiler.compileWith(q, elemResolver(x))
           writeAt(cur, f, guarded(pred, filter(col(f), keep), col(f)))
         case SetMatching(f, q, sub, v) => // $set + arrayFilters ($[e])
           // transform, not rebuild: withField patches ONE sub-field (dot
           // paths included) and preserves every other element field; a
           // NULL-predicate element is a non-match and passes unchanged
           val patched = transform(col(f), x => {
-            val resolver: String => Column =
-              name => if (name.isEmpty) x
-                else name.split('.').foldLeft(x)(_.getField(_))
-            val ep = QueryCompiler.compileWith(q, resolver)
+            val ep = QueryCompiler.compileWith(q, elemResolver(x))
             val curSub = sub.split('.').foldLeft(x)(_.getField(_))
             x.withField(sub,
               when(coalesce(ep, lit(false)), lit(v)).otherwise(curSub))

@@ -41,11 +41,18 @@ object Percolator {
       s"duplicate stored query ids: ${ids.diff(ids.distinct).distinct}")
     // meta riders (limit/orderBy/includes/excludes) have no meaning in a
     // per-record match — honoring a limit would need global state, and
-    // silently ignoring it would under-deliver alerts. Reject at plan time.
-    val withMeta = stored.collect { case (id, q) if !q.meta.isEmpty => id }
+    // silently ignoring it would under-deliver alerts. Reject at plan
+    // time, RECURSIVELY: compileWith discards nested components' meta
+    // too, so a limit buried inside a Query.or(...) must also fail here.
+    def anyMeta(q: graft.dsl.QueryComponent): Boolean = q match {
+      case m: graft.dsl.MultiQuery =>
+        !m.meta.isEmpty || m.components.exists(anyMeta)
+      case other => !other.meta.isEmpty
+    }
+    val withMeta = stored.collect { case (id, q) if anyMeta(q) => id }
     require(withMeta.isEmpty,
       s"stored queries must be pure predicates (no limit/orderBy/" +
-        s"includes/excludes): $withMeta")
+        s"includes/excludes, at any nesting level): $withMeta")
     // one fused projection: qid where the query matches, NULL where not
     // (NULL-safe: a NULL-valued predicate is a non-match, the same
     // exclusion a WHERE clause applies)

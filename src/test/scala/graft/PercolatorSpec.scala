@@ -55,5 +55,14 @@ class PercolatorSpec extends AnyFunSuite {
     // a limit would need global state to honor; silently ignoring it
     // would under-deliver alerts — the guard must name the offender
     assert(e.getMessage.contains("q_capped"))
+    // ...including one buried inside a MultiQuery component, which the
+    // compiler would otherwise silently discard
+    val nested = registry :+ ("q_nested" -> Query.or(
+      Query.allOf().when("event_type", "error").limit(10),
+      Query.allOf().when("event_type", "view")))
+    val e2 = intercept[IllegalArgumentException] {
+      Percolator.matches(df(), nested, Seq("event_id"))
+    }
+    assert(e2.getMessage.contains("q_nested"))
   }
 }
