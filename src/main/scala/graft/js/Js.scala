@@ -39,14 +39,16 @@ import scala.collection.mutable
   *  - `throw` / `try`-`catch`-`finally` (pure control flow): any value
   *    throws; runtime errors (member of null, not-a-function, unknown
   *    member — JS TypeErrors) are catchable as `{name, message}` objects,
-  *    exactly as deterministic as the evaluation that raises them; a
-  *    global `Error(msg)` factory covers the `throw Error('x')` form
-  *    (`new` is still unsupported).
+  *    exactly as deterministic as the evaluation that raises them;
+  *    `Error(msg)` and `RegExp(src, flags)` factories are callable plain
+  *    or via `new` (the only two `new` targets — each desugars to the
+  *    factory call; `new` on anything else fails at parse time).
   *
   * Deliberately ABSENT for determinism: `Date`, `Math.random`,
-  * prototypes, `this`, `new`, getters, and the global object — a script
-  * touching them fails loudly. Numbers are IEEE doubles evaluated in
-  * source order, so results are bit-identical across executors and runs.
+  * prototypes, `this`, getters, `new` beyond the two factories above,
+  * and the global object — a script touching them fails loudly. Numbers
+  * are IEEE doubles evaluated in source order, so results are
+  * bit-identical across executors and runs.
   */
 object Js {
 
@@ -157,7 +159,7 @@ object Js {
 
   private val keywords = Set("var", "function", "return", "if", "else",
     "while", "for", "in", "break", "continue", "true", "false", "null",
-    "typeof", "undefined", "try", "catch", "finally", "throw")
+    "typeof", "undefined", "try", "catch", "finally", "throw", "new")
 
   /** Division/regex disambiguation: a `/` STARTS a regex literal unless
     * the previous token can end an operand (number, string, identifier,
@@ -513,7 +515,25 @@ object Js {
     }
 
     private def postfix(): Expr = {
-      var e = primary()
+      // `new Error(msg)` / `new RegExp(src, flags)` — the two constructor
+      // forms real scripts use. Both desugar to the plain factory call
+      // (no prototype machinery); any other `new` target fails loudly at
+      // parse time, preserving the no-prototypes contract.
+      var e = if (at("new")) {
+        next()
+        val callee = expect("ident").text
+        if (callee != "Error" && callee != "RegExp")
+          fail(s"js parse error: `new` is only supported for Error(...) " +
+            s"and RegExp(...), not $callee")
+        expectPunct("(")
+        val args = Seq.newBuilder[Expr]
+        if (!atPunct(")")) {
+          args += assignment()
+          while (atPunct(",")) { next(); args += assignment() }
+        }
+        expectPunct(")")
+        Call(Ident(callee), args.result())
+      } else primary()
       var more = true
       while (more) {
         if (atPunct(".")) {
@@ -1150,7 +1170,15 @@ object Js {
     case "split" => Builtin("split", a => {
       val limit = arg(a, 1) match {
         case Undefined => Int.MaxValue
-        case v => toNumber(v).toInt
+        case v =>
+          // ECMA-262 coerces limit via ToUint32: split(sep, -1) wraps to
+          // 2^32-1 (keep all parts), NaN/Infinity -> 0; capped at
+          // Int.MaxValue since no JsArray can exceed it anyway
+          val n = toNumber(v)
+          val u = if (n.isNaN || n.isInfinite) 0L
+            else (math.signum(n) * math.floor(math.abs(n))).toLong &
+              0xFFFFFFFFL
+          math.min(u, Int.MaxValue.toLong).toInt
       }
       val parts: Seq[Any] = arg(a, 0) match {
         case sep: String =>
@@ -1171,7 +1199,7 @@ object Js {
         case re: JsRegExp => regexSplit(s, re)
         case _ => Seq(s)
       }
-      new JsArray(mutable.ArrayBuffer(parts.take(math.max(0, limit)): _*))
+      new JsArray(mutable.ArrayBuffer(parts.take(limit): _*))
     })
     case "trim" => Builtin("trim", _ => s.trim)
     case "toUpperCase" => Builtin("toUpperCase", _ => s.toUpperCase(java.util.Locale.ROOT))
@@ -1361,8 +1389,14 @@ object Js {
           else -1
         val digits = t.takeWhile(c => { val d = digitVal(c); d >= 0 && d < radix })
         if (digits.isEmpty) Double.NaN
-        else sign * digits.foldLeft(0.0)((acc, c) =>
-          acc * radix + digitVal(c))
+        else {
+          // exact integer accumulation, then ONE rounding to double —
+          // per-step double rounding (acc*radix+d) can differ in the
+          // last ulp above 2^53 from ECMA's exact-then-round result
+          val exact = digits.foldLeft(BigInt(0))((acc, c) =>
+            acc * radix + digitVal(c))
+          sign * exact.toDouble
+        }
       }
     }))
     g.declare("parseFloat", Builtin("parseFloat", a => {
@@ -1387,12 +1421,25 @@ object Js {
       if (!sawDigit) Double.NaN else t.substring(0, i).toDouble
     }))
     g.declare("isNaN", Builtin("isNaN", a => toNumber(arg(a, 0)).isNaN))
-    // plain-call Error factory: `throw Error('x')` (valid JS) — covers the
-    // `new Error('x')` idiom without supporting `new`
+    // Error factory: callable plain (`throw Error('x')`, valid JS) or via
+    // `new Error('x')` — the parser desugars the `new` form to this call
     g.declare("Error", Builtin("Error", a => errorObject(arg(a, 0) match {
       case Undefined => ""
       case v => toStr(v)
     })))
+    // RegExp factory: `RegExp(src, flags)` / `new RegExp(src, flags)` —
+    // same value a /src/flags literal yields; pattern + flags validated
+    // HERE (call time), the dynamic-source analog of the literal's
+    // parse-time compile
+    g.declare("RegExp", Builtin("RegExp", a => {
+      val src = toStr(arg(a, 0))
+      val flags = arg(a, 1) match { case Undefined => ""; case v => toStr(v) }
+      val bad = flags.filterNot("gims".contains(_))
+      if (bad.nonEmpty)
+        fail(s"unsupported regex flag(s) '$bad' (supported: gims)")
+      JsRegExp.compiled(src, flags) // loud failure on a bad pattern
+      new JsRegExp(src, flags)
+    }))
     g
   }
 

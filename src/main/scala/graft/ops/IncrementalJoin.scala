@@ -64,6 +64,12 @@ object IncrementalJoin {
       s"aChanged must be exactly one column named $aKey")
     require(bChanged.columns.sameElements(Array(bKey)),
       s"bChanged must be exactly one column named $bKey")
+    // overlapping A/B names would pass the A++B check below and only die
+    // later as an ambiguous-reference AnalysisException in the rebuild
+    // selects — reject at plan time like every other contract violation
+    val shared = aNew.columns.toSet & bNew.columns.toSet
+    require(shared.isEmpty,
+      s"aNew and bNew column sets must be disjoint; shared: $shared")
     val expected = (aNew.columns ++ bNew.columns).toSeq
     require(vOld.columns.toSeq == expected,
       s"view columns ${vOld.columns.toSeq} must equal A++B columns $expected")

@@ -21,21 +21,40 @@ import graft.dsl.{QueryCompiler, QueryComponent}
   * queries.
   *
   * Scale: the registry is PLAN-side state — hundreds of stored queries
-  * fuse into one whole-stage-codegen'd projection (thousands would shard
-  * into a few unioned projections); the data side never shuffles to match,
-  * so percolation is embarrassingly parallel over the scan and drops into
-  * Structured Streaming unchanged (stateless narrow — q:st25).
+  * fuse into one whole-stage-codegen'd projection; past `maxPerProjection`
+  * the registry SHARDS into a union of fused projections so each generated
+  * class stays under janino's method-size/constant-pool limits (an
+  * oversized single projection would silently fall back to interpreted
+  * mode — a ~10x scan slowdown). Each shard's projection prunes to idCols
+  * plus only the columns ITS queries reference, so the unioned scans
+  * re-read a column-pruned slice, not N full passes. The data side never
+  * shuffles to match, so percolation is embarrassingly parallel over the
+  * scan and drops into Structured Streaming unchanged (stateless narrow —
+  * q:st25; self-union of one streaming source is supported).
   */
 object Percolator {
 
   /** @param df       records to percolate
     * @param stored   the registry: (query_id, compiled-against-df DSL query)
     * @param idCols   record-identifying columns to carry into the output
+    * @param maxPerProjection  max stored queries fused into one generated
+    *        projection; larger registries become a union of shards. 256
+    *        keeps each class comfortably inside janino's 64K-constant-pool
+    *        / method-size budget while amortizing the scan.
     * @return one row per (record, matching stored query):
     *         idCols :+ query_id, no row for non-matching records */
   def matches(df: DataFrame, stored: Seq[(String, QueryComponent)],
-      idCols: Seq[String]): DataFrame = {
+      idCols: Seq[String], maxPerProjection: Int = 256): DataFrame = {
     require(stored.nonEmpty, "percolator needs at least one stored query")
+    require(maxPerProjection >= 1,
+      s"maxPerProjection must be >= 1, got $maxPerProjection")
+    // the output frame is idCols :+ query_id — a clash or duplicate would
+    // emit a duplicate-column frame that only fails downstream; reject at
+    // plan time like every other contract violation here
+    require(!idCols.contains("query_id"),
+      "idCols must not contain the reserved output column name 'query_id'")
+    require(idCols.distinct == idCols,
+      s"duplicate idCols: ${idCols.diff(idCols.distinct).distinct}")
     val ids = stored.map(_._1)
     require(ids.distinct.size == ids.size,
       s"duplicate stored query ids: ${ids.diff(ids.distinct).distinct}")
@@ -53,14 +72,24 @@ object Percolator {
     require(withMeta.isEmpty,
       s"stored queries must be pure predicates (no limit/orderBy/" +
         s"includes/excludes, at any nesting level): $withMeta")
-    // one fused projection: qid where the query matches, NULL where not
-    // (NULL-safe: a NULL-valued predicate is a non-match, the same
-    // exclusion a WHERE clause applies)
-    val tagged: Seq[Column] = stored.map { case (qid, q) =>
-      when(QueryCompiler.compileFor(df, q), lit(qid))
-        .otherwise(lit(null).cast("string"))
+    // one fused projection per shard: qid where the query matches, NULL
+    // where not (NULL-safe: a NULL-valued predicate is a non-match, the
+    // same exclusion a WHERE clause applies). Non-matches are dropped by
+    // an isNotNull filter AFTER the explode rather than array_compact
+    // BEFORE it: array_compact is a higher-order function (ArrayFilter,
+    // CodegenFallback) that would exile the entire stage from whole-stage
+    // codegen, while explode+filter pipelines inside one generated loop —
+    // the null entries never materialize. Shards union by position —
+    // every shard emits the identical idCols :+ query_id schema.
+    val shards = stored.grouped(maxPerProjection).map { group =>
+      val tagged: Seq[Column] = group.map { case (qid, q) =>
+        when(QueryCompiler.compileFor(df, q), lit(qid))
+          .otherwise(lit(null).cast("string"))
+      }
+      df.select(idCols.map(col) :+
+          explode(array(tagged: _*)).as("query_id"): _*)
+        .where(col("query_id").isNotNull)
     }
-    df.select(idCols.map(col) :+
-      explode(array_compact(array(tagged: _*))).as("query_id"): _*)
+    shards.reduce(_ union _)
   }
 }

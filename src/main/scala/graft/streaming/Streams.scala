@@ -94,20 +94,41 @@ object Streams {
     * (exactly-once merge / associative-commutative state). */
   def stagedFileStream(df: DataFrame, nFiles: Int): DataFrame = {
     val spark = df.sparkSession
-    val srcDir = Files.createTempDirectory("graft_staged_src").toString
+    val srcDir = scratchDir("graft_staged_src")
     df.repartition(nFiles).write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
   }
 
+  /** Create a temp dir REGISTERED for recursive deletion at JVM exit —
+    * the staging/sink/checkpoint dirs here hold full corpus copies, and
+    * without this every verify/bench run would leave one behind in /tmp.
+    * (JVM-exit, not eager: the caller's stream consumes the dir lazily,
+    * possibly long after this returns.) */
+  private def scratchDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    scratchDirs.add(dir)
+    dir.toString
+  }
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchDirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+    }))
+
   /** ST1: run a passthrough (or transformed) stream to completion, landing
     * every micro-batch in a parquet dir; returns the landed data. */
   def runToParquet(stream: DataFrame, transform: DataFrame => DataFrame = identity,
       statePartitions: Option[Int] = None,
       stateStoreProvider: Option[String] = None): DataFrame = {
-    val out = Files.createTempDirectory("graft_stream_out").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val out = scratchDir("graft_stream_out")
+    val ckpt = scratchDir("graft_stream_ckpt")
     runToParquetAt(stream, out, ckpt, transform, statePartitions,
       stateStoreProvider)
   }

@@ -130,6 +130,10 @@ class JsSpec extends AnyFunSuite {
     assert(evalExpr("'Hello'.toLowerCase()") === "hello")
     assert(evalExpr("'a,b,,c'.split(',').length") === 4.0) // trailing/empty kept
     assert(evalExpr("'a b'.split('').length") === 3.0)
+    // ECMA ToUint32 limit coercion: -1 wraps to 2^32-1 (keep all parts)
+    assert(evalExpr("'a,b,c'.split(',', -1).length") === 3.0)
+    assert(evalExpr("'a,b,c'.split(',', 2).length") === 2.0)
+    assert(evalExpr("'a,b,c'.split(',', 0).length") === 0.0)
     assert(evalExpr("'hello'.indexOf('ll')") === 2.0)
     assert(evalExpr("'hello'.substring(1, 3)") === "el")
     assert(evalExpr("'hello'.slice(-3)") === "llo")
@@ -171,6 +175,10 @@ class JsSpec extends AnyFunSuite {
     assert(evalExpr("isNaN(parseInt('10', 1))") === true)
     assert(evalExpr("isNaN(parseInt('g', 16))") === true)
     assert(evalExpr("isNaN(parseInt('３'))") === true) // fullwidth digit: ASCII only, per ECMA
+    // above 2^53 the exact-integer-then-round path must agree with the
+    // double literal (per-step double rounding would drift an ulp)
+    assert(evalExpr("parseInt('18446744073709551616')") === math.pow(2, 64))
+    assert(evalExpr("parseInt('ffffffffffffffff', 16)") === math.pow(2, 64))
     assert(evalExpr("parseFloat('2.5rem')") === 2.5)
     assert(evalExpr("isNaN(Number('x'))") === true)
     assert(evalExpr("typeof 1 + '|' + typeof 'x' + '|' + typeof true + '|' + typeof undefined + '|' + typeof null + '|' + typeof [] + '|' + typeof main")
@@ -418,5 +426,28 @@ class JsSpec extends AnyFunSuite {
         |}""".stripMargin) === "outer")
     // try without catch/finally is a parse error
     intercept[Js.JsError](Js.parse("function main() { try { } return 1; }"))
+  }
+  test("new Error / new RegExp: the two supported constructor forms") {
+    // `new Error(msg)` desugars to the Error factory call
+    assert(evalExpr("new Error('boom').message") === "boom")
+    assert(run("""function main() {
+        |  try { throw new Error('bad doc'); }
+        |  catch (e) { return e.name + ':' + e.message; }
+        |}""".stripMargin) === "Error:bad doc")
+    // `new RegExp(src, flags)` builds the same value a literal yields,
+    // including from a DYNAMIC pattern string
+    assert(evalExpr("new RegExp('a+b').test('aab')") === true)
+    assert(evalExpr("new RegExp('^x$', 'i').test('X')") === true)
+    assert(evalExpr("RegExp('\\\\d+').exec('ab12')[0]") === "12")
+    assert(run("""function main() {
+        |  var sep = '[;,]';
+        |  return 'a;b,c'.split(new RegExp(sep)).join('|');
+        |}""".stripMargin) === "a|b|c")
+    // bad dynamic pattern / flags fail loudly at call time
+    intercept[Js.JsError](evalExpr("new RegExp('a(')"))
+    intercept[Js.JsError](evalExpr("new RegExp('a', 'y')"))
+    // any other `new` target is a parse-time failure (no prototypes)
+    intercept[Js.JsError](Js.parse("function main() { return new Date(); }"))
+    intercept[Js.JsError](Js.parse("function main() { return new Foo(1); }"))
   }
 }

@@ -46,6 +46,61 @@ class PercolatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("q_buy"))
   }
 
+  test("idCols clashing with query_id or duplicated are rejected at plan time") {
+    val e = intercept[IllegalArgumentException] {
+      Percolator.matches(df(), registry, Seq("event_id", "query_id"))
+    }
+    assert(e.getMessage.contains("query_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      Percolator.matches(df(), registry, Seq("event_id", "event_id"))
+    }
+    assert(e2.getMessage.contains("event_id"))
+  }
+
+  test("large registries shard into unioned codegen'd projections (>=512)") {
+    val s = spark; import s.implicits._
+    val types = Seq("purchase", "click", "view", "error")
+    val data = (1L to 400L).map(i => (i, types((i % 4).toInt), (i % 97).toDouble))
+    val big = data.toDF("event_id", "event_type", "value")
+    val n = 600
+    def qid(i: Int) = f"q_$i%04d"
+    val reg = (0 until n).map { i =>
+      val lo = (i % 90).toDouble
+      qid(i) -> Query.allOf().when("event_type", types(i % 4))
+        .rangeIn("value", lo, lo + 7.0)
+    }
+    // ground truth replayed row-by-row on the driver
+    val expected = (for {
+      (id, t, v) <- data; i <- 0 until n; lo = (i % 90).toDouble
+      if t == types(i % 4) && v >= lo && v < lo + 7.0
+    } yield (id, qid(i))).toSet
+    // janino failure must THROW here, not silently drop to interpreted
+    // projection — this is the assert that each shard stays codegen'd
+    val prev = s.conf.get("spark.sql.codegen.fallback", "true")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Percolator.matches(big, reg, Seq("event_id"),
+        maxPerProjection = 128)
+      // 600 queries at 128/shard -> 5 fused projections, flattened to one Union
+      val u = out.queryExecution.optimizedPlan.collectFirst {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }
+      assert(u.isDefined && u.get.children.size == 5)
+      // every shard's explode+filter runs inside its own generated stage
+      val stages = out.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(stages.size == 5)
+      val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === expected)
+      // a small registry stays a single fused projection (no Union wedge)
+      val small = Percolator.matches(big, reg.take(10), Seq("event_id"))
+      assert(small.queryExecution.optimizedPlan.collectFirst {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.isEmpty)
+    } finally s.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("meta riders (limit/orderBy/projection) are rejected at plan time") {
     val withLimit = registry :+
       ("q_capped" -> Query.allOf().when("event_type", "error").limit(10))
