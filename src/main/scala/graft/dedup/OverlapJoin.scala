@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
   * Scale: one explode (narrow), one df aggregation (map-side combined), a
   * window rank per document (shuffle on doc id), a candidate equi-join on
   * the element (shuffle on element, bounded by prefix sizes), and a verify
-  * join restricted to candidates. Exact — no LSH recall loss; the
-  * candidate set provably contains every qualifying pair.
+  * restricted to candidates: two co-keyed joins carry each pair's SORTED
+  * element arrays onto the candidate row, and a codegen'd merge
+  * intersection ([[graft.functions.SortedOverlap]]) counts the overlap in
+  * one primitive loop with early reject — the verify shuffle is |cand|
+  * thin rows + one pass of the set table per side, never the
+  * Σ|set|-per-candidate explode of a join/aggregate verify. Exact — no
+  * LSH recall loss; the candidate set provably contains every qualifying
+  * pair.
   */
 object OverlapJoin {
+  import graft.functions.OverlapExprFunctions.sorted_overlap
 
   /** @param docs       input frame
     * @param idCol      integral unique id
@@ -38,15 +45,21 @@ object OverlapJoin {
     *         qualifying pair, overlap = exact |A ∩ B| */
   def join(docs: DataFrame, idCol: String, setCol: String,
       minOverlap: Int, assumeDistinct: Boolean = false): DataFrame = {
-    val (elems, cand) = buildCandidates(docs, idCol, setCol, minOverlap,
+    val (sets, cand) = buildCandidates(docs, idCol, setCol, minOverlap,
       assumeDistinct)
 
-    // verify: exact intersection size, computed only for candidates
-    val ea = elems.select(col("__id").as("id_a"), col("__e"))
-    val eb = elems.select(col("__id").as("id_b"), col("__e"))
-    cand.join(ea, "id_a").join(eb, Seq("id_b", "__e"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("overlap"))
+    // verify: exact intersection size, computed only for candidates —
+    // sorted arrays ride onto the pair via two co-keyed joins, one merge
+    // loop per pair (early-rejecting at < minOverlap, exact at >=)
+    val sorted = sets.select(col("__id"), array_sort(col("__set")).as("__set"))
+    cand
+      .join(sorted.select(col("__id").as("id_a"), col("__set").as("__sa")),
+        "id_a")
+      .join(sorted.select(col("__id").as("id_b"), col("__set").as("__sb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        sorted_overlap(col("__sa"), col("__sb"), lit(minOverlap))
+          .cast("long").as("overlap"))
       .filter(col("overlap") >= minOverlap)
   }
 
@@ -58,6 +71,8 @@ object OverlapJoin {
       minOverlap: Int): DataFrame =
     buildCandidates(docs, idCol, setCol, minOverlap)._2
 
+  /** @return (sets, cand): the normalized (__id, __set) frame — distinct
+    *         elements, size >= minOverlap — and the candidate pairs. */
   private def buildCandidates(docs: DataFrame, idCol: String, setCol: String,
       minOverlap: Int, assumeDistinct: Boolean = false): (DataFrame, DataFrame) = {
     require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
@@ -68,11 +83,12 @@ object OverlapJoin {
     // duplicates (containmentJoin's size stage) — duplicate elements
     // under assumeDistinct=true would inflate overlap counts, so it is
     // a contract, not a hint
-    val elems = docs
+    val sets = docs
       .select(col(idCol).as("__id"),
         (if (assumeDistinct) col(setCol) else array_distinct(col(setCol)))
           .as("__set"))
       .filter(size(col("__set")) >= minOverlap)
+    val elems = sets
       .select(col("__id"), size(col("__set")).as("__sz"),
         explode(col("__set")).as("__e"))
 
@@ -95,7 +111,7 @@ object OverlapJoin {
     val cand = side("a").join(side("b"), "__e")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    (elems, cand)
+    (sets, cand)
   }
 
   /** Exact Jaccard set-similarity join: all pairs with
@@ -122,9 +138,10 @@ object OverlapJoin {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1]: $minJaccard")
 
-    val elems = docs
+    val sets = docs
       .select(col(idCol).as("__id"), array_distinct(col(setCol)).as("__set"))
       .filter(size(col("__set")) >= 1)
+    val elems = sets
       .select(col("__id"), size(col("__set")).as("__sz"),
         explode(col("__set")).as("__e"))
 
@@ -150,16 +167,26 @@ object OverlapJoin {
         col("sz_a") >= lit(minJaccard) * col("sz_b") - lit(1e-9))
       .select("id_a", "id_b").distinct()
 
-    // verify candidates with the exact Jaccard; union via
-    // inclusion-exclusion from the per-set sizes already computed
-    val sizes = elems.groupBy("__id").agg(first(col("__sz")).as("__sz"))
-    val ea = elems.select(col("__id").as("id_a"), col("__e"))
-    val eb = elems.select(col("__id").as("id_b"), col("__e"))
-    cand.join(ea, "id_a").join(eb, Seq("id_b", "__e"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__ov"))
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
+    // verify candidates with the exact Jaccard: sorted arrays ride onto
+    // the pair, one merge loop each; union via inclusion-exclusion from
+    // the array sizes. The merge's early-reject threshold is the pair's
+    // minimum qualifying overlap ceil(t·(|A|+|B|)/(1+t)) (J >= t ⟺
+    // ov·(1+t) >= t·(|A|+|B|)), epsilon-lowered so float error can only
+    // soften the reject — a qualifying pair never takes the reject branch
+    // and keeps its exact count
+    val sorted = sets.select(col("__id"), array_sort(col("__set")).as("__set"))
+    val withSets = cand
+      .join(sorted.select(col("__id").as("id_a"), col("__set").as("__sa")),
+        "id_a")
+      .join(sorted.select(col("__id").as("id_b"), col("__set").as("__sb")),
+        "id_b")
+      .withColumn("__sza", size(col("__sa")))
+      .withColumn("__szb", size(col("__sb")))
+    withSets
+      .withColumn("__req", ceil(lit(minJaccard) * (col("__sza") + col("__szb"))
+        / lit(1.0 + minJaccard) - lit(1e-9)).cast("int"))
+      .withColumn("__ov",
+        sorted_overlap(col("__sa"), col("__sb"), col("__req")).cast("long"))
       .withColumn("jacc", col("__ov").cast("double") /
         (col("__sza") + col("__szb") - col("__ov")))
       .filter(col("jacc") >= minJaccard)

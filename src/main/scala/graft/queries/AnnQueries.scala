@@ -194,40 +194,8 @@ object AnnQueries {
       val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
       val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
       val emb = Tables.t(s, dir, "embeddings")
-      val x = emb.select(col("vec_id").as("id"), posexplode(col("embedding")))
-        .select(col("id"), col("pos").cast("int").as("i"),
-          col("col").cast("double").as("v"))
-      val m = x.groupBy("i")
-        .agg((sum(col("v").cast(d28)).cast("double") / count(lit(1))).as("mu"))
-      // Gram matrix WITHOUT a self-join: the per-dim means ride back as ONE
-      // broadcast array, each vector centers narrowly (zip_with), and the
-      // outer-product terms double-posexplode straight into a map-side
-      // partial aggregate keyed by only d² cells — the shuffle carries
-      // partitions × 4096 partial sums, never the n·d² product rows (the
-      // id-keyed join variant shuffled and merged all of them: 8× slower)
-      val muArr = m.agg(sort_array(collect_list(struct(col("i"), col("mu"))))
-          .as("ms"))
-        .select(transform(col("ms"), _.getField("mu")).as("mu"))
-      val cvecs = emb.crossJoin(broadcast(muArr))
-        .select(zip_with(col("embedding"), col("mu"),
-          (e, mm) => e.cast("double") - mm).as("cv"))
-      // G is symmetric: generate ONLY the upper triangle (slice from i),
-      // aggregate d(d+1)/2 cells, mirror after — halves the exact-decimal
-      // term count, and the mirrored cell is the SAME exact sum (products
-      // commute, decimal addition is order-free), so the oracle's full
-      // d² formulation stays cell-identical
       val trunc = new graft.ops.IterTrunc(s, None, "pca")
-      val gUp = cvecs
-        .select(posexplode(col("cv")).as(Seq("i", "vi")), col("cv"))
-        .select(col("i"), col("vi"),
-          posexplode(slice(col("cv"), col("i") + 1, lit(64))))
-        .toDF("i", "vi", "dj", "vj")
-        .select(col("i"), (col("i") + col("dj")).as("j"),
-          (col("vi") * col("vj")).as("p"))
-        .groupBy("i", "j")
-        .agg(sum(col("p").cast(d28)).cast("double").as("gij"))
-      val g = trunc.pin(gUp.unionByName(gUp.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("gij"))))
+      val g = pcaGram(s, dir, trunc)
       def mul(v: org.apache.spark.sql.DataFrame) =
         g.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
           .groupBy("i")
@@ -249,6 +217,55 @@ object AnnQueries {
         .select(col("i").as("dim"), col("v").cast(d6).cast("double").as("loading"),
           col("lambda").cast(d6).cast("double").as("lambda"))
         .orderBy("dim")
+    },
+    // ---- fe4: top-3 principal SUBSPACE by deflation — whitening/drift
+    // analysis needs more than the lead component. Reuses fe3's exact
+    // Gram pass UNCHANGED, then per component r: three unrolled power
+    // rounds from v₀ = 1/√d on the CURRENT Gram, raw eigenvalue
+    // sᵣ = vᵀGᵣv, deflation Gᵣ₊₁ = Gᵣ − sᵣ·v·vᵀ (Hotelling — public
+    // classical method). Every post-Gram table is d- or d²-sized against
+    // broadcast iterates, so the added components cost corpus-NOTHING:
+    // only the one centering pass scales with n. λᵣ = sᵣ/n as in fe3;
+    // component 1 reproduces fe3 bit-for-bit ------------------------------
+    "fe4_pca_topr" -> { (s, dir) =>
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val n = Tables.t(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+      val trunc = new graft.ops.IterTrunc(s, None, "pca_topr")
+      var g = pcaGram(s, dir, trunc)
+      val comps = (1 to 3).map { r =>
+        def mul(v: org.apache.spark.sql.DataFrame) =
+          g.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
+            .groupBy("i")
+            .agg(sum((col("gij") * col("vj")).cast(d28)).cast("double").as("w"))
+        var v = s.range(64)
+          .select(col("id").cast("int").as("i"), lit(0.125).as("v"))
+        for (_ <- 1 to 3) {
+          val w = mul(v)
+          val nrm = w.agg(
+            sqrt(sum((col("w") * col("w")).cast(d28)).cast("double")).as("nrm"))
+          v = w.crossJoin(broadcast(nrm))
+            .select(col("i"), (col("w") / col("nrm")).as("v"))
+        }
+        // pin the converged iterate: the deflated Gram and the output both
+        // read it, and without truncation each component's plan would
+        // re-derive every predecessor's three rounds
+        v = trunc.pin(v)
+        val sval = mul(v).join(v, "i")
+          .agg(sum((col("w") * col("v")).cast(d28)).cast("double").as("s"))
+        if (r < 3)
+          g = trunc.pin(g
+            .join(broadcast(v.select(col("i"), col("v").as("vi"))), "i")
+            .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
+            .crossJoin(broadcast(sval))
+            .select(col("i"), col("j"),
+              (col("gij") - col("s") * col("vi") * col("vj")).as("gij")))
+        v.crossJoin(broadcast(sval)).crossJoin(broadcast(n))
+          .select(lit(r).as("component"), col("i").as("dim"),
+            col("v").cast(d6).cast("double").as("loading"),
+            (col("s") / col("n")).cast(d6).cast("double").as("lambda"))
+      }
+      comps.reduce(_ unionByName _).orderBy("component", "dim")
     },
     // ---- ann10: IVF recall audit — the quality gate every approximate
     // index needs next to its speed story: per query, |IVF top-3 ∩ exact
@@ -313,7 +330,93 @@ object AnnQueries {
   private val l2 = (a: String, b: String) =>
     s"list_reduce([($a[d+1] - $b[d+1]) * ($a[d+1] - $b[d+1]) FOR d IN generate_series(0,63)], (x,y)->x+y)"
 
+  /** Mean-centered Gram matrix G = CᵀC of the 64-dim embeddings as
+    * (i, j, gij) — the shared corpus-sized pass of fe3/fe4. No self-join:
+    * the per-dim means ride back as ONE broadcast array, each vector
+    * centers narrowly (zip_with), and the outer-product terms
+    * double-posexplode straight into a map-side partial aggregate keyed by
+    * only d² cells — the shuffle carries partitions × 4096 partial sums,
+    * never the n·d² product rows (the id-keyed join variant shuffled and
+    * merged all of them: 8× slower). G is symmetric: generate ONLY the
+    * upper triangle (slice from i), aggregate d(d+1)/2 cells, mirror
+    * after — halves the exact-decimal term count, and the mirrored cell is
+    * the SAME exact sum (products commute, decimal addition is
+    * order-free), so the oracle's full d² formulation stays
+    * cell-identical. Pinned: every power round re-reads it. */
+  private def pcaGram(s: SparkSession, dir: String,
+      trunc: graft.ops.IterTrunc): DataFrame = {
+    val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val emb = Tables.t(s, dir, "embeddings")
+    val x = emb.select(col("vec_id").as("id"), posexplode(col("embedding")))
+      .select(col("id"), col("pos").cast("int").as("i"),
+        col("col").cast("double").as("v"))
+    val m = x.groupBy("i")
+      .agg((sum(col("v").cast(d28)).cast("double") / count(lit(1))).as("mu"))
+    val muArr = m.agg(sort_array(collect_list(struct(col("i"), col("mu"))))
+        .as("ms"))
+      .select(transform(col("ms"), _.getField("mu")).as("mu"))
+    val cvecs = emb.crossJoin(broadcast(muArr))
+      .select(zip_with(col("embedding"), col("mu"),
+        (e, mm) => e.cast("double") - mm).as("cv"))
+    val gUp = cvecs
+      .select(posexplode(col("cv")).as(Seq("i", "vi")), col("cv"))
+      .select(col("i"), col("vi"),
+        posexplode(slice(col("cv"), col("i") + 1, lit(64))))
+      .toDF("i", "vi", "dj", "vj")
+      .select(col("i"), (col("i") + col("dj")).as("j"),
+        (col("vi") * col("vj")).as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast(d28)).cast("double").as("gij"))
+    trunc.pin(gUp.unionByName(gUp.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("gij"))))
+  }
+
+  /** fe4's oracle: fe3's x/m/c/gm CTE base, then per component r three
+    * power rounds on g{r}, raw eigenvalue s{r}, and the deflated g{r+1} —
+    * generated by the same loop structure as the engine side so the two
+    * replay the identical IEEE sequence. */
+  private def fe4OracleSql: String = {
+    val base =
+      "WITH x AS MATERIALIZED (SELECT vec_id AS id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v " +
+        "FROM embeddings, unnest(generate_series(1, 64)) AS g(i)), " +
+        "m AS MATERIALIZED (SELECT i, CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu " +
+        "FROM x GROUP BY i), " +
+        "c AS MATERIALIZED (SELECT x.id, x.i, x.v - m.mu AS v FROM x JOIN m ON x.i = m.i), " +
+        "g1 AS MATERIALIZED (SELECT a.i AS i, b.i AS j, " +
+        "CAST(sum(CAST(a.v * b.v AS DECIMAL(28,12))) AS DOUBLE) AS gij " +
+        "FROM c a JOIN c b ON a.id = b.id GROUP BY 1, 2)"
+    val rounds = (1 to 3).map { r =>
+      val g = s"g$r"
+      val iter =
+        s"v${r}_0 AS MATERIALIZED (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(64) t(i)), " +
+          (1 to 3).map { k =>
+            s"w${r}_$k AS MATERIALIZED (SELECT $g.i, CAST(sum(CAST($g.gij * v${r}_${k - 1}.v AS DECIMAL(28,12))) AS DOUBLE) AS w " +
+              s"FROM $g JOIN v${r}_${k - 1} ON $g.j = v${r}_${k - 1}.i GROUP BY 1), " +
+              s"v${r}_$k AS MATERIALIZED (SELECT i, w / (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) FROM w${r}_$k) AS v FROM w${r}_$k)"
+          }.mkString(", ")
+      val eig =
+        s"gv$r AS MATERIALIZED (SELECT $g.i, CAST(sum(CAST($g.gij * v${r}_3.v AS DECIMAL(28,12))) AS DOUBLE) AS w " +
+          s"FROM $g JOIN v${r}_3 ON $g.j = v${r}_3.i GROUP BY 1), " +
+          s"s$r AS MATERIALIZED (SELECT CAST(sum(CAST(gv$r.w * v${r}_3.v AS DECIMAL(28,12))) AS DOUBLE) AS s " +
+          s"FROM gv$r JOIN v${r}_3 ON gv$r.i = v${r}_3.i)"
+      val deflate = if (r < 3)
+        s", g${r + 1} AS MATERIALIZED (SELECT $g.i, $g.j, " +
+          s"$g.gij - (SELECT s FROM s$r) * a.v * b.v AS gij " +
+          s"FROM $g JOIN v${r}_3 a ON $g.i = a.i JOIN v${r}_3 b ON $g.j = b.i)"
+      else ""
+      s"$iter, $eig$deflate"
+    }.mkString(", ")
+    val out = (1 to 3).map { r =>
+      s"SELECT $r AS component, CAST(v${r}_3.i AS INT) AS dim, " +
+        s"CAST(CAST(v${r}_3.v AS DECIMAL(18,6)) AS DOUBLE) AS loading, " +
+        s"CAST(CAST((SELECT s FROM s$r) / (SELECT count(*) FROM embeddings) AS DECIMAL(18,6)) AS DOUBLE) AS lambda " +
+        s"FROM v${r}_3"
+    }.mkString(" UNION ALL ")
+    s"$base, $rounds SELECT component, dim, loading, lambda FROM ($out) ORDER BY component, dim"
+  }
+
   val oracle: Map[String, String] = Map(
+    "fe4_pca_topr" -> fe4OracleSql,
     "ann1_topk_exact" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +

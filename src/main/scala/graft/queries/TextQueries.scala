@@ -761,6 +761,77 @@ object TextQueries {
           ((col("sy") - col("slope") * col("sx")) / col("np"))
             .cast(D6).cast("double").as("intercept"))
         .orderBy("source")
+    },
+    // ---- tx33: a TRAINED quality-filter classifier beyond naive Bayes —
+    // logistic regression by full-batch gradient descent (the fastText /
+    // CCNet model-filter stand-in with actual iterative optimization).
+    // Target: lang = 'en' from surface features (length, space ratio,
+    // 'e' ratio, vowel ratio) — exactly the signals a char-ngram langid
+    // uses. Determinism contract (fe3's regime): FIXED 3 iterations from
+    // w = 0, per-doc gradient terms (σ(z)−y)·x cast DECIMAL(28,12) before
+    // their sums — exact, order-free — then identical IEEE double algebra
+    // for the step; the oracle unrolls the same three iterations in SQL
+    // CTEs and replays the identical float sequence. No driver-side model
+    // state: weights live as a broadcast 1-row frame, pinned per round.
+    // Scale shape: one narrow feature projection, 3 × (corpus pass into a
+    // 1-row map-side-combined gradient aggregate), held-out scoring as one
+    // more narrow pass — all broadcast joins, nothing corpus-sized ever
+    // shuffles -------------------------------------------------------------
+    "tx33_logreg_quality" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val len = length(col("text")).cast("double")
+      val feats = Tables.t(s, dir, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"),
+        (len / 1000.0).as("f1"),
+        ((len - length(regexp_replace(col("text"), " ", "")).cast("double"))
+          / len).as("f2"),
+        ((len - length(regexp_replace(col("text"), "e", "")).cast("double"))
+          / len).as("f3"),
+        ((len - length(regexp_replace(col("text"), "[aeiou]", ""))
+          .cast("double")) / len).as("f4"))
+      val train = feats.filter(col("doc_id") % 5 =!= 0)
+      val test = feats.filter(col("doc_id") % 5 === 0)
+      def z(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("z", col("w0") + col("w1") * col("f1") +
+          col("w2") * col("f2") + col("w3") * col("f3") +
+          col("w4") * col("f4"))
+      val trunc = new graft.ops.IterTrunc(s, None, "logreg")
+      var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"), lit(0.0).as("w3"), lit(0.0).as("w4"))
+      for (_ <- 1 to 3) {
+        val scored = z(train.crossJoin(broadcast(w)))
+          .withColumn("err",
+            lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y"))
+        val grad = scored.agg(
+          sum(col("err").cast(D28)).cast("double").as("g0"),
+          sum((col("err") * col("f1")).cast(D28)).cast("double").as("g1"),
+          sum((col("err") * col("f2")).cast(D28)).cast("double").as("g2"),
+          sum((col("err") * col("f3")).cast(D28)).cast("double").as("g3"),
+          sum((col("err") * col("f4")).cast(D28)).cast("double").as("g4"),
+          count(lit(1)).as("n"))
+        w = trunc.pin(w.crossJoin(broadcast(grad)).select(
+          (col("w0") - lit(1.0) * (col("g0") / col("n"))).as("w0"),
+          (col("w1") - lit(1.0) * (col("g1") / col("n"))).as("w1"),
+          (col("w2") - lit(1.0) * (col("g2") / col("n"))).as("w2"),
+          (col("w3") - lit(1.0) * (col("g3") / col("n"))).as("w3"),
+          (col("w4") - lit(1.0) * (col("g4") / col("n"))).as("w4")))
+      }
+      // held-out accuracy on the decision boundary z > 0 — the same
+      // unrolled double dot product both engines evaluate
+      val acc = z(test.crossJoin(broadcast(w)))
+        .agg(count(lit(1)).as("n_test"),
+          sum(((col("z") > 0) === (col("y") === 1)).cast("long"))
+            .as("n_correct"))
+      w.crossJoin(broadcast(acc)).select(
+        col("w0").cast(D6).cast("double").as("w0"),
+        col("w1").cast(D6).cast("double").as("w1"),
+        col("w2").cast(D6).cast("double").as("w2"),
+        col("w3").cast(D6).cast("double").as("w3"),
+        col("w4").cast(D6).cast("double").as("w4"),
+        col("n_test"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_test"))
+          .cast(D6).cast("double").as("accuracy"))
     }
   )
 
@@ -832,7 +903,55 @@ object TextQueries {
     }
   }
 
+  /** tx33's oracle: the same three gradient-descent iterations unrolled as
+    * SQL CTEs — generated by the same loop structure as the engine side so
+    * both replay the identical IEEE sequence (exact DECIMAL(28,12) term
+    * sums make each gradient order-free; everything else is scalar double
+    * algebra in matching evaluation order). */
+  private def tx33OracleSql: String = {
+    val ft = (j: Int, pat: String, re: Boolean) => {
+      val stripped =
+        if (re) s"regexp_replace(text, '$pat', '', 'g')"
+        else s"replace(text, '$pat', '')"
+      s"(CAST(length(text) AS DOUBLE) - CAST(length($stripped) AS DOUBLE)) " +
+        s"/ CAST(length(text) AS DOUBLE) AS f$j"
+    }
+    val base =
+      "WITH f AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, " +
+        "CAST(length(text) AS DOUBLE) / 1000.0 AS f1, " +
+        ft(2, " ", false) + ", " + ft(3, "e", false) + ", " +
+        ft(4, "[aeiou]", true) + " FROM documents), " +
+        "tr AS (SELECT * FROM f WHERE doc_id % 5 <> 0), " +
+        "te AS (SELECT * FROM f WHERE doc_id % 5 = 0), " +
+        "w0t AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1, " +
+        "CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3, CAST(0.0 AS DOUBLE) AS w4)"
+    val zExpr = "w0 + w1*f1 + w2*f2 + w3*f3 + w4*f4"
+    val iters = (1 to 3).map { k =>
+      val gterm = (j: Int, x: String) =>
+        s"CAST(sum(CAST($x AS DECIMAL(28,12))) AS DOUBLE) AS g$j"
+      s"g${k}t AS (SELECT ${gterm(0, "err")}, ${gterm(1, "err * f1")}, " +
+        s"${gterm(2, "err * f2")}, ${gterm(3, "err * f3")}, " +
+        s"${gterm(4, "err * f4")}, count(*) AS n " +
+        s"FROM (SELECT tr.*, 1.0 / (1.0 + exp(-($zExpr))) - y AS err " +
+        s"FROM tr, w${k - 1}t)), " +
+        s"w${k}t AS (SELECT " +
+        (0 to 4).map(j => s"w$j - 1.0 * (g$j / n) AS w$j").mkString(", ") +
+        s" FROM w${k - 1}t, g${k}t)"
+    }.mkString(", ")
+    val acc =
+      "acct AS (SELECT count(*) AS n_test, " +
+        "CAST(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
+        s"FROM (SELECT te.y, $zExpr AS z FROM te, w3t))"
+    val outW = (0 to 4)
+      .map(j => s"CAST(CAST(w$j AS DECIMAL(18,6)) AS DOUBLE) AS w$j")
+      .mkString(", ")
+    s"$base, $iters, $acc SELECT $outW, n_test, n_correct, " +
+      "CAST(CAST(CAST(n_correct AS DOUBLE) / n_test AS DECIMAL(18,6)) AS DOUBLE) AS accuracy " +
+      "FROM w3t, acct"
+  }
+
   val oracle: Map[String, String] = Map(
+    "tx33_logreg_quality" -> tx33OracleSql,
     // same integer rank formulation as the engine — no quantile function,
     // so no cross-engine interpolation on the comparison boundary
     "tx14_group_percentile_gate" ->

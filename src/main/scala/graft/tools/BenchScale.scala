@@ -121,7 +121,18 @@ object BenchScale {
     // bit-exact-contract cost a float-BLAS PCA wouldn't pay); the gate
     // pins that it is LINEAR in the corpus (everything after the Gram
     // pass is d²-sized and corpus-independent)
-    "fe3_pca_power")
+    "fe3_pca_power",
+    // round-11: g25's 2-sweep diameter is two full BFS passes (rounds
+    // scale with diameter, which SHRINKS with density — the g21/g24
+    // effect; the gate pins the product stays linear). perc1 is the
+    // percolation scan: output = match count, never records × queries —
+    // the gate pins that claim against 10× records. fe4 reuses fe3's
+    // Gram then adds corpus-INDEPENDENT deflation rounds — its marginal
+    // must match fe3's, not exceed it. tx33 is 3 full-corpus gradient
+    // passes + a held-out pass: linear by construction, gated to keep it
+    // so
+    "g25_diameter_2sweep", "perc1_percolate", "fe4_pca_topr",
+    "tx33_logreg_quality")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
@@ -372,6 +383,29 @@ object BenchScale {
     val dd16Ratio = if (dd16c01 > 0) dd16c1.toDouble / dd16c01 else -1.0
     System.err.println(f"[scale] dd16 candidates sf0.1 $dd16c01 sf1 $dd16c1 ratio $dd16Ratio%.2f")
 
+    // ---- percolator REGISTRY growth at fixed corpus: 8 -> 512 stored
+    // queries over sf0.1 events. 64× queries must cost far less than 64×
+    // wall time (the scan dominates; per-query work is one codegen'd
+    // branch), and at 512 the registry exercises the sharded union-of-
+    // projections path (maxPerProjection = 256 → 2 shards), so this also
+    // times the shard plan, not just the fused one. ----------------------
+    def percRun(n: Int): Double = {
+      val types = Seq("purchase", "click", "view", "error", "signup")
+      val reg = (0 until n).map { i =>
+        val lo = (i % 90).toDouble
+        (f"q_$i%04d", graft.dsl.Query.allOf()
+          .when("event_type", types(i % 5)).rangeIn("value", lo, lo + 7.0))
+      }
+      val ev = Tables.t(spark, sf01, "events")
+      bestOf(runs)(
+        graft.ops.Percolator.matches(ev, reg, Seq("event_id")).count())
+    }
+    val perc8 = percRun(8)
+    val perc512 = percRun(512)
+    val percRatio = if (perc8 > 0) perc512 / perc8 else -1.0
+    System.err.println(
+      f"[scale] percolator registry 8q $perc8%.2fs 512q $perc512%.2fs ratio $percRatio%.2f")
+
     def f(d: Double): String = "%.3f".format(d)
     // marginal-cost gate: subtract the fixed per-query floor before the
     // quotient so amortization can't mask a super-linear operator
@@ -406,12 +440,16 @@ object BenchScale {
     val dd16Json =
       s"""{"sf01":$dd16c01,"sf1":$dd16c1,"ratio":${f(dd16Ratio)},""" +
       s""""superlinear":${dd16Ratio > 15.0}}"""
+    val percJson =
+      s"""{"n8_sec":${f(perc8)},"n512_sec":${f(perc512)},""" +
+      s""""cost_ratio":${f(percRatio)},""" +
+      s""""registry_scales_sublinearly":${percRatio >= 0 && percRatio < 64.0}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
       s""""marginal_floor_sec":${f(floor)},"marginal_flag_threshold":$MarginalFlag,""" +
       s""""queries":$queryJson,"skew":$skewJson,""" +
       s""""st13_state_store_sf1":$stateJson,"ss1_candidates":$candJson,""" +
-      s""""dd16_candidates":$dd16Json}"""
+      s""""dd16_candidates":$dd16Json,"percolator_registry_growth":$percJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))

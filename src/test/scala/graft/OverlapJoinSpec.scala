@@ -106,4 +106,38 @@ class OverlapJoinSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(got === Seq((4L, 5L, 3L)))
   }
+  test("sorted_overlap expression: exact counts, early reject, null tail") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.OverlapExprFunctions.sorted_overlap
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"), 1),  // ov 3
+      (2L, Seq("a", "b"), Seq("c", "d"), 1),                      // ov 0, rejected at req 1
+      (3L, Seq("a", "b", "c"), Seq("a", "x", "y"), 3),            // ov 1 < 3: early reject
+      (4L, Seq("a", "a", "b"), Seq("a", "b", "b"), 0),            // dup-tolerant merge: pairs once each
+      (5L, Seq[String](), Seq("a"), 0)                            // empty side
+    ).toDF("id", "sa", "sb", "req")
+    val got = df.select(col("id"),
+        sorted_overlap(array_sort(col("sa")), array_sort(col("sb")), col("req"))
+          .as("ov"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) === 3)
+    assert(got(2L) === 0) // exhausts without matching; below-threshold exact count
+    assert(got(3L) === -1) // early reject: cannot reach 3
+    assert(got(4L) >= 2)   // exactness only promised for distinct inputs
+    assert(got(5L) === 0)
+    // the early exit NEVER distorts a pair that meets the threshold:
+    // req == true overlap must return the exact count
+    val exact = df.filter(col("id") === 1L).select(
+      sorted_overlap(array_sort(col("sa")), array_sort(col("sb")), lit(3))
+        .as("ov")).as[Int].head()
+    assert(exact === 3)
+    // null elements sort last and match nothing (equi-join semantics)
+    val withNull = Seq((Seq[String]("a", "b", null), Seq[String]("a", null)))
+      .toDF("sa", "sb")
+      .select(sorted_overlap(array_sort(col("sa")), array_sort(col("sb")),
+        lit(0)).as("ov")).as[Int].head()
+    assert(withNull === 1)
+  }
 }
