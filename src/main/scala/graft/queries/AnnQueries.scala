@@ -267,6 +267,38 @@ object AnnQueries {
       }
       comps.reduce(_ unionByName _).orderBy("component", "dim")
     },
+    // ---- fe5: PCA WHITENING — project vectors onto fe4's top-3 subspace
+    // scaled by 1/√λ (the drift-analysis / decorrelation consumer of the
+    // trained components). The MODEL is fe4's emitted table verbatim (6dp
+    // loadings/λ — the rounding is part of the contract, so the oracle
+    // replays from its own fe4 chain); projection = one narrow centering
+    // + a broadcast 192-row model join + per-(vector, component) exact
+    // decimal dot product. Output sliced to vec_id < 50 for dump size ----
+    "fe5_pca_whiten" -> { (s, dir) =>
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val model = queries("fe4_pca_topr")(s, dir)
+        .select(col("component"), col("dim").as("i"),
+          col("loading"), col("lambda"))
+      val emb = Tables.t(s, dir, "embeddings")
+      def expl(d: DataFrame) = d
+        .select(col("vec_id").as("id"), posexplode(col("embedding")))
+        .select(col("id"), col("pos").cast("int").as("i"),
+          col("col").cast("double").as("v"))
+      // means over the FULL corpus (fe3/fe4's m), applied to the slice
+      val m = expl(emb).groupBy("i")
+        .agg((sum(col("v").cast(d28)).cast("double") / count(lit(1))).as("mu"))
+      val cx = expl(emb.filter(col("vec_id") < 50)).join(broadcast(m), "i")
+        .select(col("id"), col("i"), (col("v") - col("mu")).as("cv"))
+      cx.join(broadcast(model), "i")
+        .groupBy("id", "component")
+        .agg(sum((col("cv") * col("loading")).cast(d28)).cast("double")
+            .as("raw"),
+          max(col("lambda")).as("lam"))
+        .select(col("id").as("vec_id"), col("component"),
+          (col("raw") / sqrt(col("lam"))).cast(d6).cast("double").as("score"))
+        .orderBy("vec_id", "component")
+    },
     // ---- ann10: IVF recall audit — the quality gate every approximate
     // index needs next to its speed story: per query, |IVF top-3 ∩ exact
     // top-3| / 3 with the ann1/ann3 paths composed verbatim (same
@@ -375,7 +407,12 @@ object AnnQueries {
     * power rounds on g{r}, raw eigenvalue s{r}, and the deflated g{r+1} —
     * generated by the same loop structure as the engine side so the two
     * replay the identical IEEE sequence. */
-  private def fe4OracleSql: String = {
+  /** fe4's CTE chain (x/m/c/Gram + three deflated component rounds) and
+    * the model-emitting union — shared by fe4's and fe5's oracles. Every
+    * CTE is MATERIALIZED: DuckDB inlines CTEs by default and the deflation
+    * chain's reference tree grows exponentially without it (observed as
+    * fd exhaustion re-opening the parquet per inlined leaf). */
+  private def fe4OraclePrefix: (String, String) = {
     val base =
       "WITH x AS MATERIALIZED (SELECT vec_id AS id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v " +
         "FROM embeddings, unnest(generate_series(1, 64)) AS g(i)), " +
@@ -412,11 +449,34 @@ object AnnQueries {
         s"CAST(CAST((SELECT s FROM s$r) / (SELECT count(*) FROM embeddings) AS DECIMAL(18,6)) AS DOUBLE) AS lambda " +
         s"FROM v${r}_3"
     }.mkString(" UNION ALL ")
-    s"$base, $rounds SELECT component, dim, loading, lambda FROM ($out) ORDER BY component, dim"
+    (s"$base, $rounds", out)
+  }
+
+  private def fe4OracleSql: String = {
+    val (prefix, out) = fe4OraclePrefix
+    s"$prefix SELECT component, dim, loading, lambda FROM ($out) " +
+      "ORDER BY component, dim"
+  }
+
+  /** fe5's oracle: fe4's full chain, the 6dp model as a CTE, then the
+    * whitened projection of the vec_id < 50 slice — the same co-keyed
+    * exact-decimal dot product the engine runs. */
+  private def fe5OracleSql: String = {
+    val (prefix, out) = fe4OraclePrefix
+    s"$prefix, mdl AS MATERIALIZED (SELECT component, dim, loading, lambda FROM ($out)), " +
+      "cx AS MATERIALIZED (SELECT x.id, x.i, x.v - m.mu AS cv " +
+      "FROM x JOIN m ON x.i = m.i WHERE x.id < 50), " +
+      "sc AS (SELECT cx.id, mdl.component, " +
+      "CAST(sum(CAST(cx.cv * mdl.loading AS DECIMAL(28,12))) AS DOUBLE) AS raw, " +
+      "max(mdl.lambda) AS lam FROM cx JOIN mdl ON cx.i = mdl.dim GROUP BY 1, 2) " +
+      "SELECT sc.id AS vec_id, component, " +
+      "CAST(CAST(raw / sqrt(lam) AS DECIMAL(18,6)) AS DOUBLE) AS score " +
+      "FROM sc ORDER BY vec_id, component"
   }
 
   val oracle: Map[String, String] = Map(
     "fe4_pca_topr" -> fe4OracleSql,
+    "fe5_pca_whiten" -> fe5OracleSql,
     "ann1_topk_exact" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +

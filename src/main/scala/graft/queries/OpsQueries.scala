@@ -201,6 +201,35 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_leaked_pairs"))
         .orderBy("split_a", "split_b")
     },
+    // ---- dq13: benchmark CONTAMINATION audit — the decontamination stage
+    // every LLM training pipeline runs before eval (GPT-3-style n-gram
+    // overlap): for each held-out "benchmark" doc (doc_id % 97 — disjoint
+    // from tx16's split universe), the fraction of its distinct 5-token
+    // shingles that appear ANYWHERE in the train corpus. dq7 finds leaked
+    // near-dup PAIRS; this is the per-eval-doc hit-rate the
+    // decontaminator thresholds on. Scale shape: both sides shuffle
+    // co-keyed on the gram (train side pre-distinct'd — the join never
+    // sees duplicate grams), then one small per-doc aggregate; no
+    // pair-space, no window ----------------------------------------------
+    "dq13_contamination" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val sh = Tables.t(s, dir, "documents")
+        .withColumn("__toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(graft.dedup.TextDedup.wordShingles(col("__toks"), 5))
+            .as("gram"))
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+      val tr = sh.filter(col("doc_id") % 97 =!= 0).select("gram").distinct()
+      ev.join(tr.withColumn("__hit", lit(1L)), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams"))
+            .cast(D6).cast("double").as("hit_frac"),
+          (col("n_hit") > 0).cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    },
     // ---- dq4: equi-width histogram of a numeric column per event type —
     // the binned-distribution profile next to dq1's moments. Two exact
     // aggregations: global min/max (1 row, broadcast back) fix the bin
@@ -714,6 +743,21 @@ object OpsQueries {
     // ss1's naive all-shared-shingle pair formulation + the shared
     // splitSql CASE; the engine side only ever joins prefix-indexed
     // shingles
+    // the same DISTINCT-shingle universe; LEFT join against the distinct
+    // train-gram set, zero-coalesced hit counts
+    "dq13_contamination" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS gram " +
+        "FROM tok, unnest(generate_series(0, len(toks)-5)) AS g(i)), " +
+        "ev AS (SELECT * FROM sh WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 <> 0) " +
+        "SELECT ev.doc_id AS doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "CAST(CAST(CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS hit_frac, " +
+        "CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS INT) AS contaminated " +
+        "FROM ev LEFT JOIN tr ON ev.gram = tr.gram " +
+        "GROUP BY ev.doc_id ORDER BY doc_id"),
     "dq7_split_leakage" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS s " +

@@ -779,47 +779,11 @@ object TextQueries {
     // shuffles -------------------------------------------------------------
     "tx33_logreg_quality" -> { (s, dir) =>
       val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
-      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
-      val len = length(col("text")).cast("double")
-      val feats = Tables.t(s, dir, "documents").select(col("doc_id"),
-        when(col("lang") === "en", 1).otherwise(0).as("y"),
-        (len / 1000.0).as("f1"),
-        ((len - length(regexp_replace(col("text"), " ", "")).cast("double"))
-          / len).as("f2"),
-        ((len - length(regexp_replace(col("text"), "e", "")).cast("double"))
-          / len).as("f3"),
-        ((len - length(regexp_replace(col("text"), "[aeiou]", ""))
-          .cast("double")) / len).as("f4"))
-      val train = feats.filter(col("doc_id") % 5 =!= 0)
+      val (w, feats) = logregTrain(s, dir)
       val test = feats.filter(col("doc_id") % 5 === 0)
-      def z(d: org.apache.spark.sql.DataFrame) =
-        d.withColumn("z", col("w0") + col("w1") * col("f1") +
-          col("w2") * col("f2") + col("w3") * col("f3") +
-          col("w4") * col("f4"))
-      val trunc = new graft.ops.IterTrunc(s, None, "logreg")
-      var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
-        lit(0.0).as("w2"), lit(0.0).as("w3"), lit(0.0).as("w4"))
-      for (_ <- 1 to 3) {
-        val scored = z(train.crossJoin(broadcast(w)))
-          .withColumn("err",
-            lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y"))
-        val grad = scored.agg(
-          sum(col("err").cast(D28)).cast("double").as("g0"),
-          sum((col("err") * col("f1")).cast(D28)).cast("double").as("g1"),
-          sum((col("err") * col("f2")).cast(D28)).cast("double").as("g2"),
-          sum((col("err") * col("f3")).cast(D28)).cast("double").as("g3"),
-          sum((col("err") * col("f4")).cast(D28)).cast("double").as("g4"),
-          count(lit(1)).as("n"))
-        w = trunc.pin(w.crossJoin(broadcast(grad)).select(
-          (col("w0") - lit(1.0) * (col("g0") / col("n"))).as("w0"),
-          (col("w1") - lit(1.0) * (col("g1") / col("n"))).as("w1"),
-          (col("w2") - lit(1.0) * (col("g2") / col("n"))).as("w2"),
-          (col("w3") - lit(1.0) * (col("g3") / col("n"))).as("w3"),
-          (col("w4") - lit(1.0) * (col("g4") / col("n"))).as("w4")))
-      }
       // held-out accuracy on the decision boundary z > 0 — the same
       // unrolled double dot product both engines evaluate
-      val acc = z(test.crossJoin(broadcast(w)))
+      val acc = logregZ(test.crossJoin(broadcast(w)))
         .agg(count(lit(1)).as("n_test"),
           sum(((col("z") > 0) === (col("y") === 1)).cast("long"))
             .as("n_correct"))
@@ -832,8 +796,79 @@ object TextQueries {
         col("n_test"), col("n_correct"),
         (col("n_correct").cast("double") / col("n_test"))
           .cast(D6).cast("double").as("accuracy"))
+    },
+    // ---- tx34: the trained model APPLIED as a corpus filter — the other
+    // half of the model-based curation stage, in CCNet's RELATIVE form:
+    // keep documents scoring above the corpus MEAN (the 3-iteration model
+    // ranks correctly long before its absolute decision boundary
+    // calibrates, and quantile/mean-relative keep rules are how production
+    // filters actually threshold). tx33's exact training replayed (shared
+    // code path), one narrow scoring pass, one 1-row exact-decimal mean
+    // broadcast back. Output capped to doc_id < 200 for dump size — the
+    // keep decision is computed for every row. Scale shape: 3 gradient
+    // passes (1-row aggregates) + two broadcast-1-row projections ---------
+    "tx34_model_filter" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val (w, feats) = logregTrain(s, dir)
+      val scored = logregZ(feats.crossJoin(broadcast(w)))
+      val zbar = scored.agg(
+        (sum(col("z").cast(D28)).cast("double") / count(lit(1))).as("zbar"))
+      scored.crossJoin(broadcast(zbar))
+        .filter(col("z") > col("zbar") && col("doc_id") < 200)
+        .select(col("doc_id"), col("y").as("actual_en"),
+          col("z").cast(D6).cast("double").as("score"))
+        .orderBy("doc_id")
     }
   )
+
+  /** tx33/tx34's shared trainer: 3 full-batch GD iterations from w = 0 at
+    * lr = 1 on lang='en' vs 4 surface features, per-term DECIMAL(28,12)
+    * exact gradient sums (order-free), weights as a broadcast 1-row frame
+    * pinned per round. Returns (weights, features). */
+  private def logregTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val len = length(col("text")).cast("double")
+    val feats = Tables.t(s, dir, "documents").select(col("doc_id"),
+      when(col("lang") === "en", 1).otherwise(0).as("y"),
+      (len / 1000.0).as("f1"),
+      ((len - length(regexp_replace(col("text"), " ", "")).cast("double"))
+        / len).as("f2"),
+      ((len - length(regexp_replace(col("text"), "e", "")).cast("double"))
+        / len).as("f3"),
+      ((len - length(regexp_replace(col("text"), "[aeiou]", ""))
+        .cast("double")) / len).as("f4"))
+    val train = feats.filter(col("doc_id") % 5 =!= 0)
+    val trunc = new graft.ops.IterTrunc(s, None, "logreg")
+    var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"), lit(0.0).as("w3"), lit(0.0).as("w4"))
+    for (_ <- 1 to 3) {
+      val scored = logregZ(train.crossJoin(broadcast(w)))
+        .withColumn("err",
+          lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y"))
+      val grad = scored.agg(
+        sum(col("err").cast(D28)).cast("double").as("g0"),
+        sum((col("err") * col("f1")).cast(D28)).cast("double").as("g1"),
+        sum((col("err") * col("f2")).cast(D28)).cast("double").as("g2"),
+        sum((col("err") * col("f3")).cast(D28)).cast("double").as("g3"),
+        sum((col("err") * col("f4")).cast(D28)).cast("double").as("g4"),
+        count(lit(1)).as("n"))
+      w = trunc.pin(w.crossJoin(broadcast(grad)).select(
+        (col("w0") - lit(1.0) * (col("g0") / col("n"))).as("w0"),
+        (col("w1") - lit(1.0) * (col("g1") / col("n"))).as("w1"),
+        (col("w2") - lit(1.0) * (col("g2") / col("n"))).as("w2"),
+        (col("w3") - lit(1.0) * (col("g3") / col("n"))).as("w3"),
+        (col("w4") - lit(1.0) * (col("g4") / col("n"))).as("w4")))
+    }
+    (w, feats)
+  }
+
+  /** The model's decision value: one unrolled double dot product — the
+    * identical evaluation-order expression the oracle's SQL uses. */
+  private def logregZ(d: DataFrame): DataFrame =
+    d.withColumn("z", col("w0") + col("w1") * col("f1") +
+      col("w2") * col("f2") + col("w3") * col("f3") +
+      col("w4") * col("f4"))
 
   /** Per-language running token sum (`cum`) WITHOUT a per-language window:
     * a `Window.partitionBy(lang)` running sum funnels each language through
@@ -908,7 +943,12 @@ object TextQueries {
     * both replay the identical IEEE sequence (exact DECIMAL(28,12) term
     * sums make each gradient order-free; everything else is scalar double
     * algebra in matching evaluation order). */
-  private def tx33OracleSql: String = {
+  private val logregZSql = "w0 + w1*f1 + w2*f2 + w3*f3 + w4*f4"
+
+  /** The shared trainer CTE chain (features, split, three unrolled GD
+    * iterations) — tx33 appends the held-out accuracy, tx34 the full-corpus
+    * scoring select. */
+  private def logregOraclePrefix: String = {
     val ft = (j: Int, pat: String, re: Boolean) => {
       val stripped =
         if (re) s"regexp_replace(text, '$pat', '', 'g')"
@@ -925,33 +965,45 @@ object TextQueries {
         "te AS (SELECT * FROM f WHERE doc_id % 5 = 0), " +
         "w0t AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1, " +
         "CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3, CAST(0.0 AS DOUBLE) AS w4)"
-    val zExpr = "w0 + w1*f1 + w2*f2 + w3*f3 + w4*f4"
     val iters = (1 to 3).map { k =>
       val gterm = (j: Int, x: String) =>
         s"CAST(sum(CAST($x AS DECIMAL(28,12))) AS DOUBLE) AS g$j"
       s"g${k}t AS (SELECT ${gterm(0, "err")}, ${gterm(1, "err * f1")}, " +
         s"${gterm(2, "err * f2")}, ${gterm(3, "err * f3")}, " +
         s"${gterm(4, "err * f4")}, count(*) AS n " +
-        s"FROM (SELECT tr.*, 1.0 / (1.0 + exp(-($zExpr))) - y AS err " +
+        s"FROM (SELECT tr.*, 1.0 / (1.0 + exp(-($logregZSql))) - y AS err " +
         s"FROM tr, w${k - 1}t)), " +
         s"w${k}t AS (SELECT " +
         (0 to 4).map(j => s"w$j - 1.0 * (g$j / n) AS w$j").mkString(", ") +
         s" FROM w${k - 1}t, g${k}t)"
     }.mkString(", ")
+    s"$base, $iters"
+  }
+
+  private def tx33OracleSql: String = {
     val acc =
       "acct AS (SELECT count(*) AS n_test, " +
         "CAST(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
-        s"FROM (SELECT te.y, $zExpr AS z FROM te, w3t))"
+        s"FROM (SELECT te.y, $logregZSql AS z FROM te, w3t))"
     val outW = (0 to 4)
       .map(j => s"CAST(CAST(w$j AS DECIMAL(18,6)) AS DOUBLE) AS w$j")
       .mkString(", ")
-    s"$base, $iters, $acc SELECT $outW, n_test, n_correct, " +
+    s"$logregOraclePrefix, $acc SELECT $outW, n_test, n_correct, " +
       "CAST(CAST(CAST(n_correct AS DOUBLE) / n_test AS DECIMAL(18,6)) AS DOUBLE) AS accuracy " +
       "FROM w3t, acct"
   }
 
+  private def tx34OracleSql: String =
+    s"$logregOraclePrefix, " +
+      s"scz AS MATERIALIZED (SELECT f.doc_id, f.y, $logregZSql AS z FROM f, w3t), " +
+      "zb AS (SELECT CAST(sum(CAST(z AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS zbar FROM scz) " +
+      "SELECT doc_id, y AS actual_en, " +
+      "CAST(CAST(z AS DECIMAL(18,6)) AS DOUBLE) AS score FROM scz, zb " +
+      "WHERE z > zbar AND doc_id < 200 ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
     "tx33_logreg_quality" -> tx33OracleSql,
+    "tx34_model_filter" -> tx34OracleSql,
     // same integer rank formulation as the engine — no quantile function,
     // so no cross-engine interpolation on the comparison boundary
     "tx14_group_percentile_gate" ->

@@ -389,7 +389,12 @@ object BenchScale {
     // branch), and at 512 the registry exercises the sharded union-of-
     // projections path (maxPerProjection = 256 → 2 shards), so this also
     // times the shard plan, not just the fused one. ----------------------
-    def percRun(n: Int): Double = {
+    // The deployment shape is plan-once/match-forever (a standing alerting
+    // registry over a stream), so EXECUTION is timed on a pre-planned
+    // frame; the one-time plan+codegen+first-run cost is reported
+    // separately (it grows with registry size — janino compiles each
+    // shard's fused projection once).
+    def percRun(n: Int): (Double, Double) = {
       val types = Seq("purchase", "click", "view", "error", "signup")
       val reg = (0 until n).map { i =>
         val lo = (i % 90).toDouble
@@ -397,14 +402,16 @@ object BenchScale {
           .when("event_type", types(i % 5)).rangeIn("value", lo, lo + 7.0))
       }
       val ev = Tables.t(spark, sf01, "events")
-      bestOf(runs)(
-        graft.ops.Percolator.matches(ev, reg, Seq("event_id")).count())
+      val df = graft.ops.Percolator.matches(ev, reg, Seq("event_id"))
+      val firstRun = time(df.count()) // analysis + codegen + one pass
+      (firstRun, bestOf(runs)(df.count()))
     }
-    val perc8 = percRun(8)
-    val perc512 = percRun(512)
+    val (percFirst8, perc8) = percRun(8)
+    val (percFirst512, perc512) = percRun(512)
     val percRatio = if (perc8 > 0) perc512 / perc8 else -1.0
     System.err.println(
-      f"[scale] percolator registry 8q $perc8%.2fs 512q $perc512%.2fs ratio $percRatio%.2f")
+      f"[scale] percolator registry 8q $perc8%.2fs 512q $perc512%.2fs " +
+        f"exec ratio $percRatio%.2f (first runs $percFirst8%.2f/$percFirst512%.2f)")
 
     def f(d: Double): String = "%.3f".format(d)
     // marginal-cost gate: subtract the fixed per-query floor before the
@@ -441,9 +448,10 @@ object BenchScale {
       s"""{"sf01":$dd16c01,"sf1":$dd16c1,"ratio":${f(dd16Ratio)},""" +
       s""""superlinear":${dd16Ratio > 15.0}}"""
     val percJson =
-      s"""{"n8_sec":${f(perc8)},"n512_sec":${f(perc512)},""" +
-      s""""cost_ratio":${f(percRatio)},""" +
-      s""""registry_scales_sublinearly":${percRatio >= 0 && percRatio < 64.0}}"""
+      s"""{"n8_exec_sec":${f(perc8)},"n512_exec_sec":${f(perc512)},""" +
+      s""""exec_cost_ratio":${f(percRatio)},""" +
+      s""""n8_first_run_sec":${f(percFirst8)},"n512_first_run_sec":${f(percFirst512)},""" +
+      s""""exec_scales_sublinearly":${percRatio >= 0 && percRatio < 64.0}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
       s""""marginal_floor_sec":${f(floor)},"marginal_flag_threshold":$MarginalFlag,""" +
