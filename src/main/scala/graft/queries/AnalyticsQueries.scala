@@ -26,6 +26,11 @@ import graft.store.BucketStore
 object AnalyticsQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** approx9's DDSketch base: relative-error bound (γ−1)/(γ+1) ≈ 0.99%.
+    * The ONE constant — engine expressions and the oracle SQL both derive
+    * γ, γ+1 and α from it (the EWMA single-source rule). */
+  private val DdGamma = 1.02
+
   private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
   /** Shared ts1/ts2 front half: per-user daily event counts, gap-filled to
@@ -957,6 +962,62 @@ object AnalyticsQueries {
             .as("skill"))
         .orderBy("event_type")
     },
+    // ---- approx9: DDSketch relative-error quantile sketch (Masson et al.,
+    // VLDB'19 — public algorithm) — the MERGEABLE quantile primitive the
+    // exact interpolated percentiles (dq12) can't give a 100 TB pipeline:
+    // state = counts in geometric buckets ceil(ln v / ln γ), merge =
+    // bucket-wise ADDITION (commutative/associative — order-free by
+    // construction, unlike KLL's compaction), guarantee = relative error
+    // ≤ (γ−1)/(γ+1). Engine builds PER-PRIORITY sketches then MERGES them
+    // into the global one (the two-level shape a real rollup uses); the
+    // bucket-wise sums are count-exact, so the oracle's one-level global
+    // bucketing is cell-identical. Each quantile's estimate is audited
+    // in-query against the exact rank-R value (the global-sort audit is
+    // the test harness, not the scale path) and `within_bound` must be
+    // literal 1 — a bucket-mapping or merge regression is a hash failure.
+    // γ, γ+1, α interpolated from ONE constant into engine AND oracle ----
+    "approx9_ddsketch" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val g = DdGamma
+      val alpha = (g - 1.0) / (g + 1.0)
+      val v = Tables.t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").cast("double").as("v"))
+        .filter(col("v") > 0)
+      val perGrp = v
+        .withColumn("b", ceil(log(col("v")) / log(lit(g))).cast("int"))
+        .groupBy("grp", "b").agg(count(lit(1)).as("c"))
+      val merged = perGrp.groupBy("b").agg(sum(col("c")).as("cnt"))
+      val n = v.agg(count(lit(1)).as("n"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = merged.withColumn("cum", sum(col("cnt")).over(wCum))
+      val qs = s.range(1).select(
+        explode(array(lit(0.5), lit(0.95), lit(0.99))).as("q"))
+        .crossJoin(broadcast(n))
+        .withColumn("r", ceil(col("q") * col("n")).cast("long"))
+      // smallest bucket whose cumulative count reaches rank R
+      val pick = cum.join(broadcast(qs), col("cum") >= col("r"))
+        .groupBy("q", "r", "n").agg(min(col("b")).as("b"))
+        .withColumn("est",
+          lit(2.0) * pow(lit(g), col("b")) / lit(g + 1.0))
+      // exact rank-R value for the audit (value at a rank is well-defined
+      // under ties regardless of tie order)
+      val wRank = org.apache.spark.sql.expressions.Window.orderBy("v")
+      val exact = v.withColumn("rk", row_number().over(wRank))
+        .join(broadcast(qs.select(col("q").as("qq"), col("r").as("rk"))),
+          "rk")
+        .select(col("qq").as("q"), col("v").as("exact_v"))
+      pick.join(exact, "q")
+        .select(col("q"), col("n"),
+          col("est").cast(D6).cast("double").as("est"),
+          col("exact_v"),
+          (abs(col("est") - col("exact_v")) <=
+            lit(alpha) * col("exact_v") + lit(1e-9)).cast("int")
+            .as("within_bound"))
+        .orderBy("q")
+    },
     // ---- KMV (k-minimum-values) distinct-count sketch per event_type —
     // the third mergeable cardinality sketch next to HLL (approx3) and
     // theta (approx5), and the one whose state is just k hashes: merge =
@@ -1403,6 +1464,26 @@ object AnalyticsQueries {
     // sketch is a hash set, identical to st23's streaming state), exact
     // user count joined separately, one shared (k−1)·2^32 literal, one
     // IEEE-exact double division
+    // one-level global bucketing — cell-identical to the engine's
+    // per-priority-then-merge by count associativity; γ/γ+1/α literals
+    // all printed from the ONE DdGamma constant
+    "approx9_ddsketch" -> {
+      val g = DdGamma
+      val alpha = (g - 1.0) / (g + 1.0)
+      s"WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_totalprice > 0), " +
+        s"mb AS (SELECT CAST(ceil(ln(v) / ln($g)) AS INT) AS b, count(*) AS cnt FROM v GROUP BY 1), " +
+        "cum AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mb), " +
+        "nt AS (SELECT count(*) AS n FROM v), " +
+        "qs AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS r, n FROM (VALUES (0.5), (0.95), (0.99)) t(q), nt), " +
+        "pick AS (SELECT q, r, n, min(b) AS b FROM cum JOIN qs ON cum.cum >= qs.r GROUP BY 1, 2, 3), " +
+        s"est AS (SELECT q, n, 2.0 * pow($g, b) / ${g + 1.0} AS est FROM pick), " +
+        "rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v), " +
+        "ex AS (SELECT qs.q, rk.v AS exact_v FROM qs JOIN rk ON rk.rk = qs.r) " +
+        "SELECT est.q AS q, est.n AS n, " +
+        "CAST(CAST(est.est AS DECIMAL(18,6)) AS DOUBLE) AS est, ex.exact_v AS exact_v, " +
+        s"CAST(abs(est.est - ex.exact_v) <= $alpha * ex.exact_v + 1e-9 AS INT) AS within_bound " +
+        "FROM est JOIN ex ON est.q = ex.q ORDER BY q"
+    },
     "approx8_kmv" ->
       ("WITH du AS (SELECT DISTINCT event_type, user_id FROM events), " +
         "hs AS (SELECT DISTINCT event_type, " +

@@ -101,6 +101,25 @@ object AnnQueries {
           k = 3, rerank = Int.MaxValue)
         .orderBy("q_id", "rank")
     },
+    // ---- ann11: IVF-PQ — coarse cells + PQ of the RESIDUALS, the
+    // composition production ANN systems deploy (FAISS IndexIVFPQ). Coarse
+    // k-means (4 cells, 2 Lloyd's iters), residual per vector, PQ trained
+    // ON the residuals, codes stored per cell; queries probe cells with
+    // per-(query, cell) residual distance tables. Exhaustive config
+    // (nprobe = #cells, rerank = ∞) => the exact top-k SQL is its oracle,
+    // pinning train→residual→encode→probe→ADC→rerank integration;
+    // IvfPqSpec pins recall for genuinely-approximate settings ------------
+    "ann11_ivfpq" -> { (s, dir) =>
+      import graft.similarity.{IvfPq, KMeans, Pq}
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = KMeans.train(e, "vec_id", "embedding", k = 4, iters = 2)
+      val res = IvfPq.residuals(e, "vec_id", "embedding", cents)
+      val books = Pq.train(res, "id", "res", m = 8, k = 16, iters = 2)
+      val enc = Pq.encode(res, "res", books).select("id", "cent", "code")
+      IvfPq.adcTopK(e.filter(col("vec_id") < 8), enc, e, cents, books,
+          k = 3, nprobe = 4, rerank = Int.MaxValue)
+        .orderBy("q_id", "rank")
+    },
     // Semantic dedup end-to-end: sign-LSH bucket blocking → candidate pairs
     // → connected components → (vector, component-representative). The
     // embedding analog of dd6: the self-join shuffles on the small bucket
@@ -529,6 +548,14 @@ object AnnQueries {
         "FROM qry q JOIN corp c ON q.cent_id = c.cent_id) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // exhaustive rerank (rerank=∞) → identical to the exact top-k
+    // full-probe + full-rerank IVF-PQ is exhaustive → the exact top-k
+    "ann11_ivfpq" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
     "ann5_pq_topk" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +

@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** IVF-PQ: coarse inverted-file cells with product quantization of the
+  * RESIDUALS (vector − its cell centroid) — the composition production ANN
+  * systems actually deploy (FAISS's IndexIVFPQ; Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+  * algorithm): the coarse quantizer removes the corpus's global structure
+  * so the m sub-codebooks spend their budget on the locally-varying
+  * remainder, and the scan touches only the probed cells' code lists.
+  *
+  * Distributed shapes: centroids and codebooks are BROADCAST model state
+  * (k·dim + m·k·subDim doubles); assignment and residual encode are narrow
+  * projections; the ADC scan joins the code table against the broadcast
+  * (query × probed-cell) distance tables co-keyed on the CELL — at scale
+  * this is the IVF promise (only nprobe/k of the corpus is read) stacked
+  * on PQ's (what is read is codes, not vectors). Exact rerank fetches at
+  * most |queries|·rerank raw vectors by equi-join AFTER the cut.
+  *
+  * `nprobe >= #cells` AND `rerank >= |corpus|` degenerates to exact
+  * brute-force ranking — the oracle-checkable configuration pinning the
+  * train→residual→encode→probe→ADC→rerank integration (ann4/ann5's
+  * contract style); IvfPqSpec pins recall for genuinely-approximate
+  * settings.
+  */
+object IvfPq {
+
+  /** Assign each vector to its nearest centroid and append the residual:
+    * (id, cent, res). Ties go to the lower cent id (struct-min order). */
+  def residuals(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centId: String = "cent_id",
+      centVec: String = "cent_vec"): DataFrame = {
+    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    val w = Window.partitionBy("id").orderBy(col("d2"), col("cent"))
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(cent))
+      .withColumn("d2", l2sq(col("v"), col("cv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("cent"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("res"))
+  }
+
+  /** ADC top-k over the probed cells. `encoded` = (id, cent, code) from
+    * [[residuals]] + [[Pq.encode]]; `corpus` supplies raw vectors for the
+    * exact rerank; the query side (small) probes its `nprobe` nearest
+    * cells and carries ONE distance table per (query, cell) — built from
+    * the query's residual against THAT cell, the asymmetric-distance
+    * counterpart of the corpus-side residual encode. */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, books: Pq.Codebooks, k: Int, nprobe: Int,
+      rerank: Int, qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding",
+      centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
+    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    // per (query, probed cell): residual vs that cell -> m×k ADC table
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d2"), col("cent"))
+    val q = queries
+      .select(col(qId).as("q_id"), col(qVec).cast("array<double>").as("q_vec"))
+      .join(broadcast(cent))
+      .withColumn("d2", l2sq(col("q_vec"), col("cv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .withColumn("q_res", zip_with(col("q_vec"), col("cv"), (a, b) => a - b))
+      .select(col("q_id"), col("cent"),
+        Pq.distanceTable(col("q_res"), books).as("dtab"))
+    // code scan co-keyed on the CELL: only probed cells' codes are scored
+    val scored = encoded.select(col("id").as("c_id"), col("cent"), col("code"))
+      .join(broadcast(q), Seq("cent"))
+      .withColumn("adc", aggregate(
+        zip_with(col("code"), col("dtab"),
+          (cd, row) => element_at(row, cd + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val candidates = scored
+      .withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= rerank)
+      .select("q_id", "c_id")
+    // exact rerank: vectors fetched AFTER the cut (|queries|·rerank rows)
+    val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    candidates
+      .join(corpus.select(col(cId).as("c_id"),
+        col(cVec).cast("array<double>").as("c_vec")), Seq("c_id"))
+      .join(broadcast(queries.select(col(qId).as("q_id"),
+        col(qVec).cast("array<double>").as("q_vec"))), Seq("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+}

@@ -114,7 +114,7 @@ object Pq {
 
   /** One subspace codebook as an array<struct<cent,cv>> literal, ordered by
     * cent id so positions are stable. */
-  private def codebookLit(cb: IndexedSeq[Seq[Double]]): Column =
+  private[similarity] def codebookLit(cb: IndexedSeq[Seq[Double]]): Column =
     array(cb.zipWithIndex.map { case (v, c) =>
       struct(lit(c).as("cent"), typedLit(v).as("cv"))
     }: _*)
@@ -136,7 +136,7 @@ object Pq {
 
   /** Per-query ADC distance table: dtab(sub)(cent) = l2sq(q_sub, cv) —
     * array<array<double>> of m·k doubles, computed once per query row. */
-  private def distanceTable(qVec: Column, books: Codebooks): Column =
+  private[similarity] def distanceTable(qVec: Column, books: Codebooks): Column =
     array((0 until books.m).map { s =>
       val sv = slice(qVec, s * books.subDim + 1, books.subDim)
       transform(codebookLit(books.cents(s)),

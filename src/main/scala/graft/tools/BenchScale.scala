@@ -132,7 +132,11 @@ object BenchScale {
     // passes + a held-out pass: linear by construction, gated to keep it
     // so
     "g25_diameter_2sweep", "perc1_percolate", "fe4_pca_topr",
-    "tx33_logreg_quality")
+    "tx33_logreg_quality",
+    // ann11 composes the two trained models (IVF cells + residual PQ) over
+    // the corpus — ann5's training shape plus the probed-cell scan; gated
+    // like ann5 to pin that training passes and the code scan stay linear
+    "ann11_ivfpq")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
