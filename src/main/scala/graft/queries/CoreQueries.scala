@@ -316,6 +316,19 @@ object CoreQueries {
           storedQueries, idCols = Seq("event_id"))
         .orderBy("event_id", "query_id")
     },
+    // ---- perc2: the SAME registry ROUND-TRIPPED through its JSON wire
+    // form (QueryJson — what a PERSISTED registry table or REST surface
+    // stores) before compiling: serialize → parse → percolate must match
+    // perc1's direct-AST run exactly, pinning wire fidelity end-to-end
+    // under the oracle, not just AST-equality in the property spec -------
+    "perc2_percolate_json" -> { (s, dir) =>
+      val parsed = storedQueries.map { case (id, q) =>
+        (id, graft.dsl.QueryJson.parse(graft.dsl.QueryJson.stringify(q)))
+      }
+      graft.ops.Percolator.matches(Tables.t(s, dir, "events"),
+          parsed, idCols = Seq("event_id"))
+        .orderBy("event_id", "query_id")
+    },
     // ---- st25: the SAME registry percolating a STREAM — the actual
     // alerting deployment shape (match-on-arrival): stateless narrow
     // projection, append mode, zero state; batch oracle = the truth ------
@@ -453,6 +466,7 @@ object CoreQueries {
     // rangeBelow = <, rangeIn = [lo, hi), whenNot = IS DISTINCT FROM —
     // the f1-f12-pinned clause semantics); st25 streams the same registry
     "perc1_percolate" -> percolateOracleSql,
+    "perc2_percolate_json" -> percolateOracleSql,
     "st25_stream_percolate" -> percolateOracleSql
   )
 
