@@ -19,6 +19,9 @@ import scala.collection.mutable
   * `parse(stringify(q)) == q` EXACTLY — an untagged number would come back
   * as a double and silently change the compiled comparison's type.
   * QueryJsonSpec pins the round-trip as a property over randomized trees.
+  * Int/Short/Byte values serialize under the long tag and parse back as
+  * Long — the canonical integral type (the compiled predicate is
+  * unchanged).
   *
   * Built on [[graft.js.Js.Json]] — the same strict, deterministic JSON
   * bridge the script stages use (one parser in the library, not two).
@@ -29,7 +32,7 @@ object QueryJson {
 
   def stringify(q: QueryComponent): String = Js.Json.stringify(toJs(q))
 
-  private def toJs(q: QueryComponent): JsObject = q match {
+  private[dsl] def toJs(q: QueryComponent): JsObject = q match {
     case SingleQuery(clauses, anyOf, meta) =>
       JsObject(
         "anyOf" -> anyOf,
@@ -73,7 +76,7 @@ object QueryJson {
     o
   }
 
-  private def valueJs(v: Any): JsObject = v match {
+  private[dsl] def valueJs(v: Any): JsObject = v match {
     case null => JsObject("n" -> true)
     case b: Boolean => JsObject("b" -> b)
     case s: String => JsObject("s" -> s)
@@ -97,7 +100,7 @@ object QueryJson {
 
   def parse(json: String): QueryComponent = fromJs(obj(Js.Json.parse(json)))
 
-  private def fromJs(o: JsObject): QueryComponent = {
+  private[dsl] def fromJs(o: JsObject): QueryComponent = {
     val meta = o.fields.get("meta").map(m => metaOf(obj(m)))
       .getOrElse(QueryMeta())
     if (o.fields.contains("op")) {
@@ -143,7 +146,7 @@ object QueryJson {
     excludes = o.fields.get("excludes").map(a => arr(a).map(str))
       .getOrElse(Nil))
 
-  private def valueOf(o: JsObject): Any =
+  private[dsl] def valueOf(o: JsObject): Any =
     if (o.fields.contains("n")) null
     else if (o.fields.contains("b")) bool(o.fields("b"))
     else if (o.fields.contains("s")) str(o.fields("s"))
@@ -158,25 +161,25 @@ object QueryJson {
 
   // ---- JSON-shape accessors (loud on malformed input) -----------------------
 
-  private def fail(msg: String): Nothing =
+  private[dsl] def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"QueryJson: $msg")
-  private def obj(v: Any): JsObject = v match {
+  private[dsl] def obj(v: Any): JsObject = v match {
     case o: JsObject => o
     case other => fail(s"expected object, got $other")
   }
-  private def arr(v: Any): Seq[Any] = v match {
+  private[dsl] def arr(v: Any): Seq[Any] = v match {
     case a: JsArray => a.items.toSeq
     case other => fail(s"expected array, got $other")
   }
-  private def str(v: Any): String = v match {
+  private[dsl] def str(v: Any): String = v match {
     case s: String => s
     case other => fail(s"expected string, got $other")
   }
-  private def num(v: Any): Double = v match {
+  private[dsl] def num(v: Any): Double = v match {
     case d: Double => d
     case other => fail(s"expected number, got $other")
   }
-  private def bool(v: Any): Boolean = v match {
+  private[dsl] def bool(v: Any): Boolean = v match {
     case b: Boolean => b
     case other => fail(s"expected boolean, got $other")
   }

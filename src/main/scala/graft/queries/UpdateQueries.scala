@@ -28,6 +28,19 @@ object UpdateQueries {
         Update.update().set("o_orderpriority", "0-REPRIORITIZED").unset("o_orderstatus"))
         .orderBy("o_orderkey")
     },
+    // u19: u1's exact update REPLAYED THROUGH THE JSON WIRE FORM — what a
+    // persisted update template or REST mutation endpoint stores
+    // (UpdateJson: serialize -> parse -> compile must hash-match u1's
+    // direct-AST run under the same oracle)
+    "u19_update_json" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val wire = UpdateJson.stringify(Update.update()
+        .set("o_orderpriority", "0-REPRIORITIZED").unset("o_orderstatus"))
+      UpdateCompiler.applyUpdate(orders,
+        QueryCompiler.compile(Query.allOf().when("o_orderstatus", "F")),
+        UpdateJson.parse(wire))
+        .orderBy("o_orderkey")
+    },
     // U3: $inc
     "u3_increment" -> { (s, dir) =>
       val orders = Tables.t(s, dir, "orders")
@@ -189,6 +202,13 @@ object UpdateQueries {
 
   val oracle: Map[String, String] = Map(
     "u1_set_unset" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS o_orderstatus, " +
+        "o_totalprice, o_orderdate, " +
+        "CASE WHEN o_orderstatus = 'F' THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority " +
+        "FROM orders ORDER BY o_orderkey"),
+    // identical semantics — the update arrived via its JSON wire form
+    "u19_update_json" ->
       ("SELECT o_orderkey, o_custkey, " +
         "CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS o_orderstatus, " +
         "o_totalprice, o_orderdate, " +

@@ -427,6 +427,25 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$q degenerated to a product plan:\n$plan")
     }
+    // ...and ss1's VERIFY is the merge-intersection expression on the
+    // candidate pair, not a per-element explode/join/count: the plan must
+    // carry sortedoverlap and must NOT re-aggregate per (id_a, id_b) after
+    // the candidate distinct (exactly one count-shaped aggregate pair
+    // belongs to the candidates' distinct; the old verify added a second)
+    val p = formattedPlan(
+      SparkEntry.queries("ss1_overlap_join")(spark, TestSession.sf))
+    assert(p.toLowerCase.contains("sortedoverlap"),
+      s"verify no longer uses the merge-intersection expression:\n$p")
+  } }
+
+  test("ann11 IVF-PQ: probed-cell equi-join, no product; codes never re-derive") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("ann11_ivfpq")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ fell into a product plan:\n$plan")
+    // the code scan joins the broadcast probed-query side on the CELL key
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probed-cell scan should broadcast the query side:\n$plan")
   } }
 
   test("batch sessionize shares one (key, ts) exchange across windows + agg") { uncached {
