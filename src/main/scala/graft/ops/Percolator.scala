@@ -34,6 +34,24 @@ import graft.dsl.{QueryCompiler, QueryComponent}
   */
 object Percolator {
 
+  /** Load a registry persisted as (query_id, QueryJson) rows — the
+    * deployment shape: stored queries live in a bucket-store table, are
+    * collected to the driver (the registry IS plan-side state, bounded by
+    * construction — thousands of rows, not data-sized) and compiled into
+    * [[matches]]' fused projections. A malformed row fails loudly with
+    * its query_id. */
+  def registryFromTable(df: org.apache.spark.sql.DataFrame,
+      idCol: String = "query_id",
+      jsonCol: String = "query_json"): Seq[(String, QueryComponent)] =
+    df.select(idCol, jsonCol).collect().toSeq.map { r =>
+      val id = r.getString(0)
+      try (id, graft.dsl.QueryJson.parse(r.getString(1)))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"stored query '$id' failed to parse: ${e.getMessage}")
+      }
+    }
+
   /** @param df       records to percolate
     * @param stored   the registry: (query_id, compiled-against-df DSL query)
     * @param idCols   record-identifying columns to carry into the output

@@ -120,4 +120,23 @@ class PercolatorSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("q_nested"))
   }
+  test("registryFromTable: persisted QueryJson rows load, compile, and match") {
+    val s = spark; import s.implicits._
+    val wire = registry.map { case (id, q) =>
+      (id, graft.dsl.QueryJson.stringify(q)) }
+    val table = wire.toDF("query_id", "query_json")
+    val loaded = Percolator.registryFromTable(table)
+    val direct = Percolator.matches(df(), registry, Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaTable = Percolator.matches(df(), loaded, Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaTable === direct)
+    // a malformed persisted row fails loudly WITH its id
+    val broken = (wire :+ ("q_bad", """{"op":"xor","components":[]}"""))
+      .toDF("query_id", "query_json")
+    val e = intercept[IllegalArgumentException] {
+      Percolator.registryFromTable(broken)
+    }
+    assert(e.getMessage.contains("q_bad"))
+  }
 }
