@@ -48,7 +48,10 @@ import scala.collection.mutable
   * prototypes, `this`, getters, `new` beyond the two factories above,
   * and the global object — a script touching them fails loudly. Numbers
   * are IEEE doubles evaluated in source order, so results are
-  * bit-identical across executors and runs.
+  * bit-identical across executors and runs. A per-invocation step budget
+  * (50M loop iterations) turns a runaway loop into a loud JsError instead
+  * of a hung executor task — the failure mode the stateless-`exec`
+  * deviation would otherwise hand to `while (re.exec(s))` scripts.
   */
 object Js {
 
@@ -679,9 +682,36 @@ object Js {
   /** Call a named function defined by the loaded script. A script
     * exception that escapes the call surfaces as a host JsError here —
     * the engine boundary, same contract as any other runtime failure. */
+  /** Per-invocation step budget: every loop iteration costs one step and a
+    * runaway script fails LOUDLY instead of hanging an executor task
+    * forever. 50M steps is ~seconds of interpretation — orders of
+    * magnitude past any per-record script, and deterministic (a count,
+    * never a clock). The classic JS idiom this guards against in THIS
+    * interpreter: `while ((m = re.exec(s)) !== null)` — exec here is
+    * deliberately stateless (no lastIndex), so that loop never advances. */
+  private val MaxSteps = 50000000L
+  private val steps = new ThreadLocal[Long] { override def initialValue = 0L }
+  private val budget =
+    new ThreadLocal[Long] { override def initialValue = MaxSteps }
+  /** Shrink the step budget inside `body` — test hook (JsSpec exercises
+    * the runaway guard without burning 50M real iterations). */
+  private[graft] def withStepBudget[T](n: Long)(body: => T): T = {
+    val prev = budget.get(); budget.set(n)
+    try body finally budget.set(prev)
+  }
+  private def tick(): Unit = {
+    val n = steps.get() + 1
+    steps.set(n)
+    if (n > budget.get())
+      fail(s"script exceeded ${budget.get()} loop iterations — runaway " +
+        "loop? (note: regex exec here is stateless; iterate with match + " +
+        "/g, not `while (re.exec(s))`)")
+  }
+
   def invoke(env: Env, name: String, args: Seq[Any]): Any =
     env.get(name) match {
       case f: JsFunction =>
+        steps.set(0L) // fresh budget per top-level invocation
         try callFunction(f, args)
         catch {
           case t: ThrowSig =>
@@ -723,6 +753,7 @@ object Js {
       else f.foreach(exec(_, env))
     case While(c, body) =>
       while (truthy(eval(c, env))) {
+        tick()
         try body.foreach(exec(_, env))
         catch {
           case _: ContinueSig => ()
@@ -734,6 +765,7 @@ object Js {
       // body) lives on after the loop — run directly in the enclosing env
       init.foreach(exec(_, env))
       while (cond.forall(c => truthy(eval(c, env)))) {
+        tick()
         try body.foreach(exec(_, env))
         catch {
           case _: ContinueSig => ()
@@ -751,6 +783,7 @@ object Js {
       env.declare(name, Undefined) // function-scoped, like the C-style for
       keys.foreach { k =>
         env.set(name, k)
+        tick()
         try body.foreach(exec(_, env))
         catch {
           case _: ContinueSig => ()

@@ -450,4 +450,21 @@ class JsSpec extends AnyFunSuite {
     intercept[Js.JsError](Js.parse("function main() { return new Date(); }"))
     intercept[Js.JsError](Js.parse("function main() { return new Foo(1); }"))
   }
+  test("runaway loops fail loudly instead of hanging the executor") {
+    // the guard exists for exactly the while(re.exec(s)) idiom our
+    // stateless exec turns into an infinite loop
+    Js.withStepBudget(10000) {
+      val e = intercept[Js.JsError](run(
+        "function main() { while (true) { } return 1; }"))
+      assert(e.getMessage.contains("runaway"))
+      val e2 = intercept[Js.JsError](run(
+        "function main() { for (var i = 0; ; i++) { } return 1; }"))
+      assert(e2.getMessage.contains("runaway"))
+      // ...and the budget resets per invocation: a legitimate loop under
+      // the cap still runs after a failed one
+      assert(run(
+        "function main() { var s = 0; for (var i = 0; i < 100; i++) s += i; return s; }")
+        === 4950.0)
+    }
+  }
 }
