@@ -988,35 +988,26 @@ object AnalyticsQueries {
         .withColumn("b", ceil(log(col("v")) / log(lit(g))).cast("int"))
         .groupBy("grp", "b").agg(count(lit(1)).as("c"))
       val merged = perGrp.groupBy("b").agg(sum(col("c")).as("cnt"))
-      val n = v.agg(count(lit(1)).as("n"))
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy("b")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val cum = merged.withColumn("cum", sum(col("cnt")).over(wCum))
-      val qs = s.range(1).select(
-        explode(array(lit(0.5), lit(0.95), lit(0.99))).as("q"))
-        .crossJoin(broadcast(n))
-        .withColumn("r", ceil(col("q") * col("n")).cast("long"))
-      // smallest bucket whose cumulative count reaches rank R
-      val pick = cum.join(broadcast(qs), col("cum") >= col("r"))
-        .groupBy("q", "r", "n").agg(min(col("b")).as("b"))
-        .withColumn("est",
-          lit(2.0) * pow(lit(g), col("b")) / lit(g + 1.0))
-      // exact rank-R value for the audit (value at a rank is well-defined
-      // under ties regardless of tie order)
-      val wRank = org.apache.spark.sql.expressions.Window.orderBy("v")
-      val exact = v.withColumn("rk", row_number().over(wRank))
-        .join(broadcast(qs.select(col("q").as("qq"), col("r").as("rk"))),
-          "rk")
-        .select(col("qq").as("q"), col("v").as("exact_v"))
-      pick.join(exact, "q")
-        .select(col("q"), col("n"),
-          col("est").cast(D6).cast("double").as("est"),
-          col("exact_v"),
-          (abs(col("est") - col("exact_v")) <=
-            lit(alpha) * col("exact_v") + lit(1e-9)).cast("int")
-            .as("within_bound"))
-        .orderBy("q")
+      ddsketchReport(s, merged, v)
+    },
+    // ---- st26: the SAME DDSketch maintained as STREAMING state (the
+    // st23 pattern for the quantile family): 4-file staging → 4 genuine
+    // micro-batches, per-bucket running counts in the streaming aggregate,
+    // update-mode changelog with last-emission-per-key. Bucket addition is
+    // commutative/associative, so the final state must equal approx9's
+    // one-shot batch sketch — same report, same oracle --------------------
+    "st26_stream_ddsketch" -> { (s, dir) =>
+      val g = DdGamma
+      val base = Tables.t(s, dir, "orders")
+        .select(col("o_totalprice").cast("double").as("v"))
+        .filter(col("v") > 0)
+      val raw = graft.streaming.Streams.stagedFileStream(base, nFiles = 4)
+      val sk = graft.streaming.Streams.runWindowedAgg(raw,
+        df => df.withColumn("b",
+            ceil(log(col("v")) / log(lit(g))).cast("int"))
+          .groupBy("b").agg(count(lit(1)).as("cnt")),
+        keyCols = Seq("b"), statePartitions = Some(8))
+      ddsketchReport(s, sk, base)
     },
     // ---- KMV (k-minimum-values) distinct-count sketch per event_type —
     // the third mergeable cardinality sketch next to HLL (approx3) and
@@ -1079,6 +1070,49 @@ object AnalyticsQueries {
     }
   )
 
+  /** The DDSketch report shared by approx9 (batch) and st26 (streaming
+    * state): cumulative bucket walk → smallest bucket reaching rank
+    * ceil(q·n) → midpoint estimate 2γᵇ/(γ+1), audited against the exact
+    * rank-R value under the (γ−1)/(γ+1) relative-error guarantee. `merged`
+    * = the sketch as (b, cnt); `v` = the raw values (for n and the exact
+    * audit — the global-sort audit is the test harness, not the scale
+    * path). */
+  private def ddsketchReport(s: SparkSession, merged: DataFrame,
+      v: DataFrame): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val g = DdGamma
+    val alpha = (g - 1.0) / (g + 1.0)
+    val n = v.agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(wCum))
+    val qs = s.range(1).select(
+      explode(array(lit(0.5), lit(0.95), lit(0.99))).as("q"))
+      .crossJoin(broadcast(n))
+      .withColumn("r", ceil(col("q") * col("n")).cast("long"))
+    // smallest bucket whose cumulative count reaches rank R
+    val pick = cum.join(broadcast(qs), col("cum") >= col("r"))
+      .groupBy("q", "r", "n").agg(min(col("b")).as("b"))
+      .withColumn("est",
+        lit(2.0) * pow(lit(g), col("b")) / lit(g + 1.0))
+    // exact rank-R value for the audit (value at a rank is well-defined
+    // under ties regardless of tie order)
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val exact = v.withColumn("rk", row_number().over(wRank))
+      .join(broadcast(qs.select(col("q").as("qq"), col("r").as("rk"))),
+        "rk")
+      .select(col("qq").as("q"), col("v").as("exact_v"))
+    pick.join(exact, "q")
+      .select(col("q"), col("n"),
+        col("est").cast(D6).cast("double").as("est"),
+        col("exact_v"),
+        (abs(col("est") - col("exact_v")) <=
+          lit(alpha) * col("exact_v") + lit(1e-9)).cast("int")
+          .as("within_bound"))
+      .orderBy("q")
+  }
+
   /** Top-3 orders per customer (price DESC, orderkey tiebreak) — the one
     * truth both w1 (window rank) and w7 (top_k aggregate) must match. */
   private def top3OracleSql: String =
@@ -1086,6 +1120,25 @@ object AnalyticsQueries {
       "SELECT o_custkey, o_orderkey, o_totalprice, " +
       "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk " +
       "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk")
+
+  private def ddsketchOracleSql: String = {
+      val g = DdGamma
+      val alpha = (g - 1.0) / (g + 1.0)
+      s"WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_totalprice > 0), " +
+        s"mb AS (SELECT CAST(ceil(ln(v) / ln($g)) AS INT) AS b, count(*) AS cnt FROM v GROUP BY 1), " +
+        "cum AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mb), " +
+        "nt AS (SELECT count(*) AS n FROM v), " +
+        "qs AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS r, n FROM (VALUES (0.5), (0.95), (0.99)) t(q), nt), " +
+        "pick AS (SELECT q, r, n, min(b) AS b FROM cum JOIN qs ON cum.cum >= qs.r GROUP BY 1, 2, 3), " +
+        s"est AS (SELECT q, n, 2.0 * pow($g, b) / ${g + 1.0} AS est FROM pick), " +
+        "rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v), " +
+        "ex AS (SELECT qs.q, rk.v AS exact_v FROM qs JOIN rk ON rk.rk = qs.r) " +
+        "SELECT est.q AS q, est.n AS n, " +
+        "CAST(CAST(est.est AS DECIMAL(18,6)) AS DOUBLE) AS est, ex.exact_v AS exact_v, " +
+        s"CAST(abs(est.est - ex.exact_v) <= $alpha * ex.exact_v + 1e-9 AS INT) AS within_bound " +
+        "FROM est JOIN ex ON est.q = ex.q ORDER BY q"
+    
+  }
 
   val oracle: Map[String, String] = Map(
     // both window sorts carry the event_id tiebreaker: the e and s CTEs
@@ -1465,25 +1518,11 @@ object AnalyticsQueries {
     // user count joined separately, one shared (k−1)·2^32 literal, one
     // IEEE-exact double division
     // one-level global bucketing — cell-identical to the engine's
-    // per-priority-then-merge by count associativity; γ/γ+1/α literals
-    // all printed from the ONE DdGamma constant
-    "approx9_ddsketch" -> {
-      val g = DdGamma
-      val alpha = (g - 1.0) / (g + 1.0)
-      s"WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_totalprice > 0), " +
-        s"mb AS (SELECT CAST(ceil(ln(v) / ln($g)) AS INT) AS b, count(*) AS cnt FROM v GROUP BY 1), " +
-        "cum AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mb), " +
-        "nt AS (SELECT count(*) AS n FROM v), " +
-        "qs AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS r, n FROM (VALUES (0.5), (0.95), (0.99)) t(q), nt), " +
-        "pick AS (SELECT q, r, n, min(b) AS b FROM cum JOIN qs ON cum.cum >= qs.r GROUP BY 1, 2, 3), " +
-        s"est AS (SELECT q, n, 2.0 * pow($g, b) / ${g + 1.0} AS est FROM pick), " +
-        "rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v), " +
-        "ex AS (SELECT qs.q, rk.v AS exact_v FROM qs JOIN rk ON rk.rk = qs.r) " +
-        "SELECT est.q AS q, est.n AS n, " +
-        "CAST(CAST(est.est AS DECIMAL(18,6)) AS DOUBLE) AS est, ex.exact_v AS exact_v, " +
-        s"CAST(abs(est.est - ex.exact_v) <= $alpha * ex.exact_v + 1e-9 AS INT) AS within_bound " +
-        "FROM est JOIN ex ON est.q = ex.q ORDER BY q"
-    },
+    // per-priority-then-merge (approx9) AND to the streaming state's
+    // final per-bucket counts (st26) by count associativity; γ/γ+1/α
+    // literals all printed from the ONE DdGamma constant
+    "approx9_ddsketch" -> ddsketchOracleSql,
+    "st26_stream_ddsketch" -> ddsketchOracleSql,
     "approx8_kmv" ->
       ("WITH du AS (SELECT DISTINCT event_type, user_id FROM events), " +
         "hs AS (SELECT DISTINCT event_type, " +
