@@ -73,9 +73,22 @@ object OverlapJoin {
 
   /** @return (sets, cand): the normalized (__id, __set) frame — distinct
     *         elements, size >= minOverlap — and the candidate pairs. */
+  /** The merge-intersection verify reads UTF8 strings — a non-string
+    * element type must fail AT PLAN TIME, not as an executor cast error
+    * mid-verify (the join/aggregate verify it replaced was type-agnostic,
+    * so this is a narrowed, now-loud contract). */
+  private def requireStringSets(docs: DataFrame, setCol: String): Unit =
+    docs.schema(setCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"set-similarity joins need array<string> sets; '$setCol' is $other")
+    }
+
   private def buildCandidates(docs: DataFrame, idCol: String, setCol: String,
       minOverlap: Int, assumeDistinct: Boolean = false): (DataFrame, DataFrame) = {
     require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
+    requireStringSets(docs, setCol)
 
     // one row per (doc, distinct element); sets smaller than T can never
     // qualify and are dropped before they cost anything. `assumeDistinct`
@@ -137,6 +150,7 @@ object OverlapJoin {
       minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1]: $minJaccard")
+    requireStringSets(docs, setCol)
 
     val sets = docs
       .select(col(idCol).as("__id"), array_distinct(col(setCol)).as("__set"))

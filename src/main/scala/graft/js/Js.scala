@@ -668,6 +668,7 @@ object Js {
     * builtins) and return it — call [[invoke]] against it afterwards. */
   def load(stmts: Seq[Stmt]): Env = {
     val g = globalEnv()
+    steps.set(0L) // top-level statements may loop; fresh budget like invoke
     // hoist function declarations (mutual recursion), then run the body
     stmts.foreach { case FuncDecl(n, ps, b) => g.declare(n, JsFunction(n, ps, b, g)); case _ => }
     try stmts.foreach { case _: FuncDecl => (); case s => exec(s, g) }

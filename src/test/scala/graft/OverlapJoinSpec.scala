@@ -140,4 +140,17 @@ class OverlapJoinSpec extends AnyFunSuite {
         lit(0)).as("ov")).as[Int].head()
     assert(withNull === 1)
   }
+  test("non-string element types are rejected at plan time") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, Seq(1L, 2L)), (2L, Seq(2L, 3L))).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      OverlapJoin.join(docs, "id", "s", minOverlap = 1)
+    }
+    assert(e.getMessage.contains("array<string>") ||
+      e.getMessage.contains("ArrayType"))
+    intercept[IllegalArgumentException] {
+      OverlapJoin.jaccardJoin(docs, "id", "s", 0.5)
+    }
+  }
 }
