@@ -292,7 +292,11 @@ object AnnQueries {
     // loadings/λ — the rounding is part of the contract, so the oracle
     // replays from its own fe4 chain); projection = one narrow centering
     // + a broadcast 192-row model join + per-(vector, component) exact
-    // decimal dot product. Output sliced to vec_id < 50 for dump size ----
+    // decimal dot product. Output sliced to vec_id < 50 for dump size.
+    // DELIBERATE cost note: as an independent query fe5 re-derives fe4's
+    // model (~one Gram pass) — in production the 192-row model is a
+    // persisted table and whitening is just the projection; a cross-query
+    // in-process cache here would only flatter the bench ------------------
     "fe5_pca_whiten" -> { (s, dir) =>
       val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
       val d6 = org.apache.spark.sql.types.DecimalType(18, 6)

@@ -136,7 +136,14 @@ object BenchScale {
     // ann11 composes the two trained models (IVF cells + residual PQ) over
     // the corpus — ann5's training shape plus the probed-cell scan; gated
     // like ann5 to pin that training passes and the code scan stay linear
-    "ann11_ivfpq")
+    "ann11_ivfpq",
+    // round-11 session-2: dq13's distinct train-gram set grows with the
+    // corpus and the hit join co-keys on the gram (idx1's shuffle class) —
+    // gated to pin the distinct+join stays gram-linear. fe5 = fe4's full
+    // chain + one projection pass: its marginal must track fe4's. st26
+    // maintains the DDSketch bucket counts as streaming state — constant
+    // bucket space by construction, gated like st23's KMV
+    "dq13_contamination", "fe5_pca_whiten", "st26_stream_ddsketch")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
