@@ -161,8 +161,13 @@ object OverlapJoin {
 
     // prefix length |S| - ceil(t·|S|) + 1; the epsilon can only shrink the
     // ceil, i.e. LENGTHEN the prefix — float error widens candidates (safe)
-    // rather than dropping a qualifying pair (wrong)
-    val pfxLen = col("__sz") - ceil(lit(minJaccard) * col("__sz") - lit(1e-9)) + 1
+    // rather than dropping a qualifying pair (wrong). The epsilon is
+    // RELATIVE (×(1-1e-12)), not absolute: the double product's rounding
+    // error is relative (~1e-16), so an absolute 1e-9 stops covering it
+    // once t·|S| reaches ~1e7 — a relative shift dominates the error at
+    // every magnitude
+    val pfxLen = col("__sz") -
+      ceil(lit(minJaccard) * col("__sz") * lit(1.0 - 1e-12)) + 1
 
     val df = elems.groupBy("__e").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__e"))
@@ -176,18 +181,21 @@ object OverlapJoin {
     val cand = side("a").join(side("b"), "__e")
       .filter(col("id_a") < col("id_b"))
       // length filter: J >= t forces t·|A| <= |B| (and symmetrically);
-      // epsilon again errs toward keeping the pair
-      .filter(col("sz_b") >= lit(minJaccard) * col("sz_a") - lit(1e-9) &&
-        col("sz_a") >= lit(minJaccard) * col("sz_b") - lit(1e-9))
+      // the relative epsilon again errs toward keeping the pair
+      .filter(
+        col("sz_b") >= lit(minJaccard) * col("sz_a") * lit(1.0 - 1e-12) &&
+        col("sz_a") >= lit(minJaccard) * col("sz_b") * lit(1.0 - 1e-12))
       .select("id_a", "id_b").distinct()
 
     // verify candidates with the exact Jaccard: sorted arrays ride onto
     // the pair, one merge loop each; union via inclusion-exclusion from
     // the array sizes. The merge's early-reject threshold is the pair's
     // minimum qualifying overlap ceil(t·(|A|+|B|)/(1+t)) (J >= t ⟺
-    // ov·(1+t) >= t·(|A|+|B|)), epsilon-lowered so float error can only
-    // soften the reject — a qualifying pair never takes the reject branch
-    // and keeps its exact count
+    // ov·(1+t) >= t·(|A|+|B|)), RELATIVE-epsilon-lowered (×(1-1e-12),
+    // which dominates the ~1e-16 relative double rounding at any set-size
+    // sum — an absolute 1e-9 stops covering it past sums of ~1e7) so
+    // float error can only soften the reject — a qualifying pair never
+    // takes the reject branch and keeps its exact count
     val sorted = sets.select(col("__id"), array_sort(col("__set")).as("__set"))
     val withSets = cand
       .join(sorted.select(col("__id").as("id_a"), col("__set").as("__sa")),
@@ -198,7 +206,7 @@ object OverlapJoin {
       .withColumn("__szb", size(col("__sb")))
     withSets
       .withColumn("__req", ceil(lit(minJaccard) * (col("__sza") + col("__szb"))
-        / lit(1.0 + minJaccard) - lit(1e-9)).cast("int"))
+        / lit(1.0 + minJaccard) * lit(1.0 - 1e-12)).cast("int"))
       .withColumn("__ov",
         sorted_overlap(col("__sa"), col("__sb"), col("__req")).cast("long"))
       .withColumn("jacc", col("__ov").cast("double") /

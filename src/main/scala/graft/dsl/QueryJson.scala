@@ -80,8 +80,13 @@ object QueryJson {
     case null => JsObject("n" -> true)
     case b: Boolean => JsObject("b" -> b)
     case s: String => JsObject("s" -> s)
-    case d: Double => JsObject("d" -> d)
-    case f: Float => JsObject("d" -> f.toDouble)
+    // finite doubles ride as JSON numbers; NaN/±Infinity have no JSON
+    // number form (stringify would emit null and poison the stored row at
+    // write time), so they ride under a dedicated string tag instead —
+    // the round trip stays exact either way
+    case d: Double if java.lang.Double.isFinite(d) => JsObject("d" -> d)
+    case d: Double => JsObject("dx" -> d.toString)
+    case f: Float => valueJs(f.toDouble)
     // integral and timestamp payloads ride as STRINGS: a JSON number is a
     // double here and silently loses longs past 2^53
     case l: Long => JsObject("l" -> l.toString)
@@ -151,6 +156,12 @@ object QueryJson {
     else if (o.fields.contains("b")) bool(o.fields("b"))
     else if (o.fields.contains("s")) str(o.fields("s"))
     else if (o.fields.contains("d")) num(o.fields("d"))
+    else if (o.fields.contains("dx")) str(o.fields("dx")) match {
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case bad => fail(s"unknown non-finite double payload '$bad'")
+    }
     else if (o.fields.contains("l")) str(o.fields("l")).toLong
     else if (o.fields.contains("ts")) {
       val us = str(o.fields("ts")).toLong

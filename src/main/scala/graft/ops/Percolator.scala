@@ -42,15 +42,29 @@ object Percolator {
     * its query_id. */
   def registryFromTable(df: org.apache.spark.sql.DataFrame,
       idCol: String = "query_id",
-      jsonCol: String = "query_json"): Seq[(String, QueryComponent)] =
+      jsonCol: String = "query_json"): Seq[(String, QueryComponent)] = {
+    // the two columns must be strings AT PLAN TIME — a wrong-typed column
+    // would otherwise surface as a bare ClassCastException mid-collect,
+    // without the "stored query" context the contract promises
+    Seq(idCol, jsonCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.StringType,
+        s"percolator registry column '$c' must be STRING, got ${dt.sql}")
+    }
     df.select(idCol, jsonCol).collect().toSeq.map { r =>
+      require(!r.isNullAt(0), "percolator registry row with NULL query id")
       val id = r.getString(0)
-      try (id, graft.dsl.QueryJson.parse(r.getString(1)))
-      catch { case e: IllegalArgumentException =>
+      // widened catch: ANY per-row failure (NULL json included) is a
+      // malformed stored row and must carry the row's id
+      try {
+        require(!r.isNullAt(1), "NULL query_json")
+        (id, graft.dsl.QueryJson.parse(r.getString(1)))
+      } catch { case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(
           s"stored query '$id' failed to parse: ${e.getMessage}")
       }
     }
+  }
 
   /** @param df       records to percolate
     * @param stored   the registry: (query_id, compiled-against-df DSL query)

@@ -159,8 +159,8 @@ object Streams {
     * the batch path — the streaming driver is the only difference. */
   def runEnrichmentStream(stream: DataFrame, stages: Seq[PipelineStage]): DataFrame = {
     val spark = stream.sparkSession
-    val out = Files.createTempDirectory("graft_stream_enrich").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val out = scratchDir("graft_stream_enrich")
+    val ckpt = scratchDir("graft_stream_ckpt")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Pipeline.run(batch, stages)
@@ -198,7 +198,7 @@ object Streams {
       stateStoreProvider: Option[String] = None)(
       f: (DataFrame, Long) => Unit): Unit = {
     val spark = stream.sparkSession
-    val ckpt = Files.createTempDirectory("graft_fb_ckpt").toString
+    val ckpt = scratchDir("graft_fb_ckpt")
     withStreamConf(spark, statePartitions, stateStoreProvider) {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) => f(batch, id) }
@@ -378,8 +378,8 @@ object Streams {
       stateStoreProvider: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = stream.sparkSession
-    val out = Files.createTempDirectory("graft_win_out").toString
-    val ckpt = Files.createTempDirectory("graft_win_ckpt").toString
+    val out = scratchDir("graft_win_out")
+    val ckpt = scratchDir("graft_win_ckpt")
     val aggregated = agg(stream)
     withStreamConf(spark, statePartitions, stateStoreProvider) {
       val q = aggregated.writeStream

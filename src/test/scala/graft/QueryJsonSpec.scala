@@ -14,8 +14,15 @@ object QueryJsonSpec extends Properties("QueryJson") {
     Gen.alphaNumStr.map(identity[Any]),
     Gen.chooseNum(Long.MinValue, Long.MaxValue).map(identity[Any]),
     // doubles from the full range INCLUDING integral ones — the type tag
-    // must keep 5.0 (double) distinct from 5L through the round-trip
+    // must keep 5.0 (double) distinct from 5L through the round-trip.
+    // ±Infinity join the pool (they ride the dedicated "dx" string tag — a
+    // JSON number can't carry them); NaN round-trips bit-exactly too but
+    // can't sit in THIS property: Scala == on boxed doubles is numeric, so
+    // NaN != NaN would falsify the AST-exact compare — the dedicated
+    // property below pins it via doubleToLongBits
     Gen.chooseNum(-1e12, 1e12).map(identity[Any]),
+    Gen.oneOf(Double.PositiveInfinity, Double.NegativeInfinity)
+      .map(identity[Any]),
     Gen.oneOf(true, false).map(identity[Any]),
     Gen.chooseNum(0L, 4102444800000000L).map { us =>
       val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
@@ -75,6 +82,20 @@ object QueryJsonSpec extends Properties("QueryJson") {
   property("stringify is deterministic") = Prop.forAll(genTree(2)) { q =>
     QueryJson.stringify(q) == QueryJson.stringify(q)
   }
+
+  property("non-finite doubles round-trip bit-exactly under the dx tag") =
+    Prop.forAll(Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)) { d =>
+      val q = SingleQuery(List(Eq("f", d)), anyOf = false, QueryMeta())
+      val wire = QueryJson.stringify(q)
+      val back = QueryJson.parse(wire).asInstanceOf[SingleQuery]
+        .clauses.head.asInstanceOf[Eq].value.asInstanceOf[Double]
+      // bit compare — Scala == says NaN != NaN; stringify-fixpoint pins
+      // the wire form too (a second serialize must reproduce the row)
+      java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(d) &&
+        QueryJson.stringify(QueryJson.parse(wire)) == wire
+    }
 
   property("malformed input fails loudly, never returns a guess") =
     Prop.forAll(Gen.oneOf(
