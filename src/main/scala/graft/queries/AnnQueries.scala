@@ -120,6 +120,25 @@ object AnnQueries {
           k = 3, nprobe = 4, rerank = Int.MaxValue)
         .orderBy("q_id", "rank")
     },
+    // ---- ann12: corpus×corpus batched kNN join — EVERY vector's top-3
+    // neighbors against the whole corpus (self excluded), the SemDeDup /
+    // corpus-clustering primitive where the query side IS the corpus. IVF
+    // cell-pair equi-join + bounded-heap top_k at every rank point (cell
+    // assignment = min_by aggregate, probing = top_k, final ranking =
+    // top_k) — no corpus-sized broadcast, no corpus-sized window, and the
+    // candidate product never crosses a shuffle (map-side partial heap in
+    // the join's own stage). Exhaustive config (nprobe = #cells = 4,
+    // exact cosine on every candidate) => the exact per-vector top-k SQL
+    // is its oracle, the ann4 pattern; approximate nprobe is the scale
+    // path whose recall DedupAnnSpec pins and whose candidate growth the
+    // sf0.1↔sf1 gate counts -----------------------------------------------
+    "ann12_knn_join" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Ann.knnJoin(e, cents, k = 3, nprobe = 4)
+        .orderBy("q_id", "rank")
+    },
     // Semantic dedup end-to-end: sign-LSH bucket blocking → candidate pairs
     // → connected components → (vector, component-representative). The
     // embedding analog of dd6: the self-join shuffles on the small bucket
@@ -566,6 +585,15 @@ object AnnQueries {
         s"$cosSql AS sim, " +
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
         "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // exhaustive probes + exact scoring → identical to the exact
+    // per-vector top-k over the full corpus, self excluded
+    "ann12_knn_join" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // full-probe IVF is exhaustive → identical to the exact top-k
     "ann4_ivf_trained" ->

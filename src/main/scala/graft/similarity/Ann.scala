@@ -116,6 +116,114 @@ object Ann {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Corpus×corpus batched kNN join: EVERY vector's top-k cosine neighbors
+    * against the whole corpus (self excluded) — the op that powers
+    * SemDeDup-style semantic dedup and corpus clustering, where the "query
+    * side" IS the corpus and none of the broadcast-the-queries shapes above
+    * apply. Three rules keep it off the two scale cliffs:
+    *
+    *  1. **No corpus-sized broadcast**: both sides of the candidate join
+    *     are corpus-sized, so they meet in a co-keyed equi-join on the IVF
+    *     cell id (shuffle keyed by cell) — never `broadcast()`, never a
+    *     cartesian.
+    *  2. **No corpus-sized window**: cell assignment is a `min_by`
+    *     aggregate (map-side partial, shuffles n thin rows — not the n×C
+    *     row_number sort [[ivfTopK]] can afford on a small query side),
+    *     probing is the bounded-heap [[graft.functions.TopKAgg]] with
+    *     k = nprobe, and the final per-vector ranking is the same
+    *     aggregate with k = k — candidate rows are consumed by a map-side
+    *     partial heap in the SAME stage as the join, so the |candidates|
+    *     product NEVER crosses a shuffle (only n·k ranked rows do).
+    *  3. **Candidates are cell-bounded**: a corpus vector lives in exactly
+    *     one cell, so a (q, c) pair is generated at most once (no
+    *     distinct) and |candidates| = Σ_q Σ_{probed cells} |cell| ≈
+    *     n²·nprobe/C — pick C ∝ √n (the classic IVF sizing) and the
+    *     candidate volume grows as n^1.5, never n².
+    *
+    * `nprobe = |centroids|` probes every cell — exhaustive, so the result
+    * provably equals the exact per-vector top-k (the oracle config, the
+    * [[ivfTopK]]/ann4 pattern); smaller `nprobe` is the approximate scale
+    * path whose recall DedupAnnSpec pins. Scores are exact cosine on every
+    * candidate (the "rerank" is built in — no quantization here), ties
+    * broken by ascending corpus id. Output: (q_id, c_id, sim, rank). */
+  def knnJoin(corpus: DataFrame, centroids: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
+    import graft.functions.GraftFunctions.top_k
+    require(k >= 1, s"knnJoin: k must be >= 1, got $k")
+    require(nprobe >= 1, s"knnJoin: nprobe must be >= 1, got $nprobe")
+    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    // corpus side: nearest cell per vector. min_by over the (d2, cent)
+    // total order — deterministic (cent is unique per candidate row), one
+    // partial-aggregated shuffle of n thin rows, the vector riding in the
+    // payload struct so no second join re-attaches it
+    val assigned = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(cent))
+      .select(col("c_id"), col("c_vec"), col("cent"),
+        l2sq(col("c_vec"), col("cv")).as("d2"))
+      .groupBy("c_id")
+      .agg(min_by(struct(col("cent"), col("c_vec")),
+        struct(col("d2"), col("cent"))).as("a"))
+      .select(col("c_id"), col("a.cent").as("cent"), col("a.c_vec").as("c_vec"))
+    // probe side: the nprobe nearest cells per vector, via the bounded
+    // heap over NEGATED (d2, cent) — "k largest" becomes "nprobe nearest,
+    // ties to the smaller cell id"; the vector rides in the payload
+    val probes = corpus
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .join(broadcast(cent))
+      .select(col("q_id"), col("q_vec"), col("cent"),
+        l2sq(col("q_vec"), col("cv")).as("d2"))
+      .groupBy("q_id")
+      .agg(top_k(struct((-col("d2")).as("nd2"), (-col("cent")).as("ncent"),
+        col("cent").as("cent"), col("q_vec").as("q_vec")), nprobe).as("pk"))
+      .select(col("q_id"), explode(col("pk")).as("p"))
+      .select(col("q_id"), col("p.cent").as("cent"), col("p.q_vec").as("q_vec"))
+    // candidates: co-keyed equi-join on the cell; scored exactly; ranked
+    // by a second bounded heap — the join product feeds the partial
+    // aggregate inside one stage, so it never shuffles
+    assigned.join(probes, Seq("cent"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("sim"))
+      .groupBy("q_id")
+      .agg(top_k(struct(col("sim").as("sim"), (-col("c_id")).as("ncid"),
+        col("c_id").as("c_id")), k).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), col("col.c_id").as("c_id"), col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** The candidate-pair count of [[knnJoin]]'s cell join — the quantity
+    * whose growth governs the join's scaling (every candidate costs one
+    * cosine), exposed for the sf0.1↔sf1 scale gate exactly like
+    * [[graft.dedup.OverlapJoin.candidates]]. */
+  def knnJoinCandidates(corpus: DataFrame, centroids: DataFrame,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
+    import graft.functions.GraftFunctions.top_k
+    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    val assigned = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(cent))
+      .select(col("c_id"), col("cent"), l2sq(col("c_vec"), col("cv")).as("d2"))
+      .groupBy("c_id")
+      .agg(min_by(col("cent"), struct(col("d2"), col("cent"))).as("cent"))
+    val probes = corpus
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .join(broadcast(cent))
+      .select(col("q_id"), col("cent"), l2sq(col("q_vec"), col("cv")).as("d2"))
+      .groupBy("q_id")
+      .agg(top_k(struct((-col("d2")).as("nd2"), (-col("cent")).as("ncent"),
+        col("cent").as("cent")), nprobe).as("pk"))
+      .select(col("q_id"), explode(col("pk")).as("p"))
+      .select(col("q_id"), col("p.cent").as("cent"))
+    assigned.join(probes, Seq("cent"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+  }
+
   /** IVF-style: `centroids` (small, broadcast) define cells; every corpus
     * vector is assigned to its nearest centroid once (narrow projection +
     * small broadcast join); queries probe their `nprobe` nearest cells. */

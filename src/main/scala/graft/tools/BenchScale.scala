@@ -143,7 +143,16 @@ object BenchScale {
     // chain + one projection pass: its marginal must track fe4's. st26
     // maintains the DDSketch bucket counts as streaming state — constant
     // bucket space by construction, gated like st23's KMV
-    "dq13_contamination", "fe5_pca_whiten", "st26_stream_ddsketch")
+    "dq13_contamination", "fe5_pca_whiten", "st26_stream_ddsketch",
+    // round-12: st25 runs the percolation registry inside Structured
+    // Streaming — the registry-growth gate (below) pins the sharding math
+    // at fixed corpus, this entry pins the STREAMING entry's end-to-end
+    // cost against 10× records (stateless narrow: must track the batch
+    // perc1 entry). ann12 is the corpus×corpus kNN join at its ORACLE
+    // (exhaustive-probe) config — quadratic BY CONSTRUCTION, so it is NOT
+    // timed here; its scale path (√n cells, bounded nprobe) is gated by
+    // the candidate counter + timed run below with the n^1.5 model
+    "st25_stream_percolate")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
@@ -435,6 +444,40 @@ object BenchScale {
         f"exec ratio $percRatio%.2f per-query $percPerQuery%.2f " +
         f"(first runs $percFirst8%.2f/$percFirst512%.2f)")
 
+    // ---- ann12 corpus×corpus kNN scale path: cells ∝ √n (the classic IVF
+    // sizing), nprobe fixed — candidate pairs ≈ n²·nprobe/C grow as n^1.5,
+    // NOT n² (and not n: every vector genuinely queries the corpus — the
+    // n^1.5 curve IS the design point, so the gate's flag line is the
+    // model ×1.5 slack, i.e. 10^1.5 ≈ 31.6 expected, flag > 47). The timed
+    // run covers the whole join (train + assign + probe + candidates +
+    // heap rank) at the same config. ---------------------------------------
+    def ann12Setup(dir: String) = {
+      val e = Tables.t(spark, dir, "embeddings")
+      val n = e.count()
+      val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = cells, iters = 2)
+      (e, cents)
+    }
+    def ann12Candidates(dir: String): Long = {
+      val (e, cents) = ann12Setup(dir)
+      graft.similarity.Ann.knnJoinCandidates(e, cents, nprobe = 2).count()
+    }
+    def ann12Time(dir: String): Double = {
+      val (e, cents) = ann12Setup(dir)
+      bestOf(runs)(
+        graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 2).count())
+    }
+    val knnC01 = ann12Candidates(sf01)
+    val knnC1 = ann12Candidates(sf1)
+    val knnCRatio = if (knnC01 > 0) knnC1.toDouble / knnC01 else -1.0
+    val knnT01 = ann12Time(sf01)
+    val knnT1 = ann12Time(sf1)
+    val knnTRatio = if (knnT01 > 0) knnT1 / knnT01 else -1.0
+    System.err.println(
+      f"[scale] ann12 candidates sf0.1 $knnC01 sf1 $knnC1 ratio $knnCRatio%.2f " +
+        f"time $knnT01%.2fs/$knnT1%.2fs ratio $knnTRatio%.2f (n^1.5 model: 31.6)")
+
     def f(d: Double): String = "%.3f".format(d)
     // marginal-cost gate: subtract the fixed per-query floor before the
     // quotient so amortization can't mask a super-linear operator
@@ -475,12 +518,18 @@ object BenchScale {
       s""""per_query_cost_ratio":${f(percPerQuery)},""" +
       s""""n8_first_run_sec":${f(percFirst8)},"n512_first_run_sec":${f(percFirst512)},""" +
       s""""registry_cost_superlinear":${percPerQuery > 4.0}}"""
+    val knnJson =
+      s"""{"cand_sf01":$knnC01,"cand_sf1":$knnC1,"cand_ratio":${f(knnCRatio)},""" +
+      s""""time_sf01":${f(knnT01)},"time_sf1":${f(knnT1)},"time_ratio":${f(knnTRatio)},""" +
+      s""""expected_model_ratio":31.6,""" +
+      s""""superlinear":${knnCRatio > 47.0 || knnTRatio > 47.0}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
       s""""marginal_floor_sec":${f(floor)},"marginal_flag_threshold":$MarginalFlag,""" +
       s""""queries":$queryJson,"skew":$skewJson,""" +
       s""""st13_state_store_sf1":$stateJson,"ss1_candidates":$candJson,""" +
-      s""""dd16_candidates":$dd16Json,"percolator_registry_growth":$percJson}"""
+      s""""dd16_candidates":$dd16Json,"percolator_registry_growth":$percJson,""" +
+      s""""ann12_knn_scale":$knnJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))

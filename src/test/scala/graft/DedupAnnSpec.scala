@@ -230,4 +230,41 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(math.abs(dot(2, 3)) < 0.3, s"c2.c3 = ${dot(2, 3)}")
     assert(math.abs(dot(1, 3)) < 0.3, s"c1.c3 = ${dot(1, 3)}")
   }
+
+  test("knnJoin: exhaustive probes equal exact per-vector top-k; approximate recall bounded") {
+    import graft.similarity.{Ann, KMeans}
+    val corpus = emb.limit(200).cache()
+    val cents = KMeans.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getAs[Number]("q_id").longValue,
+        r.getAs[Number]("c_id").longValue, r.getAs[Int]("rank"))).toSet
+    // exact reference: brute force at k=4, self-pairs dropped, re-ranked —
+    // k=4 because the self pair (rank 1, sim 1) occupies a slot a genuine
+    // rank-4 neighbor inherits once self is excluded
+    val exact4 = pairs(Ann.bruteForceTopK(corpus, corpus, k = 4)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rank") <= 3))
+    val exhaustive = pairs(Ann.knnJoin(corpus, cents, k = 3, nprobe = 8))
+    assert(exhaustive.size >= 3 * 190, s"too few rows: ${exhaustive.size}")
+    assert(exhaustive === exact4,
+      s"exhaustive knnJoin != exact: missing=${(exact4 -- exhaustive).take(5)} " +
+        s"extra=${(exhaustive -- exact4).take(5)}")
+    // approximate config (nprobe 2 of 8 cells): strictly fewer candidates,
+    // recall stays useful on this corpus (measured ~0.9+; floor leaves
+    // slack without being vacuous — a broken cell join would be near 0)
+    val approx = pairs(Ann.knnJoin(corpus, cents, k = 3, nprobe = 2))
+    val keys = (s: Set[(Long, Long, Int)]) => s.map(t => (t._1, t._2))
+    val recall = keys(approx).intersect(keys(exact4)).size.toDouble /
+      keys(exact4).size
+    assert(recall >= 0.5, s"approximate knnJoin recall collapsed: $recall")
+    // a corpus vector lives in exactly one cell — no (q,c) dup even probing
+    val dup = Ann.knnJoinCandidates(corpus, cents, nprobe = 2)
+      .groupBy("q_id", "c_id").count().filter(col("count") > 1).count()
+    assert(dup == 0, s"$dup duplicated candidate pairs")
+    corpus.unpersist()
+  }
 }

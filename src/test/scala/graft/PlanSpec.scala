@@ -582,4 +582,24 @@ class PlanSpec extends AnyFunSuite {
       s"the (ts,id) order must come from array_sort, not a window sort:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
   } }
+
+  test("corpus-by-corpus kNN join: cell equi-join + heap aggregates — no product, no window") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("ann12_knn_join")(spark, TestSession.sf))
+    // both sides of the candidate join are corpus-sized: a cartesian here
+    // is the n² cliff the cell key exists to prevent (the condition-less
+    // joins in the plan are the broadcast CENTROID attaches — tiny side,
+    // the fe3/tx25 1-row-broadcast shape — so BroadcastNestedLoopJoin is
+    // not blanket-banned)
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-sized candidate join degenerated to a product:\n$plan")
+    // assignment, probing, and final ranking are all bounded-state
+    // aggregates; a Window anywhere means some rank point sorts a
+    // corpus-sized (or worse, candidate-sized) row set
+    assert(!plan.contains("Window"),
+      s"kNN ranking must be the bounded-heap top_k aggregate, not a window:\n$plan")
+    // the heap aggregate is a TypedImperativeAggregate → ObjectHashAggregate
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the top_k heap aggregate in the plan:\n$plan")
+  } }
 }
