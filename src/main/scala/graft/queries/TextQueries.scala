@@ -819,6 +819,57 @@ object TextQueries {
         .select(col("doc_id"), col("y").as("actual_en"),
           col("z").cast(D6).cast("double").as("score"))
         .orderBy("doc_id")
+    },
+    // ---- tx35: EXACT AUC/ROC for the trained classifier — the ranking
+    // metric a quality filter actually thresholds on (tx33's accuracy
+    // answers "is the boundary right", AUC answers "does the model order
+    // documents correctly", which is what a CCNet-style relative filter
+    // consumes). Mann-Whitney form with exact tie handling: collapse the
+    // held-out scores per DISTINCT z into (npos, nneg) tallies, then
+    // AUC = Σ_z npos(z)·(negatives strictly below z + ½·nneg(z)) / (n⁺n⁻)
+    // — doubled through the sum so everything stays INTEGER until the one
+    // final division (exact cross-engine, no epsilon anywhere). The
+    // cumulative-below sum uses the SortedNeighborhood global-rank
+    // decomposition: range-partition by z, per-partition running sums
+    // (window bounded by the partition), per-partition totals — a
+    // numPartitions-row table — cumsum'd and broadcast back as offsets.
+    // No corpus-sized unpartitioned window; PlanSpec asserts that shape.
+    // Scale: train = tx33's three 1-row gradient passes; the metric adds
+    // one groupBy(z) map-side-combined tally + the decomposed cumsum ------
+    "tx35_logreg_auc" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val (w, feats) = logregTrain(s, dir)
+      val test = feats.filter(col("doc_id") % 5 === 0)
+      val g = logregZ(test.crossJoin(broadcast(w)))
+        .groupBy("z").agg(sum(col("y").cast("long")).as("npos"),
+          sum(lit(1L) - col("y")).as("nneg"))
+      // localCheckpoint pins ONE materialization of the range exchange:
+      // the offsets table and the main pass must see the same partition
+      // ids (the SortedNeighborhood discipline)
+      val ranked = g.repartitionByRange(col("z"))
+        .sortWithinPartitions("z")
+        .withColumn("__pid",
+          shiftright(monotonically_increasing_id(), 33))
+        .localCheckpoint()
+      val offsets = ranked.groupBy("__pid").agg(sum("nneg").as("__cnt"))
+        .withColumn("__off", coalesce(sum(col("__cnt")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__pid", "__off")
+      val local = Window.partitionBy("__pid").orderBy("z")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranked.join(broadcast(offsets), "__pid")
+        .withColumn("below",
+          col("__off") + coalesce(sum(col("nneg")).over(local), lit(0L)))
+        .agg(sum(col("npos")).as("n_pos"), sum(col("nneg")).as("n_neg"),
+          sum((col("npos").cast(D38) *
+            (lit(2L) * col("below") + col("nneg")).cast(D38))).as("u2"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")))
+            .cast(D6).cast("double").as("auc"))
     }
   )
 
@@ -1001,9 +1052,27 @@ object TextQueries {
       "CAST(CAST(z AS DECIMAL(18,6)) AS DOUBLE) AS score FROM scz, zb " +
       "WHERE z > zbar AND doc_id < 200 ORDER BY doc_id"
 
+  /** tx35's oracle: the trainer chain, then the Mann-Whitney rank sum as a
+    * plain window replay over the per-distinct-score tallies — the engine's
+    * decomposed cumsum must equal this single-window formulation exactly
+    * (both are integer arithmetic until the one final division). */
+  private def tx35OracleSql: String =
+    s"$logregOraclePrefix, " +
+      s"scz AS MATERIALIZED (SELECT te.y, $logregZSql AS z FROM te, w3t), " +
+      "g AS (SELECT z, CAST(sum(y) AS BIGINT) AS npos, " +
+      "CAST(sum(1 - y) AS BIGINT) AS nneg FROM scz GROUP BY z), " +
+      "c AS (SELECT npos, nneg, coalesce(sum(nneg) OVER (ORDER BY z " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g) " +
+      "SELECT CAST(sum(npos) AS BIGINT) AS n_pos, " +
+      "CAST(sum(nneg) AS BIGINT) AS n_neg, " +
+      "CAST(CAST(CAST(sum(npos * (2 * below + nneg)) AS DOUBLE) / " +
+      "(2.0 * sum(npos) * sum(nneg)) AS DECIMAL(18,6)) AS DOUBLE) AS auc " +
+      "FROM c"
+
   val oracle: Map[String, String] = Map(
     "tx33_logreg_quality" -> tx33OracleSql,
     "tx34_model_filter" -> tx34OracleSql,
+    "tx35_logreg_auc" -> tx35OracleSql,
     // same integer rank formulation as the engine — no quantile function,
     // so no cross-engine interpolation on the comparison boundary
     "tx14_group_percentile_gate" ->

@@ -583,6 +583,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
   } }
 
+  test("exact AUC: unpartitioned windows run only over the numPartitions-row offsets table") { uncached {
+    val df = SparkEntry.queries("tx35_logreg_auc")(spark, TestSession.sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"expected the rank-decomposition windows:\n$plan")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the only legal unpartitioned window is the per-partition-offset
+      // cumsum, whose input is the groupBy(__pid) aggregate — a
+      // numPartitions-row table, never the corpus
+      val overOffsets = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("__pid")) => a
+      }
+      assert(overOffsets.nonEmpty,
+        s"unpartitioned window over a corpus-sized input:\n$w")
+    }
+    // the per-partition running sum IS partitioned (by __pid)
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"expected the __pid-partitioned local cumsum:\n$plan")
+  } }
+
   test("corpus-by-corpus kNN join: cell equi-join + heap aggregates — no product, no window") { uncached {
     val plan = formattedPlan(
       SparkEntry.queries("ann12_knn_join")(spark, TestSession.sf))
