@@ -341,6 +341,65 @@ object AnnQueries {
           (col("raw") / sqrt(col("lam"))).cast(d6).cast("double").as("score"))
         .orderBy("vec_id", "component")
     },
+    // ---- fe6: Johnson–Lindenstrauss random-projection dimensionality
+    // reduction — the embedding family's cheap MODEL-FREE primitive: a
+    // seeded deterministic ±1 projection (sign = the fe2 md5 hash device
+    // on "jl:i:j" — no stored matrix, any worker regenerates any entry),
+    // 64 → 16 dims, y_j = Σ_i x_i·r_ij with the 1/√m scale folded into
+    // the distance (d²_proj = Σ_j (Δy_j)²/m). The query audits pairwise
+    // distortion IN-QUERY on the vec_id < 24 sample slice: per pair,
+    // d²_orig, d²_proj, their ratio (JL says E[ratio] = 1), and a
+    // within-bound flag at [0.3, 2.2] (≈ the ε = √(8·ln n / m) regime for
+    // m = 16 — deterministic given the fixed hash, replayed identically
+    // by the oracle). Exactness is the fe1 regime: every sum of products
+    // goes through DECIMAL(28,12) (order-free), everything else is the
+    // same IEEE tree on both engines. Scale: the projection is one narrow
+    // explode → (vec, j)-keyed map-side-combined aggregate — corpus-linear,
+    // no model state anywhere; the PAIRWISE audit is the bounded sample
+    // harness (276 pairs), not the scale path ------------------------------
+    "fe6_jl_distortion" -> { (s, dir) =>
+      import graft.dedup.TextDedup.md5Int
+      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val m = 16
+      val x = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 24)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("int").as("i"),
+          col("col").cast("double").as("v"))
+      val proj = x
+        .select(col("vec_id"), col("v"), col("i"),
+          explode(sequence(lit(0), lit(m - 1))).as("j"))
+        .select(col("vec_id"), col("j"),
+          (col("v") * when(md5Int(concat(lit("jl:"),
+            col("i").cast("string"), lit(":"), col("j").cast("string")))
+            % 2 === 0, lit(1.0)).otherwise(lit(-1.0))).as("t"))
+        .groupBy("vec_id", "j")
+        .agg(sum(col("t").cast(D28)).cast("double").as("y"))
+      val dp = proj.select(col("vec_id").as("a"), col("j"), col("y").as("ya"))
+        .join(proj.select(col("vec_id").as("b"), col("j"),
+          col("y").as("yb")), Seq("j"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          ((col("ya") - col("yb")) * (col("ya") - col("yb"))).as("t"))
+        .groupBy("a", "b")
+        .agg((sum(col("t").cast(D28)).cast("double") / m).as("d2p"))
+      val dx = x.select(col("vec_id").as("a"), col("i"), col("v").as("va"))
+        .join(x.select(col("vec_id").as("b"), col("i"),
+          col("v").as("vb")), Seq("i"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          ((col("va") - col("vb")) * (col("va") - col("vb"))).as("t"))
+        .groupBy("a", "b")
+        .agg(sum(col("t").cast(D28)).cast("double").as("d2o"))
+      dx.join(dp, Seq("a", "b"))
+        .select(col("a"), col("b"),
+          col("d2o").cast(D6).cast("double").as("d2_orig"),
+          col("d2p").cast(D6).cast("double").as("d2_proj"),
+          (col("d2p") / col("d2o")).cast(D6).cast("double").as("ratio"),
+          (col("d2p") / col("d2o")).between(0.3, 2.2).cast("int")
+            .as("within_bound"))
+        .orderBy("a", "b")
+    },
     // ---- ann10: IVF recall audit — the quality gate every approximate
     // index needs next to its speed story: per query, |IVF top-3 ∩ exact
     // top-3| / 3 with the ann1/ann3 paths composed verbatim (same
@@ -516,9 +575,36 @@ object AnnQueries {
       "FROM sc ORDER BY vec_id, component"
   }
 
+  /** fe6's oracle: the identical ±1-hash projection, decimal sums, and
+    * distance algebra — md5IntSql is the same cross-engine hash device
+    * fe2 validated. */
+  private def fe6OracleSql: String = {
+    val sign = DedupQueries.md5IntSql(
+      "'jl:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    "WITH x AS (SELECT vec_id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v " +
+      "FROM embeddings, unnest(generate_series(1, 64)) AS g(i) WHERE vec_id < 24), " +
+      "p AS (SELECT vec_id, j, CAST(sum(CAST(v * " +
+      s"(CASE WHEN ($sign) % 2 = 0 THEN 1.0 ELSE -1.0 END) " +
+      "AS DECIMAL(28,12))) AS DOUBLE) AS y " +
+      "FROM x, unnest(generate_series(0, 15)) AS h(j) GROUP BY 1, 2), " +
+      "dp AS (SELECT a.vec_id AS a, b.vec_id AS b, " +
+      "CAST(sum(CAST((a.y - b.y) * (a.y - b.y) AS DECIMAL(28,12))) AS DOUBLE) / 16 AS d2p " +
+      "FROM p a JOIN p b ON a.j = b.j AND a.vec_id < b.vec_id GROUP BY 1, 2), " +
+      "dx AS (SELECT a.vec_id AS a, b.vec_id AS b, " +
+      "CAST(sum(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(28,12))) AS DOUBLE) AS d2o " +
+      "FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) " +
+      "SELECT dx.a AS a, dx.b AS b, " +
+      "CAST(CAST(d2o AS DECIMAL(18,6)) AS DOUBLE) AS d2_orig, " +
+      "CAST(CAST(d2p AS DECIMAL(18,6)) AS DOUBLE) AS d2_proj, " +
+      "CAST(CAST(d2p / d2o AS DECIMAL(18,6)) AS DOUBLE) AS ratio, " +
+      "CASE WHEN d2p / d2o BETWEEN 0.3 AND 2.2 THEN 1 ELSE 0 END AS within_bound " +
+      "FROM dx JOIN dp ON dx.a = dp.a AND dx.b = dp.b ORDER BY a, b"
+  }
+
   val oracle: Map[String, String] = Map(
     "fe4_pca_topr" -> fe4OracleSql,
     "fe5_pca_whiten" -> fe5OracleSql,
+    "fe6_jl_distortion" -> fe6OracleSql,
     "ann1_topk_exact" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +

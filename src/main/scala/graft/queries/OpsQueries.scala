@@ -442,6 +442,46 @@ object OpsQueries {
         .select(col("user_id"), col("n"), col("total").cast("double").as("total"))
         .orderBy("user_id")
     },
+    // ---- cdc7: TIME-TRAVEL diff — cdc1's snapshot diff fed from the
+    // store's OWN retained versions instead of two separately-kept tables:
+    // the partitioned rollup absorbs two delta batches (manifest versions
+    // 2 and 3), then SnapshotDiff.diff(readAsOf(2), readAsOf(3)) recovers
+    // exactly the changeset the second batch caused. This is what the
+    // manifest lineage is FOR: an incremental consumer reads "what changed
+    // between commits n and n+1" without the upstream retaining anything
+    // beyond its own store (retainVersions bounds the window). The oracle
+    // recomputes both rollup versions from events directly and diffs them
+    // in SQL — maintained-version diff == recomputed-version diff --------
+    "cdc7_time_travel_diff" -> { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdc7").toString
+      val ps = new graft.store.PartitionedStore(s, root, Seq("user_id"), 16,
+        retainVersions = 3)
+      val ev = Tables.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      ps.init(ev.filter(lit(false)).groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("total"))) // v1: empty rollup
+      for (batch <- 0L until 2L) { // v2, v3
+        val delta = ev.filter(col("event_id") % 2 === batch)
+          .select(lit("i").as("op"), col("user_id"),
+            lit(null).cast("double").as("old_v"), col("value").as("new_v"))
+          .cache()
+        val touched = ps.touchedBy(delta)
+        if (touched.nonEmpty) {
+          ps.refresh(touched, graft.ops.IncrementalAgg.applyDelta(
+            ps.readPartitions(touched), delta, Seq("user_id")))
+        }
+        delta.unpersist()
+      }
+      def snap(v: Int) = ps.readAsOf(v)
+        .select(col("user_id"), col("n"),
+          col("total").cast("double").as("total"))
+      graft.ops.SnapshotDiff.diff(snap(2), snap(3), Seq("user_id"))
+        .orderBy("op", "user_id")
+    },
     // ---- cdc5: incremental JOIN maintenance — the view half of cdc4's
     // aggregate maintenance: a materialized orders⋈customer view absorbs
     // a CDC batch touching BOTH sides (order inserts/updates/deletes +
@@ -706,6 +746,20 @@ object OpsQueries {
         "ELSE o_totalprice END AS v, o_orderstatus AS st FROM orders WHERE o_orderkey % 13 <> 0 " +
         "UNION ALL SELECT o_orderkey + 20000000, o_totalprice, 'N' FROM orders WHERE o_orderkey % 500 = 0 " +
         "ORDER BY o_orderkey"),
+    // both rollup versions recomputed from events, diffed the cdc1 way —
+    // the engine's diff of its own retained manifest versions must match
+    "cdc7_time_travel_diff" ->
+      ("WITH a AS (SELECT user_id, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total " +
+        "FROM events WHERE event_type = 'purchase' AND event_id % 2 = 0 GROUP BY 1), " +
+        "b AS (SELECT user_id, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT CASE WHEN b.user_id IS NULL THEN 'D' WHEN a.user_id IS NULL THEN 'I' " +
+        "ELSE 'U' END AS op, coalesce(a.user_id, b.user_id) AS user_id " +
+        "FROM a FULL JOIN b ON a.user_id = b.user_id " +
+        "WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.n <> b.n OR a.total <> b.total " +
+        "ORDER BY op, user_id"),
     "cdc1_snapshot_diff" ->
       ("WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st FROM orders), " +
         "new AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 " +

@@ -35,11 +35,24 @@ import org.apache.spark.sql.functions._
   * Failure: a refresh that throws before commit deletes its partial new
   * dirs and leaves the manifest byte-identical — readers never see a
   * half-refresh (PartitionedRollupSpec poisons a refresh to pin this).
+  *
+  * Time travel (AS OF): every commit also writes an IMMUTABLE
+  * `manifest.v<N>` copy before swapping the current pointer, so
+  * [[readAsOf]] resolves any retained version's exact partition map — the
+  * lakehouse feature that makes a snapshot diff consumable without keeping
+  * both tables around (diff(asOf n, asOf n+1) IS the committed changeset;
+  * the spec pins that against the cdc-style anti-join). `retainVersions`
+  * bounds the lineage: data dirs referenced by any retained manifest are
+  * never reclaimed; older manifests and their unshared dirs are deleted at
+  * the next commit (retainVersions = 1 reproduces the old eager-reclaim
+  * behavior exactly). Reading a vacuumed version fails loudly.
   */
 final class PartitionedStore(val spark: SparkSession, val root: String,
-    val keyCols: Seq[String], val nPartitions: Int) {
+    val keyCols: Seq[String], val nPartitions: Int,
+    val retainVersions: Int = 2) {
   require(nPartitions > 0, "nPartitions must be positive")
   require(keyCols.nonEmpty, "at least one key column")
+  require(retainVersions >= 1, "retainVersions must be >= 1")
 
   /** Reserved partition-id column used inside refresh jobs. */
   val PartCol = "__kp"
@@ -68,29 +81,52 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
 
   // ---- manifest ---------------------------------------------------------
 
-  private def writeManifest(entries: Map[Int, String]): Unit = {
+  private def versionedManifestPath(n: Int): Path =
+    rootPath.resolve(s"manifest.v$n")
+
+  private def writeManifest(entries: Map[Int, String], version: Int): Unit = {
     Files.createDirectories(rootPath)
-    val body = (s"nPartitions $nPartitions" +:
+    val body = (Seq(s"nPartitions $nPartitions", s"version $version") ++
       entries.toSeq.sortBy(_._1).map { case (i, d) => s"$i $d" })
       .mkString("", "\n", "\n")
+    // the immutable versioned copy lands FIRST; the current-pointer swap
+    // below stays the one atomic visibility switch. A crash between the
+    // two leaves an orphan manifest.v<N> that version() (read from the
+    // pointer) never acknowledges and the next commit overwrites.
+    val tmpV = rootPath.resolve(s"manifest.vtmp${System.nanoTime()}")
+    Files.write(tmpV, body.getBytes("UTF-8"))
+    Files.move(tmpV, versionedManifestPath(version),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val tmp = rootPath.resolve(s"manifest.tmp${System.nanoTime()}")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, manifestPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Current partition → data-dir map (empty before [[init]]). */
-  def manifest(): Map[Int, String] = {
-    if (!Files.exists(manifestPath)) return Map.empty
-    val lines = new String(Files.readAllBytes(manifestPath), "UTF-8")
+  private def parseManifest(p: Path): (Int, Map[Int, String]) = {
+    val lines = new String(Files.readAllBytes(p), "UTF-8")
       .split("\n").filter(_.nonEmpty)
     require(lines.head == s"nPartitions $nPartitions",
       s"manifest header '${lines.head}' does not match nPartitions=$nPartitions " +
         "— the store was initialized with a different partition count")
-    lines.tail.map { l =>
+    val (verLines, entryLines) = lines.tail.partition(_.startsWith("version "))
+    val ver = verLines.headOption.map(_.substring("version ".length).toInt)
+      .getOrElse(0)
+    (ver, entryLines.map { l =>
       val sp = l.indexOf(' ')
       l.substring(0, sp).toInt -> l.substring(sp + 1)
-    }.toMap
+    }.toMap)
+  }
+
+  /** Current partition → data-dir map (empty before [[init]]). */
+  def manifest(): Map[Int, String] =
+    if (!Files.exists(manifestPath)) Map.empty
+    else parseManifest(manifestPath)._2
+
+  /** The current committed version — 1 after [[init]], +1 per [[refresh]]. */
+  def version(): Int = {
+    require(Files.exists(manifestPath), s"store at $root not initialized")
+    parseManifest(manifestPath)._1
   }
 
   private def dirFor(entry: String): String =
@@ -105,6 +141,25 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
   def read(): DataFrame = {
     val m = manifest()
     require(m.nonEmpty, s"store at $root not initialized")
+    spark.read.schema(storedSchema)
+      .parquet(m.values.toSeq.distinct.sorted.map(dirFor): _*)
+  }
+
+  /** Time-travel read: the store EXACTLY as committed at `version` — the
+    * immutable `manifest.v<n>` resolves that commit's partition map, whose
+    * data dirs the retention policy guarantees still exist for the last
+    * `retainVersions` versions. A version outside the retention window (or
+    * never committed) fails loudly; so does an orphaned versioned file
+    * from a crash between the two manifest writes (it is newer than the
+    * current pointer acknowledges). */
+  def readAsOf(version: Int): DataFrame = {
+    val p = versionedManifestPath(version)
+    require(Files.exists(p),
+      s"version $version of the store at $root is not readable — never " +
+        s"committed, or reclaimed by the retainVersions=$retainVersions policy")
+    require(version <= this.version(),
+      s"version $version was never committed (current: ${this.version()})")
+    val (_, m) = parseManifest(p)
     spark.read.schema(storedSchema)
       .parquet(m.values.toSeq.distinct.sorted.map(dirFor): _*)
   }
@@ -146,7 +201,20 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       val sub = s"$stamp/$PartCol=$i"
       i -> (if (Files.exists(rootPath.resolve(sub))) sub else emptyDir)
     }.toMap
-    writeManifest(written)
+    // overwrite semantics: a re-init starts the lineage over at v1, so any
+    // versioned manifests from a previous life must not resolve
+    listVersionedManifests().foreach(Files.deleteIfExists)
+    writeManifest(written, version = 1)
+  }
+
+  private def listVersionedManifests(): Seq[Path] = {
+    if (!Files.exists(rootPath)) return Nil
+    val s = Files.list(rootPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p =>
+        p.getFileName.toString.matches("manifest\\.v\\d+")).toSeq
+    } finally s.close()
   }
 
   /** Partitioned refresh: `newState` carries the FULL new content of the
@@ -158,7 +226,8 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
   def refresh(touched: Seq[Int], newState: DataFrame): Unit = {
     require(touched.nonEmpty, "refresh with no touched partitions")
     require(touched.distinct == touched, "duplicate touched ids")
-    val old = manifest()
+    require(Files.exists(manifestPath), s"store at $root not initialized")
+    val (oldVersion, old) = parseManifest(manifestPath)
     require(old.nonEmpty, s"store at $root not initialized")
     require(touched.forall(old.contains), "touched ids outside the store")
     // schema drift check BEFORE any write: a refresh whose frame decayed
@@ -190,7 +259,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
         val sub = s"$stamp/$PartCol=$i"
         i -> (if (Files.exists(rootPath.resolve(sub))) sub else emptyDir)
       }.toMap
-      writeManifest(entries) // the single atomic visibility switch
+      writeManifest(entries, oldVersion + 1) // the single atomic visibility switch
     } catch {
       case e: Throwable =>
         // commit never ran: tear the partial refresh dirs down, manifest
@@ -198,10 +267,21 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
         deleteDirQuiet(rootPath.resolve(stamp))
         throw e
     }
-    // reclaim superseded dirs (post-commit; same bounded race with
-    // in-flight readers as BucketStore.bufferAndPromote, and the same
-    // defer-to-retention-sweep option for zero-race deployments)
-    val keep = manifest().values.map(e => e.split("/")(0)).toSet
+    // retention sweep (post-commit; same bounded race with in-flight
+    // readers as BucketStore.bufferAndPromote): versions older than the
+    // last `retainVersions` lose their manifest.v file, then any stamp dir
+    // referenced by NO retained manifest is reclaimed — so readAsOf stays
+    // total over exactly the retained window. retainVersions = 1 keeps
+    // only the new commit: the old behavior, eager reclaim.
+    val newVersion = oldVersion + 1
+    val keepFrom = math.max(1, newVersion - retainVersions + 1)
+    listVersionedManifests().foreach { p =>
+      val v = p.getFileName.toString.stripPrefix("manifest.v").toInt
+      if (v < keepFrom) Files.deleteIfExists(p)
+    }
+    val keep = listVersionedManifests()
+      .flatMap(p => parseManifest(p)._2.values)
+      .map(e => e.split("/")(0)).toSet
     old.values.map(e => e.split("/")(0)).filterNot(keep.contains)
       .foreach(d => deleteDirQuiet(rootPath.resolve(d)))
   }

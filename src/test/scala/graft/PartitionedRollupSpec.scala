@@ -112,6 +112,83 @@ class PartitionedRollupSpec extends AnyFunSuite {
     assert(ps.read().count() === 2) // store untouched
   }
 
+  private def applyDelta(ps: PartitionedStore,
+      delta: Seq[(Long, Long)]): Seq[Int] = {
+    val d = state(delta)
+    val touched = ps.touchedBy(d)
+    val cur = ps.readPartitions(touched)
+    ps.refresh(touched,
+      cur.join(d.withColumnRenamed("v", "nv"), Seq("k"), "left")
+        .select(col("k"), coalesce(col("nv"), col("v")).as("v")))
+    touched
+  }
+
+  test("time travel: readAsOf resolves each retained commit exactly; version diff = changeset") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 8,
+      retainVersions = 3)
+    val rows = (0L until 64L).map(i => (i, i * 10))
+    ps.init(state(rows))
+    assert(ps.version() === 1)
+    applyDelta(ps, Seq((1L, 999L), (2L, 888L))) // v2
+    applyDelta(ps, Seq((5L, 777L)))             // v3
+    assert(ps.version() === 3)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val v1 = asMap(ps.readAsOf(1)); val v2 = asMap(ps.readAsOf(2))
+    val v3 = asMap(ps.readAsOf(3))
+    assert(v1 === rows.toMap)
+    assert(v2 === rows.toMap ++ Map(1L -> 999L, 2L -> 888L))
+    assert(v3 === v2 ++ Map(5L -> 777L))
+    assert(asMap(ps.read()) === v3) // current == latest version
+    // diff(asOf n, asOf n+1) IS the committed changeset — the property
+    // that makes a snapshot diff consumable without retaining both tables
+    val changed = ps.readAsOf(3).except(ps.readAsOf(2))
+      .as[(Long, Long)].collect().toSet
+    assert(changed === Set((5L, 777L)))
+    val removed = ps.readAsOf(2).except(ps.readAsOf(3))
+      .as[(Long, Long)].collect().toSet
+    assert(removed === Set((5L, 50L)))
+  }
+
+  test("retention: versions beyond the window are vacuumed and fail loudly; retain=1 is eager") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 8,
+      retainVersions = 1)
+    ps.init(state(Seq((1L, 10L), (2L, 20L), (3L, 30L))))
+    applyDelta(ps, Seq((1L, 11L))) // v2; retain=1 vacuums v1 at commit
+    val e = intercept[IllegalArgumentException] { ps.readAsOf(1) }
+    assert(e.getMessage.contains("not readable"))
+    assert(ps.readAsOf(2).count() === 3)
+    // a version never committed is rejected too (not a file-missing crash)
+    val e2 = intercept[IllegalArgumentException] { ps.readAsOf(9) }
+    assert(e2.getMessage.contains("not readable"))
+  }
+
+  test("a reader pinned to an old version survives a concurrent refresh (retained window)") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 8) // retain = 2
+    ps.init(state(Seq((1L, 10L), (2L, 20L))))
+    val pinned = ps.readAsOf(1) // lazy — resolves v1's dirs at collect time
+    applyDelta(ps, Seq((1L, 99L))) // v2 commits, v1 dirs retained
+    assert(pinned.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 10L, 2L -> 20L))
+    assert(ps.read().as[(Long, Long)].collect().toMap ===
+      Map(1L -> 99L, 2L -> 20L))
+  }
+
+  test("re-init restarts the lineage at v1 — stale versioned manifests do not resolve") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 8,
+      retainVersions = 5)
+    ps.init(state(Seq((1L, 10L))))
+    applyDelta(ps, Seq((1L, 11L))) // v2
+    ps.init(state(Seq((1L, 42L)))) // a new life
+    assert(ps.version() === 1)
+    assert(ps.readAsOf(1).as[(Long, Long)].collect().toSeq === Seq((1L, 42L)))
+    intercept[IllegalArgumentException] { ps.readAsOf(2) }
+  }
+
   test("partition routing agrees between state and delta by construction") {
     val ps = newStore(16)
     val keys = (0L until 200L).map(k => Tuple1(k)).toDF("k")
