@@ -341,6 +341,30 @@ object AnnQueries {
           (col("raw") / sqrt(col("lam"))).cast(d6).cast("double").as("score"))
         .orderBy("vec_id", "component")
     },
+    // ---- st27: ANN under Structured Streaming — the online-serving shape
+    // of the index family (ST4 batch-module reuse for ANN): query vectors
+    // arrive in 4 genuine micro-batches (staged files), each batch runs
+    // the UNCHANGED batch ivfTopK module against the fixed indexed corpus
+    // inside foreachBatch, results append. Per-query matching is stateless
+    // and independent, so the batch split provably cannot show through;
+    // exhaustive probes make the exact top-k SQL the oracle (ann1's).
+    // Scale: per-batch cost is the broadcast-queries ANN shape — |batch|
+    // bounded, corpus scanned per trigger (an IVF-pruned scan at
+    // production nprobe) -------------------------------------------------
+    "st27_stream_knn" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val stream = graft.streaming.Streams.stagedFileStream(
+        e.filter(col("vec_id") < 8), nFiles = 4)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_st27").toString
+      graft.streaming.Streams.runForeachBatch(stream) { batch =>
+        Ann.ivfTopK(batch, e, cents, k = 3, nprobe = 4)
+          .write.mode("append").parquet(out)
+      }
+      s.read.parquet(out).orderBy("q_id", "rank")
+    },
     // ---- fe6: Johnson–Lindenstrauss random-projection dimensionality
     // reduction — the embedding family's cheap MODEL-FREE primitive: a
     // seeded deterministic ±1 projection (sign = the fe2 md5 hash device
@@ -666,6 +690,15 @@ object AnnQueries {
         "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     "ann5_pq_topk" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // per-micro-batch exhaustive IVF == the exact top-k for those queries,
+    // independent of the batch split (stateless per query)
+    "st27_stream_knn" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
         s"$cosSql AS sim, " +

@@ -346,6 +346,30 @@ object DedupQueries {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
         .orderBy("vec_a")
+    },
+    // ---- dd17: SemDeDup — semantic dedup over the corpus×corpus kNN
+    // graph (Abbas et al. 2023's shape: embed → neighbors → prune), the
+    // op ann12 exists to power. Edges = each vector's top-3 neighbors at
+    // cosine >= 0.40, components = the shared pointer-jumping CC, keep =
+    // the component's min-id representative (the dd6/rl2 survivorship
+    // rule, deterministic). ann12's knnJoin runs at the exhaustive config
+    // so the edge set is oracle-reproducible; at scale the same pipeline
+    // runs the approximate config (cells ∝ √n, bounded nprobe), where the
+    // candidate counters in BENCH_SCALE pin the n^1.5 growth. Output =
+    // every vector with its component and keep flag --------------------
+    "dd17_semdedup" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val edges = graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 4)
+        .filter(col("sim") >= 0.40)
+        .select(col("q_id").as("a"), col("c_id").as("b"))
+      graft.dedup.Clustering
+        .connectedComponents(edges, e.select(col("vec_id")))
+        .toDF("vec_id", "component")
+        .select(col("vec_id"), col("component"),
+          (col("vec_id") === col("component")).cast("int").as("keep"))
+        .orderBy("vec_id")
     }
   )
 
@@ -384,6 +408,27 @@ object DedupQueries {
       "UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.node)"
 
   val oracle: Map[String, String] = Map(
+    // the exhaustive knn edge set recomputed naively (all-pairs rank ≤ 3 at
+    // sim >= 0.40), then min-reachable-id components via a recursive CTE —
+    // the dd8 pattern over ann12's graph
+    "dd17_semdedup" -> {
+      val cosSql =
+        "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / " +
+          "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * " +
+          "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+      "WITH RECURSIVE knn AS (SELECT q_id, c_id FROM (" +
+        s"SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id) " +
+        "WHERE rank <= 3 AND sim >= 0.40), " +
+        "ed AS (SELECT q_id AS s, c_id AS d FROM knn " +
+        "UNION ALL SELECT c_id, q_id FROM knn), " +
+        "reach AS (SELECT vec_id AS node, vec_id AS r FROM embeddings " +
+        "UNION SELECT ed.s, reach.r FROM ed JOIN reach ON ed.d = reach.node) " +
+        "SELECT node AS vec_id, min(r) AS component, " +
+        "CASE WHEN node = min(r) THEN 1 ELSE 0 END AS keep " +
+        "FROM reach GROUP BY node ORDER BY vec_id"
+    },
     // naive single-partition row_number formulation of the same sorted
     // neighborhood; the engine ranks via range partitions
     "dd14_sorted_neighborhood" ->
