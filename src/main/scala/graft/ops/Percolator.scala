@@ -20,17 +20,18 @@ import graft.dsl.{QueryCompiler, QueryComponent}
   * `array_compact`), so output size is the match count, not records ×
   * queries.
   *
-  * Scale: the registry is PLAN-side state — hundreds of stored queries
-  * fuse into one whole-stage-codegen'd projection; past `maxPerProjection`
-  * the registry SHARDS into a union of fused projections so each generated
-  * class stays under janino's method-size/constant-pool limits (an
-  * oversized single projection would silently fall back to interpreted
-  * mode — a ~10x scan slowdown). Each shard's projection prunes to idCols
-  * plus only the columns ITS queries reference, so the unioned scans
-  * re-read a column-pruned slice, not N full passes. The data side never
-  * shuffles to match, so percolation is embarrassingly parallel over the
-  * scan and drops into Structured Streaming unchanged (stateless narrow —
-  * q:st25; self-union of one streaming source is supported).
+  * Scale: the registry is PLAN-side state, and the input is scanned ONCE
+  * no matter how large it grows. Registries of ≤`maxPerProjection` stored
+  * queries fuse into one whole-stage-codegen'd explode projection; larger
+  * ones plan as the custom [[graft.plans.PercolateNode]] operator, which
+  * compiles each ≤`maxPerProjection` shard into its own row-based
+  * codegen'd projection (separate generated class — no janino collapse,
+  * no interpreted fallback) over a single column-pruned scan
+  * (`unionShards = true` keeps the legacy one-scan-per-shard union; its
+  * only win is per-shard column pruning — see SCALE.md for the measured
+  * tradeoff). The data side never shuffles to match, so percolation is
+  * embarrassingly parallel over the scan and drops into Structured
+  * Streaming unchanged (stateless narrow — q:st25).
   */
 object Percolator {
 
@@ -69,14 +70,24 @@ object Percolator {
   /** @param df       records to percolate
     * @param stored   the registry: (query_id, compiled-against-df DSL query)
     * @param idCols   record-identifying columns to carry into the output
-    * @param maxPerProjection  max stored queries fused into one generated
-    *        projection; larger registries become a union of shards. 256
-    *        keeps each class comfortably inside janino's 64K-constant-pool
-    *        / method-size budget while amortizing the scan.
+    * @param maxPerProjection  stored queries per match-array group. Each
+    *        group becomes one `array(when..)` subtree, which Catalyst's
+    *        splitExpressions carves into its own generated method (and,
+    *        past the class-size threshold, its own nested class with its
+    *        own constant pool) — the knob bounds generated-code locality,
+    *        not the number of scans.
+    * @param unionShards  legacy layout: one SCAN per group, unioned. Each
+    *        scan column-prunes to the columns its own group references, so
+    *        a registry whose queries cluster by column set can read less
+    *        per pass — but the input is read `ceil(n/maxPerProjection)`
+    *        times, which loses at scale (measured: see SCALE.md). Default
+    *        false = single-pass: ONE scan, per-group match arrays
+    *        concatenated and exploded once.
     * @return one row per (record, matching stored query):
     *         idCols :+ query_id, no row for non-matching records */
   def matches(df: DataFrame, stored: Seq[(String, QueryComponent)],
-      idCols: Seq[String], maxPerProjection: Int = 256): DataFrame = {
+      idCols: Seq[String], maxPerProjection: Int = 256,
+      unionShards: Boolean = false): DataFrame = {
     require(stored.nonEmpty, "percolator needs at least one stored query")
     require(maxPerProjection >= 1,
       s"maxPerProjection must be >= 1, got $maxPerProjection")
@@ -104,24 +115,85 @@ object Percolator {
     require(withMeta.isEmpty,
       s"stored queries must be pure predicates (no limit/orderBy/" +
         s"includes/excludes, at any nesting level): $withMeta")
-    // one fused projection per shard: qid where the query matches, NULL
+    // per-group fused match array: qid where the query matches, NULL
     // where not (NULL-safe: a NULL-valued predicate is a non-match, the
     // same exclusion a WHERE clause applies). Non-matches are dropped by
     // an isNotNull filter AFTER the explode rather than array_compact
     // BEFORE it: array_compact is a higher-order function (ArrayFilter,
     // CodegenFallback) that would exile the entire stage from whole-stage
     // codegen, while explode+filter pipelines inside one generated loop —
-    // the null entries never materialize. Shards union by position —
-    // every shard emits the identical idCols :+ query_id schema.
-    val shards = stored.grouped(maxPerProjection).map { group =>
-      val tagged: Seq[Column] = group.map { case (qid, q) =>
+    // the null entries never materialize.
+    def tagged(group: Seq[(String, QueryComponent)]): Seq[Column] =
+      group.map { case (qid, q) =>
         when(QueryCompiler.compileFor(df, q), lit(qid))
           .otherwise(lit(null).cast("string"))
       }
+    val groups = stored.grouped(maxPerProjection).toSeq
+    if (groups.size == 1) {
+      // small registry: one fused explode+filter projection — pipelines
+      // inside whole-stage codegen with whatever consumes the matches
       df.select(idCols.map(col) :+
-          explode(array(tagged: _*)).as("query_id"): _*)
+          explode(array(tagged(groups.head): _*)).as("query_id"): _*)
         .where(col("query_id").isNotNull)
+    } else if (unionShards) {
+      // legacy layout: one scan per group, unioned by position — every
+      // shard emits the identical idCols :+ query_id schema
+      groups.map { group =>
+        df.select(idCols.map(col) :+
+            explode(array(tagged(group): _*)).as("query_id"): _*)
+          .where(col("query_id").isNotNull)
+      }.reduce(_ union _)
+    } else {
+      // large registry, single pass: the custom [[graft.plans.PercolateNode]]
+      // operator. A giant fused projection is NOT an option — whole-stage
+      // codegen inlines every expression into one doConsume and refuses to
+      // split when inputs are pipelined local vars, so ~600 predicates
+      // overflow janino's 64KB method limit and the stage silently drops
+      // to interpreted eval. The custom exec compiles each ≤maxPerProjection
+      // shard into its own row-based UnsafeProjection (own class, split
+      // methods) and scans the input exactly once.
+      singlePass(df, stored, idCols, maxPerProjection)
     }
-    shards.reduce(_ union _)
+  }
+
+  /** Build the [[graft.plans.PercolateNode]] plan: predicates are analyzed
+    * exactly as a `select` would be (type coercion included) by round-
+    * tripping them through a probe projection, then grouped into shards
+    * over a column-pruned child. */
+  private def singlePass(df: DataFrame, stored: Seq[(String, QueryComponent)],
+      idCols: Seq[String], maxPerProjection: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = df.sparkSession
+    val probe = df.select(stored.zipWithIndex.map { case ((_, q), i) =>
+      QueryCompiler.compileFor(df, q).as(s"__graft_p$i")
+    }: _*)
+    val (aliased, childPlan) = probe.queryExecution.analyzed match {
+      case p: Project => (p.projectList, p.child)
+      case other => throw new IllegalStateException(
+        s"percolator probe did not analyze to a Project: ${other.nodeName}")
+    }
+    val preds = aliased.map {
+      case a: Alias => a.child
+      case e => e
+    }
+    val resolver = spark.sessionState.conf.resolver
+    val idAttrs = idCols.map { n =>
+      childPlan.output.find(a => resolver(a.name, n)).getOrElse(
+        throw new IllegalArgumentException(s"unknown idCol '$n'"))
+    }
+    // prune the scan to idCols + the columns the registry references,
+    // in child-output order (deterministic plan, parquet ReadSchema prunes)
+    val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      idAttrs ++ preds.flatMap(_.references))
+    val pruned =
+      if (refs.size == childPlan.output.size) childPlan
+      else Project(childPlan.output.filter(refs.contains), childPlan)
+    val qidAttr = AttributeReference("query_id",
+      org.apache.spark.sql.types.StringType, nullable = false)()
+    ColumnBridge.ofRows(spark, graft.plans.PercolateNode(
+      preds.grouped(maxPerProjection).toSeq, stored.map(_._1),
+      idAttrs, qidAttr, pruned))
   }
 }

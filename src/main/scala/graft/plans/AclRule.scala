@@ -75,8 +75,10 @@ case class AclInjectionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(AclInjectionRule.apply)
+    ext.injectPlannerStrategy(PercolateStrategy.apply)
+  }
 }
 
 object AclInjectionRule {

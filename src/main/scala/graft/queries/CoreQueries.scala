@@ -329,6 +329,24 @@ object CoreQueries {
           parsed, idCols = Seq("event_id"))
         .orderBy("event_id", "query_id")
     },
+    // ---- perc3: a 512-query registry — PAST maxPerProjection, so this is
+    // the oracle gate on the custom PercolateExec single-scan operator
+    // (graft/plans/Percolate.scala): one column-pruned scan, two row-based
+    // codegen'd predicate shards, never a per-shard re-read. The registry
+    // is parameterized (type = i%5, value ∈ [i%90, i%90+7)), so the DuckDB
+    // twin replays it as an events × range(512) theta-join — every stored
+    // query's semantics checked without 512 hand-written UNION arms ------
+    "perc3_percolate_large" -> { (s, dir) =>
+      val types = Seq("purchase", "click", "view", "error", "signup")
+      val reg = (0 until 512).map { i =>
+        val lo = (i % 90).toDouble
+        (f"q_$i%04d", Query.allOf().when("event_type", types(i % 5))
+          .rangeIn("value", lo, lo + 7.0))
+      }
+      graft.ops.Percolator.matches(Tables.t(s, dir, "events"),
+          reg, idCols = Seq("event_id"))
+        .orderBy("event_id", "query_id")
+    },
     // ---- st25: the SAME registry percolating a STREAM — the actual
     // alerting deployment shape (match-on-arrival): stateless narrow
     // projection, append mode, zero state; batch oracle = the truth ------
@@ -467,6 +485,17 @@ object CoreQueries {
     // the f1-f12-pinned clause semantics); st25 streams the same registry
     "perc1_percolate" -> percolateOracleSql,
     "perc2_percolate_json" -> percolateOracleSql,
+    // the parameterized 512-query registry as an events × range(512)
+    // theta-join: CASE replays type = i%5, the range replays [i%90, i%90+7)
+    "perc3_percolate_large" ->
+      ("SELECT e.event_id AS event_id, printf('q_%04d', i) AS query_id " +
+        "FROM events e JOIN range(512) AS r(i) ON " +
+        "e.event_type = (CASE CAST(i % 5 AS INTEGER) " +
+        "WHEN 0 THEN 'purchase' WHEN 1 THEN 'click' WHEN 2 THEN 'view' " +
+        "WHEN 3 THEN 'error' ELSE 'signup' END) " +
+        "AND e.value >= CAST(i % 90 AS DOUBLE) " +
+        "AND e.value < CAST(i % 90 AS DOUBLE) + 7 " +
+        "ORDER BY event_id, query_id"),
     "st25_stream_percolate" -> percolateOracleSql
   )
 

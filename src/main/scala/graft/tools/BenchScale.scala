@@ -419,7 +419,7 @@ object BenchScale {
     // per-(record × query) cost stays BOUNDED as the registry grows: the
     // 64× registry may cost ~64× wall, never quadratically more (a
     // registry-sized join or a codegen collapse would show here).
-    def percRun(n: Int): (Double, Double) = {
+    def percRun(n: Int, unionShards: Boolean = false): (Double, Double) = {
       val types = Seq("purchase", "click", "view", "error", "signup")
       val reg = (0 until n).map { i =>
         val lo = (i % 90).toDouble
@@ -427,12 +427,17 @@ object BenchScale {
           .when("event_type", types(i % 5)).rangeIn("value", lo, lo + 7.0))
       }
       val ev = Tables.t(spark, sf01, "events")
-      val df = graft.ops.Percolator.matches(ev, reg, Seq("event_id"))
+      val df = graft.ops.Percolator.matches(ev, reg, Seq("event_id"),
+        unionShards = unionShards)
       val firstRun = time(df.count()) // analysis + codegen + one pass
       (firstRun, bestOf(runs)(df.count()))
     }
     val (percFirst8, perc8) = percRun(8)
     val (percFirst512, perc512) = percRun(512)
+    // A/B the layouts at 512 (2 groups past maxPerProjection=256): the
+    // single-pass default must not lose to the legacy union-of-scans —
+    // same per-record predicate work, one scan instead of two
+    val (_, percUnion512) = percRun(512, unionShards = true)
     val percRatio = if (perc8 > 0) perc512 / perc8 else -1.0
     // per-query cost growth: exec ratio normalized by the 64× registry
     // growth — 1.0 = perfectly linear in queries; ~2 = constant-factor
@@ -442,6 +447,7 @@ object BenchScale {
     System.err.println(
       f"[scale] percolator registry 8q $perc8%.2fs 512q $perc512%.2fs " +
         f"exec ratio $percRatio%.2f per-query $percPerQuery%.2f " +
+        f"union-shards 512q $percUnion512%.2fs " +
         f"(first runs $percFirst8%.2f/$percFirst512%.2f)")
 
     // ---- ann12 corpus×corpus kNN scale path: cells ∝ √n (the classic IVF
@@ -517,6 +523,8 @@ object BenchScale {
       s""""exec_cost_ratio":${f(percRatio)},""" +
       s""""per_query_cost_ratio":${f(percPerQuery)},""" +
       s""""n8_first_run_sec":${f(percFirst8)},"n512_first_run_sec":${f(percFirst512)},""" +
+      s""""n512_union_shards_exec_sec":${f(percUnion512)},""" +
+      s""""single_pass_slower_than_union":${perc512 > percUnion512 * 1.5},""" +
       s""""registry_cost_superlinear":${percPerQuery > 4.0}}"""
     val knnJson =
       s"""{"cand_sf01":$knnC01,"cand_sf1":$knnC1,"cand_ratio":${f(knnCRatio)},""" +

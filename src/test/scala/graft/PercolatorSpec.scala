@@ -57,7 +57,7 @@ class PercolatorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("event_id"))
   }
 
-  test("large registries shard into unioned codegen'd projections (>=512)") {
+  test("large registries stay single-pass codegen'd; unionShards shards (>=512)") {
     val s = spark; import s.implicits._
     val types = Seq("purchase", "click", "view", "error")
     val data = (1L to 400L).map(i => (i, types((i % 4).toInt), (i % 97).toDouble))
@@ -75,29 +75,38 @@ class PercolatorSpec extends AnyFunSuite {
       if t == types(i % 4) && v >= lo && v < lo + 7.0
     } yield (id, qid(i))).toSet
     // janino failure must THROW here, not silently drop to interpreted
-    // projection — this is the assert that each shard stays codegen'd
+    // projection — this is the assert that the fused stage stays codegen'd
     val prev = s.conf.get("spark.sql.codegen.fallback", "true")
     s.conf.set("spark.sql.codegen.fallback", "false")
     try {
+      // DEFAULT single-pass: 600 queries in 128-query groups plan as the
+      // custom PercolateExec — ONE scan (no Union anywhere), each shard
+      // its own row-based codegen'd projection (fallback=false would make
+      // a janino failure throw at execution)
       val out = Percolator.matches(big, reg, Seq("event_id"),
         maxPerProjection = 128)
-      // 600 queries at 128/shard -> 5 fused projections, flattened to one Union
-      val u = out.queryExecution.optimizedPlan.collectFirst {
-        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
-      }
-      assert(u.isDefined && u.get.children.size == 5)
-      // every shard's explode+filter runs inside its own generated stage
-      val stages = out.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-      }
-      assert(stages.size == 5)
-      val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
-      assert(got === expected)
-      // a small registry stays a single fused projection (no Union wedge)
-      val small = Percolator.matches(big, reg.take(10), Seq("event_id"))
-      assert(small.queryExecution.optimizedPlan.collectFirst {
+      assert(out.queryExecution.optimizedPlan.collectFirst {
         case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
       }.isEmpty)
+      val percs = out.queryExecution.executedPlan.collect {
+        case p: graft.plans.PercolateExec => p
+      }
+      assert(percs.size == 1 && percs.head.shards.size == 5)
+      val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === expected)
+      // legacy unionShards: 600 queries at 128/shard -> 5 fused
+      // projections flattened to one Union, each shard its own stage
+      val uni = Percolator.matches(big, reg, Seq("event_id"),
+        maxPerProjection = 128, unionShards = true)
+      val u = uni.queryExecution.optimizedPlan.collectFirst {
+        case un: org.apache.spark.sql.catalyst.plans.logical.Union => un
+      }
+      assert(u.isDefined && u.get.children.size == 5)
+      assert(uni.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.size == 5)
+      val gotU = uni.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(gotU === expected)
     } finally s.conf.set("spark.sql.codegen.fallback", prev)
   }
 
@@ -120,6 +129,40 @@ class PercolatorSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("q_nested"))
   }
+  test("custom-node registries (>256) percolate under Structured Streaming") {
+    // the PercolateExec claim "drops into streaming unchanged": a 300-query
+    // registry (past maxPerProjection -> the custom plan node) over a file
+    // stream must equal the batch percolation of the same rows —
+    // IncrementalExecution picks up injected planner strategies too
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val types = Seq("purchase", "click", "view", "error")
+    val n = 300
+    val reg = (0 until n).map { i =>
+      val lo = (i % 90).toDouble
+      f"q_$i%04d" -> Query.allOf().when("event_type", types(i % 4))
+        .rangeIn("value", lo, lo + 7.0)
+    }
+    val data = (1L to 400L).map(i => (i, types((i % 4).toInt), (i % 97).toDouble))
+    val src = java.nio.file.Files.createTempDirectory("graft_perc_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_perc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_perc_ck").toString
+    data.toDF("event_id", "event_type", "value").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, value DOUBLE").parquet(src)
+    val q = Percolator.matches(stream, reg, Seq("event_id"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Percolator.matches(
+        data.toDF("event_id", "event_type", "value"), reg, Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("registryFromTable: persisted QueryJson rows load, compile, and match") {
     val s = spark; import s.implicits._
     val wire = registry.map { case (id, q) =>
