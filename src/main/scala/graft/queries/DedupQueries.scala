@@ -233,6 +233,22 @@ object DedupQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis): key =
+    // ln(u)/w with u hash-derived from the id (RNG-free — the oracle
+    // replays it exactly) and w = the quality weight (n_chars here); the
+    // global top-k by key IS a w-proportional sample. One narrow codegen'd
+    // projection + a distributed take-ordered — no corpus window, no
+    // shuffle beyond the top-k's; at 100 TB this is how you draw a
+    // quality-weighted training subset in one pass
+    "tx36_weighted_sample" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val u = (graft.dedup.TextDedup.md5Int(col("doc_id").cast("string"))
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (log(u) / col("n_chars")).cast(D6).cast("double").as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id")).limit(20)
+    },
     // exact edit-distance near-dup pairs over 24-char document prefixes:
     // q-gram prefix filtering (each row indexes only its 9 rarest grams —
     // exact per the destroyed-windows pigeonhole) + thresholded Levenshtein
@@ -568,6 +584,14 @@ object DedupQueries {
         s"(${md5IntSql("CAST(doc_id AS VARCHAR)")}) % 100 < " +
         "CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 " +
         "WHEN 'src2' THEN 90 ELSE 30 END ORDER BY doc_id"),
+    // same hash-derived u and ln(u)/w key, D6-rounded, doc_id tiebreak
+    "tx36_weighted_sample" ->
+      (s"SELECT doc_id, source, n_chars, es_key FROM (" +
+        "SELECT doc_id, source, n_chars, CAST(CAST(" +
+        s"ln((CAST((${md5IntSql("CAST(doc_id AS VARCHAR)")}) AS DOUBLE) + " +
+        "CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) / n_chars " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS es_key FROM documents) " +
+        "ORDER BY es_key DESC, doc_id LIMIT 20"),
     "dd3_simhash" ->
       s"$simhashCtePrefix SELECT doc_id, sh FROM s ORDER BY doc_id",
     "dd11_simhash_neardup" ->

@@ -370,6 +370,96 @@ object SearchQueries {
           concat_ws(" ", slice(col("toks"), col("start") + 1,
             col("fin") - col("start") + 1)).as("snippet"))
         .orderBy("doc_id")
+    },
+    // ---- idx9: hybrid retrieval via Reciprocal Rank Fusion — the
+    // keyword+vector fusion every RAG/search stack runs (ES's `rrf`
+    // retriever; score = Σ 1/(60+rank) over the two top-20 lists). Each
+    // leg is a distributed take-ordered (orderBy+limit, never a corpus
+    // window); rank windows then run over exactly 20 rows. The vector leg
+    // broadcasts the 1-row query embedding; the fuse is a 20×20-bounded
+    // full outer join on doc_id (= vec_id, the fixture's 1:1 key) --------
+    "idx9_rrf_hybrid" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val K = 20
+      val kwTop = bm25Raw(Tables.t(s, dir, "documents"))
+        .select(col("doc_id"), col("bm25_raw").cast(D6).cast("double").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(K)
+      val kw = kwTop.withColumn("kw_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val emb = Tables.t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val vecTop = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.cosine(col("embedding"), col("q_emb"))
+            .cast(D6).cast("double").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(K)
+      val vec = vecTop.withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      kw.select(col("doc_id"), col("kw_rank"))
+        .join(vec.select(col("vec_id").as("doc_id"), col("vec_rank")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          (coalesce(lit(1.0) / (lit(60) + col("kw_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+            .cast(D6).cast("double"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("kw_rank"), col("vec_rank"), col("rrf"))
+    },
+    // ---- idx10: significant-terms aggregation — ES's foreground-vs-
+    // background term analytics (JLH score = (fg% − bg%) · fg%/bg%), the
+    // "what is characteristic of this slice" op the reference's alert
+    // buckets surfaced through their search backend. One distinct over the
+    // (doc, token) presence grid, one token-keyed agg; corpus totals ride
+    // a broadcast 1-row aggregate -----------------------------------------
+    "idx10_significant_terms" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val docs = Tables.t(s, dir, "documents")
+      val grid = docs
+        .select(col("doc_id"), (col("lang") === "zh").as("fg"),
+          explode(tokens(col("text"))).as("token"))
+        .distinct()
+      val tot = docs.agg(count(lit(1)).as("n_all"),
+        sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("n_fg"))
+      grid.groupBy("token")
+        .agg(count(lit(1)).as("bg_df"),
+          sum(when(col("fg"), 1L).otherwise(0L)).as("fg_df"))
+        .filter(col("fg_df") >= 3)
+        .crossJoin(broadcast(tot))
+        .withColumn("fg_rate", col("fg_df").cast("double") / col("n_fg"))
+        .withColumn("bg_rate", col("bg_df").cast("double") / col("n_all"))
+        .withColumn("score", ((col("fg_rate") - col("bg_rate")) *
+          (col("fg_rate") / col("bg_rate"))).cast(D6).cast("double"))
+        .select(col("token"), col("fg_df"), col("bg_df"), col("score"))
+        .orderBy(col("score").desc, col("token")).limit(15)
+    },
+    // ---- idx11: more-like-this — ES's MLT query: pick the seed doc's
+    // top-5 tf·idf terms, score every other doc by Σ tf·idf over the
+    // shared terms. The seed's term table and the 5 selected terms ride
+    // broadcasts; only the 5 terms' postings ever shuffle (term-at-a-time,
+    // the idx2/idx3 shape); per-doc sums are order-free DECIMAL(28,12) ----
+    "idx11_more_like_this" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val docs = Tables.t(s, dir, "documents")
+      val tf = tfGrid(docs)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val seedTerms = tf.filter(col("doc_id") === 0)
+        .join(dfq, "token").crossJoin(broadcast(nDocs))
+        .withColumn("tscore", (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df")))
+          .cast(D6).cast("double"))
+        .orderBy(col("tscore").desc, col("token")).limit(5)
+        .select(col("token"), col("df"))
+      tf.join(broadcast(seedTerms), "token")
+        .filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(nDocs))
+        .withColumn("contrib", (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df"))).cast(D28))
+        .groupBy("doc_id")
+        .agg(sum(col("contrib")).cast("double").as("raw"))
+        .select(col("doc_id"), col("raw").cast(D6).cast("double").as("mlt_score"))
+        .orderBy(col("mlt_score").desc, col("doc_id")).limit(10)
     })
 
   val oracle: Map[String, String] = Map(
@@ -497,6 +587,63 @@ object SearchQueries {
         "f AS (SELECT doc_id, min(pos) AS p FROM u WHERE token = 'spark' GROUP BY doc_id) " +
         "SELECT d.doc_id AS doc_id, CAST(p AS BIGINT) AS first_pos, " +
         "array_to_string(toks[greatest(p - 3, 0) + 1 : least(p + 3, len(toks) - 1) + 1], ' ') AS snippet " +
-        "FROM d JOIN f ON d.doc_id = f.doc_id ORDER BY doc_id")
+        "FROM d JOIN f ON d.doc_id = f.doc_id ORDER BY doc_id"),
+    // RRF over the two top-20 legs; ranks on DECIMAL(18,6)-rounded scores
+    // (the idx7 convention), fused score = Σ 1/(60+rank), absent leg = 0
+    "idx9_rrf_hybrid" ->
+      ("WITH " + bm25Sql + ", " +
+        "kwr AS (SELECT doc_id, CAST(CAST(bm25_raw AS DECIMAL(18,6)) AS DOUBLE) AS bm25 FROM scores), " +
+        "kw AS (SELECT doc_id, kw_rank FROM (SELECT doc_id, " +
+        "row_number() OVER (ORDER BY bm25 DESC, doc_id) AS kw_rank FROM kwr) " +
+        "WHERE kw_rank <= 20), " +
+        "qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), " +
+        "cs AS (SELECT vec_id, CAST(CAST(" +
+        "list_dot_product(embedding::DOUBLE[], q_emb::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])))" +
+        " AS DECIMAL(18,6)) AS DOUBLE) AS cos FROM embeddings CROSS JOIN qv), " +
+        "vec AS (SELECT vec_id, vec_rank FROM (SELECT vec_id, " +
+        "row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank FROM cs) " +
+        "WHERE vec_rank <= 20), " +
+        "f AS (SELECT coalesce(kw.doc_id, vec.vec_id) AS doc_id, kw_rank, vec_rank " +
+        "FROM kw FULL JOIN vec ON kw.doc_id = vec.vec_id) " +
+        "SELECT doc_id, CAST(kw_rank AS INTEGER) AS kw_rank, " +
+        "CAST(vec_rank AS INTEGER) AS vec_rank, " +
+        "CAST(CAST(coalesce(CAST(1 AS DOUBLE) / (60 + kw_rank), CAST(0 AS DOUBLE)) + " +
+        "coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), CAST(0 AS DOUBLE)) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS rrf " +
+        "FROM f ORDER BY rrf DESC, doc_id LIMIT 10"),
+    // same presence grid / totals split; JLH on double rates, D6-rounded
+    "idx10_significant_terms" ->
+      ("WITH g AS (SELECT DISTINCT doc_id, fg, token FROM " +
+        "(SELECT doc_id, lang = 'zh' AS fg, unnest(string_split(text, ' ')) AS token FROM documents)), " +
+        "tot AS (SELECT count(*) AS n_all, " +
+        "CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_fg FROM documents), " +
+        "bt AS (SELECT token, count(*) AS bg_df, " +
+        "CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_df FROM g GROUP BY token) " +
+        "SELECT token, fg_df, bg_df, CAST(CAST(" +
+        "(CAST(fg_df AS DOUBLE) / n_fg - CAST(bg_df AS DOUBLE) / n_all) * " +
+        "((CAST(fg_df AS DOUBLE) / n_fg) / (CAST(bg_df AS DOUBLE) / n_all)) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS score " +
+        "FROM bt CROSS JOIN tot WHERE fg_df >= 3 " +
+        "ORDER BY score DESC, token LIMIT 15"),
+    // same top-5 seed-term pick (D6-rounded tf·idf, token tiebreak), same
+    // DECIMAL(28,12) order-free per-doc sum
+    "idx11_more_like_this" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "st AS (SELECT token, df FROM (" +
+        "SELECT t.token AS token, dfq.df AS df, " +
+        "CAST(CAST(CAST(t.tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / dfq.df) " +
+        "AS DECIMAL(18,6)) AS DOUBLE) AS tscore " +
+        "FROM tf t JOIN dfq USING (token) CROSS JOIN nd WHERE t.doc_id = 0) " +
+        "ORDER BY tscore DESC, token LIMIT 5), " +
+        "sc AS (SELECT t.doc_id, CAST(CAST(t.tf AS DOUBLE) * " +
+        "ln(CAST(n_docs AS DOUBLE) / st.df) AS DECIMAL(28,12)) AS contrib " +
+        "FROM tf t JOIN st USING (token) CROSS JOIN nd WHERE t.doc_id <> 0) " +
+        "SELECT doc_id, CAST(CAST(CAST(sum(contrib) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mlt_score " +
+        "FROM sc GROUP BY doc_id ORDER BY mlt_score DESC, doc_id LIMIT 10")
   )
 }
