@@ -482,6 +482,40 @@ object OpsQueries {
       graft.ops.SnapshotDiff.diff(snap(2), snap(3), Seq("user_id"))
         .orderBy("op", "user_id")
     },
+    // ---- cdc8: SCHEMA EVOLUTION on the partitioned store — the additive-
+    // column lakehouse feature: the rollup (n, total) absorbs a new
+    // `click_max` column via PartitionedStore.evolve, rewriting ONLY the
+    // partitions of users who clicked; every other user's parquet stays
+    // byte-untouched and reads the new column as NULL through the evolved
+    // schema. The oracle recomputes the final view relationally (purchase
+    // rollup LEFT JOIN click max) — NULL exactly where no click exists, so
+    // the result is partitioning-independent by construction and the
+    // untouched-partitions-read-NULL path is what the equality checks ----
+    "cdc8_schema_evolution" -> { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdc8").toString
+      val ps = new graft.store.PartitionedStore(s, root, Seq("user_id"), 16,
+        retainVersions = 3)
+      val ev = Tables.t(s, dir, "events")
+      ps.init(ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("total"))) // v1: the pre-evolution rollup
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(max(col("value").cast("decimal(18,2)")).as("click_max"))
+      // evolution trigger: stored users who clicked; their partitions only
+      val trigger = clicks.join(ps.read().select("user_id"), "user_id")
+      val touched = ps.touchedBy(trigger.select("user_id"))
+      require(touched.nonEmpty, "fixture invariant: some purchaser clicked")
+      ps.evolve(touched,
+        ps.readPartitions(touched).join(trigger, Seq("user_id"), "left")) // v2
+      ps.read()
+        .select(col("user_id"), col("n"),
+          col("total").cast("double").as("total"),
+          col("click_max").cast("double").as("click_max"))
+        .orderBy("user_id")
+    },
     // ---- cdc5: incremental JOIN maintenance — the view half of cdc4's
     // aggregate maintenance: a materialized orders⋈customer view absorbs
     // a CDC batch touching BOTH sides (order inserts/updates/deletes +
@@ -760,6 +794,18 @@ object OpsQueries {
         "FROM a FULL JOIN b ON a.user_id = b.user_id " +
         "WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.n <> b.n OR a.total <> b.total " +
         "ORDER BY op, user_id"),
+    // the evolved view recomputed relationally: click_max NULL exactly
+    // where no click exists — partitioning-independent, so the equality
+    // checks the untouched-partitions-read-NULL path
+    "cdc8_schema_evolution" ->
+      ("WITH p AS (SELECT user_id, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id), " +
+        "c AS (SELECT user_id, max(CAST(value AS DECIMAL(18,2))) AS click_max " +
+        "FROM events WHERE event_type = 'click' GROUP BY user_id) " +
+        "SELECT p.user_id AS user_id, n, CAST(total AS DOUBLE) AS total, " +
+        "CAST(click_max AS DOUBLE) AS click_max " +
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id ORDER BY user_id"),
     "cdc1_snapshot_diff" ->
       ("WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st FROM orders), " +
         "new AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 " +

@@ -46,6 +46,12 @@ import org.apache.spark.sql.functions._
   * never reclaimed; older manifests and their unshared dirs are deleted at
   * the next commit (retainVersions = 1 reproduces the old eager-reclaim
   * behavior exactly). Reading a vacuumed version fails loudly.
+  *
+  * Schema evolution ([[evolve]]): additive only — new columns append
+  * NULLABLE, committed like a refresh; untouched partitions' parquet is
+  * never rewritten (the explicit read schema fills missing columns with
+  * NULL), and per-evolution `schema.v<n>.json` files keep every retained
+  * version decodable with the schema in force at its commit.
   */
 final class PartitionedStore(val spark: SparkSession, val root: String,
     val keyCols: Seq[String], val nPartitions: Int,
@@ -83,6 +89,35 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
 
   private def versionedManifestPath(n: Int): Path =
     rootPath.resolve(s"manifest.v$n")
+
+  private def versionedSchemaPath(n: Int): Path =
+    rootPath.resolve(s"schema.v$n.json")
+
+  private def listVersionedSchemas(): Seq[Path] = {
+    if (!Files.exists(rootPath)) return Nil
+    val s = Files.list(rootPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p =>
+        p.getFileName.toString.matches("schema\\.v\\d+\\.json")).toSeq
+    } finally s.close()
+  }
+
+  /** The schema in force at `version`: the newest `schema.v<m>.json` with
+    * m ≤ version ([[evolve]] writes one per evolution; [[refresh]] writes
+    * none, so versions between evolutions resolve to the last one).
+    * Schema files are a few hundred bytes × evolution count — never
+    * data-sized — so they are retained for the store's whole lifetime
+    * and every retained manifest version stays decodable. */
+  private def schemaAsOf(version: Int): org.apache.spark.sql.types.StructType = {
+    val m = listVersionedSchemas()
+      .map(_.getFileName.toString.stripPrefix("schema.v").stripSuffix(".json").toInt)
+      .filter(_ <= version)
+    if (m.isEmpty) storedSchema
+    else org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(versionedSchemaPath(m.max)), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
 
   private def writeManifest(entries: Map[Int, String], version: Int): Unit = {
     Files.createDirectories(rootPath)
@@ -160,7 +195,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     require(version <= this.version(),
       s"version $version was never committed (current: ${this.version()})")
     val (_, m) = parseManifest(p)
-    spark.read.schema(storedSchema)
+    spark.read.schema(schemaAsOf(version))
       .parquet(m.values.toSeq.distinct.sorted.map(dirFor): _*)
   }
 
@@ -202,8 +237,10 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       i -> (if (Files.exists(rootPath.resolve(sub))) sub else emptyDir)
     }.toMap
     // overwrite semantics: a re-init starts the lineage over at v1, so any
-    // versioned manifests from a previous life must not resolve
+    // versioned manifests/schemas from a previous life must not resolve
     listVersionedManifests().foreach(Files.deleteIfExists)
+    listVersionedSchemas().foreach(Files.deleteIfExists)
+    Files.write(versionedSchemaPath(1), df.schema.json.getBytes("UTF-8"))
     writeManifest(written, version = 1)
   }
 
@@ -224,12 +261,6 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     *
     * I/O: write O(|touched partitions' rows|); nothing else moves. */
   def refresh(touched: Seq[Int], newState: DataFrame): Unit = {
-    require(touched.nonEmpty, "refresh with no touched partitions")
-    require(touched.distinct == touched, "duplicate touched ids")
-    require(Files.exists(manifestPath), s"store at $root not initialized")
-    val (oldVersion, old) = parseManifest(manifestPath)
-    require(old.nonEmpty, s"store at $root not initialized")
-    require(touched.forall(old.contains), "touched ids outside the store")
     // schema drift check BEFORE any write: a refresh whose frame decayed
     // (e.g. a lost DECIMAL cast → DOUBLE) would otherwise COMMIT parquet
     // the pinned-schema read path can never decode again — persistent
@@ -237,7 +268,53 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     require(newState.schema.map(f => (f.name, f.dataType)) ==
       storedSchema.map(f => (f.name, f.dataType)),
       s"refresh schema ${newState.schema.simpleString} does not match the " +
-        s"store's pinned schema ${storedSchema.simpleString}")
+        s"store's pinned schema ${storedSchema.simpleString} " +
+        "(adding columns is evolve()'s job)")
+    commitTouched(touched, newState, evolvedTo = None)
+  }
+
+  /** ADDITIVE schema evolution: commit the `touched` partitions (full new
+    * content, [[refresh]] semantics) under a WIDENED schema — every
+    * existing column kept at its exact type, new columns appended
+    * NULLABLE. Untouched partitions' parquet is not rewritten: the read
+    * path supplies the evolved schema explicitly, and the parquet reader
+    * fills columns missing from a file with NULL — so old data dirs decode
+    * as "new column = NULL" at zero write cost, the lakehouse additive-
+    * evolution contract. [[readAsOf]] earlier versions keeps decoding with
+    * the schema in force AT that commit (`schema.v<n>.json`, written per
+    * evolution), so time travel never shows a column before it existed.
+    *
+    * Commit order: the immutable versioned schema lands BEFORE the
+    * manifest swap (a reader that sees the new manifest can always
+    * resolve its schema); the current-schema pointer updates after. The
+    * only transient a racing reader can observe is the OLD schema over
+    * the new manifest — old columns of new dirs, a column-pruned view,
+    * never a decode error. */
+  def evolve(touched: Seq[Int], newState: DataFrame): Unit = {
+    val old = storedSchema
+    val byName = newState.schema.map(f => f.name -> f).toMap
+    old.foreach { f =>
+      val nf = byName.getOrElse(f.name, throw new IllegalArgumentException(
+        s"evolve drops column '${f.name}' — evolution is additive only"))
+      require(nf.dataType == f.dataType,
+        s"evolve changes column '${f.name}': ${f.dataType.sql} -> ${nf.dataType.sql}")
+    }
+    val added = newState.schema.filterNot(f => old.fieldNames.contains(f.name))
+    require(added.nonEmpty, "evolve with no added columns — use refresh()")
+    added.foreach(f => require(f.nullable,
+      s"added column '${f.name}' must be nullable — rows committed before " +
+        "the evolution read it as NULL"))
+    commitTouched(touched, newState, evolvedTo = Some(newState.schema))
+  }
+
+  private def commitTouched(touched: Seq[Int], newState: DataFrame,
+      evolvedTo: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    require(touched.nonEmpty, "refresh with no touched partitions")
+    require(touched.distinct == touched, "duplicate touched ids")
+    require(Files.exists(manifestPath), s"store at $root not initialized")
+    val (oldVersion, old) = parseManifest(manifestPath)
+    require(old.nonEmpty, s"store at $root not initialized")
+    require(touched.forall(old.contains), "touched ids outside the store")
     val stamp = s"refresh${System.nanoTime()}"
     try {
       val routed = newState.withColumn(PartCol, partitionId)
@@ -259,14 +336,33 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
         val sub = s"$stamp/$PartCol=$i"
         i -> (if (Files.exists(rootPath.resolve(sub))) sub else emptyDir)
       }.toMap
+      // an evolution's versioned schema is resolvable BEFORE any reader
+      // can see the manifest that needs it; a non-evolve commit clears any
+      // orphan at its version (a crash between an evolution's schema write
+      // and its manifest swap leaves one, which would otherwise mis-type
+      // this commit's time-travel reads)
+      evolvedTo match {
+        case Some(sc) => Files.write(
+          versionedSchemaPath(oldVersion + 1), sc.json.getBytes("UTF-8"))
+        case None =>
+          Files.deleteIfExists(versionedSchemaPath(oldVersion + 1)); ()
+      }
       writeManifest(entries, oldVersion + 1) // the single atomic visibility switch
     } catch {
       case e: Throwable =>
-        // commit never ran: tear the partial refresh dirs down, manifest
-        // (and so every reader) stays on the old view
+        // commit never ran: tear the partial refresh dirs down (and any
+        // just-written orphan schema), manifest (and so every reader)
+        // stays on the old view
         deleteDirQuiet(rootPath.resolve(stamp))
+        evolvedTo.foreach(_ =>
+          Files.deleteIfExists(versionedSchemaPath(oldVersion + 1)))
         throw e
     }
+    // current-schema pointer: POST-commit (once the manifest swapped, the
+    // evolution is committed and must never be rolled back by the catch
+    // above). A reader between the two swaps sees the old schema over the
+    // new manifest — pruned columns, never a decode error.
+    evolvedTo.foreach(sc => Files.write(schemaPath, sc.json.getBytes("UTF-8")))
     // retention sweep (post-commit; same bounded race with in-flight
     // readers as BucketStore.bufferAndPromote): versions older than the
     // last `retainVersions` lose their manifest.v file, then any stamp dir

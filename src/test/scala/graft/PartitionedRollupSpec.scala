@@ -189,6 +189,55 @@ class PartitionedRollupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ps.readAsOf(2) }
   }
 
+  test("schema evolution: additive column committed with touched partitions " +
+      "only; old rows read NULL; time travel keeps each version's schema") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 8,
+      retainVersions = 4)
+    ps.init(state(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))) // v1
+    // v2: EVOLVE — add nullable w, rewriting only keys-1,2's partitions
+    val touched = ps.touchedBy(Seq(Tuple1(1L), Tuple1(2L)).toDF("k"))
+    val evolved = ps.readPartitions(touched).withColumn("w",
+      when(col("k") === 1, 100L).when(col("k") === 2, 200L)
+        .otherwise(lit(null).cast("long")))
+    ps.evolve(touched, evolved)
+    assert(ps.version() === 2)
+    // current read: evolved schema everywhere; untouched partitions'
+    // parquet was NOT rewritten — their rows surface w = NULL
+    assert(ps.read().columns.toSeq === Seq("k", "v", "w"))
+    val got = ps.read().as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((10L, Some(100L))), 2L -> ((20L, Some(200L))),
+      3L -> ((30L, None)), 4L -> ((40L, None))))
+    // time travel BEFORE the evolution: the column does not exist yet
+    assert(ps.readAsOf(1).columns.toSeq === Seq("k", "v"))
+    assert(ps.readAsOf(1).as[(Long, Long)].collect().toMap ===
+      Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    // the pinned schema moved: an old-shape refresh is now rejected...
+    val e = intercept[IllegalArgumentException] {
+      ps.refresh(touched, state(Seq((1L, 12L))))
+    }
+    assert(e.getMessage.contains("does not match"))
+    // ...and a new-shape refresh (v3, no schema version written) keeps
+    // resolving the evolved schema for both current and as-of reads
+    val t2 = ps.touchedBy(Seq(Tuple1(1L)).toDF("k"))
+    ps.refresh(t2, ps.readPartitions(t2).withColumn("w",
+      when(col("k") === 1, 101L).otherwise(col("w"))))
+    assert(ps.readAsOf(3).columns.toSeq === Seq("k", "v", "w"))
+    assert(ps.readAsOf(1).columns.toSeq === Seq("k", "v"))
+    // guards: dropped column / type change / non-nullable add / no-op
+    val cur = ps.readPartitions(touched)
+    intercept[IllegalArgumentException] { ps.evolve(touched, cur.drop("w")) }
+    intercept[IllegalArgumentException] {
+      ps.evolve(touched, cur.withColumn("v", col("v").cast("int"))
+        .withColumn("x", lit(null).cast("long")))
+    }
+    intercept[IllegalArgumentException] {
+      ps.evolve(touched, cur.withColumn("x", lit(1L))) // non-nullable
+    }
+    intercept[IllegalArgumentException] { ps.evolve(touched, cur) } // no adds
+  }
+
   test("partition routing agrees between state and delta by construction") {
     val ps = newStore(16)
     val keys = (0L until 200L).map(k => Tuple1(k)).toDF("k")
