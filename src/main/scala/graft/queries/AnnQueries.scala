@@ -86,6 +86,36 @@ object AnnQueries {
       Ann.ivfTopK(e.filter(col("vec_id") < 8), e, cents, k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
+    // ---- ann13: PERSISTED IVF index, partition-pruned serving — the
+    // index IS the storage layout: the corpus persists partitionBy(cell)
+    // (one directory per coarse cell, assignment = one min_by argmin, no
+    // window), and the query path's probe filter reaches the reader as a
+    // partition-DIRECTORY prune: probing p of C cells reads p/C of the
+    // corpus off disk (IvfPrunedSpec asserts the PartitionFilters plan
+    // shape at bounded nprobe + pins recall). Exhaustive probes here →
+    // provably exact → the ann1 top-k SQL is the oracle, pinning
+    // build→persist→read-back→probe→rerank end to end -------------------
+    "ann13_ivf_pruned" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val cent = cents.select(col("cent_id").as("cent"), col("cent_vec").as("cv"))
+      val assigned = e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cent"),
+          graft.functions.VectorFunctions.l2sq(col("embedding"), col("cv")).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cent"), col("embedding")),
+          struct(col("d2"), col("cent"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.cent").as("cell"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ann13").toString
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(idx)
+      val stored = s.read.parquet(idx)
+      Ann.ivfTopKPruned(stored, e.filter(col("vec_id") < 8), cents,
+          k = 3, nprobe = 8)
+        .orderBy("q_id", "rank")
+    },
     // Product quantization: train 8×16 sub-codebooks (one Lloyd's job per
     // iteration covers all subspaces), NARROW-encode the corpus to 8 codes,
     // ADC-scan against broadcast per-query distance tables. rerank=∞ means
@@ -716,6 +746,14 @@ object AnnQueries {
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // full-probe IVF is exhaustive → identical to the exact top-k
     "ann4_ivf_trained" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // exhaustive probes over the persisted index ≡ the exact top-k
+    "ann13_ivf_pruned" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
         s"$cosSql AS sim, " +

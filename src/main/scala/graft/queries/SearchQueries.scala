@@ -432,6 +432,32 @@ object SearchQueries {
         .select(col("token"), col("fg_df"), col("bg_df"), col("score"))
         .orderBy(col("score").desc, col("token")).limit(15)
     },
+    // ---- idx12: deep pagination via search_after (keyset) — ES's
+    // scroll/search_after contract: page N+1 filters strictly-after the
+    // last hit of page N on the (score, doc_id) total order, then takes
+    // its page with a distributed take-ordered. O(page) work per page —
+    // no rank window over the candidate set, no offset re-scan; the
+    // oracle IS the offset formulation (rank 11..15), so keyset ≡ offset
+    // is the checked contract ---------------------------------------------
+    "idx12_search_after" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val scored = bm25Raw(Tables.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("bm25_raw").cast(D6).cast("double").as("bm25"))
+      // the cursor: last hit of page 2 (rows 1-10) — a 10-row take-ordered
+      // then a 1-row take-ordered, both distributed, both tiny
+      val cursor = scored.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .orderBy(col("bm25").asc, col("doc_id").desc).limit(1)
+        .select(col("bm25").as("c_bm25"), col("doc_id").as("c_doc"))
+      val page3 = scored.crossJoin(broadcast(cursor))
+        .filter(col("bm25") < col("c_bm25") ||
+          (col("bm25") === col("c_bm25") && col("doc_id") > col("c_doc")))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+      page3.withColumn("rank", (row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))) + 10).cast("int"))
+        .select(col("rank"), col("doc_id"), col("bm25"))
+        .orderBy("rank")
+    },
     // ---- idx11: more-like-this — ES's MLT query: pick the seed doc's
     // top-5 tf·idf terms, score every other doc by Σ tf·idf over the
     // shared terms. The seed's term table and the 5 selected terms ride
@@ -627,6 +653,14 @@ object SearchQueries {
         "AS DECIMAL(18,6)) AS DOUBLE) AS score " +
         "FROM bt CROSS JOIN tot WHERE fg_df >= 3 " +
         "ORDER BY score DESC, token LIMIT 15"),
+    // the OFFSET formulation of the same page: global rank 11..15 — keyset
+    // pagination must be indistinguishable from it
+    "idx12_search_after" ->
+      ("WITH " + bm25Sql + ", " +
+        "r AS (SELECT doc_id, CAST(CAST(bm25_raw AS DECIMAL(18,6)) AS DOUBLE) AS bm25 FROM scores) " +
+        "SELECT CAST(rank AS INTEGER) AS rank, doc_id, bm25 FROM (" +
+        "SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM r) " +
+        "WHERE rank BETWEEN 11 AND 15 ORDER BY rank"),
     // same top-5 seed-term pick (D6-rounded tf·idf, token tiebreak), same
     // DECIMAL(28,12) order-free per-doc sum
     "idx11_more_like_this" ->

@@ -224,6 +224,56 @@ object Ann {
       .select("q_id", "c_id")
   }
 
+  /** Serving path over a PERSISTED IVF index: `stored` is the corpus
+    * written `partitionBy(cellCol)` (the index IS the physical layout —
+    * one directory per coarse cell), so the probe filter below reaches the
+    * reader as a partition-directory prune: a query batch probing p of C
+    * cells READS p/C of the corpus, no row-level filtering needed. This is
+    * the 100 TB serving story — at C ∝ √n with bounded nprobe, a query
+    * touches O(√n) vectors of storage, and st27-style streaming serving
+    * gets the same layout for free.
+    *
+    * The probe union is collected to the driver — bounded control state
+    * (≤ nprobe × |queries| ints, never data-sized). Per-query correctness
+    * rides the (cell) equi-join against the broadcast probe set; the
+    * `isin` filter is the scan-level superset prune. `nprobe = |cells|`
+    * probes everything (provably exact — the oracle config, the ann4
+    * pattern); bounded nprobe is the approximate path whose recall and
+    * pruned-scan shape IvfPrunedSpec pins. */
+  def ivfTopKPruned(stored: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int = 2,
+      cellCol: String = "cell",
+      qId: String = "vec_id", qVec: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding",
+      centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k/nprobe must be >= 1: $k/$nprobe")
+    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+      .join(broadcast(cent))
+      .withColumn("d2", l2sq(col("q_vec"), col("cv")))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("cent"))
+    val probesDf = q.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe).select("q_id", "q_vec", "cent")
+    // probe literals take the PARTITION column's own type (a string when
+    // read back from a partitionBy layout) — a cast on the column side
+    // would defeat partition pruning
+    val cellType = stored.schema(cellCol).dataType
+    val probesRaw = probesDf.select("cent").distinct().collect().map(_.get(0))
+    val probes: Seq[Any] =
+      if (cellType == org.apache.spark.sql.types.StringType)
+        probesRaw.map(String.valueOf).toSeq
+      else probesRaw.toSeq
+    val cand = stored
+      .filter(col(cellCol).isInCollection(probes)) // partition-dir prune
+      .join(broadcast(probesDf.select(col("q_id"), col("q_vec"),
+        col("cent").cast(cellType).as(cellCol))), Seq(cellCol))
+      .withColumn("sim", cosine(col("q_vec"), col(cVec)))
+    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col(cId))
+    cand.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(cId).as("c_id"), col("sim"), col("rank"))
+  }
+
   /** IVF-style: `centroids` (small, broadcast) define cells; every corpus
     * vector is assigned to its nearest centroid once (narrow projection +
     * small broadcast join); queries probe their `nprobe` nearest cells. */

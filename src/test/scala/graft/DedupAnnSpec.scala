@@ -267,4 +267,58 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(dup == 0, s"$dup duplicated candidate pairs")
     corpus.unpersist()
   }
+
+  test("ivfTopKPruned: probe filter prunes the persisted index at the " +
+      "partition-directory level; exhaustive equals exact; recall bounded") {
+    import graft.similarity.KMeans
+    val cents = KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val cent = cents.select(col("cent_id").as("cent"), col("cent_vec").as("cv"))
+    val assigned = emb.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent"),
+        graft.functions.VectorFunctions.l2sq(col("embedding"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cent"), col("embedding")),
+        struct(col("d2"), col("cent"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cent").as("cell"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfp").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(idx)
+    val stored = spark.read.parquet(idx)
+    val oneQ = emb.filter(col("vec_id") === 0)
+    // bounded nprobe: the probe filter must land in PartitionFilters (a
+    // directory prune), NOT as a post-scan row filter
+    val pruned = Ann.ivfTopKPruned(stored, oneQ, cents, k = 3, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfp")) => f
+    }
+    assert(scans.nonEmpty, "no scan over the persisted index found")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"probe filter did not reach PartitionFilters: ${f.partitionFilters}")
+      // 2 probed cells of 8 → the pruned scan reads a strict subset
+      assert(f.selectedPartitions.partitionCount <= 2 &&
+        f.selectedPartitions.partitionCount < 8,
+        s"expected <=2 of 8 cell dirs, read ${f.selectedPartitions.partitionCount}")
+    }
+    // exhaustive probes over the SAME persisted layout == exact top-k
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val q8 = emb.filter(col("vec_id") < 8)
+    val exact = pairs(Ann.bruteForceTopK(q8, emb, k = 3))
+    val exhaustive = pairs(Ann.ivfTopKPruned(stored, q8, cents, k = 3, nprobe = 8))
+    assert(exhaustive === exact)
+    // bounded nprobe keeps useful recall (same floor as knnJoin's gate)
+    val approx = pairs(Ann.ivfTopKPruned(stored, q8, cents, k = 3, nprobe = 2))
+    val keys = (s: Set[(Long, Long, Int)]) => s.map(t => (t._1, t._2))
+    val recall = keys(approx).intersect(keys(exact)).size.toDouble /
+      keys(exact).size
+    assert(recall >= 0.5, s"pruned-serving recall collapsed: $recall")
+  }
 }
