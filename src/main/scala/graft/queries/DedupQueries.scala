@@ -373,6 +373,42 @@ object DedupQueries {
     // runs the approximate config (cells ∝ √n, bounded nprobe), where the
     // candidate counters in BENCH_SCALE pin the n^1.5 growth. Output =
     // every vector with its component and keep flag --------------------
+    // ---- dd18: EXACT duplicated-substring removal (Lee et al. 2021's
+    // "Deduplicating Training Data" op, re-shaped for Spark): every
+    // W-token window that occurs >= 2 times anywhere in the corpus
+    // (within- OR cross-document) marks its span; spans merge implicitly
+    // via a per-doc rolling max over the last W positions (no interval
+    // join, no gaps-and-islands); output = cleaned text + removed count.
+    // Shuffles: one on the window key (group + co-keyed semi-join), one
+    // per-doc (the rolling mask + reassembly) — every window is bounded
+    // by the doc length, nothing is corpus-sized. Pure integer/string
+    // ops: bit-exact cross-engine, no rounding anywhere ------------------
+    "dd18_exact_substring_removal" -> { (s, dir) =>
+      val W = 12
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      val pos = docs.select(col("doc_id"), col("toks"),
+        posexplode(col("toks"))).toDF("doc_id", "toks", "pos", "tok")
+      val wins = pos.filter(col("pos") + W <= size(col("toks")))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(W))).as("key"))
+      val dup = wins.groupBy("key").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("key")
+      val starts = wins.join(dup, Seq("key"), "left_semi")
+        .select(col("doc_id"), col("pos"), lit(1).as("sflag"))
+      val mask = pos.select("doc_id", "pos", "tok")
+        .join(starts, Seq("doc_id", "pos"), "left")
+        .withColumn("rm", max(col("sflag")).over(
+          Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(-(W - 1), 0)))
+      mask.groupBy("doc_id")
+        .agg(count(when(col("rm") === 1, 1)).as("n_removed"),
+          array_join(transform(sort_array(collect_list(
+            when(col("rm").isNull, struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")), " ").as("clean_text"))
+        .orderBy("doc_id")
+    },
     "dd17_semdedup" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
       val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
@@ -426,6 +462,23 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     // the exhaustive knn edge set recomputed naively (all-pairs rank ≤ 3 at
     // sim >= 0.40), then min-reachable-id components via a recursive CTE —
+    // same windows, same rolling mask; string_agg FILTER reassembles the
+    // kept tokens, coalesced to '' for a fully-removed doc
+    "dd18_exact_substring_removal" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, toks, generate_subscripts(toks, 1) - 1 AS pos, " +
+        "unnest(toks) AS tok FROM d), " +
+        "w AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+12], ' ') AS key " +
+        "FROM p WHERE pos + 12 <= len(toks)), " +
+        "dup AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2), " +
+        "st AS (SELECT doc_id, pos, 1 AS sflag FROM w SEMI JOIN dup USING (key)), " +
+        "m AS (SELECT p.doc_id AS doc_id, p.pos AS pos, p.tok AS tok, " +
+        "max(sflag) OVER (PARTITION BY p.doc_id ORDER BY p.pos " +
+        "ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS rm " +
+        "FROM p LEFT JOIN st ON p.doc_id = st.doc_id AND p.pos = st.pos) " +
+        "SELECT doc_id, CAST(count(*) FILTER (WHERE rm = 1) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE rm IS NULL), '') AS clean_text " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"),
     // the dd8 pattern over ann12's graph
     "dd17_semdedup" -> {
       val cosSql =

@@ -152,7 +152,17 @@ object BenchScale {
     // (exhaustive-probe) config — quadratic BY CONSTRUCTION, so it is NOT
     // timed here; its scale path (√n cells, bounded nprobe) is gated by
     // the candidate counter + timed run below with the n^1.5 model
-    "st25_stream_percolate")
+    "st25_stream_percolate",
+    // round-12 session-2: dd18's window grid is corpus-token-sized and
+    // every shuffle co-keys on the 12-gram or the doc — gated to pin the
+    // grid stays token-linear (a window-key skew blowup would show).
+    // ann13 is train + persist-partitioned-by-cell + exhaustive-probe
+    // read-back: the build is the dominant cost and must stay linear.
+    // perc3 is the 512-query custom PercolateExec over 10× records —
+    // the single-scan claim against record growth (the registry-growth
+    // A/B below pins it against registry growth)
+    "dd18_exact_substring_removal", "ann13_ivf_pruned",
+    "perc3_percolate_large")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
