@@ -81,8 +81,9 @@ object Percolator {
     *        a registry whose queries cluster by column set can read less
     *        per pass — but the input is read `ceil(n/maxPerProjection)`
     *        times, which loses at scale (measured: see SCALE.md). Default
-    *        false = single-pass: ONE scan, per-group match arrays
-    *        concatenated and exploded once.
+    *        false: one group stays the fused explode projection; more
+    *        groups plan as the single-scan [[graft.plans.PercolateNode]]
+    *        custom operator (per-group row-based codegen'd projections).
     * @return one row per (record, matching stored query):
     *         idCols :+ query_id, no row for non-matching records */
   def matches(df: DataFrame, stored: Seq[(String, QueryComponent)],
@@ -129,15 +130,11 @@ object Percolator {
           .otherwise(lit(null).cast("string"))
       }
     val groups = stored.grouped(maxPerProjection).toSeq
-    if (groups.size == 1) {
-      // small registry: one fused explode+filter projection — pipelines
-      // inside whole-stage codegen with whatever consumes the matches
-      df.select(idCols.map(col) :+
-          explode(array(tagged(groups.head): _*)).as("query_id"): _*)
-        .where(col("query_id").isNotNull)
-    } else if (unionShards) {
-      // legacy layout: one scan per group, unioned by position — every
-      // shard emits the identical idCols :+ query_id schema
+    if (groups.size == 1 || unionShards) {
+      // one group: a single fused explode+filter projection that pipelines
+      // inside whole-stage codegen with whatever consumes the matches.
+      // unionShards: the legacy layout — the same projection once per
+      // group, unioned by position (a 1-element reduce inserts no Union)
       groups.map { group =>
         df.select(idCols.map(col) :+
             explode(array(tagged(group): _*)).as("query_id"): _*)
@@ -180,8 +177,15 @@ object Percolator {
     }
     val resolver = spark.sessionState.conf.resolver
     val idAttrs = idCols.map { n =>
-      childPlan.output.find(a => resolver(a.name, n)).getOrElse(
-        throw new IllegalArgumentException(s"unknown idCol '$n'"))
+      // all matches, not the first: a duplicate-named column (e.g. from a
+      // join) must fail loudly here exactly as df.select(col(n)) would on
+      // the fused path — never silently bind one side
+      childPlan.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(s"unknown idCol '$n'")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous idCol '$n': ${many.size} columns match")
+      }
     }
     // prune the scan to idCols + the columns the registry references,
     // in child-output order (deterministic plan, parquet ReadSchema prunes)

@@ -99,15 +99,7 @@ object AnnQueries {
       val e = Tables.t(s, dir, "embeddings")
       val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
         k = 8, iters = 3)
-      val cent = cents.select(col("cent_id").as("cent"), col("cent_vec").as("cv"))
-      val assigned = e.join(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cent"),
-          graft.functions.VectorFunctions.l2sq(col("embedding"), col("cv")).as("d2"))
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("cent"), col("embedding")),
-          struct(col("d2"), col("cent"))).as("m"))
-        .select(col("vec_id"), col("m.embedding").as("embedding"),
-          col("m.cent").as("cell"))
+      val assigned = Ann.assignCells(e, cents)
       val idx = java.nio.file.Files
         .createTempDirectory("graft_ann13").toString
       assigned.write.mode("overwrite").partitionBy("cell").parquet(idx)

@@ -224,6 +224,28 @@ object Ann {
       .select("q_id", "c_id")
   }
 
+  /** Nearest-cell assignment — THE index-build step shared by the
+    * persisted-IVF path (q:ann13) and its spec: one broadcast centroid
+    * join + a `min_by` argmin over the (d2, cell) total order
+    * (deterministic ties), the vector riding in the payload struct so no
+    * second join re-attaches it. One partial-aggregated shuffle of n thin
+    * rows; no window. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centId: String = "cent_id", centVec: String = "cent_vec",
+      cellCol: String = "cell"): DataFrame = {
+    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("cent"),
+        l2sq(col(vecCol), col("cv")).as("d2"))
+      .groupBy(idCol)
+      .agg(min_by(struct(col("cent"), col(vecCol)),
+        struct(col("d2"), col("cent"))).as("m"))
+      .select(col(idCol), col(s"m.$vecCol").as(vecCol),
+        col("m.cent").as(cellCol))
+  }
+
   /** Serving path over a PERSISTED IVF index: `stored` is the corpus
     * written `partitionBy(cellCol)` (the index IS the physical layout —
     * one directory per coarse cell), so the probe filter below reaches the
@@ -254,18 +276,27 @@ object Ann {
     val w = Window.partitionBy("q_id").orderBy(col("d2"), col("cent"))
     val probesDf = q.withColumn("crank", row_number().over(w))
       .filter(col("crank") <= nprobe).select("q_id", "q_vec", "cent")
+    // ONE execution of the assignment pipeline: the collected rows feed
+    // both the driver-side probe-cell list AND (as a local relation) the
+    // broadcast join side — the query batch is broadcast-sized by
+    // contract, so materializing it on the driver costs what the
+    // broadcast costs anyway
+    val probeRows = probesDf.collect()
+    val spark = stored.sparkSession
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesDf.schema)
     // probe literals take the PARTITION column's own type (a string when
     // read back from a partitionBy layout) — a cast on the column side
     // would defeat partition pruning
     val cellType = stored.schema(cellCol).dataType
-    val probesRaw = probesDf.select("cent").distinct().collect().map(_.get(0))
+    val probesRaw = probeRows.map(_.getAs[Any]("cent")).distinct
     val probes: Seq[Any] =
       if (cellType == org.apache.spark.sql.types.StringType)
         probesRaw.map(String.valueOf).toSeq
       else probesRaw.toSeq
     val cand = stored
       .filter(col(cellCol).isInCollection(probes)) // partition-dir prune
-      .join(broadcast(probesDf.select(col("q_id"), col("q_vec"),
+      .join(broadcast(probesLocal.select(col("q_id"), col("q_vec"),
         col("cent").cast(cellType).as(cellCol))), Seq(cellCol))
       .withColumn("sim", cosine(col("q_vec"), col(cVec)))
     val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col(cId))

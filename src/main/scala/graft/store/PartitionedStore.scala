@@ -67,17 +67,39 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
   private def manifestPath: Path = rootPath.resolve("manifest")
   private def schemaPath: Path = rootPath.resolve("schema.json")
 
+  private def readSchemaFile(p: Path): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Small-file write with the same atomicity discipline as the manifest:
+    * tmp + ATOMIC_MOVE, so a racing reader sees the old bytes or the new
+    * bytes, never a truncated file. */
+  private def writeFileAtomic(p: Path, body: Array[Byte]): Unit = {
+    val tmp = rootPath.resolve(s".tmp${System.nanoTime()}")
+    Files.write(tmp, body)
+    Files.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** State schema as persisted at init. Every read supplies it explicitly:
     * whether Spark emits a schema-bearing parquet file for an EMPTY write
     * varies with the plan shape (an empty LocalRelation writes one, an
     * empty aggregate may write none), so schema inference over a fresh or
     * sparsely-populated store would be flaky — and a pinned schema also
-    * freezes the contract against inference drift across refreshes. */
+    * freezes the contract against inference drift across refreshes.
+    *
+    * Once a manifest exists, the AUTHORITATIVE source is the newest
+    * `schema.v<m>.json` with m ≤ the committed version, NOT the
+    * `schema.json` pointer: [[evolve]] writes the versioned schema BEFORE
+    * its manifest swap and the pointer after, so a crash in that window
+    * must not leave a committed evolution invisible to read()/refresh()
+    * while readAsOf(version()) already resolves it. `schema.json` remains
+    * the bootstrap/compat source for a store with no versioned files. */
   private def storedSchema: org.apache.spark.sql.types.StructType = {
     require(Files.exists(schemaPath), s"store at $root not initialized")
-    org.apache.spark.sql.types.DataType
-      .fromJson(new String(Files.readAllBytes(schemaPath), "UTF-8"))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (Files.exists(manifestPath)) schemaAsOf(parseManifest(manifestPath)._1)
+    else readSchemaFile(schemaPath)
   }
 
   /** The partition id of a row, as a Catalyst column — same expression for
@@ -113,10 +135,8 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     val m = listVersionedSchemas()
       .map(_.getFileName.toString.stripPrefix("schema.v").stripSuffix(".json").toInt)
       .filter(_ <= version)
-    if (m.isEmpty) storedSchema
-    else org.apache.spark.sql.types.DataType
-      .fromJson(new String(Files.readAllBytes(versionedSchemaPath(m.max)), "UTF-8"))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (m.isEmpty) readSchemaFile(schemaPath) // pre-versioning store
+    else readSchemaFile(versionedSchemaPath(m.max))
   }
 
   private def writeManifest(entries: Map[Int, String], version: Int): Unit = {
@@ -221,7 +241,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     require(!df.columns.contains(PartCol), s"$PartCol is reserved")
     val stamp = s"init${System.nanoTime()}"
     Files.createDirectories(rootPath)
-    Files.write(schemaPath, df.schema.json.getBytes("UTF-8"))
+    writeFileAtomic(schemaPath, df.schema.json.getBytes("UTF-8"))
     val routed = df.withColumn(PartCol, partitionId)
     // one job: repartition BY the id so each partition value lands
     // co-located and emits its own file set under <stamp>/__kp=<i>
@@ -240,7 +260,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     // versioned manifests/schemas from a previous life must not resolve
     listVersionedManifests().foreach(Files.deleteIfExists)
     listVersionedSchemas().foreach(Files.deleteIfExists)
-    Files.write(versionedSchemaPath(1), df.schema.json.getBytes("UTF-8"))
+    writeFileAtomic(versionedSchemaPath(1), df.schema.json.getBytes("UTF-8"))
     writeManifest(written, version = 1)
   }
 
@@ -342,7 +362,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       // and its manifest swap leaves one, which would otherwise mis-type
       // this commit's time-travel reads)
       evolvedTo match {
-        case Some(sc) => Files.write(
+        case Some(sc) => writeFileAtomic(
           versionedSchemaPath(oldVersion + 1), sc.json.getBytes("UTF-8"))
         case None =>
           Files.deleteIfExists(versionedSchemaPath(oldVersion + 1)); ()
@@ -362,7 +382,8 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     // evolution is committed and must never be rolled back by the catch
     // above). A reader between the two swaps sees the old schema over the
     // new manifest — pruned columns, never a decode error.
-    evolvedTo.foreach(sc => Files.write(schemaPath, sc.json.getBytes("UTF-8")))
+    evolvedTo.foreach(sc =>
+      writeFileAtomic(schemaPath, sc.json.getBytes("UTF-8")))
     // retention sweep (post-commit; same bounded race with in-flight
     // readers as BucketStore.bufferAndPromote): versions older than the
     // last `retainVersions` lose their manifest.v file, then any stamp dir

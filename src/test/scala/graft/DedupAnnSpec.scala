@@ -272,15 +272,7 @@ class DedupAnnSpec extends AnyFunSuite {
       "partition-directory level; exhaustive equals exact; recall bounded") {
     import graft.similarity.KMeans
     val cents = KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 3)
-    val cent = cents.select(col("cent_id").as("cent"), col("cent_vec").as("cv"))
-    val assigned = emb.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cent"),
-        graft.functions.VectorFunctions.l2sq(col("embedding"), col("cv")).as("d2"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cent"), col("embedding")),
-        struct(col("d2"), col("cent"))).as("m"))
-      .select(col("vec_id"), col("m.embedding").as("embedding"),
-        col("m.cent").as("cell"))
+    val assigned = Ann.assignCells(emb, cents)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivfp").toString
     assigned.write.mode("overwrite").partitionBy("cell").parquet(idx)
     val stored = spark.read.parquet(idx)
