@@ -44,9 +44,17 @@ import scala.collection.mutable
   *    or via `new` (the only two `new` targets — each desugars to the
   *    factory call; `new` on anything else fails at parse time).
   *
-  * Deliberately ABSENT for determinism: `Date`, `Math.random`,
-  * prototypes, `this`, getters, `new` beyond the two factories above,
-  * and the global object — a script touching them fails loudly. Numbers
+  *  - a deterministic UTC-only `Date` subset: `new Date(ms)` /
+  *    `new Date(isoString)` / `Date.UTC(...)` / `Date.parse(iso)`,
+  *    `getTime`, the `getUTC*` accessors and `toISOString`. The
+  *    nondeterministic forms stay out — `Date.now()`, zero-argument
+  *    `new Date()` and every LOCAL-time accessor fail loudly with a
+  *    pointer at the deterministic twin.
+  *
+  * Deliberately ABSENT for determinism: wall-clock/local-time `Date`
+  * forms (above), `Math.random`, prototypes, `this`, getters, `new`
+  * beyond the three factories above, and the global object — a script
+  * touching them fails loudly. Numbers
   * are IEEE doubles evaluated in source order, so results are
   * bit-identical across executors and runs. A per-invocation step budget
   * (50M loop iterations) turns a runaway loop into a loud JsError instead
@@ -87,6 +95,26 @@ object Js {
     def pattern: java.util.regex.Pattern = JsRegExp.compiled(source, flags)
     override def toString: String = s"/$source/$flags"
   }
+  /** Deterministic UTC-only Date value: an epoch-millisecond instant.
+    * Constructed only from EXPLICIT data — `new Date(ms)`, `new
+    * Date(isoString)`, `Date.UTC(y, m, ...)`, `Date.parse(iso)`.
+    * `Date.now()` / zero-argument `new Date()` stay absent by design
+    * (wall clock = nondeterminism across executors and replays), and
+    * only the UTC accessors exist (`getFullYear` & co. would tie the
+    * result to the executor's timezone — the engine fails loudly and
+    * points at the `getUTC*` twin). */
+  final class JsDate(val ms: Long) {
+    private[js] def odt: java.time.OffsetDateTime =
+      java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC)
+    /** ECMA toISOString: always UTC, always 3 fraction digits. */
+    def iso: String = JsDate.IsoFmt.format(odt)
+    override def toString: String = iso
+  }
+  object JsDate {
+    private val IsoFmt = java.time.format.DateTimeFormatter
+      .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS'Z'")
+  }
+
   object JsRegExp {
     // per-JVM compile cache: RegexLit AST nodes are broadcast as strings
     // (java Pattern is not serializable) and compile once per executor
@@ -525,9 +553,9 @@ object Js {
       var e = if (at("new")) {
         next()
         val callee = expect("ident").text
-        if (callee != "Error" && callee != "RegExp")
-          fail(s"js parse error: `new` is only supported for Error(...) " +
-            s"and RegExp(...), not $callee")
+        if (callee != "Error" && callee != "RegExp" && callee != "Date")
+          fail(s"js parse error: `new` is only supported for Error(...), " +
+            s"RegExp(...) and Date(...), not $callee")
         expectPunct("(")
         val args = Seq.newBuilder[Expr]
         if (!atPunct(")")) {
@@ -975,6 +1003,7 @@ object Js {
       val t = s.trim
       if (t.isEmpty) 0.0
       else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
+    case d: JsDate => d.ms.toDouble // ECMA valueOf: arithmetic/compares work
     case _ => Double.NaN
   }
 
@@ -989,6 +1018,9 @@ object Js {
       case x => toStr(x)
     }.mkString(",")
     case _: JsObject => "[object Object]"
+    // deviation: ECMA formats dates in local time ("Fri Jan 05 2024 …");
+    // the deterministic engine renders the ISO instant
+    case d: JsDate => d.iso
     case f: JsFunction => s"function ${f.name}"
     case Builtin(n, _) => s"function $n"
     case other => String.valueOf(other)
@@ -1068,11 +1100,74 @@ object Js {
     case s: String => stringMember(s, name)
     case a: JsArray => arrayMember(a, name)
     case r: JsRegExp => regexMember(r, name)
+    case d: JsDate => dateMember(d, name)
+    case b: Builtin if b.name == "Date" => dateStatic(name)
     case o: JsObject => o.fields.getOrElse(name, Undefined)
     case null => fail(s"cannot read .$name of null")
     case Undefined => fail(s"cannot read .$name of undefined")
     case other => fail(s"cannot read .$name of ${typeOf(other)}")
   }
+
+  private def dateMember(d: JsDate, name: String): Any = name match {
+    case "getTime" | "valueOf" => Builtin(name, _ => d.ms.toDouble)
+    case "toISOString" | "toJSON" => Builtin(name, _ => d.iso)
+    case "getUTCFullYear" => Builtin(name, _ => d.odt.getYear.toDouble)
+    case "getUTCMonth" => Builtin(name, _ => (d.odt.getMonthValue - 1).toDouble)
+    case "getUTCDate" => Builtin(name, _ => d.odt.getDayOfMonth.toDouble)
+    // JS day-of-week is 0=Sunday; java.time ISO is 1=Monday..7=Sunday
+    case "getUTCDay" => Builtin(name, _ => (d.odt.getDayOfWeek.getValue % 7).toDouble)
+    case "getUTCHours" => Builtin(name, _ => d.odt.getHour.toDouble)
+    case "getUTCMinutes" => Builtin(name, _ => d.odt.getMinute.toDouble)
+    case "getUTCSeconds" => Builtin(name, _ => d.odt.getSecond.toDouble)
+    case "getUTCMilliseconds" =>
+      Builtin(name, _ => ((d.ms % 1000 + 1000) % 1000).toDouble)
+    case "getFullYear" | "getMonth" | "getDate" | "getDay" | "getHours" |
+        "getMinutes" | "getSeconds" | "getMilliseconds" |
+        "getTimezoneOffset" | "toLocaleString" | "toLocaleDateString" =>
+      fail(s"Date.$name is executor-timezone-dependent — use the getUTC* " +
+        "twin (this engine is UTC-only for determinism)")
+    case other => fail(s"unsupported Date member .$other")
+  }
+
+  private def dateStatic(name: String): Any = name match {
+    case "UTC" => Builtin("UTC", a => {
+      def n(i: Int, dflt: Double): Double = arg(a, i) match {
+        case Undefined => dflt
+        case v =>
+          val x = toNumber(v)
+          if (x.isNaN || x != Math.floor(x) || x.isInfinite)
+            fail(s"Date.UTC argument $i must be an integral number")
+          x
+      }
+      if (a.length < 2) fail("Date.UTC needs at least (year, month)")
+      try {
+        val base = java.time.LocalDateTime
+          .of(n(0, 0).toInt, n(1, 0).toInt + 1, n(2, 1).toInt,
+            n(3, 0).toInt, n(4, 0).toInt, n(5, 0).toInt)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        (base + n(6, 0).toLong).toDouble
+      } catch {
+        case e: java.time.DateTimeException =>
+          // LOUD deviation from ECMA's silent field rollover
+          fail(s"Date.UTC out-of-range field: ${e.getMessage}")
+      }
+    })
+    case "parse" => Builtin("parse", a =>
+      parseIsoMs(toStr(arg(a, 0))).toDouble)
+    case "now" => fail("Date.now() is wall-clock — nondeterministic across " +
+      "executors and replays; pass the timestamp in as data instead")
+    case other => fail(s"unsupported Date static .$other")
+  }
+
+  private def parseIsoMs(s: String): Long =
+    try {
+      if (s.length == 10) java.time.LocalDate.parse(s)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      else java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        fail(s"unparseable date '$s' (strict ISO-8601 only): ${e.getMessage}")
+    }
 
   private def regexMember(r: JsRegExp, name: String): Any = name match {
     case "source" => r.source
@@ -1474,6 +1569,24 @@ object Js {
       JsRegExp.compiled(src, flags) // loud failure on a bad pattern
       new JsRegExp(src, flags)
     }))
+    // Date factory: `new Date(ms)` / `new Date(isoString)` only — the
+    // zero-argument (wall-clock) and multi-argument (LOCAL-time) ECMA
+    // forms are refused loudly; components go through Date.UTC
+    g.declare("Date", Builtin("Date", a => {
+      if (a.length > 1)
+        fail("multi-argument Date(...) is LOCAL-time in JS (executor-" +
+          "timezone-dependent) — build the instant with Date.UTC(...)")
+      arg(a, 0) match {
+        case Undefined => fail("Date() without arguments is wall-clock — " +
+          "nondeterministic; pass an epoch-ms number or an ISO string")
+        case d: Double =>
+          if (d.isNaN || d.isInfinite) fail("Date(ms) needs a finite number")
+          new JsDate(d.toLong)
+        case s: String => new JsDate(parseIsoMs(s))
+        case other => fail(s"Date(...) takes a number or an ISO string, " +
+          s"not ${typeOf(other)}")
+      }
+    }))
     g
   }
 
@@ -1504,6 +1617,7 @@ object Js {
         o.fields.map { case (k, x) => quote(k) + ":" + stringify(x) }
           .mkString("{", ",", "}")
       case _: JsRegExp => "{}" // JS: a RegExp has no enumerable own props
+      case d: JsDate => quote(d.iso) // JS: Date#toJSON → ISO string
       case other => fail(s"cannot stringify ${typeOf(other)}")
     }
 

@@ -283,6 +283,42 @@ object PipelineQueries {
           col("o.n_s").as("n_s"), col("o.vowlen").as("vowlen"),
           col("o.n_tok").as("n_tok"))
         .orderBy("doc_id")
+    },
+    // ---- x14: a DATE-bearing user script — the deterministic UTC Date
+    // subset (new Date(ms), getUTC*, toISOString) that replaced the
+    // engine's former blanket Date ban: timestamp bucketing is what
+    // reference-era enrichment scripts actually did with Date. The stage
+    // receives epoch millis AS DATA (floored from the event timestamp —
+    // wall-clock constructors stay refused), classifies weekday/weekend
+    // off getUTCDay, and re-emits the ISO instant; the oracle replays
+    // day/hour/ISO formatting in DuckDB over the same floored millis ----
+    "x14_js_date" -> { (s, dir) =>
+      val script =
+        """function handle(e) {
+          |  if (e.ms === null) return null;
+          |  var d = new Date(e.ms);
+          |  var dow = d.getUTCDay();
+          |  return {
+          |    event_id: e.event_id,
+          |    day: dow,
+          |    hour: d.getUTCHours(),
+          |    iso: d.toISOString(),
+          |    week_part: (dow === 0 || dow === 6) ? 'weekend' : 'weekday'
+          |  };
+          |}""".stripMargin
+      val in = Tables.t(s, dir, "events")
+        .select(col("event_id"),
+          org.apache.spark.sql.functions.expr("unix_micros(ts) div 1000").as("ms"))
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("ms")), jsonOpts).as("rec"))
+      graft.pipeline.JsStage.stage(in, "rec", "out", script)
+        .select(col("event_id"), from_json(col("out"),
+          "event_id BIGINT, day BIGINT, hour BIGINT, iso STRING, week_part STRING",
+          Map.empty[String, String]).as("o"))
+        .select(col("event_id"), col("o.day").as("day"),
+          col("o.hour").as("hour"), col("o.iso").as("iso"),
+          col("o.week_part").as("week_part"))
+        .orderBy("event_id")
     }
   )
 
@@ -437,7 +473,16 @@ object PipelineQueries {
         "CASE WHEN text IS NULL THEN NULL ELSE len(regexp_extract_all(text, 's[a-z]+')) END AS n_s, " +
         "CASE WHEN text IS NULL THEN NULL ELSE length(regexp_replace(text, '[aeiou]', '', 'g')) END AS vowlen, " +
         "CASE WHEN text IS NULL THEN NULL ELSE len(string_split_regex(text, ' +')) END AS n_tok " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    // same floored-millis instant; DuckDB dayofweek is 0=Sunday = JS
+    // getUTCDay; %g = zero-padded milliseconds (the toISOString shape)
+    "x14_js_date" ->
+      ("WITH e AS (SELECT event_id, epoch_ms(epoch_us(ts) // 1000) AS t FROM events) " +
+        "SELECT event_id, CAST(dayofweek(t) AS BIGINT) AS day, " +
+        "CAST(hour(t) AS BIGINT) AS hour, " +
+        "strftime(t, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso, " +
+        "CASE WHEN dayofweek(t) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS week_part " +
+        "FROM e ORDER BY event_id")
   )
 
   /** The ONE declarative restatement of [[jsFilter]]'s predicate. */

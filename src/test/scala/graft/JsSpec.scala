@@ -446,10 +446,45 @@ class JsSpec extends AnyFunSuite {
     // bad dynamic pattern / flags fail loudly at call time
     intercept[Js.JsError](evalExpr("new RegExp('a(')"))
     intercept[Js.JsError](evalExpr("new RegExp('a', 'y')"))
-    // any other `new` target is a parse-time failure (no prototypes)
-    intercept[Js.JsError](Js.parse("function main() { return new Date(); }"))
+    // any other `new` target is a parse-time failure (no prototypes);
+    // Date joined the supported set — zero-arg `new Date()` now fails at
+    // EVAL time with the wall-clock message (Date test below)
+    intercept[Js.JsError](Js.parse("function main() { return new Map(); }"))
     intercept[Js.JsError](Js.parse("function main() { return new Foo(1); }"))
   }
+  test("Date: deterministic UTC subset; wall-clock/local forms fail loudly") {
+    // construction from explicit data only
+    assert(evalExpr("new Date(0).toISOString()") === "1970-01-01T00:00:00.000Z")
+    assert(evalExpr("new Date('2024-03-05T06:07:08.009Z').getTime()") === 1709618828009.0)
+    assert(evalExpr("new Date('2024-03-05').getUTCHours()") === 0.0)
+    assert(evalExpr("Date.parse('1970-01-02T00:00:00Z')") === 86400000.0)
+    // Date.UTC components (month 0-based), round-trip through accessors
+    assert(evalExpr("Date.UTC(2024, 0, 5, 12, 30, 15, 250)") === 1704457815250.0)
+    assert(evalExpr("new Date(Date.UTC(2024, 0, 5)).getUTCMonth()") === 0.0)
+    assert(evalExpr("new Date(Date.UTC(2024, 0, 5)).getUTCDate()") === 5.0)
+    // 2024-01-05 is a Friday; JS day-of-week is 0=Sunday
+    assert(evalExpr("new Date(Date.UTC(2024, 0, 5)).getUTCDay()") === 5.0)
+    assert(evalExpr("new Date(1250).getUTCMilliseconds()") === 250.0)
+    // valueOf coercion: date arithmetic and compares work on epoch ms
+    assert(evalExpr("new Date(5000) - new Date(2000)") === 3000.0)
+    assert(evalExpr("new Date(1000) < new Date(2000)") === true)
+    // JSON.stringify uses the ISO form (ECMA toJSON)
+    assert(evalExpr("JSON.stringify({t: new Date(0)})") ===
+      """{"t":"1970-01-01T00:00:00.000Z"}""")
+    // every nondeterministic form is refused with a pointed message
+    val noArg = intercept[Js.JsError](evalExpr("new Date()"))
+    assert(noArg.getMessage.contains("wall-clock"))
+    val now = intercept[Js.JsError](evalExpr("Date.now()"))
+    assert(now.getMessage.contains("wall-clock"))
+    val local = intercept[Js.JsError](evalExpr("new Date(0).getFullYear()"))
+    assert(local.getMessage.contains("getUTC"))
+    val multi = intercept[Js.JsError](evalExpr("new Date(2024, 0, 5)"))
+    assert(multi.getMessage.contains("Date.UTC"))
+    intercept[Js.JsError](evalExpr("new Date('03/05/2024')")) // non-ISO
+    // ECMA rolls out-of-range fields over silently; this engine refuses
+    intercept[Js.JsError](evalExpr("Date.UTC(2024, 12, 1)"))
+  }
+
   test("runaway loops fail loudly instead of hanging the executor") {
     // the guard exists for exactly the while(re.exec(s)) idiom our
     // stateless exec turns into an infinite loop
