@@ -30,6 +30,47 @@ object DedupQueries {
 
   /** DuckDB fragment: distinct word-3-gram shingles of `text` (shared with
     * TextQueries' tx18 novelty oracle — ONE shingle definition per corpus). */
+  /** dd18/dq14's ONE duplicated-span mask: per corpus token position,
+    * `rm = 1` iff some duplicated W-gram (>= 2 occurrences anywhere,
+    * within- or cross-document) covers it — the rolling per-doc max over
+    * the last W window-start flags, so overlapping spans merge without an
+    * interval join. Returns (doc_id, pos, tok, rm); SQL twin inlined in
+    * both oracles (the `dupMaskSql` fragment). */
+  private[queries] def dupSpanMask(docsRaw: DataFrame, W: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsRaw.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val pos = docs.select(col("doc_id"), col("toks"),
+      posexplode(col("toks"))).toDF("doc_id", "toks", "pos", "tok")
+    val wins = pos.filter(col("pos") + W <= size(col("toks")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(W))).as("key"))
+    val dup = wins.groupBy("key").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("key")
+    val starts = wins.join(dup, Seq("key"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("sflag"))
+    pos.select("doc_id", "pos", "tok")
+      .join(starts, Seq("doc_id", "pos"), "left")
+      .withColumn("rm", max(col("sflag")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(-(W - 1), 0)))
+  }
+
+  /** DuckDB twin of [[dupSpanMask]] (W = 12): CTEs ending in
+    * `m(doc_id, pos, tok, rm)` — splice after WITH. */
+  private[queries] val dupMaskSql: String =
+    "d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "p AS (SELECT doc_id, toks, generate_subscripts(toks, 1) - 1 AS pos, " +
+      "unnest(toks) AS tok FROM d), " +
+      "w AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+12], ' ') AS key " +
+      "FROM p WHERE pos + 12 <= len(toks)), " +
+      "dup AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2), " +
+      "st AS (SELECT doc_id, pos, 1 AS sflag FROM w SEMI JOIN dup USING (key)), " +
+      "m AS (SELECT p.doc_id AS doc_id, p.pos AS pos, p.tok AS tok, " +
+      "max(sflag) OVER (PARTITION BY p.doc_id ORDER BY p.pos " +
+      "ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS rm " +
+      "FROM p LEFT JOIN st ON p.doc_id = st.doc_id AND p.pos = st.pos)"
+
   private[queries] val shinglesSql =
     "list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN generate_series(0, len(toks)-3)])"
 
@@ -384,25 +425,7 @@ object DedupQueries {
     // by the doc length, nothing is corpus-sized. Pure integer/string
     // ops: bit-exact cross-engine, no rounding anywhere ------------------
     "dd18_exact_substring_removal" -> { (s, dir) =>
-      val W = 12
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      val pos = docs.select(col("doc_id"), col("toks"),
-        posexplode(col("toks"))).toDF("doc_id", "toks", "pos", "tok")
-      val wins = pos.filter(col("pos") + W <= size(col("toks")))
-        .select(col("doc_id"), col("pos"),
-          concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(W))).as("key"))
-      val dup = wins.groupBy("key").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select("key")
-      val starts = wins.join(dup, Seq("key"), "left_semi")
-        .select(col("doc_id"), col("pos"), lit(1).as("sflag"))
-      val mask = pos.select("doc_id", "pos", "tok")
-        .join(starts, Seq("doc_id", "pos"), "left")
-        .withColumn("rm", max(col("sflag")).over(
-          Window.partitionBy("doc_id").orderBy("pos")
-            .rowsBetween(-(W - 1), 0)))
-      mask.groupBy("doc_id")
+      dupSpanMask(Tables.t(s, dir, "documents")).groupBy("doc_id")
         .agg(count(when(col("rm") === 1, 1)).as("n_removed"),
           array_join(transform(sort_array(collect_list(
             when(col("rm").isNull, struct(col("pos"), col("tok"))))),
@@ -465,17 +488,7 @@ object DedupQueries {
     // same windows, same rolling mask; string_agg FILTER reassembles the
     // kept tokens, coalesced to '' for a fully-removed doc
     "dd18_exact_substring_removal" ->
-      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "p AS (SELECT doc_id, toks, generate_subscripts(toks, 1) - 1 AS pos, " +
-        "unnest(toks) AS tok FROM d), " +
-        "w AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+12], ' ') AS key " +
-        "FROM p WHERE pos + 12 <= len(toks)), " +
-        "dup AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2), " +
-        "st AS (SELECT doc_id, pos, 1 AS sflag FROM w SEMI JOIN dup USING (key)), " +
-        "m AS (SELECT p.doc_id AS doc_id, p.pos AS pos, p.tok AS tok, " +
-        "max(sflag) OVER (PARTITION BY p.doc_id ORDER BY p.pos " +
-        "ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS rm " +
-        "FROM p LEFT JOIN st ON p.doc_id = st.doc_id AND p.pos = st.pos) " +
+      (s"WITH $dupMaskSql " +
         "SELECT doc_id, CAST(count(*) FILTER (WHERE rm = 1) AS BIGINT) AS n_removed, " +
         "coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE rm IS NULL), '') AS clean_text " +
         "FROM m GROUP BY doc_id ORDER BY doc_id"),

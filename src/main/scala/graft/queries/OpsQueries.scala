@@ -211,6 +211,27 @@ object OpsQueries {
     // co-keyed on the gram (train side pre-distinct'd — the join never
     // sees duplicate grams), then one small per-doc aggregate; no
     // pair-space, no window ----------------------------------------------
+    // ---- dq14: dedup-inflation audit — the "effective dataset size"
+    // number a curation pipeline reports: per source, how many tokens
+    // survive dd18's exact duplicated-substring removal. Composes the ONE
+    // shared mask (DedupQueries.dupSpanMask) with a per-doc count and a
+    // |sources|-row rollup; the ratio is the only double and rides the
+    // standard D6 round ---------------------------------------------------
+    "dq14_dedup_inflation" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val docs = Tables.t(s, dir, "documents")
+      DedupQueries.dupSpanMask(docs)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("toks"),
+          count(when(col("rm") === 1, 1)).as("dups"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          sum("dups").as("n_dup_tokens"))
+        .withColumn("dup_ratio", (col("n_dup_tokens").cast("double") /
+          col("n_tokens")).cast(D6).cast("double"))
+        .orderBy("source")
+    },
     "dq13_contamination" -> { (s, dir) =>
       val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
       val sh = Tables.t(s, dir, "documents")
@@ -843,6 +864,17 @@ object OpsQueries {
     // ss1's naive all-shared-shingle pair formulation + the shared
     // splitSql CASE; the engine side only ever joins prefix-indexed
     // shingles
+    // the shared dd18 mask fragment, rolled up per source
+    "dq14_dedup_inflation" ->
+      (s"WITH ${graft.queries.DedupQueries.dupMaskSql}, " +
+        "per_doc AS (SELECT doc_id, count(*) AS toks, " +
+        "CAST(count(*) FILTER (WHERE rm = 1) AS BIGINT) AS dups " +
+        "FROM m GROUP BY doc_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(dups) AS BIGINT) AS n_dup_tokens, " +
+        "CAST(CAST(CAST(sum(dups) AS DOUBLE) / sum(toks) AS DECIMAL(18,6)) AS DOUBLE) AS dup_ratio " +
+        "FROM per_doc JOIN documents USING (doc_id) GROUP BY source ORDER BY source"),
     // the same DISTINCT-shingle universe; LEFT join against the distinct
     // train-gram set, zero-coalesced hit counts
     "dq13_contamination" ->
