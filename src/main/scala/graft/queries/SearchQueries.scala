@@ -458,6 +458,43 @@ object SearchQueries {
         .select(col("rank"), col("doc_id"), col("bm25"))
         .orderBy("rank")
     },
+    // ---- idx13: pseudo-relevance feedback (Rocchio-lite) — the classic
+    // two-pass retrieval: BM25 top-3 docs for the seed query, expand the
+    // query with those docs' top-3 tf·idf terms (seed terms excluded),
+    // re-run BM25 with the 6-term query. The 3 expansion terms are the
+    // only driver-side state (3 strings — the bounded model/control
+    // pattern, same class as a stored-query registry); both passes are
+    // the ONE bm25Raw definition. The oracle replays term selection and
+    // the second pass entirely in SQL -------------------------------------
+    "idx13_prf_expansion" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val docs = Tables.t(s, dir, "documents")
+      val first = bm25Raw(docs)
+        .select(col("doc_id"),
+          col("bm25_raw").cast(D6).cast("double").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(3)
+      val tf = tfGrid(docs)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val expTerms = tf
+        .join(broadcast(first.select("doc_id")), "doc_id")
+        .filter(!col("token").isin(Bm25Terms: _*))
+        .groupBy("token").agg(sum("tf").as("tfsum"))
+        .join(dfq, "token").crossJoin(broadcast(nDocs))
+        .withColumn("escore", (col("tfsum").cast("double") *
+          log(col("n_docs").cast("double") / col("df")))
+          .cast(D6).cast("double"))
+        .orderBy(col("escore").desc, col("token")).limit(3)
+        .select("token").collect().map(_.getString(0)).toSeq
+      val scored = bm25Raw(docs, Bm25Terms ++ expTerms)
+        .select(col("doc_id"),
+          col("bm25_raw").cast(D6).cast("double").as("bm25"))
+      val top = scored.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("bm25"))
+        .orderBy("rank")
+    },
     // ---- idx11: more-like-this — ES's MLT query: pick the seed doc's
     // top-5 tf·idf terms, score every other doc by Σ tf·idf over the
     // shared terms. The seed's term table and the 5 selected terms ride
@@ -639,6 +676,41 @@ object SearchQueries {
         "coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), CAST(0 AS DOUBLE)) " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS rrf " +
         "FROM f ORDER BY rrf DESC, doc_id LIMIT 10"),
+    // first pass = the shared bm25Sql fragment; expansion-term pick and
+    // the 6-term second pass replayed entirely in SQL (the engine's only
+    // driver state is the 3 expansion strings)
+    "idx13_prf_expansion" ->
+      ("WITH " + bm25Sql + ", " +
+        "r1 AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY CAST(CAST(bm25_raw AS DECIMAL(18,6)) AS DOUBLE) DESC, doc_id) AS rk " +
+        "FROM scores) WHERE rk <= 3), " +
+        "tokall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tfall AS (SELECT token, doc_id, count(*) AS tf FROM tokall GROUP BY 1, 2), " +
+        "dfall AS (SELECT token, count(*) AS df FROM tfall GROUP BY token), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "expt AS (SELECT token FROM (" +
+        "SELECT t.token AS token, CAST(CAST(CAST(sum(t.tf) AS DOUBLE) * " +
+        "ln(CAST(nd.n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) AS DOUBLE) AS escore " +
+        "FROM tfall t JOIN r1 ON t.doc_id = r1.doc_id " +
+        "JOIN dfall USING (token) CROSS JOIN nd " +
+        "WHERE t.token NOT IN ('spark', 'join', 'vector') " +
+        "GROUP BY t.token, df, nd.n_docs) " +
+        "ORDER BY escore DESC, token LIMIT 3), " +
+        "qt AS (SELECT 'spark' AS term UNION ALL SELECT 'join' " +
+        "UNION ALL SELECT 'vector' UNION ALL SELECT token FROM expt), " +
+        "tf2 AS (SELECT doc_id, dl, t AS token, count(*) AS tf FROM " +
+        "(SELECT doc_id, dl, unnest(toks) AS t FROM dd) " +
+        "WHERE t IN (SELECT term FROM qt) GROUP BY doc_id, dl, t), " +
+        "dfq2 AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY token), " +
+        "sc2 AS (SELECT doc_id, sum(" +
+        "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + CAST(0.5 AS DOUBLE)) + 1.0) * " +
+        "(tf * CAST(2.2 AS DOUBLE)) / " +
+        "(tf + 1.2 * (CAST(0.25 AS DOUBLE) + 0.75 * dl / avgdl))" +
+        ") AS bm25_raw FROM tf2 JOIN dfq2 USING (token) CROSS JOIN st GROUP BY doc_id) " +
+        "SELECT CAST(rank AS INTEGER) AS rank, doc_id, bm25 FROM (" +
+        "SELECT doc_id, CAST(CAST(bm25_raw AS DECIMAL(18,6)) AS DOUBLE) AS bm25, " +
+        "row_number() OVER (ORDER BY CAST(CAST(bm25_raw AS DECIMAL(18,6)) AS DOUBLE) DESC, doc_id) AS rank " +
+        "FROM sc2) WHERE rank <= 10 ORDER BY rank"),
     // same presence grid / totals split; JLH on double rates, D6-rounded
     "idx10_significant_terms" ->
       ("WITH g AS (SELECT DISTINCT doc_id, fg, token FROM " +
