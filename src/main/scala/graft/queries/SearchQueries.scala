@@ -458,6 +458,25 @@ object SearchQueries {
         .select(col("rank"), col("doc_id"), col("bm25"))
         .orderBy("rank")
     },
+    // ---- idx14: faceted search — ES's terms-aggregation-under-a-query
+    // surface: for the docs matching ≥1 seed term (the idx3 candidate
+    // set), per-(facet, value) doc counts and the candidates' mean BM25
+    // (D6), for the lang and source facets in one pass (a facet-tagged
+    // union of two |values|-bounded aggregates; the scored candidate set
+    // computes once) -----------------------------------------------------
+    "idx14_faceted_search" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val docs = Tables.t(s, dir, "documents")
+      val scored = bm25Raw(docs)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      def facet(c: String) = scored
+        .groupBy(col(c).as("value")).agg(count(lit(1)).as("n_docs"),
+          avg(col("bm25_raw")).cast(D6).cast("double").as("mean_bm25"))
+        .select(lit(c).as("facet"), col("value"), col("n_docs"),
+          col("mean_bm25"))
+      facet("lang").unionByName(facet("source"))
+        .orderBy("facet", "value")
+    },
     // ---- idx13: pseudo-relevance feedback (Rocchio-lite) — the classic
     // two-pass retrieval: BM25 top-3 docs for the seed query, expand the
     // query with those docs' top-3 tf·idf terms (seed terms excluded),
@@ -676,6 +695,19 @@ object SearchQueries {
         "coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), CAST(0 AS DOUBLE)) " +
         "AS DECIMAL(18,6)) AS DOUBLE) AS rrf " +
         "FROM f ORDER BY rrf DESC, doc_id LIMIT 10"),
+    // the shared bm25 candidate set, two facet rollups unioned; D6 round
+    // absorbs avg's summation order (the tx25 slack)
+    "idx14_faceted_search" ->
+      ("WITH " + bm25Sql + " " +
+        "SELECT facet, value, n_docs, mean_bm25 FROM (" +
+        "SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs, " +
+        "CAST(CAST(avg(bm25_raw) AS DECIMAL(18,6)) AS DOUBLE) AS mean_bm25 " +
+        "FROM scores JOIN documents USING (doc_id) GROUP BY lang " +
+        "UNION ALL " +
+        "SELECT 'source', source, count(*), " +
+        "CAST(CAST(avg(bm25_raw) AS DECIMAL(18,6)) AS DOUBLE) " +
+        "FROM scores JOIN documents USING (doc_id) GROUP BY source) " +
+        "ORDER BY facet, value"),
     // first pass = the shared bm25Sql fragment; expansion-term pick and
     // the 6-term second pass replayed entirely in SQL (the engine's only
     // driver state is the 3 expansion strings)
