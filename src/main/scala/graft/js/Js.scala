@@ -41,8 +41,9 @@ import scala.collection.mutable
   *    member — JS TypeErrors) are catchable as `{name, message}` objects,
   *    exactly as deterministic as the evaluation that raises them;
   *    `Error(msg)` and `RegExp(src, flags)` factories are callable plain
-  *    or via `new` (the only two `new` targets — each desugars to the
-  *    factory call; `new` on anything else fails at parse time).
+  *    or via `new` (each desugars to the factory call — `Date` below is
+  *    the third and last `new` target; `new` on anything else fails at
+  *    parse time).
   *
   *  - a deterministic UTC-only `Date` subset: `new Date(ms)` /
   *    `new Date(isoString)` / `Date.UTC(...)` / `Date.parse(iso)`,
@@ -113,6 +114,16 @@ object Js {
   object JsDate {
     private val IsoFmt = java.time.format.DateTimeFormatter
       .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS'Z'")
+    /** ECMA TimeClip bound (±8.64e15 ms ≈ ±273,790 years). Real JS turns
+      * an out-of-range time value into Invalid Date (and toISOString into
+      * a RangeError); this engine fails LOUDLY at construction instead —
+      * same information, no silent astronomically-distant instants. */
+    private[js] def clip(ms: Long): Long = {
+      if (math.abs(ms) > 8640000000000000L)
+        throw new JsError(
+          s"Date time value $ms outside the ECMA ±8.64e15 ms range")
+      ms
+    }
   }
 
   object JsRegExp {
@@ -1038,6 +1049,11 @@ object Js {
   private def binary(op: String, l: Any, r: Any): Any = op match {
     case "+" =>
       (l, r) match {
+        // ECMA: Date's default ToPrimitive hint is STRING, so `date + x`
+        // concatenates (rendering the ISO form — the documented toString
+        // deviation); '-' and the relational ops stay numeric (ms)
+        case (a: JsDate, b) => a.iso + toStr(b)
+        case (a, b: JsDate) => toStr(a) + b.iso
         case (a: String, b) => a + toStr(b)
         case (a, b: String) => toStr(a) + b
         case (a: JsArray, b) => toStr(a) + toStr(b)
@@ -1140,12 +1156,20 @@ object Js {
           x
       }
       if (a.length < 2) fail("Date.UTC needs at least (year, month)")
+      // every field bounded BEFORE .toInt — a huge argument must fail,
+      // not Int-wrap into a plausible instant
+      Seq.tabulate(7)(i => if (i < a.length) n(i, 0) else 0.0).foreach { x =>
+        if (math.abs(x) > 1e9) fail("Date.UTC field out of plausible range")
+      }
+      // ECMA MakeFullYear: two-digit years map to 1900+y
+      val y0 = n(0, 0).toInt
+      val year = if (y0 >= 0 && y0 <= 99) 1900 + y0 else y0
       try {
         val base = java.time.LocalDateTime
-          .of(n(0, 0).toInt, n(1, 0).toInt + 1, n(2, 1).toInt,
+          .of(year, n(1, 0).toInt + 1, n(2, 1).toInt,
             n(3, 0).toInt, n(4, 0).toInt, n(5, 0).toInt)
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-        (base + n(6, 0).toLong).toDouble
+        JsDate.clip(base + n(6, 0).toLong).toDouble
       } catch {
         case e: java.time.DateTimeException =>
           // LOUD deviation from ECMA's silent field rollover
@@ -1161,12 +1185,15 @@ object Js {
 
   private def parseIsoMs(s: String): Long =
     try {
-      if (s.length == 10) java.time.LocalDate.parse(s)
-        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-      else java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+      JsDate.clip(
+        if (s.length == 10) java.time.LocalDate.parse(s)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        else java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli)
     } catch {
       case e: java.time.format.DateTimeParseException =>
         fail(s"unparseable date '$s' (strict ISO-8601 only): ${e.getMessage}")
+      case _: ArithmeticException =>
+        fail(s"date '$s' outside the ECMA ±8.64e15 ms range")
     }
 
   private def regexMember(r: JsRegExp, name: String): Any = name match {
@@ -1581,7 +1608,7 @@ object Js {
           "nondeterministic; pass an epoch-ms number or an ISO string")
         case d: Double =>
           if (d.isNaN || d.isInfinite) fail("Date(ms) needs a finite number")
-          new JsDate(d.toLong)
+          new JsDate(JsDate.clip(d.toLong))
         case s: String => new JsDate(parseIsoMs(s))
         case other => fail(s"Date(...) takes a number or an ISO string, " +
           s"not ${typeOf(other)}")

@@ -30,14 +30,22 @@ object DedupQueries {
 
   /** DuckDB fragment: distinct word-3-gram shingles of `text` (shared with
     * TextQueries' tx18 novelty oracle — ONE shingle definition per corpus). */
+  private[queries] val shinglesSql =
+    "list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN generate_series(0, len(toks)-3)])"
+
+  /** dd18/dq14's window width — ONE constant driving both the Spark mask
+    * and its SQL twin below, so the two can never desynchronize. */
+  private[queries] val DupW = 12
+
   /** dd18/dq14's ONE duplicated-span mask: per corpus token position,
-    * `rm = 1` iff some duplicated W-gram (>= 2 occurrences anywhere,
+    * `rm = 1` iff some duplicated [[DupW]]-gram (>= 2 occurrences anywhere,
     * within- or cross-document) covers it — the rolling per-doc max over
     * the last W window-start flags, so overlapping spans merge without an
     * interval join. Returns (doc_id, pos, tok, rm); SQL twin inlined in
     * both oracles (the `dupMaskSql` fragment). */
-  private[queries] def dupSpanMask(docsRaw: DataFrame, W: Int = 12): DataFrame = {
+  private[queries] def dupSpanMask(docsRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val W = DupW
     val docs = docsRaw.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("toks"))
     val pos = docs.select(col("doc_id"), col("toks"),
@@ -56,23 +64,21 @@ object DedupQueries {
           .rowsBetween(-(W - 1), 0)))
   }
 
-  /** DuckDB twin of [[dupSpanMask]] (W = 12): CTEs ending in
-    * `m(doc_id, pos, tok, rm)` — splice after WITH. */
+  /** DuckDB twin of [[dupSpanMask]] (interpolates [[DupW]]): CTEs ending
+    * in `m(doc_id, pos, tok, rm)` — splice after WITH. */
   private[queries] val dupMaskSql: String =
     "d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       "p AS (SELECT doc_id, toks, generate_subscripts(toks, 1) - 1 AS pos, " +
       "unnest(toks) AS tok FROM d), " +
-      "w AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+12], ' ') AS key " +
-      "FROM p WHERE pos + 12 <= len(toks)), " +
+      s"w AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+$DupW], ' ') AS key " +
+      s"FROM p WHERE pos + $DupW <= len(toks)), " +
       "dup AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2), " +
       "st AS (SELECT doc_id, pos, 1 AS sflag FROM w SEMI JOIN dup USING (key)), " +
       "m AS (SELECT p.doc_id AS doc_id, p.pos AS pos, p.tok AS tok, " +
       "max(sflag) OVER (PARTITION BY p.doc_id ORDER BY p.pos " +
-      "ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS rm " +
+      s"ROWS BETWEEN ${DupW - 1} PRECEDING AND CURRENT ROW) AS rm " +
       "FROM p LEFT JOIN st ON p.doc_id = st.doc_id AND p.pos = st.pos)"
 
-  private[queries] val shinglesSql =
-    "list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN generate_series(0, len(toks)-3)])"
 
   val queries: Map[String, Q] = Map(
     // exact dedup: one hash-groupBy on the content fingerprint

@@ -477,7 +477,8 @@ object PipelineQueries {
     // same floored-millis instant; DuckDB dayofweek is 0=Sunday = JS
     // getUTCDay; %g = zero-padded milliseconds (the toISOString shape)
     "x14_js_date" ->
-      ("WITH e AS (SELECT event_id, epoch_ms(epoch_us(ts) // 1000) AS t FROM events) " +
+      ("WITH e AS (SELECT event_id, epoch_ms(epoch_us(ts) // 1000) AS t " +
+        "FROM events WHERE ts IS NOT NULL) " +
         "SELECT event_id, CAST(dayofweek(t) AS BIGINT) AS day, " +
         "CAST(hour(t) AS BIGINT) AS hour, " +
         "strftime(t, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso, " +

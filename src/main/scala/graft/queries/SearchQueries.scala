@@ -725,11 +725,11 @@ object SearchQueries {
         "ln(CAST(nd.n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) AS DOUBLE) AS escore " +
         "FROM tfall t JOIN r1 ON t.doc_id = r1.doc_id " +
         "JOIN dfall USING (token) CROSS JOIN nd " +
-        "WHERE t.token NOT IN ('spark', 'join', 'vector') " +
+        s"WHERE t.token NOT IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) " +
         "GROUP BY t.token, df, nd.n_docs) " +
         "ORDER BY escore DESC, token LIMIT 3), " +
-        "qt AS (SELECT 'spark' AS term UNION ALL SELECT 'join' " +
-        "UNION ALL SELECT 'vector' UNION ALL SELECT token FROM expt), " +
+        s"qt AS (${Bm25Terms.map(t => s"SELECT '$t' AS term").mkString(" UNION ALL ")} " +
+        "UNION ALL SELECT token FROM expt), " +
         "tf2 AS (SELECT doc_id, dl, t AS token, count(*) AS tf FROM " +
         "(SELECT doc_id, dl, unnest(toks) AS t FROM dd) " +
         "WHERE t IN (SELECT term FROM qt) GROUP BY doc_id, dl, t), " +

@@ -427,7 +427,7 @@ class JsSpec extends AnyFunSuite {
     // try without catch/finally is a parse error
     intercept[Js.JsError](Js.parse("function main() { try { } return 1; }"))
   }
-  test("new Error / new RegExp: the two supported constructor forms") {
+  test("new Error / new RegExp / new Date: the supported constructor forms") {
     // `new Error(msg)` desugars to the Error factory call
     assert(evalExpr("new Error('boom').message") === "boom")
     assert(run("""function main() {
@@ -483,6 +483,15 @@ class JsSpec extends AnyFunSuite {
     intercept[Js.JsError](evalExpr("new Date('03/05/2024')")) // non-ISO
     // ECMA rolls out-of-range fields over silently; this engine refuses
     intercept[Js.JsError](evalExpr("Date.UTC(2024, 12, 1)"))
+    // ECMA MakeFullYear: two-digit years are 1900-relative
+    assert(evalExpr("Date.UTC(99, 0, 1)") === 915148800000.0)
+    // ECMA's + hint for dates is STRING: concatenation, not ms addition
+    assert(evalExpr("new Date(0) + '!'") === "1970-01-01T00:00:00.000Z!")
+    // TimeClip: beyond +-8.64e15 ms is a loud range error, never a
+    // plausible-looking far-future instant
+    val far = intercept[Js.JsError](evalExpr("new Date(9e15)"))
+    assert(far.getMessage.contains("8.64e15"))
+    intercept[Js.JsError](evalExpr("Date.UTC(4294969296, 0)"))
   }
 
   test("runaway loops fail loudly instead of hanging the executor") {
