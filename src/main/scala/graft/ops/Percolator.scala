@@ -46,11 +46,16 @@ object Percolator {
       jsonCol: String = "query_json"): Seq[(String, QueryComponent)] = {
     // the two columns must be strings AT PLAN TIME — a wrong-typed column
     // would otherwise surface as a bare ClassCastException mid-collect,
-    // without the "stored query" context the contract promises
+    // without the "stored query" context the contract promises. Resolution
+    // is session-cased (the same rule df.select applies), not StructType's
+    // always-case-sensitive apply
+    val resolver = df.sparkSession.sessionState.conf.resolver
     Seq(idCol, jsonCol).foreach { c =>
-      val dt = df.schema(c).dataType
-      require(dt == org.apache.spark.sql.types.StringType,
-        s"percolator registry column '$c' must be STRING, got ${dt.sql}")
+      val fld = df.schema.find(f => resolver(f.name, c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"percolator registry column '$c' does not exist"))
+      require(fld.dataType == org.apache.spark.sql.types.StringType,
+        s"percolator registry column '$c' must be STRING, got ${fld.dataType.sql}")
     }
     df.select(idCol, jsonCol).collect().toSeq.map { r =>
       require(!r.isNullAt(0), "percolator registry row with NULL query id")
@@ -61,8 +66,9 @@ object Percolator {
         require(!r.isNullAt(1), "NULL query_json")
         (id, graft.dsl.QueryJson.parse(r.getString(1)))
       } catch { case scala.util.control.NonFatal(e) =>
+        // keep the cause: a null-message NPE must stay diagnosable
         throw new IllegalArgumentException(
-          s"stored query '$id' failed to parse: ${e.getMessage}")
+          s"stored query '$id' failed to parse: ${e.getMessage}", e)
       }
     }
   }

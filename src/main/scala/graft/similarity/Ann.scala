@@ -152,33 +152,8 @@ object Ann {
     import graft.functions.GraftFunctions.top_k
     require(k >= 1, s"knnJoin: k must be >= 1, got $k")
     require(nprobe >= 1, s"knnJoin: nprobe must be >= 1, got $nprobe")
-    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
-    // corpus side: nearest cell per vector. min_by over the (d2, cent)
-    // total order — deterministic (cent is unique per candidate row), one
-    // partial-aggregated shuffle of n thin rows, the vector riding in the
-    // payload struct so no second join re-attaches it
-    val assigned = corpus
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(cent))
-      .select(col("c_id"), col("c_vec"), col("cent"),
-        l2sq(col("c_vec"), col("cv")).as("d2"))
-      .groupBy("c_id")
-      .agg(min_by(struct(col("cent"), col("c_vec")),
-        struct(col("d2"), col("cent"))).as("a"))
-      .select(col("c_id"), col("a.cent").as("cent"), col("a.c_vec").as("c_vec"))
-    // probe side: the nprobe nearest cells per vector, via the bounded
-    // heap over NEGATED (d2, cent) — "k largest" becomes "nprobe nearest,
-    // ties to the smaller cell id"; the vector rides in the payload
-    val probes = corpus
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .join(broadcast(cent))
-      .select(col("q_id"), col("q_vec"), col("cent"),
-        l2sq(col("q_vec"), col("cv")).as("d2"))
-      .groupBy("q_id")
-      .agg(top_k(struct((-col("d2")).as("nd2"), (-col("cent")).as("ncent"),
-        col("cent").as("cent"), col("q_vec").as("q_vec")), nprobe).as("pk"))
-      .select(col("q_id"), explode(col("pk")).as("p"))
-      .select(col("q_id"), col("p.cent").as("cent"), col("p.q_vec").as("q_vec"))
+    val (assigned, probes) =
+      cellJoinSides(corpus, centroids, nprobe, idCol, vecCol, centId, centVec)
     // candidates: co-keyed equi-join on the cell; scored exactly; ranked
     // by a second bounded heap — the join product feeds the partial
     // aggregate inside one stage, so it never shuffles
@@ -202,26 +177,50 @@ object Ann {
       nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
       centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
+    // the SAME sides the real join builds (vector payloads included, so
+    // the counter models the actual join's shuffle, and the assignment /
+    // probe tie-breaks can never drift from it)
+    val (assigned, probes) =
+      cellJoinSides(corpus, centroids, nprobe, idCol, vecCol, centId, centVec)
+    assigned.join(probes, Seq("cent"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+  }
+
+  /** The (assigned corpus side, probe side) pair of the corpus×corpus
+    * cell join — ONE builder shared by [[knnJoin]] and
+    * [[knnJoinCandidates]] (the OverlapJoin.buildCandidates convention),
+    * so the argmin/probe tie-breaks cannot fork. Corpus side: nearest
+    * cell per vector via min_by over the (d2, cent) total order, the
+    * vector riding in the payload struct so no second join re-attaches
+    * it. Probe side: the nprobe nearest cells via the bounded heap over
+    * NEGATED (d2, cent) — "k largest" becomes "nprobe nearest, ties to
+    * the smaller cell id". */
+  private def cellJoinSides(corpus: DataFrame, centroids: DataFrame,
+      nprobe: Int, idCol: String, vecCol: String,
+      centId: String, centVec: String): (DataFrame, DataFrame) = {
     import graft.functions.GraftFunctions.top_k
     val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
     val assigned = corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .join(broadcast(cent))
-      .select(col("c_id"), col("cent"), l2sq(col("c_vec"), col("cv")).as("d2"))
+      .select(col("c_id"), col("c_vec"), col("cent"),
+        l2sq(col("c_vec"), col("cv")).as("d2"))
       .groupBy("c_id")
-      .agg(min_by(col("cent"), struct(col("d2"), col("cent"))).as("cent"))
+      .agg(min_by(struct(col("cent"), col("c_vec")),
+        struct(col("d2"), col("cent"))).as("a"))
+      .select(col("c_id"), col("a.cent").as("cent"), col("a.c_vec").as("c_vec"))
     val probes = corpus
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .join(broadcast(cent))
-      .select(col("q_id"), col("cent"), l2sq(col("q_vec"), col("cv")).as("d2"))
+      .select(col("q_id"), col("q_vec"), col("cent"),
+        l2sq(col("q_vec"), col("cv")).as("d2"))
       .groupBy("q_id")
       .agg(top_k(struct((-col("d2")).as("nd2"), (-col("cent")).as("ncent"),
-        col("cent").as("cent")), nprobe).as("pk"))
+        col("cent").as("cent"), col("q_vec").as("q_vec")), nprobe).as("pk"))
       .select(col("q_id"), explode(col("pk")).as("p"))
-      .select(col("q_id"), col("p.cent").as("cent"))
-    assigned.join(probes, Seq("cent"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id")
+      .select(col("q_id"), col("p.cent").as("cent"), col("p.q_vec").as("q_vec"))
+    (assigned, probes)
   }
 
   /** Nearest-cell assignment — THE index-build step shared by the

@@ -399,8 +399,25 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     val keep = listVersionedManifests()
       .flatMap(p => parseManifest(p)._2.values)
       .map(e => e.split("/")(0)).toSet
-    old.values.map(e => e.split("/")(0)).filterNot(keep.contains)
-      .foreach(d => deleteDirQuiet(rootPath.resolve(d)))
+    // reclaim candidates = EVERY stamp dir on disk, not just the previous
+    // manifest's (whose dirs are still retained at retainVersions >= 2 —
+    // sweeping only from `old` left the dirs of the version FALLING OUT
+    // of the window unreclaimed forever, a per-refresh disk leak). The
+    // store is single-writer (concurrent READERS are the supported race),
+    // so an unreferenced stamp can only be a vacuumed version's or a
+    // crashed refresh's — both are garbage.
+    listStampDirs().filterNot(d => keep.contains(d.getFileName.toString))
+      .foreach(deleteDirQuiet)
+  }
+
+  private def listStampDirs(): Seq[Path] = {
+    if (!Files.exists(rootPath)) return Nil
+    val s = Files.list(rootPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.matches("(init|refresh)\\d+")).toSeq
+    } finally s.close()
   }
 
   /** Touched-partition ids of a delta, derived WITHOUT touching state —

@@ -467,28 +467,33 @@ object BenchScale {
     // model ×1.5 slack, i.e. 10^1.5 ≈ 31.6 expected, flag > 47). The timed
     // run covers the whole join (train + assign + probe + candidates +
     // heap rank) at the same config. ---------------------------------------
-    def ann12Setup(dir: String) = {
+    // the timed run covers the WHOLE pipeline — count + √n-cell k-means
+    // train + assign + probe + candidates + heap rank — as the docs claim
+    // (training is driver-iterative and must not hide outside the
+    // measurement; the candidate counter pass doubles as the warm-up, so
+    // each dir trains exactly twice). Single timed run: the flag line is
+    // 47×, far above timing noise.
+    def ann12Pipeline(dir: String): Long = {
       val e = Tables.t(spark, dir, "embeddings")
       val n = e.count()
       val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
       val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
         k = cells, iters = 2)
-      (e, cents)
+      graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 2).count()
     }
     def ann12Candidates(dir: String): Long = {
-      val (e, cents) = ann12Setup(dir)
+      val e = Tables.t(spark, dir, "embeddings")
+      val n = e.count()
+      val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = cells, iters = 2)
       graft.similarity.Ann.knnJoinCandidates(e, cents, nprobe = 2).count()
-    }
-    def ann12Time(dir: String): Double = {
-      val (e, cents) = ann12Setup(dir)
-      bestOf(runs)(
-        graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 2).count())
     }
     val knnC01 = ann12Candidates(sf01)
     val knnC1 = ann12Candidates(sf1)
     val knnCRatio = if (knnC01 > 0) knnC1.toDouble / knnC01 else -1.0
-    val knnT01 = ann12Time(sf01)
-    val knnT1 = ann12Time(sf1)
+    val knnT01 = time(ann12Pipeline(sf01))
+    val knnT1 = time(ann12Pipeline(sf1))
     val knnTRatio = if (knnT01 > 0) knnT1 / knnT01 else -1.0
     System.err.println(
       f"[scale] ann12 candidates sf0.1 $knnC01 sf1 $knnC1 ratio $knnCRatio%.2f " +

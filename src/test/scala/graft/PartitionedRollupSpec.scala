@@ -189,6 +189,37 @@ class PartitionedRollupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ps.readAsOf(2) }
   }
 
+  test("retention: a version falling OUT of a retain>=2 window has its " +
+      "exclusive stamp dirs reclaimed (not just retain=1's eager path)") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 4,
+      retainVersions = 2)
+    def stamps(): Set[String] = {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("(init|refresh)\\d+")).toSet
+      finally s.close()
+    }
+    val all = (0L until 32L).map(i => (i, i))
+    ps.init(state(all)) // v1, stamp A
+    val a = stamps()
+    assert(a.size === 1)
+    def refreshAll(bump: Long): Unit =
+      ps.refresh((0 until 4), state(all.map { case (k, _) => (k, k + bump) }))
+    refreshAll(100) // v2, stamp B — v1 still retained, A must survive
+    assert(stamps().size === 2)
+    refreshAll(200) // v3, stamp C — v1 vacuumed: A (its exclusive dirs) gone
+    val afterV3 = stamps()
+    assert(afterV3.size === 2, s"stamp A not reclaimed: $afterV3")
+    assert(!afterV3.contains(a.head))
+    // the retained window stays fully readable
+    assert(ps.readAsOf(2).as[(Long, Long)].collect().toMap ===
+      all.map { case (k, _) => (k, k + 100) }.toMap)
+    assert(ps.readAsOf(3).count() === 32)
+    intercept[IllegalArgumentException] { ps.readAsOf(1) }
+  }
+
   test("schema evolution: additive column committed with touched partitions " +
       "only; old rows read NULL; time travel keeps each version's schema") {
     val root = Files.createTempDirectory("graft_pstore").toString
