@@ -107,13 +107,23 @@ object Js {
   final class JsDate(val ms: Long) {
     private[js] def odt: java.time.OffsetDateTime =
       java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC)
-    /** ECMA toISOString: always UTC, always 3 fraction digits. */
-    def iso: String = JsDate.IsoFmt.format(odt)
+    /** ECMA toISOString: always UTC, always 3 fraction digits, and the
+      * expanded ±YYYYYY year form outside 0000-9999 (24.4.4.43's
+      * "expanded years" — the clip keeps |year| ≤ 275,760 so six digits
+      * always suffice). */
+    def iso: String = {
+      val o = odt
+      val y = o.getYear
+      val yearStr =
+        if (y >= 0 && y <= 9999) f"$y%04d"
+        else (if (y < 0) "-" else "+") + f"${math.abs(y)}%06d"
+      yearStr + JsDate.TailFmt.format(o)
+    }
     override def toString: String = iso
   }
   object JsDate {
-    private val IsoFmt = java.time.format.DateTimeFormatter
-      .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS'Z'")
+    private val TailFmt = java.time.format.DateTimeFormatter
+      .ofPattern("'-'MM'-'dd'T'HH:mm:ss.SSS'Z'")
     /** ECMA TimeClip bound (±8.64e15 ms ≈ ±273,790 years). Real JS turns
       * an out-of-range time value into Invalid Date (and toISOString into
       * a RangeError); this engine fails LOUDLY at construction instead —
@@ -1126,7 +1136,9 @@ object Js {
 
   private def dateMember(d: JsDate, name: String): Any = name match {
     case "getTime" | "valueOf" => Builtin(name, _ => d.ms.toDouble)
-    case "toISOString" | "toJSON" => Builtin(name, _ => d.iso)
+    // toString renders the ISO form too — the documented deviation from
+    // ECMA's locale-formatted (timezone-dependent) string
+    case "toISOString" | "toJSON" | "toString" => Builtin(name, _ => d.iso)
     case "getUTCFullYear" => Builtin(name, _ => d.odt.getYear.toDouble)
     case "getUTCMonth" => Builtin(name, _ => (d.odt.getMonthValue - 1).toDouble)
     case "getUTCDate" => Builtin(name, _ => d.odt.getDayOfMonth.toDouble)
@@ -1174,6 +1186,8 @@ object Js {
         case e: java.time.DateTimeException =>
           // LOUD deviation from ECMA's silent field rollover
           fail(s"Date.UTC out-of-range field: ${e.getMessage}")
+        case _: ArithmeticException => // toEpochMilli Long overflow
+          fail("Date.UTC result outside the ECMA ±8.64e15 ms range")
       }
     })
     case "parse" => Builtin("parse", a =>

@@ -169,6 +169,15 @@ object Percolator {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = df.sparkSession
+    // a session built WITHOUT GraftExtensions must still plan the node —
+    // self-register the strategy via the session's experimental hook
+    // (IncrementalExecution honors it too); a duplicate alongside the
+    // extension-injected copy is harmless (the planner takes the first
+    // non-empty match), but don't stack one per call
+    if (!spark.experimental.extraStrategies
+        .exists(_.isInstanceOf[graft.plans.PercolateStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.PercolateStrategy(spark)
     val probe = df.select(stored.zipWithIndex.map { case ((_, q), i) =>
       QueryCompiler.compileFor(df, q).as(s"__graft_p$i")
     }: _*)

@@ -381,7 +381,7 @@ object AnalyticsQueries {
     // ---- U10: findAndModify (update + return after-image, projected) ----
     "u10_find_modify" -> { (s, dir) =>
       val store = new BucketStore(s,
-        java.nio.file.Files.createTempDirectory("graft_u10").toString)
+        graft.util.Scratch.dir("graft_u10"))
       val b = Bucket("/crud/orders", DataSchema())
       store.write(b, Tables.t(s, dir, "orders"))
       val crud = new CrudService(store, b)

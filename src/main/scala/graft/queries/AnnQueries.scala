@@ -100,8 +100,7 @@ object AnnQueries {
       val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
         k = 8, iters = 3)
       val assigned = Ann.assignCells(e, cents)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_ann13").toString
+      val idx = graft.util.Scratch.dir("graft_ann13")
       assigned.write.mode("overwrite").partitionBy("cell").parquet(idx)
       val stored = s.read.parquet(idx)
       Ann.ivfTopKPruned(stored, e.filter(col("vec_id") < 8), cents,
@@ -379,8 +378,7 @@ object AnnQueries {
         k = 4, iters = 2)
       val stream = graft.streaming.Streams.stagedFileStream(
         e.filter(col("vec_id") < 8), nFiles = 4)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_st27").toString
+      val out = graft.util.Scratch.dir("graft_st27")
       graft.streaming.Streams.runForeachBatch(stream) { batch =>
         Ann.ivfTopK(batch, e, cents, k = 3, nprobe = 4)
           .write.mode("append").parquet(out)

@@ -29,10 +29,10 @@ object CoreQueries {
   /** Single per-JVM scratch root for f12's time-partitioned store (same
     * overwrite-in-place discipline as OpsQueries.retRoot). */
   private lazy val f12Root: String =
-    java.nio.file.Files.createTempDirectory("graft_f12").toString
+    graft.util.Scratch.dir("graft_f12")
 
   private lazy val dppRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.util.Scratch.dir("graft_dpp")
 
   /** The dpp1 plan, pre-orderBy — shared with PlanSpec's executed-plan
     * assertion (the query itself hash-checks the rows). */

@@ -477,7 +477,7 @@ object GraphQueries {
     // oracle can reproduce them (the collect is 5 control-plane rows)
     "reg1_bucket_registry" -> { (s, dir) =>
       val store = new graft.store.BucketStore(s,
-        java.nio.file.Files.createTempDirectory("graft_reg").toString)
+        graft.util.Scratch.dir("graft_reg"))
       val registry = new graft.meta.BucketRegistry(store)
       val buckets = Tables.t(s, dir, "region").collect().toSeq.map { r =>
         graft.model.Bucket(

@@ -15,7 +15,7 @@ object OpsQueries {
 
   /** Single per-JVM scratch root for ret1's store (see the query comment). */
   private lazy val retRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_ret").toString
+    graft.util.Scratch.dir("graft_ret")
 
   /** event_type → log level mapping shared by l1/l2/st8. */
   private def levelOf = when(col("event_type") === "error", "ERROR")
@@ -436,8 +436,7 @@ object OpsQueries {
     // atomicity; this query pins the maintained VALUES: after all
     // batches, maintained == recomputed-from-scratch, the cdc4 contract)
     "cdc6_partitioned_rollup" -> { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_cdc6").toString
+      val root = graft.util.Scratch.dir("graft_cdc6")
       val ps = new graft.store.PartitionedStore(s, root, Seq("user_id"), 16)
       val ev = Tables.t(s, dir, "events").filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
@@ -474,8 +473,7 @@ object OpsQueries {
     // recomputes both rollup versions from events directly and diffs them
     // in SQL — maintained-version diff == recomputed-version diff --------
     "cdc7_time_travel_diff" -> { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_cdc7").toString
+      val root = graft.util.Scratch.dir("graft_cdc7")
       val ps = new graft.store.PartitionedStore(s, root, Seq("user_id"), 16,
         retainVersions = 3)
       val ev = Tables.t(s, dir, "events")
@@ -513,8 +511,7 @@ object OpsQueries {
     // the result is partitioning-independent by construction and the
     // untouched-partitions-read-NULL path is what the equality checks ----
     "cdc8_schema_evolution" -> { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_cdc8").toString
+      val root = graft.util.Scratch.dir("graft_cdc8")
       val ps = new graft.store.PartitionedStore(s, root, Seq("user_id"), 16,
         retainVersions = 3)
       val ev = Tables.t(s, dir, "events")

@@ -309,6 +309,10 @@ object PipelineQueries {
       val in = Tables.t(s, dir, "events")
         .select(col("event_id"),
           org.apache.spark.sql.functions.expr("unix_micros(ts) div 1000").as("ms"))
+        // NULL-ts rows drop HERE, mirroring the oracle's WHERE — the
+        // script's own null guard would emit a null-padded row instead
+        // (JsStage's map form keeps rows whose script returns null)
+        .filter(col("ms").isNotNull)
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("ms")), jsonOpts).as("rec"))
       graft.pipeline.JsStage.stage(in, "rec", "out", script)

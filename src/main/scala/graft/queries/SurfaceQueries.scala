@@ -61,7 +61,7 @@ object SurfaceQueries {
 
   private def clickPurchaseStreams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.t(s, dir, "events")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_joinsrc").toString
+    val tmp = graft.util.Scratch.dir("graft_joinsrc")
     ev.write.mode("overwrite").parquet(tmp)
     val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
     val clicks = stream.filter(col("event_type") === "click")
@@ -153,7 +153,7 @@ object SurfaceQueries {
     // the OTHER columnar format and aggregate it back; values must survive
     // bit-exactly (the oracle aggregates the parquet original) ------------
     "s8_orc_roundtrip" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = graft.util.Scratch.dir("graft_orc")
       Tables.t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .write.mode("overwrite").orc(tmp)
@@ -167,7 +167,7 @@ object SurfaceQueries {
     // ---- S-family format coverage: CSV round-trip (header + declared
     // read schema; integer/string columns only — exact by construction) ---
     "s9_csv_roundtrip" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val tmp = graft.util.Scratch.dir("graft_csv")
       Tables.t(s, dir, "events")
         .select("event_id", "user_id", "event_type")
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -619,7 +619,7 @@ object SurfaceQueries {
     // watermarked dropDuplicates state must collapse them across batches
     "st5_stream_dedup" -> { (s, dir) =>
       val ev = Tables.t(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dupsrc").toString
+      val tmp = graft.util.Scratch.dir("graft_dupsrc")
       ev.write.mode("append").parquet(tmp)
       ev.write.mode("append").parquet(tmp)
       val stream = Streams.parquetStream(s, tmp, s.read.parquet(tmp).schema)
@@ -676,9 +676,9 @@ object SurfaceQueries {
     "st17_stream_resume" -> { (s, dir) =>
       import java.nio.file.Files
       val events = s.read.parquet(s"$dir/events.parquet")
-      val src = Files.createTempDirectory("graft_resume_src").toString
-      val out = Files.createTempDirectory("graft_resume_out").toString
-      val ckpt = Files.createTempDirectory("graft_resume_ckpt").toString
+      val src = graft.util.Scratch.dir("graft_resume_src")
+      val out = graft.util.Scratch.dir("graft_resume_out")
+      val ckpt = graft.util.Scratch.dir("graft_resume_ckpt")
       events.filter(col("event_id") % 2 === 0)
         .write.mode("append").parquet(src)
       def runOnce(): Unit = Streams.runToParquetAt(
@@ -754,7 +754,7 @@ object SurfaceQueries {
     "st19_stream_rollup" -> { (s, dir) =>
       import org.apache.spark.sql.types._
       val store = new graft.store.BucketStore(s,
-        java.nio.file.Files.createTempDirectory("graft_st19").toString)
+        graft.util.Scratch.dir("graft_st19"))
       val b = graft.model.Bucket("/stream/rollup", graft.model.DataSchema())
       val aggSchema = StructType(Seq(
         StructField("user_id", LongType), StructField("n", LongType),
@@ -797,7 +797,7 @@ object SurfaceQueries {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types._
       val store = new graft.store.BucketStore(s,
-        java.nio.file.Files.createTempDirectory("graft_st12").toString)
+        graft.util.Scratch.dir("graft_st12"))
       val b = graft.model.Bucket("/stream/user_state", graft.model.DataSchema())
       val schema = StructType(Seq(
         StructField("user_id", LongType), StructField("last_ts", LongType),

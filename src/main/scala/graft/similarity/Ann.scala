@@ -284,15 +284,21 @@ object Ann {
     val spark = stored.sparkSession
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesDf.schema)
-    // probe literals take the PARTITION column's own type (a string when
-    // read back from a partitionBy layout) — a cast on the column side
-    // would defeat partition pruning
+    // probe literals take the PARTITION column's own type (string or a
+    // narrower integer than the centroid ids) — a mismatch would wrap the
+    // partition column in a CAST, and a cast-wrapped IN can land as a
+    // post-scan row filter instead of PartitionFilters: silently correct,
+    // silently unpruned
     val cellType = stored.schema(cellCol).dataType
     val probesRaw = probeRows.map(_.getAs[Any]("cent")).distinct
-    val probes: Seq[Any] =
-      if (cellType == org.apache.spark.sql.types.StringType)
-        probesRaw.map(String.valueOf).toSeq
-      else probesRaw.toSeq
+    import org.apache.spark.sql.types._
+    val probes: Seq[Any] = (cellType match {
+      case StringType => probesRaw.map(String.valueOf)
+      case IntegerType => probesRaw.map(_.asInstanceOf[Number].intValue)
+      case LongType => probesRaw.map(_.asInstanceOf[Number].longValue)
+      case ShortType => probesRaw.map(_.asInstanceOf[Number].shortValue)
+      case _ => probesRaw
+    }).toSeq
     val cand = stored
       .filter(col(cellCol).isInCollection(probes)) // partition-dir prune
       .join(broadcast(probesLocal.select(col("q_id"), col("q_vec"),

@@ -115,15 +115,22 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
   private def versionedSchemaPath(n: Int): Path =
     rootPath.resolve(s"schema.v$n.json")
 
-  private def listVersionedSchemas(): Seq[Path] = {
+  /** Root entries whose name matches `pattern` — the ONE listing loop
+    * behind the versioned-manifest, versioned-schema and stamp-dir scans
+    * (stream closed either way; missing root = empty). */
+  private def listRoot(pattern: String, dirsOnly: Boolean = false): Seq[Path] = {
     if (!Files.exists(rootPath)) return Nil
     val s = Files.list(rootPath)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.filter(p =>
-        p.getFileName.toString.matches("schema\\.v\\d+\\.json")).toSeq
+        p.getFileName.toString.matches(pattern) &&
+          (!dirsOnly || Files.isDirectory(p))).toSeq
     } finally s.close()
   }
+
+  private def listVersionedSchemas(): Seq[Path] =
+    listRoot("schema\\.v\\d+\\.json")
 
   /** The schema in force at `version`: the newest `schema.v<m>.json` with
     * m ≤ version ([[evolve]] writes one per evolution; [[refresh]] writes
@@ -264,15 +271,8 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     writeManifest(written, version = 1)
   }
 
-  private def listVersionedManifests(): Seq[Path] = {
-    if (!Files.exists(rootPath)) return Nil
-    val s = Files.list(rootPath)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(p =>
-        p.getFileName.toString.matches("manifest\\.v\\d+")).toSeq
-    } finally s.close()
-  }
+  private def listVersionedManifests(): Seq[Path] =
+    listRoot("manifest\\.v\\d+")
 
   /** Partitioned refresh: `newState` carries the FULL new content of the
     * `touched` partitions (and only those — rows are re-routed and checked
@@ -410,15 +410,8 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       .foreach(deleteDirQuiet)
   }
 
-  private def listStampDirs(): Seq[Path] = {
-    if (!Files.exists(rootPath)) return Nil
-    val s = Files.list(rootPath)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.matches("(init|refresh)\\d+")).toSeq
-    } finally s.close()
-  }
+  private def listStampDirs(): Seq[Path] =
+    listRoot("(init|refresh)\\d+", dirsOnly = true)
 
   /** Touched-partition ids of a delta, derived WITHOUT touching state —
     * bounded by nPartitions, so the driver-side collect is a few ints. */

@@ -101,26 +101,11 @@ object Streams {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
   }
 
-  /** Create a temp dir REGISTERED for recursive deletion at JVM exit —
-    * the staging/sink/checkpoint dirs here hold full corpus copies, and
-    * without this every verify/bench run would leave one behind in /tmp.
-    * (JVM-exit, not eager: the caller's stream consumes the dir lazily,
-    * possibly long after this returns.) */
-  private def scratchDir(prefix: String): String = {
-    val dir = Files.createTempDirectory(prefix)
-    scratchDirs.add(dir)
-    dir.toString
-  }
-  private val scratchDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    scratchDirs.forEach { d =>
-      try {
-        import scala.jdk.CollectionConverters._
-        Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () } // best-effort cleanup
-    }))
+  /** JVM-exit-cleaned temp dir — the engine-wide registry
+    * ([[graft.util.Scratch]]): staging/sink/checkpoint dirs hold full
+    * corpus copies and must not accumulate across verify/bench runs. */
+  private def scratchDir(prefix: String): String =
+    graft.util.Scratch.dir(prefix)
 
   /** ST1: run a passthrough (or transformed) stream to completion, landing
     * every micro-batch in a parquet dir; returns the landed data. */

@@ -1,0 +1,29 @@
+package graft.util
+
+import java.nio.file.Files
+
+/** Temp dirs REGISTERED for recursive deletion at JVM exit — query
+  * harness scratch space (persisted stores, staged stream inputs, sink/
+  * checkpoint dirs) holds full corpus copies, and without the registry
+  * every verify/bench run would leave one behind in /tmp. JVM-exit, not
+  * eager: callers consume the dir lazily, possibly long after creation.
+  * One registry for the whole engine — [[graft.streaming.Streams]] and
+  * the query builders share it. */
+object Scratch {
+  def dir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    dirs.add(d)
+    d.toString
+  }
+
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    dirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+    }))
+}

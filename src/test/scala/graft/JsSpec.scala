@@ -483,6 +483,18 @@ class JsSpec extends AnyFunSuite {
     intercept[Js.JsError](evalExpr("new Date('03/05/2024')")) // non-ISO
     // ECMA rolls out-of-range fields over silently; this engine refuses
     intercept[Js.JsError](evalExpr("Date.UTC(2024, 12, 1)"))
+    // toString renders the ISO form (the documented locale-free deviation)
+    assert(evalExpr("new Date(0).toString()") === "1970-01-01T00:00:00.000Z")
+    // ECMA expanded ±YYYYYY years outside 0000-9999, round-trippable
+    assert(evalExpr("new Date(Date.UTC(10000, 0)).toISOString()") ===
+      "+010000-01-01T00:00:00.000Z")
+    assert(evalExpr(
+      "Date.parse(new Date(Date.UTC(10000, 0)).toISOString())") ===
+      evalExpr("Date.UTC(10000, 0)"))
+    // a year that overflows epoch-ms arithmetic is a catchable JsError,
+    // not a raw JVM crash
+    val ovf = intercept[Js.JsError](evalExpr("Date.UTC(300000000, 0)"))
+    assert(ovf.getMessage.contains("8.64e15"))
     // ECMA MakeFullYear: two-digit years are 1900-relative
     assert(evalExpr("Date.UTC(99, 0, 1)") === 915148800000.0)
     // ECMA's + hint for dates is STRING: concatenation, not ms addition
