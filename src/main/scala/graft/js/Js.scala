@@ -114,16 +114,22 @@ object Js {
     def iso: String = {
       val o = odt
       val y = o.getYear
+      // Locale.ROOT everywhere: a default locale with non-ASCII digits
+      // (CLDR arabic numbering) would otherwise vary the output across
+      // executors, breaking bit-identical determinism
       val yearStr =
-        if (y >= 0 && y <= 9999) f"$y%04d"
-        else (if (y < 0) "-" else "+") + f"${math.abs(y)}%06d"
+        if (y >= 0 && y <= 9999)
+          String.format(java.util.Locale.ROOT, "%04d", Int.box(y))
+        else (if (y < 0) "-" else "+") +
+          String.format(java.util.Locale.ROOT, "%06d", Int.box(math.abs(y)))
       yearStr + JsDate.TailFmt.format(o)
     }
     override def toString: String = iso
   }
   object JsDate {
     private val TailFmt = java.time.format.DateTimeFormatter
-      .ofPattern("'-'MM'-'dd'T'HH:mm:ss.SSS'Z'")
+      .ofPattern("'-'MM'-'dd'T'HH:mm:ss.SSS'Z'", java.util.Locale.ROOT)
+      .withDecimalStyle(java.time.format.DecimalStyle.STANDARD)
     /** ECMA TimeClip bound (±8.64e15 ms ≈ ±273,790 years). Real JS turns
       * an out-of-range time value into Invalid Date (and toISOString into
       * a RangeError); this engine fails LOUDLY at construction instead —

@@ -173,11 +173,16 @@ object Percolator {
     // self-register the strategy via the session's experimental hook
     // (IncrementalExecution honors it too); a duplicate alongside the
     // extension-injected copy is harmless (the planner takes the first
-    // non-empty match), but don't stack one per call
-    if (!spark.experimental.extraStrategies
-        .exists(_.isInstanceOf[graft.plans.PercolateStrategy]))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.PercolateStrategy(spark)
+    // non-empty match), but don't stack one per call. The check-then-append
+    // is a read-modify-write of a shared var, so serialize concurrent
+    // matches() calls on the experimental-methods object itself (the same
+    // monitor any third-party writer coordinating on it would use).
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies
+          .exists(_.isInstanceOf[graft.plans.PercolateStrategy]))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.PercolateStrategy(spark)
+    }
     val probe = df.select(stored.zipWithIndex.map { case ((_, q), i) =>
       QueryCompiler.compileFor(df, q).as(s"__graft_p$i")
     }: _*)

@@ -52,6 +52,19 @@ import org.apache.spark.sql.functions._
   * never rewritten (the explicit read schema fills missing columns with
   * NULL), and per-evolution `schema.v<n>.json` files keep every retained
   * version decodable with the schema in force at its commit.
+  *
+  * Writer guard: commits carry a version CAS — each commit records the
+  * manifest version it read, and re-checks it under a per-root JVM lock
+  * immediately before the atomic swap. Two racing commits therefore
+  * resolve exactly-one-wins: the loser throws
+  * `ConcurrentModificationException` naming both versions, its partial
+  * dirs are torn down, and the store stays readable at the winner's
+  * version (the loser must re-derive its delta against the new version
+  * and retry — optimistic concurrency, the Delta/Iceberg commit shape).
+  * Writers in DIFFERENT processes are outside the lock's reach; the
+  * re-read still catches them up to the check-to-rename window, so the
+  * supported deployment is one writer process (any thread count) plus
+  * unlimited concurrent readers.
   */
 final class PartitionedStore(val spark: SparkSession, val root: String,
     val keyCols: Seq[String], val nPartitions: Int,
@@ -336,6 +349,11 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     require(old.nonEmpty, s"store at $root not initialized")
     require(touched.forall(old.contains), "touched ids outside the store")
     val stamp = s"refresh${System.nanoTime()}"
+    var schemaWrittenAt: Option[Int] = None
+    // register the stamp as in-flight BEFORE any data lands: a concurrent
+    // winner's retention sweep must not reclaim this commit's
+    // written-but-not-yet-committed dirs as "unreferenced garbage"
+    PartitionedStore.inFlightStamps.add(stampKey(stamp))
     try {
       val routed = newState.withColumn(PartCol, partitionId)
       val touchedSet = touched.toSet
@@ -356,26 +374,61 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
         val sub = s"$stamp/$PartCol=$i"
         i -> (if (Files.exists(rootPath.resolve(sub))) sub else emptyDir)
       }.toMap
-      // an evolution's versioned schema is resolvable BEFORE any reader
-      // can see the manifest that needs it; a non-evolve commit clears any
-      // orphan at its version (a crash between an evolution's schema write
-      // and its manifest swap leaves one, which would otherwise mis-type
-      // this commit's time-travel reads)
-      evolvedTo match {
-        case Some(sc) => writeFileAtomic(
-          versionedSchemaPath(oldVersion + 1), sc.json.getBytes("UTF-8"))
-        case None =>
-          Files.deleteIfExists(versionedSchemaPath(oldVersion + 1)); ()
+      // writer guard (version CAS): serialize the visibility switch per
+      // store root within this JVM, and re-read the manifest version
+      // UNDER the lock — a concurrent commit that landed since this one
+      // read `oldVersion` fails HERE, loudly, before it can last-write-win
+      // the manifest (and before the sweep below could reclaim the
+      // winner's dirs). In-process racers are therefore strictly
+      // exactly-one-wins; a cross-process racer is caught by the same
+      // re-read up to the microsecond window between check and rename
+      // (documented contract: one writer PROCESS at a time, any number of
+      // writer threads, any number of readers). The schema step sits
+      // INSIDE the lock, after the check: a CAS loser must never
+      // overwrite (evolve) or orphan-clear (refresh) the winner's
+      // just-committed schema.v<N+1>.json.
+      PartitionedStore.commitLock(rootPath).synchronized {
+        val nowVersion = parseManifest(manifestPath)._1
+        if (nowVersion != oldVersion)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit detected on store at $root: read version " +
+              s"$oldVersion but the manifest is now at $nowVersion — this " +
+              "refresh loses; re-derive the delta against the current " +
+              "version and retry")
+        // an evolution's versioned schema is resolvable BEFORE any reader
+        // can see the manifest that needs it; a non-evolve commit clears
+        // any orphan at its version (a crash between an evolution's schema
+        // write and its manifest swap leaves one, which would otherwise
+        // mis-type this commit's time-travel reads)
+        evolvedTo match {
+          case Some(sc) =>
+            // a store initialized by pre-versioning code has no
+            // schema.v1.json; snapshot the current pointer as v1 BEFORE
+            // the first evolution's versioned schema lands, or readAsOf
+            // of pre-evolution versions would fall through schemaAsOf's
+            // pointer fallback and resolve the EVOLVED schema — showing
+            // the added column (as NULL) before it existed
+            if (listVersionedSchemas().isEmpty)
+              writeFileAtomic(versionedSchemaPath(1),
+                Files.readAllBytes(schemaPath))
+            schemaWrittenAt = Some(oldVersion + 1)
+            writeFileAtomic(
+              versionedSchemaPath(oldVersion + 1), sc.json.getBytes("UTF-8"))
+          case None =>
+            Files.deleteIfExists(versionedSchemaPath(oldVersion + 1)); ()
+        }
+        writeManifest(entries, oldVersion + 1) // the single atomic visibility switch
       }
-      writeManifest(entries, oldVersion + 1) // the single atomic visibility switch
     } catch {
       case e: Throwable =>
-        // commit never ran: tear the partial refresh dirs down (and any
-        // just-written orphan schema), manifest (and so every reader)
-        // stays on the old view
+        // commit never ran: tear the partial refresh dirs down (and the
+        // orphan schema if THIS commit wrote one — a CAS loser that never
+        // reached the schema step must not delete the winner's), manifest
+        // (and so every reader) stays on the old view
         deleteDirQuiet(rootPath.resolve(stamp))
-        evolvedTo.foreach(_ =>
-          Files.deleteIfExists(versionedSchemaPath(oldVersion + 1)))
+        schemaWrittenAt.foreach(v =>
+          Files.deleteIfExists(versionedSchemaPath(v)))
+        PartitionedStore.inFlightStamps.remove(stampKey(stamp))
         throw e
     }
     // current-schema pointer: POST-commit (once the manifest swapped, the
@@ -402,13 +455,28 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     // reclaim candidates = EVERY stamp dir on disk, not just the previous
     // manifest's (whose dirs are still retained at retainVersions >= 2 —
     // sweeping only from `old` left the dirs of the version FALLING OUT
-    // of the window unreclaimed forever, a per-refresh disk leak). The
-    // store is single-writer (concurrent READERS are the supported race),
-    // so an unreferenced stamp can only be a vacuumed version's or a
-    // crashed refresh's — both are garbage.
+    // of the window unreclaimed forever, a per-refresh disk leak) —
+    // EXCEPT stamps a concurrent commit registered as in-flight: its data
+    // may be written while its manifest is not yet swapped, and reclaiming
+    // it here would hand the racer a committed manifest over deleted dirs.
+    // A stamp left in-flight by a crashed PROCESS dies with that process's
+    // registry, so the next process's sweep still reclaims it (no leak
+    // regression); within the supported one-writer-process contract the
+    // registry is authoritative.
     listStampDirs().filterNot(d => keep.contains(d.getFileName.toString))
+      .filterNot(d => PartitionedStore.inFlightStamps
+        .contains(stampKey(d.getFileName.toString)))
       .foreach(deleteDirQuiet)
+    // deregister LAST: once committed the stamp is manifest-referenced
+    // (the keep set protects it), so a failure between commit and here
+    // merely leaves one string in the registry — never a reclaim hazard
+    PartitionedStore.inFlightStamps.remove(stampKey(stamp))
   }
+
+  /** Root-qualified stamp identity for the JVM-wide in-flight registry —
+    * two stores over different roots never mask each other's sweeps. */
+  private def stampKey(stamp: String): String =
+    rootPath.toAbsolutePath.normalize.toString + "/" + stamp
 
   private def listStampDirs(): Seq[Path] =
     listRoot("(init|refresh)\\d+", dirsOnly = true)
@@ -432,4 +500,25 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
         .foreach(f => Files.deleteIfExists(f))
       finally walk.close()
     }
+}
+
+object PartitionedStore {
+  // one commit monitor per normalized store root, JVM-wide: two
+  // PartitionedStore instances over the same directory (the realistic
+  // in-process race — e.g. two scheduled refreshes of one maintained view)
+  // serialize their visibility switches on the SAME object, making the
+  // version CAS in commitTouched exactly-one-wins rather than
+  // best-effort. Entries are a Path + Object per distinct store root —
+  // bounded by the number of stores the driver ever opens, never reclaimed
+  // (reclaiming would reintroduce the race it exists to close).
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[Path, Object]()
+  private[store] def commitLock(root: Path): Object =
+    commitLocks.computeIfAbsent(root.toAbsolutePath.normalize, _ => new Object)
+
+  // root-qualified stamp names of commits between first-data-write and
+  // end-of-sweep: the retention sweep skips these, so a winner can never
+  // reclaim a concurrent racer's not-yet-committed dirs (see commitTouched)
+  private[store] val inFlightStamps: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

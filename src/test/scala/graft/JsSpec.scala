@@ -488,6 +488,18 @@ class JsSpec extends AnyFunSuite {
     // ECMA expanded ±YYYYYY years outside 0000-9999, round-trippable
     assert(evalExpr("new Date(Date.UTC(10000, 0)).toISOString()") ===
       "+010000-01-01T00:00:00.000Z")
+    // determinism across JVM default locales: an executor defaulting to a
+    // non-ASCII numbering system (CLDR arabic digits) must render the SAME
+    // bytes — iso formats with Locale.ROOT, never the default
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(
+        java.util.Locale.forLanguageTag("ar-SA-u-nu-arab"))
+      assert(evalExpr("new Date(0).toISOString()") ===
+        "1970-01-01T00:00:00.000Z")
+      assert(evalExpr("new Date(Date.UTC(10000, 0)).toISOString()") ===
+        "+010000-01-01T00:00:00.000Z")
+    } finally java.util.Locale.setDefault(saved)
     assert(evalExpr(
       "Date.parse(new Date(Date.UTC(10000, 0)).toISOString())") ===
       evalExpr("Date.UTC(10000, 0)"))

@@ -269,6 +269,76 @@ class PartitionedRollupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ps.evolve(touched, cur) } // no adds
   }
 
+  test("two racing commits: exactly one wins, the loser names the conflict, " +
+      "the store stays readable at the winner's version") {
+    // Deterministic interleaving: the loser's newState carries a one-shot
+    // task-side hook that fires DURING its data write (i.e. after it read
+    // the manifest version, before its commit lock) — a driver-side thread
+    // then lands a full interfering commit and releases the task. The
+    // loser's version CAS must fail loudly; the interferer's retention
+    // sweep must NOT have reclaimed the loser's in-flight stamp dirs
+    // mid-write (the in-flight registry), and the winner's commit must be
+    // fully intact afterwards.
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 4)
+    val all = (0L until 32L).map(i => (i, i))
+    ps.init(state(all)) // v1
+    RaceHook.reset()
+    val interferer = new Thread(() => {
+      RaceHook.loserWriting.await()
+      // a full commit from a SEPARATE instance over the same root — the
+      // realistic two-scheduled-refreshes-of-one-view race
+      val ps2 = new PartitionedStore(spark, root, Seq("k"), 4)
+      ps2.refresh((0 until 4),
+        state(all.map { case (k, _) => (k, k + 100) })) // v2
+      RaceHook.interfererDone.countDown()
+    })
+    interferer.start()
+    import spark.implicits._
+    val loserState = state(all.map { case (k, _) => (k, k + 777) })
+      .as[(Long, Long)].mapPartitions { it => RaceHook.pause(); it }
+      .toDF("k", "v")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ps.refresh((0 until 4), loserState)
+    }
+    interferer.join(120000)
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(e.getMessage.contains("version 1") &&
+      e.getMessage.contains("now at 2"))
+    // the winner's commit is the live state, fully readable
+    assert(ps.version() === 2)
+    assert(ps.read().as[(Long, Long)].collect().toMap ===
+      all.map { case (k, _) => (k, k + 100) }.toMap)
+    // the loser's torn-down stamp left no orphans; the winner's retained
+    // lineage (init v1 + refresh v2 at retain=2) is all that remains
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(root))
+    val stamps = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.matches("(init|refresh)\\d+")).toSet finally s.close()
+    assert(stamps.size === 2, s"expected init+winner stamps only: $stamps")
+  }
+
+  test("first evolve of a pre-versioning store snapshots v1's schema — " +
+      "time travel never shows a column before it existed") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 4,
+      retainVersions = 4)
+    ps.init(state(Seq((1L, 10L), (2L, 20L)))) // v1
+    // simulate a store initialized by pre-evolution code: no versioned
+    // schema files exist, only the mutable schema.json pointer
+    Files.deleteIfExists(Paths.get(root, "schema.v1.json"))
+    applyDelta(ps, Seq((1L, 11L))) // v2 — still no versioned schema
+    val touched = ps.touchedBy(Seq(Tuple1(1L)).toDF("k"))
+    ps.evolve(touched, ps.readPartitions(touched)
+      .withColumn("w", lit(null).cast("long"))) // v3 adds w
+    // pre-evolution versions resolve the PRE-evolution schema (without the
+    // first-evolve snapshot they would fall through to the evolved pointer)
+    assert(ps.readAsOf(1).columns.toSeq === Seq("k", "v"))
+    assert(ps.readAsOf(2).columns.toSeq === Seq("k", "v"))
+    assert(ps.readAsOf(3).columns.toSeq === Seq("k", "v", "w"))
+    assert(ps.read().columns.toSeq === Seq("k", "v", "w"))
+  }
+
   test("partition routing agrees between state and delta by construction") {
     val ps = newStore(16)
     val keys = (0L until 200L).map(k => Tuple1(k)).toDF("k")
@@ -277,4 +347,27 @@ class PartitionedRollupSpec extends AnyFunSuite {
     assert(ids.subsetOf((0 until 16).toSet))
     assert(ids.size > 8) // xxhash64 spreads across most partitions
   }
+}
+
+/** Static rendezvous for the racing-commit test: the loser's write tasks
+  * call [[pause]] (one-shot), which wakes the driver-side interferer and
+  * blocks until its commit lands. An `object` so local-mode executor
+  * threads (same JVM) share the latches with the driver. */
+object RaceHook {
+  import java.util.concurrent.{CountDownLatch, TimeUnit}
+  import java.util.concurrent.atomic.AtomicBoolean
+  @volatile var loserWriting: CountDownLatch = _
+  @volatile var interfererDone: CountDownLatch = _
+  private val fired = new AtomicBoolean(false)
+  def reset(): Unit = {
+    loserWriting = new CountDownLatch(1)
+    interfererDone = new CountDownLatch(1)
+    fired.set(false)
+  }
+  def pause(): Unit =
+    if (fired.compareAndSet(false, true)) {
+      loserWriting.countDown()
+      if (!interfererDone.await(120, TimeUnit.SECONDS))
+        throw new IllegalStateException("interfering commit never landed")
+    }
 }
