@@ -107,6 +107,31 @@ object AnnQueries {
           k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
+    // ---- ann14: INCREMENTAL maintenance of the persisted IVF index —
+    // the daily-serving op ann13's static build lacks: build on half the
+    // corpus, append the other half in two batches through the
+    // PartitionedStore touched-partition machinery (O(batch + touched
+    // cells) I/O per append, one atomic manifest swap each, version-CAS
+    // write-guarded), drift-checked against the frozen quantizer's
+    // train-time mean d2, then serve partition-pruned from the maintained
+    // store. Exhaustive probes → provably exact over the FULL corpus →
+    // the ann13 top-k SQL is the oracle, pinning build→append→append→
+    // serve ≡ rebuild end to end; IvfIndexSpec pins the bounded-nprobe
+    // append≡rebuild equality, the crash/drift/replay guards, and the
+    // directory-level prune ----------------------------------------------
+    "ann14_ivf_append" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 4 <= 1)
+      val cents = graft.similarity.KMeans.train(base, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val idx = new graft.similarity.IvfIndex(s,
+        graft.util.Scratch.dir("graft_ann14"), nPartitions = 8)
+      idx.build(base, cents)
+      idx.append(e.filter(col("vec_id") % 4 === 2), cents, maxDriftRatio = 4.0)
+      idx.append(e.filter(col("vec_id") % 4 === 3), cents, maxDriftRatio = 4.0)
+      idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 8)
+        .orderBy("q_id", "rank")
+    },
     // Product quantization: train 8×16 sub-codebooks (one Lloyd's job per
     // iteration covers all subspaces), NARROW-encode the corpus to 8 codes,
     // ADC-scan against broadcast per-query distance tables. rerank=∞ means
@@ -744,6 +769,16 @@ object AnnQueries {
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // exhaustive probes over the persisted index ≡ the exact top-k
     "ann13_ivf_pruned" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // build-on-half + two appends + exhaustive probes ≡ the exact top-k
+    // over the FULL corpus — the append path adds nothing and loses
+    // nothing vs a full rebuild
+    "ann14_ivf_append" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
         s"$cosSql AS sim, " +

@@ -232,6 +232,18 @@ object Ann {
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centId: String = "cent_id", centVec: String = "cent_vec",
+      cellCol: String = "cell"): DataFrame =
+    assignCellsWithDist(corpus, centroids, idCol, vecCol, centId, centVec,
+      cellCol).drop("d2")
+
+  /** [[assignCells]] keeping the squared distance TO the winning cell as a
+    * `d2` column — the per-vector quantization error [[IvfIndex]] persists
+    * so quantizer-drift detection (batch mean d2 vs train-time mean d2)
+    * never re-scores the corpus. Same argmin, same tie-break, one extra
+    * double per row. */
+  def assignCellsWithDist(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centId: String = "cent_id", centVec: String = "cent_vec",
       cellCol: String = "cell"): DataFrame = {
     val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
     corpus.select(col(idCol), col(vecCol))
@@ -239,10 +251,10 @@ object Ann {
       .select(col(idCol), col(vecCol), col("cent"),
         l2sq(col(vecCol), col("cv")).as("d2"))
       .groupBy(idCol)
-      .agg(min_by(struct(col("cent"), col(vecCol)),
+      .agg(min_by(struct(col("cent"), col(vecCol), col("d2")),
         struct(col("d2"), col("cent"))).as("m"))
       .select(col(idCol), col(s"m.$vecCol").as(vecCol),
-        col("m.cent").as(cellCol))
+        col("m.cent").as(cellCol), col("m.d2").as("d2"))
   }
 
   /** Serving path over a PERSISTED IVF index: `stored` is the corpus
@@ -268,6 +280,27 @@ object Ann {
       cId: String = "vec_id", cVec: String = "embedding",
       centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k/nprobe must be >= 1: $k/$nprobe")
+    // ONE execution of the assignment pipeline: the collected rows feed
+    // both the driver-side probe-cell list AND (as a local relation) the
+    // broadcast join side — the query batch is broadcast-sized by
+    // contract, so materializing it on the driver costs what the
+    // broadcast costs anyway
+    val (probeRows, probeSchema) =
+      collectProbes(queries, centroids, nprobe, qId, qVec, centId, centVec)
+    rankOverProbes(stored, probeRows, probeSchema, k, cellCol, cId, cVec)
+  }
+
+  /** The collected probe side of a pruned IVF serve: per query, its
+    * `nprobe` nearest cells — (q_id, q_vec, cent) rows plus their schema.
+    * Bounded driver state by the broadcast-query contract (≤ nprobe ×
+    * |queries| rows). ONE derivation shared by [[ivfTopKPruned]] and
+    * [[IvfIndex.serve]], so the cells the store-side partition prune reads
+    * and the cells the candidate join matches can never fork. */
+  private[similarity] def collectProbes(queries: DataFrame,
+      centroids: DataFrame, nprobe: Int, qId: String, qVec: String,
+      centId: String, centVec: String)
+      : (Array[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType) = {
     val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
       .join(broadcast(cent))
@@ -275,30 +308,28 @@ object Ann {
     val w = Window.partitionBy("q_id").orderBy(col("d2"), col("cent"))
     val probesDf = q.withColumn("crank", row_number().over(w))
       .filter(col("crank") <= nprobe).select("q_id", "q_vec", "cent")
-    // ONE execution of the assignment pipeline: the collected rows feed
-    // both the driver-side probe-cell list AND (as a local relation) the
-    // broadcast join side — the query batch is broadcast-sized by
-    // contract, so materializing it on the driver costs what the
-    // broadcast costs anyway
-    val probeRows = probesDf.collect()
+    (probesDf.collect(), probesDf.schema)
+  }
+
+  /** Candidate join + exact rerank over an already-collected probe side:
+    * row-filter the stored corpus to the probed cells (the scan-level
+    * prune — a partition-directory prune when `stored` is cell-partitioned
+    * parquet), equi-join the broadcast probe set on the cell, exact cosine,
+    * per-query window top-k. */
+  private[similarity] def rankOverProbes(stored: DataFrame,
+      probeRows: Array[org.apache.spark.sql.Row],
+      probeSchema: org.apache.spark.sql.types.StructType, k: Int,
+      cellCol: String, cId: String, cVec: String): DataFrame = {
     val spark = stored.sparkSession
     val probesLocal = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesDf.schema)
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
     // probe literals take the PARTITION column's own type (string or a
     // narrower integer than the centroid ids) — a mismatch would wrap the
     // partition column in a CAST, and a cast-wrapped IN can land as a
     // post-scan row filter instead of PartitionFilters: silently correct,
     // silently unpruned
     val cellType = stored.schema(cellCol).dataType
-    val probesRaw = probeRows.map(_.getAs[Any]("cent")).distinct
-    import org.apache.spark.sql.types._
-    val probes: Seq[Any] = (cellType match {
-      case StringType => probesRaw.map(String.valueOf)
-      case IntegerType => probesRaw.map(_.asInstanceOf[Number].intValue)
-      case LongType => probesRaw.map(_.asInstanceOf[Number].longValue)
-      case ShortType => probesRaw.map(_.asInstanceOf[Number].shortValue)
-      case _ => probesRaw
-    }).toSeq
+    val probes = probeCells(probeRows, cellType)
     val cand = stored
       .filter(col(cellCol).isInCollection(probes)) // partition-dir prune
       .join(broadcast(probesLocal.select(col("q_id"), col("q_vec"),
@@ -308,6 +339,22 @@ object Ann {
     cand.withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select(col("q_id"), col(cId).as("c_id"), col("sim"), col("rank"))
+  }
+
+  /** Distinct probed cells, coerced to the stored cell column's exact
+    * type (see the CAST note in [[rankOverProbes]]). */
+  private[similarity] def probeCells(
+      probeRows: Array[org.apache.spark.sql.Row],
+      cellType: org.apache.spark.sql.types.DataType): Seq[Any] = {
+    val probesRaw = probeRows.map(_.getAs[Any]("cent")).distinct
+    import org.apache.spark.sql.types._
+    (cellType match {
+      case StringType => probesRaw.map(String.valueOf)
+      case IntegerType => probesRaw.map(_.asInstanceOf[Number].intValue)
+      case LongType => probesRaw.map(_.asInstanceOf[Number].longValue)
+      case ShortType => probesRaw.map(_.asInstanceOf[Number].shortValue)
+      case _ => probesRaw
+    }).toSeq
   }
 
   /** IVF-style: `centroids` (small, broadcast) define cells; every corpus

@@ -1,0 +1,147 @@
+package graft.similarity
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.PartitionedStore
+
+/** A PERSISTED, incrementally-maintained IVF index — the op a real serving
+  * pipeline runs daily: append a new embedding batch into the persisted
+  * index WITHOUT rebuilding it. Composes the two components built for each
+  * other: [[Ann.assignCellsWithDist]] routes vectors to coarse cells, and
+  * [[PartitionedStore.append]] commits each batch as ONE added data dir
+  * per touched cell partition behind one atomic manifest swap — O(batch)
+  * write I/O, crash-safe, time-travelable, version-CAS write-guarded (all
+  * inherited, spec'd contracts).
+  * The reference's analog is the time-sliced index append + rollover
+  * lifecycle (`aleph2_crud_service_elasticsearch/.../services/
+  * ElasticsearchIndexService.java:335-391`), re-expressed as a lakehouse
+  * layout instead of an ES alias dance.
+  *
+  * Layout: the store is keyed by `cell`, so a partition holds whole cells
+  * (`pmod(xxhash64(cell), nPartitions)` — at nPartitions ≈ |cells|, about
+  * one cell per directory). Serving prunes at the partition-directory
+  * level: a query batch probing p of C cells reads ~p/C of the corpus —
+  * the same 100 TB story as the static ann13 layout, plus O(batch)
+  * maintenance I/O per append instead of O(n) rebuild I/O; a periodic
+  * [[PartitionedStore.refresh]] compacts a partition's accumulated append
+  * dirs back to one.
+  *
+  * Quantizer drift: the centroids are FROZEN at build time (that is what
+  * makes appends cheap), so each append measures the batch's mean squared
+  * assignment distance against the train-time mean persisted in
+  * `ivf_meta.json`. A batch whose distribution moved away from the trained
+  * cells assigns measurably farther (ratio >> 1); [[append]] returns the
+  * ratio and fails loudly — BEFORE any write — when it exceeds
+  * `maxDriftRatio`, the signal to re-train and [[build]] fresh. Every row
+  * also persists its own `d2`, so a post-hoc drift audit never re-scores
+  * the corpus.
+  *
+  * Id contract: appended ids are expected new. A replayed batch (same id,
+  * same vector → same cell) is caught by a bounded guard over the touched
+  * partitions only; a duplicate id arriving with a DIFFERENT vector that
+  * lands in another cell is the caller's uniqueness contract, same as any
+  * keyed sink here.
+  */
+final class IvfIndex(val spark: SparkSession, val root: String,
+    val nPartitions: Int, val idCol: String = "vec_id",
+    val vecCol: String = "embedding", val cellCol: String = "cell",
+    val centId: String = "cent_id", val centVec: String = "cent_vec") {
+
+  val store = new PartitionedStore(spark, root, Seq(cellCol), nPartitions)
+
+  private def metaPath = Paths.get(root, "ivf_meta.json")
+
+  /** Train-time mean squared assignment distance (the drift baseline). */
+  def trainMeanD2: Double = {
+    require(Files.exists(metaPath), s"IVF index at $root not built")
+    val body = new String(Files.readAllBytes(metaPath), "UTF-8")
+    val m = """"train_mean_d2"\s*:\s*([-0-9.eE]+)""".r
+      .findFirstMatchIn(body)
+      .getOrElse(throw new IllegalStateException(
+        s"malformed ivf_meta.json at $root: $body"))
+    m.group(1).toDouble
+  }
+
+  /** Build the index: assign every corpus vector to its nearest (frozen)
+    * centroid, persist per-cell via the store's init, and record the
+    * train-time mean d2 as the drift baseline. The baseline read-back
+    * scans ONLY the d2 column of the just-written parquet (column-pruned),
+    * not the vectors. Overwrites any existing index. */
+  def build(corpus: DataFrame, centroids: DataFrame): Unit = {
+    val assigned = Ann.assignCellsWithDist(corpus, centroids,
+      idCol, vecCol, centId, centVec, cellCol)
+    store.init(assigned)
+    val mean = store.read().agg(avg(col("d2"))).collect()(0).getDouble(0)
+    val body = String.format(java.util.Locale.ROOT,
+      """{"train_mean_d2":%s,"n_partitions":%d}""",
+      java.lang.Double.toString(mean), Int.box(nPartitions))
+    val tmp = Paths.get(root, s".meta_tmp${System.nanoTime()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, metaPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Append a batch under the FROZEN quantizer: assign, drift-check, and
+    * commit per-cell through the store's APPEND commit — write I/O is
+    * O(|batch|) (one new dir per touched partition, existing dirs
+    * untouched — a uniform batch spreading over every cell still appends
+    * in O(batch), where a full-content refresh would rewrite the store),
+    * and a failure at any point (drift, replay, a poisoned batch) leaves
+    * the index byte-identical at its previous version (the store's commit
+    * contract). The replay guard reads only the touched partitions' id
+    * COLUMN (a pruned scan). Returns the measured drift ratio (batch mean
+    * d2 over the train-time mean). */
+  def append(batch: DataFrame, centroids: DataFrame,
+      maxDriftRatio: Double = Double.MaxValue): Double = {
+    val baseline = trainMeanD2
+    val assigned = Ann.assignCellsWithDist(batch, centroids,
+      idCol, vecCol, centId, centVec, cellCol)
+    val mean = assigned.agg(avg(col("d2"))).collect()(0).getDouble(0)
+    val ratio = if (baseline > 0) mean / baseline else Double.PositiveInfinity
+    if (ratio > maxDriftRatio)
+      throw new IllegalStateException(
+        f"quantizer drift: batch mean d2 $mean%.6f is $ratio%.2fx the " +
+          f"train-time mean $baseline%.6f (max $maxDriftRatio%.2f) — " +
+          "re-train the centroids and rebuild the index")
+    val touched = store.touchedBy(assigned)
+    // replay guard, bounded to the touched partitions (where a same-vector
+    // duplicate MUST land — same vector → same cell → same partition)
+    val dups = store.readPartitions(touched).select(col(idCol))
+      .join(assigned.select(col(idCol)), Seq(idCol)).limit(5)
+      .collect().map(_.get(0))
+    require(dups.isEmpty,
+      s"append batch replays ids already in the index: ${dups.mkString(", ")}")
+    store.append(touched, assigned)
+    ratio
+  }
+
+  /** Partition-pruned serving over the maintained index — ONE probe
+    * derivation feeds both the store-level directory prune (which
+    * manifest partitions to read at all) and the candidate cell join, so
+    * they can never fork. `nprobe = |cells|` probes everything (provably
+    * exact, the oracle config); bounded nprobe reads ~nprobe/C of the
+    * index. */
+  def serve(queries: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k/nprobe must be >= 1: $k/$nprobe")
+    val (probeRows, probeSchema) = Ann.collectProbes(
+      queries, centroids, nprobe, idCol, vecCol, centId, centVec)
+    val cellType = store.read().schema(cellCol).dataType
+    val cells = Ann.probeCells(probeRows, cellType)
+    // route the probed cells through the store's OWN partitioning
+    // expression (touchedBy) — the cell column must carry the stored
+    // type exactly, or xxhash64 would route to different partitions
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val cellRows = cells.map(c => org.apache.spark.sql.Row(c))
+    val cellsDf = spark.createDataFrame(
+      java.util.Arrays.asList(cellRows: _*),
+      StructType(Seq(StructField(cellCol, cellType, nullable = false))))
+    val ids = store.touchedBy(cellsDf)
+    val pruned = store.readPartitions(ids).drop("d2")
+    Ann.rankOverProbes(pruned, probeRows, probeSchema, k, cellCol,
+      idCol, vecCol)
+  }
+}

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * O(touched partitions)).
   *
   * Layout: `root/manifest` is one small text file mapping partition id →
-  * physical data dir (`<id> <dir>` per line, plus a header row naming the
-  * partition count). Data dirs are NEVER renamed or mutated while
-  * addressable — a refresh writes NEW dirs for the touched partitions
-  * only, then replaces the manifest in ONE atomic rename. That single
+  * its physical data dirs (`<id> <dir>[;<dir>…]` per line, plus a header
+  * row naming the partition count). Data dirs are NEVER renamed or mutated
+  * while addressable — a refresh writes NEW dirs for the touched
+  * partitions only (replacing their lists), an [[append]] ADDS one dir per
+  * touched partition (O(delta) write I/O; the next refresh compacts), and
+  * either replaces the manifest in ONE atomic rename. That single
   * rename is the all-partitions-at-once visibility switch: a concurrent
   * reader resolves either the old manifest (all old dirs) or the new one
   * (old untouched dirs + new touched dirs) — never a mix of view
@@ -178,6 +180,13 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** A manifest entry is a ';'-joined list of data dirs — one for a
+    * partition last written by init/refresh (which REPLACE content), one
+    * per append since ([[append]] ADDS a dir, O(delta) write I/O; the next
+    * refresh of the partition compacts the list back to one). */
+  private def entryDirs(entry: String): Seq[String] =
+    entry.split(";").toSeq
+
   private def parseManifest(p: Path): (Int, Map[Int, String]) = {
     val lines = new String(Files.readAllBytes(p), "UTF-8")
       .split("\n").filter(_.nonEmpty)
@@ -217,7 +226,8 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     val m = manifest()
     require(m.nonEmpty, s"store at $root not initialized")
     spark.read.schema(storedSchema)
-      .parquet(m.values.toSeq.distinct.sorted.map(dirFor): _*)
+      .parquet(m.values.toSeq.flatMap(entryDirs)
+        .distinct.sorted.map(dirFor): _*)
   }
 
   /** Time-travel read: the store EXACTLY as committed at `version` — the
@@ -236,7 +246,8 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       s"version $version was never committed (current: ${this.version()})")
     val (_, m) = parseManifest(p)
     spark.read.schema(schemaAsOf(version))
-      .parquet(m.values.toSeq.distinct.sorted.map(dirFor): _*)
+      .parquet(m.values.toSeq.flatMap(entryDirs)
+        .distinct.sorted.map(dirFor): _*)
   }
 
   /** The requested partitions' rows (refresh-side helper; empty
@@ -247,7 +258,8 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     require(ids.forall(m.contains), s"unknown partition ids: ${ids.filterNot(m.contains)}")
     require(ids.nonEmpty, "no partitions requested")
     spark.read.schema(storedSchema)
-      .parquet(ids.map(i => m(i)).distinct.sorted.map(dirFor): _*)
+      .parquet(ids.flatMap(i => entryDirs(m(i)))
+        .distinct.sorted.map(dirFor): _*)
   }
 
   // ---- write ------------------------------------------------------------
@@ -303,7 +315,27 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       s"refresh schema ${newState.schema.simpleString} does not match the " +
         s"store's pinned schema ${storedSchema.simpleString} " +
         "(adding columns is evolve()'s job)")
-    commitTouched(touched, newState, evolvedTo = None)
+    commitTouched(touched, newState, evolvedTo = None, appendMode = false)
+  }
+
+  /** APPEND commit: `delta` carries ONLY NEW rows for the `touched`
+    * partitions — each touched partition's manifest entry gains one more
+    * data dir (the Delta-style "add file" commit), existing dirs untouched,
+    * so write I/O is O(|delta|) regardless of how large the touched
+    * partitions already are. That is the maintenance primitive for
+    * append-mostly state ([[graft.similarity.IvfIndex]]'s daily embedding
+    * batches): a batch spread uniformly over every partition appends in
+    * O(batch), where [[refresh]] — whose contract is FULL new content —
+    * would rewrite the whole store. The next [[refresh]]/[[evolve]] of a
+    * partition compacts its dir list back to one. Key semantics are the
+    * caller's (append does not dedup against existing rows); same atomic
+    * manifest swap, version CAS, retention and crash behavior as refresh. */
+  def append(touched: Seq[Int], delta: DataFrame): Unit = {
+    require(delta.schema.map(f => (f.name, f.dataType)) ==
+      storedSchema.map(f => (f.name, f.dataType)),
+      s"append schema ${delta.schema.simpleString} does not match the " +
+        s"store's pinned schema ${storedSchema.simpleString}")
+    commitTouched(touched, delta, evolvedTo = None, appendMode = true)
   }
 
   /** ADDITIVE schema evolution: commit the `touched` partitions (full new
@@ -337,11 +369,13 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     added.foreach(f => require(f.nullable,
       s"added column '${f.name}' must be nullable — rows committed before " +
         "the evolution read it as NULL"))
-    commitTouched(touched, newState, evolvedTo = Some(newState.schema))
+    commitTouched(touched, newState, evolvedTo = Some(newState.schema),
+      appendMode = false)
   }
 
   private def commitTouched(touched: Seq[Int], newState: DataFrame,
-      evolvedTo: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      evolvedTo: Option[org.apache.spark.sql.types.StructType],
+      appendMode: Boolean): Unit = {
     require(touched.nonEmpty, "refresh with no touched partitions")
     require(touched.distinct == touched, "duplicate touched ids")
     require(Files.exists(manifestPath), s"store at $root not initialized")
@@ -369,10 +403,19 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
         .write.mode("overwrite").partitionBy(PartCol)
         .parquet(rootPath.resolve(stamp).toString)
       val emptyDir = s"$stamp/__empty"
-      newState.limit(0).write.mode("overwrite").parquet(dirFor(emptyDir))
-      val entries = old ++ touched.map { i =>
+      if (!appendMode)
+        newState.limit(0).write.mode("overwrite").parquet(dirFor(emptyDir))
+      val entries = old ++ touched.flatMap { i =>
         val sub = s"$stamp/$PartCol=$i"
-        i -> (if (Files.exists(rootPath.resolve(sub))) sub else emptyDir)
+        val wrote = Files.exists(rootPath.resolve(sub))
+        if (!appendMode) Some(i -> (if (wrote) sub else emptyDir))
+        else if (!wrote) None // empty delta slice: partition unchanged
+        else {
+          // ADD the new dir to the partition's list; a schema-carrying
+          // shared empty placeholder is superseded by real data
+          val prev = entryDirs(old(i)).filterNot(_.endsWith("/__empty"))
+          Some(i -> (prev :+ sub).mkString(";"))
+        }
       }.toMap
       // writer guard (version CAS): serialize the visibility switch per
       // store root within this JVM, and re-read the manifest version
@@ -451,7 +494,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     }
     val keep = listVersionedManifests()
       .flatMap(p => parseManifest(p)._2.values)
-      .map(e => e.split("/")(0)).toSet
+      .flatMap(entryDirs).map(e => e.split("/")(0)).toSet
     // reclaim candidates = EVERY stamp dir on disk, not just the previous
     // manifest's (whose dirs are still retained at retainVersions >= 2 —
     // sweeping only from `old` left the dirs of the version FALLING OUT

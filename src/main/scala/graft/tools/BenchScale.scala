@@ -162,7 +162,11 @@ object BenchScale {
     // the single-scan claim against record growth (the registry-growth
     // A/B below pins it against registry growth)
     "dd18_exact_substring_removal", "ann13_ivf_pruned",
-    "perc3_percolate_large")
+    "perc3_percolate_large",
+    // round-13: ann14 is ann13's build class plus two append commits and
+    // a store-mediated serve — its marginal must track ann13's (the
+    // dedicated append-vs-rebuild A/B below pins the O(batch) claim)
+    "ann14_ivf_append")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
@@ -499,6 +503,71 @@ object BenchScale {
       f"[scale] ann12 candidates sf0.1 $knnC01 sf1 $knnC1 ratio $knnCRatio%.2f " +
         f"time $knnT01%.2fs/$knnT1%.2fs ratio $knnTRatio%.2f (n^1.5 model: 31.6)")
 
+    // ---- ann14 incremental IVF maintenance: the append path's WHOLE cost
+    // (assign batch + drift check + replay guard + O(batch) append commit)
+    // vs the full-rebuild comparator (assign corpus + O(n) init write) at
+    // the same √n-cell config — the claim is append ∝ batch, so at every
+    // SF the append must beat the rebuild, and the append's sf0.1↔sf1
+    // growth must stay ~data-linear (the batch is a fixed 1/8 of the
+    // corpus). Serve (bounded nprobe over the maintained store) reported
+    // for the pruned-read story. --------------------------------------------
+    def ann14Gate(dir: String, tag: String)
+        : (Double, Double, Double, Double) = {
+      val e = Tables.t(spark, dir, "embeddings")
+      val n = e.count()
+      val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cents = graft.similarity.KMeans.train(
+        e.filter(col("vec_id") % 8 =!= 7), "vec_id", "embedding",
+        k = cells, iters = 2)
+      val idx = new graft.similarity.IvfIndex(spark,
+        graft.util.Scratch.dir(s"graft_sc_ann14_$tag"), nPartitions = cells)
+      val tBuild = time(idx.build(e.filter(col("vec_id") % 8 =!= 7), cents))
+      val tAppend = time(idx.append(e.filter(col("vec_id") % 8 === 7), cents))
+      val rebuilt = new graft.similarity.IvfIndex(spark,
+        graft.util.Scratch.dir(s"graft_sc_ann14r_$tag"), nPartitions = cells)
+      val tRebuild = time(rebuilt.build(e, cents))
+      val tServe = time(
+        idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 2)
+          .count())
+      (tBuild, tAppend, tRebuild, tServe)
+    }
+    val (ivB01, ivA01, ivR01, ivS01) = ann14Gate(sf01, "01")
+    val (ivB1, ivA1, ivR1, ivS1) = ann14Gate(sf1, "1")
+    val ivARatio = if (ivA01 > 0) ivA1 / ivA01 else -1.0
+    System.err.println(
+      f"[scale] ann14 build $ivB01%.2fs/$ivB1%.2fs append $ivA01%.2fs/$ivA1%.2fs " +
+        f"(ratio $ivARatio%.2f) rebuild $ivR01%.2fs/$ivR1%.2fs serve $ivS01%.2fs/$ivS1%.2fs")
+
+    // ---- dd17 composed approximate SemDeDup: the FULL pipeline at the
+    // scale config — √n cells, nprobe=2 knnJoin edges (cos >= 0.40, top-3)
+    // → pointer-jumping CC → keep-set — timed end to end. The edge stage
+    // rides ann12's gated n^1.5 path; CC rounds are lineage-truncated and
+    // shrink with density; flag at the same 47× line as ann12 (n^1.5
+    // model 31.6 × 1.5 slack). DedupAnnSpec pins the approximate
+    // keep-set's disagreement vs the exhaustive keep-set. -----------------
+    def dd17Pipeline(dir: String): Unit = {
+      val e = Tables.t(spark, dir, "embeddings")
+      val n = e.count()
+      val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = cells, iters = 2)
+      val edges = graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 2)
+        .filter(col("sim") >= 0.40)
+        .select(col("q_id").as("a"), col("c_id").as("b"))
+      graft.dedup.Clustering
+        .connectedComponents(edges, e.select(col("vec_id")))
+        .toDF("vec_id", "component")
+        .select(col("vec_id"), (col("vec_id") === col("component"))
+          .cast("int").as("keep"))
+        .count(): Unit
+    }
+    val sdT01 = time(dd17Pipeline(sf01))
+    val sdT1 = time(dd17Pipeline(sf1))
+    val sdRatio = if (sdT01 > 0) sdT1 / sdT01 else -1.0
+    System.err.println(
+      f"[scale] dd17 approx pipeline sf0.1 $sdT01%.2fs sf1 $sdT1%.2fs " +
+        f"ratio $sdRatio%.2f (n^1.5 model: 31.6)")
+
     def f(d: Double): String = "%.3f".format(d)
     // marginal-cost gate: subtract the fixed per-query floor before the
     // quotient so amortization can't mask a super-linear operator
@@ -546,13 +615,26 @@ object BenchScale {
       s""""time_sf01":${f(knnT01)},"time_sf1":${f(knnT1)},"time_ratio":${f(knnTRatio)},""" +
       s""""expected_model_ratio":31.6,""" +
       s""""superlinear":${knnCRatio > 47.0 || knnTRatio > 47.0}}"""
+    val ivJson =
+      s"""{"build_sf01":${f(ivB01)},"build_sf1":${f(ivB1)},""" +
+      s""""append_sf01":${f(ivA01)},"append_sf1":${f(ivA1)},""" +
+      s""""append_ratio":${f(ivARatio)},""" +
+      s""""rebuild_sf01":${f(ivR01)},"rebuild_sf1":${f(ivR1)},""" +
+      s""""serve_sf01":${f(ivS01)},"serve_sf1":${f(ivS1)},""" +
+      s""""append_slower_than_rebuild":${ivA1 > ivR1},""" +
+      s""""append_superlinear":${ivARatio > 20.0}}"""
+    val sdJson =
+      s"""{"time_sf01":${f(sdT01)},"time_sf1":${f(sdT1)},""" +
+      s""""time_ratio":${f(sdRatio)},"expected_model_ratio":31.6,""" +
+      s""""superlinear":${sdRatio > 47.0}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
       s""""marginal_floor_sec":${f(floor)},"marginal_flag_threshold":$MarginalFlag,""" +
       s""""queries":$queryJson,"skew":$skewJson,""" +
       s""""st13_state_store_sf1":$stateJson,"ss1_candidates":$candJson,""" +
       s""""dd16_candidates":$dd16Json,"percolator_registry_growth":$percJson,""" +
-      s""""ann12_knn_scale":$knnJson}"""
+      s""""ann12_knn_scale":$knnJson,"ann14_append_scale":$ivJson,""" +
+      s""""dd17_semdedup_scale":$sdJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -268,6 +268,43 @@ class DedupAnnSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("dd17 composed SemDeDup: the approximate scale config's keep-set " +
+      "disagreement with the exhaustive oracle config is bounded (sf0.01)") {
+    // the full pipeline both ways — knnJoin edges (cos >= 0.40, top-3) →
+    // pointer-jumping CC → min-id keep-set — at the dd17 oracle config
+    // (4 cells, nprobe 4 = exhaustive) and at the BENCH_SCALE config
+    // (√n cells, nprobe 2). The approximate edge set is neither superset
+    // nor subset of the exhaustive one, so the honest quality metric is
+    // symmetric keep-flag disagreement over the corpus.
+    import graft.similarity.KMeans
+    val e01 = Tables.t(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    val n = e01.count()
+    def keepSet(cells: Int, nprobe: Int): Set[Long] = {
+      val cents = KMeans.train(e01, "vec_id", "embedding",
+        k = cells, iters = 2)
+      val edges = Ann.knnJoin(e01, cents, k = 3, nprobe = nprobe)
+        .filter(col("sim") >= 0.40)
+        .select(col("q_id").as("a"), col("c_id").as("b"))
+      graft.dedup.Clustering
+        .connectedComponents(edges, e01.select(col("vec_id")))
+        .toDF("vec_id", "component")
+        .filter(col("vec_id") === col("component"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val exhaustive = keepSet(cells = 4, nprobe = 4) // the dd17 oracle config
+    val scaleCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val approx = keepSet(scaleCells, nprobe = 2)    // the BENCH_SCALE config
+    val disagree = ((exhaustive -- approx) ++ (approx -- exhaustive)).size
+    val rate = disagree.toDouble / n
+    info(f"semdedup keep-set disagreement: $disagree of $n (rate $rate%.4f)")
+    assert(rate <= 0.15,
+      f"approximate SemDeDup keep-set diverged: $disagree/$n = $rate%.4f")
+    // the approximate pipeline still deduplicates (a broken cell join
+    // would produce zero edges and keep everything)
+    assert(approx.size < n, "approximate config found no duplicates at all")
+    e01.unpersist()
+  }
+
   test("ivfTopKPruned: probe filter prunes the persisted index at the " +
       "partition-directory level; exhaustive equals exact; recall bounded") {
     import graft.similarity.KMeans

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{Ann, IvfIndex, KMeans}
+
+/** The incrementally-maintained persisted IVF index (q:ann14): append ≡
+  * rebuild at every config, crash/drift/replay failures leave the index
+  * byte-identical at its previous version, and serving prunes at the
+  * partition-directory level. */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private lazy val emb = Tables.t(spark, TestSession.sf, "embeddings").cache()
+
+  private def newIndex(nPartitions: Int = 8) = new IvfIndex(spark,
+    Files.createTempDirectory("graft_ivfidx").toString, nPartitions)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "c_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("append ≡ rebuild: serve results identical at bounded nprobe and " +
+      "exhaustive; exhaustive equals exact over the full corpus") {
+    val base = emb.filter(col("vec_id") % 4 <= 1)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 8, iters = 3)
+    val appended = newIndex()
+    appended.build(base, cents)
+    val r1 = appended.append(emb.filter(col("vec_id") % 4 === 2), cents)
+    val r2 = appended.append(emb.filter(col("vec_id") % 4 === 3), cents)
+    // same-distribution batches barely drift under the frozen quantizer
+    assert(r1 > 0.25 && r1 < 4.0, s"in-distribution drift ratio: $r1")
+    assert(r2 > 0.25 && r2 < 4.0, s"in-distribution drift ratio: $r2")
+    val rebuilt = newIndex()
+    rebuilt.build(emb, cents) // whole corpus, same frozen centroids
+    val q = emb.filter(col("vec_id") < 8)
+    for (np <- Seq(1, 2, 8)) {
+      val a = pairs(appended.serve(q, cents, k = 3, nprobe = np))
+      val b = pairs(rebuilt.serve(q, cents, k = 3, nprobe = np))
+      assert(a === b, s"append path != rebuild path at nprobe=$np")
+    }
+    // exhaustive probes over the appended index == exact top-k, full corpus
+    val exact = pairs(Ann.bruteForceTopK(q, emb, k = 3))
+    assert(pairs(appended.serve(q, cents, k = 3, nprobe = 8)) === exact)
+  }
+
+  test("a poisoned append leaves the index at its previous version; " +
+      "drift and replay guards fail BEFORE any write") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 4, iters = 2)
+    val idx = newIndex(4)
+    idx.build(base, cents)
+    val before = pairs(idx.serve(emb.filter(col("vec_id") < 4), cents,
+      k = 3, nprobe = 4))
+    val v1 = idx.store.version()
+    // 1) poisoned batch: fails mid-write, store rolls back
+    val poisoned = emb.filter(col("vec_id") % 2 === 1)
+      .select(when(col("vec_id") >= 0,
+        expr("raise_error('poison')")).cast("long").as("vec_id"),
+        col("embedding"))
+    intercept[Exception] { idx.append(poisoned, cents) }
+    // 2) drifted batch (every vector shifted far off the trained cells):
+    // the ratio check throws before any data lands
+    val shifted = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(25.0f)))
+    val e = intercept[IllegalStateException] {
+      idx.append(shifted, cents, maxDriftRatio = 3.0)
+    }
+    assert(e.getMessage.contains("drift"))
+    assert(e.getMessage.contains("re-train"))
+    // 3) replayed batch (ids already indexed): the replay guard names them
+    val replay = intercept[IllegalArgumentException] {
+      idx.append(emb.filter(col("vec_id") % 2 === 0).limit(3), cents)
+    }
+    assert(replay.getMessage.contains("replays ids"))
+    // after all three failures: same version, byte-identical serving
+    assert(idx.store.version() === v1)
+    assert(pairs(idx.serve(emb.filter(col("vec_id") < 4), cents,
+      k = 3, nprobe = 4)) === before)
+    // and the drift ratio IS the retrain signal: measured far above 3x
+    val measured = {
+      val fresh = newIndex(4)
+      fresh.build(base, cents)
+      fresh.append(shifted, cents) // no ceiling: returns the ratio
+    }
+    assert(measured > 3.0, s"shifted batch should drift hard: $measured")
+  }
+
+  test("serving reads a strict subset of the index's partition dirs at " +
+      "bounded nprobe (directory-level prune through the store manifest)") {
+    val cents = KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val idx = newIndex(8)
+    idx.build(emb, cents)
+    val all = idx.store.read().inputFiles.toSet
+    val served = idx.serve(emb.filter(col("vec_id") === 0), cents,
+      k = 3, nprobe = 1)
+    val touched = served.inputFiles.filter(all.contains).toSet
+    assert(touched.nonEmpty, "serve plan reads no index files?")
+    assert(touched.size < all.size,
+      s"nprobe=1 read all ${all.size} index files — no partition prune")
+    // correctness of the pruned read: results match the unpruned
+    // row-filtered path over the same persisted layout
+    val viaFull = Ann.ivfTopKPruned(idx.store.read().drop("d2"),
+      emb.filter(col("vec_id") === 0), cents, k = 3, nprobe = 1)
+    assert(pairs(served) === pairs(viaFull))
+  }
+}

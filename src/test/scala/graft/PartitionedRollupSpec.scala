@@ -269,6 +269,48 @@ class PartitionedRollupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ps.evolve(touched, cur) } // no adds
   }
 
+  test("append commit: O(delta) write — existing dirs stay referenced and " +
+      "untouched, read = old ∪ delta, refresh compacts, time travel holds") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 4,
+      retainVersions = 3)
+    val base = (0L until 32L).map(i => (i, i))
+    ps.init(state(base)) // v1
+    val before = ps.manifest()
+    val delta = Seq((100L, 1L), (101L, 2L), (102L, 3L))
+    val touched = ps.touchedBy(state(delta))
+    ps.append(touched, state(delta)) // v2
+    val after = ps.manifest()
+    // every touched partition KEEPS its old dir (prefix of the list) and
+    // gains exactly one appended dir; untouched entries are identical
+    touched.foreach { i =>
+      assert(after(i).startsWith(before(i) + ";"),
+        s"partition $i: ${after(i)} does not extend ${before(i)}")
+      assert(after(i).split(";").length === before(i).split(";").length + 1)
+    }
+    (before.keySet -- touched.toSet).foreach(i =>
+      assert(after(i) === before(i), s"untouched partition $i moved"))
+    assert(ps.read().as[(Long, Long)].collect().toMap ===
+      (base ++ delta).toMap)
+    // appending again stacks another dir; readAsOf still resolves each cut
+    ps.append(ps.touchedBy(state(Seq((200L, 9L)))),
+      state(Seq((200L, 9L)))) // v3
+    assert(ps.readAsOf(1).count() === 32)
+    assert(ps.readAsOf(2).count() === 35)
+    assert(ps.readAsOf(3).count() === 36)
+    // a refresh of one appended partition compacts its list back to one dir
+    val t = Seq(touched.head)
+    ps.refresh(t, ps.readPartitions(t)) // v4, same content
+    assert(ps.manifest()(t.head).split(";").length === 1)
+    assert(ps.read().as[(Long, Long)].collect().toMap ===
+      (base ++ delta ++ Seq((200L, 9L))).toMap)
+    // schema drift on append is rejected before any write
+    intercept[IllegalArgumentException] {
+      ps.append(Seq(0), state(Seq((300L, 1L)))
+        .select(col("k"), col("v").cast("double").as("v")))
+    }
+  }
+
   test("two racing commits: exactly one wins, the loser names the conflict, " +
       "the store stays readable at the winner's version") {
     // Deterministic interleaving: the loser's newState carries a one-shot
