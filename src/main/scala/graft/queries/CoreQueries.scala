@@ -337,14 +337,8 @@ object CoreQueries {
     // twin replays it as an events × range(512) theta-join — every stored
     // query's semantics checked without 512 hand-written UNION arms ------
     "perc3_percolate_large" -> { (s, dir) =>
-      val types = Seq("purchase", "click", "view", "error", "signup")
-      val reg = (0 until 512).map { i =>
-        val lo = (i % 90).toDouble
-        (f"q_$i%04d", Query.allOf().when("event_type", types(i % 5))
-          .rangeIn("value", lo, lo + 7.0))
-      }
       graft.ops.Percolator.matches(Tables.t(s, dir, "events"),
-          reg, idCols = Seq("event_id"))
+          largeRegistry, idCols = Seq("event_id"))
         .orderBy("event_id", "query_id")
     },
     // ---- st25: the SAME registry percolating a STREAM — the actual
@@ -358,8 +352,36 @@ object CoreQueries {
           st => graft.ops.Percolator.matches(st, storedQueries,
             idCols = Seq("event_id")))
         .orderBy("event_id", "query_id")
+    },
+    // ---- st28: the LARGE registry under streaming — perc3's 512 stored
+    // queries (past maxPerProjection, so the custom PercolateNode plans
+    // inside each micro-batch's IncrementalExecution) matching on arrival.
+    // Stateless and per-record, so the batch theta-join SQL is the truth
+    // regardless of the micro-batch split — this closes batch ≡ stream
+    // for the custom single-scan operator under the driver oracle, not
+    // just the spec ------------------------------------------------------
+    "st28_stream_percolate_large" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.streaming.Streams.parquetStream(
+        s, s"$dir/events.parquet", schema)
+      graft.streaming.Streams.runToParquet(Tables.normalizeTs(raw),
+          st => graft.ops.Percolator.matches(st, largeRegistry,
+            idCols = Seq("event_id")))
+        .orderBy("event_id", "query_id")
     }
   )
+
+  /** perc3/st28's parameterized 512-query registry (type = i%5, value ∈
+    * [i%90, i%90+7)) — one builder, batch and streaming, so the two can
+    * never drift from each other or from the range(512) oracle twin. */
+  private def largeRegistry: Seq[(String, graft.dsl.QueryComponent)] = {
+    val types = Seq("purchase", "click", "view", "error", "signup")
+    (0 until 512).map { i =>
+      val lo = (i % 90).toDouble
+      (f"q_$i%04d", Query.allOf().when("event_type", types(i % 5))
+        .rangeIn("value", lo, lo + 7.0))
+    }
+  }
 
   /** THE stored-query registry perc1/st25 percolate against — one
     * definition, both drivers; ids sorted so ties in the output explode
@@ -486,18 +508,23 @@ object CoreQueries {
     "perc1_percolate" -> percolateOracleSql,
     "perc2_percolate_json" -> percolateOracleSql,
     // the parameterized 512-query registry as an events × range(512)
-    // theta-join: CASE replays type = i%5, the range replays [i%90, i%90+7)
-    "perc3_percolate_large" ->
-      ("SELECT e.event_id AS event_id, printf('q_%04d', i) AS query_id " +
-        "FROM events e JOIN range(512) AS r(i) ON " +
-        "e.event_type = (CASE CAST(i % 5 AS INTEGER) " +
-        "WHEN 0 THEN 'purchase' WHEN 1 THEN 'click' WHEN 2 THEN 'view' " +
-        "WHEN 3 THEN 'error' ELSE 'signup' END) " +
-        "AND e.value >= CAST(i % 90 AS DOUBLE) " +
-        "AND e.value < CAST(i % 90 AS DOUBLE) + 7 " +
-        "ORDER BY event_id, query_id"),
-    "st25_stream_percolate" -> percolateOracleSql
+    // theta-join: CASE replays type = i%5, the range replays [i%90, i%90+7);
+    // st28 streams the same registry (stateless per-record matching, so
+    // the batch theta-join is the truth there too)
+    "perc3_percolate_large" -> largeRegistryOracleSql,
+    "st25_stream_percolate" -> percolateOracleSql,
+    "st28_stream_percolate_large" -> largeRegistryOracleSql
   )
+
+  private def largeRegistryOracleSql: String =
+    ("SELECT e.event_id AS event_id, printf('q_%04d', i) AS query_id " +
+      "FROM events e JOIN range(512) AS r(i) ON " +
+      "e.event_type = (CASE CAST(i % 5 AS INTEGER) " +
+      "WHEN 0 THEN 'purchase' WHEN 1 THEN 'click' WHEN 2 THEN 'view' " +
+      "WHEN 3 THEN 'error' ELSE 'signup' END) " +
+      "AND e.value >= CAST(i % 90 AS DOUBLE) " +
+      "AND e.value < CAST(i % 90 AS DOUBLE) + 7 " +
+      "ORDER BY event_id, query_id")
 
   private def percolateOracleSql: String =
     ("SELECT event_id, query_id FROM (" +

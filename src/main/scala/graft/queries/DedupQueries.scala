@@ -439,20 +439,49 @@ object DedupQueries {
         .orderBy("doc_id")
     },
     "dd17_semdedup" -> { (s, dir) =>
-      val e = Tables.t(s, dir, "embeddings")
-      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
-        k = 4, iters = 2)
-      val edges = graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 4)
-        .filter(col("sim") >= 0.40)
-        .select(col("q_id").as("a"), col("c_id").as("b"))
-      graft.dedup.Clustering
-        .connectedComponents(edges, e.select(col("vec_id")))
-        .toDF("vec_id", "component")
-        .select(col("vec_id"), col("component"),
-          (col("vec_id") === col("component")).cast("int").as("keep"))
-        .orderBy("vec_id")
+      semdedupKeep(s, dir).orderBy("vec_id")
     }
   )
+
+  /** dd17/pp8's ONE SemDeDup derivation (exhaustive oracle config: 4
+    * cells, nprobe 4 → provably-exact knn edges): top-3 neighbors at
+    * cos >= 0.40 → shared pointer-jumping CC → min-id representative.
+    * Returns (vec_id, component, keep); SQL twin = [[semdedupKeepCte]]. */
+  private[queries] def semdedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val edges = graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 4)
+      .filter(col("sim") >= 0.40)
+      .select(col("q_id").as("a"), col("c_id").as("b"))
+    graft.dedup.Clustering
+      .connectedComponents(edges, e.select(col("vec_id")))
+      .toDF("vec_id", "component")
+      .select(col("vec_id"), col("component"),
+        (col("vec_id") === col("component")).cast("int").as("keep"))
+  }
+
+  /** DuckDB twin of [[semdedupKeep]]: CTEs ending in
+    * `sd(vec_id, component, keep)` — splice after WITH RECURSIVE (the
+    * `reach` closure is the recursive member). */
+  private[queries] val semdedupKeepCte: String = {
+    val cosSql =
+      "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+    "knn AS (SELECT q_id, c_id FROM (" +
+      s"SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosSql AS sim, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+      "FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id) " +
+      "WHERE rank <= 3 AND sim >= 0.40), " +
+      "ed AS (SELECT q_id AS s, c_id AS d FROM knn " +
+      "UNION ALL SELECT c_id, q_id FROM knn), " +
+      "reach AS (SELECT vec_id AS node, vec_id AS r FROM embeddings " +
+      "UNION SELECT ed.s, reach.r FROM ed JOIN reach ON ed.d = reach.node), " +
+      "sd AS (SELECT node AS vec_id, min(r) AS component, " +
+      "CASE WHEN node = min(r) THEN 1 ELSE 0 END AS keep " +
+      "FROM reach GROUP BY node)"
+  }
 
   /** Shared banding CTE prefix (t → sh → sig → bands): 16-perm minhash
     * signatures and 4-band hashes of every document. The signature/banding
@@ -498,25 +527,11 @@ object DedupQueries {
         "SELECT doc_id, CAST(count(*) FILTER (WHERE rm = 1) AS BIGINT) AS n_removed, " +
         "coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE rm IS NULL), '') AS clean_text " +
         "FROM m GROUP BY doc_id ORDER BY doc_id"),
-    // the dd8 pattern over ann12's graph
-    "dd17_semdedup" -> {
-      val cosSql =
-        "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / " +
-          "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * " +
-          "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
-      "WITH RECURSIVE knn AS (SELECT q_id, c_id FROM (" +
-        s"SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosSql AS sim, " +
-        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id) " +
-        "WHERE rank <= 3 AND sim >= 0.40), " +
-        "ed AS (SELECT q_id AS s, c_id AS d FROM knn " +
-        "UNION ALL SELECT c_id, q_id FROM knn), " +
-        "reach AS (SELECT vec_id AS node, vec_id AS r FROM embeddings " +
-        "UNION SELECT ed.s, reach.r FROM ed JOIN reach ON ed.d = reach.node) " +
-        "SELECT node AS vec_id, min(r) AS component, " +
-        "CASE WHEN node = min(r) THEN 1 ELSE 0 END AS keep " +
-        "FROM reach GROUP BY node ORDER BY vec_id"
-    },
+    // the dd8 pattern over ann12's graph (the shared semdedupKeepCte —
+    // pp8's oracle splices the same fragment)
+    "dd17_semdedup" ->
+      (s"WITH RECURSIVE $semdedupKeepCte " +
+        "SELECT vec_id, component, keep FROM sd ORDER BY vec_id"),
     // naive single-partition row_number formulation of the same sorted
     // neighborhood; the engine ranks via range partitions
     "dd14_sorted_neighborhood" ->

@@ -87,6 +87,58 @@ object TextQueries {
             .as("split"))
         .orderBy("doc_id")
     },
+    // ---- pp8: the MODERN curation pipeline end-to-end in one plan — the
+    // round-12 ops composed exactly as the published LLM-data recipe
+    // chains them (Lee et al. 2021 → Abbas et al. 2023 → CCNet → sampling
+    // → packing): exact duplicated-substring removal (dd18's shared
+    // dupSpanMask) → SemDeDup near-dup drop (dd17's shared keep-set,
+    // anti-joined on the doc's embedding) → model-based quality gate
+    // (tx34's trained scorer, keep z > corpus mean) → Efraimidis–Spirakis
+    // weighted sample of 64 docs, weight = CLEANED token count (tx36's
+    // key) → fixed-token-budget shard packing (tx7's two-stage cum).
+    // Every stage is the already-oracled mechanism via its committed
+    // fragment — never re-stated; the oracle chains the same CTEs. Scale
+    // shape: the substring mask co-keys on the 12-gram then the doc, the
+    // keep-set rides ann12's gated path (exhaustive config here for the
+    // oracle — the approximate config is gated by dd17_semdedup_scale),
+    // the gate is 3 one-row gradient passes + broadcasts, the sample is
+    // one narrow projection + take-ordered, the pack is range-decomposed
+    // — nothing corpus-sized crosses to the driver -----------------------
+    "pp8_curation_pipeline" -> { (s, dir) =>
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val docs = Tables.t(s, dir, "documents")
+      // 1) dd18: duplicated-substring removal → cleaned token count
+      val cleaned = DedupQueries.dupSpanMask(docs).groupBy("doc_id")
+        .agg(count(when(col("rm").isNull, 1)).as("n_tokens"))
+      // 2) dd17: drop docs whose embedding is a non-representative
+      // near-dup (docs without an embedding carry no semantic evidence
+      // and pass through)
+      val nearDups = DedupQueries.semdedupKeep(s, dir)
+        .filter(col("keep") === 0).select(col("vec_id").as("doc_id"))
+      val surviving = cleaned.join(nearDups, Seq("doc_id"), "left_anti")
+      // 3) tx34: model-based quality gate — keep z > corpus mean
+      val (w, feats) = logregTrain(s, dir)
+      val scored = logregZ(feats.crossJoin(broadcast(w)))
+      val zbar = scored.agg((sum(col("z").cast(D28)).cast("double") /
+        count(lit(1))).as("zbar"))
+      val quality = scored.crossJoin(broadcast(zbar))
+        .filter(col("z") > col("zbar")).select("doc_id")
+      val gated = surviving.join(quality, Seq("doc_id"), "left_semi")
+      // 4) tx36: weighted sample without replacement, w = cleaned tokens
+      val u = (graft.dedup.TextDedup.md5Int(col("doc_id").cast("string"))
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      val sampled = gated.filter(col("n_tokens") > 0)
+        .withColumn("es_key",
+          (log(u) / col("n_tokens")).cast(D6).cast("double"))
+        .orderBy(col("es_key").desc, col("doc_id")).limit(64)
+      // 5) tx7: pack the sample into 1000-token shards per lang
+      packShards(sampled.join(docs.select("doc_id", "lang"), "doc_id"),
+          rangeSize = 100L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(cum - n_tokens) div 1000").as("shard"), col("es_key"))
+        .orderBy("doc_id")
+    },
     // ---- tx24: HTML main-content extraction — the step between WARC
     // ingestion (s10) and the text pipeline: strip boilerplate blocks
     // (nav/footer), flatten remaining markup to text, report the
@@ -1302,6 +1354,32 @@ object TextQueries {
         + s"WHEN ${DedupQueries.md5IntSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val' ELSE 'test' END AS split "
         + "FROM kept k JOIN nov USING (doc_id) "
         + "WHERE k.source <> 'src0' AND nov.novelty >= 0.3 ORDER BY doc_id"),
+    // pp8 chains the dd18/dd17/tx34/tx36/tx7 oracle fragments verbatim:
+    // the logreg trainer prefix (promoted to WITH RECURSIVE for the CC
+    // closure), the dupMaskSql CTEs, the semdedupKeepCte, then the four
+    // pipeline stages as thin CTEs over those shared tables
+    "pp8_curation_pipeline" ->
+      (logregOraclePrefix.replaceFirst("^WITH ", "WITH RECURSIVE ") + ", " +
+        DedupQueries.dupMaskSql + ", " +
+        DedupQueries.semdedupKeepCte + ", " +
+        "cl AS (SELECT doc_id, CAST(count(*) FILTER (WHERE rm IS NULL) AS BIGINT) AS n_tokens " +
+        "FROM m GROUP BY doc_id), " +
+        "surv AS (SELECT cl.* FROM cl ANTI JOIN " +
+        "(SELECT vec_id FROM sd WHERE keep = 0) nd ON cl.doc_id = nd.vec_id), " +
+        s"scz AS MATERIALIZED (SELECT f.doc_id, $logregZSql AS z FROM f, w3t), " +
+        "zb AS (SELECT CAST(sum(CAST(z AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS zbar FROM scz), " +
+        "gated AS (SELECT surv.* FROM surv SEMI JOIN " +
+        "(SELECT doc_id FROM scz, zb WHERE z > zbar) q ON surv.doc_id = q.doc_id), " +
+        "samp AS (SELECT doc_id, n_tokens, es_key FROM (" +
+        "SELECT doc_id, n_tokens, CAST(CAST(ln((CAST((" +
+        DedupQueries.md5IntSql("CAST(doc_id AS VARCHAR)") +
+        ") AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) " +
+        "/ n_tokens AS DECIMAL(18,6)) AS DOUBLE) AS es_key " +
+        "FROM gated WHERE n_tokens > 0) ORDER BY es_key DESC, doc_id LIMIT 64) " +
+        "SELECT s.doc_id AS doc_id, dc.lang AS lang, s.n_tokens AS n_tokens, " +
+        "CAST((sum(s.n_tokens) OVER (PARTITION BY dc.lang ORDER BY s.doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - s.n_tokens) // 1000 AS BIGINT) AS shard, " +
+        "es_key FROM samp s JOIN documents dc USING (doc_id) ORDER BY doc_id"),
     "tx19_segment_dedup" ->
       ("WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
         "segs AS (SELECT doc_id, g.i AS pos, array_to_string(toks[3*g.i+1:3*g.i+3],' ') AS seg " +

@@ -165,8 +165,11 @@ object BenchScale {
     "perc3_percolate_large",
     // round-13: ann14 is ann13's build class plus two append commits and
     // a store-mediated serve — its marginal must track ann13's (the
-    // dedicated append-vs-rebuild A/B below pins the O(batch) claim)
-    "ann14_ivf_append")
+    // dedicated append-vs-rebuild A/B below pins the O(batch) claim).
+    // st28 is the 512-query custom PercolateExec under streaming — must
+    // track perc3's record-growth (stateless narrow) with only the
+    // micro-batch machinery on top
+    "ann14_ivf_append", "st28_stream_percolate_large")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride

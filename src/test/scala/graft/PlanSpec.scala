@@ -629,4 +629,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"),
       s"expected the top_k heap aggregate in the plan:\n$plan")
   } }
+
+  test("pp8 curation pipeline: no product; every documents scan stage-pruned") { uncached {
+    val plan = explainFormatted(
+      SparkEntry.queries("pp8_curation_pipeline")(spark, TestSession.sf))
+    // five chained stages, two corpus-sized join sides (knn edges, the
+    // doc-grain semi/anti joins) — a cartesian anywhere is the cliff; the
+    // condition-less joins are the 1-row weight/zbar broadcasts (the
+    // fe3/tx25 shape)
+    assert(!plan.contains("CartesianProduct"),
+      s"pp8 degenerated to a product:\n$plan")
+    // each stage reads documents through its OWN pruned projection: the
+    // mask wants (doc_id, text), the scorer (doc_id, lang, text), the
+    // pack join (doc_id, lang) — nothing in the pipeline needs source or
+    // n_chars, so any scan carrying them is unpruned I/O (3× the bytes at
+    // 100 TB)
+    val docScans = plan.split("Scan parquet").toSeq
+      .filter(_.contains("documents"))
+      .flatMap(_.linesIterator.find(_.contains("ReadSchema")))
+    assert(docScans.nonEmpty, s"no documents scans found:\n$plan")
+    for (rs <- docScans; c <- Seq("source", "n_chars"))
+      assert(!rs.contains(c), s"unpruned column $c in documents scan: $rs")
+  } }
 }
