@@ -410,6 +410,35 @@ object AnnQueries {
       }
       s.read.parquet(out).orderBy("q_id", "rank")
     },
+    // ---- st29: streaming serving over the MAINTAINED persisted index —
+    // ann14's full lifecycle under the realtime half of the deployment:
+    // build on half the corpus, append the rest in two committed batches,
+    // compact the fragmented partitions (the OPTIMIZE lever), then serve
+    // arriving query batches per micro-batch through the store's
+    // partition-pruned read. Per-query matching is stateless, so the
+    // micro-batch split cannot show through and the exhaustive config's
+    // exact top-k SQL is the oracle — closing build→append→compact→
+    // stream-serve end to end under the driver gate -----------------------
+    "st29_stream_ivf_serve" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 4 <= 1)
+      val cents = graft.similarity.KMeans.train(base, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val idx = new graft.similarity.IvfIndex(s,
+        graft.util.Scratch.dir("graft_st29"), nPartitions = 8)
+      idx.build(base, cents)
+      idx.append(e.filter(col("vec_id") % 4 === 2), cents, maxDriftRatio = 4.0)
+      idx.append(e.filter(col("vec_id") % 4 === 3), cents, maxDriftRatio = 4.0)
+      idx.compact()
+      val stream = graft.streaming.Streams.stagedFileStream(
+        e.filter(col("vec_id") < 8), nFiles = 4)
+      val out = graft.util.Scratch.dir("graft_st29_out")
+      graft.streaming.Streams.runForeachBatch(stream) { batch =>
+        idx.serve(batch, cents, k = 3, nprobe = 8)
+          .write.mode("append").parquet(out)
+      }
+      s.read.parquet(out).orderBy("q_id", "rank")
+    },
     // ---- fe6: Johnson–Lindenstrauss random-projection dimensionality
     // reduction — the embedding family's cheap MODEL-FREE primitive: a
     // seeded deterministic ±1 projection (sign = the fe2 md5 hash device
@@ -769,6 +798,15 @@ object AnnQueries {
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // exhaustive probes over the persisted index ≡ the exact top-k
     "ann13_ivf_pruned" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // build + appends + compact + per-micro-batch exhaustive serve ≡ the
+    // exact top-k for those queries, independent of the batch split
+    "st29_stream_ivf_serve" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
         s"$cosSql AS sim, " +

@@ -118,6 +118,22 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     ratio
   }
 
+  /** Compact every partition whose dir list grew past `maxDirs` appends:
+    * one refresh (full-content rewrite of exactly those partitions)
+    * collapses each list back to a single dir. This is the lever that
+    * bounds append-path read amplification — run it on whatever cadence
+    * the append:serve ratio justifies (the Delta OPTIMIZE shape). Returns
+    * the compacted partition ids (empty = nothing fragmented, no commit,
+    * no version bump). */
+  def compact(maxDirs: Int = 1): Seq[Int] = {
+    require(maxDirs >= 1, s"maxDirs must be >= 1: $maxDirs")
+    val frag = store.manifest().collect {
+      case (i, e) if e.split(";").length > maxDirs => i
+    }.toSeq.sorted
+    if (frag.nonEmpty) store.refresh(frag, store.readPartitions(frag))
+    frag
+  }
+
   /** Partition-pruned serving over the maintained index — ONE probe
     * derivation feeds both the store-level directory prune (which
     * manifest partitions to read at all) and the candidate cell join, so

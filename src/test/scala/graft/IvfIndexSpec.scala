@@ -89,6 +89,31 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(measured > 3.0, s"shifted batch should drift hard: $measured")
   }
 
+  test("compact collapses appended dir lists to one dir per partition; " +
+      "serving is unchanged; a clean index is a no-op") {
+    val base = emb.filter(col("vec_id") % 4 <= 1)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 4, iters = 2)
+    val idx = newIndex(4)
+    idx.build(base, cents)
+    idx.append(emb.filter(col("vec_id") % 4 === 2), cents)
+    idx.append(emb.filter(col("vec_id") % 4 === 3), cents)
+    val fragged = idx.store.manifest()
+    assert(fragged.values.exists(_.contains(";")),
+      s"appends did not fragment any partition: $fragged")
+    val q = emb.filter(col("vec_id") < 4)
+    val before = pairs(idx.serve(q, cents, k = 3, nprobe = 4))
+    val v = idx.store.version()
+    val compacted = idx.compact()
+    assert(compacted.nonEmpty)
+    assert(idx.store.manifest().values.forall(!_.contains(";")),
+      s"dir lists survived compact: ${idx.store.manifest()}")
+    assert(idx.store.version() === v + 1)
+    assert(pairs(idx.serve(q, cents, k = 3, nprobe = 4)) === before)
+    // already-compact index: no commit, no version bump
+    assert(idx.compact() === Seq.empty)
+    assert(idx.store.version() === v + 1)
+  }
+
   test("serving reads a strict subset of the index's partition dirs at " +
       "bounded nprobe (directory-level prune through the store manifest)") {
     val cents = KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 2)
