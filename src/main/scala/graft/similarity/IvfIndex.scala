@@ -99,22 +99,37 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     val baseline = trainMeanD2
     val assigned = Ann.assignCellsWithDist(batch, centroids,
       idCol, vecCol, centId, centVec, cellCol)
-    val mean = assigned.agg(avg(col("d2"))).collect()(0).getDouble(0)
+    // ONE pre-commit job: the drift statistic and the touched-partition
+    // set ride the same aggregate (an append is latency-sensitive — a
+    // separate action per statistic hands the win to the rebuild on pure
+    // job-submission overhead, which the ann14_append_scale gate measures)
+    val pre = assigned.agg(avg(col("d2")).as("mean"),
+      collect_set(store.partitionId).as("touched")).collect()(0)
+    require(!pre.isNullAt(0), "append batch is empty")
+    val mean = pre.getDouble(0)
+    val touched = pre.getSeq[Int](1).sorted
     val ratio = if (baseline > 0) mean / baseline else Double.PositiveInfinity
     if (ratio > maxDriftRatio)
       throw new IllegalStateException(
         f"quantizer drift: batch mean d2 $mean%.6f is $ratio%.2fx the " +
           f"train-time mean $baseline%.6f (max $maxDriftRatio%.2f) — " +
           "re-train the centroids and rebuild the index")
-    val touched = store.touchedBy(assigned)
     // replay guard, bounded to the touched partitions (where a same-vector
-    // duplicate MUST land — same vector → same cell → same partition)
-    val dups = store.readPartitions(touched).select(col(idCol))
-      .join(assigned.select(col(idCol)), Seq(idCol)).limit(5)
-      .collect().map(_.get(0))
-    require(dups.isEmpty,
-      s"append batch replays ids already in the index: ${dups.mkString(", ")}")
-    store.append(touched, assigned)
+    // duplicate MUST land — same vector → same cell → same partition) and
+    // FUSED into the commit's own write job: the existing-id column scan
+    // left-joins onto the batch inside the append lineage, so a replayed
+    // id fails the write loudly (store tears the partial down) without a
+    // separate pre-pass over the index
+    val existing = store.readPartitions(touched)
+      .select(col(idCol), lit(1).as("__dup"))
+    val guarded = assigned.join(existing, Seq(idCol), "left")
+      .withColumn(idCol,
+        when(col("__dup").isNull, col(idCol))
+          .otherwise(raise_error(concat(
+            lit("append batch replays an id already in the index: "),
+            col(idCol).cast("string")))))
+      .select(col(idCol), col(vecCol), col(cellCol), col("d2"))
+    store.append(touched, guarded)
     ratio
   }
 

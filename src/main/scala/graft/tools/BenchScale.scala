@@ -516,23 +516,34 @@ object BenchScale {
     // for the pruned-read story. --------------------------------------------
     def ann14Gate(dir: String, tag: String)
         : (Double, Double, Double, Double) = {
-      val e = Tables.t(spark, dir, "embeddings")
-      val n = e.count()
-      val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val cents = graft.similarity.KMeans.train(
-        e.filter(col("vec_id") % 8 =!= 7), "vec_id", "embedding",
-        k = cells, iters = 2)
-      val idx = new graft.similarity.IvfIndex(spark,
-        graft.util.Scratch.dir(s"graft_sc_ann14_$tag"), nPartitions = cells)
-      val tBuild = time(idx.build(e.filter(col("vec_id") % 8 =!= 7), cents))
-      val tAppend = time(idx.append(e.filter(col("vec_id") % 8 === 7), cents))
-      val rebuilt = new graft.similarity.IvfIndex(spark,
-        graft.util.Scratch.dir(s"graft_sc_ann14r_$tag"), nPartitions = cells)
-      val tRebuild = time(rebuilt.build(e, cents))
-      val tServe = time(
-        idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 2)
-          .count())
-      (tBuild, tAppend, tRebuild, tServe)
+      // best-of-N by re-running the WHOLE body (an append is once-only
+      // per index — the replay guard forbids re-appending the same batch
+      // — so each sample builds its own index pair); the first sample
+      // also absorbs the gate-shape codegen that would otherwise hand
+      // the A/B to whichever side ran second
+      val samples = (1 to runs).map { r =>
+        val e = Tables.t(spark, dir, "embeddings")
+        val n = e.count()
+        val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val cents = graft.similarity.KMeans.train(
+          e.filter(col("vec_id") % 8 =!= 7), "vec_id", "embedding",
+          k = cells, iters = 2)
+        val idx = new graft.similarity.IvfIndex(spark,
+          graft.util.Scratch.dir(s"graft_sc_ann14_${tag}_$r"),
+          nPartitions = cells)
+        val tBuild = time(idx.build(e.filter(col("vec_id") % 8 =!= 7), cents))
+        val tAppend = time(idx.append(e.filter(col("vec_id") % 8 === 7), cents))
+        val rebuilt = new graft.similarity.IvfIndex(spark,
+          graft.util.Scratch.dir(s"graft_sc_ann14r_${tag}_$r"),
+          nPartitions = cells)
+        val tRebuild = time(rebuilt.build(e, cents))
+        val tServe = time(
+          idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 2)
+            .count())
+        (tBuild, tAppend, tRebuild, tServe)
+      }
+      (samples.map(_._1).min, samples.map(_._2).min,
+        samples.map(_._3).min, samples.map(_._4).min)
     }
     val (ivB01, ivA01, ivR01, ivS01) = ann14Gate(sf01, "01")
     val (ivB1, ivA1, ivR1, ivS1) = ann14Gate(sf1, "1")

@@ -71,11 +71,16 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("drift"))
     assert(e.getMessage.contains("re-train"))
-    // 3) replayed batch (ids already indexed): the replay guard names them
-    val replay = intercept[IllegalArgumentException] {
+    // 3) replayed batch (ids already indexed): the replay guard — fused
+    // into the commit's write job — fails the append and the store tears
+    // the partial down
+    val replay = intercept[Exception] {
       idx.append(emb.filter(col("vec_id") % 2 === 0).limit(3), cents)
     }
-    assert(replay.getMessage.contains("replays ids"))
+    assert(Iterator.iterate[Throwable](replay)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .exists(t => t.getMessage != null && t.getMessage.contains("replays")),
+      s"replay failure lost its message: ${replay.getMessage}")
     // after all three failures: same version, byte-identical serving
     assert(idx.store.version() === v1)
     assert(pairs(idx.serve(emb.filter(col("vec_id") < 4), cents,
