@@ -132,6 +132,25 @@ object AnnQueries {
       idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
+    // ---- ann15: DELETION from the maintained index — the right-to-
+    // erasure op: victims re-derive their cell under the frozen quantizer
+    // (same argmin ⇒ same partition as at index time), so only the
+    // touched partitions are anti-joined and rewritten (deletes are
+    // rewrites, the lakehouse shape). Exhaustive probes after the remove
+    // ≡ the exact top-k over the REMAINING corpus — the oracle excludes
+    // the victims on the corpus side only (removed vectors can still
+    // query) ---------------------------------------------------------------
+    "ann15_ivf_remove" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val idx = new graft.similarity.IvfIndex(s,
+        graft.util.Scratch.dir("graft_ann15"), nPartitions = 8)
+      idx.build(e, cents)
+      idx.remove(e.filter(col("vec_id") % 5 === 4), cents)
+      idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 8)
+        .orderBy("q_id", "rank")
+    },
     // Product quantization: train 8×16 sub-codebooks (one Lloyd's job per
     // iteration covers all subspaces), NARROW-encode the corpus to 8 codes,
     // ADC-scan against broadcast per-query distance tables. rerank=∞ means
@@ -812,6 +831,16 @@ object AnnQueries {
         s"$cosSql AS sim, " +
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
         "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // exhaustive probes after the remove ≡ the exact top-k over the
+    // remaining corpus (victims excluded on the corpus side only)
+    "ann15_ivf_remove" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id < 8 AND c.vec_id % 5 <> 4) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // build-on-half + two appends + exhaustive probes ≡ the exact top-k
     // over the FULL corpus — the append path adds nothing and loses

@@ -133,6 +133,41 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     ratio
   }
 
+  /** Delete vectors from the maintained index — the GDPR/right-to-erasure
+    * op a persisted embedding store must support. `victims` carries the
+    * SAME columns as an append batch (id + vector): the vector is what
+    * localizes the delete — it re-derives the victim's cell under the
+    * frozen quantizer (same argmin ⇒ same cell ⇒ same partition as when
+    * it was indexed), so only the touched partitions are read,
+    * anti-joined, and rewritten (a refresh commit — deletes are rewrites
+    * here exactly as in every lakehouse). An id with no stored vector is
+    * a loud error by default (`requirePresent`): a curation pipeline
+    * deleting a doc that was never indexed usually indicates an id-space
+    * bug, and silently "deleting" nothing would mask it. Returns the
+    * count of rows actually removed. */
+  def remove(victims: DataFrame, centroids: DataFrame,
+      requirePresent: Boolean = true): Long = {
+    val assigned = Ann.assignCellsWithDist(victims, centroids,
+      idCol, vecCol, centId, centVec, cellCol)
+    val touched = store.touchedBy(assigned)
+    val current = store.readPartitions(touched)
+    val victimIds = assigned.select(col(idCol))
+    if (requirePresent) {
+      val missing = victimIds
+        .join(current.select(col(idCol)), Seq(idCol), "left_anti")
+        .limit(5).collect().map(_.get(0))
+      require(missing.isEmpty,
+        s"remove batch names ids not in the index: ${missing.mkString(", ")}")
+    }
+    val kept = current.join(victimIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol), col(cellCol), col("d2"))
+    // removed count from the SAME pre-commit frames (no post-commit
+    // re-scan); the refresh itself re-executes kept's lineage
+    val removed = current.count() - kept.count()
+    store.refresh(touched, kept)
+    removed
+  }
+
   /** Compact every partition whose dir list grew past `maxDirs` appends:
     * one refresh (full-content rewrite of exactly those partitions)
     * collapses each list back to a single dir. This is the lever that

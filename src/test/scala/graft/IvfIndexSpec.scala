@@ -119,6 +119,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(idx.store.version() === v + 1)
   }
 
+  test("remove: victims localize to their cells, fragmented partitions " +
+      "compact through the rewrite, absent ids fail loudly by default") {
+    val base = emb.filter(col("vec_id") % 4 <= 1)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 4, iters = 2)
+    val idx = newIndex(4)
+    idx.build(base, cents)
+    idx.append(emb.filter(col("vec_id") % 4 === 2), cents) // fragment dirs
+    // victims span the built half (%8=1 ⊂ %4=1) AND the appended batch
+    // (%8=2 ⊂ %4=2), so the rewrite crosses fragmented partitions
+    val victims = emb.filter(col("vec_id") % 8 === 1 ||
+      col("vec_id") % 8 === 2)
+    val nVictims = victims.count()
+    val removed = idx.remove(victims, cents)
+    assert(removed === nVictims, s"removed $removed of $nVictims")
+    // exhaustive serve over the post-delete index == exact over survivors
+    val survivors = emb.filter(col("vec_id") % 4 <= 2 &&
+      col("vec_id") % 8 =!= 1 && col("vec_id") % 8 =!= 2)
+    val q = emb.filter(col("vec_id") < 4)
+    assert(pairs(idx.serve(q, cents, k = 3, nprobe = 4)) ===
+      pairs(Ann.bruteForceTopK(q, survivors, k = 3)))
+    // the victims' ids are genuinely gone from storage, not just masked
+    assert(idx.store.read().join(victims.select("vec_id"), Seq("vec_id"))
+      .count() === 0L)
+    // an id the index never held: loud by default, a no-op when waived
+    val ghost = emb.filter(col("vec_id") % 4 === 3).limit(2)
+    val e1 = intercept[IllegalArgumentException] { idx.remove(ghost, cents) }
+    assert(e1.getMessage.contains("not in the index"))
+    assert(idx.remove(ghost, cents, requirePresent = false) === 0L)
+  }
+
   test("serving reads a strict subset of the index's partition dirs at " +
       "bounded nprobe (directory-level prune through the store manifest)") {
     val cents = KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 2)
