@@ -37,7 +37,9 @@ private[graft] final class IterTrunc(spark: SparkSession,
 
   private def roundTrip(df: DataFrame,
       base: org.apache.hadoop.fs.Path): (DataFrame, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(base, f"$tag-$seq%05d")
+    // Locale.ROOT: keep checkpoint names ASCII under any default locale
+    val p = new org.apache.hadoop.fs.Path(base,
+      String.format(java.util.Locale.ROOT, "%s-%05d", tag, Int.box(seq)))
     seq += 1
     df.write.mode("overwrite").parquet(p.toString)
     (spark.read.parquet(p.toString), p)

@@ -378,8 +378,12 @@ object CoreQueries {
     val types = Seq("purchase", "click", "view", "error", "signup")
     (0 until 512).map { i =>
       val lo = (i % 90).toDouble
-      (f"q_$i%04d", Query.allOf().when("event_type", types(i % 5))
-        .rangeIn("value", lo, lo + 7.0))
+      // Locale.ROOT: the f-interpolator pads with the DEFAULT locale's
+      // digits, which would diverge from the oracle's printf('q_%04d')
+      // under a non-ASCII numbering locale (the JsDate.iso defect class)
+      (String.format(java.util.Locale.ROOT, "q_%04d", Int.box(i)),
+        Query.allOf().when("event_type", types(i % 5))
+          .rangeIn("value", lo, lo + 7.0))
     }
   }
 

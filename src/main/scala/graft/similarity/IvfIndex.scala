@@ -108,7 +108,13 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     require(!pre.isNullAt(0), "append batch is empty")
     val mean = pre.getDouble(0)
     val touched = pre.getSeq[Int](1).sorted
-    val ratio = if (baseline > 0) mean / baseline else Double.PositiveInfinity
+    // a zero baseline (every training vector ON its centroid) with a
+    // zero-distance batch is NO drift, not infinite drift — only a
+    // positive batch mean over a zero baseline is genuinely unbounded
+    val ratio =
+      if (baseline > 0) mean / baseline
+      else if (mean == 0) 1.0
+      else Double.PositiveInfinity
     if (ratio > maxDriftRatio)
       throw new IllegalStateException(
         f"quantizer drift: batch mean d2 $mean%.6f is $ratio%.2fx the " +
@@ -195,17 +201,23 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     require(k >= 1 && nprobe >= 1, s"k/nprobe must be >= 1: $k/$nprobe")
     val (probeRows, probeSchema) = Ann.collectProbes(
       queries, centroids, nprobe, idCol, vecCol, centId, centVec)
-    val cellType = store.read().schema(cellCol).dataType
+    // cell type from the PINNED schema (two small files), never from a
+    // read() plan — building a file index over every data dir of a large
+    // appended store per serve would be O(store) driver metadata I/O
+    val cellType = store.schema(cellCol).dataType
     val cells = Ann.probeCells(probeRows, cellType)
     // route the probed cells through the store's OWN partitioning
     // expression (touchedBy) — the cell column must carry the stored
-    // type exactly, or xxhash64 would route to different partitions
+    // type exactly, or xxhash64 would route to different partitions.
+    // An EMPTY query batch (an idle streaming micro-batch) probes no
+    // cells: read one partition anyway so the empty result keeps the
+    // full output schema instead of readPartitions failing loudly
     import org.apache.spark.sql.types.{StructField, StructType}
     val cellRows = cells.map(c => org.apache.spark.sql.Row(c))
     val cellsDf = spark.createDataFrame(
       java.util.Arrays.asList(cellRows: _*),
       StructType(Seq(StructField(cellCol, cellType, nullable = false))))
-    val ids = store.touchedBy(cellsDf)
+    val ids = if (cells.isEmpty) Seq(0) else store.touchedBy(cellsDf)
     val pruned = store.readPartitions(ids).drop("d2")
     Ann.rankOverProbes(pruned, probeRows, probeSchema, k, cellCol,
       idCol, vecCol)

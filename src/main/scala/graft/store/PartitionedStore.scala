@@ -213,6 +213,12 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     parseManifest(manifestPath)._1
   }
 
+  /** The pinned schema currently in force — the cheap metadata accessor
+    * (two small files) for callers that need column types WITHOUT
+    * planning a read over every data dir ([[graft.similarity.IvfIndex]]
+    * resolves its cell type per serve through this). */
+  def schema: org.apache.spark.sql.types.StructType = storedSchema
+
   private def dirFor(entry: String): String =
     rootPath.resolve(entry).toString
 
@@ -474,46 +480,63 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
         PartitionedStore.inFlightStamps.remove(stampKey(stamp))
         throw e
     }
-    // current-schema pointer: POST-commit (once the manifest swapped, the
-    // evolution is committed and must never be rolled back by the catch
-    // above). A reader between the two swaps sees the old schema over the
-    // new manifest — pruned columns, never a decode error.
-    evolvedTo.foreach(sc =>
-      writeFileAtomic(schemaPath, sc.json.getBytes("UTF-8")))
-    // retention sweep (post-commit; same bounded race with in-flight
-    // readers as BucketStore.bufferAndPromote): versions older than the
-    // last `retainVersions` lose their manifest.v file, then any stamp dir
-    // referenced by NO retained manifest is reclaimed — so readAsOf stays
-    // total over exactly the retained window. retainVersions = 1 keeps
-    // only the new commit: the old behavior, eager reclaim.
-    val newVersion = oldVersion + 1
-    val keepFrom = math.max(1, newVersion - retainVersions + 1)
-    listVersionedManifests().foreach { p =>
-      val v = p.getFileName.toString.stripPrefix("manifest.v").toInt
-      if (v < keepFrom) Files.deleteIfExists(p)
-    }
-    val keep = listVersionedManifests()
-      .flatMap(p => parseManifest(p)._2.values)
-      .flatMap(entryDirs).map(e => e.split("/")(0)).toSet
-    // reclaim candidates = EVERY stamp dir on disk, not just the previous
-    // manifest's (whose dirs are still retained at retainVersions >= 2 —
-    // sweeping only from `old` left the dirs of the version FALLING OUT
-    // of the window unreclaimed forever, a per-refresh disk leak) —
-    // EXCEPT stamps a concurrent commit registered as in-flight: its data
-    // may be written while its manifest is not yet swapped, and reclaiming
-    // it here would hand the racer a committed manifest over deleted dirs.
-    // A stamp left in-flight by a crashed PROCESS dies with that process's
-    // registry, so the next process's sweep still reclaims it (no leak
-    // regression); within the supported one-writer-process contract the
-    // registry is authoritative.
-    listStampDirs().filterNot(d => keep.contains(d.getFileName.toString))
-      .filterNot(d => PartitionedStore.inFlightStamps
-        .contains(stampKey(d.getFileName.toString)))
-      .foreach(deleteDirQuiet)
-    // deregister LAST: once committed the stamp is manifest-referenced
-    // (the keep set protects it), so a failure between commit and here
-    // merely leaves one string in the registry — never a reclaim hazard
-    PartitionedStore.inFlightStamps.remove(stampKey(stamp))
+    // POST-commit maintenance. The commit stands from here on — nothing
+    // below may surface as a commit failure to the caller (a thrown sweep
+    // after the swap would report a SUCCESSFUL refresh as failed, and a
+    // caller's retry of an append would double-apply its delta), so the
+    // whole block is best-effort: errors are logged and left for the next
+    // commit's sweep to retry. It ALSO re-takes the commit lock: two
+    // successful back-to-back commits from different threads would
+    // otherwise race their sweeps (one deleting a manifest.v file between
+    // the other's list and parse).
+    try PartitionedStore.commitLock(rootPath).synchronized {
+      // current-schema pointer: once the manifest swapped, the evolution
+      // is committed and must never be rolled back by the catch above. A
+      // reader between the two swaps sees the old schema over the new
+      // manifest — pruned columns, never a decode error.
+      evolvedTo.foreach(sc =>
+        writeFileAtomic(schemaPath, sc.json.getBytes("UTF-8")))
+      // retention sweep (same bounded race with in-flight readers as
+      // BucketStore.bufferAndPromote): versions older than the last
+      // `retainVersions` lose their manifest.v file, then any stamp dir
+      // referenced by NO retained manifest is reclaimed — so readAsOf
+      // stays total over exactly the retained window. retainVersions = 1
+      // keeps only the new commit: the old behavior, eager reclaim.
+      val newVersion = oldVersion + 1
+      val keepFrom = math.max(1, newVersion - retainVersions + 1)
+      listVersionedManifests().foreach { p =>
+        val v = p.getFileName.toString.stripPrefix("manifest.v").toInt
+        if (v < keepFrom) Files.deleteIfExists(p)
+      }
+      val keep = listVersionedManifests()
+        .flatMap(p => parseManifest(p)._2.values)
+        .flatMap(entryDirs).map(e => e.split("/")(0)).toSet
+      // reclaim candidates = EVERY stamp dir on disk, not just the
+      // previous manifest's (whose dirs are still retained at
+      // retainVersions >= 2 — sweeping only from `old` left the dirs of
+      // the version FALLING OUT of the window unreclaimed forever, a
+      // per-refresh disk leak) — EXCEPT stamps a concurrent commit
+      // registered as in-flight: its data may be written while its
+      // manifest is not yet swapped, and reclaiming it here would hand
+      // the racer a committed manifest over deleted dirs. A stamp left
+      // in-flight by a crashed PROCESS dies with that process's registry,
+      // so the next process's sweep still reclaims it (no leak
+      // regression); within the supported one-writer-process contract the
+      // registry is authoritative.
+      listStampDirs().filterNot(d => keep.contains(d.getFileName.toString))
+        .filterNot(d => PartitionedStore.inFlightStamps
+          .contains(stampKey(d.getFileName.toString)))
+        .foreach(deleteDirQuiet)
+    } catch {
+      case e: Exception => System.err.println(
+        s"[PartitionedStore] post-commit maintenance at $root failed " +
+          s"(commit v${oldVersion + 1} stands; next commit retries the " +
+          s"sweep): $e")
+    } finally
+      // deregister LAST: once committed the stamp is manifest-referenced
+      // (the keep set protects it), so even a swallowed sweep failure
+      // leaves no reclaim hazard — only garbage the next sweep collects
+      PartitionedStore.inFlightStamps.remove(stampKey(stamp))
   }
 
   /** Root-qualified stamp identity for the JVM-wide in-flight registry —

@@ -440,8 +440,9 @@ object BenchScale {
       val types = Seq("purchase", "click", "view", "error", "signup")
       val reg = (0 until n).map { i =>
         val lo = (i % 90).toDouble
-        (f"q_$i%04d", graft.dsl.Query.allOf()
-          .when("event_type", types(i % 5)).rangeIn("value", lo, lo + 7.0))
+        (String.format(java.util.Locale.ROOT, "q_%04d", Int.box(i)),
+          graft.dsl.Query.allOf()
+            .when("event_type", types(i % 5)).rangeIn("value", lo, lo + 7.0))
       }
       val ev = Tables.t(spark, sf01, "events")
       val df = graft.ops.Percolator.matches(ev, reg, Seq("event_id"),
@@ -528,18 +529,22 @@ object BenchScale {
         val cents = graft.similarity.KMeans.train(
           e.filter(col("vec_id") % 8 =!= 7), "vec_id", "embedding",
           k = cells, iters = 2)
-        val idx = new graft.similarity.IvfIndex(spark,
-          graft.util.Scratch.dir(s"graft_sc_ann14_${tag}_$r"),
+        val idxRoot = graft.util.Scratch.dir(s"graft_sc_ann14_${tag}_$r")
+        val idx = new graft.similarity.IvfIndex(spark, idxRoot,
           nPartitions = cells)
         val tBuild = time(idx.build(e.filter(col("vec_id") % 8 =!= 7), cents))
         val tAppend = time(idx.append(e.filter(col("vec_id") % 8 === 7), cents))
-        val rebuilt = new graft.similarity.IvfIndex(spark,
-          graft.util.Scratch.dir(s"graft_sc_ann14r_${tag}_$r"),
+        val rebuiltRoot = graft.util.Scratch.dir(s"graft_sc_ann14r_${tag}_$r")
+        val rebuilt = new graft.similarity.IvfIndex(spark, rebuiltRoot,
           nPartitions = cells)
         val tRebuild = time(rebuilt.build(e, cents))
         val tServe = time(
           idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 2)
             .count())
+        // reclaim the sample's two corpus-sized index copies NOW — at
+        // best-of-N over two SFs, deferring to JVM exit stacks 4N copies
+        graft.util.Scratch.drop(idxRoot)
+        graft.util.Scratch.drop(rebuiltRoot)
         (tBuild, tAppend, tRebuild, tServe)
       }
       (samples.map(_._1).min, samples.map(_._2).min,

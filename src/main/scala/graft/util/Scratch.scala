@@ -16,6 +16,22 @@ object Scratch {
     d.toString
   }
 
+  /** Eagerly reclaim a registered dir the caller KNOWS it is done with
+    * (a bench harness building corpus-sized stores per sample would
+    * otherwise stack them all until JVM exit — the disk-pressure class
+    * the retention sweep fixed store-side). Deregisters, then best-effort
+    * recursive delete; safe to call on an already-dropped dir. */
+  def drop(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    dirs.remove(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+    } catch { case _: java.io.IOException => () }
+  }
+
   private val dirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
