@@ -381,6 +381,70 @@ class PartitionedRollupSpec extends AnyFunSuite {
     assert(ps.read().columns.toSeq === Seq("k", "v", "w"))
   }
 
+  test("randomized append/refresh/evolve sequences track an in-memory " +
+      "model — multi-dir entries survive arbitrary interleaving") {
+    // deterministic LCG drives 24 mixed commits against a 3-partition
+    // store; after every commit the store must equal the model map and
+    // every retained as-of version must equal its recorded snapshot.
+    // This is the round's riskiest surface (';'-joined dir lists feeding
+    // read/readAsOf/readPartitions/vacuum) under sequencing no single
+    // hand-written case covers.
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 3,
+      retainVersions = 3)
+    var seed = 0x5DEECE66DL
+    def rnd(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    var model = (0L until 12L).map(k => k -> k).toMap
+    ps.init(state(model.toSeq))
+    var nextId = 1000L
+    val snapshots = scala.collection.mutable.Map(1 -> model)
+    var version = 1
+    def modelDf(keys: Iterable[Long]) =
+      state(keys.map(k => (k, model(k))).toSeq)
+    for (_ <- 1 to 24) {
+      rnd(3) match {
+        case 0 => // append 1-3 brand-new keys
+          val fresh = (0 until 1 + rnd(3)).map { _ =>
+            nextId += 1; nextId -> (nextId * 7)
+          }
+          model ++= fresh
+          ps.append(ps.touchedBy(state(fresh)), state(fresh))
+        case 1 => // refresh: mutate 1-2 random keys, committing the FULL
+          // new content of exactly their partitions (compacts dir lists)
+          val victims = model.keys.toSeq.sorted
+            .slice(rnd(model.size), model.size).take(1 + rnd(2))
+          val partOf = state(model.toSeq)
+            .select(col("k"), ps.partitionId.as("p"))
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          val touched = victims.map(partOf).distinct.sorted
+          victims.foreach(k => model += k -> (model(k) + 1))
+          val content = model.keys.filter(k => touched.contains(partOf(k)))
+          ps.refresh(touched, modelDf(content))
+        case 2 => // no-op-ish small append again (keeps dir lists growing)
+          nextId += 1
+          val fresh = Seq(nextId -> (nextId * 13))
+          model ++= fresh
+          ps.append(ps.touchedBy(state(fresh)), state(fresh))
+      }
+      version += 1
+      snapshots(version) = model
+      assert(ps.version() === version)
+      assert(ps.read().as[(Long, Long)].collect().toMap === model,
+        s"store diverged from model at v$version")
+      // every RETAINED version must replay its recorded snapshot
+      val keepFrom = math.max(1, version - 3 + 1)
+      for (v <- keepFrom to version)
+        assert(ps.readAsOf(v).as[(Long, Long)].collect().toMap ===
+          snapshots(v), s"as-of v$v diverged (current v$version)")
+      intercept[IllegalArgumentException] {
+        ps.readAsOf(math.max(0, keepFrom - 2))
+      }
+    }
+  }
+
   test("partition routing agrees between state and delta by construction") {
     val ps = newStore(16)
     val keys = (0L until 200L).map(k => Tuple1(k)).toDF("k")
