@@ -16,7 +16,7 @@ import graft.store.PartitionedStore
   * write I/O, crash-safe, time-travelable, version-CAS write-guarded (all
   * inherited, spec'd contracts).
   * The reference's analog is the time-sliced index append + rollover
-  * lifecycle (`aleph2_crud_service_elasticsearch/.../services/
+  * lifecycle (`aleph2_search_index_service_elasticsearch/.../services/
   * ElasticsearchIndexService.java:335-391`), re-expressed as a lakehouse
   * layout instead of an ES alias dance.
   *
@@ -73,8 +73,16 @@ final class IvfIndex(val spark: SparkSession, val root: String,
   def build(corpus: DataFrame, centroids: DataFrame): Unit = {
     val assigned = Ann.assignCellsWithDist(corpus, centroids,
       idCol, vecCol, centId, centVec, cellCol)
+    // invalidate the PREVIOUS build's drift baseline BEFORE the new corpus
+    // commits: a crash between store.init and the new meta swap must leave
+    // "index not built" (trainMeanD2 fails loudly), never a fresh index
+    // silently drift-checking appends against a stale baseline
+    Files.deleteIfExists(metaPath)
     store.init(assigned)
-    val mean = store.read().agg(avg(col("d2"))).collect()(0).getDouble(0)
+    val meanRow = store.read().agg(avg(col("d2"))).collect()(0)
+    require(!meanRow.isNullAt(0),
+      s"IVF build corpus is empty — an index at $root needs at least one vector")
+    val mean = meanRow.getDouble(0)
     val body = String.format(java.util.Locale.ROOT,
       """{"train_mean_d2":%s,"n_partitions":%d}""",
       java.lang.Double.toString(mean), Int.box(nPartitions))
@@ -156,20 +164,37 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     val assigned = Ann.assignCellsWithDist(victims, centroids,
       idCol, vecCol, centId, centVec, cellCol)
     val touched = store.touchedBy(assigned)
+    // an empty erasure batch is a normal no-op (a curation day with no
+    // deletions), not a misleading "no partitions requested" failure
+    if (touched.isEmpty) return 0L
     val current = store.readPartitions(touched)
     val victimIds = assigned.select(col(idCol))
-    if (requirePresent) {
-      val missing = victimIds
+    // ONE id-column-pruned pass computes BOTH pre-commit statistics — the
+    // removed count (matched store rows) and the missing-victim count —
+    // via a full-outer id join; the only full read of the touched
+    // partitions is then the refresh write itself (previously: a full
+    // count, a full anti-join count, AND the refresh — 3 full passes)
+    val stats = current.select(col(idCol)).withColumn("__c", lit(1))
+      .join(victimIds.distinct().withColumn("__v", lit(1)), Seq(idCol), "full")
+      .agg(
+        sum(when(col("__c").isNotNull && col("__v").isNotNull, 1L)
+          .otherwise(0L)).as("removed"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("missing"))
+      .collect()(0)
+    val removed = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val missing = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (requirePresent && missing > 0) {
+      // error path only: re-derive a small sample of the absent ids so the
+      // failure names them (the happy path never runs this job)
+      val sample = victimIds
         .join(current.select(col(idCol)), Seq(idCol), "left_anti")
         .limit(5).collect().map(_.get(0))
-      require(missing.isEmpty,
-        s"remove batch names ids not in the index: ${missing.mkString(", ")}")
+      throw new IllegalArgumentException(
+        s"remove batch names $missing ids not in the index: " +
+          sample.mkString(", "))
     }
     val kept = current.join(victimIds, Seq(idCol), "left_anti")
       .select(col(idCol), col(vecCol), col(cellCol), col("d2"))
-    // removed count from the SAME pre-commit frames (no post-commit
-    // re-scan); the refresh itself re-executes kept's lineage
-    val removed = current.count() - kept.count()
     store.refresh(touched, kept)
     removed
   }
@@ -183,8 +208,10 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     * no version bump). */
   def compact(maxDirs: Int = 1): Seq[Int] = {
     require(maxDirs >= 1, s"maxDirs must be >= 1: $maxDirs")
-    val frag = store.manifest().collect {
-      case (i, e) if e.split(";").length > maxDirs => i
+    // fragmentation via the store's OWN accessor — the manifest entry
+    // encoding stays private to PartitionedStore
+    val frag = store.dirCounts().collect {
+      case (i, n) if n > maxDirs => i
     }.toSeq.sorted
     if (frag.nonEmpty) store.refresh(frag, store.readPartitions(frag))
     frag

@@ -207,6 +207,14 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     if (!Files.exists(manifestPath)) Map.empty
     else parseManifest(manifestPath)._2
 
+  /** Per-partition data-dir count — the fragmentation metric an [[append]]
+    * grows and a [[refresh]] collapses back to 1. Exposed so compaction
+    * policy (e.g. [[graft.similarity.IvfIndex.compact]]) never re-parses
+    * the manifest's private entry encoding: a change to the ';'-joined
+    * dir-list format stays inside this class. */
+  def dirCounts(): Map[Int, Int] =
+    manifest().map { case (i, e) => i -> entryDirs(e).size }
+
   /** The current committed version — 1 after [[init]], +1 per [[refresh]]. */
   def version(): Int = {
     require(Files.exists(manifestPath), s"store at $root not initialized")

@@ -149,6 +149,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(idx.remove(ghost, cents, requirePresent = false) === 0L)
   }
 
+  test("empty inputs: an empty erasure batch is a 0-row no-op (no version " +
+      "bump); an empty build corpus fails loudly; a build that crashes " +
+      "mid-commit invalidates the drift baseline rather than going stale") {
+    val base = emb.filter(col("vec_id") % 4 <= 1)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 4, iters = 2)
+    val idx = newIndex(4)
+    idx.build(base, cents)
+    val v = idx.store.version()
+    // empty victims frame: a normal no-op, not "no partitions requested"
+    assert(idx.remove(emb.filter(col("vec_id") < 0), cents) === 0L)
+    assert(idx.store.version() === v, "empty remove must not commit")
+    // empty corpus: a clear requirement failure, not an NPE on avg(d2)
+    val e = intercept[IllegalArgumentException] {
+      newIndex(4).build(emb.filter(col("vec_id") < 0), cents)
+    }
+    assert(e.getMessage.contains("empty"))
+    // crash-window: a rebuild whose corpus poisons mid-write must leave
+    // the PREVIOUS baseline invalidated (loud "not built"), never a stale
+    // train_mean_d2 silently drift-checking the next index's appends
+    val baselineBefore = idx.trainMeanD2
+    assert(baselineBefore > 0.0)
+    val poisoned = base.select(when(col("vec_id") >= 0,
+      expr("raise_error('poison')")).cast("long").as("vec_id"),
+      col("embedding"))
+    intercept[Exception] { idx.build(poisoned, cents) }
+    val e2 = intercept[IllegalArgumentException] { idx.trainMeanD2 }
+    assert(e2.getMessage.contains("not built"))
+  }
+
   test("serving reads a strict subset of the index's partition dirs at " +
       "bounded nprobe (directory-level prune through the store manifest)") {
     val cents = KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 2)
