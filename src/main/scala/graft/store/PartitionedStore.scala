@@ -63,10 +63,14 @@ import org.apache.spark.sql.functions._
   * dirs are torn down, and the store stays readable at the winner's
   * version (the loser must re-derive its delta against the new version
   * and retry — optimistic concurrency, the Delta/Iceberg commit shape).
-  * Writers in DIFFERENT processes are outside the lock's reach; the
-  * re-read still catches them up to the check-to-rename window, so the
-  * supported deployment is one writer process (any thread count) plus
-  * unlimited concurrent readers.
+  * Writers in DIFFERENT processes are outside the lock's reach; for them
+  * the CREATION of `manifest.v<N>` is the arbiter (an atomic hard-link —
+  * exactly one writer of a given version can create it, the other fails
+  * with the same ConcurrentModificationException before its pointer
+  * swap), so cross-process racers also resolve exactly-one-wins. The
+  * recommended deployment remains one writer process (a cross-process
+  * loser cannot distinguish a concurrent winner from a crashed writer's
+  * orphan — the error message explains both) plus unlimited readers.
   */
 final class PartitionedStore(val spark: SparkSession, val root: String,
     val keyCols: Seq[String], val nPartitions: Int,
@@ -161,23 +165,53 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     else readSchemaFile(versionedSchemaPath(m.max))
   }
 
-  private def writeManifest(entries: Map[Int, String], version: Int): Unit = {
-    Files.createDirectories(rootPath)
-    val body = (Seq(s"nPartitions $nPartitions", s"version $version") ++
+  private def manifestBody(entries: Map[Int, String], version: Int): String =
+    (Seq(s"nPartitions $nPartitions", s"version $version") ++
       entries.toSeq.sortBy(_._1).map { case (i, d) => s"$i $d" })
       .mkString("", "\n", "\n")
-    // the immutable versioned copy lands FIRST; the current-pointer swap
-    // below stays the one atomic visibility switch. A crash between the
-    // two leaves an orphan manifest.v<N> that version() (read from the
-    // pointer) never acknowledges and the next commit overwrites.
+
+  /** Create the IMMUTABLE `manifest.v<N>` copy — and with it, ARBITRATE
+    * the commit across processes: the tmp file is hard-linked into place
+    * (link(2) fails atomically with EEXIST if the name is taken; a
+    * rename-based move cannot arbitrate — POSIX rename silently replaces
+    * even under ATOMIC_MOVE), so of two writer PROCESSES racing the same
+    * version, exactly one creates `manifest.v<N>` and the other fails
+    * HERE, loudly, before it can touch the version's schema file or
+    * last-write-win the pointer swap. A crash between this link and the
+    * pointer swap leaves an orphan `manifest.v<N>` that version() (read
+    * from the pointer) never acknowledges and that BLOCKS the next commit
+    * at this version with the same loud error (its message names the
+    * remediation: delete the unacknowledged orphan). */
+  private def linkVersionedManifest(body: String, version: Int): Unit = {
     val tmpV = rootPath.resolve(s"manifest.vtmp${System.nanoTime()}")
     Files.write(tmpV, body.getBytes("UTF-8"))
-    Files.move(tmpV, versionedManifestPath(version),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try Files.createLink(versionedManifestPath(version), tmpV)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"commit arbiter: manifest.v$version already exists at $root — " +
+            "either a writer in another process committed this version " +
+            "concurrently (this commit loses; re-derive the delta against " +
+            "the current version and retry), or an earlier writer crashed " +
+            "between its versioned-manifest write and its pointer swap " +
+            "(version() does not acknowledge the file; delete it to recover)")
+    } finally Files.deleteIfExists(tmpV)
+  }
+
+  /** Swap the current-manifest pointer — the one atomic visibility switch
+    * every reader resolves. */
+  private def swapPointer(body: String): Unit = {
     val tmp = rootPath.resolve(s"manifest.tmp${System.nanoTime()}")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, manifestPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeManifest(entries: Map[Int, String], version: Int): Unit = {
+    Files.createDirectories(rootPath)
+    val body = manifestBody(entries, version)
+    linkVersionedManifest(body, version)
+    swapPointer(body)
   }
 
   /** A manifest entry is a ';'-joined list of data dirs — one for a
@@ -398,6 +432,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     require(touched.forall(old.contains), "touched ids outside the store")
     val stamp = s"refresh${System.nanoTime()}"
     var schemaWrittenAt: Option[Int] = None
+    var linkedVersion: Option[Int] = None
     // register the stamp as in-flight BEFORE any data lands: a concurrent
     // winner's retention sweep must not reclaim this commit's
     // written-but-not-yet-committed dirs as "unreferenced garbage"
@@ -437,10 +472,11 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       // read `oldVersion` fails HERE, loudly, before it can last-write-win
       // the manifest (and before the sweep below could reclaim the
       // winner's dirs). In-process racers are therefore strictly
-      // exactly-one-wins; a cross-process racer is caught by the same
-      // re-read up to the microsecond window between check and rename
-      // (documented contract: one writer PROCESS at a time, any number of
-      // writer threads, any number of readers). The schema step sits
+      // exactly-one-wins; a cross-process racer that slips past the
+      // re-read is caught by writeManifest's hard-link arbiter (exactly
+      // one process can CREATE manifest.v<N+1>), closing the
+      // check-to-rename window the re-read alone would leave. The schema
+      // step sits
       // INSIDE the lock, after the check: a CAS loser must never
       // overwrite (evolve) or orphan-clear (refresh) the winner's
       // just-committed schema.v<N+1>.json.
@@ -452,6 +488,16 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
               s"$oldVersion but the manifest is now at $nowVersion — this " +
               "refresh loses; re-derive the delta against the current " +
               "version and retry")
+        // the versioned-manifest link is BOTH the immutable copy and the
+        // cross-process arbiter — it lands BEFORE the schema step so a
+        // cross-process racer that slipped past the re-read dies before it
+        // can overwrite (evolve) or orphan-clear (refresh) the winner's
+        // just-committed schema.v<N+1>.json. The link is reader-invisible
+        // until the pointer swap (readAsOf refuses versions beyond the
+        // pointer), so the swap below stays the one visibility switch.
+        val body = manifestBody(entries, oldVersion + 1)
+        linkVersionedManifest(body, oldVersion + 1)
+        linkedVersion = Some(oldVersion + 1)
         // an evolution's versioned schema is resolvable BEFORE any reader
         // can see the manifest that needs it; a non-evolve commit clears
         // any orphan at its version (a crash between an evolution's schema
@@ -474,15 +520,19 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
           case None =>
             Files.deleteIfExists(versionedSchemaPath(oldVersion + 1)); ()
         }
-        writeManifest(entries, oldVersion + 1) // the single atomic visibility switch
+        swapPointer(body) // the single atomic visibility switch
       }
     } catch {
       case e: Throwable =>
-        // commit never ran: tear the partial refresh dirs down (and the
-        // orphan schema if THIS commit wrote one — a CAS loser that never
-        // reached the schema step must not delete the winner's), manifest
-        // (and so every reader) stays on the old view
+        // commit never became visible (the pointer swap is the try's last
+        // act): tear the partial refresh dirs down, plus the versioned
+        // manifest and schema IF THIS COMMIT created them — the link
+        // arbiter guarantees they are ours, and a CAS/arbiter loser that
+        // never linked must not delete a winner's files. Manifest pointer
+        // (and so every reader) stays on the old view.
         deleteDirQuiet(rootPath.resolve(stamp))
+        linkedVersion.foreach(v =>
+          Files.deleteIfExists(versionedManifestPath(v)))
         schemaWrittenAt.foreach(v =>
           Files.deleteIfExists(versionedSchemaPath(v)))
         PartitionedStore.inFlightStamps.remove(stampKey(stamp))

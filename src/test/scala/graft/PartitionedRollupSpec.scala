@@ -360,6 +360,47 @@ class PartitionedRollupSpec extends AnyFunSuite {
     assert(stamps.size === 2, s"expected init+winner stamps only: $stamps")
   }
 
+  test("cross-process commit arbiter: a pre-existing manifest.v<N+1> (a " +
+      "second writer process, or a crashed writer's orphan) makes the " +
+      "commit lose loudly and tear down — and never deletes the file") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    val ps = new PartitionedStore(spark, root, Seq("k"), 4)
+    val all = (0L until 32L).map(i => (i, i))
+    ps.init(state(all)) // v1
+    // simulate the window the in-JVM lock cannot see: another PROCESS has
+    // created the next version's arbiter file but not yet swapped the
+    // pointer (equivalently: a crashed writer left it orphaned)
+    val planted = Paths.get(root, "manifest.v2")
+    Files.write(planted, "planted-by-other-process\n".getBytes("UTF-8"))
+    val plantedBytes = Files.readAllBytes(planted).toSeq
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ps.refresh(Seq(0), ps.readPartitions(Seq(0)))
+    }
+    assert(e.getMessage.contains("commit arbiter"))
+    assert(e.getMessage.contains("manifest.v2"))
+    // the loser tore its partial dirs down and the store is untouched at v1
+    assert(ps.version() === 1)
+    assert(ps.read().as[(Long, Long)].collect().toMap === all.toMap)
+    import scala.jdk.CollectionConverters._
+    def stamps() = {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("(init|refresh)\\d+")).toSet finally s.close()
+    }
+    assert(stamps().size === 1, s"loser left stamp dirs behind: ${stamps()}")
+    // crucially the loser did NOT delete the other writer's arbiter file
+    assert(Files.readAllBytes(planted).toSeq === plantedBytes,
+      "a losing commit must never remove the winning process's manifest")
+    // operator remediation for the crash-orphan case: delete the
+    // unacknowledged file and retry — the commit then lands normally
+    Files.delete(planted)
+    ps.refresh(Seq(0), ps.readPartitions(Seq(0))
+      .withColumn("v", col("v") + 1000))
+    assert(ps.version() === 2)
+    assert(ps.read().filter(col("v") >= 1000).count() ===
+      ps.readPartitions(Seq(0)).count())
+  }
+
   test("first evolve of a pre-versioning store snapshots v1's schema — " +
       "time travel never shows a column before it existed") {
     val root = Files.createTempDirectory("graft_pstore").toString
