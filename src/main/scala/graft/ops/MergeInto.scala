@@ -78,4 +78,39 @@ object MergeInto {
       .filter(if (insertable) lit(true) else col("__t").isNotNull)
       .select(outCols: _*)
   }
+
+  /** [[merge]] re-homed onto a [[graft.store.PartitionedStore]] — the
+    * scale shape of the MERGE write path: the source's touched partitions
+    * are derived from the source alone (`touchedBy` — never a state scan),
+    * ONLY those partitions are read and merged, and the result commits
+    * through the store's `refresh` (one atomic manifest swap, version-CAS
+    * and cross-process-arbiter guarded). Write I/O is O(touched
+    * partitions), not O(store): at 100 TB of keyed state a batch touching
+    * 2 of 4096 partitions rewrites ~0.05% of the table, where the
+    * whole-table copy-on-write ([[graft.crud.CrudService.mergeInto]] over
+    * BucketStore.rewrite) re-copies everything per merge. Untouched
+    * partitions keep their physical dirs byte-identical (MergeIntoSpec
+    * pins this), and a failure at any point — cardinality violation, a
+    * poisoned source row, a lost commit race — leaves the store at its
+    * previous version.
+    *
+    * Keys are the STORE's key columns by construction: both sides route
+    * through the store's own partitioning expression, so a source-only
+    * key's INSERT lands in a touched partition by definition (and the
+    * refresh misroute guard would fail loudly on anything else).
+    *
+    * @return the touched partition ids (empty = empty source, no-op, no
+    *         version bump) */
+  def mergePartitioned(store: graft.store.PartitionedStore,
+      source: DataFrame,
+      matchedDelete: Option[Column] = None,
+      matchedUpdate: Map[String, Column] = Map.empty,
+      notMatchedInsert: Option[Map[String, Column]] = None): Seq[Int] = {
+    val touched = store.touchedBy(source)
+    if (touched.isEmpty) return Nil
+    val merged = merge(store.readPartitions(touched), source, store.keyCols,
+      matchedDelete, matchedUpdate, notMatchedInsert)
+    store.refresh(touched, merged)
+    touched
+  }
 }

@@ -128,6 +128,37 @@ object UpdateQueries {
             "o_orderstatus" -> lit("N"))))
         .orderBy("o_orderkey")
     },
+    // u20: the SAME three-clause MERGE re-homed onto the partitioned
+    // store — the scale shape of the write path: touched partitions are
+    // derived from the source alone, only those are read+merged, and the
+    // commit is one O(touched) refresh behind the atomic manifest swap
+    // (vs CrudService.mergeInto's whole-store rewrite; the reference's
+    // analog is the per-document upsert round trip,
+    // `aleph2_crud_service_mongodb/.../services/MongoDbCrudService.java:493-525`).
+    // Identical clauses and identical oracle to u16 pin the re-homing;
+    // MergeIntoSpec pins untouched-partitions-byte-identical ---------------
+    "u20_merge_partitioned" -> { (s, dir) =>
+      val orders = Tables.t(s, dir, "orders")
+      val target = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val store = new graft.store.PartitionedStore(s,
+        graft.util.Scratch.dir("graft_u20"), Seq("o_orderkey"), nPartitions = 32)
+      store.init(target)
+      val amendments = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000).as("src_price"),
+          (col("o_orderkey") % 97 === 0).as("src_del"))
+      val arrivals = orders.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice").as("src_price"), lit(false).as("src_del"))
+      graft.ops.MergeInto.mergePartitioned(store,
+        amendments.unionByName(arrivals),
+        matchedDelete = Some(col("src_del")),
+        matchedUpdate = Map("o_totalprice" -> col("src_price")),
+        notMatchedInsert = Some(Map(
+          "o_totalprice" -> col("src_price"),
+          "o_orderstatus" -> lit("N"))))
+      store.read().orderBy("o_orderkey")
+    },
     // U11: top-k delete (sort+limit victims, anti-join rewrite)
     "u11_topk_delete" -> { (s, dir) =>
       val orders = Tables.t(s, dir, "orders")
@@ -239,6 +270,20 @@ object UpdateQueries {
     // FULL JOIN + clause CASEs — the declarative statement of the same
     // three-clause dispatch
     "u16_merge_into" ->
+      ("WITH src AS (SELECT o_orderkey AS k, o_totalprice + 1000 AS src_price, " +
+        "(o_orderkey % 97 = 0) AS src_del FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_totalprice, false " +
+        "FROM orders WHERE o_orderkey % 1000 = 0), " +
+        "m AS (SELECT t.o_orderkey AS tk, t.o_totalprice, t.o_orderstatus, " +
+        "s.k, s.src_price, s.src_del FROM orders t FULL JOIN src s ON t.o_orderkey = s.k) " +
+        "SELECT coalesce(tk, k) AS o_orderkey, " +
+        "CASE WHEN k IS NOT NULL THEN src_price ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN tk IS NULL THEN 'N' ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM m WHERE NOT (tk IS NOT NULL AND k IS NOT NULL AND coalesce(src_del, false)) " +
+        "ORDER BY o_orderkey"),
+    // u16's oracle verbatim — the partitioned commit path must be
+    // semantically invisible
+    "u20_merge_partitioned" ->
       ("WITH src AS (SELECT o_orderkey AS k, o_totalprice + 1000 AS src_price, " +
         "(o_orderkey % 97 = 0) AS src_del FROM orders WHERE o_orderkey % 7 = 0 " +
         "UNION ALL SELECT o_orderkey + 10000000, o_totalprice, false " +

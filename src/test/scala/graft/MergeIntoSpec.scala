@@ -73,4 +73,60 @@ class MergeIntoSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("collide"))
   }
+
+  test("partitioned merge ≡ whole-table merge; untouched partitions keep " +
+      "their physical files byte-identical; empty source is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    import java.nio.file.{Files, Paths}
+    val target = (0L until 400L).map(i => (i, i * 10.0, s"s${i % 3}"))
+      .toDF("k", "v", "s")
+    val root = Files.createTempDirectory("graft_pmerge").toString
+    val store = new graft.store.PartitionedStore(spark, root, Seq("k"), 8)
+    store.init(target)
+    // a source spanning matched keys (380..399) and inserts (400..419),
+    // CONFINED to 2 of the 8 partitions via the store's own routing expr —
+    // the locality a real CDC batch has and the merge must exploit
+    val sourceAll = (380L until 420L).map(i => (i, i + 0.5)).toDF("k", "src_v")
+    val twoParts = store.touchedBy(sourceAll).take(2)
+    val source = sourceAll
+      .filter(store.partitionId.isInCollection(twoParts.toSet))
+    assert(source.count() > 0)
+    val before = store.manifest()
+    // fingerprint every data file of the would-be-untouched partitions
+    def files(ids: Set[Int]) = ids.toSeq.flatMap { i =>
+      val d = Paths.get(root, before(i))
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(d)
+      try w.iterator().asScala.filter(Files.isRegularFile(_)).map(p =>
+        p.toString -> (Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)).toList
+      finally w.close()
+    }.toMap
+    val untouchedIds = before.keySet -- store.touchedBy(source).toSet
+    val fpBefore = files(untouchedIds)
+    val touched = MergeInto.mergePartitioned(store, source,
+      matchedUpdate = Map("v" -> col("src_v")),
+      notMatchedInsert = Some(Map("v" -> col("src_v"))))
+    assert(touched.sorted === store.touchedBy(source).sorted)
+    assert((before.keySet -- touched.toSet) === untouchedIds)
+    // untouched partitions: same manifest entries, same files, same bytes
+    untouchedIds.foreach(i =>
+      assert(store.manifest()(i) === before(i), s"partition $i moved"))
+    assert(files(untouchedIds) === fpBefore,
+      "untouched partitions' physical files changed")
+    // content ≡ the whole-table merge over the same clauses (insert leaves
+    // the unlisted 's' column null)
+    val expected = MergeInto.merge(target, source, Seq("k"),
+        matchedUpdate = Map("v" -> col("src_v")),
+        notMatchedInsert = Some(Map("v" -> col("src_v"))))
+      .as[(Long, Double, Option[String])].collect().sorted.toSeq
+    assert(store.read().as[(Long, Double, Option[String])]
+      .collect().sorted.toSeq === expected)
+    // empty source: no read, no commit, no version bump
+    val v = store.version()
+    assert(MergeInto.mergePartitioned(store, sourceAll.filter(lit(false)),
+      matchedUpdate = Map("v" -> col("src_v"))) === Nil)
+    assert(store.version() === v)
+  }
 }
