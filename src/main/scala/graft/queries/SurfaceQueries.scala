@@ -834,6 +834,52 @@ object SurfaceQueries {
       store.read(b).select("user_id", "last_ts", "last_event", "last_type")
         .orderBy("user_id")
     },
+    // ---- st30: st12's streaming upsert sink re-homed onto the
+    // PARTITIONED store — the scale shape: each micro-batch reduces to its
+    // latest row per user, derives its touched partitions from the batch
+    // alone, and merges ONLY those partitions through one version-CAS-
+    // guarded refresh commit (O(touched) per batch, vs st12's whole-store
+    // rewrite per batch). The same (ts, event_id) order guard keeps the
+    // final state invariant to how the source was batched AND idempotent
+    // under foreachBatch replay — exactly-once effects, now at O(delta)
+    // write cost. Same oracle as st12: the commit path must be
+    // semantically invisible. ---------------------------------------------
+    "st30_stream_merge_partitioned" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val store = new graft.store.PartitionedStore(s,
+        graft.util.Scratch.dir("graft_st30"), Seq("user_id"), nPartitions = 16)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("last_ts", LongType),
+        StructField("last_event", LongType), StructField("last_type", StringType)))
+      store.init(s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+      val raw = Streams.parquetStream(s, s"$dir/events.parquet",
+        s.read.parquet(s"$dir/events.parquet").schema)
+      Streams.runForeachBatch(raw) { batch =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tus").desc, col("event_id").desc)
+        val latest = Tables.normalizeTs(batch)
+          .withColumn("tus", unix_micros(col("ts")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("tus").as("src_ts"),
+            col("event_id").as("src_event"), col("event_type").as("src_type"))
+        val newer = col("src_ts") > col("last_ts") ||
+          (col("src_ts") === col("last_ts") && col("src_event") > col("last_event"))
+        graft.ops.MergeInto.mergePartitioned(store, latest,
+          matchedUpdate = Map(
+            "last_ts" -> when(newer, col("src_ts")).otherwise(col("last_ts")),
+            "last_event" -> when(newer, col("src_event")).otherwise(col("last_event")),
+            "last_type" -> when(newer, col("src_type")).otherwise(col("last_type"))),
+          notMatchedInsert = Some(Map(
+            "last_ts" -> col("src_ts"), "last_event" -> col("src_event"),
+            "last_type" -> col("src_type"))))
+        ()
+      }
+      store.read().select("user_id", "last_ts", "last_event", "last_type")
+        .orderBy("user_id")
+    },
     // ---- stream-static join: enrich a purchase stream with the customer
     // dim (broadcast — the dim is re-read per micro-batch, so a broadcast
     // hash join keeps per-batch cost flat; stream side never shuffles) ----
@@ -900,6 +946,13 @@ object SurfaceQueries {
     // final state after all streaming merges = latest event per user under
     // the (ts, event_id) total order, however the stream was batched
     "st12_stream_merge" ->
+      ("SELECT user_id, tus AS last_ts, event_id AS last_event, event_type AS last_type " +
+        "FROM (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY user_id"),
+    // st12's oracle verbatim — the partitioned per-batch commit path must
+    // reach the same final state however the stream was batched
+    "st30_stream_merge_partitioned" ->
       ("SELECT user_id, tus AS last_ts, event_id AS last_event, event_type AS last_type " +
         "FROM (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn " +

@@ -107,4 +107,56 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(oneShot === withReplay)
     assert(oneShot.size === updates.map(_._1).distinct.size)
   }
+
+  test("order-guarded PARTITIONED merge sink (st30's shape) is invariant " +
+      "to batch split and replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    import java.nio.file.Files
+    val rnd = new scala.util.Random(83)
+    val updates = (1 to 200).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toSeq // (key, ts, uid)
+    def applyBatches(batches: Seq[Seq[(Long, Long, Long)]]) = {
+      val store = new graft.store.PartitionedStore(spark,
+        Files.createTempDirectory("graft_st30spec").toString, Seq("k"), 4)
+      store.init(Seq.empty[(Long, Long, Long)].toDF("k", "ts", "uid"))
+      batches.filter(_.nonEmpty).foreach { b =>
+        val latest = b.groupBy(_._1).map(_._2.maxBy(r => (r._2, r._3))).toSeq
+        val src = latest.toDF("k", "src_ts", "src_uid")
+        val newer = col("src_ts") > col("ts") ||
+          (col("src_ts") === col("ts") && col("src_uid") > col("uid"))
+        MergeInto.mergePartitioned(store, src,
+          matchedUpdate = Map(
+            "ts" -> when(newer, col("src_ts")).otherwise(col("ts")),
+            "uid" -> when(newer, col("src_uid")).otherwise(col("uid"))),
+          notMatchedInsert = Some(Map(
+            "ts" -> col("src_ts"), "uid" -> col("src_uid"))))
+      }
+      store.read().as[(Long, Long, Long)].collect().sorted.toSeq
+    }
+    val oneShot = applyBatches(Seq(updates))
+    val split = applyBatches(updates.grouped(37).toSeq)
+    val withReplay = applyBatches(
+      updates.grouped(50).toSeq.flatMap(b => Seq(b, b))) // every batch twice
+    assert(oneShot === split)
+    assert(oneShot === withReplay)
+    assert(oneShot.size === updates.map(_._1).distinct.size)
+    // and it matches the UNPARTITIONED guarded merge's final state — the
+    // two sinks are the same semantics at different commit granularity
+    var flat = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "uid")
+    updates.grouped(37).toSeq.foreach { b =>
+      val latest = b.groupBy(_._1).map(_._2.maxBy(r => (r._2, r._3))).toSeq
+      val src = latest.toDF("k", "src_ts", "src_uid")
+      val newer = col("src_ts") > col("ts") ||
+        (col("src_ts") === col("ts") && col("src_uid") > col("uid"))
+      flat = MergeInto.merge(flat, src, Seq("k"),
+        matchedUpdate = Map(
+          "ts" -> when(newer, col("src_ts")).otherwise(col("ts")),
+          "uid" -> when(newer, col("src_uid")).otherwise(col("uid"))),
+        notMatchedInsert = Some(Map(
+          "ts" -> col("src_ts"), "uid" -> col("src_uid"))))
+    }
+    assert(oneShot === flat.as[(Long, Long, Long)].collect().sorted.toSeq)
+  }
 }
