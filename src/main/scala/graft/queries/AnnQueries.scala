@@ -151,6 +151,30 @@ object AnnQueries {
       idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
+    // ---- ann16: the PQ-CODED maintained index — ann14's lifecycle at
+    // ann11's storage density: build-on-half trains residual codebooks and
+    // persists (id, vec, cell, d2, code) per cell; two appends encode
+    // under the FROZEN codebooks (drift-checked, replay-guarded, O(batch)
+    // commits); serving ADC-scans only the probed partitions' code column
+    // and exact-reranks the survivors from the same partitions. Exhaustive
+    // probes + rerank=∞ ⇒ provably exact over the full corpus — the same
+    // exact-top-k oracle as ann14 pins the whole
+    // build→append→append→ADC→rerank path; IvfPqIndexSpec pins recall at
+    // genuinely-approximate settings -------------------------------------
+    "ann16_ivfpq_append" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 4 <= 1)
+      val cents = graft.similarity.KMeans.train(base, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val idx = new graft.similarity.IvfPqIndex(s,
+        graft.util.Scratch.dir("graft_ann16"), nPartitions = 8, m = 8, k = 16)
+      idx.build(base, cents)
+      idx.append(e.filter(col("vec_id") % 4 === 2), cents, maxDriftRatio = 4.0)
+      idx.append(e.filter(col("vec_id") % 4 === 3), cents, maxDriftRatio = 4.0)
+      idx.serve(e.filter(col("vec_id") < 8), cents, kTop = 3, nprobe = 8,
+          rerank = Int.MaxValue)
+        .orderBy("q_id", "rank")
+    },
     // Product quantization: train 8×16 sub-codebooks (one Lloyd's job per
     // iteration covers all subspaces), NARROW-encode the corpus to 8 codes,
     // ADC-scan against broadcast per-query distance tables. rerank=∞ means
@@ -841,6 +865,15 @@ object AnnQueries {
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
         "FROM embeddings q, embeddings c " +
         "WHERE q.vec_id < 8 AND c.vec_id % 5 <> 4) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // PQ-coded maintained index at the exhaustive config: exact rerank of
+    // every candidate ⇒ the same exact-top-k contract as ann14
+    "ann16_ivfpq_append" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // build-on-half + two appends + exhaustive probes ≡ the exact top-k
     // over the FULL corpus — the append path adds nothing and loses
