@@ -151,6 +151,27 @@ object AnnQueries {
       idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
+    // ---- ann17: drift-triggered ONLINE rebuild with serving continuity —
+    // the remediation the drift guard names: build on half the corpus,
+    // append in-distribution under the frozen quantizer, then RETRAIN and
+    // rebuild into a fresh generation promoted by one atomic pointer swap
+    // (serves resolve the pointer per call — no blackout, never a mixed
+    // quantizer/data read; RotatingIvfSpec races a serve loop against the
+    // swap). Exhaustive probes after the swap ≡ exact top-k over the full
+    // corpus under the RETRAINED centroids ---------------------------------
+    "ann17_online_rebuild" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val half = e.filter(col("vec_id") % 2 === 0)
+      val rot = new graft.similarity.RotatingIvfIndex(s,
+        graft.util.Scratch.dir("graft_ann17"), nPartitions = 8)
+      rot.build(half, graft.similarity.KMeans.train(half, "vec_id",
+        "embedding", k = 8, iters = 3))
+      rot.append(e.filter(col("vec_id") % 4 === 1), maxDriftRatio = 4.0)
+      rot.rebuild(e, graft.similarity.KMeans.train(e, "vec_id",
+        "embedding", k = 8, iters = 3))
+      rot.serve(e.filter(col("vec_id") < 8), k = 3, nprobe = 8)
+        .orderBy("q_id", "rank")
+    },
     // ---- ann16: the PQ-CODED maintained index — ann14's lifecycle at
     // ann11's storage density: build-on-half trains residual codebooks and
     // persists (id, vec, cell, d2, code) per cell; two appends encode
@@ -865,6 +886,15 @@ object AnnQueries {
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
         "FROM embeddings q, embeddings c " +
         "WHERE q.vec_id < 8 AND c.vec_id % 5 <> 4) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // after the online rebuild the index holds the FULL corpus under the
+    // retrained quantizer; exhaustive probes ⇒ exact top-k
+    "ann17_online_rebuild" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // PQ-coded maintained index at the exhaustive config: exact rerank of
     // every candidate ⇒ the same exact-top-k contract as ann14

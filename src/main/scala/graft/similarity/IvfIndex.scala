@@ -127,7 +127,9 @@ final class IvfIndex(val spark: SparkSession, val root: String,
       throw new IllegalStateException(
         f"quantizer drift: batch mean d2 $mean%.6f is $ratio%.2fx the " +
           f"train-time mean $baseline%.6f (max $maxDriftRatio%.2f) — " +
-          "re-train the centroids and rebuild the index")
+          "re-train the centroids and rebuild the index " +
+          "(RotatingIvfIndex.rebuild swaps a fresh build in without a " +
+          "serving blackout)")
     // replay guard, bounded to the touched partitions (where a same-vector
     // duplicate MUST land — same vector → same cell → same partition) and
     // FUSED into the commit's own write job: the existing-id column scan
