@@ -105,39 +105,8 @@ object TextQueries {
     // one narrow projection + take-ordered, the pack is range-decomposed
     // — nothing corpus-sized crosses to the driver -----------------------
     "pp8_curation_pipeline" -> { (s, dir) =>
-      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
-      val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
-      val docs = Tables.t(s, dir, "documents")
-      // 1) dd18: duplicated-substring removal → cleaned token count
-      val cleaned = DedupQueries.dupSpanMask(docs).groupBy("doc_id")
-        .agg(count(when(col("rm").isNull, 1)).as("n_tokens"))
-      // 2) dd17: drop docs whose embedding is a non-representative
-      // near-dup (docs without an embedding carry no semantic evidence
-      // and pass through)
-      val nearDups = DedupQueries.semdedupKeep(s, dir)
-        .filter(col("keep") === 0).select(col("vec_id").as("doc_id"))
-      val surviving = cleaned.join(nearDups, Seq("doc_id"), "left_anti")
-      // 3) tx34: model-based quality gate — keep z > corpus mean
-      val (w, feats) = logregTrain(s, dir)
-      val scored = logregZ(feats.crossJoin(broadcast(w)))
-      val zbar = scored.agg((sum(col("z").cast(D28)).cast("double") /
-        count(lit(1))).as("zbar"))
-      val quality = scored.crossJoin(broadcast(zbar))
-        .filter(col("z") > col("zbar")).select("doc_id")
-      val gated = surviving.join(quality, Seq("doc_id"), "left_semi")
-      // 4) tx36: weighted sample without replacement, w = cleaned tokens
-      val u = (graft.dedup.TextDedup.md5Int(col("doc_id").cast("string"))
-        .cast("double") + lit(0.5)) / lit(4294967296.0)
-      val sampled = gated.filter(col("n_tokens") > 0)
-        .withColumn("es_key",
-          (log(u) / col("n_tokens")).cast(D6).cast("double"))
-        .orderBy(col("es_key").desc, col("doc_id")).limit(64)
-      // 5) tx7: pack the sample into 1000-token shards per lang
-      packShards(sampled.join(docs.select("doc_id", "lang"), "doc_id"),
-          rangeSize = 100L)
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          expr("(cum - n_tokens) div 1000").as("shard"), col("es_key"))
-        .orderBy("doc_id")
+      curationPlan(s, dir, DedupQueries.semdedupKeep(s, dir)
+        .filter(col("keep") === 0).select(col("vec_id").as("doc_id")))
     },
     // ---- tx24: HTML main-content extraction — the step between WARC
     // ingestion (s10) and the text pipeline: strip boilerplate blocks
@@ -924,6 +893,69 @@ object TextQueries {
             .cast(D6).cast("double").as("auc"))
     }
   )
+
+  /** pp8's composed curation plan over a caller-supplied near-dup DROP
+    * set: dd18 substring-removal mask → anti-join the drop set → tx34
+    * trained quality gate (z > corpus mean) → tx36 weighted sample of 64 →
+    * tx7 range-decomposed shard packing, all one plan. The query passes
+    * the exhaustive (provably-exact) SemDeDup drop set so the DuckDB twin
+    * is exact; [[curationPipelineApprox]] passes the √n-cell approximate
+    * set — the config that scales, gated by `pp8_curation_scale`. */
+  private def curationPlan(s: SparkSession, dir: String,
+      nearDups: DataFrame): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val docs = Tables.t(s, dir, "documents")
+    // 1) dd18: duplicated-substring removal → cleaned token count
+    val cleaned = DedupQueries.dupSpanMask(docs).groupBy("doc_id")
+      .agg(count(when(col("rm").isNull, 1)).as("n_tokens"))
+    // 2) dd17: drop docs whose embedding is a non-representative near-dup
+    // (docs without an embedding carry no semantic evidence, pass through)
+    val surviving = cleaned.join(nearDups, Seq("doc_id"), "left_anti")
+    // 3) tx34: model-based quality gate — keep z > corpus mean
+    val (w, feats) = logregTrain(s, dir)
+    val scored = logregZ(feats.crossJoin(broadcast(w)))
+    val zbar = scored.agg((sum(col("z").cast(D28)).cast("double") /
+      count(lit(1))).as("zbar"))
+    val quality = scored.crossJoin(broadcast(zbar))
+      .filter(col("z") > col("zbar")).select("doc_id")
+    val gated = surviving.join(quality, Seq("doc_id"), "left_semi")
+    // 4) tx36: weighted sample without replacement, w = cleaned tokens
+    val u = (graft.dedup.TextDedup.md5Int(col("doc_id").cast("string"))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val sampled = gated.filter(col("n_tokens") > 0)
+      .withColumn("es_key",
+        (log(u) / col("n_tokens")).cast(D6).cast("double"))
+      .orderBy(col("es_key").desc, col("doc_id")).limit(64)
+    // 5) tx7: pack the sample into 1000-token shards per lang
+    packShards(sampled.join(docs.select("doc_id", "lang"), "doc_id"),
+        rangeSize = 100L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("(cum - n_tokens) div 1000").as("shard"), col("es_key"))
+      .orderBy("doc_id")
+  }
+
+  /** The curation pipeline at its SCALE config: the near-dup drop set
+    * rides ann12's gated approximate path (√n cells, nprobe 2) instead of
+    * the exhaustive oracle config — what `pp8_curation_scale` times at
+    * sf0.1↔sf1 (DedupAnnSpec pins the approximate keep-set's disagreement
+    * against the exhaustive one). */
+  def curationPipelineApprox(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val n = e.count()
+    val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+      k = cells, iters = 2)
+    val edges = graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 2)
+      .filter(col("sim") >= 0.40)
+      .select(col("q_id").as("a"), col("c_id").as("b"))
+    val nearDups = graft.dedup.Clustering
+      .connectedComponents(edges, e.select(col("vec_id")))
+      .toDF("vec_id", "component")
+      .filter(col("vec_id") =!= col("component"))
+      .select(col("vec_id").as("doc_id"))
+    curationPlan(s, dir, nearDups)
+  }
 
   /** tx33/tx34's shared trainer: 3 full-batch GD iterations from w = 0 at
     * lr = 1 on lang='en' vs 4 surface features, per-term DECIMAL(28,12)

@@ -169,7 +169,18 @@ object BenchScale {
     // st28 is the 512-query custom PercolateExec under streaming — must
     // track perc3's record-growth (stateless narrow) with only the
     // micro-batch machinery on top
-    "ann14_ivf_append", "st28_stream_percolate_large")
+    "ann14_ivf_append", "st28_stream_percolate_large",
+    // round-14: u20 is the partitioned MERGE (store build + one O(touched)
+    // commit — the dedicated u20_merge_scale A/B below pins the
+    // touched-vs-full claim; this entry pins the whole query stays
+    // data-linear). st30 is the streaming merge sink over the same path —
+    // per-batch cost must track the batch reduction plus touched-partition
+    // rewrites, never the store history. ann16 is ann14's lifecycle plus
+    // codebook training and the ADC serve — must track ann14's marginal.
+    // ann17 is two full builds (one per generation) + a serve: 10× data
+    // may cost ~10×, the gate pins no worse
+    "u20_merge_partitioned", "st30_stream_merge_partitioned",
+    "ann16_ivfpq_append", "ann17_online_rebuild")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
@@ -587,6 +598,72 @@ object BenchScale {
       f"[scale] dd17 approx pipeline sf0.1 $sdT01%.2fs sf1 $sdT1%.2fs " +
         f"ratio $sdRatio%.2f (n^1.5 model: 31.6)")
 
+    // ---- pp8 COMPOSED curation pipeline at the scale config: the whole
+    // five-stage plan (dd18 mask → approximate √n-cell SemDeDup drop →
+    // tx34 gate → tx36 sample → tx7 pack) timed end to end. The keep-set
+    // stage rides ann12's gated n^1.5 path and dominates growth; every
+    // other stage is token-linear — so the same 47× flag line (n^1.5
+    // model 31.6 × 1.5 slack) applies to the composition. ------------------
+    val ppT01 = time(
+      graft.queries.TextQueries.curationPipelineApprox(spark, sf01).count())
+    val ppT1 = time(
+      graft.queries.TextQueries.curationPipelineApprox(spark, sf1).count())
+    val ppRatio = if (ppT01 > 0) ppT1 / ppT01 else -1.0
+    System.err.println(
+      f"[scale] pp8 approx curation sf0.1 $ppT01%.2fs sf1 $ppT1%.2fs " +
+        f"ratio $ppRatio%.2f (n^1.5 model: 31.6)")
+
+    // ---- u20 partitioned-merge A/B: a delta CONFINED to 2 of 32
+    // partitions merged via the touched-partition path vs the SAME delta
+    // through a whole-store rewrite (the CrudService.mergeInto shape).
+    // The claim: merge cost tracks the touched partitions' bytes, not the
+    // store's — at both SFs the touched merge must beat the full rewrite
+    // by roughly the partition fraction, and the touched path's sf0.1↔sf1
+    // growth stays ~data-linear (touched partitions are 10× bigger). ------
+    def mergeGate(dir: String, tag: String): (Double, Double) = {
+      import graft.ops.MergeInto
+      import graft.store.PartitionedStore
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      def freshStore(sfx: String) = {
+        val st = new PartitionedStore(spark,
+          graft.util.Scratch.dir(s"graft_sc_u20_${tag}_$sfx"),
+          Seq("o_orderkey"), 32)
+        st.init(orders)
+        st
+      }
+      val st1 = freshStore("t")
+      val delta = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000).as("src_price"))
+        .filter(st1.partitionId.isInCollection(Set(0, 1)))
+      def clausesMerge(st: PartitionedStore): Unit = {
+        MergeInto.mergePartitioned(st, delta,
+          matchedUpdate = Map("o_totalprice" -> col("src_price")),
+          notMatchedInsert = Some(Map("o_totalprice" -> col("src_price"))))
+        ()
+      }
+      clausesMerge(st1) // warm (codegen + first-touch)
+      val tTouched = bestOf(runs)(clausesMerge(st1))
+      val st2 = freshStore("f")
+      def fullMerge(): Unit = st2.refresh((0 until 32),
+        MergeInto.merge(st2.read(), delta, Seq("o_orderkey"),
+          matchedUpdate = Map("o_totalprice" -> col("src_price")),
+          notMatchedInsert = Some(Map("o_totalprice" -> col("src_price")))))
+      fullMerge() // warm
+      val tFull = bestOf(runs)(fullMerge())
+      graft.util.Scratch.drop(st1.root)
+      graft.util.Scratch.drop(st2.root)
+      (tTouched, tFull)
+    }
+    val (mgT01, mgF01) = mergeGate(sf01, "01")
+    val (mgT1, mgF1) = mergeGate(sf1, "1")
+    val mgRatio1 = if (mgT1 > 0) mgF1 / mgT1 else -1.0
+    System.err.println(
+      f"[scale] u20 merge touched $mgT01%.2fs/$mgT1%.2fs " +
+        f"full-rewrite $mgF01%.2fs/$mgF1%.2fs " +
+        f"(sf1 full/touched $mgRatio1%.2f; 2 of 32 partitions touched)")
+
     def f(d: Double): String = "%.3f".format(d)
     // marginal-cost gate: subtract the fixed per-query floor before the
     // quotient so amortization can't mask a super-linear operator
@@ -646,6 +723,16 @@ object BenchScale {
       s"""{"time_sf01":${f(sdT01)},"time_sf1":${f(sdT1)},""" +
       s""""time_ratio":${f(sdRatio)},"expected_model_ratio":31.6,""" +
       s""""superlinear":${sdRatio > 47.0}}"""
+    val ppJson =
+      s"""{"time_sf01":${f(ppT01)},"time_sf1":${f(ppT1)},""" +
+      s""""time_ratio":${f(ppRatio)},"expected_model_ratio":31.6,""" +
+      s""""superlinear":${ppRatio > 47.0}}"""
+    val mgJson =
+      s"""{"touched_sf01":${f(mgT01)},"touched_sf1":${f(mgT1)},""" +
+      s""""full_rewrite_sf01":${f(mgF01)},"full_rewrite_sf1":${f(mgF1)},""" +
+      s""""touched_partitions":2,"n_partitions":32,""" +
+      s""""sf1_full_over_touched":${f(mgRatio1)},""" +
+      s""""touched_not_cheaper":${mgT1 >= mgF1}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
       s""""marginal_floor_sec":${f(floor)},"marginal_flag_threshold":$MarginalFlag,""" +
@@ -653,7 +740,8 @@ object BenchScale {
       s""""st13_state_store_sf1":$stateJson,"ss1_candidates":$candJson,""" +
       s""""dd16_candidates":$dd16Json,"percolator_registry_growth":$percJson,""" +
       s""""ann12_knn_scale":$knnJson,"ann14_append_scale":$ivJson,""" +
-      s""""dd17_semdedup_scale":$sdJson}"""
+      s""""dd17_semdedup_scale":$sdJson,"pp8_curation_scale":$ppJson,""" +
+      s""""u20_merge_scale":$mgJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))
