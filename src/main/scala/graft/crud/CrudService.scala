@@ -262,7 +262,13 @@ final class CrudService(store: BucketStore, bucket: Bucket, stage: String = "pro
     * [[BucketStore.promote]]'s metadata-only renames, so concurrent readers
     * see the old snapshot until the instant the promote lands, and any
     * failure mid-merge (cardinality violation, a poisoned source row) leaves
-    * the current stage untouched. Clause semantics are [[graft.ops.MergeInto]]'s. */
+    * the current stage untouched. Clause semantics are [[graft.ops.MergeInto]]'s.
+    *
+    * I/O shape: this path is whole-table copy-on-write — right for
+    * dashboard-sized keyed state, WRONG past ~10⁷ keys. The scale shape is
+    * [[graft.ops.MergeInto.mergePartitioned]] over a
+    * [[graft.store.PartitionedStore]]: O(touched partitions) per merge
+    * (q:u20 batch, q:st30 streaming). */
   def mergeInto(source: DataFrame, keys: Seq[String],
       matchedDelete: Option[Column] = None,
       matchedUpdate: Map[String, Column] = Map.empty,

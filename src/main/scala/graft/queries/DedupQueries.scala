@@ -461,6 +461,28 @@ object DedupQueries {
         (col("vec_id") === col("component")).cast("int").as("keep"))
   }
 
+  /** [[semdedupKeep]] at its SCALE config — the ONE definition of the
+    * approximate derivation (√n cells, nprobe 2, same 0.40/top-3 edge
+    * rule) shared by the `dd17_semdedup_scale` and `pp8_curation_scale`
+    * gates, so the two gates can never silently measure different
+    * configs. DedupAnnSpec pins this keep-set's disagreement against the
+    * exhaustive one. */
+  def semdedupKeepApprox(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val n = e.count()
+    val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
+      k = cells, iters = 2)
+    val edges = graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 2)
+      .filter(col("sim") >= 0.40)
+      .select(col("q_id").as("a"), col("c_id").as("b"))
+    graft.dedup.Clustering
+      .connectedComponents(edges, e.select(col("vec_id")))
+      .toDF("vec_id", "component")
+      .select(col("vec_id"), col("component"),
+        (col("vec_id") === col("component")).cast("int").as("keep"))
+  }
+
   /** DuckDB twin of [[semdedupKeep]]: CTEs ending in
     * `sd(vec_id, component, keep)` — splice after WITH RECURSIVE (the
     * `reach` closure is the recursive member). */

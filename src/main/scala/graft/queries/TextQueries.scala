@@ -940,22 +940,9 @@ object TextQueries {
     * the exhaustive oracle config — what `pp8_curation_scale` times at
     * sf0.1↔sf1 (DedupAnnSpec pins the approximate keep-set's disagreement
     * against the exhaustive one). */
-  def curationPipelineApprox(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings")
-    val n = e.count()
-    val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
-      k = cells, iters = 2)
-    val edges = graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 2)
-      .filter(col("sim") >= 0.40)
-      .select(col("q_id").as("a"), col("c_id").as("b"))
-    val nearDups = graft.dedup.Clustering
-      .connectedComponents(edges, e.select(col("vec_id")))
-      .toDF("vec_id", "component")
-      .filter(col("vec_id") =!= col("component"))
-      .select(col("vec_id").as("doc_id"))
-    curationPlan(s, dir, nearDups)
-  }
+  def curationPipelineApprox(s: SparkSession, dir: String): DataFrame =
+    curationPlan(s, dir, DedupQueries.semdedupKeepApprox(s, dir)
+      .filter(col("keep") === 0).select(col("vec_id").as("doc_id")))
 
   /** tx33/tx34's shared trainer: 3 full-batch GD iterations from w = 0 at
     * lr = 1 on lang='en' vs 4 surface features, per-term DECIMAL(28,12)

@@ -55,15 +55,8 @@ final class IvfIndex(val spark: SparkSession, val root: String,
   private def metaPath = Paths.get(root, "ivf_meta.json")
 
   /** Train-time mean squared assignment distance (the drift baseline). */
-  def trainMeanD2: Double = {
-    require(Files.exists(metaPath), s"IVF index at $root not built")
-    val body = new String(Files.readAllBytes(metaPath), "UTF-8")
-    val m = """"train_mean_d2"\s*:\s*([-0-9.eE]+)""".r
-      .findFirstMatchIn(body)
-      .getOrElse(throw new IllegalStateException(
-        s"malformed ivf_meta.json at $root: $body"))
-    m.group(1).toDouble
-  }
+  def trainMeanD2: Double = IvfCommon.metaField(metaPath, "train_mean_d2",
+    s"IVF index at $root not built")
 
   /** Build the index: assign every corpus vector to its nearest (frozen)
     * centroid, persist per-cell via the store's init, and record the
@@ -116,34 +109,12 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     require(!pre.isNullAt(0), "append batch is empty")
     val mean = pre.getDouble(0)
     val touched = pre.getSeq[Int](1).sorted
-    // a zero baseline (every training vector ON its centroid) with a
-    // zero-distance batch is NO drift, not infinite drift — only a
-    // positive batch mean over a zero baseline is genuinely unbounded
-    val ratio =
-      if (baseline > 0) mean / baseline
-      else if (mean == 0) 1.0
-      else Double.PositiveInfinity
-    if (ratio > maxDriftRatio)
-      throw new IllegalStateException(
-        f"quantizer drift: batch mean d2 $mean%.6f is $ratio%.2fx the " +
-          f"train-time mean $baseline%.6f (max $maxDriftRatio%.2f) — " +
-          "re-train the centroids and rebuild the index " +
-          "(RotatingIvfIndex.rebuild swaps a fresh build in without a " +
-          "serving blackout)")
+    val ratio = IvfCommon.driftRatio(mean, baseline, maxDriftRatio)
     // replay guard, bounded to the touched partitions (where a same-vector
     // duplicate MUST land — same vector → same cell → same partition) and
-    // FUSED into the commit's own write job: the existing-id column scan
-    // left-joins onto the batch inside the append lineage, so a replayed
-    // id fails the write loudly (store tears the partial down) without a
-    // separate pre-pass over the index
-    val existing = store.readPartitions(touched)
-      .select(col(idCol), lit(1).as("__dup"))
-    val guarded = assigned.join(existing, Seq(idCol), "left")
-      .withColumn(idCol,
-        when(col("__dup").isNull, col(idCol))
-          .otherwise(raise_error(concat(
-            lit("append batch replays an id already in the index: "),
-            col(idCol).cast("string")))))
+    // FUSED into the commit's own write job
+    val guarded = IvfCommon
+      .guardReplays(assigned, store.readPartitions(touched), idCol)
       .select(col(idCol), col(vecCol), col(cellCol), col("d2"))
     store.append(touched, guarded)
     ratio
@@ -162,44 +133,12 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     * bug, and silently "deleting" nothing would mask it. Returns the
     * count of rows actually removed. */
   def remove(victims: DataFrame, centroids: DataFrame,
-      requirePresent: Boolean = true): Long = {
-    val assigned = Ann.assignCellsWithDist(victims, centroids,
-      idCol, vecCol, centId, centVec, cellCol)
-    val touched = store.touchedBy(assigned)
-    // an empty erasure batch is a normal no-op (a curation day with no
-    // deletions), not a misleading "no partitions requested" failure
-    if (touched.isEmpty) return 0L
-    val current = store.readPartitions(touched)
-    val victimIds = assigned.select(col(idCol))
-    // ONE id-column-pruned pass computes BOTH pre-commit statistics — the
-    // removed count (matched store rows) and the missing-victim count —
-    // via a full-outer id join; the only full read of the touched
-    // partitions is then the refresh write itself (previously: a full
-    // count, a full anti-join count, AND the refresh — 3 full passes)
-    val stats = current.select(col(idCol)).withColumn("__c", lit(1))
-      .join(victimIds.distinct().withColumn("__v", lit(1)), Seq(idCol), "full")
-      .agg(
-        sum(when(col("__c").isNotNull && col("__v").isNotNull, 1L)
-          .otherwise(0L)).as("removed"),
-        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("missing"))
-      .collect()(0)
-    val removed = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val missing = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    if (requirePresent && missing > 0) {
-      // error path only: re-derive a small sample of the absent ids so the
-      // failure names them (the happy path never runs this job)
-      val sample = victimIds
-        .join(current.select(col(idCol)), Seq(idCol), "left_anti")
-        .limit(5).collect().map(_.get(0))
-      throw new IllegalArgumentException(
-        s"remove batch names $missing ids not in the index: " +
-          sample.mkString(", "))
-    }
-    val kept = current.join(victimIds, Seq(idCol), "left_anti")
-      .select(col(idCol), col(vecCol), col(cellCol), col("d2"))
-    store.refresh(touched, kept)
-    removed
-  }
+      requirePresent: Boolean = true): Long =
+    IvfCommon.removeFrom(store,
+      Ann.assignCellsWithDist(victims, centroids,
+        idCol, vecCol, centId, centVec, cellCol),
+      idCol, Seq(col(idCol), col(vecCol), col(cellCol), col("d2")),
+      requirePresent)
 
   /** Compact every partition whose dir list grew past `maxDirs` appends:
     * one refresh (full-content rewrite of exactly those partitions)
@@ -208,16 +147,8 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     * the append:serve ratio justifies (the Delta OPTIMIZE shape). Returns
     * the compacted partition ids (empty = nothing fragmented, no commit,
     * no version bump). */
-  def compact(maxDirs: Int = 1): Seq[Int] = {
-    require(maxDirs >= 1, s"maxDirs must be >= 1: $maxDirs")
-    // fragmentation via the store's OWN accessor — the manifest entry
-    // encoding stays private to PartitionedStore
-    val frag = store.dirCounts().collect {
-      case (i, n) if n > maxDirs => i
-    }.toSeq.sorted
-    if (frag.nonEmpty) store.refresh(frag, store.readPartitions(frag))
-    frag
-  }
+  def compact(maxDirs: Int = 1): Seq[Int] =
+    IvfCommon.compactStore(store, maxDirs)
 
   /** Partition-pruned serving over the maintained index — ONE probe
     * derivation feeds both the store-level directory prune (which

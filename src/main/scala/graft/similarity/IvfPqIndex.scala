@@ -56,13 +56,8 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
   private def metaPath = Paths.get(root, "ivfpq_meta.json")
   private def codebooksPath = Paths.get(root, "pq_codebooks.parquet")
 
-  private def metaField(name: String): Double = {
-    require(Files.exists(metaPath), s"IVF-PQ index at $root not built")
-    val body = new String(Files.readAllBytes(metaPath), "UTF-8")
-    ("\"" + name + "\"\\s*:\\s*([-0-9.eE]+)").r.findFirstMatchIn(body)
-      .getOrElse(throw new IllegalStateException(
-        s"malformed ivfpq_meta.json at $root: $body")).group(1).toDouble
-  }
+  private def metaField(name: String): Double =
+    IvfCommon.metaField(metaPath, name, s"IVF-PQ index at $root not built")
 
   /** Train-time mean squared coarse-assignment distance — the drift
     * baseline, same statistic as [[IvfIndex.trainMeanD2]]. */
@@ -104,6 +99,12 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     * ITS residuals, persist per-cell, freeze everything. Overwrites any
     * existing index; the meta swap at the end is the commit point. */
   def build(corpus: DataFrame, centroids: DataFrame): Unit = {
+    // validate BEFORE invalidating: an empty corpus would otherwise die
+    // deep inside Pq.train ('next on empty iterator') AFTER the previous
+    // build's baseline was deleted — a trivially-invalid rebuild call must
+    // not brick a healthy index
+    require(!corpus.isEmpty,
+      s"IVF-PQ build corpus is empty — an index at $root needs at least one vector")
     // invalidate the previous build's baseline/codebook pairing BEFORE any
     // new state lands — the IvfIndex crash-window doctrine
     Files.deleteIfExists(metaPath)
@@ -154,25 +155,10 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     require(!pre.isNullAt(0), "append batch is empty")
     val mean = pre.getDouble(0)
     val touched = pre.getSeq[Int](1).sorted
-    val ratio =
-      if (baseline > 0) mean / baseline
-      else if (mean == 0) 1.0
-      else Double.PositiveInfinity
-    if (ratio > maxDriftRatio)
-      throw new IllegalStateException(
-        f"quantizer drift: batch mean d2 $mean%.6f is $ratio%.2fx the " +
-          f"train-time mean $baseline%.6f (max $maxDriftRatio%.2f) — " +
-          "re-train and rebuild (RotatingIvfIndex.rebuild swaps a fresh " +
-          "build in without a serving blackout)")
-    val existing = store.readPartitions(touched)
-      .select(col(idCol), lit(1).as("__dup"))
-    val guarded = Pq.encode(res, "__res", books)
-      .join(existing, Seq(idCol), "left")
-      .withColumn(idCol,
-        when(col("__dup").isNull, col(idCol))
-          .otherwise(raise_error(concat(
-            lit("append batch replays an id already in the index: "),
-            col(idCol).cast("string")))))
+    val ratio = IvfCommon.driftRatio(mean, baseline, maxDriftRatio)
+    val guarded = IvfCommon
+      .guardReplays(Pq.encode(res, "__res", books),
+        store.readPartitions(touched), idCol)
       .select(storedCols: _*)
     store.append(touched, guarded)
     ratio
@@ -182,44 +168,15 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     * under the frozen quantizer, only touched partitions rewrite, one
     * id-column-pruned statistics pass. Returns rows removed. */
   def remove(victims: DataFrame, centroids: DataFrame,
-      requirePresent: Boolean = true): Long = {
-    val assigned = Ann.assignCellsWithDist(victims, centroids,
-      idCol, vecCol, centId, centVec, cellCol)
-    val touched = store.touchedBy(assigned)
-    if (touched.isEmpty) return 0L
-    val current = store.readPartitions(touched)
-    val victimIds = assigned.select(col(idCol))
-    val stats = current.select(col(idCol)).withColumn("__c", lit(1))
-      .join(victimIds.distinct().withColumn("__v", lit(1)), Seq(idCol), "full")
-      .agg(
-        sum(when(col("__c").isNotNull && col("__v").isNotNull, 1L)
-          .otherwise(0L)).as("removed"),
-        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("missing"))
-      .collect()(0)
-    val removed = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val missing = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    if (requirePresent && missing > 0) {
-      val sample = victimIds
-        .join(current.select(col(idCol)), Seq(idCol), "left_anti")
-        .limit(5).collect().map(_.get(0))
-      throw new IllegalArgumentException(
-        s"remove batch names $missing ids not in the index: " +
-          sample.mkString(", "))
-    }
-    store.refresh(touched,
-      current.join(victimIds, Seq(idCol), "left_anti").select(storedCols: _*))
-    removed
-  }
+      requirePresent: Boolean = true): Long =
+    IvfCommon.removeFrom(store,
+      Ann.assignCellsWithDist(victims, centroids,
+        idCol, vecCol, centId, centVec, cellCol),
+      idCol, storedCols, requirePresent)
 
   /** Compact fragmented partitions, [[IvfIndex.compact]]'s contract. */
-  def compact(maxDirs: Int = 1): Seq[Int] = {
-    require(maxDirs >= 1, s"maxDirs must be >= 1: $maxDirs")
-    val frag = store.dirCounts().collect {
-      case (i, n) if n > maxDirs => i
-    }.toSeq.sorted
-    if (frag.nonEmpty) store.refresh(frag, store.readPartitions(frag))
-    frag
-  }
+  def compact(maxDirs: Int = 1): Seq[Int] =
+    IvfCommon.compactStore(store, maxDirs)
 
   /** Partition-pruned ADC serving: derive probes ONCE (feeding both the
     * directory prune and the candidate join), score only the probed

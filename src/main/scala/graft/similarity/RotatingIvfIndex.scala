@@ -85,21 +85,17 @@ final class RotatingIvfIndex(val spark: SparkSession, val root: String,
     Files.write(tmp, gen.getBytes("UTF-8"))
     Files.move(tmp, pointerPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // reclaim all generations except the new one and its predecessor
+    // reclaim all generations except the new one and its predecessor,
+    // plus any crash-orphaned pointer tmp files
     val keep = Set(gen) ++ prev
     import scala.jdk.CollectionConverters._
     val s = Files.list(rootPath)
-    val stale = try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("gen") &&
-        !keep.contains(p.getFileName.toString)).toSeq
-    finally s.close()
-    stale.foreach { d =>
-      val walk = Files.walk(d)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    val stale = try s.iterator().asScala.filter { p =>
+      val name = p.getFileName.toString
+      (Files.isDirectory(p) && name.startsWith("gen") &&
+        !keep.contains(name)) || name.startsWith(".ptr")
+    }.toSeq finally s.close()
+    stale.foreach(graft.util.Scratch.deleteRecursive)
   }
 
   /** O(batch) append into the LIVE generation under its frozen quantizer;

@@ -26,7 +26,13 @@ import org.apache.spark.sql.functions._
   * CAN be swapped atomically) — this is exactly [[BucketStore]]'s pointer
   * indirection generalized from one pointer to a partition map, the
   * "manifest-file indirection — one more small pointer level, same
-  * discipline" SCALE.md sketches.
+  * discipline" SCALE.md sketches. One caveat: the cross-process commit
+  * arbiter below is a hard link (local/NFS/HDFS-style filesystems); an
+  * object-store port would express the same exactly-one-creates semantics
+  * as a conditional PUT (If-None-Match / precondition-failed — the Delta
+  * on S3 commit shape). A filesystem with NEITHER primitive cannot host
+  * multi-process writers safely; there the link fails loudly rather than
+  * silently degrading to last-write-wins.
   *
   * Partitioning: `pmod(xxhash64(key columns), nPartitions)` — computable
   * as a Catalyst expression on both the state and the delta, so the
@@ -614,16 +620,11 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       .collect().map(_.getInt(0)).toSeq.sorted
   }
 
+  // the shared walk-and-delete (fd-safe, IOException-swallowing — a
+  // teardown's cleanup failure must never mask the commit error it is
+  // cleaning up after)
   private def deleteDirQuiet(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p)
-      // the walk stream holds a directory fd — close it or a refresh-heavy
-      // driver leaks one per cleanup until "Too many open files"
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    graft.util.Scratch.deleteRecursive(p)
 }
 
 object PartitionedStore {

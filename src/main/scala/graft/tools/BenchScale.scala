@@ -575,22 +575,11 @@ object BenchScale {
     // shrink with density; flag at the same 47× line as ann12 (n^1.5
     // model 31.6 × 1.5 slack). DedupAnnSpec pins the approximate
     // keep-set's disagreement vs the exhaustive keep-set. -----------------
-    def dd17Pipeline(dir: String): Unit = {
-      val e = Tables.t(spark, dir, "embeddings")
-      val n = e.count()
-      val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
-        k = cells, iters = 2)
-      val edges = graft.similarity.Ann.knnJoin(e, cents, k = 3, nprobe = 2)
-        .filter(col("sim") >= 0.40)
-        .select(col("q_id").as("a"), col("c_id").as("b"))
-      graft.dedup.Clustering
-        .connectedComponents(edges, e.select(col("vec_id")))
-        .toDF("vec_id", "component")
-        .select(col("vec_id"), (col("vec_id") === col("component"))
-          .cast("int").as("keep"))
-        .count(): Unit
-    }
+    // the ONE approximate-config definition (DedupQueries.semdedupKeepApprox)
+    // is what this gate times — pp8_curation_scale composes the same one,
+    // so the two gates can never measure different configs
+    def dd17Pipeline(dir: String): Unit =
+      graft.queries.DedupQueries.semdedupKeepApprox(spark, dir).count(): Unit
     val sdT01 = time(dd17Pipeline(sf01))
     val sdT1 = time(dd17Pipeline(sf1))
     val sdRatio = if (sdT01 > 0) sdT1 / sdT01 else -1.0
@@ -617,10 +606,20 @@ object BenchScale {
     // partitions merged via the touched-partition path vs the SAME delta
     // through a whole-store rewrite (the CrudService.mergeInto shape).
     // The claim: merge cost tracks the touched partitions' bytes, not the
-    // store's — at both SFs the touched merge must beat the full rewrite
-    // by roughly the partition fraction, and the touched path's sf0.1↔sf1
-    // growth stays ~data-linear (touched partitions are 10× bigger). ------
-    def mergeGate(dir: String, tag: String): (Double, Double) = {
+    // store's. Wall time shows the win but is fixed-overhead-dominated at
+    // toy scale (the ann14 lesson: job submission ≈ the data cost here),
+    // so the LOAD-BEARING measurement is write VOLUME — the byte delta of
+    // one instrumented merge on a no-reclaim store, where touched/full
+    // must be ≈ the partition fraction (2/32) independent of timer noise.
+    def mergeBytes(dir: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+      finally w.close()
+    }
+    def mergeGate(dir: String, tag: String): (Double, Double, Long, Long) = {
       import graft.ops.MergeInto
       import graft.store.PartitionedStore
       val orders = spark.read.parquet(s"$dir/orders.parquet")
@@ -652,17 +651,39 @@ object BenchScale {
           notMatchedInsert = Some(Map("o_totalprice" -> col("src_price")))))
       fullMerge() // warm
       val tFull = bestOf(runs)(fullMerge())
-      graft.util.Scratch.drop(st1.root)
-      graft.util.Scratch.drop(st2.root)
-      (tTouched, tFull)
+      // write VOLUME: one instrumented merge each on no-reclaim stores
+      // (retainVersions high → nothing swept → root growth = bytes written)
+      val stB1 = new PartitionedStore(spark,
+        graft.util.Scratch.dir(s"graft_sc_u20_${tag}_bt"),
+        Seq("o_orderkey"), 32, retainVersions = 1000)
+      stB1.init(orders)
+      val b0 = mergeBytes(stB1.root)
+      MergeInto.mergePartitioned(stB1, delta,
+        matchedUpdate = Map("o_totalprice" -> col("src_price")),
+        notMatchedInsert = Some(Map("o_totalprice" -> col("src_price"))))
+      val touchedBytes = mergeBytes(stB1.root) - b0
+      val stB2 = new PartitionedStore(spark,
+        graft.util.Scratch.dir(s"graft_sc_u20_${tag}_bf"),
+        Seq("o_orderkey"), 32, retainVersions = 1000)
+      stB2.init(orders)
+      val b1 = mergeBytes(stB2.root)
+      stB2.refresh((0 until 32),
+        MergeInto.merge(stB2.read(), delta, Seq("o_orderkey"),
+          matchedUpdate = Map("o_totalprice" -> col("src_price")),
+          notMatchedInsert = Some(Map("o_totalprice" -> col("src_price")))))
+      val fullBytes = mergeBytes(stB2.root) - b1
+      Seq(st1, st2, stB1, stB2).foreach(s => graft.util.Scratch.drop(s.root))
+      (tTouched, tFull, touchedBytes, fullBytes)
     }
-    val (mgT01, mgF01) = mergeGate(sf01, "01")
-    val (mgT1, mgF1) = mergeGate(sf1, "1")
+    val (mgT01, mgF01, mgB01, mgBF01) = mergeGate(sf01, "01")
+    val (mgT1, mgF1, mgB1, mgBF1) = mergeGate(sf1, "1")
     val mgRatio1 = if (mgT1 > 0) mgF1 / mgT1 else -1.0
+    val mgByteRatio1 = if (mgB1 > 0) mgBF1.toDouble / mgB1 else -1.0
     System.err.println(
       f"[scale] u20 merge touched $mgT01%.2fs/$mgT1%.2fs " +
         f"full-rewrite $mgF01%.2fs/$mgF1%.2fs " +
-        f"(sf1 full/touched $mgRatio1%.2f; 2 of 32 partitions touched)")
+        f"(sf1 full/touched time $mgRatio1%.2f, bytes $mgByteRatio1%.2f; " +
+        "2 of 32 partitions touched)")
 
     def f(d: Double): String = "%.3f".format(d)
     // marginal-cost gate: subtract the fixed per-query floor before the
@@ -732,7 +753,11 @@ object BenchScale {
       s""""full_rewrite_sf01":${f(mgF01)},"full_rewrite_sf1":${f(mgF1)},""" +
       s""""touched_partitions":2,"n_partitions":32,""" +
       s""""sf1_full_over_touched":${f(mgRatio1)},""" +
-      s""""touched_not_cheaper":${mgT1 >= mgF1}}"""
+      s""""touched_write_bytes_sf01":$mgB01,"full_write_bytes_sf01":$mgBF01,""" +
+      s""""touched_write_bytes_sf1":$mgB1,"full_write_bytes_sf1":$mgBF1,""" +
+      s""""sf1_full_over_touched_bytes":${f(mgByteRatio1)},""" +
+      s""""touched_not_cheaper":${mgT1 >= mgF1},""" +
+      s""""bytes_not_partition_fraction":${mgByteRatio1 > 0 && mgByteRatio1 < 4.0}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
       s""""marginal_floor_sec":${f(floor)},"marginal_flag_threshold":$MarginalFlag,""" +

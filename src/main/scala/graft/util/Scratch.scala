@@ -24,22 +24,26 @@ object Scratch {
   def drop(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     dirs.remove(p)
+    deleteRecursive(p)
+  }
+
+  /** Best-effort recursive delete — the ONE walk-and-delete idiom for the
+    * whole engine (the walk stream holds a directory fd: close it either
+    * way, or a cleanup-heavy driver leaks one per call until "Too many
+    * open files"). Missing path and I/O failures are no-ops. */
+  def deleteRecursive(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
     } catch { case _: java.io.IOException => () }
-  }
 
   private val dirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    dirs.forEach { d =>
-      try {
-        import scala.jdk.CollectionConverters._
-        Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () } // best-effort cleanup
-    }))
+    dirs.forEach(deleteRecursive)))
 }

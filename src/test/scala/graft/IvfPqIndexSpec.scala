@@ -115,5 +115,12 @@ class IvfPqIndexSpec extends AnyFunSuite {
       pairs(Ann.bruteForceTopK(q, survivors, k = 3)))
     // and an empty erasure batch is a no-op
     assert(idx.remove(emb.filter(col("vec_id") < 0), cents) === 0L)
+    // an empty REBUILD call validates before invalidating: loud error,
+    // and the live index's drift baseline survives un-bricked
+    val e3 = intercept[IllegalArgumentException] {
+      idx.build(emb.filter(col("vec_id") < 0), cents)
+    }
+    assert(e3.getMessage.contains("empty"))
+    assert(idx.trainMeanD2 > 0.0)
   }
 }

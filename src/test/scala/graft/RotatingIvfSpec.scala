@@ -89,13 +89,18 @@ class RotatingIvfSpec extends AnyFunSuite {
     })
     server.start()
     try {
-      // let the server observe the old generation, then swap under it
-      Thread.sleep(300)
+      // wait until the server has COMPLETED a pre-swap serve (a fixed
+      // sleep would flake on a loaded machine whose first cold serve
+      // outlives the rebuild), then swap under it
+      val t0 = System.nanoTime()
+      while (!sawOld && failure.isEmpty &&
+        (System.nanoTime() - t0) < 120e9) Thread.sleep(50)
+      assert(sawOld || failure.nonEmpty, "no serve completed in 120s")
       rot.rebuild(emb, KMeans.train(emb, "vec_id", "embedding", k = 4, iters = 2))
       // and let it observe the new one
-      val t0 = System.nanoTime()
+      val t1 = System.nanoTime()
       while (!sawNew && failure.isEmpty &&
-        (System.nanoTime() - t0) < 60e9) Thread.sleep(50)
+        (System.nanoTime() - t1) < 60e9) Thread.sleep(50)
     } finally { done.set(true); server.join(120000) }
     assert(failure.isEmpty, failure.getOrElse(""))
     assert(sawOld, "race never observed the pre-swap generation")
