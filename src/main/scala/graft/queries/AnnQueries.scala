@@ -151,6 +151,33 @@ object AnnQueries {
       idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
+    // ---- st31: STREAMING serving across a LIVE generation swap — ann17's
+    // continuity claim under the driver gate: query micro-batches serve
+    // through the rotating index while a retrain (4 → 8 cells, same
+    // corpus) rebuilds and promotes BETWEEN batches. Serving resolves the
+    // pointer per call and the exhaustive config is exact under EITHER
+    // generation, so which batch lands on which side of the swap provably
+    // cannot show through — the exact top-k SQL is the oracle, and a
+    // result that mixed generations or blacked out during the rebuild
+    // would break it --------------------------------------------------------
+    "st31_stream_rotating_serve" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val rot = new graft.similarity.RotatingIvfIndex(s,
+        graft.util.Scratch.dir("graft_st31"), nPartitions = 8)
+      rot.build(e, graft.similarity.KMeans.train(e, "vec_id", "embedding",
+        k = 4, iters = 2))
+      val stream = graft.streaming.Streams.stagedFileStream(
+        e.filter(col("vec_id") < 8), nFiles = 4)
+      val out = graft.util.Scratch.dir("graft_st31_out")
+      graft.streaming.Streams.runForeachBatchIds(stream) { (batch, id) =>
+        if (id == 2) // the mid-stream retrain: promote a fresh generation
+          rot.rebuild(e, graft.similarity.KMeans.train(e, "vec_id",
+            "embedding", k = 8, iters = 3))
+        rot.serve(batch, k = 3, nprobe = 8)
+          .write.mode("append").parquet(out)
+      }
+      s.read.parquet(out).orderBy("q_id", "rank")
+    },
     // ---- ann17: drift-triggered ONLINE rebuild with serving continuity —
     // the remediation the drift guard names: build on half the corpus,
     // append in-distribution under the frozen quantizer, then RETRAIN and
@@ -886,6 +913,16 @@ object AnnQueries {
         s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
         "FROM embeddings q, embeddings c " +
         "WHERE q.vec_id < 8 AND c.vec_id % 5 <> 4) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // every micro-batch serves exhaustively over the full corpus — under
+    // the pre-swap OR post-swap generation, both exact — so the batch
+    // split and the mid-stream swap cannot show through
+    "st31_stream_rotating_serve" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
     // after the online rebuild the index holds the FULL corpus under the
     // retrained quantizer; exhaustive probes ⇒ exact top-k
