@@ -651,4 +651,36 @@ class PlanSpec extends AnyFunSuite {
     for (rs <- docScans; c <- Seq("source", "n_chars"))
       assert(!rs.contains(c), s"unpruned column $c in documents scan: $rs")
   } }
+
+  test("ann16 PQ-coded serve: the ADC scan reads codes, never raw vectors " +
+      "(column-pruned), and the rerank leg fetches vectors without codes") { uncached {
+    import graft.similarity.{IvfPqIndex, KMeans}
+    val e = Tables.t(spark, TestSession.sf, "embeddings")
+    val cents = KMeans.train(e, "vec_id", "embedding", k = 4, iters = 2)
+    val idx = new IvfPqIndex(spark,
+      graft.util.Scratch.dir("graft_plan_ann16"), nPartitions = 4,
+      m = 8, k = 16)
+    idx.build(e, cents)
+    val plan = explainFormatted(idx.serve(e.filter(col("vec_id") < 4), cents,
+      kTop = 3, nprobe = 2, rerank = 8))
+    // the index store's scans: the ADC leg must carry the code column and
+    // NOT the 64-float embedding (PQ's entire memory/IO point — at 100 TB
+    // the scan reads ~bytes per vector, not the vector); the rerank leg
+    // carries the embedding and must not re-read codes. A scan with both
+    // would be the unpruned full-width read.
+    val storeScans = plan.split("Scan parquet").toSeq
+      .filter(s => s.contains("graft_plan_ann16"))
+      .flatMap(_.linesIterator.find(_.contains("ReadSchema")))
+    assert(storeScans.nonEmpty, s"no index-store scans found:\n$plan")
+    val adcLegs = storeScans.filter(_.contains("code"))
+    val rerankLegs = storeScans.filter(_.contains("embedding"))
+    assert(adcLegs.nonEmpty, s"no code-column scan found: $storeScans")
+    assert(rerankLegs.nonEmpty, s"no vector-fetch scan found: $storeScans")
+    adcLegs.foreach(rs => assert(!rs.contains("embedding"),
+      s"ADC scan reads raw vectors — column pruning lost: $rs"))
+    rerankLegs.foreach(rs => assert(!rs.contains("code"),
+      s"rerank scan re-reads codes: $rs"))
+    // and no cartesian anywhere in the serve
+    assert(!plan.contains("CartesianProduct"), s"ann16 serve product:\n$plan")
+  } }
 }
