@@ -64,6 +64,11 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     * scans ONLY the d2 column of the just-written parquet (column-pruned),
     * not the vectors. Overwrites any existing index. */
   def build(corpus: DataFrame, centroids: DataFrame): Unit = {
+    // validate BEFORE invalidating anything: an empty rebuild corpus (an
+    // upstream filter bug) must fail HERE, while the previous index's data
+    // and baseline are still fully intact — not after the overwrite
+    require(!corpus.isEmpty,
+      s"IVF build corpus is empty — an index at $root needs at least one vector")
     val assigned = Ann.assignCellsWithDist(corpus, centroids,
       idCol, vecCol, centId, centVec, cellCol)
     // invalidate the PREVIOUS build's drift baseline BEFORE the new corpus
@@ -74,7 +79,8 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     store.init(assigned)
     val meanRow = store.read().agg(avg(col("d2"))).collect()(0)
     require(!meanRow.isNullAt(0),
-      s"IVF build corpus is empty — an index at $root needs at least one vector")
+      s"IVF build corpus yielded no assignment distances (null embeddings?) " +
+        s"— the index at $root has no drift baseline")
     val mean = meanRow.getDouble(0)
     val body = String.format(java.util.Locale.ROOT,
       """{"train_mean_d2":%s,"n_partitions":%d}""",

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.store.PartitionedStore
 
@@ -105,17 +105,21 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     // not brick a healthy index
     require(!corpus.isEmpty,
       s"IVF-PQ build corpus is empty — an index at $root needs at least one vector")
-    // invalidate the previous build's baseline/codebook pairing BEFORE any
-    // new state lands — the IvfIndex crash-window doctrine
-    Files.deleteIfExists(metaPath)
     val res = assignWithResidual(corpus, centroids)
+    // codebook training runs its OWN validation (>= k sample vectors,
+    // dim divisible by m) — let any of it fail while the previous index
+    // is still fully intact; only then invalidate the baseline/codebook
+    // pairing BEFORE the first persistent mutation (writeCodebooks), the
+    // IvfIndex crash-window doctrine
     val books = Pq.train(res.select(col(idCol), col("__res")),
       idCol, "__res", m, k, iters = 2)
+    Files.deleteIfExists(metaPath)
     writeCodebooks(books)
     store.init(Pq.encode(res, "__res", books).select(storedCols: _*))
     val meanRow = store.read().agg(avg(col("d2"))).collect()(0)
     require(!meanRow.isNullAt(0),
-      s"IVF-PQ build corpus is empty — an index at $root needs at least one vector")
+      s"IVF-PQ build corpus yielded no assignment distances (null " +
+        s"embeddings?) — the index at $root has no drift baseline")
     val body = String.format(java.util.Locale.ROOT,
       """{"train_mean_d2":%s,"m":%d,"k":%d,"sub_dim":%d,"n_partitions":%d}""",
       java.lang.Double.toString(meanRow.getDouble(0)), Int.box(m), Int.box(k),
@@ -126,20 +130,11 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def writeCodebooks(books: Pq.Codebooks): Unit = {
-    val rows = for {
-      (cb, s) <- books.cents.zipWithIndex
-      (v, c) <- cb.zipWithIndex
-    } yield Row(s, c, v)
-    spark.createDataFrame(
-        new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        StructType(Seq(
-          StructField("sub", IntegerType, nullable = false),
-          StructField("cent", IntegerType, nullable = false),
-          StructField("cv", ArrayType(DoubleType), nullable = false))))
+  // ONE definition of the (sub, cent, cv) codebook row layout — the same
+  // frame Pq's trainer joins against, so codebooks() can't desynchronize
+  private def writeCodebooks(books: Pq.Codebooks): Unit =
+    Pq.codebookFrame(spark, books.cents)
       .coalesce(1).write.mode("overwrite").parquet(codebooksPath.toString)
-  }
 
   /** Append a batch under the FROZEN coarse quantizer AND codebooks:
     * assign, drift-check BEFORE any write, encode, commit O(batch) through

@@ -96,8 +96,9 @@ object Pq {
   private def subVectors(vec: Column, m: Int, subDim: Int): Column =
     array((0 until m).map(s => slice(vec, s * subDim + 1, subDim)): _*)
 
-  /** Codebooks as a (sub, cent, cv) frame for the training join. */
-  private def codebookFrame(spark: SparkSession,
+  /** Codebooks as a (sub, cent, cv) frame — the training join's side AND
+    * the persisted layout [[IvfPqIndex]] round-trips. */
+  private[similarity] def codebookFrame(spark: SparkSession,
       cents: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
     val rows = for {
       (cb, s) <- cents.zipWithIndex

@@ -79,7 +79,12 @@ final class RotatingIvfIndex(val spark: SparkSession, val root: String,
     val gen = s"gen${System.nanoTime()}"
     centroids.write.mode("overwrite")
       .parquet(genDir(gen).resolve("centroids.parquet").toString)
-    genIndex(gen).build(corpus, centroids)
+    // build against the JUST-PERSISTED copy, not the caller's frame: a
+    // lazy centroids plan would otherwise re-execute here, and a plan
+    // that isn't replay-stable would persist quantizer X while assigning
+    // the data under quantizer Y — self-consistency must be structural,
+    // not an assumption about the caller's lineage
+    genIndex(gen).build(corpus, genCentroids(gen))
     // the promote: readers resolve old-or-new, never a mix
     val tmp = rootPath.resolve(s".ptr${System.nanoTime()}")
     Files.write(tmp, gen.getBytes("UTF-8"))

@@ -160,11 +160,16 @@ class IvfIndexSpec extends AnyFunSuite {
     // empty victims frame: a normal no-op, not "no partitions requested"
     assert(idx.remove(emb.filter(col("vec_id") < 0), cents) === 0L)
     assert(idx.store.version() === v, "empty remove must not commit")
-    // empty corpus: a clear requirement failure, not an NPE on avg(d2)
+    // empty corpus: a clear requirement failure, not an NPE on avg(d2) —
+    // and on an EXISTING index it fails BEFORE anything is invalidated
+    // (an upstream filter bug must not destroy a healthy index's data or
+    // its drift baseline)
     val e = intercept[IllegalArgumentException] {
-      newIndex(4).build(emb.filter(col("vec_id") < 0), cents)
+      idx.build(emb.filter(col("vec_id") < 0), cents)
     }
     assert(e.getMessage.contains("empty"))
+    assert(idx.trainMeanD2 > 0.0, "empty rebuild bricked the baseline")
+    assert(idx.store.read().count() > 0, "empty rebuild destroyed the data")
     // crash-window: a rebuild whose corpus poisons mid-write must leave
     // the PREVIOUS baseline invalidated (loud "not built"), never a stale
     // train_mean_d2 silently drift-checking the next index's appends

@@ -122,5 +122,13 @@ class IvfPqIndexSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("empty"))
     assert(idx.trainMeanD2 > 0.0)
+    // an under-k rebuild corpus passes the non-empty guard but fails
+    // inside codebook training — ALSO before anything was invalidated
+    val e4 = intercept[IllegalArgumentException] {
+      idx.build(emb.filter(col("vec_id") < 10), cents) // 10 < k=16
+    }
+    assert(e4.getMessage.contains("16"))
+    assert(idx.trainMeanD2 > 0.0, "under-k rebuild bricked the baseline")
+    assert(idx.store.read().count() > 0)
   }
 }
