@@ -183,6 +183,52 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not built"))
   }
 
+  test("randomized append/remove/compact lifecycle tracks a brute-force " +
+      "model (fixed seed) — exhaustive serve exact after every op") {
+    val rnd = new scala.util.Random(97)
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toVector
+    val cents = KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val idx = newIndex()
+    var present = allIds.filter(_ % 4 == 0).toSet
+    idx.build(emb.filter(col("vec_id").isInCollection(present)), cents)
+    val q = emb.filter(col("vec_id") < 8)
+    def check(tag: String): Unit = {
+      val got = pairs(idx.serve(q, cents, k = 3, nprobe = 8))
+      val want = pairs(Ann.bruteForceTopK(q,
+        emb.filter(col("vec_id").isInCollection(present)), k = 3))
+      assert(got === want, s"serve diverged from the model after $tag " +
+        s"(|present| = ${present.size})")
+    }
+    check("build")
+    for (round <- 1 to 6) {
+      rnd.nextInt(3) match {
+        case 0 => // append a fresh batch (ids never indexed)
+          val fresh = rnd.shuffle(allIds.filterNot(present))
+            .take(1 + rnd.nextInt(40)).toSet
+          if (fresh.nonEmpty) {
+            idx.append(emb.filter(col("vec_id").isInCollection(fresh)), cents)
+            present ++= fresh
+            check(s"append#$round(${fresh.size})")
+          }
+        case 1 => // erase a present subset, keeping >= 8 for a full top-3
+          val removable = rnd.shuffle(present.toVector)
+            .take(rnd.nextInt(math.max(1, present.size - 8)))
+          if (removable.nonEmpty) {
+            val n = idx.remove(
+              emb.filter(col("vec_id").isInCollection(removable.toSet)), cents)
+            assert(n === removable.size.toLong)
+            present --= removable
+            check(s"remove#$round(${removable.size})")
+          }
+        case 2 =>
+          idx.compact()
+          check(s"compact#$round")
+      }
+    }
+    // the model genuinely exercised all three ops' state space
+    assert(present !== allIds.filter(_ % 4 == 0).toSet, "lifecycle was a no-op")
+  }
+
   test("serving reads a strict subset of the index's partition dirs at " +
       "bounded nprobe (directory-level prune through the store manifest)") {
     val cents = KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 2)
