@@ -199,6 +199,28 @@ object AnnQueries {
       rot.serve(e.filter(col("vec_id") < 8), k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
+    // ---- ann18: ONLINE rebuild of the PQ-coded index — ann17's serving-
+    // continuity lever for ann16, completing the family matrix (static /
+    // maintained / rotating × raw / PQ): build half, append under the
+    // frozen quantizer+codebooks, then retrain-and-swap on the full
+    // corpus — coarse centroids AND residual codebooks re-freeze together
+    // inside the promoted generation, so serving can never pair one
+    // quantizer's ADC tables with another's codes. Exhaustive probes +
+    // rerank=∞ after the swap ≡ exact top-k -------------------------------
+    "ann18_pq_online_rebuild" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val half = e.filter(col("vec_id") % 2 === 0)
+      val rot = new graft.similarity.RotatingIvfPqIndex(s,
+        graft.util.Scratch.dir("graft_ann18"), nPartitions = 8, m = 8, k = 16)
+      rot.build(half, graft.similarity.KMeans.train(half, "vec_id",
+        "embedding", k = 8, iters = 3))
+      rot.append(e.filter(col("vec_id") % 4 === 1), maxDriftRatio = 4.0)
+      rot.rebuild(e, graft.similarity.KMeans.train(e, "vec_id",
+        "embedding", k = 8, iters = 3))
+      rot.serve(e.filter(col("vec_id") < 8), kTop = 3, nprobe = 8,
+          rerank = Int.MaxValue)
+        .orderBy("q_id", "rank")
+    },
     // ---- ann16: the PQ-CODED maintained index — ann14's lifecycle at
     // ann11's storage density: build-on-half trains residual codebooks and
     // persists (id, vec, cell, d2, code) per cell; two appends encode
@@ -927,6 +949,16 @@ object AnnQueries {
     // after the online rebuild the index holds the FULL corpus under the
     // retrained quantizer; exhaustive probes ⇒ exact top-k
     "ann17_online_rebuild" ->
+      ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        s"$cosSql AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS rank " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // PQ online rebuild at the exhaustive config: after the swap the
+    // promoted generation holds the full corpus under its own frozen
+    // quantizer + codebooks; unlimited exact rerank ⇒ exact top-k
+    "ann18_pq_online_rebuild" ->
       ("SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
         s"$cosSql AS sim, " +

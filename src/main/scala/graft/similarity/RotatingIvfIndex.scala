@@ -1,7 +1,5 @@
 package graft.similarity
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Drift-triggered ONLINE rebuild for the maintained IVF index — serving
@@ -38,29 +36,21 @@ final class RotatingIvfIndex(val spark: SparkSession, val root: String,
     val vecCol: String = "embedding", val centId: String = "cent_id",
     val centVec: String = "cent_vec") {
 
-  private def rootPath: Path = Paths.get(root)
-  private def pointerPath: Path = rootPath.resolve("current")
+  private val rotator = new GenRotator(spark, root)
 
   /** The live generation's directory name (pointer read — two small
     * files' worth of metadata, resolved fresh on every operation). */
-  def currentGen(): String = {
-    require(Files.exists(pointerPath), s"rotating index at $root not built")
-    new String(Files.readAllBytes(pointerPath), "UTF-8").trim
-  }
-
-  private def genDir(gen: String): Path = rootPath.resolve(gen)
+  def currentGen(): String = rotator.currentGen()
 
   private def genIndex(gen: String): IvfIndex = new IvfIndex(spark,
-    genDir(gen).toString, nPartitions, idCol, vecCol, "cell", centId, centVec)
-
-  private def genCentroids(gen: String): DataFrame =
-    spark.read.parquet(genDir(gen).resolve("centroids.parquet").toString)
+    rotator.genDir(gen).toString, nPartitions, idCol, vecCol, "cell",
+    centId, centVec)
 
   /** The live generation as an [[IvfIndex]] plus its frozen centroids —
     * resolved together, so every composed operation is self-consistent. */
   def current(): (IvfIndex, DataFrame) = {
     val g = currentGen()
-    (genIndex(g), genCentroids(g))
+    (genIndex(g), rotator.genCentroids(g))
   }
 
   /** First build — same mechanics as [[rebuild]] (a rebuild with nothing
@@ -70,38 +60,14 @@ final class RotatingIvfIndex(val spark: SparkSession, val root: String,
 
   /** Retrain-and-swap: build the new quantizer's index into a FRESH
     * generation directory while the live one keeps serving, then promote
-    * it with one atomic pointer rename. The previous generation is
-    * retained for in-flight serves; everything older (including crash
-    * orphans of never-promoted builds) is reclaimed. */
-  def rebuild(corpus: DataFrame, centroids: DataFrame): Unit = {
-    Files.createDirectories(rootPath)
-    val prev = if (Files.exists(pointerPath)) Some(currentGen()) else None
-    val gen = s"gen${System.nanoTime()}"
-    centroids.write.mode("overwrite")
-      .parquet(genDir(gen).resolve("centroids.parquet").toString)
-    // build against the JUST-PERSISTED copy, not the caller's frame: a
-    // lazy centroids plan would otherwise re-execute here, and a plan
-    // that isn't replay-stable would persist quantizer X while assigning
-    // the data under quantizer Y — self-consistency must be structural,
-    // not an assumption about the caller's lineage
-    genIndex(gen).build(corpus, genCentroids(gen))
-    // the promote: readers resolve old-or-new, never a mix
-    val tmp = rootPath.resolve(s".ptr${System.nanoTime()}")
-    Files.write(tmp, gen.getBytes("UTF-8"))
-    Files.move(tmp, pointerPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // reclaim all generations except the new one and its predecessor,
-    // plus any crash-orphaned pointer tmp files
-    val keep = Set(gen) ++ prev
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(rootPath)
-    val stale = try s.iterator().asScala.filter { p =>
-      val name = p.getFileName.toString
-      (Files.isDirectory(p) && name.startsWith("gen") &&
-        !keep.contains(name)) || name.startsWith(".ptr")
-    }.toSeq finally s.close()
-    stale.foreach(graft.util.Scratch.deleteRecursive)
-  }
+    * it with one atomic pointer rename ([[GenRotator]]'s contract: the
+    * previous generation is retained for in-flight serves; everything
+    * older, and crash orphans, is reclaimed). */
+  def rebuild(corpus: DataFrame, centroids: DataFrame): Unit =
+    rotator.rotate(centroids) { (dir, frozen) =>
+      new IvfIndex(spark, dir, nPartitions, idCol, vecCol, "cell",
+        centId, centVec).build(corpus, frozen)
+    }
 
   /** O(batch) append into the LIVE generation under its frozen quantizer;
     * past `maxDriftRatio` this fails loudly — and [[rebuild]] is the

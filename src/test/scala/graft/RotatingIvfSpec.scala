@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.similarity.{Ann, KMeans, RotatingIvfIndex}
+import graft.similarity.{Ann, KMeans, RotatingIvfIndex, RotatingIvfPqIndex}
 
 /** Online rebuild with serving continuity (q:ann17): the pointer swap is
   * the promote, serves resolve old-or-new generations atomically (never a
@@ -62,6 +62,45 @@ class RotatingIvfSpec extends AnyFunSuite {
     val g2 = rot.currentGen()
     rot.rebuild(emb, KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 2))
     assert(gens(root) === Set(g2, rot.currentGen()))
+  }
+
+  test("PQ rotator: retrain re-freezes quantizer AND codebooks together; " +
+      "serves stay exact across the swap; appends land in the new " +
+      "generation under its own frozen models") {
+    val root = Files.createTempDirectory("graft_rotpq").toString
+    val rot = new RotatingIvfPqIndex(spark, root, nPartitions = 8,
+      m = 8, k = 16)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    rot.build(half, KMeans.train(half, "vec_id", "embedding", k = 8, iters = 2))
+    val q = emb.filter(col("vec_id") < 8)
+    assert(pairs(rot.serve(q, kTop = 3, nprobe = 8, rerank = Int.MaxValue))
+      === pairs(Ann.bruteForceTopK(q, half, k = 3)))
+    val g1 = rot.currentGen()
+    // the swap: full corpus, retrained centroids, NEW codebooks trained on
+    // the new residuals — all frozen inside the promoted generation
+    rot.rebuild(emb, KMeans.train(emb, "vec_id", "embedding", k = 8, iters = 2))
+    assert(rot.currentGen() !== g1)
+    assert(gens(root) === Set(g1, rot.currentGen()), "predecessor retained")
+    assert(pairs(rot.serve(q, kTop = 3, nprobe = 8, rerank = Int.MaxValue))
+      === pairs(Ann.bruteForceTopK(q, emb, k = 3)))
+    // append encodes under the NEW generation's frozen models and serves
+    // exactly alongside the rebuilt corpus
+    val extra = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val ratio = rot.append(extra)
+    assert(ratio > 0.0 && ratio < 4.0)
+    assert(rot.current()._1.store.read()
+      .filter(col("vec_id") >= 1000000L).count() === extra.count())
+    // erasure + bounded-config recall still hold through the rotator
+    assert(rot.remove(extra) === extra.count())
+    val exact = rot.serve(q, kTop = 3, nprobe = 2, rerank = 16)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Ann.bruteForceTopK(q, emb, k = 3)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & want).size.toDouble / want.size
+    assert(recall >= 0.5, s"post-rotation bounded recall@3 = $recall")
   }
 
   test("a serve racing a live rebuild reads the OLD generation or the NEW " +
