@@ -178,9 +178,10 @@ object BenchScale {
     // rewrites, never the store history. ann16 is ann14's lifecycle plus
     // codebook training and the ADC serve — must track ann14's marginal.
     // ann17 is two full builds (one per generation) + a serve: 10× data
-    // may cost ~10×, the gate pins no worse
+    // may cost ~10×, the gate pins no worse. ann18 composes both risks
+    // (two PQ builds incl. codebook retrains + an ADC serve)
     "u20_merge_partitioned", "st30_stream_merge_partitioned",
-    "ann16_ivfpq_append", "ann17_online_rebuild")
+    "ann16_ivfpq_append", "ann17_online_rebuild", "ann18_pq_online_rebuild")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
