@@ -70,4 +70,26 @@ object Skew {
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     bigSalted.join(smallSalted, keyCols :+ "__salt").drop("__salt")
   }
+
+  /** Two-stage latest-per-key — the hot-key-safe form of the upsert
+    * sink's per-batch reduction (st30's `row_number` window sorts a key's
+    * WHOLE row set on one task; a key carrying 50% of a batch makes that
+    * the straggler). `max_by` is associative, so stage 1 reduces (key,
+    * salt) partials and stage 2 combines the ≤`buckets` partials per key —
+    * identical result whenever `ordCol` is unique per key (ties pick an
+    * arbitrary row in BOTH strategies, so callers wanting determinism make
+    * the order column unique, exactly as the merge order-guards already
+    * require). Returns one row per key: keyCols ++ payloadCols ++ ordCol,
+    * taken from the row with the greatest `ordCol`. */
+  def saltedLatestBy(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      payloadCols: Seq[String], buckets: Int = 16): DataFrame = {
+    val payload = struct((payloadCols :+ ordCol).map(col): _*)
+    val partial = df.withColumn("__salt", saltCol(buckets))
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(max_by(payload, col(ordCol)).as("__m"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(max_by(col("__m"), col(s"__m.$ordCol")).as("__m"))
+      .select(keyCols.map(col) ++
+        (payloadCols :+ ordCol).map(c => col(s"__m.$c").as(c)): _*)
+  }
 }

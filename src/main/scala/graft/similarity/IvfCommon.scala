@@ -25,10 +25,14 @@ private[similarity] object IvfCommon {
 
   /** Drift ratio of a batch's mean d2 against the frozen train-time
     * baseline; throws past `maxDriftRatio` naming the no-blackout
-    * remediation. A zero baseline (every training vector ON its centroid)
-    * with a zero-distance batch is NO drift, not infinite drift. */
+    * remediation FOR THE INDEX FLAVOR THAT FIRED IT (`remediation` — the
+    * raw index names RotatingIvfIndex.rebuild, the PQ index names
+    * RotatingIvfPqIndex.rebuild because its codebooks must re-freeze with
+    * the quantizer). A zero baseline (every training vector ON its
+    * centroid) with a zero-distance batch is NO drift, not infinite
+    * drift. */
   def driftRatio(mean: Double, baseline: Double,
-      maxDriftRatio: Double): Double = {
+      maxDriftRatio: Double, remediation: String): Double = {
     val ratio =
       if (baseline > 0) mean / baseline
       else if (mean == 0) 1.0
@@ -38,7 +42,7 @@ private[similarity] object IvfCommon {
         f"quantizer drift: batch mean d2 $mean%.6f is $ratio%.2fx the " +
           f"train-time mean $baseline%.6f (max $maxDriftRatio%.2f) — " +
           "re-train the centroids and rebuild the index " +
-          "(RotatingIvfIndex.rebuild swaps a fresh build in without a " +
+          s"($remediation swaps a fresh build in without a " +
           "serving blackout)")
     ratio
   }

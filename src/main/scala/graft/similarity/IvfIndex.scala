@@ -52,6 +52,12 @@ final class IvfIndex(val spark: SparkSession, val root: String,
 
   val store = new PartitionedStore(spark, root, Seq(cellCol), nPartitions)
 
+  /** Test-only fault-injection seam: invoked after [[build]]'s ordered
+    * steps (`metaInvalidated`, `storeInit`) so FaultInjectionSpec can
+    * snapshot the state a crash at that point would leave. No-op in
+    * production. */
+  private[graft] var onStep: String => Unit = _ => ()
+
   private def metaPath = Paths.get(root, "ivf_meta.json")
 
   /** Train-time mean squared assignment distance (the drift baseline). */
@@ -76,7 +82,9 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     // "index not built" (trainMeanD2 fails loudly), never a fresh index
     // silently drift-checking appends against a stale baseline
     Files.deleteIfExists(metaPath)
+    onStep("metaInvalidated")
     store.init(assigned)
+    onStep("storeInit")
     val meanRow = store.read().agg(avg(col("d2"))).collect()(0)
     require(!meanRow.isNullAt(0),
       s"IVF build corpus yielded no assignment distances (null embeddings?) " +
@@ -115,7 +123,8 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     require(!pre.isNullAt(0), "append batch is empty")
     val mean = pre.getDouble(0)
     val touched = pre.getSeq[Int](1).sorted
-    val ratio = IvfCommon.driftRatio(mean, baseline, maxDriftRatio)
+    val ratio = IvfCommon.driftRatio(mean, baseline, maxDriftRatio,
+      remediation = "RotatingIvfIndex.rebuild")
     // replay guard, bounded to the touched partitions (where a same-vector
     // duplicate MUST land — same vector → same cell → same partition) and
     // FUSED into the commit's own write job

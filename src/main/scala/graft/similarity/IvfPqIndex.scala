@@ -150,7 +150,8 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     require(!pre.isNullAt(0), "append batch is empty")
     val mean = pre.getDouble(0)
     val touched = pre.getSeq[Int](1).sorted
-    val ratio = IvfCommon.driftRatio(mean, baseline, maxDriftRatio)
+    val ratio = IvfCommon.driftRatio(mean, baseline, maxDriftRatio,
+      remediation = "RotatingIvfPqIndex.rebuild")
     val guarded = IvfCommon
       .guardReplays(Pq.encode(res, "__res", books),
         store.readPartitions(touched), idCol)

@@ -30,13 +30,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * persisted copy, so a caller can never pair gen-N queries with gen-M
   * data — the failure mode a bare IvfIndex + external centroid frame
   * leaves open across a retrain.
+  *
+  * Writer contract: all mutations (append/remove/compact/rebuild) of one
+  * root serialize on a per-root JVM monitor ([[GenRotator.writerLock]]),
+  * so an in-process append can never commit into a generation a
+  * concurrent rebuild is about to supersede — it waits and lands in the
+  * promoted one. Across PROCESSES the supported deployment is one writer
+  * (unlimited readers, same doctrine as
+  * [[graft.store.PartitionedStore]]); if a second process violates that
+  * and promotes mid-write, the post-commit pointer re-check
+  * ([[GenRotator.guardedWrite]]) fails the write LOUDLY naming the
+  * stranded batch instead of letting it silently vanish at the next
+  * reclaim. Serves never take the lock: rebuild-while-serving stays
+  * blackout-free.
   */
 final class RotatingIvfIndex(val spark: SparkSession, val root: String,
     val nPartitions: Int, val idCol: String = "vec_id",
     val vecCol: String = "embedding", val centId: String = "cent_id",
     val centVec: String = "cent_vec") {
 
-  private val rotator = new GenRotator(spark, root)
+  private[graft] val rotator = new GenRotator(spark, root)
 
   /** The live generation's directory name (pointer read — two small
     * files' worth of metadata, resolved fresh on every operation). */
@@ -69,29 +82,29 @@ final class RotatingIvfIndex(val spark: SparkSession, val root: String,
         centId, centVec).build(corpus, frozen)
     }
 
-  /** O(batch) append into the LIVE generation under its frozen quantizer;
-    * past `maxDriftRatio` this fails loudly — and [[rebuild]] is the
+  /** O(batch) append into the LIVE generation under its frozen quantizer
+    * (serialized against rebuilds — see the class writer contract); past
+    * `maxDriftRatio` this fails loudly — and [[rebuild]] is the
     * remediation the message names. */
-  def append(batch: DataFrame, maxDriftRatio: Double = Double.MaxValue): Double = {
-    val (idx, cents) = current()
-    idx.append(batch, cents, maxDriftRatio)
-  }
+  def append(batch: DataFrame, maxDriftRatio: Double = Double.MaxValue): Double =
+    rotator.guardedWrite("append") { gen =>
+      genIndex(gen).append(batch, rotator.genCentroids(gen), maxDriftRatio)
+    }
 
-  /** Erasure against the live generation ([[IvfIndex.remove]]). NOTE: a
-    * retained PREVIOUS generation still holds the victims until the next
-    * rebuild or its reclaim — right-to-erasure pipelines should follow a
-    * remove with a [[rebuild]] (or delete the previous generation) once
-    * in-flight serves drain. */
-  def remove(victims: DataFrame, requirePresent: Boolean = true): Long = {
-    val (idx, cents) = current()
-    idx.remove(victims, cents, requirePresent)
-  }
+  /** Erasure against the live generation ([[IvfIndex.remove]], serialized
+    * against rebuilds). NOTE: a retained PREVIOUS generation still holds
+    * the victims until the next rebuild or its reclaim — right-to-erasure
+    * pipelines should follow a remove with a [[rebuild]] (or delete the
+    * previous generation) once in-flight serves drain. */
+  def remove(victims: DataFrame, requirePresent: Boolean = true): Long =
+    rotator.guardedWrite("remove") { gen =>
+      genIndex(gen).remove(victims, rotator.genCentroids(gen), requirePresent)
+    }
 
-  /** Compaction lever on the live generation ([[IvfIndex.compact]]). */
-  def compact(maxDirs: Int = 1): Seq[Int] = {
-    val (idx, _) = current()
-    idx.compact(maxDirs)
-  }
+  /** Compaction lever on the live generation ([[IvfIndex.compact]],
+    * serialized against rebuilds). */
+  def compact(maxDirs: Int = 1): Seq[Int] =
+    rotator.guardedWrite("compact") { gen => genIndex(gen).compact(maxDirs) }
 
   /** Partition-pruned serve over the live generation — pointer, index and
     * centroids resolved together per call. */

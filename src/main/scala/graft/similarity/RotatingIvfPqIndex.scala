@@ -12,13 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * resolve the pointer per call, so a racing reader gets one generation's
   * centroids + codebooks + codes end to end — never PQ tables from one
   * quantizer over codes from another. This is the remediation
-  * [[IvfPqIndex]]'s drift error names. */
+  * [[IvfPqIndex]]'s drift error names.
+  *
+  * Writer contract: identical to [[RotatingIvfIndex]]'s — mutations
+  * serialize on the per-root monitor, one writer process is the supported
+  * deployment, and a cross-process promote mid-write fails the write
+  * loudly via [[GenRotator.guardedWrite]]'s pointer re-check instead of
+  * silently stranding the batch. Serves never take the lock. */
 final class RotatingIvfPqIndex(val spark: SparkSession, val root: String,
     val nPartitions: Int, val m: Int, val k: Int,
     val idCol: String = "vec_id", val vecCol: String = "embedding",
     val centId: String = "cent_id", val centVec: String = "cent_vec") {
 
-  private val rotator = new GenRotator(spark, root)
+  private[graft] val rotator = new GenRotator(spark, root)
 
   /** The live generation's directory name (pointer read). */
   def currentGen(): String = rotator.currentGen()
@@ -46,22 +52,26 @@ final class RotatingIvfPqIndex(val spark: SparkSession, val root: String,
     }
 
   /** O(batch) append into the live generation under its frozen quantizer
-    * and codebooks; drift past the ceiling names [[rebuild]]. */
-  def append(batch: DataFrame, maxDriftRatio: Double = Double.MaxValue): Double = {
-    val (idx, cents) = current()
-    idx.append(batch, cents, maxDriftRatio)
-  }
+    * and codebooks (serialized against rebuilds — class writer contract);
+    * drift past the ceiling names [[rebuild]]. */
+  def append(batch: DataFrame, maxDriftRatio: Double = Double.MaxValue): Double =
+    rotator.guardedWrite("append") { gen =>
+      genIndex(gen).append(batch, rotator.genCentroids(gen), maxDriftRatio)
+    }
 
-  /** Erasure against the live generation ([[IvfPqIndex.remove]]); the
-    * retained predecessor holds the victims until the next rebuild or its
-    * reclaim — same caveat as [[RotatingIvfIndex.remove]]. */
-  def remove(victims: DataFrame, requirePresent: Boolean = true): Long = {
-    val (idx, cents) = current()
-    idx.remove(victims, cents, requirePresent)
-  }
+  /** Erasure against the live generation ([[IvfPqIndex.remove]],
+    * serialized against rebuilds); the retained predecessor holds the
+    * victims until the next rebuild or its reclaim — same caveat as
+    * [[RotatingIvfIndex.remove]]. */
+  def remove(victims: DataFrame, requirePresent: Boolean = true): Long =
+    rotator.guardedWrite("remove") { gen =>
+      genIndex(gen).remove(victims, rotator.genCentroids(gen), requirePresent)
+    }
 
-  /** Compaction lever on the live generation. */
-  def compact(maxDirs: Int = 1): Seq[Int] = current()._1.compact(maxDirs)
+  /** Compaction lever on the live generation (serialized against
+    * rebuilds). */
+  def compact(maxDirs: Int = 1): Seq[Int] =
+    rotator.guardedWrite("compact") { gen => genIndex(gen).compact(maxDirs) }
 
   /** Partition-pruned ADC serve over the live generation — pointer,
     * centroids, codebooks and codes resolved together per call. */

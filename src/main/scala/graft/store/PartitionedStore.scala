@@ -74,9 +74,17 @@ import org.apache.spark.sql.functions._
   * exactly one writer of a given version can create it, the other fails
   * with the same ConcurrentModificationException before its pointer
   * swap), so cross-process racers also resolve exactly-one-wins. The
-  * recommended deployment remains one writer process (a cross-process
-  * loser cannot distinguish a concurrent winner from a crashed writer's
-  * orphan — the error message explains both) plus unlimited readers.
+  * arbiter alone only holds while the contested version's file is still
+  * on disk: a writer stalled for >= retainVersions commits could re-link
+  * an ALREADY-SWEPT `manifest.v<N>` and then last-write-win the pointer
+  * BACKWARDS over reclaimed dirs — so every commit re-reads the pointer
+  * version again AFTER its link (once the link holds the name, no other
+  * process can advance past it, making that re-read race-free) and
+  * aborts if the store moved, closing the stale-writer window for any
+  * retention setting. The recommended deployment remains one writer
+  * process (a cross-process loser cannot distinguish a concurrent winner
+  * from a crashed writer's orphan — the error message explains both)
+  * plus unlimited readers.
   */
 final class PartitionedStore(val spark: SparkSession, val root: String,
     val keyCols: Seq[String], val nPartitions: Int,
@@ -87,6 +95,14 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
 
   /** Reserved partition-id column used inside refresh jobs. */
   val PartCol = "__kp"
+
+  /** Test-only fault-injection seam: invoked after each ordered step of a
+    * commit (`dataWritten`, `casChecked`, `linkedManifest`, `schemaStep`,
+    * `pointerSwapped`) so FaultInjectionSpec can snapshot the exact
+    * on-disk state a crash at that point would leave — or throw, to
+    * exercise the graceful-teardown path at that step. No-op in
+    * production. */
+  private[graft] var onStep: String => Unit = _ => ()
 
   private def rootPath: Path = Paths.get(root)
   private def manifestPath: Path = rootPath.resolve("manifest")
@@ -460,6 +476,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
       val emptyDir = s"$stamp/__empty"
       if (!appendMode)
         newState.limit(0).write.mode("overwrite").parquet(dirFor(emptyDir))
+      onStep("dataWritten")
       val entries = old ++ touched.flatMap { i =>
         val sub = s"$stamp/$PartCol=$i"
         val wrote = Files.exists(rootPath.resolve(sub))
@@ -494,6 +511,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
               s"$oldVersion but the manifest is now at $nowVersion — this " +
               "refresh loses; re-derive the delta against the current " +
               "version and retry")
+        onStep("casChecked")
         // the versioned-manifest link is BOTH the immutable copy and the
         // cross-process arbiter — it lands BEFORE the schema step so a
         // cross-process racer that slipped past the re-read dies before it
@@ -504,6 +522,28 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
         val body = manifestBody(entries, oldVersion + 1)
         linkVersionedManifest(body, oldVersion + 1)
         linkedVersion = Some(oldVersion + 1)
+        // stale-writer guard (cross-process): the arbiter only arbitrates
+        // names still ON DISK — a writer in another process stalled since
+        // its CAS re-read for >= retainVersions commits can re-link an
+        // already-swept manifest.v<N+1> and would then swap the pointer
+        // BACKWARDS over reclaimed dirs. Re-read the pointer AFTER the
+        // link: once this commit holds the v<N+1> name no other process
+        // can commit any further version (each must link its own next
+        // version, whose number passes THROUGH N+1), so this re-read is
+        // race-free — a moved pointer proves this writer stalled past the
+        // retention window and must abort (teardown removes only its own
+        // re-created link, which the sweep had already reclaimed).
+        val postLink = parseManifest(manifestPath)._1
+        if (postLink != oldVersion)
+          throw new java.util.ConcurrentModificationException(
+            s"stale writer on store at $root: read version $oldVersion " +
+              s"but the manifest advanced to $postLink before this " +
+              "commit's versioned-manifest link — the arbiter file for " +
+              s"version ${oldVersion + 1} was already swept (retention), " +
+              "so this commit would have rolled the pointer backwards; " +
+              "it loses — re-derive the delta against the current " +
+              "version and retry")
+        onStep("linkedManifest")
         // an evolution's versioned schema is resolvable BEFORE any reader
         // can see the manifest that needs it; a non-evolve commit clears
         // any orphan at its version (a crash between an evolution's schema
@@ -526,6 +566,7 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
           case None =>
             Files.deleteIfExists(versionedSchemaPath(oldVersion + 1)); ()
         }
+        onStep("schemaStep")
         swapPointer(body) // the single atomic visibility switch
       }
     } catch {
@@ -554,6 +595,10 @@ final class PartitionedStore(val spark: SparkSession, val root: String,
     // otherwise race their sweeps (one deleting a manifest.v file between
     // the other's list and parse).
     try PartitionedStore.commitLock(rootPath).synchronized {
+      // seam sits in the BEST-EFFORT block, not the commit try: the commit
+      // is already visible, so even a throwing hook must never trigger the
+      // teardown above (which would delete a committed version's files)
+      onStep("pointerSwapped")
       // current-schema pointer: once the manifest swapped, the evolution
       // is committed and must never be rolled back by the catch above. A
       // reader between the two swaps sees the old schema over the new

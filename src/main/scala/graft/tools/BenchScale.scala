@@ -686,6 +686,145 @@ object BenchScale {
         f"(sf1 full/touched time $mgRatio1%.2f, bytes $mgByteRatio1%.2f; " +
         "2 of 32 partitions touched)")
 
+    // ---- u20 SKEWED-key merge: a real upsert stream has hot keys — here
+    // ONE key carries 50% of the batch (the rest spread over a key pool
+    // confined to the same 2-of-32 partitions). The uniform A/B above
+    // can't see three things this pins: (1) the per-batch latest-per-key
+    // reduction stays CORRECT on the hot key under BOTH strategies — the
+    // st30 row_number window (hot key's rows sort on ONE task) and
+    // Skew.saltedLatestBy (associative max_by spread over 16 reducers) —
+    // with the deterministic shuffle-balance numbers behind the lever;
+    // (2) merge write bytes still track the TOUCHED partitions (a hot key
+    // CONCENTRATES the delta, it must not widen the write); (3) the
+    // order-guarded merge lands exactly the hot key's latest row. --------
+    def mergeSkewGate(dir: String, tag: String):
+        (Double, Double, Double, Long, Long, Boolean, Double, Double) = {
+      import graft.ops.{MergeInto, Skew}
+      import graft.store.PartitionedStore
+      import org.apache.spark.sql.expressions.Window
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val st = new PartitionedStore(spark,
+        graft.util.Scratch.dir(s"graft_sc_u20sk_$tag"), Seq("o_orderkey"), 32,
+        retainVersions = 1000)
+      st.init(orders)
+      // key pool confined to partitions {0,1}; the hot key is the least
+      val pool = orders.filter(st.partitionId.isInCollection(Set(0, 1)))
+        .select("o_orderkey").limit(2000).collect()
+        .map(_.getLong(0)).sorted
+      val hot = pool.head
+      val cold = pool.tail.toSeq
+      val nB = orders.count() // batch sized like the store, scales with SF
+      val batch = spark.range(nB).select(
+        when(col("id") % 2 === 0, lit(hot)).otherwise(element_at(
+          typedLit(cold), (pmod(col("id"), lit(cold.size.toLong)) + 1)
+            .cast("int"))).as("o_orderkey"),
+        col("id").as("ord"),
+        (col("id") % 1000).cast("double").as("src_price"))
+      // (1) reduction correctness + the A/B behind the salting lever.
+      // `ord` (= id) is unique, so both strategies must agree exactly
+      def winReduce() = {
+        val w = Window.partitionBy("o_orderkey").orderBy(col("ord").desc)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select("o_orderkey", "src_price", "ord")
+      }
+      def saltReduce() =
+        Skew.saltedLatestBy(batch, Seq("o_orderkey"), "ord", Seq("src_price"))
+      val tWin = bestOf(runs)(winReduce().count())
+      val tSalt = bestOf(runs)(saltReduce().count())
+      def collected(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val winRows = collected(winReduce())
+      val saltRows = collected(saltReduce())
+      // hot key's latest in closed form: greatest even id
+      val hotOrd = if ((nB - 1) % 2 == 0) nB - 1 else nB - 2
+      val hotExpected = (hot, (hotOrd % 1000).toDouble, hotOrd)
+      val reduceOk = winRows == saltRows && winRows.contains(hotExpected)
+      val balUnsalted = Skew.maxOverMean(batch, 32, Seq(col("o_orderkey")))
+      val balSalted = Skew.maxOverMean(batch, 32, Seq(col("o_orderkey"),
+        pmod(monotonically_increasing_id(), lit(16L))))
+      // (2)+(3) the merge itself: bytes instrumented on the no-reclaim
+      // store, touched derived from the 2001-key delta = 2 partitions
+      val delta = saltReduce().select(col("o_orderkey"), col("src_price"))
+      val b0 = mergeBytes(st.root)
+      val tMerge = time(MergeInto.mergePartitioned(st, delta,
+        matchedUpdate = Map("o_totalprice" -> col("src_price")),
+        notMatchedInsert = Some(Map("o_totalprice" -> col("src_price")))))
+      val touchedBytes = mergeBytes(st.root) - b0
+      val hotRow = st.read().filter(col("o_orderkey") === hot)
+        .select("o_totalprice").collect()
+      val mergeOk = hotRow.length == 1 &&
+        math.abs(hotRow(0).getDouble(0) - hotExpected._2) < 1e-9
+      // full-rewrite bytes for the fraction denominator
+      val stF = new PartitionedStore(spark,
+        graft.util.Scratch.dir(s"graft_sc_u20sk_${tag}_f"),
+        Seq("o_orderkey"), 32, retainVersions = 1000)
+      stF.init(orders)
+      val b1 = mergeBytes(stF.root)
+      stF.refresh(0 until 32,
+        MergeInto.merge(stF.read(), delta, Seq("o_orderkey"),
+          matchedUpdate = Map("o_totalprice" -> col("src_price")),
+          notMatchedInsert = Some(Map("o_totalprice" -> col("src_price")))))
+      val fullBytes = mergeBytes(stF.root) - b1
+      Seq(st, stF).foreach(s => graft.util.Scratch.drop(s.root))
+      (tWin, tSalt, tMerge, touchedBytes, fullBytes,
+        reduceOk && mergeOk, balUnsalted, balSalted)
+    }
+    val (skW01, skS01, skM01, skB01, skBF01, skOk01, skBu01, skBs01) =
+      mergeSkewGate(sf01, "01")
+    val (skW1, skS1, skM1, skB1, skBF1, skOk1, skBu1, skBs1) =
+      mergeSkewGate(sf1, "1")
+    val skByteRatio1 = if (skB1 > 0) skBF1.toDouble / skB1 else -1.0
+    System.err.println(
+      f"[scale] u20 skew reduce win $skW01%.2fs/$skW1%.2fs salted " +
+        f"$skS01%.2fs/$skS1%.2fs merge $skM01%.2fs/$skM1%.2fs " +
+        f"(sf1 bytes full/touched $skByteRatio1%.2f, balance " +
+        f"$skBu1%.1f→$skBs1%.1f, correct ${skOk01 && skOk1})")
+
+    // ---- rotate_scale: rebuild-WHILE-serving — the "no blackout" claim
+    // as a measurement, not just a race spec. Build the rotating index,
+    // measure solo serve latency, then retrain+rebuild in a background
+    // thread while a foreground loop keeps serving: every serve must
+    // complete (the pointer resolves old-or-new), and the worst
+    // during-rebuild latency is recorded against the solo baseline
+    // (CPU contention on one box makes some slowdown legitimate; a
+    // BLACKOUT would show as during ≈ the whole rebuild wall time). ------
+    def rotateGate(dir: String, tag: String):
+        (Double, Double, Double, Double, Int) = {
+      import graft.similarity.{KMeans, RotatingIvfIndex}
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val rot = new RotatingIvfIndex(spark,
+        graft.util.Scratch.dir(s"graft_sc_rot_$tag"), nPartitions = 8)
+      rot.build(e, KMeans.train(e, "vec_id", "embedding", k = 8, iters = 2))
+      val q = e.filter(col("vec_id") < 16)
+      def serveOnce(): Double = time(rot.serve(q, k = 5, nprobe = 2).count())
+      serveOnce() // warm
+      val before = (1 to 3).map(_ => serveOnce()).min
+      @volatile var rebuildSec = -1.0
+      val rebuilder = new Thread(() => rebuildSec = time(
+        rot.rebuild(e, KMeans.train(e, "vec_id", "embedding", k = 8, iters = 2))))
+      rebuilder.start()
+      val during = scala.collection.mutable.ArrayBuffer[Double]()
+      while (rebuilder.isAlive) {
+        val wasAlive = rebuilder.isAlive
+        val s = serveOnce()
+        if (wasAlive) during += s // started during the rebuild
+      }
+      rebuilder.join()
+      val after = (1 to 3).map(_ => serveOnce()).min
+      graft.util.Scratch.drop(rot.root)
+      (rebuildSec, before,
+        if (during.isEmpty) -1.0 else during.max, after, during.size)
+    }
+    val (roR01, roB01, roD01, roA01, roN01) = rotateGate(sf01, "01")
+    val (roR1, roB1, roD1, roA1, roN1) = rotateGate(sf1, "1")
+    val roRatio = if (roR01 > 0) roR1 / roR01 else -1.0
+    System.err.println(
+      f"[scale] rotate rebuild $roR01%.2fs/$roR1%.2fs (ratio $roRatio%.2f) " +
+        f"sf1 serve before $roB1%.2fs during(max of $roN1) $roD1%.2fs " +
+        f"after $roA1%.2fs")
+
     def f(d: Double): String = "%.3f".format(d)
     // marginal-cost gate: subtract the fixed per-query floor before the
     // quotient so amortization can't mask a super-linear operator
@@ -759,6 +898,28 @@ object BenchScale {
       s""""sf1_full_over_touched_bytes":${f(mgByteRatio1)},""" +
       s""""touched_not_cheaper":${mgT1 >= mgF1},""" +
       s""""bytes_not_partition_fraction":${mgByteRatio1 > 0 && mgByteRatio1 < 4.0}}"""
+    val skJson =
+      s"""{"hot_fraction":0.5,"touched_partitions":2,"n_partitions":32,""" +
+      s""""reduce_window_sf01":${f(skW01)},"reduce_window_sf1":${f(skW1)},""" +
+      s""""reduce_salted_sf01":${f(skS01)},"reduce_salted_sf1":${f(skS1)},""" +
+      s""""merge_sf01":${f(skM01)},"merge_sf1":${f(skM1)},""" +
+      s""""touched_write_bytes_sf1":$skB1,"full_write_bytes_sf1":$skBF1,""" +
+      s""""sf1_full_over_touched_bytes":${f(skByteRatio1)},""" +
+      s""""balance_max_over_mean_unsalted_sf1":${f(skBu1)},""" +
+      s""""balance_max_over_mean_salted_sf1":${f(skBs1)},""" +
+      s""""reduce_or_merge_wrong":${!(skOk01 && skOk1)},""" +
+      s""""bytes_not_partition_fraction":${skByteRatio1 > 0 && skByteRatio1 < 4.0}}"""
+    val roJson =
+      s"""{"rebuild_sf01":${f(roR01)},"rebuild_sf1":${f(roR1)},""" +
+      s""""rebuild_ratio":${f(roRatio)},""" +
+      s""""serve_before_sf01":${f(roB01)},"serve_during_max_sf01":${f(roD01)},""" +
+      s""""serve_after_sf01":${f(roA01)},"serve_during_n_sf01":$roN01,""" +
+      s""""serve_before_sf1":${f(roB1)},"serve_during_max_sf1":${f(roD1)},""" +
+      s""""serve_after_sf1":${f(roA1)},"serve_during_n_sf1":$roN1,""" +
+      // a true blackout = serves queue behind the whole rebuild: the worst
+      // during-rebuild serve would approach the rebuild's own wall time
+      s""""blackout":${roD1 > 0 && roR1 > 2.0 && roD1 > roR1 * 0.8},""" +
+      s""""rebuild_superlinear":${roRatio > 20.0}}"""
     val json =
       s"""{"metric":"scale_gate","copies":$Copies,"runs":$runs,""" +
       s""""marginal_floor_sec":${f(floor)},"marginal_flag_threshold":$MarginalFlag,""" +
@@ -767,7 +928,8 @@ object BenchScale {
       s""""dd16_candidates":$dd16Json,"percolator_registry_growth":$percJson,""" +
       s""""ann12_knn_scale":$knnJson,"ann14_append_scale":$ivJson,""" +
       s""""dd17_semdedup_scale":$sdJson,"pp8_curation_scale":$ppJson,""" +
-      s""""u20_merge_scale":$mgJson}"""
+      s""""u20_merge_scale":$mgJson,"u20_merge_skew":$skJson,""" +
+      s""""rotate_scale":$roJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))

