@@ -34,6 +34,29 @@ object MergeInto {
       matchedDelete: Option[Column] = None,
       matchedUpdate: Map[String, Column] = Map.empty,
       notMatchedInsert: Option[Map[String, Column]] = None): DataFrame = {
+    // plan construction first: combine's driver-side contract checks
+    // (collisions, reserved names, clause typos) fail before any job
+    val merged = combine(target, source, keys, matchedDelete, matchedUpdate,
+      notMatchedInsert)
+    // MERGE cardinality rule: >1 source row per key would fan the target
+    // row out and apply a nondeterministic clause — fail loudly, BEFORE
+    // any downstream write job can run (one small agg job over the batch
+    // side; Delta throws the same way). The partitioned path fuses this
+    // statistic into its touched-partition job instead — same rule, same
+    // fail-before-write point, one fewer job per (micro-)batch.
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    require(dup.isEmpty,
+      s"source has multiple rows for key ${dup.headOption.getOrElse("")}")
+    merged
+  }
+
+  /** The join + clause-dispatch itself, plus every driver-side (no-job)
+    * contract check — the cardinality JOB is each entry point's own. */
+  private def combine(target: DataFrame, source: DataFrame,
+      keys: Seq[String], matchedDelete: Option[Column],
+      matchedUpdate: Map[String, Column],
+      notMatchedInsert: Option[Map[String, Column]]): DataFrame = {
     val collisions =
       (target.columns.toSet & source.columns.toSet) -- keys.toSet
     require(collisions.isEmpty, s"non-key columns collide: $collisions")
@@ -45,14 +68,6 @@ object MergeInto {
       notMatchedInsert.map(_.keySet).getOrElse(Set.empty)) -- updatable
     require(unknown.isEmpty,
       s"clause columns are not non-key target columns (typo?): $unknown")
-    // MERGE cardinality rule: >1 source row per key would fan the target
-    // row out and apply a nondeterministic clause — fail loudly (one small
-    // agg job over the batch side; Delta throws the same way)
-    val dup = source.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
-    require(dup.isEmpty,
-      s"source has multiple rows for key ${dup.headOption.getOrElse("")}")
-
     val t = target.withColumn("__t", lit(1))
     val s = source.withColumn("__s", lit(1))
     val j = t.join(s, keys, "full_outer")
@@ -81,7 +96,8 @@ object MergeInto {
 
   /** [[merge]] re-homed onto a [[graft.store.PartitionedStore]] — the
     * scale shape of the MERGE write path: the source's touched partitions
-    * are derived from the source alone (`touchedBy` — never a state scan),
+    * are derived from the source alone (the store's partitioning
+    * expression over the source keys — never a state scan),
     * ONLY those partitions are read and merged, and the result commits
     * through the store's `refresh` (one atomic manifest swap, version-CAS
     * and cross-process-arbiter guarded). Write I/O is O(touched
@@ -99,6 +115,13 @@ object MergeInto {
     * key's INSERT lands in a touched partition by definition (and the
     * refresh misroute guard would fail loudly on anything else).
     *
+    * Pre-write cost is ONE job: the touched-partition set and the MERGE
+    * cardinality statistic ride the same aggregate (per-key counts →
+    * collect_set of partition ids + max count + the worst key, a few
+    * ints/strings to the driver) — a merge sink pays this per
+    * micro-batch, so a separate action per statistic would hand the
+    * latency budget to job-submission overhead (the ann14 lesson).
+    *
     * @return the touched partition ids (empty = empty source, no-op, no
     *         version bump) */
   def mergePartitioned(store: graft.store.PartitionedStore,
@@ -106,9 +129,22 @@ object MergeInto {
       matchedDelete: Option[Column] = None,
       matchedUpdate: Map[String, Column] = Map.empty,
       notMatchedInsert: Option[Map[String, Column]] = None): Seq[Int] = {
-    val touched = store.touchedBy(source)
-    if (touched.isEmpty) return Nil
-    val merged = merge(store.readPartitions(touched), source, store.keyCols,
+    val keys = store.keyCols
+    require(keys.forall(source.columns.contains),
+      s"source must carry the store's key columns $keys")
+    val pre = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(collect_set(store.partitionId).as("__touched"),
+        max(col("__n")).as("__maxn"),
+        max_by(concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+          col("__n")).as("__worst"))
+      .collect()(0)
+    if (pre.isNullAt(1)) return Nil // empty source: no-op, no version bump
+    require(pre.getLong(1) <= 1L,
+      s"source has multiple rows for key (${pre.getString(2)}) — " +
+        s"${pre.getLong(1)} rows (MERGE cardinality rule)")
+    val touched = pre.getSeq[Int](0).sorted
+    val merged = combine(store.readPartitions(touched), source, keys,
       matchedDelete, matchedUpdate, notMatchedInsert)
     store.refresh(touched, merged)
     touched

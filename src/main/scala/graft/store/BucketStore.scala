@@ -30,6 +30,13 @@ import graft.model._
 final class BucketStore(spark: SparkSession, rootDir: String) {
   import BucketStore._
 
+  /** Test-only fault-injection seam: invoked after each ordered step of a
+    * buffer/promote commit (`bufferWritten`, `bufMoved`,
+    * `currentSwitched`, `bufferRepointed`) so FaultInjectionSpec can
+    * snapshot the exact state a crash at that point would leave. No-op in
+    * production. */
+  private[graft] var onStep: String => Unit = _ => ()
+
   private def bucketRoot(b: Bucket): Path = Paths.get(rootDir, b.signature)
   private def stageRoot(b: Bucket, stage: String): Path =
     bucketRoot(b).resolve(stage)
@@ -218,23 +225,84 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
     * the buffer pointer is re-aimed at the demoted dir. A reader that
     * resolved `current` just before the switch keeps reading the old dir,
     * which nothing here renames or deletes — StoreCrudSpec's concurrent
-    * promote test runs this race for real. */
+    * promote test runs this race for real.
+    *
+    * In-process promotes of one stage serialize on a per-root JVM monitor
+    * (the PartitionedStore doctrine; cross-process, one writer process is
+    * the supported deployment), which makes the closing ORPHAN SWEEP safe:
+    * a crash between the ordered steps strands a `v_*` dir no pointer
+    * references (and possibly a `_PTR_*.tmp*` file) — unreachable, since
+    * v_ dirs are only ever addressed through pointers — and the next
+    * promote of the stage reclaims them, so crashes never leak data-sized
+    * dirs (FaultInjectionSpec executes each window). */
   def promote(b: Bucket, stage: String, buffer: String): Unit = {
     val root = stageRoot(b, stage)
-    val curName = readPointer(root, "current").getOrElse("current")
-    val bufRole = roleName(Some(buffer))
-    val bufName = readPointer(root, bufRole).getOrElse(bufRole)
-    val buf = root.resolve(bufName)
-    require(Files.exists(buf), s"no such buffer: $buf")
-    val newName =
-      if (bufName.startsWith("v_")) bufName
-      else {
-        val v = "v_" + System.nanoTime()
-        Files.move(buf, root.resolve(v), StandardCopyOption.ATOMIC_MOVE)
-        v
-      }
-    writePointer(root, "current", newName) // the atomic visibility switch
-    writePointer(root, bufRole, curName)
+    BucketStore.promoteLock(root).synchronized {
+      val curName = readPointer(root, "current").getOrElse("current")
+      val bufRole = roleName(Some(buffer))
+      val bufName = readPointer(root, bufRole).getOrElse(bufRole)
+      val buf = root.resolve(bufName)
+      require(Files.exists(buf), s"no such buffer: $buf")
+      val newName =
+        if (bufName.startsWith("v_")) bufName
+        else {
+          val v = "v_" + System.nanoTime()
+          Files.move(buf, root.resolve(v), StandardCopyOption.ATOMIC_MOVE)
+          v
+        }
+      onStep("bufMoved")
+      writePointer(root, "current", newName) // the atomic visibility switch
+      onStep("currentSwitched")
+      writePointer(root, bufRole, curName)
+      onStep("bufferRepointed")
+      sweepOrphans(root)
+    }
+  }
+
+  /** Reclaim crash debris under `root`: `v_*` dirs referenced by NO
+    * pointer file (a crash between a promote's rename and its pointer
+    * write strands exactly one), pointer tmp files (a crash inside
+    * writePointer's two steps), and INTERNAL transient buffers — the
+    * `buffer_rewrite_/zorder_/compact_` dirs and pointers bufferAndPromote
+    * always deletes on completion, so any survivor not in the JVM-wide
+    * in-flight registry is a crashed commit's leftovers (same
+    * registry-vs-sweep shape as PartitionedStore's in-flight stamps; a
+    * registry lost with a crashed PROCESS just defers the reclaim to the
+    * next process's promote). Runs under the promote lock; never touches
+    * literal-named dirs (legacy layout), USER-named buffers (ping-pong
+    * parking is long-lived by design), or anything a live pointer
+    * references. */
+  private def sweepOrphans(root: Path): Unit = {
+    if (!Files.exists(root)) return
+    val entries = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    def internal(n: String) = BucketStore.InternalBufferPrefixes.exists(n.startsWith)
+    def inFlight(n: String) = BucketStore.inFlightBuffers
+      .contains(root.toAbsolutePath.normalize.toString + "/" + n)
+    // stale internal buffer pointers first: each names the demoted dir a
+    // crashed bufferAndPromote would have deleted — drop the pointer so
+    // the dir pass below sees that dir unreferenced
+    val stalePtrs = entries.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("_PTR_") && !n.contains(".tmp") &&
+        internal(n.stripPrefix("_PTR_")) && !inFlight(n.stripPrefix("_PTR_"))
+    }
+    stalePtrs.foreach(Files.deleteIfExists(_))
+    val referenced = entries
+      .filter(_.getFileName.toString.startsWith("_PTR_"))
+      .filterNot(_.getFileName.toString.contains(".tmp"))
+      .diff(stalePtrs)
+      .map(p => new String(Files.readAllBytes(p), "UTF-8").trim).toSet
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.contains("_PTR_") && name.contains(".tmp"))
+        Files.deleteIfExists(p)
+      else if (Files.isDirectory(p) && !referenced.contains(name) &&
+          (name.startsWith("v_") || (internal(name) && !inFlight(name))))
+        deleteDir(p)
+    }
   }
 
   /** Tear a buffer down: its resolved data dir AND its pointer (a dangling
@@ -261,19 +329,28 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
   private def bufferAndPromote(b: Bucket, stage: String, prefix: String)(
       writeBuf: Option[String] => Unit): Unit = {
     val buf = prefix + System.nanoTime()
-    try writeBuf(Some(buf))
-    catch {
-      case e: Throwable =>
-        deleteBuffer(b, stage, buf) // promote never ran
-        throw e
-    }
-    promote(b, stage, buf)
-    // reclaim the superseded primary immediately (post-promote, the buffer
-    // role resolves to it). In-flight jobs that resolved the OLD current
-    // before the switch race only with this deletion — the same window the
-    // reference has between alias swap and old-index delete; a deployment
-    // wanting zero-race long readers defers this to a retention sweep.
-    deleteBuffer(b, stage, buf)
+    // register as in-flight BEFORE any data lands: a concurrent promote's
+    // orphan sweep must not reclaim this commit's live buffer as crash
+    // debris (the PartitionedStore in-flight-stamp shape)
+    val key = stageRoot(b, stage).toAbsolutePath.normalize.toString +
+      "/" + roleName(Some(buf))
+    BucketStore.inFlightBuffers.add(key)
+    try {
+      try writeBuf(Some(buf))
+      catch {
+        case e: Throwable =>
+          deleteBuffer(b, stage, buf) // promote never ran
+          throw e
+      }
+      onStep("bufferWritten")
+      promote(b, stage, buf)
+      // reclaim the superseded primary immediately (post-promote, the buffer
+      // role resolves to it). In-flight jobs that resolved the OLD current
+      // before the switch race only with this deletion — the same window the
+      // reference has between alias swap and old-index delete; a deployment
+      // wanting zero-race long readers defers this to a retention sweep.
+      deleteBuffer(b, stage, buf)
+    } finally BucketStore.inFlightBuffers.remove(key)
   }
 
   /** Small-file compaction: rewrite a stage so each time partition lands in
@@ -364,6 +441,26 @@ final class BucketStore(spark: SparkSession, rootDir: String) {
 object BucketStore {
   /** Name of the derived time-partition column. */
   val PartitionCol = "p_time"
+
+  // one promote monitor per normalized stage root, JVM-wide (the
+  // PartitionedStore.commitLock shape): concurrent promotes of one stage
+  // serialize, making the post-promote orphan sweep race-free in-process.
+  // Bounded by the number of stage roots the driver opens; never reclaimed.
+  private val promoteLocks =
+    new java.util.concurrent.ConcurrentHashMap[Path, Object]()
+  private[store] def promoteLock(root: Path): Object =
+    promoteLocks.computeIfAbsent(root.toAbsolutePath.normalize, _ => new Object)
+
+  /** The TRANSIENT buffer prefixes bufferAndPromote creates and always
+    * deletes on completion — the only buffer names the orphan sweep may
+    * reclaim. User-named buffers (ping-pong parking) are never touched. */
+  private[store] val InternalBufferPrefixes =
+    Seq("buffer_rewrite_", "buffer_zorder_", "buffer_compact_")
+
+  // root-qualified role names of buffer commits between first write and
+  // end-of-delete: the orphan sweep skips these (see bufferAndPromote)
+  private[store] val inFlightBuffers: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Reference codecs gzip/snappy/framed-snappy
     * (`HfdsDataWriteService.java:642-660`) → parquet compression codecs. */

@@ -214,6 +214,78 @@ class FaultInjectionSpec extends AnyFunSuite {
     }
   }
 
+  // ---- BucketStore buffer/promote windows ----------------------------------
+
+  test("BucketStore rewrite killed after EACH ordered step: readers resolve " +
+      "a whole generation (old until the pointer switch, new after), and the " +
+      "next promote's orphan sweep reclaims every crash leftover") {
+    import graft.model.Bucket
+    import graft.store.BucketStore
+    val rootDir = Files.createTempDirectory("graft_fault_bucket").toString
+    val store = new BucketStore(spark, rootDir)
+    val b = Bucket("/test/fault")
+    def gen(tag: Int) =
+      spark.range(100).select(lit(tag).as("g"), col("id"))
+    def tagOf(s: BucketStore): (Int, Long) = {
+      val rows = s.read(b).groupBy("g").count().collect()
+      assert(rows.length === 1, s"mixed generations: ${rows.mkString(", ")}")
+      (rows(0).getInt(0), rows(0).getLong(1))
+    }
+    def names(root: String, pred: String => Boolean): Set[String] = {
+      val stage = Paths.get(root, b.signature, "processed")
+      if (!Files.exists(stage)) return Set.empty
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(stage)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(pred).toSet finally s.close()
+    }
+    store.write(b, gen(0))
+    store.rewrite(b, "processed")(_ => gen(1)) // current now a v_* dir
+    assert(tagOf(store) === ((1, 100L)))
+    val snaps = scala.collection.mutable.Map[String, Path]()
+    store.onStep = s =>
+      if (Set("bufferWritten", "bufMoved", "currentSwitched",
+          "bufferRepointed")(s))
+        snaps.getOrElseUpdate(s, crashImage(rootDir, s))
+    store.rewrite(b, "processed")(_ => gen(2)) // completes on the original
+    store.onStep = _ => ()
+    assert(snaps.keySet.size === 4)
+
+    for ((step, snap) <- snaps) {
+      val s = new BucketStore(spark, snap.toString)
+      // visibility contract: the pointer switch is the ONE boundary
+      val expectedTag =
+        if (step == "bufferWritten" || step == "bufMoved") 1 else 2
+      assert(tagOf(s) === ((expectedTag, 100L)),
+        s"$step: reader did not resolve a whole generation")
+      // the crash left exactly the debris the step implies
+      if (step == "bufferWritten")
+        assert(names(snap.toString, _.startsWith("buffer_rewrite_")).nonEmpty,
+          s"$step fixture: expected the stranded buffer dir")
+      if (step == "bufMoved")
+        assert(names(snap.toString, _.startsWith("v_")).size === 2,
+          s"$step fixture: expected the orphan moved buffer")
+      if (step == "bufferRepointed")
+        assert(names(snap.toString, _.startsWith("_PTR_buffer_rewrite_")).nonEmpty,
+          s"$step fixture: expected the stale internal pointer")
+      // recovery: one more rewrite both commits AND sweeps the debris
+      s.rewrite(b, "processed")(_ => gen(9))
+      assert(tagOf(s) === ((9, 100L)), s"$step: recovery rewrite wrong")
+      assert(names(snap.toString, _.startsWith("v_")).size === 1,
+        s"$step: crash debris v_ dirs survived the recovery sweep: " +
+          names(snap.toString, _.startsWith("v_")))
+      assert(names(snap.toString, n => n.startsWith("buffer_rewrite_") ||
+          n.startsWith("_PTR_buffer_rewrite_")).isEmpty,
+        s"$step: internal buffer debris survived the recovery sweep")
+      assert(names(snap.toString, _.contains(".tmp")).isEmpty,
+        s"$step: pointer tmp debris survived")
+    }
+    // the original (uncrashed) store ends clean too
+    assert(tagOf(store) === ((2, 100L)))
+    assert(names(rootDir, n => n.startsWith("buffer_rewrite_") ||
+      n.startsWith("_PTR_buffer_rewrite_")).isEmpty)
+  }
+
   // ---- IvfIndex build window (meta invalidated before init) ---------------
 
   test("IvfIndex rebuild killed around store.init: the drift baseline reads " +

@@ -128,5 +128,14 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(MergeInto.mergePartitioned(store, sourceAll.filter(lit(false)),
       matchedUpdate = Map("v" -> col("src_v"))) === Nil)
     assert(store.version() === v)
+    // cardinality violation: the fused pre-write job fails EAGERLY, names
+    // the offending key, and nothing was read or committed
+    val dup = intercept[IllegalArgumentException] {
+      MergeInto.mergePartitioned(store, source.unionByName(source),
+        matchedUpdate = Map("v" -> col("src_v")))
+    }
+    assert(dup.getMessage.contains("multiple rows") &&
+      dup.getMessage.contains("cardinality"), dup.getMessage)
+    assert(store.version() === v, "failed merge must not commit")
   }
 }
