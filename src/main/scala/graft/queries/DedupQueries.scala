@@ -144,6 +144,58 @@ object DedupQueries {
           "doc_id", "text")
         .orderBy("corpus_doc", "new_doc")
     },
+    // The PERSISTED maintained LSH dedup index — dd10's question ("which
+    // new docs collide with the history") WITHOUT re-shingling the history
+    // per delivery: build on the historical corpus once, append a later
+    // delivery O(batch), erase one source slice (right-to-erasure), then
+    // answer the batch query reading ONLY the store partitions the batch's
+    // own buckets hash to. The oracle is the ONE-SHOT two-sided band join
+    // over the same final corpus, so build+append+remove through the
+    // maintained index must be indistinguishable from a from-scratch
+    // recompute — the dedup-side twin of ann14's append ≡ rebuild claim
+    "dd19_lsh_index" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val idx = new graft.dedup.LshIndex(s,
+        graft.util.Scratch.dir("graft_dd19"), nPartitions = 16)
+      idx.build(docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 9))
+      idx.append(docs.filter(col("doc_id") % 10 === 9))
+      idx.remove(docs.filter(col("doc_id") % 10 === 5))
+      idx.candidates(docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("corpus_doc", "new_doc")
+    },
+    // The continuously-fed dedup SERVICE: deliveries stream through the
+    // maintained LSH index — each micro-batch is appended (O(batch)
+    // commit), then queried against everything indexed so far. Append
+    // BEFORE query makes the accumulated normalized pair set provably
+    // batching-invariant: whichever delivery carries a pair's LATER
+    // endpoint discovers it (within-batch pairs included), so the oracle
+    // is the one-shot band self-join restricted to pairs with >= 1
+    // streamed endpoint — how rows were split into micro-batches cannot
+    // show through
+    "st32_stream_lsh_dedup" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val idx = new graft.dedup.LshIndex(s,
+        graft.util.Scratch.dir("graft_st32"), nPartitions = 16)
+      idx.build(docs.filter(col("doc_id") % 10 =!= 0))
+      val stream = graft.streaming.Streams.stagedFileStream(
+        docs.filter(col("doc_id") % 10 === 0), nFiles = 4)
+      val out = graft.util.Scratch.dir("graft_st32_out")
+      graft.streaming.Streams.runForeachBatch(stream) { batch =>
+        idx.append(batch)
+        idx.candidates(batch)
+          .filter(col("corpus_doc") =!= col("new_doc")) // self after append
+          .write.mode("append").parquet(out)
+        ()
+      }
+      val wrote = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .exists(_.getName.endsWith(".parquet"))
+      val raw = if (wrote) s.read.parquet(out)
+        else s.range(0).select(col("id").as("corpus_doc"), col("id").as("new_doc"))
+      raw.select(least(col("corpus_doc"), col("new_doc")).as("doc_a"),
+          greatest(col("corpus_doc"), col("new_doc")).as("doc_b"))
+        .distinct().orderBy("doc_a", "doc_b")
+    },
     // Benchmark-contamination check (decontamination): per-document fraction
     // of its distinct 3-gram shingles that appear in a "benchmark" shingle
     // set (here: every 50th doc stands in for the eval set). Scale shape:
@@ -640,6 +692,24 @@ object DedupQueries {
         "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh " +
         "WHERE l.doc_id % 10 <> 0 AND r.doc_id % 10 = 0 " +
         "ORDER BY corpus_doc, new_doc"),
+    // the one-shot recompute over dd19's FINAL corpus (build ∪ append
+    // minus the erased %10=5 slice) — banding is per-doc independent, so
+    // the maintained index's build/append/remove history cannot show
+    "dd19_lsh_index" ->
+      (s"$bandsCtePrefix " +
+        "SELECT DISTINCT l.doc_id AS corpus_doc, r.doc_id AS new_doc " +
+        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh " +
+        "WHERE l.doc_id % 10 NOT IN (0, 5) AND r.doc_id % 10 = 0 " +
+        "ORDER BY corpus_doc, new_doc"),
+    // every colliding pair with at least one streamed (%10=0) endpoint —
+    // the batching-invariant final state of the per-delivery service
+    "st32_stream_lsh_dedup" ->
+      (s"$bandsCtePrefix " +
+        "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b " +
+        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh " +
+        "AND l.doc_id < r.doc_id " +
+        "WHERE l.doc_id % 10 = 0 OR r.doc_id % 10 = 0 " +
+        "ORDER BY doc_a, doc_b"),
     // bands CTE for the candidates, then the dd4 exact-jaccard expression
     // on each candidate pair (the `sh` CTE inside bandsCtePrefix carries
     // the shingle sets)

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
 import graft.store.PartitionedStore
 
 /** Machinery shared by the maintained-index family ([[IvfIndex]] raw
-  * vectors, [[IvfPqIndex]] PQ codes): the drift statistic, the erasure
-  * commit, compaction, replay guarding, and the meta-file field parse.
-  * One definition each — a hardening fix (the round-14 stale-baseline and
+  * vectors, [[IvfPqIndex]] PQ codes, and the dedup-side
+  * [[graft.dedup.LshIndex]]): the drift statistic, the erasure commit,
+  * compaction, replay guarding, and the meta-file field parse. One
+  * definition each — a hardening fix (the round-14 stale-baseline and
   * empty-erasure class) lands once instead of per index flavor. */
-private[similarity] object IvfCommon {
+private[graft] object IvfCommon {
 
   /** Parse a numeric field out of a tiny hand-written meta JSON. */
   def metaField(metaPath: Path, name: String, notBuilt: String): Double = {

@@ -181,7 +181,13 @@ object BenchScale {
     // may cost ~10×, the gate pins no worse. ann18 composes both risks
     // (two PQ builds incl. codebook retrains + an ADC serve)
     "u20_merge_partitioned", "st30_stream_merge_partitioned",
-    "ann16_ivfpq_append", "ann17_online_rebuild", "ann18_pq_online_rebuild")
+    "ann16_ivfpq_append", "ann17_online_rebuild", "ann18_pq_online_rebuild",
+    // round-15: dd19 is the maintained LSH dedup index's full lifecycle
+    // (build + O(batch) append + erasure rewrite + bucket-pruned query) —
+    // its marginal must track dd10's one-shot two-sided join; st32 streams
+    // per-delivery append+query through the same index, so its cost must
+    // track dd19 plus the micro-batch machinery, never the index history
+    "dd19_lsh_index", "st32_stream_lsh_dedup")
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
