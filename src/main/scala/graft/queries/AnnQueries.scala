@@ -21,6 +21,41 @@ object AnnQueries {
       "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
 
+  /** dd20's maintained-index lifecycle, ONE function shared by the oracle
+    * config (`cells = 8, nprobe = 8` — exhaustive, provably exact) and the
+    * scale config ([[semanticIndexDedupApprox]]) so the two can never
+    * drift (the pp8 `curationPlan` doctrine): build the IVF index on the
+    * historical slices, append a later delivery O(batch) under the frozen
+    * quantizer, erase one source slice, and threshold-query the incoming
+    * batch against the maintained state. */
+  private def semanticIndexLifecycle(s: SparkSession, dir: String,
+      cells: Int, iters: Int, nPartitions: Int, nprobe: Int,
+      scratch: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val base = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 9)
+    val cents = graft.similarity.KMeans.train(base, "vec_id", "embedding",
+      k = cells, iters = iters)
+    val idx = new graft.similarity.IvfIndex(s,
+      graft.util.Scratch.dir(scratch), nPartitions = nPartitions)
+    idx.build(base, cents)
+    idx.append(e.filter(col("vec_id") % 10 === 9), cents, maxDriftRatio = 4.0)
+    idx.remove(e.filter(col("vec_id") % 10 === 5), cents)
+    idx.neighborsWithin(e.filter(col("vec_id") % 10 === 0), cents,
+      minSim = 0.30, nprobe = nprobe)
+  }
+
+  /** dd20 at the SCALE config the BENCH_SCALE gate measures: cells ∝ √n
+    * (so a cell holds O(√n) vectors) and bounded nprobe — candidate work
+    * grows ~n^1.5 instead of the exhaustive config's n², the same
+    * trade dd17/ann12 gate. Bounded nprobe's recall trade is one-sided
+    * (IvfIndexSpec pins containment in the exhaustive result). */
+  def semanticIndexDedupApprox(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.t(s, dir, "embeddings").count()
+    val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    semanticIndexLifecycle(s, dir, cells = cells, iters = 2,
+      nPartitions = 32, nprobe = 4, scratch = "graft_dd20_approx")
+  }
+
   val queries: Map[String, Q] = Map(
     // exact brute-force cosine top-3 for 8 query vectors
     "ann1_topk_exact" -> { (s, dir) =>
@@ -150,6 +185,56 @@ object AnnQueries {
       idx.remove(e.filter(col("vec_id") % 5 === 4), cents)
       idx.serve(e.filter(col("vec_id") < 8), cents, k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
+    },
+    // ---- dd20: the MAINTAINED SEMANTIC-DEDUP index — dd19's lifecycle
+    // doctrine (build once, append O(batch), erase a slice, answer the
+    // incoming-batch question reading only the partitions the batch
+    // probes) applied to the EMBEDDING side of the dedup matrix: dd8/dd17
+    // ask "which docs are semantic near-dups" as one-shot corpus
+    // self-joins; a continuously-fed pipeline asks it per delivery against
+    // an index it maintains. neighborsWithin at nprobe = |cells| examines
+    // every (batch, stored) pair through the cell join, so the one-shot
+    // exhaustive threshold join over the FINAL corpus (build ∪ append
+    // minus the erased %10=5 slice) is the oracle — the maintained
+    // build/append/remove history provably cannot show through
+    "dd20_semantic_index_dedup" -> { (s, dir) =>
+      semanticIndexLifecycle(s, dir, cells = 8, iters = 3, nPartitions = 8,
+        nprobe = 8, scratch = "graft_dd20").orderBy("new_id", "corpus_id")
+    },
+    // ---- st33: the streaming SEMANTIC dedup SERVICE — st32's
+    // append-before-query contract on the IVF index: each delivery
+    // micro-batch is appended (O(batch) commit under the frozen
+    // quantizer), then threshold-queried against everything indexed so
+    // far. Whichever delivery carries a pair's LATER endpoint discovers it
+    // (within-batch pairs included, identity pairs excluded by
+    // neighborsWithin), so the accumulated normalized pair set is provably
+    // batching-invariant and the oracle is the one-shot exhaustive
+    // threshold self-join restricted to pairs with >= 1 streamed endpoint
+    "st33_stream_semantic_dedup" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val cents = graft.similarity.KMeans.train(base, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val idx = new graft.similarity.IvfIndex(s,
+        graft.util.Scratch.dir("graft_st33"), nPartitions = 8)
+      idx.build(base, cents)
+      val stream = graft.streaming.Streams.stagedFileStream(
+        e.filter(col("vec_id") % 10 === 0), nFiles = 4)
+      val out = graft.util.Scratch.dir("graft_st33_out")
+      graft.streaming.Streams.runForeachBatch(stream) { batch =>
+        idx.append(batch, cents, maxDriftRatio = 4.0)
+        idx.neighborsWithin(batch, cents, minSim = 0.30, nprobe = 8)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      val wrote = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .exists(_.getName.endsWith(".parquet"))
+      val raw = if (wrote) s.read.parquet(out)
+        else s.range(0).select(col("id").as("corpus_id"), col("id").as("new_id"))
+      raw.select(least(col("corpus_id"), col("new_id")).as("vec_a"),
+          greatest(col("corpus_id"), col("new_id")).as("vec_b"))
+        .distinct().orderBy("vec_a", "vec_b")
     },
     // ---- st31: STREAMING serving across a LIVE generation swap — ann17's
     // continuity claim under the driver gate: query micro-batches serve
@@ -936,6 +1021,28 @@ object AnnQueries {
         "FROM embeddings q, embeddings c " +
         "WHERE q.vec_id < 8 AND c.vec_id % 5 <> 4) " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // the one-shot exhaustive threshold join over dd20's FINAL corpus
+    // (build ∪ append minus the erased %10=5 slice) — the maintained
+    // index's lifecycle history cannot show through; the threshold
+    // literal is cast to DOUBLE so both engines compare the identical
+    // IEEE cosine against the identical bound
+    "dd20_semantic_index_dedup" ->
+      ("SELECT c.vec_id AS corpus_id, q.vec_id AS new_id, " +
+        s"$cosSql AS sim " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 NOT IN (0, 5) " +
+        s"AND $cosSql >= CAST(0.30 AS DOUBLE) " +
+        "ORDER BY new_id, corpus_id"),
+    // every >= minSim pair with at least one streamed (%10=0) endpoint —
+    // the batching-invariant final state of the per-delivery service
+    "st33_stream_semantic_dedup" ->
+      ("SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b " +
+        "FROM embeddings l, embeddings r " +
+        "WHERE l.vec_id < r.vec_id " +
+        "AND (l.vec_id % 10 = 0 OR r.vec_id % 10 = 0) " +
+        s"AND ${cosSql.replace("q.embedding", "l.embedding")
+          .replace("c.embedding", "r.embedding")} >= CAST(0.30 AS DOUBLE) " +
+        "ORDER BY vec_a, vec_b"),
     // every micro-batch serves exhaustively over the full corpus — under
     // the pre-swap OR post-swap generation, both exact — so the batch
     // split and the mid-stream swap cannot show through

@@ -320,6 +320,22 @@ object Ann {
       probeRows: Array[org.apache.spark.sql.Row],
       probeSchema: org.apache.spark.sql.types.StructType, k: Int,
       cellCol: String, cId: String, cVec: String): DataFrame = {
+    val cand = scoreOverProbes(stored, probeRows, probeSchema,
+      cellCol, cId, cVec)
+    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    cand.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
+
+  /** The scored-candidate half of a probed serve, shared by the ranked
+    * ([[rankOverProbes]]) and threshold ([[IvfIndex.neighborsWithin]])
+    * consumers: prune the stored corpus to the probed cells, equi-join the
+    * broadcast probe set on the cell key, exact cosine per (query,
+    * candidate) — `(q_id, c_id, sim)`. */
+  private[similarity] def scoreOverProbes(stored: DataFrame,
+      probeRows: Array[org.apache.spark.sql.Row],
+      probeSchema: org.apache.spark.sql.types.StructType,
+      cellCol: String, cId: String, cVec: String): DataFrame = {
     val spark = stored.sparkSession
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeSchema)
@@ -330,15 +346,12 @@ object Ann {
     // silently unpruned
     val cellType = stored.schema(cellCol).dataType
     val probes = probeCells(probeRows, cellType)
-    val cand = stored
+    stored
       .filter(col(cellCol).isInCollection(probes)) // partition-dir prune
       .join(broadcast(probesLocal.select(col("q_id"), col("q_vec"),
         col("cent").cast(cellType).as(cellCol))), Seq(cellCol))
-      .withColumn("sim", cosine(col("q_vec"), col(cVec)))
-    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col(cId))
-    cand.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col(cId).as("c_id"), col("sim"), col("rank"))
+      .select(col("q_id"), col(cId).as("c_id"),
+        cosine(col("q_vec"), col(cVec)).as("sim"))
   }
 
   /** Distinct probed cells, coerced to the stored cell column's exact

@@ -174,6 +174,42 @@ final class IvfIndex(val spark: SparkSession, val root: String,
   def serve(queries: DataFrame, centroids: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k/nprobe must be >= 1: $k/$nprobe")
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scoredCandidates(queries, centroids, nprobe)
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
+
+  /** Threshold (radius) neighbor join against the maintained index — the
+    * SEMANTIC-DEDUP serving shape (dd8/dd17's question asked of a
+    * persisted index instead of a one-shot corpus self-join): every stored
+    * vector within cosine >= `minSim` of a batch vector, as
+    * `(corpus_id, new_id, sim)`. Same probe machinery as [[serve]] — ONE
+    * probe derivation feeds both the store-level directory prune and the
+    * candidate cell join — but the cut is a similarity threshold, not a
+    * rank: `nprobe = |cells|` examines every (batch, stored) pair through
+    * the cell join (provably exact, the oracle config); bounded nprobe
+    * reads ~nprobe/C of the index (the scale path; a true neighbor hiding
+    * in an unprobed cell is the documented IVF recall trade, spec-pinned).
+    * Identity pairs (same id) are excluded so the streaming
+    * append-then-query service doesn't report each row as its own
+    * duplicate. */
+  def neighborsWithin(batch: DataFrame, centroids: DataFrame,
+      minSim: Double, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    scoredCandidates(batch, centroids, nprobe)
+      .filter(col("sim") >= minSim && col("c_id") =!= col("q_id"))
+      .select(col("c_id").as("corpus_id"), col("q_id").as("new_id"),
+        col("sim"))
+  }
+
+  /** Probe + prune + score, shared by [[serve]] and [[neighborsWithin]]:
+    * derive each query's `nprobe` nearest cells ONCE, route them through
+    * the store's own partitioning expression to a directory-level prune,
+    * and exact-cosine the pruned candidates — `(q_id, c_id, sim)`. */
+  private def scoredCandidates(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     val (probeRows, probeSchema) = Ann.collectProbes(
       queries, centroids, nprobe, idCol, vecCol, centId, centVec)
     // cell type from the PINNED schema (two small files), never from a
@@ -194,7 +230,7 @@ final class IvfIndex(val spark: SparkSession, val root: String,
       StructType(Seq(StructField(cellCol, cellType, nullable = false))))
     val ids = if (cells.isEmpty) Seq(0) else store.touchedBy(cellsDf)
     val pruned = store.readPartitions(ids).drop("d2")
-    Ann.rankOverProbes(pruned, probeRows, probeSchema, k, cellCol,
+    Ann.scoreOverProbes(pruned, probeRows, probeSchema, cellCol,
       idCol, vecCol)
   }
 }

@@ -188,6 +188,12 @@ object BenchScale {
     // per-delivery append+query through the same index, so its cost must
     // track dd19 plus the micro-batch machinery, never the index history
     "dd19_lsh_index", "st32_stream_lsh_dedup")
+  // dd20/st33 (the embedding-side twins of dd19/st32) are NOT in this
+  // list: their driver-oracle config serves exhaustively (nprobe=|cells|,
+  // provably exact — O(batch·corpus) scored pairs by design, the
+  // dd17/ann12 doctrine), so the heavy-tail linearity gate would only
+  // re-measure that known quadratic. Their scale path (cells ∝ √n,
+  // bounded nprobe) is gated in [[dd20Scale]] against the n^1.5 model.
 
   private val Copies = 10
   private val KeyOff = 1000000000L // per-copy id namespace stride
@@ -594,6 +600,23 @@ object BenchScale {
       f"[scale] dd17 approx pipeline sf0.1 $sdT01%.2fs sf1 $sdT1%.2fs " +
         f"ratio $sdRatio%.2f (n^1.5 model: 31.6)")
 
+    // ---- dd20 maintained semantic-dedup index at the scale config (the
+    // ONE approximate definition, AnnQueries.semanticIndexDedupApprox:
+    // √n cells, nprobe=4): full lifecycle — build + frozen-quantizer
+    // append + erasure rewrite + threshold serve — end to end. Candidate
+    // work rides the same n^1.5 model as dd17/ann12; the same 47× flag
+    // line applies. The driver-oracle config (nprobe=|cells|) is the
+    // deliberately-exhaustive exactness proof and is NOT what scales. ------
+    def dd20Pipeline(dir: String): Unit =
+      graft.queries.AnnQueries.semanticIndexDedupApprox(spark, dir)
+        .count(): Unit
+    val siT01 = time(dd20Pipeline(sf01))
+    val siT1 = time(dd20Pipeline(sf1))
+    val siRatio = if (siT01 > 0) siT1 / siT01 else -1.0
+    System.err.println(
+      f"[scale] dd20 approx index lifecycle sf0.1 $siT01%.2fs sf1 $siT1%.2fs " +
+        f"ratio $siRatio%.2f (n^1.5 model: 31.6)")
+
     // ---- pp8 COMPOSED curation pipeline at the scale config: the whole
     // five-stage plan (dd18 mask → approximate √n-cell SemDeDup drop →
     // tx34 gate → tx36 sample → tx7 pack) timed end to end. The keep-set
@@ -894,6 +917,10 @@ object BenchScale {
       s"""{"time_sf01":${f(ppT01)},"time_sf1":${f(ppT1)},""" +
       s""""time_ratio":${f(ppRatio)},"expected_model_ratio":31.6,""" +
       s""""superlinear":${ppRatio > 47.0}}"""
+    val siJson =
+      s"""{"time_sf01":${f(siT01)},"time_sf1":${f(siT1)},""" +
+      s""""time_ratio":${f(siRatio)},"expected_model_ratio":31.6,""" +
+      s""""superlinear":${siRatio > 47.0}}"""
     val mgJson =
       s"""{"touched_sf01":${f(mgT01)},"touched_sf1":${f(mgT1)},""" +
       s""""full_rewrite_sf01":${f(mgF01)},"full_rewrite_sf1":${f(mgF1)},""" +
@@ -934,6 +961,7 @@ object BenchScale {
       s""""dd16_candidates":$dd16Json,"percolator_registry_growth":$percJson,""" +
       s""""ann12_knn_scale":$knnJson,"ann14_append_scale":$ivJson,""" +
       s""""dd17_semdedup_scale":$sdJson,"pp8_curation_scale":$ppJson,""" +
+      s""""dd20_semdedup_index_scale":$siJson,""" +
       s""""u20_merge_scale":$mgJson,"u20_merge_skew":$skJson,""" +
       s""""rotate_scale":$roJson}"""
     println(json)

@@ -247,4 +247,57 @@ class IvfIndexSpec extends AnyFunSuite {
       emb.filter(col("vec_id") === 0), cents, k = 3, nprobe = 1)
     assert(pairs(served) === pairs(viaFull))
   }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("corpus_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("neighborsWithin (q:dd20): exhaustive probes ≡ the one-shot " +
+      "threshold join over the final corpus; bounded nprobe is a subset") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 9)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 8, iters = 3)
+    val idx = newIndex()
+    idx.build(base, cents)
+    idx.append(emb.filter(col("vec_id") % 10 === 9), cents)
+    idx.remove(emb.filter(col("vec_id") % 10 === 5), cents)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val served = idx.neighborsWithin(batch, cents, minSim = 0.30, nprobe = 8)
+    // the from-scratch recompute never touches the index: exhaustive
+    // threshold join of the batch against the FINAL corpus state
+    val fin = emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5)
+    val oracle = batch.as("q").join(fin.as("c"),
+        graft.functions.VectorFunctions.cosine(
+          col("q.embedding"), col("c.embedding")) >= 0.30)
+      .select(col("c.vec_id").as("corpus_id"), col("q.vec_id").as("new_id"))
+    assert(pairSet(served) === pairSet(oracle))
+    assert(pairSet(served).nonEmpty, "threshold too high — vacuous test")
+    // bounded nprobe: the documented IVF recall trade is one-sided — never
+    // a pair the exhaustive config wouldn't report
+    val bounded = idx.neighborsWithin(batch, cents, minSim = 0.30, nprobe = 1)
+    assert(pairSet(bounded).subsetOf(pairSet(served)))
+  }
+
+  test("neighborsWithin append-then-query: identity pairs excluded, a " +
+      "re-sent vector under a new id IS reported; empty batch keeps schema") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 4, iters = 2)
+    val idx = newIndex(4)
+    idx.build(base, cents)
+    // a delivery re-sending stored vector 0 byte-identical under a NEW id
+    // — the true duplicate the service exists to catch
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000001L).as("vec_id"), col("embedding"))
+    idx.append(dup, cents)
+    val got = idx.neighborsWithin(dup, cents, minSim = 0.999, nprobe = 4)
+      .select("corpus_id", "new_id", "sim").collect()
+    assert(!got.exists(r => r.getLong(0) == r.getLong(1)),
+      "identity pair leaked through the append-then-query exclusion")
+    assert(got.exists(r =>
+        r.getLong(0) == 0L && r.getLong(1) == 1000001L && r.getDouble(2) > 0.999),
+      s"byte-identical duplicate not reported: ${got.mkString(", ")}")
+    val empty = idx.neighborsWithin(emb.filter(lit(false)), cents,
+      minSim = 0.30, nprobe = 4)
+    assert(empty.columns.toSeq === Seq("corpus_id", "new_id", "sim"))
+    assert(empty.count() === 0L)
+  }
 }
