@@ -30,18 +30,33 @@ object AnnQueries {
     * batch against the maintained state. */
   private def semanticIndexLifecycle(s: SparkSession, dir: String,
       cells: Int, iters: Int, nPartitions: Int, nprobe: Int,
-      scratch: String): DataFrame = {
+      scratch: String, pq: Boolean = false): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     val base = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 9)
     val cents = graft.similarity.KMeans.train(base, "vec_id", "embedding",
       k = cells, iters = iters)
-    val idx = new graft.similarity.IvfIndex(s,
-      graft.util.Scratch.dir(scratch), nPartitions = nPartitions)
-    idx.build(base, cents)
-    idx.append(e.filter(col("vec_id") % 10 === 9), cents, maxDriftRatio = 4.0)
-    idx.remove(e.filter(col("vec_id") % 10 === 5), cents)
-    idx.neighborsWithin(e.filter(col("vec_id") % 10 === 0), cents,
-      minSim = 0.30, nprobe = nprobe)
+    val append = e.filter(col("vec_id") % 10 === 9)
+    val erase = e.filter(col("vec_id") % 10 === 5)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    if (pq) {
+      // the PQ-coded flavor (q:dd21): same lifecycle, (cell,id,code)-only
+      // candidate scan, exhaustive rerank makes the threshold exact
+      val idx = new graft.similarity.IvfPqIndex(s,
+        graft.util.Scratch.dir(scratch), nPartitions = nPartitions,
+        m = 8, k = 16)
+      idx.build(base, cents)
+      idx.append(append, cents, maxDriftRatio = 4.0)
+      idx.remove(erase, cents)
+      idx.neighborsWithin(batch, cents, minSim = 0.30, nprobe = nprobe,
+        rerank = Int.MaxValue)
+    } else {
+      val idx = new graft.similarity.IvfIndex(s,
+        graft.util.Scratch.dir(scratch), nPartitions = nPartitions)
+      idx.build(base, cents)
+      idx.append(append, cents, maxDriftRatio = 4.0)
+      idx.remove(erase, cents)
+      idx.neighborsWithin(batch, cents, minSim = 0.30, nprobe = nprobe)
+    }
   }
 
   /** dd20 at the SCALE config the BENCH_SCALE gate measures: cells ∝ √n
@@ -200,6 +215,19 @@ object AnnQueries {
     "dd20_semantic_index_dedup" -> { (s, dir) =>
       semanticIndexLifecycle(s, dir, cells = 8, iters = 3, nPartitions = 8,
         nprobe = 8, scratch = "graft_dd20").orderBy("new_id", "corpus_id")
+    },
+    // ---- dd21: the same maintained semantic-dedup lifecycle on the
+    // PQ-CODED index — the configuration a 100 TB deployment actually
+    // serves (the candidate scan reads (cell,id,code) only; raw vectors
+    // move solely for the post-cut exact rerank, which also VERIFIES the
+    // threshold — a near-dup is never asserted from the approximate
+    // distance). Exhaustive probes + unbounded rerank degenerate to the
+    // exact threshold join, so dd20's one-shot oracle is byte-for-byte
+    // this query's oracle too: the raw and PQ flavors must agree exactly
+    "dd21_pq_index_dedup" -> { (s, dir) =>
+      semanticIndexLifecycle(s, dir, cells = 8, iters = 3, nPartitions = 8,
+        nprobe = 8, scratch = "graft_dd21", pq = true)
+        .orderBy("new_id", "corpus_id")
     },
     // ---- st33: the streaming SEMANTIC dedup SERVICE — st32's
     // append-before-query contract on the IVF index: each delivery
@@ -1027,6 +1055,15 @@ object AnnQueries {
     // literal is cast to DOUBLE so both engines compare the identical
     // IEEE cosine against the identical bound
     "dd20_semantic_index_dedup" ->
+      ("SELECT c.vec_id AS corpus_id, q.vec_id AS new_id, " +
+        s"$cosSql AS sim " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 NOT IN (0, 5) " +
+        s"AND $cosSql >= CAST(0.30 AS DOUBLE) " +
+        "ORDER BY new_id, corpus_id"),
+    // identical oracle to dd20 BY DESIGN: exhaustive rerank makes the
+    // PQ flavor exact, so raw and PQ lifecycles must agree byte-for-byte
+    "dd21_pq_index_dedup" ->
       ("SELECT c.vec_id AS corpus_id, q.vec_id AS new_id, " +
         s"$cosSql AS sim " +
         "FROM embeddings q, embeddings c " +

@@ -184,6 +184,39 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
       nprobe: Int, rerank: Int): DataFrame = {
     require(kTop >= 1 && nprobe >= 1 && rerank >= kTop,
       s"need kTop >= 1, nprobe >= 1, rerank >= kTop: $kTop/$nprobe/$rerank")
+    val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    rerankedScores(queries, centroids, nprobe, rerank)
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= kTop)
+  }
+
+  /** Threshold (radius) neighbor join against the PQ-coded index —
+    * [[IvfIndex.neighborsWithin]]'s semantics at the 100 TB memory point:
+    * the candidate scan still reads ONLY (cell, id, code) of the probed
+    * partitions, the ADC cut keeps `rerank` survivors per batch vector,
+    * and the exact cosine rerank both verifies the threshold and emits
+    * the reported `sim` — a near-dup is never asserted from the
+    * approximate distance alone. `nprobe = |cells|` with
+    * `rerank = Int.MaxValue` degenerates to the exact exhaustive
+    * threshold join (the oracle config, q:dd21); bounded settings are the
+    * scale path whose recall trade is one-sided (containment,
+    * IvfPqIndexSpec). Identity pairs are excluded so append-then-query
+    * services don't report each row as its own duplicate. */
+  def neighborsWithin(batch: DataFrame, centroids: DataFrame,
+      minSim: Double, nprobe: Int, rerank: Int): DataFrame = {
+    require(nprobe >= 1 && rerank >= 1,
+      s"need nprobe >= 1, rerank >= 1: $nprobe/$rerank")
+    rerankedScores(batch, centroids, nprobe, rerank)
+      .filter(col("sim") >= minSim && col("c_id") =!= col("q_id"))
+      .select(col("c_id").as("corpus_id"), col("q_id").as("new_id"),
+        col("sim"))
+  }
+
+  /** Probe + ADC cut + exact rerank, shared by [[serve]] and
+    * [[neighborsWithin]]: `(q_id, c_id, sim)` for the `rerank` ADC
+    * survivors of each query, with `sim` the EXACT cosine. */
+  private def rerankedScores(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, rerank: Int): DataFrame = {
     val books = codebooks()
     val (probeRows, probeSchema) = Ann.collectProbes(
       queries, centroids, nprobe, idCol, vecCol, centId, centVec)
@@ -225,15 +258,12 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     val qVecs = probesLocal.select(col("q_id"),
       col("q_vec").cast("array<double>").as("q_vec"))
       .dropDuplicates("q_id")
-    val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     candidates
       .join(pruned.select(col(idCol).as("c_id"),
         col(vecCol).cast("array<double>").as("__cvec")), Seq("c_id"))
       .join(broadcast(qVecs), Seq("q_id"))
       .withColumn("sim", graft.functions.VectorFunctions.cosine(
         col("q_vec"), col("__cvec")))
-      .withColumn("rank", row_number().over(wSim))
-      .filter(col("rank") <= kTop)
-      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("sim"))
   }
 }

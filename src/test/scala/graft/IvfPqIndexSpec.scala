@@ -133,4 +133,39 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(idx.trainMeanD2 > 0.0, "under-k rebuild bricked the baseline")
     assert(idx.store.read().count() > 0)
   }
+
+  test("neighborsWithin (q:dd21): exhaustive probes + unbounded rerank ≡ " +
+      "the exact threshold join; a bounded ADC cut only drops, never adds; " +
+      "identity pairs excluded; reported sim is the exact cosine") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 8, iters = 3)
+    val idx = newIndex()
+    idx.build(base, cents)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_id", "new_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = idx.neighborsWithin(batch, cents, minSim = 0.30,
+      nprobe = 8, rerank = Int.MaxValue)
+    val oracle = batch.as("q").join(base.as("c"),
+        graft.functions.VectorFunctions.cosine(
+          col("q.embedding"), col("c.embedding")) >= 0.30)
+      .select(col("c.vec_id").as("corpus_id"), col("q.vec_id").as("new_id"))
+    assert(pset(served) === pset(oracle))
+    assert(pset(served).nonEmpty, "threshold too high — vacuous test")
+    // the exact rerank is what reports sim: every reported value matches
+    // the brute-force cosine of that pair (the ADC distance never leaks)
+    val exactSims = batch.as("q").join(base.as("c"),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("c.vec_id").as("corpus_id"), col("q.vec_id").as("new_id"),
+        graft.functions.VectorFunctions.cosine(
+          col("q.embedding"), col("c.embedding")).as("exact_sim"))
+    assert(served.join(exactSims, Seq("corpus_id", "new_id"))
+      .filter(col("sim") =!= col("exact_sim")).count() === 0L)
+    // bounded ADC cut and bounded probes: one-sided (containment)
+    for ((np, rr) <- Seq((8, 5), (2, Int.MaxValue), (2, 5)))
+      assert(pset(idx.neighborsWithin(batch, cents, minSim = 0.30,
+        nprobe = np, rerank = rr)).subsetOf(pset(served)),
+        s"bounded config nprobe=$np rerank=$rr reported extra pairs")
+  }
 }
