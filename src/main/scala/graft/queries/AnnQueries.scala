@@ -71,6 +71,18 @@ object AnnQueries {
       nPartitions = 32, nprobe = 4, scratch = "graft_dd20_approx")
   }
 
+  /** The dd20/dd21 oracle — shared because the raw and PQ lifecycles are
+    * BOTH provably exact at their oracle configs and run over the same
+    * final corpus, so one SQL pins them to each other as well as to the
+    * from-scratch recompute. */
+  private val indexDedupOracleSql: String =
+    "SELECT c.vec_id AS corpus_id, q.vec_id AS new_id, " +
+      s"$cosSql AS sim " +
+      "FROM embeddings q, embeddings c " +
+      "WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 NOT IN (0, 5) " +
+      s"AND $cosSql >= CAST(0.30 AS DOUBLE) " +
+      "ORDER BY new_id, corpus_id"
+
   val queries: Map[String, Q] = Map(
     // exact brute-force cosine top-3 for 8 query vectors
     "ann1_topk_exact" -> { (s, dir) =>
@@ -1054,22 +1066,11 @@ object AnnQueries {
     // index's lifecycle history cannot show through; the threshold
     // literal is cast to DOUBLE so both engines compare the identical
     // IEEE cosine against the identical bound
-    "dd20_semantic_index_dedup" ->
-      ("SELECT c.vec_id AS corpus_id, q.vec_id AS new_id, " +
-        s"$cosSql AS sim " +
-        "FROM embeddings q, embeddings c " +
-        "WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 NOT IN (0, 5) " +
-        s"AND $cosSql >= CAST(0.30 AS DOUBLE) " +
-        "ORDER BY new_id, corpus_id"),
-    // identical oracle to dd20 BY DESIGN: exhaustive rerank makes the
-    // PQ flavor exact, so raw and PQ lifecycles must agree byte-for-byte
-    "dd21_pq_index_dedup" ->
-      ("SELECT c.vec_id AS corpus_id, q.vec_id AS new_id, " +
-        s"$cosSql AS sim " +
-        "FROM embeddings q, embeddings c " +
-        "WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 NOT IN (0, 5) " +
-        s"AND $cosSql >= CAST(0.30 AS DOUBLE) " +
-        "ORDER BY new_id, corpus_id"),
+    "dd20_semantic_index_dedup" -> indexDedupOracleSql,
+    // the IDENTICAL oracle BY DESIGN (one shared fragment, never copied
+    // SQL): exhaustive rerank makes the PQ flavor exact, so the raw and
+    // PQ lifecycles must agree byte-for-byte
+    "dd21_pq_index_dedup" -> indexDedupOracleSql,
     // every >= minSim pair with at least one streamed (%10=0) endpoint —
     // the batching-invariant final state of the per-delivery service
     "st33_stream_semantic_dedup" ->
