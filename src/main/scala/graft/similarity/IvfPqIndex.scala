@@ -53,6 +53,15 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
 
   val store = new PartitionedStore(spark, root, Seq(cellCol), nPartitions)
 
+  /** Test-only fault-injection seam (the [[IvfIndex]] doctrine): invoked
+    * after [[build]]'s ordered persistent steps (`metaInvalidated`,
+    * `codebooksWritten`, `storeInit`) so FaultInjectionSpec can snapshot
+    * the state a crash at that point would leave — in particular the
+    * PQ-specific window where NEW codebooks sit next to OLD-codebook
+    * codes, reachable only through the deleted meta. No-op in
+    * production. */
+  private[graft] var onStep: String => Unit = _ => ()
+
   private def metaPath = Paths.get(root, "ivfpq_meta.json")
   private def codebooksPath = Paths.get(root, "pq_codebooks.parquet")
 
@@ -114,8 +123,11 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     val books = Pq.train(res.select(col(idCol), col("__res")),
       idCol, "__res", m, k, iters = 2)
     Files.deleteIfExists(metaPath)
+    onStep("metaInvalidated")
     writeCodebooks(books)
+    onStep("codebooksWritten")
     store.init(Pq.encode(res, "__res", books).select(storedCols: _*))
+    onStep("storeInit")
     val meanRow = store.read().agg(avg(col("d2"))).collect()(0)
     require(!meanRow.isNullAt(0),
       s"IVF-PQ build corpus yielded no assignment distances (null " +

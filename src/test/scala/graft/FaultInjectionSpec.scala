@@ -331,6 +331,66 @@ class FaultInjectionSpec extends AnyFunSuite {
     }
   }
 
+  // ---- IvfPqIndex build windows (meta gates the data↔codebook pairing) ----
+
+  test("IvfPqIndex rebuild killed around codebook/store writes: every " +
+      "model-dependent read fails loud 'not built' — a crash that leaves " +
+      "NEW codebooks beside OLD-codebook codes can never ADC-serve the " +
+      "mismatched pairing — and a fresh build recovers") {
+    val emb = Tables.t(spark, TestSession.sf, "embeddings").cache()
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val cents = KMeans.train(base, "vec_id", "embedding", k = 4, iters = 2)
+    val root = Files.createTempDirectory("graft_fault_ivfpq").toString
+    val idx = new graft.similarity.IvfPqIndex(spark, root, 4, m = 8, k = 16)
+    idx.build(base, cents)
+    val baseCount = idx.store.read().count()
+    val snaps = scala.collection.mutable.Map[String, Path]()
+    idx.onStep = s =>
+      if (Set("metaInvalidated", "codebooksWritten", "storeInit")(s))
+        snaps.getOrElseUpdate(s, crashImage(root, s))
+    idx.build(emb, cents) // the instrumented rebuild, completes normally
+    idx.onStep = _ => ()
+    assert(snaps.keySet ===
+      Set("metaInvalidated", "codebooksWritten", "storeInit"))
+
+    val q = emb.filter(col("vec_id") < 4)
+    for ((step, snap) <- snaps) {
+      val s = new graft.similarity.IvfPqIndex(spark, snap.toString, 4,
+        m = 8, k = 16)
+      // the window's whole point: the meta file is the ONLY path to the
+      // codebook pairing (subDim rides it), so after `codebooksWritten` —
+      // new codebooks on disk, stored codes still from the OLD books —
+      // every model-dependent surface is loudly unreachable rather than
+      // silently serving mismatched ADC distances
+      val e = intercept[IllegalArgumentException] { s.trainMeanD2 }
+      assert(e.getMessage.contains("not built"), s"$step: ${e.getMessage}")
+      intercept[IllegalArgumentException] { s.codebooks() }
+      intercept[IllegalArgumentException] {
+        s.serve(q, cents, kTop = 3, nprobe = 4, rerank = Int.MaxValue)
+      }
+      intercept[IllegalArgumentException] {
+        s.neighborsWithin(q, cents, minSim = 0.30, nprobe = 4,
+          rerank = Int.MaxValue)
+      }
+      intercept[IllegalArgumentException] { s.append(emb.limit(3), cents) }
+      // the data itself still resolves (old corpus before init, new after)
+      val n = s.store.read().count()
+      assert(if (step == "storeInit") n == emb.count() else n == baseCount,
+        s"$step: unexpected corpus size $n")
+      // recovery: a fresh build restores the full contract, exactly
+      s.build(base, cents)
+      assert(s.trainMeanD2 > 0.0)
+      val got = s.serve(q, cents, kTop = 3, nprobe = 4,
+          rerank = Int.MaxValue)
+        .select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Ann.bruteForceTopK(q, base, k = 3)
+        .select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"$step: recovered index serves wrong")
+    }
+  }
+
   // ---- GenRotator rotate windows ------------------------------------------
 
   test("rotate killed after EACH ordered step: the pointer resolves a " +
