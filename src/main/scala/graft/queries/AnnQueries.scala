@@ -786,14 +786,14 @@ object AnnQueries {
     }
   )
 
-  private val bucketCte =
+  private[queries] val bucketCte =
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       "b AS (SELECT vec_id, v, " +
       "list_sum([CASE WHEN list_reduce([v[d+1] * ((((p*31)+d)*2654435761 % 2147483648)/2147483648.0 - 0.5) " +
       "FOR d IN generate_series(0,63)], (a,bb)->a+bb) > 0 " +
       "THEN (1::BIGINT << p) ELSE 0 END FOR p IN generate_series(0,7)])::BIGINT AS bucket FROM e)"
 
-  private val cosV =
+  private[queries] val cosV =
     "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
 
   private val l2 = (a: String, b: String) =>

@@ -273,6 +273,50 @@ object DedupQueries {
         .filter(col("jacc") >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
+    // ENSEMBLE dedup — what a production curation pipeline actually runs:
+    // the text blocker (minhash bands, dd2) and the semantic blocker
+    // (sign-LSH buckets over the aligned embeddings, dd8) each surface
+    // candidate pairs their own modality can see; the union is verified
+    // with BOTH exact measures (Jaccard over shingles, cosine over
+    // embeddings) and flagged per signal plus a combined `dup` decision.
+    // Blockers decide only what is LOOKED AT — never what is reported, so
+    // a banding/bucketing change can widen recall but cannot corrupt a
+    // verified value. Scale shape: two small-key equi-joins + one
+    // hash-agg + four co-keyed verify joins — no product anywhere; at
+    // 100 TB each blocker is the already-gated dd2/dd8 shape and the
+    // verify cost is O(|candidates|)
+    "dd22_ensemble_dedup" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val e = Tables.t(s, dir, "embeddings")
+      val text = minhashCandidates(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit(1).as("tf"), lit(0).as("sf"))
+      val b = e.select(col("vec_id"),
+        graft.similarity.Ann.lshBucket(col("embedding"), 8).as("bucket"))
+      val sem = b.as("l").join(b.as("r"),
+          col("l.bucket") === col("r.bucket") &&
+            col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("doc_a"), col("r.vec_id").as("doc_b"),
+          lit(0).as("tf"), lit(1).as("sf"))
+      val cand = text.unionByName(sem).groupBy("doc_a", "doc_b")
+        .agg(max(col("tf")).as("text_cand"), max(col("sf")).as("sem_cand"))
+      val sh = docs.withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), wordShingles(col("toks"), 3).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("doc_b"))
+        .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("v_a")),
+          Seq("doc_a"))
+        .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("v_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("text_cand"), col("sem_cand"),
+          jaccard(col("sh_a"), col("sh_b")).as("jacc"),
+          VectorFunctions.cosine(col("v_a"), col("v_b")).as("sim"))
+        .withColumn("dup",
+          (col("jacc") >= 0.5 || col("sim") >= 0.30).cast("int"))
+        .orderBy("doc_a", "doc_b")
+    },
     // chunk-level exact dedup (the line/paragraph-dedup shape on this
     // newline-free corpus): split every doc into non-overlapping 64-token
     // chunks, keep only the FIRST corpus-wide occurrence of each distinct
@@ -561,6 +605,15 @@ object DedupQueries {
     * signatures and 4-band hashes of every document. The signature/banding
     * constants live here exactly once — dd2's self-join, dd10's two-sided
     * join, and the dd6/dd9 CC prefix all build on `bands`. */
+  /** DuckDB twin of [[graft.dedup.TextDedup.jaccard]] over two aliases of
+    * the `sh` CTE — the ONE exact-Jaccard expression, shared by the dd12
+    * and dd22 oracles (empty∪empty defines jacc = 1.0, the Spark side's
+    * convention). */
+  private def jaccSql(a: String, b: String): String =
+    s"CASE WHEN (len($a.shingles) + len($b.shingles) - len(list_intersect($a.shingles, $b.shingles))) = 0 THEN 1.0 " +
+      s"ELSE CAST(len(list_intersect($a.shingles, $b.shingles)) AS DOUBLE) / " +
+      s"(len($a.shingles) + len($b.shingles) - len(list_intersect($a.shingles, $b.shingles))) END"
+
   private val bandsCtePrefix: String =
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       s"sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t), " +
@@ -718,12 +771,35 @@ object DedupQueries {
         "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b " +
         "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id), " +
         "scored AS (SELECT doc_a, doc_b, " +
-        "CASE WHEN (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) = 0 THEN 1.0 " +
-        "ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / " +
-        "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) END AS jacc " +
+        s"${jaccSql("a", "b")} AS jacc " +
         "FROM cand JOIN sh a ON a.doc_id = cand.doc_a JOIN sh b ON b.doc_id = cand.doc_b) " +
         "SELECT doc_a, doc_b, jacc FROM scored WHERE jacc >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+    // two independently-blocked candidate sets (minhash bands over the
+    // text; sign-LSH buckets over the embeddings) union into one pair
+    // list, then EVERY surfaced pair is verified with BOTH exact measures
+    // — the bands/buckets decide only what is LOOKED AT, never what is
+    // reported. All four stages are the shared fragments of dd2/dd8/dd12
+    "dd22_ensemble_dedup" ->
+      (s"$bandsCtePrefix, ${AnnQueries.bucketCte.stripPrefix("WITH ")}, " +
+        "tc AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b " +
+        "FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id), " +
+        "sc AS (SELECT l.vec_id AS doc_a, r.vec_id AS doc_b " +
+        "FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id), " +
+        "cand AS (SELECT doc_a, doc_b, CAST(max(tf) AS INTEGER) AS text_cand, " +
+        "CAST(max(sf) AS INTEGER) AS sem_cand FROM (" +
+        "SELECT doc_a, doc_b, 1 AS tf, 0 AS sf FROM tc " +
+        "UNION ALL SELECT doc_a, doc_b, 0 AS tf, 1 AS sf FROM sc) u " +
+        "GROUP BY doc_a, doc_b), " +
+        "scored AS (SELECT cand.doc_a, cand.doc_b, text_cand, sem_cand, " +
+        s"${jaccSql("sa", "sb")} AS jacc, " +
+        s"${AnnQueries.cosV} AS sim " +
+        "FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a " +
+        "JOIN sh sb ON sb.doc_id = cand.doc_b " +
+        "JOIN e q ON q.vec_id = cand.doc_a JOIN e c ON c.vec_id = cand.doc_b) " +
+        "SELECT doc_a, doc_b, text_cand, sem_cand, jacc, sim, " +
+        "CAST((jacc >= CAST(0.5 AS DOUBLE) OR sim >= CAST(0.30 AS DOUBLE)) AS INTEGER) AS dup " +
+        "FROM scored ORDER BY doc_a, doc_b"),
     "dd13_chunk_dedup" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "c AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, " +

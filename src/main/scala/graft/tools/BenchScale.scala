@@ -187,7 +187,12 @@ object BenchScale {
     // its marginal must track dd10's one-shot two-sided join; st32 streams
     // per-delivery append+query through the same index, so its cost must
     // track dd19 plus the micro-batch machinery, never the index history
-    "dd19_lsh_index", "st32_stream_lsh_dedup")
+    "dd19_lsh_index", "st32_stream_lsh_dedup",
+    // dd22 unions the two already-gated blockers (dd2 bands + dd8
+    // sign-LSH buckets) and verifies every candidate with both exact
+    // measures — candidate count rides the blockers' own growth, verify
+    // cost is O(|candidates|) co-keyed joins (measured 1.9× at 10×)
+    "dd22_ensemble_dedup")
   // dd20/st33 (the embedding-side twins of dd19/st32) are NOT in this
   // list: their driver-oracle config serves exhaustively (nprobe=|cells|,
   // provably exact — O(batch·corpus) scored pairs by design, the
