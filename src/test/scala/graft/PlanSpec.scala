@@ -683,4 +683,16 @@ class PlanSpec extends AnyFunSuite {
     // and no cartesian anywhere in the serve
     assert(!plan.contains("CartesianProduct"), s"ann16 serve product:\n$plan")
   } }
+
+  test("ensemble dedup: both blockers and all four verify joins stay " +
+      "equi-joins — no product anywhere") { uncached {
+    val plan = formattedPlan(
+      SparkEntry.queries("dd22_ensemble_dedup")(spark, TestSession.sf))
+    // the band join, the bucket join, and the shingle/vector fetch joins
+    // must all plan as hash equi-joins: a blocker degenerating to a
+    // product is exactly the all-pairs failure the blockers exist to avoid
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"ensemble dedup degenerated to a product:\n$plan")
+  } }
 }
