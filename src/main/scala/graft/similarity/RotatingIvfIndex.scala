@@ -112,4 +112,14 @@ final class RotatingIvfIndex(val spark: SparkSession, val root: String,
     val (idx, cents) = current()
     idx.serve(queries, cents, k, nprobe)
   }
+
+  /** Threshold (radius) serve through the live generation — resolves the
+    * pointer per call exactly like [[serve]], so the dedup service keeps
+    * answering across a rebuild with no blackout and never a mixed
+    * quantizer/data read. Semantics are [[IvfIndex.neighborsWithin]]'s. */
+  def neighborsWithin(batch: DataFrame, minSim: Double,
+      nprobe: Int): DataFrame = {
+    val (idx, cents) = current()
+    idx.neighborsWithin(batch, cents, minSim, nprobe)
+  }
 }

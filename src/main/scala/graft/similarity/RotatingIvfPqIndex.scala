@@ -80,4 +80,14 @@ final class RotatingIvfPqIndex(val spark: SparkSession, val root: String,
     val (idx, cents) = current()
     idx.serve(queries, cents, kTop, nprobe, rerank)
   }
+
+  /** Threshold (radius) serve through the live generation — resolves the
+    * pointer per call exactly like [[serve]], no blackout, never a mixed
+    * codebook/data read. Semantics are [[IvfPqIndex.neighborsWithin]]'s
+    * (ADC cut + exact rerank verifying the threshold). */
+  def neighborsWithin(batch: DataFrame, minSim: Double, nprobe: Int,
+      rerank: Int): DataFrame = {
+    val (idx, cents) = current()
+    idx.neighborsWithin(batch, cents, minSim, nprobe, rerank)
+  }
 }

@@ -283,4 +283,38 @@ class RotatingIvfSpec extends AnyFunSuite {
     assert(sawOld, "race never observed the pre-swap generation")
     assert(sawNew, "race never observed the post-swap generation")
   }
+
+  test("threshold serve (neighborsWithin) through the live generation: " +
+      "exact before AND after a retrain swap on both flavors — the dedup " +
+      "service keeps answering across a rebuild") {
+    val emb2 = emb
+    val corpus = emb2.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb2.filter(col("vec_id") % 10 === 0)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_id", "new_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the generation-independent truth: exhaustive threshold join
+    val want = pset(batch.as("q").join(corpus.as("c"),
+        graft.functions.VectorFunctions.cosine(
+          col("q.embedding"), col("c.embedding")) >= 0.30)
+      .select(col("c.vec_id").as("corpus_id"), col("q.vec_id").as("new_id")))
+    assert(want.nonEmpty, "threshold too high — vacuous test")
+    val rot = new RotatingIvfIndex(spark,
+      Files.createTempDirectory("graft_rotivf_nw").toString, nPartitions = 8)
+    rot.build(corpus, KMeans.train(corpus, "vec_id", "embedding", k = 4, iters = 2))
+    assert(pset(rot.neighborsWithin(batch, minSim = 0.30, nprobe = 4)) === want)
+    // retrain 4 → 8 cells: the exhaustive config is exact under EITHER
+    // generation, so the swap cannot show through
+    rot.rebuild(corpus, KMeans.train(corpus, "vec_id", "embedding", k = 8, iters = 2))
+    assert(pset(rot.neighborsWithin(batch, minSim = 0.30, nprobe = 8)) === want)
+    val rotPq = new RotatingIvfPqIndex(spark,
+      Files.createTempDirectory("graft_rotivfpq_nw").toString,
+      nPartitions = 8, m = 8, k = 16)
+    rotPq.build(corpus, KMeans.train(corpus, "vec_id", "embedding", k = 4, iters = 2))
+    assert(pset(rotPq.neighborsWithin(batch, minSim = 0.30, nprobe = 4,
+      rerank = Int.MaxValue)) === want)
+    rotPq.rebuild(corpus, KMeans.train(corpus, "vec_id", "embedding", k = 8, iters = 2))
+    assert(pset(rotPq.neighborsWithin(batch, minSim = 0.30, nprobe = 8,
+      rerank = Int.MaxValue)) === want)
+  }
 }
