@@ -12,7 +12,12 @@ object GraftSession {
       .master(master)
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false: measurement-only escape hatch (JobProfile
+      // A/B of adaptive-execution overhead on small inputs); the engine
+      // default — and the driver bench — keeps AQE on (runtime re-plan +
+      // skew-join handling, the 100 TB stance)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // driver testdata ships TIMESTAMP(NANOS) parquet — read as long,

@@ -68,22 +68,33 @@ object Clustering {
       val fromNbrs = sym.join(labels, sym("d") === labels("node"))
         .groupBy(sym("s").as("nbr_node"))
         .agg(min(col("component")).as("nbr_min"))
-      val stepped = truncLabels(labels
+      // NOT truncated: the self-join below references this subtree twice
+      // and exchange reuse computes the shared exchanges once — one
+      // materialization per round instead of three (stepped + jumped +
+      // the convergence count each used to be their own job; label values
+      // are integer mins, so the result is plan-shape-independent)
+      val stepped = labels
         .join(fromNbrs, labels("node") === fromNbrs("nbr_node"), "left")
         .select(col("node"), col("component"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("next")))
+            .as("next"))
       // pointer jumping (path halving): also follow the candidate label one
       // hop through the label table itself — labels only decrease, so this
       // squares the propagation distance per round and a long chain
       // converges in O(log diameter) rounds, not O(diameter)
       val hop = stepped.select(col("node").as("jn"), col("next").as("jnext"))
+      // convergence rides the SAME job as the round's materialization: an
+      // observed metric instead of a separate count() action
+      val obs = org.apache.spark.sql.Observation()
       val jumped = truncLabels(stepped
         .join(hop, stepped("next") === hop("jn"), "left")
         .select(stepped("node"), stepped("component"),
           least(stepped("next"), coalesce(col("jnext"), stepped("next")))
-            .as("next")))
-      changed = jumped.filter(col("next") =!= col("component")).count()
+            .as("next"))
+        .observe(obs, sum(when(col("next") =!= col("component"), 1L)
+          .otherwise(0L)).as("moved")))
+      changed = obs.get.get("moved").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = jumped.select(col("node"), col("next").as("component"))
       i += 1
     }

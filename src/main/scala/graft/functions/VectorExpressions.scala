@@ -81,6 +81,37 @@ object VectorMath {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** PQ asymmetric-distance fold: Σ_s dtab(s)(code(s)) — the native form of
+    * `aggregate(zip_with(code, dtab, (cd, row) => element_at(row, cd + 1)),
+    * 0.0, (acc, x) => acc + x)`, which is interpreted lambda evaluation per
+    * CANDIDATE pair in the ADC scan. Identical left-to-right double
+    * accumulation; identical null semantics: a length mismatch between code
+    * and dtab, a null element on either side, or an out-of-range code nulls
+    * the whole sum (codes are in-range by construction — encode() emits
+    * codebook positions — so the out-of-range branch is unreachable in
+    * practice); two empty arrays fold to 0.0 (the aggregate's init). */
+  def pqAdc(code: ArrayData, dtab: ArrayData, codeLong: Boolean): Any = {
+    val n = code.numElements()
+    val m = dtab.numElements()
+    if (n != m) return null
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      if (code.isNullAt(s) || dtab.isNullAt(s)) return null
+      val cd = if (codeLong) code.getLong(s).toInt else code.getInt(s)
+      val row = dtab.getArray(s)
+      if (cd < 0 || cd >= row.numElements() || row.isNullAt(cd)) return null
+      acc += row.getDouble(cd)
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -133,6 +164,33 @@ case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** See [[VectorMath.pqAdc]]: Σ_s dtab(s)(code(s)) in one codegen'd primitive
+  * loop — the ADC scan's per-candidate hot path. */
+case class PqAdcSum(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  private lazy val codeLong = VectorMath.isLongArray(left.dataType)
+
+  override def nullSafeEval(code: Any, dtab: Any): Any =
+    VectorMath.pqAdc(code.asInstanceOf[ArrayData],
+      dtab.asInstanceOf[ArrayData], codeLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, d) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.VectorMath.pqAdc($c, $d, $codeLong);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $boxed).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcSum =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}
+
 case class SignLshBucket(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -161,4 +219,8 @@ object VectorExprFunctions {
 
   def sign_lsh_bucket(vec: Column, planes: Int): Column =
     ColumnBridge.column(SignLshBucket(ColumnBridge.expression(vec), planes))
+
+  def pq_adc(code: Column, dtab: Column): Column =
+    ColumnBridge.column(PqAdcSum(ColumnBridge.expression(code),
+      ColumnBridge.expression(dtab)))
 }

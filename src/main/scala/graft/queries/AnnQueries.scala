@@ -512,32 +512,21 @@ object AnnQueries {
     // engines is; λ is the Rayleigh quotient over n. Scale shape: after
     // the one corpus-sized pass into G, everything is d²-sized co-keyed
     // joins against broadcast d-row iterates — corpus-independent --------
+    // The power loop itself runs DRIVER-LOCAL over the collected Gram
+    // (d² = 4096 doubles — bounded model state, the KMeans-codebook
+    // doctrine) in bit-identical exact-decimal arithmetic
+    // ([[graft.similarity.PowerIteration]], parity spec'd): the distributed
+    // formulation spent ~25 adaptive stages of pure job overhead per run on
+    // corpus-INDEPENDENT d-sized tables. The one corpus-sized pass (the
+    // centering/Gram aggregate) stays distributed, unchanged.
     "fe3_pca_power" -> { (s, dir) =>
-      val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
-      val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      import graft.similarity.PowerIteration._
       val emb = Tables.t(s, dir, "embeddings")
-      val trunc = new graft.ops.IterTrunc(s, None, "pca")
-      val g = pcaGram(s, dir, trunc)
-      def mul(v: org.apache.spark.sql.DataFrame) =
-        g.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
-          .groupBy("i")
-          .agg(sum((col("gij") * col("vj")).cast(d28)).cast("double").as("w"))
-      var v = s.range(64)
-        .select(col("id").cast("int").as("i"), lit(0.125).as("v"))
-      for (_ <- 1 to 3) {
-        val w = mul(v)
-        val nrm = w.agg(
-          sqrt(sum((col("w") * col("w")).cast(d28)).cast("double")).as("nrm"))
-        v = w.crossJoin(broadcast(nrm))
-          .select(col("i"), (col("w") / col("nrm")).as("v"))
-      }
-      val lam = mul(v).join(v, "i")
-        .agg(sum((col("w") * col("v")).cast(d28)).cast("double").as("vgv"))
-        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n"))))
-        .select((col("vgv") / col("n")).as("lambda"))
-      v.crossJoin(broadcast(lam))
-        .select(col("i").as("dim"), col("v").cast(d6).cast("double").as("loading"),
-          col("lambda").cast(d6).cast("double").as("lambda"))
+      val g = collectGram(pcaGram(s, dir))
+      val v = threeRounds(g, 64, 0.125)
+      val lambda = rayleigh(g, v) / emb.count()
+      localPca(s, Seq.tabulate(64)(i =>
+        org.apache.spark.sql.Row(i, d6(v(i)), d6(lambda))), withComponent = None)
         .orderBy("dim")
     },
     // ---- fe4: top-3 principal SUBSPACE by deflation — whitening/drift
@@ -549,45 +538,24 @@ object AnnQueries {
     // broadcast iterates, so the added components cost corpus-NOTHING:
     // only the one centering pass scales with n. λᵣ = sᵣ/n as in fe3;
     // component 1 reproduces fe3 bit-for-bit ------------------------------
+    // Same driver-local post-Gram doctrine as fe3 (the per-component
+    // three-round iterate, the Rayleigh eigenvalue and the Hotelling
+    // deflation are ALL d- or d²-sized): one distributed Gram pass, one
+    // collect, exact-decimal local rounds — component 1 still reproduces
+    // fe3 bit-for-bit because the arithmetic tree is unchanged.
     "fe4_pca_topr" -> { (s, dir) =>
-      val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
-      val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
-      val n = Tables.t(s, dir, "embeddings").agg(count(lit(1)).as("n"))
-      val trunc = new graft.ops.IterTrunc(s, None, "pca_topr")
-      var g = pcaGram(s, dir, trunc)
-      val comps = (1 to 3).map { r =>
-        def mul(v: org.apache.spark.sql.DataFrame) =
-          g.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
-            .groupBy("i")
-            .agg(sum((col("gij") * col("vj")).cast(d28)).cast("double").as("w"))
-        var v = s.range(64)
-          .select(col("id").cast("int").as("i"), lit(0.125).as("v"))
-        for (_ <- 1 to 3) {
-          val w = mul(v)
-          val nrm = w.agg(
-            sqrt(sum((col("w") * col("w")).cast(d28)).cast("double")).as("nrm"))
-          v = w.crossJoin(broadcast(nrm))
-            .select(col("i"), (col("w") / col("nrm")).as("v"))
-        }
-        // pin the converged iterate: the deflated Gram and the output both
-        // read it, and without truncation each component's plan would
-        // re-derive every predecessor's three rounds
-        v = trunc.pin(v)
-        val sval = mul(v).join(v, "i")
-          .agg(sum((col("w") * col("v")).cast(d28)).cast("double").as("s"))
-        if (r < 3)
-          g = trunc.pin(g
-            .join(broadcast(v.select(col("i"), col("v").as("vi"))), "i")
-            .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
-            .crossJoin(broadcast(sval))
-            .select(col("i"), col("j"),
-              (col("gij") - col("s") * col("vi") * col("vj")).as("gij")))
-        v.crossJoin(broadcast(sval)).crossJoin(broadcast(n))
-          .select(lit(r).as("component"), col("i").as("dim"),
-            col("v").cast(d6).cast("double").as("loading"),
-            (col("s") / col("n")).cast(d6).cast("double").as("lambda"))
+      import graft.similarity.PowerIteration._
+      val n = Tables.t(s, dir, "embeddings").count()
+      var g = collectGram(pcaGram(s, dir))
+      val rows = (1 to 3).flatMap { r =>
+        val v = threeRounds(g, 64, 0.125)
+        val sval = rayleigh(g, v)
+        if (r < 3) g = deflate(g, sval, v)
+        Seq.tabulate(64)(i =>
+          org.apache.spark.sql.Row(r, i, d6(v(i)), d6(sval / n)))
       }
-      comps.reduce(_ unionByName _).orderBy("component", "dim")
+      localPca(s, rows, withComponent = Some("component"))
+        .orderBy("component", "dim")
     },
     // ---- fe5: PCA WHITENING — project vectors onto fe4's top-3 subspace
     // scaled by 1/√λ (the drift-analysis / decorrelation consumer of the
@@ -606,7 +574,9 @@ object AnnQueries {
       val model = queries("fe4_pca_topr")(s, dir)
         .select(col("component"), col("dim").as("i"),
           col("loading"), col("lambda"))
-      val emb = Tables.t(s, dir, "embeddings")
+      // bit-safe spread (exact decimal mean downstream): the centering
+      // pass's heavy explode otherwise runs inside a one-split scan stage
+      val emb = graft.util.Spread(Tables.t(s, dir, "embeddings"))
       def expl(d: DataFrame) = d
         .select(col("vec_id").as("id"), posexplode(col("embedding")))
         .select(col("id"), col("pos").cast("int").as("i"),
@@ -811,11 +781,14 @@ object AnnQueries {
     * after — halves the exact-decimal term count, and the mirrored cell is
     * the SAME exact sum (products commute, decimal addition is
     * order-free), so the oracle's full d² formulation stays
-    * cell-identical. Pinned: every power round re-reads it. */
-  private def pcaGram(s: SparkSession, dir: String,
-      trunc: graft.ops.IterTrunc): DataFrame = {
+    * cell-identical. Returns the UPPER TRIANGLE only — [[collectGram]]
+    * mirrors locally (same exact sums), so the one corpus-sized pass is
+    * consumed by one collect and needs no pin. */
+  private def pcaGram(s: SparkSession, dir: String): DataFrame = {
     val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
-    val emb = Tables.t(s, dir, "embeddings")
+    // bit-safe spread: every downstream aggregate here is an exact decimal
+    // sum (order-free) — see Spread's contract
+    val emb = graft.util.Spread(Tables.t(s, dir, "embeddings"))
     val x = emb.select(col("vec_id").as("id"), posexplode(col("embedding")))
       .select(col("id"), col("pos").cast("int").as("i"),
         col("col").cast("double").as("v"))
@@ -836,8 +809,37 @@ object AnnQueries {
         (col("vi") * col("vj")).as("p"))
       .groupBy("i", "j")
       .agg(sum(col("p").cast(d28)).cast("double").as("gij"))
-    trunc.pin(gUp.unionByName(gUp.filter(col("i") =!= col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("gij"))))
+    gUp
+  }
+
+  /** Collect the upper-triangle Gram and mirror into a dense d×d array —
+    * d² = 4096 doubles of driver-side model state (bounded by the embedding
+    * dimension, corpus-independent). */
+  private def collectGram(gUp: DataFrame, d: Int = 64): Array[Array[Double]] = {
+    val g = Array.ofDim[Double](d, d)
+    gUp.collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    g
+  }
+
+  /** Local-relation emitter for the fe3/fe4 model tables: schema matches
+    * the distributed formulation it replaced — (component?, dim int,
+    * loading double, lambda double), loading/λ nullable like the aggregate
+    * outputs they were. */
+  private def localPca(s: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+      withComponent: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = withComponent.map(StructField(_, IntegerType, nullable = false)).toSeq ++
+      Seq(StructField("dim", IntegerType, nullable = false),
+        StructField("loading", DoubleType, nullable = true),
+        StructField("lambda", DoubleType, nullable = true))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(fields))
   }
 
   /** fe4's oracle: fe3's x/m/c/gm CTE base, then per component r three

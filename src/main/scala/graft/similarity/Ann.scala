@@ -26,16 +26,30 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
+  /** Per-pair cosine over pre-computed per-row norms — the hot-path form
+    * of [[graft.functions.VectorFunctions.cosine]]: `dot(a,b) /
+    * (norm(a) * norm(b))` with the two `sqrt(dot(v,v))` folds hoisted out
+    * of the pair loop to one evaluation per ROW (they depend only on the
+    * row's own vector). Bit-identical to the inline form — the identical
+    * IEEE expression tree, just evaluated earlier — but a candidate join
+    * producing P pairs from n rows walks each vector once per PAIR for the
+    * cross dot instead of three times (2 of 3 array folds eliminated). */
+  private def cosinePre(dotAB: Column, nrmA: Column, nrmB: Column): Column =
+    dotAB / (nrmA * nrmB)
+
   /** Exact top-k by cosine: queries × corpus → rank ≤ k.
     * `queries` is expected to be small (broadcast); ties broken by corpus id
     * for determinism. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "vec_id", qVec: String = "embedding",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"),
+      norm(col(qVec)).as("q_nrm"))
+    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"),
+      norm(col(cVec)).as("c_nrm"))
     val scored = c.join(broadcast(q))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -60,11 +74,14 @@ object Ann {
       qId: String = "vec_id", qVec: String = "embedding",
       cId: String = "vec_id", cVec: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"),
+      norm(col(qVec)).as("q_nrm"))
+    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"),
+      norm(col(cVec)).as("c_nrm"))
     c.join(broadcast(q),
         if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
       .filter(col("sim") >= minSim)
       .select("q_id", "c_id", "sim")
   }
@@ -80,11 +97,12 @@ object Ann {
       qLabel: String = "label", cId: String = "vec_id",
       cVec: String = "embedding", cLabel: String = "label"): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"),
-      col(qLabel).as("q_label"))
+      col(qLabel).as("q_label"), norm(col(qVec)).as("q_nrm"))
     val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"),
-      col(cLabel).as("c_label"))
+      col(cLabel).as("c_label"), norm(col(cVec)).as("c_nrm"))
     val scored = c.join(broadcast(q), col("c_label") =!= col("q_label"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -105,11 +123,12 @@ object Ann {
       qId: String = "vec_id", qVec: String = "embedding",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"),
-      lshBucket(col(qVec), planes).as("bucket"))
+      lshBucket(col(qVec), planes).as("bucket"), norm(col(qVec)).as("q_nrm"))
     val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"),
-      lshBucket(col(cVec), planes).as("bucket"))
+      lshBucket(col(cVec), planes).as("bucket"), norm(col(cVec)).as("c_nrm"))
     val scored = c.join(broadcast(q), Seq("bucket"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -156,11 +175,15 @@ object Ann {
       cellJoinSides(corpus, centroids, nprobe, idCol, vecCol, centId, centVec)
     // candidates: co-keyed equi-join on the cell; scored exactly; ranked
     // by a second bounded heap — the join product feeds the partial
-    // aggregate inside one stage, so it never shuffles
-    assigned.join(probes, Seq("cent"))
+    // aggregate inside one stage, so it never shuffles. Norms are hoisted
+    // to one per ROW before the join (see cosinePre): the ~n²·nprobe/C
+    // candidate pairs each cost ONE vector fold, not three.
+    assigned.withColumn("c_nrm", norm(col("c_vec")))
+      .join(probes.withColumn("q_nrm", norm(col("q_vec"))), Seq("cent"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_vec"), col("c_vec")).as("sim"))
+        cosinePre(dot(col("q_vec"), col("c_vec")),
+          col("q_nrm"), col("c_nrm")).as("sim"))
       .groupBy("q_id")
       .agg(top_k(struct(col("sim").as("sim"), (-col("c_id")).as("ncid"),
         col("c_id").as("c_id")), k).as("topk"))
@@ -348,10 +371,13 @@ object Ann {
     val probes = probeCells(probeRows, cellType)
     stored
       .filter(col(cellCol).isInCollection(probes)) // partition-dir prune
+      .withColumn("__c_nrm", norm(col(cVec)))
       .join(broadcast(probesLocal.select(col("q_id"), col("q_vec"),
+        norm(col("q_vec")).as("__q_nrm"),
         col("cent").cast(cellType).as(cellCol))), Seq(cellCol))
       .select(col("q_id"), col(cId).as("c_id"),
-        cosine(col("q_vec"), col(cVec)).as("sim"))
+        cosinePre(dot(col("q_vec"), col(cVec)),
+          col("__q_nrm"), col("__c_nrm")).as("sim"))
   }
 
   /** Distinct probed cells, coerced to the stored cell column's exact
@@ -391,8 +417,10 @@ object Ann {
       "c_id", "c_vec", 1)
     val q = assign(queries.select(col(qId).as("q_id"), col(qVec).as("q_vec")),
       "q_id", "q_vec", nprobe)
-    val scored = c.join(broadcast(q), Seq("cent"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val scored = c.withColumn("c_nrm", norm(col("c_vec")))
+      .join(broadcast(q.withColumn("q_nrm", norm(col("q_vec")))), Seq("cent"))
+      .withColumn("sim",
+        cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

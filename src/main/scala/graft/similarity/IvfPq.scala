@@ -72,10 +72,8 @@ object IvfPq {
     // code scan co-keyed on the CELL: only probed cells' codes are scored
     val scored = encoded.select(col("id").as("c_id"), col("cent"), col("code"))
       .join(broadcast(q), Seq("cent"))
-      .withColumn("adc", aggregate(
-        zip_with(col("code"), col("dtab"),
-          (cd, row) => element_at(row, cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", graft.functions.VectorExprFunctions
+        .pq_adc(col("code"), col("dtab")))
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
     val candidates = scored
       .withColumn("crank", row_number().over(wAdc))

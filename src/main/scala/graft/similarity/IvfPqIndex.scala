@@ -256,10 +256,8 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     // parquet reader prunes the raw-vector column out of this stage
     val scored = pruned.select(col(cellCol), col(idCol).as("c_id"), col("code"))
       .join(broadcast(probes), Seq(cellCol))
-      .withColumn("__adc", aggregate(
-        zip_with(col("code"), col("__dtab"),
-          (cd, row) => element_at(row, cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__adc", graft.functions.VectorExprFunctions
+        .pq_adc(col("code"), col("__dtab")))
     val wAdc = Window.partitionBy("q_id").orderBy(col("__adc"), col("c_id"))
     val candidates = scored
       .withColumn("__cr", row_number().over(wAdc))

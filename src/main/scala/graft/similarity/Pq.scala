@@ -160,10 +160,8 @@ object Pq {
       distanceTable(col(qVec).cast("array<double>"), books).as("dtab"))
     val c = encodedCorpus.select(col(cId).as("c_id"), col("code"))
     val scored = c.join(broadcast(q.select(col("q_id"), col("dtab"))))
-      .withColumn("adc", aggregate(
-        zip_with(col("code"), col("dtab"),
-          (cd, row) => element_at(row, cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", graft.functions.VectorExprFunctions
+        .pq_adc(col("code"), col("dtab")))
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
     val candidates = scored
       .withColumn("crank", row_number().over(wAdc))
