@@ -112,6 +112,113 @@ object VectorMath {
     case ArrayType(LongType, _) => true
     case _ => false
   }
+
+  /** Nearest-cell argmin over a (cent, cv) array — the per-ROW form of the
+    * `broadcast-join × k centroids → min_by(struct(cent..), struct(d2, cent))`
+    * (equivalently `row_number over (d2, cent) = 1`) assignment aggregate:
+    * with `cents` sorted by cent ascending, scanning in array order and
+    * keeping only a STRICTLY smaller d2 is exactly the min over the
+    * (d2, cent) total order — identical winner, identical tie-break,
+    * identical [[l2sq]] arithmetic per candidate — with no join, no
+    * shuffle and no aggregate. A cell whose d2 is null (dimension
+    * mismatch / null element — unreachable for fixed-dim corpora) can
+    * never win, matching an ordering key that only compares non-null
+    * candidates; all-null (or empty cents) returns null.
+    * Returns (cent, d2, cv-of-winner). */
+  def nearestCell(vec: ArrayData, cents: ArrayData, vF: Boolean,
+      cvF: Boolean, centLong: Boolean): Any = {
+    val k = cents.numElements()
+    var best = -1
+    var bestD2 = 0.0
+    var i = 0
+    while (i < k) {
+      if (!cents.isNullAt(i)) {
+        val c = cents.getStruct(i, 2)
+        if (!c.isNullAt(1)) {
+          val d2 = l2sq(vec, c.getArray(1), vF, cvF)
+          if (d2 != null) {
+            val d = d2.asInstanceOf[java.lang.Double].doubleValue()
+            if (best < 0 || d < bestD2) { best = i; bestD2 = d }
+          }
+        }
+      }
+      i += 1
+    }
+    if (best < 0) return null
+    val w = cents.getStruct(best, 2)
+    val centVal: Any =
+      if (centLong) java.lang.Long.valueOf(w.getLong(0))
+      else java.lang.Integer.valueOf(w.getInt(0))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](centVal, java.lang.Double.valueOf(bestD2), w.getArray(1)))
+  }
+
+  /** The `nprobe` nearest cells by the same (d2, cent) total order —
+    * the per-ROW form of `row_number over (d2, cent) <= nprobe` (and of
+    * the bounded-heap `top_k` over negated (d2, cent)): output ascending
+    * by (d2, cent), so position p is exactly the rank-(p+1) probe. Same
+    * skip-null doctrine as [[nearestCell]]; returns null only for a null
+    * input row. Returns array<struct(cent, cv)>. */
+  def probeCells(vec: ArrayData, cents: ArrayData, nprobe: Int, vF: Boolean,
+      cvF: Boolean, centLong: Boolean): Any = {
+    val k = cents.numElements()
+    val cap = math.min(nprobe, k)
+    if (cap <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val d2s = new Array[Double](cap)
+    val idx = new Array[Int](cap)
+    var n = 0
+    var i = 0
+    while (i < k) {
+      if (!cents.isNullAt(i)) {
+        val c = cents.getStruct(i, 2)
+        if (!c.isNullAt(1)) {
+          val d2 = l2sq(vec, c.getArray(1), vF, cvF)
+          if (d2 != null) {
+            val d = d2.asInstanceOf[java.lang.Double].doubleValue()
+            // insertion into the sorted bounded buffer: strictly-less moves
+            // ahead, equal keeps earlier (lower cent — array is cent-sorted)
+            if (n < cap || d < d2s(n - 1)) {
+              var p = if (n < cap) n else n - 1
+              while (p > 0 && d < d2s(p - 1)) {
+                d2s(p) = d2s(p - 1); idx(p) = idx(p - 1); p -= 1
+              }
+              d2s(p) = d; idx(p) = i
+              if (n < cap) n += 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    var p = 0
+    while (p < n) {
+      val w = cents.getStruct(idx(p), 2)
+      val centVal: Any =
+        if (centLong) java.lang.Long.valueOf(w.getLong(0))
+        else java.lang.Integer.valueOf(w.getInt(0))
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](centVal, w.getArray(1)))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** (centType isLong, cv ArrayType, cv isFloat) of an
+    * array<struct<cent, cv>> cells column. */
+  def centsMeta(t: DataType): (Boolean, DataType, Boolean) = t match {
+    case ArrayType(StructType(fields), _) if fields.length == 2 =>
+      val centLong = fields(0).dataType match {
+        case LongType => true
+        case IntegerType => false
+        case other => throw new IllegalArgumentException(
+          s"cent field must be int/long, got $other")
+      }
+      (centLong, fields(1).dataType, isFloatArray(fields(1).dataType))
+    case other => throw new IllegalArgumentException(
+      s"cells column must be array<struct<cent, cv>>, got $other")
+  }
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -191,6 +298,74 @@ case class PqAdcSum(left: Expression, right: Expression) extends BinaryExpressio
   override def prettyName: String = "pq_adc"
 }
 
+/** See [[VectorMath.nearestCell]]: per-row nearest-cell argmin over a
+  * cent-ascending (cent, cv) cells array — replaces the broadcast-join +
+  * argmin-aggregate (or argmin-window) assignment shape with pure
+  * projection work: no join, no exchange. Output struct(cent, d2, cv). */
+case class NearestCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private lazy val meta = VectorMath.centsMeta(right.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cent", if (meta._1) LongType else IntegerType),
+    StructField("d2", DoubleType),
+    StructField("cv", meta._2)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  private lazy val vF = VectorMath.isFloatArray(left.dataType)
+
+  override def nullSafeEval(vec: Any, cents: Any): Any =
+    VectorMath.nearestCell(vec.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], vF, meta._3, meta._1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.VectorMath.nearestCell(
+         |  $v, $c, $vF, ${meta._3}, ${meta._1});
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (InternalRow) $boxed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCell =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cell"
+}
+
+/** See [[VectorMath.probeCells]]: the nprobe nearest cells per row,
+  * ascending (d2, cent) — replaces the top_k-aggregate / rank-window probe
+  * derivation. Output array<struct(cent, cv)>. */
+case class ProbeCellsExpr(left: Expression, right: Expression, nprobe: Int)
+    extends BinaryExpression {
+  private lazy val meta = VectorMath.centsMeta(right.dataType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cent", if (meta._1) LongType else IntegerType),
+    StructField("cv", meta._2))))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  private lazy val vF = VectorMath.isFloatArray(left.dataType)
+
+  override def nullSafeEval(vec: Any, cents: Any): Any =
+    VectorMath.probeCells(vec.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], nprobe, vF, meta._3, meta._1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.VectorMath.probeCells(
+         |  $v, $c, $nprobe, $vF, ${meta._3}, ${meta._1});
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $boxed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ProbeCellsExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "probe_cells"
+}
+
 case class SignLshBucket(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -223,4 +398,12 @@ object VectorExprFunctions {
   def pq_adc(code: Column, dtab: Column): Column =
     ColumnBridge.column(PqAdcSum(ColumnBridge.expression(code),
       ColumnBridge.expression(dtab)))
+
+  def nearest_cell(vec: Column, cents: Column): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cents)))
+
+  def probe_cells(vec: Column, cents: Column, nprobe: Int): Column =
+    ColumnBridge.column(ProbeCellsExpr(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cents), nprobe))
 }

@@ -145,14 +145,16 @@ object Ann {
     *     are corpus-sized, so they meet in a co-keyed equi-join on the IVF
     *     cell id (shuffle keyed by cell) — never `broadcast()`, never a
     *     cartesian.
-    *  2. **No corpus-sized window**: cell assignment is a `min_by`
-    *     aggregate (map-side partial, shuffles n thin rows — not the n×C
-    *     row_number sort [[ivfTopK]] can afford on a small query side),
-    *     probing is the bounded-heap [[graft.functions.TopKAgg]] with
-    *     k = nprobe, and the final per-vector ranking is the same
-    *     aggregate with k = k — candidate rows are consumed by a map-side
-    *     partial heap in the SAME stage as the join, so the |candidates|
-    *     product NEVER crosses a shuffle (only n·k ranked rows do).
+    *  2. **No corpus-sized window — and no assignment shuffle at all**:
+    *     cell assignment and probing are per-ROW argmin / top-nprobe
+    *     expressions over the broadcast cells row
+    *     ([[graft.functions.NearestCell]]/[[graft.functions.ProbeCellsExpr]]
+    *     — narrow projections; the corpus is never re-keyed just to
+    *     assign it), and the final per-vector ranking is the bounded-heap
+    *     [[graft.functions.TopKAgg]] with k = k — candidate rows are
+    *     consumed by a map-side partial heap in the SAME stage as the
+    *     join, so the |candidates| product NEVER crosses a shuffle (only
+    *     n·k ranked rows do).
     *  3. **Candidates are cell-bounded**: a corpus vector lives in exactly
     *     one cell, so a (q, c) pair is generated at most once (no
     *     distinct) and |candidates| = Σ_q Σ_{probed cells} |cell| ≈
@@ -222,36 +224,41 @@ object Ann {
   private def cellJoinSides(corpus: DataFrame, centroids: DataFrame,
       nprobe: Int, idCol: String, vecCol: String,
       centId: String, centVec: String): (DataFrame, DataFrame) = {
-    import graft.functions.GraftFunctions.top_k
-    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    import graft.functions.VectorExprFunctions.{nearest_cell, probe_cells}
+    // per-row argmin / top-nprobe over the broadcast 1-row cells array
+    // (see [[centsRow]]) — same (d2, cent) total order the join+aggregate
+    // formulation minimized, with NO corpus shuffle on either side
+    val cs = broadcast(centsRow(centroids, centId, centVec))
     val assigned = corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(cent))
-      .select(col("c_id"), col("c_vec"), col("cent"),
-        l2sq(col("c_vec"), col("cv")).as("d2"))
-      .groupBy("c_id")
-      .agg(min_by(struct(col("cent"), col("c_vec")),
-        struct(col("d2"), col("cent"))).as("a"))
-      .select(col("c_id"), col("a.cent").as("cent"), col("a.c_vec").as("c_vec"))
+      .crossJoin(cs)
+      .select(col("c_id"),
+        nearest_cell(col("c_vec"), col("__cs")).getField("cent").as("cent"),
+        col("c_vec"))
     val probes = corpus
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .join(broadcast(cent))
-      .select(col("q_id"), col("q_vec"), col("cent"),
-        l2sq(col("q_vec"), col("cv")).as("d2"))
-      .groupBy("q_id")
-      .agg(top_k(struct((-col("d2")).as("nd2"), (-col("cent")).as("ncent"),
-        col("cent").as("cent"), col("q_vec").as("q_vec")), nprobe).as("pk"))
-      .select(col("q_id"), explode(col("pk")).as("p"))
-      .select(col("q_id"), col("p.cent").as("cent"), col("p.q_vec").as("q_vec"))
+      .crossJoin(cs)
+      .select(col("q_id"),
+        explode(probe_cells(col("q_vec"), col("__cs"), nprobe)).as("p"),
+        col("q_vec"))
+      .select(col("q_id"), col("p.cent").as("cent"), col("q_vec"))
     (assigned, probes)
   }
 
+  /** The k cells as ONE broadcastable row — `sort_array(collect_list(
+    * struct(cent, cv)))`, cent-ascending so the per-row argmin scan order
+    * IS the (d2, cent) tie-break order. Model-sized by contract (k·dim
+    * doubles), the same payload the old per-site `broadcast(cent)` join
+    * side carried. */
+  private[similarity] def centsRow(centroids: DataFrame,
+      centId: String, centVec: String): DataFrame =
+    centroids.agg(sort_array(collect_list(struct(
+      col(centId).as("cent"), col(centVec).as("cv")))).as("__cs"))
+
   /** Nearest-cell assignment — THE index-build step shared by the
-    * persisted-IVF path (q:ann13) and its spec: one broadcast centroid
-    * join + a `min_by` argmin over the (d2, cell) total order
-    * (deterministic ties), the vector riding in the payload struct so no
-    * second join re-attaches it. One partial-aggregated shuffle of n thin
-    * rows; no window. */
+    * persisted-IVF path (q:ann13) and its spec: a per-row argmin over the
+    * (d2, cell) total order (deterministic ties) against the broadcast
+    * cells row — a narrow projection; no join, no shuffle, no window. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centId: String = "cent_id", centVec: String = "cent_vec",
@@ -268,16 +275,16 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centId: String = "cent_id", centVec: String = "cent_vec",
       cellCol: String = "cell"): DataFrame = {
-    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
+    import graft.functions.VectorExprFunctions.nearest_cell
+    // per-row argmin over the broadcast cells row — the same (d2, cent)
+    // winner the broadcast-join + min_by aggregate produced, with no
+    // corpus shuffle (see [[centsRow]])
     corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(cent))
-      .select(col(idCol), col(vecCol), col("cent"),
-        l2sq(col(vecCol), col("cv")).as("d2"))
-      .groupBy(idCol)
-      .agg(min_by(struct(col("cent"), col(vecCol), col("d2")),
-        struct(col("d2"), col("cent"))).as("m"))
-      .select(col(idCol), col(s"m.$vecCol").as(vecCol),
-        col("m.cent").as(cellCol), col("m.d2").as("d2"))
+      .crossJoin(broadcast(centsRow(centroids, centId, centVec)))
+      .select(col(idCol), col(vecCol),
+        nearest_cell(col(vecCol), col("__cs")).as("__nc"))
+      .select(col(idCol), col(vecCol),
+        col("__nc.cent").as(cellCol), col("__nc.d2").as("d2"))
   }
 
   /** Serving path over a PERSISTED IVF index: `stored` is the corpus
@@ -324,13 +331,14 @@ object Ann {
       centId: String, centVec: String)
       : (Array[org.apache.spark.sql.Row],
          org.apache.spark.sql.types.StructType) = {
-    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
-    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-      .join(broadcast(cent))
-      .withColumn("d2", l2sq(col("q_vec"), col("cv")))
-    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("cent"))
-    val probesDf = q.withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= nprobe).select("q_id", "q_vec", "cent")
+    import graft.functions.VectorExprFunctions.probe_cells
+    // per-row top-nprobe over the broadcast cells row — same (d2, cent)
+    // rank order as the window formulation, no shuffle (see [[centsRow]])
+    val probesDf = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+      .crossJoin(broadcast(centsRow(centroids, centId, centVec)))
+      .select(col("q_id"), col("q_vec"),
+        explode(probe_cells(col("q_vec"), col("__cs"), nprobe)
+          .getField("cent")).as("cent"))
     (probesDf.collect(), probesDf.schema)
   }
 
@@ -404,15 +412,15 @@ object Ann {
       qId: String = "vec_id", qVec: String = "embedding",
       cId: String = "vec_id", cVec: String = "embedding",
       centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
-    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cent))
-        .withColumn("d2", l2sq(col(vec), col("cv")))
-      val w = Window.partitionBy(id).orderBy(col("d2"), col("cent"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cv", "d2", "crank")
-    }
+    import graft.functions.VectorExprFunctions.probe_cells
+    // per-row top-keep cells over the broadcast cells row — same
+    // (d2, cent) rank order as the window formulation, no shuffle
+    val cs = broadcast(centsRow(centroids, centId, centVec))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      df.crossJoin(cs)
+        .select(df.columns.map(col) :+
+          explode(probe_cells(col(vec), col("__cs"), keep)
+            .getField("cent")).as("cent"): _*)
     val c = assign(corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec")),
       "c_id", "c_vec", 1)
     val q = assign(queries.select(col(qId).as("q_id"), col(qVec).as("q_vec")),

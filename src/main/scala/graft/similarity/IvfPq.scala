@@ -35,15 +35,16 @@ object IvfPq {
   def residuals(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centId: String = "cent_id",
       centVec: String = "cent_vec"): DataFrame = {
-    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
-    val w = Window.partitionBy("id").orderBy(col("d2"), col("cent"))
+    import graft.functions.VectorExprFunctions.nearest_cell
+    // per-row argmin over the broadcast cells row ([[Ann.centsRow]]):
+    // same (d2, cent) winner as the rank-1 window, no corpus shuffle;
+    // the winner's cv rides in the argmin struct for the residual
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .join(broadcast(cent))
-      .withColumn("d2", l2sq(col("v"), col("cv")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("id"), col("cent"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("res"))
+      .crossJoin(broadcast(Ann.centsRow(centroids, centId, centVec)))
+      .select(col("id"), col("v"),
+        nearest_cell(col("v"), col("__cs")).as("__nc"))
+      .select(col("id"), col("__nc.cent").as("cent"),
+        zip_with(col("v"), col("__nc.cv"), (a, b) => a - b).as("res"))
   }
 
   /** ADC top-k over the probed cells. `encoded` = (id, cent, code) from
@@ -57,17 +58,19 @@ object IvfPq {
       rerank: Int, qId: String = "vec_id", qVec: String = "embedding",
       cId: String = "vec_id", cVec: String = "embedding",
       centId: String = "cent_id", centVec: String = "cent_vec"): DataFrame = {
-    val cent = centroids.select(col(centId).as("cent"), col(centVec).as("cv"))
-    // per (query, probed cell): residual vs that cell -> m×k ADC table
-    val wProbe = Window.partitionBy("q_id").orderBy(col("d2"), col("cent"))
+    import graft.functions.VectorExprFunctions.probe_cells
+    // per (query, probed cell): residual vs that cell -> m×k ADC table.
+    // Probes per-row over the broadcast cells row ([[Ann.centsRow]]) —
+    // same (d2, cent) rank order as the old window, no shuffle; each
+    // probe struct carries its cell's cv for the residual
     val q = queries
       .select(col(qId).as("q_id"), col(qVec).cast("array<double>").as("q_vec"))
-      .join(broadcast(cent))
-      .withColumn("d2", l2sq(col("q_vec"), col("cv")))
-      .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= nprobe)
-      .withColumn("q_res", zip_with(col("q_vec"), col("cv"), (a, b) => a - b))
-      .select(col("q_id"), col("cent"),
+      .crossJoin(broadcast(Ann.centsRow(centroids, centId, centVec)))
+      .select(col("q_id"), col("q_vec"),
+        explode(probe_cells(col("q_vec"), col("__cs"), nprobe)).as("p"))
+      .withColumn("q_res",
+        zip_with(col("q_vec"), col("p.cv"), (a, b) => a - b))
+      .select(col("q_id"), col("p.cent").as("cent"),
         Pq.distanceTable(col("q_res"), books).as("dtab"))
     // code scan co-keyed on the CELL: only probed cells' codes are scored
     val scored = encoded.select(col("id").as("c_id"), col("cent"), col("code"))

@@ -14,9 +14,9 @@ import graft.functions.VectorFunctions._
   * (`df.sample(...)` upstream — standard IVF practice: centroids from a few
   * hundred thousand vectors quantize billions). Per iteration:
   *
-  *  - assignment = broadcast-join the k centroids against the sample and
-  *    take each vector's argmin cell via `min(struct(d2, cent))` — one
-  *    hash-aggregate shuffle on vector id, no window sort;
+  *  - assignment = a per-row argmin over the broadcast cells row
+  *    ([[graft.functions.NearestCell]], ties to the lower cent id) — a
+  *    narrow projection: no join, no shuffle, no window sort;
   *  - mean update = posexplode to (cell, dim) partial sums — map-side
   *    partial agg; only k·dim aggregated doubles ever reach the driver
   *    (the centroids themselves, which must become broadcast literals for
@@ -86,13 +86,15 @@ object KMeans {
   }
 
   /** Nearest-cell assignment: (id, vec, cent, d2) with d2 = min over cells,
-    * ties to the lower cent_id. */
+    * ties to the lower cent_id — per-row argmin over the broadcast cells
+    * row ([[Ann.centsRow]]): same (d2, cent) winner as the old
+    * broadcast-join + min(struct) aggregate, with no shuffle of the
+    * sample per Lloyd's round. */
   private def assignCells(sample: DataFrame, cents: DataFrame): DataFrame =
-    sample.join(broadcast(
-        cents.select(col("cent_id").as("cent"), col("cent_vec").as("cv"))))
-      .withColumn("d2", l2sq(col("vec"), col("cv")))
-      .groupBy("id")
-      .agg(min(struct(col("d2"), col("cent"), col("vec"))).as("w"))
-      .select(col("id"), col("w.vec").as("vec"),
-        col("w.cent").as("cent"), col("w.d2").as("d2"))
+    sample.crossJoin(broadcast(Ann.centsRow(cents, "cent_id", "cent_vec")))
+      .select(col("id"), col("vec"),
+        graft.functions.VectorExprFunctions
+          .nearest_cell(col("vec"), col("__cs")).as("__nc"))
+      .select(col("id"), col("vec"),
+        col("__nc.cent").as("cent"), col("__nc.d2").as("d2"))
 }

@@ -18,15 +18,15 @@ import graft.functions.VectorFunctions._
   *
   *  - [[train]] mirrors [[KMeans]] but runs ALL `m` subspace Lloyd's loops in
   *    one job per iteration: explode each sampled vector into (sub, subvec)
-  *    once, broadcast-join the m·k codebook rows, argmin per (id, sub) via
-  *    `min(struct(d2, cent))` (hash aggregate, no window sort). Only
+  *    once, then a per-row argmin against that subspace's codebook literal
+  *    ([[graft.functions.NearestCell]] — no join, no shuffle). Only
   *    m·k·(dim/m) = `dim·k` aggregated doubles ever reach the driver per
   *    iteration — same bounded driver state as the IVF trainer.
   *  - [[encode]] is a NARROW projection: the codebooks become an array
-  *    literal and each subspace's nearest code is
-  *    `array_min(transform(codebook, c -> struct(l2sq, cent)))` — per-row
-  *    expression work, no shuffle, no UDF; the corpus is never joined or
-  *    re-keyed just to encode it.
+  *    literal and each subspace's nearest code is a native per-row argmin
+  *    ([[graft.functions.NearestCell]]) — codegen'd expression work, no
+  *    shuffle, no UDF; the corpus is never joined or re-keyed just to
+  *    encode it.
   *  - [[adcTopK]] broadcasts the (small) query side WITH its precomputed
   *    m×k distance table; the corpus-side scan reads only the code column
   *    (`zip_with(code, dtab, ...)` + one fold), ranks per query, and
@@ -68,16 +68,19 @@ object Pq {
     }
 
     for (_ <- 0 until iters) {
-      val cb = codebookFrame(df.sparkSession, cents)
-      val assigned = subs
-        .join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", l2sq(col("svec"), col("cv")))
-        .groupBy("id", "sub")
-        .agg(min(struct(col("d2"), col("cent"), col("svec"))).as("w"))
+      // per-row argmin against this round's codebook literals — the same
+      // (d2, cent) winner as the old broadcast-join + min(struct)
+      // aggregate, with no shuffle of the exploded sample per round
+      val allCbs = array((0 until m).map(s => codebookLit(cents(s))): _*)
+      val assigned = subs.select(col("sub"),
+        graft.functions.VectorExprFunctions
+          .nearest_cell(col("svec"), element_at(allCbs, col("sub") + 1))
+          .getField("cent").as("cent"),
+        col("svec"))
       // (sub, cent, dim) partial sums — m·k·subDim rows to the driver
       val stats = assigned
-        .select(col("sub"), col("w.cent").as("cent"),
-          posexplode(col("w.svec")).as(Seq("dim", "x")))
+        .select(col("sub"), col("cent"),
+          posexplode(col("svec")).as(Seq("dim", "x")))
         .groupBy("sub", "cent", "dim")
         .agg(sum("x").as("sx"), count(lit(1)).as("n"))
         .collect()
@@ -126,11 +129,13 @@ object Pq {
     * literals; no shuffle, no UDF. */
   def encode(df: DataFrame, vecCol: String, books: Codebooks): DataFrame = {
     val vec = col(vecCol).cast("array<double>")
+    // native per-subspace argmin (one codegen'd primitive loop per sub)
+    // replacing the interpreted `array_min(transform(...))` lambda: same
+    // (d2, cent) winner — codebookLit is cent-ascending by construction
     val codes = (0 until books.m).map { s =>
       val sv = slice(vec, s * books.subDim + 1, books.subDim)
-      array_min(transform(codebookLit(books.cents(s)),
-        c => struct(l2sq(sv, c.getField("cv")).as("d2"),
-          c.getField("cent").as("cent")))).getField("cent")
+      graft.functions.VectorExprFunctions
+        .nearest_cell(sv, codebookLit(books.cents(s))).getField("cent")
     }
     df.withColumn("code", array(codes: _*))
   }
