@@ -86,20 +86,23 @@ object Bfs {
         .distinct())
 
     val carry = keyCols.init
-    var visited = visitedChan(visited0)
+    // frontier sizes ride each materialization as observed metrics — one
+    // action per hop, not a channel write plus a separate count() job
+    var (visited, frontierSize) =
+      graft.ops.IterTrunc.counted(visitedChan, visited0)
     var frontier = visited.select(keyCols.map(col): _*)
     var k = 0
-    var frontierSize = frontier.count()
     while (frontierSize > 0 && k < maxHops) {
       k += 1
       // frontier's successors not yet visited = the distance-k shell;
       // distinct() before the anti-join so a (tag, node) reached over many
       // edges enters once (and the anti-join probe stays small)
-      val next = frontierChan(adj.join(frontier, adj("u") === frontier("node"))
-        .select(carry.map(frontier(_)) :+ adj("v").as("node"): _*).distinct()
-        .join(visited.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .withColumn("dist", lit(k)))
-      frontierSize = next.count()
+      val (next, nextSize) = graft.ops.IterTrunc.counted(frontierChan,
+        adj.join(frontier, adj("u") === frontier("node"))
+          .select(carry.map(frontier(_)) :+ adj("v").as("node"): _*).distinct()
+          .join(visited.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .withColumn("dist", lit(k)))
+      frontierSize = nextSize
       if (frontierSize > 0) {
         visited = visitedChan(visited.union(next))
         frontier = next.select(keyCols.map(col): _*)

@@ -45,14 +45,15 @@ object KCore {
         .join(survivors.select(col("node").as("__sv")), und("v") === col("__sv"))
         .groupBy(und("u").as("node")).agg(count(lit(1)).as("deg"))
 
-    var cur = chan(und.select(col("u").as("node")).distinct())
-    var n = cur.count()
+    // survivor counts ride each materialization as observed metrics —
+    // one action per peel round, not a channel write plus a count() job
+    var (cur, n) = graft.ops.IterTrunc.counted(chan,
+      und.select(col("u").as("node")).distinct())
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
-      val next = chan(degreesWithin(cur).filter(col("deg") >= k)
-        .select("node"))
-      val m = next.count()
+      val (next, m) = graft.ops.IterTrunc.counted(chan,
+        degreesWithin(cur).filter(col("deg") >= k).select("node"))
       converged = m == n || m == 0
       cur = next
       n = m
@@ -92,18 +93,18 @@ object KCore {
         .join(survivors.select(col("node").as("__sv")), und("v") === col("__sv"))
         .groupBy(und("u").as("node")).agg(count(lit(1)).as("deg"))
 
-    var cur = chan(und.select(col("u").as("node")).distinct())
+    // same one-action-per-round shape as [[kCore]]
+    var (cur, n) = graft.ops.IterTrunc.counted(chan,
+      und.select(col("u").as("node")).distinct())
     var layers = cur.limit(0).withColumn("layer", lit(1))
-    var n = cur.count()
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
-      val next = chan(degreesWithin(cur).filter(col("deg") >= k)
-        .select("node"))
+      val (next, m) = graft.ops.IterTrunc.counted(chan,
+        degreesWithin(cur).filter(col("deg") >= k).select("node"))
       layers = layerChan(layers.unionByName(
         cur.join(next, Seq("node"), "left_anti")
           .withColumn("layer", lit(rounds + 1))))
-      val m = next.count()
       converged = m == n || m == 0
       cur = next
       n = m

@@ -27,9 +27,12 @@ import org.apache.spark.sql.types.DecimalType
   * label is always an ancestor-or-self, and an ancestor's ancestors are
   * the node's ancestors) — the jump collapses length-L chains in O(log L)
   * rounds where plain relaxation needs L. Convergence is detected by the
-  * strictly-decreasing label sum (one small driver-side action per round,
-  * summed as DECIMAL(38,0) so huge id spaces cannot overflow), and round
-  * exhaustion fails loudly — a partial propagation is not an SCC.
+  * strictly-decreasing label sum (summed as DECIMAL(38,0) so huge id
+  * spaces cannot overflow), riding each batch's own materialization as an
+  * observed metric — ONE action per batch; the forward and backward
+  * fixpoints of a round run as concurrent driver-thread jobs (they share
+  * nothing but read-only inputs). Round exhaustion fails loudly — a
+  * partial propagation is not an SCC.
   *
   * Scale shape: everything is co-keyed equi-joins on node ids (never a
   * product), per-round lineage truncated via [[graft.ops.IterTrunc]];
@@ -63,15 +66,24 @@ object Scc {
     val chansB = Array(trunc.channel(), trunc.channel())
     var e = eChan(edges.select(col("u"), col("v")).filter(col("u") =!= col("v"))
       .distinct())
-    var nodes = nChan(e.select(col("u").as("node"))
-      .unionByName(e.select(col("v").as("node"))).distinct())
+    var (nodes, remaining) = graft.ops.IterTrunc.counted(nChan,
+      e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node"))).distinct())
     var assigned = aChan(nodes.limit(0).withColumn("scc_id", col("node")))
-    var remaining = nodes.count()
     var outer = 0
     while (remaining > 0 && outer < maxOuter) {
-      val mf = minLabels(e, nodes, maxHops, chansF)
+      // the forward and backward fixpoints are INDEPENDENT (same edges,
+      // opposite orientation) — run them as concurrent driver-thread jobs
+      // (guide §2.6): the backward sweep's stages back-fill the cores the
+      // forward sweep's per-batch tail leaves idle. Each sweep owns its
+      // channel pair; IterTrunc's checkpoint-path counter is synchronized.
+      val curE = e
+      val curNodes = nodes
+      val mfF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        minLabels(curE, curNodes, maxHops, chansF))
       val mb = minLabels(e.select(col("v").as("u"), col("u").as("v")),
         nodes, maxHops, chansB)
+      val mf = mfF.join()
       val lab = nodes
         .join(mf.withColumnRenamed("lbl", "mf"), "node")
         .join(mb.withColumnRenamed("lbl", "mb"), "node")
@@ -79,7 +91,11 @@ object Scc {
         .select(col("node"), col("mf").as("scc_id"))
       assigned = aChan(assigned.unionByName(done))
       val rem = lab.filter(col("mf") =!= col("mb"))
-      nodes = nChan(rem.select("node"))
+      // remaining-count rides the nodes materialization — one action, not
+      // a separate count() job per outer round
+      val (nodes2, rem2) = graft.ops.IterTrunc.counted(nChan, rem.select("node"))
+      nodes = nodes2
+      remaining = rem2
       e = eChan(e
         .join(rem.select(col("node").as("u"), col("mf").as("fu"),
           col("mb").as("bu")), "u")
@@ -87,7 +103,6 @@ object Scc {
           col("mb").as("bv")), "v")
         .filter(col("fu") === col("fv") && col("bu") === col("bv"))
         .select("u", "v"))
-      remaining = nodes.count()
       outer += 1
     }
     if (remaining > 0) sys.error(
@@ -116,9 +131,20 @@ object Scc {
     // a new one lands, so with labPrev alive one batch behind, the file
     // being deleted is always two batches old — nothing live reads it
     val D = DecimalType(38, 0)
-    var lab = chans(0)(nodes.withColumn("lbl", col("node")))
+    // the convergence checksum rides each batch's OWN materialization as
+    // an observed metric — one action per batch, not two (the separate
+    // checksum() job per batch used to double this loop's job count)
+    def mat(chan: DataFrame => DataFrame, df: DataFrame)
+        : (DataFrame, java.math.BigDecimal) = {
+      val (out, m) = graft.ops.IterTrunc.observed(chan, df,
+        Seq(sum(col("lbl").cast(D)).as("__cksum")))
+      (out, m("__cksum") match {
+        case null => java.math.BigDecimal.ZERO
+        case s => s.asInstanceOf[java.math.BigDecimal]
+      })
+    }
+    var (lab, cksum) = mat(chans(0), nodes.withColumn("lbl", col("node")))
     var labPrev = lab
-    var sum = checksum(lab, D)
     var batches = 0
     var converged = false
     while (!converged && batches < maxHops) {
@@ -135,12 +161,11 @@ object Scc {
         prev = cur
         cur = stepped
       }
-      val next = chans((batches + 1) % 2)(cur)
-      val nextSum = checksum(next, D)
-      converged = nextSum == sum
+      val (next, nextSum) = mat(chans((batches + 1) % 2), cur)
+      converged = nextSum == cksum
       labPrev = lab
       lab = next
-      sum = nextSum
+      cksum = nextSum
       batches += 1
     }
     if (!converged) sys.error(
@@ -150,9 +175,4 @@ object Scc {
     lab
   }
 
-  private def checksum(lab: DataFrame, d: DecimalType): java.math.BigDecimal =
-    lab.agg(sum(col("lbl").cast(d))).head.getDecimal(0) match {
-      case null => java.math.BigDecimal.ZERO
-      case s => s
-    }
 }

@@ -35,12 +35,17 @@ private[graft] final class IterTrunc(spark: SparkSession,
   }
   private var seq = 0
 
+  // synchronized: independent fixpoints of one algorithm (Scc's forward
+  // and backward sweeps) may materialize their channels from concurrent
+  // driver threads (guide §2.6 job overlap) — an unsynchronized counter
+  // could hand two threads the same checkpoint path
+  private def nextSeq(): Int = synchronized { val s = seq; seq += 1; s }
+
   private def roundTrip(df: DataFrame,
       base: org.apache.hadoop.fs.Path): (DataFrame, org.apache.hadoop.fs.Path) = {
     // Locale.ROOT: keep checkpoint names ASCII under any default locale
     val p = new org.apache.hadoop.fs.Path(base,
-      String.format(java.util.Locale.ROOT, "%s-%05d", tag, Int.box(seq)))
-    seq += 1
+      String.format(java.util.Locale.ROOT, "%s-%05d", tag, Int.box(nextSeq())))
     df.write.mode("overwrite").parquet(p.toString)
     (spark.read.parquet(p.toString), p)
   }
@@ -83,5 +88,28 @@ private[graft] final class IterTrunc(spark: SparkSession,
       // parquet mode needs no such reset: its stats come from file sizes.
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
+  }
+}
+
+private[graft] object IterTrunc {
+  /** Materialize `df` through `chan` with aggregate metrics riding the SAME
+    * job as observed metrics — replaces the separate `count()` /
+    * checksum action every iterative loop used to pay per round on top of
+    * its channel materialization (guide §1: one action per round). Returns
+    * the truncated frame plus the metric row (`Observation` semantics:
+    * global aggregates over exactly the materialized rows). */
+  def observed(chan: DataFrame => DataFrame, df: DataFrame,
+      metrics: Seq[org.apache.spark.sql.Column]): (DataFrame, Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = chan(df.observe(obs, metrics.head, metrics.tail: _*))
+    (out, obs.get)
+  }
+
+  /** [[observed]] with the one metric every loop needs: the row count. */
+  def counted(chan: DataFrame => DataFrame, df: DataFrame): (DataFrame, Long) = {
+    val (out, m) = observed(chan, df,
+      Seq(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1L)).as("__n")))
+    (out, m("__n").asInstanceOf[Long])
   }
 }
