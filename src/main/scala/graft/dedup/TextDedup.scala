@@ -35,9 +35,13 @@ object TextDedup {
     when(size(staged) === -1, null).otherwise(body)
 
   /** First 8 hex chars of md5 as an unsigned 32-bit int (cross-engine
-    * reproducible base hash). */
+    * reproducible base hash) — the native codegen'd
+    * [[graft.functions.Md5IntExpr]]: the digest's first 4 bytes read
+    * big-endian, the exact value of the
+    * `conv(substring(md5(c), 1, 8), 16, 10)` composition it replaces
+    * (which allocated a 32-char hex string and parsed it back per hash). */
   def md5Int(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.TextHashFunctions.md5_int(c.cast("string"))
 
   def baseHash(c: Column, useMd5: Boolean): Column =
     if (useMd5) md5Int(c) else graft.functions.GraftFunctions.poly_hash(c)
@@ -59,18 +63,15 @@ object TextDedup {
     * explicitly, matching the oracle's empty `generate_series`. */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - lit(n)),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      graft.functions.TextHashFunctions.word_shingles(toks, n))
       .otherwise(array().cast("array<string>"))
 
-  /** Per-shingle base hashes — stage this as its own column: higher-order
-    * functions are interpreted, so an inlined expensive subtree would be
-    * re-evaluated per element/per permutation. CollapseProject keeps staged
-    * projections separate from lambda consumers, so a `withColumn` chain
-    * evaluates each step exactly once per row. */
+  /** Per-shingle base hashes in one native pass
+    * ([[graft.functions.ShingleHashesExpr]]) — same per-element hash
+    * (md5Int / poly_hash), same null propagation as the interpreted
+    * `transform` lambda it replaces. */
   def shingleHashes(shingles: Column, useMd5: Boolean = true): Column =
-    transform(shingles, s => baseHash(s, useMd5))
+    graft.functions.TextHashFunctions.shingle_hashes(shingles, useMd5)
 
   /** MinHash signature from pre-staged shingle hashes: numPerm permutations
     * under (a_i·h + b_i) mod p, a_i = 2i+1, b_i = 7i+13, p = 1e9+7.
@@ -82,12 +83,11 @@ object TextDedup {
 
   /** LSH band hashes: split the signature into `bands` slices of `rowsPerBand`
     * and hash each slice; docs sharing any (band index, band hash) are
-    * candidates. */
+    * candidates. One native pass ([[graft.functions.BandHashesExpr]]) —
+    * per band the identical `md5(concat_ws(",", long casts))`
+    * lowercase-hex the nested interpreted `transform` lambdas computed. */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      md5(concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string")))))
+    graft.functions.TextHashFunctions.band_hashes(sig, bands, rowsPerBand)
 
   /** Exact dedup: group by content fingerprint; representative = min id.
     * One hash-aggregate (partial agg map-side). */

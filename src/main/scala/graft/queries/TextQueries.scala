@@ -947,11 +947,21 @@ object TextQueries {
   /** tx33/tx34's shared trainer: 3 full-batch GD iterations from w = 0 at
     * lr = 1 on lang='en' vs 4 surface features, per-term DECIMAL(28,12)
     * exact gradient sums (order-free), weights as a broadcast 1-row frame
-    * pinned per round. Returns (weights, features). */
+    * pinned per round. Returns (weights, features).
+    *
+    * The feature table is truncated (materialized) ONCE: without the pin
+    * every GD iteration — and the zbar/quality/test consumers after —
+    * re-scanned documents and re-ran the three regexp_replace feature
+    * extractions (5 full text passes per query). Bit-safe: features are
+    * per-row values (partitioning-independent) and every consumer
+    * aggregates them through exact-decimal order-free sums. The pinned
+    * frame is 6 numeric columns per doc — far smaller than the text it
+    * replaces re-reading; at cluster scale pass a cluster-visible
+    * checkpoint dir or accept recompute-per-iteration (the old shape). */
   private def logregTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
     val len = length(col("text")).cast("double")
-    val feats = Tables.t(s, dir, "documents").select(col("doc_id"),
+    val featsPlan = Tables.t(s, dir, "documents").select(col("doc_id"),
       when(col("lang") === "en", 1).otherwise(0).as("y"),
       (len / 1000.0).as("f1"),
       ((len - length(regexp_replace(col("text"), " ", "")).cast("double"))
@@ -960,8 +970,9 @@ object TextQueries {
         / len).as("f3"),
       ((len - length(regexp_replace(col("text"), "[aeiou]", ""))
         .cast("double")) / len).as("f4"))
-    val train = feats.filter(col("doc_id") % 5 =!= 0)
     val trunc = new graft.ops.IterTrunc(s, None, "logreg")
+    val feats = trunc.pin(featsPlan)
+    val train = feats.filter(col("doc_id") % 5 =!= 0)
     var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
       lit(0.0).as("w2"), lit(0.0).as("w3"), lit(0.0).as("w4"))
     for (_ <- 1 to 3) {
