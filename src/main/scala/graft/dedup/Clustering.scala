@@ -57,7 +57,14 @@ object Clustering {
     val truncEdges: DataFrame => DataFrame = trunc.pin
     val truncLabels: DataFrame => DataFrame = trunc.channel()
     val e = edges.toDF("s", "d")
-    // symmetrize once; propagation then only needs one join direction
+    // symmetrize once; propagation then only needs one join direction.
+    // (Measured, not taken: pre-partitioning sym by the join key d via
+    // repartition+localCheckpoint — hoping each round's edges⋈labels join
+    // would reuse the layout — was a net LOSS here (dd17 8.7→9.6s warm):
+    // the setup shuffle is paid up front while AQE loses the freedom to
+    // coalesce the per-round label exchanges against a pinned 32-way
+    // layout. On a cluster where the edge table dominates, bucketing the
+    // edges by d is the durable form of the same idea.)
     val sym = truncEdges(e.union(e.select(col("d"), col("s"))).distinct())
 
     var labels = truncLabels(nodes.toDF("node").distinct()
