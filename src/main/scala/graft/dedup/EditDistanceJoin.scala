@@ -46,9 +46,12 @@ object EditDistanceJoin {
 
     val base = df.select(col(keyCol).as("k"), col(strCol).as("s"))
       .filter(length(col("s")) >= minLen)
+    // native one-pass distinct q-gram extraction — same grams in the same
+    // first-occurrence order as the interpreted
+    // array_distinct(transform(sequence, substring)) lambda, whose
+    // per-position substring re-walked the string (O(len²) chars per row)
     val grams = base.select(col("k"), col("s"),
-      explode(array_distinct(expr(
-        s"transform(sequence(0, length(s) - $q), i -> substring(s, i + 1, $q))")))
+      explode(graft.functions.TextHashFunctions.char_grams(col("s"), q))
         .as("g"))
     val freq = grams.groupBy("g").agg(count(lit(1)).as("gf"))
     // per-row rarest-gram prefix; (gf, g) is a total order so the kept set

@@ -24,10 +24,12 @@ object SegmentDedup {
 
   /** Consecutive non-overlapping n-token segments of `toks`, in order.
     * ceil(len/n) segments; the trailing partial segment is kept so the
-    * reassembled text is lossless when nothing is dropped. */
+    * reassembled text is lossless when nothing is dropped. Native
+    * one-pass extraction ([[graft.functions.TokenSegmentsExpr]]) — the
+    * exact values (incl. the empty-input [""] edge) of the interpreted
+    * `transform(sequence, concat_ws(slice))` it replaces. */
   def segments(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), ((size(toks) - 1) / n).cast("int")),
-      i => concat_ws(" ", slice(toks, i * lit(n) + 1, lit(n))))
+    graft.functions.TextHashFunctions.token_segments(toks, n)
 
   /** Remove segments occurring ≥ `maxFreq` times corpus-wide. Returns
     * (idCol, cleaned) with one row per input document — documents whose

@@ -80,26 +80,88 @@ object TextHash {
     h
   }
 
-  /** Distinct word n-gram shingles, first-occurrence order; per window the
-    * shingle is `concat_ws(" ", tokens i..i+n-1)` (null tokens skipped).
-    * Windows count = max(0, numTokens - n + 1), matching
-    * `sequence(0, size - n)` under the caller's `size >= n` guard. */
-  def wordShingles(toks: ArrayData, n: Int): ArrayData = {
+  private def windowAt(toks: ArrayData, from: Int, until: Int,
+      sep: UTF8String): UTF8String = {
+    val window = new Array[UTF8String](until - from)
+    var j = from
+    while (j < until) {
+      window(j - from) =
+        if (toks.isNullAt(j)) null else toks.getUTF8String(j)
+      j += 1
+    }
+    UTF8String.concatWs(sep, window: _*)
+  }
+
+  /** Word n-gram shingles; per window the shingle is
+    * `concat_ws(" ", tokens i..i+n-1)` (null tokens skipped). Windows
+    * count = max(0, numTokens - n + 1), matching `sequence(0, size - n)`
+    * under the caller's `size >= n` guard. `distinct` keeps the first
+    * occurrence only (array_distinct order). */
+  def wordShingles(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(new Array[Any](0))
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    val window = new Array[UTF8String](n)
     val sep = UTF8String.fromString(" ")
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= m - n) { seen.add(windowAt(toks, i, i + n, sep)); i += 1 }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) { out(i) = windowAt(toks, i, i + n, sep); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Consecutive non-overlapping n-token segments including the trailing
+    * partial — the exact value of `transform(sequence(0,
+    * (size-1) div n), i -> concat_ws(" ", slice(toks, i*n+1, n)))`:
+    * ceil(m/n) segments for m >= 1, and ONE empty-string segment for
+    * m = 0 (sequence(0, (0-1) div n = 0) is [0]; the slice is empty). */
+  def tokenSegments(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    val count = ((m - 1) / n) + 1 // m=0 -> 1, matching the sequence form
+    val out = new Array[Any](count)
     var i = 0
-    while (i <= m - n) {
-      var j = 0
-      while (j < n) {
-        window(j) =
-          if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
-        j += 1
-      }
-      seen.add(UTF8String.concatWs(sep, window: _*))
+    while (i < count) {
+      out(i) = windowAt(toks, i * n, math.min(i * n + n, m), sep)
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct character q-grams, first-occurrence order — the exact value
+    * of `array_distinct(transform(sequence(0, length(s) - q),
+    * i -> substring(s, i + 1, q)))` for strings of >= q characters
+    * (grams = chars [i, i+q), codepoint-aware): ONE boundary walk and
+    * byte-slice per gram instead of an interpreted lambda whose substring
+    * re-walks the string per position (O(len²) chars per row). */
+  def charGrams(s: UTF8String, q: Int): ArrayData = {
+    val bytes = s.getBytes
+    // char-start byte offsets (one extra slot for the end sentinel)
+    val starts = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    starts(c) = bytes.length
+    val m = c
+    if (m < q) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p <= m - q) {
+      seen.add(UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, starts(p), starts(p + q))))
+      p += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
@@ -174,20 +236,55 @@ case class Md5IntExpr(child: Expression) extends UnaryExpression {
 }
 
 /** See [[TextHash.wordShingles]]. */
-case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    TextHash.wordShingles(input.asInstanceOf[ArrayData], n)
+    TextHash.wordShingles(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextHash.wordShingles($c, $n);")
+      s"${ev.value} = graft.functions.TextHash.wordShingles($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
-  override def prettyName: String = "word_shingles"
+  override def prettyName: String = if (distinct) "word_shingles" else "word_windows"
+}
+
+/** See [[TextHash.charGrams]]. */
+case class CharGramsExpr(child: Expression, q: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.charGrams(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.charGrams($c, $q);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "char_grams"
+}
+
+/** See [[TextHash.tokenSegments]]. */
+case class TokenSegmentsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.tokenSegments(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.tokenSegments($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSegmentsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "token_segments"
 }
 
 /** See [[TextHash.shingleHashes]]. */
@@ -234,6 +331,17 @@ object TextHashFunctions {
 
   def word_shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(toks), n))
+
+  /** ALL sliding windows (duplicates kept) — tx13's span-coverage shape. */
+  def word_windows(toks: Column, n: Int): Column =
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(toks), n,
+      distinct = false))
+
+  def token_segments(toks: Column, n: Int): Column =
+    ColumnBridge.column(TokenSegmentsExpr(ColumnBridge.expression(toks), n))
+
+  def char_grams(s: Column, q: Int): Column =
+    ColumnBridge.column(CharGramsExpr(ColumnBridge.expression(s), q))
 
   def shingle_hashes(sh: Column, useMd5: Boolean): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(sh), useMd5))

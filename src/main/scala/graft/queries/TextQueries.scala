@@ -482,8 +482,10 @@ object TextQueries {
         .withColumn("__toks", split(col("text"), " "))
         .filter(size(col("__toks")) >= n)
         .select(col("doc_id"), explode(
-          transform(sequence(lit(0), size(col("__toks")) - n),
-            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("g"))
+          // native one-pass window extraction (duplicates kept) — same
+          // values as transform(sequence, concat_ws(slice)) per window
+          graft.functions.TextHashFunctions.word_windows(col("__toks"), n))
+          .as("g"))
       val df = win.groupBy("g").agg(countDistinct(col("doc_id")).as("docs"))
       win.join(df, "g")
         .groupBy("doc_id")

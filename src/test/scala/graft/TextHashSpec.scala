@@ -77,6 +77,47 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("word_windows == transform(sequence, concat_ws(slice)) with duplicates kept") {
+    val n = 3
+    val d = docs.filter(size(col("toks")) >= n)
+    val o = d.select(col("id"), transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))).as("w"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    val nw = d.select(col("id"), word_windows(col("toks"), n).as("w"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(o.toSeq == nw.toSeq)
+  }
+
+  test("token_segments == transform(sequence((size-1) div n), slices), incl. empty and partial") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, Seq("a", "b", "c", "d", "e")), (2L, Seq("a")),
+        (3L, Seq.empty[String]), (4L, Seq("a", "b", "c")))
+      .toDF("id", "toks")
+    val n = 3
+    val o = d.select(col("id"),
+        transform(sequence(lit(0), ((size(col("toks")) - 1) / n).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * lit(n) + 1, lit(n)))).as("sg"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    val nw = d.select(col("id"), token_segments(col("toks"), n).as("sg"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(o.toSeq == nw.toSeq)
+    assert(nw(2) == Seq("")) // empty input -> one empty segment (sequence edge)
+  }
+
+  test("char_grams == array_distinct(transform(sequence, substring)) incl. unicode") {
+    val s = spark; import s.implicits._
+    val d = Seq("abcabcabd", "ünïcode🦊grams", "aaaa", "exact")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "s")
+    val q = 4
+    val o = d.select(col("id"), array_distinct(expr(
+        s"transform(sequence(0, length(s) - $q), i -> substring(s, i + 1, $q))")).as("g"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    val nw = d.select(col("id"),
+        graft.functions.TextHashFunctions.char_grams(col("s"), q).as("g"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(o.toSeq == nw.toSeq)
+  }
+
   test("band_hashes == transform(sequence, md5(concat_ws(slice casts)))") {
     val s = spark; import s.implicits._
     val d = Seq((1L, Seq(5L, 123456789L, 0L, 99L, 7L, 1000000006L, 42L, 8L)),
