@@ -37,6 +37,27 @@ object Ann {
   private def cosinePre(dotAB: Column, nrmA: Column, nrmB: Column): Column =
     dotAB / (nrmA * nrmB)
 
+  /** Per-query top-k over scored (q_id, c_id, sim) candidates by
+    * (sim desc, c_id asc), emitted with rank 1..k — the bounded-heap form
+    * of the `row_number` rank window (identical rows, identical
+    * tie-break, [[graft.functions.TopKAgg]] with the knnJoin key shape):
+    * candidates are consumed by a map-side partial heap in the SAME stage
+    * that scores them, so the candidate set never crosses a shuffle —
+    * only n_q·k ranked rows do (the window shuffled EVERY candidate by
+    * q_id and sorted). Requires a numeric c_id (the heap key negates it
+    * for the ascending tie-break) — every serve surface here keys on
+    * integral vec ids. */
+  private[similarity] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.top_k
+    scored
+      .groupBy("q_id")
+      .agg(top_k(struct(col("sim").as("sim"), (-col("c_id")).as("ncid"),
+        col("c_id").as("c_id")), k).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), col("col.c_id").as("c_id"), col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k by cosine: queries × corpus → rank ≤ k.
     * `queries` is expected to be small (broadcast); ties broken by corpus id
     * for determinism. */
@@ -50,10 +71,7 @@ object Ann {
     val scored = c.join(broadcast(q))
       .withColumn("sim",
         cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    rankTopK(scored.select("q_id", "c_id", "sim"), k)
   }
 
   /** Exact cosine RADIUS search: every corpus item with `sim >= minSim`
@@ -103,10 +121,7 @@ object Ann {
     val scored = c.join(broadcast(q), col("c_label") =!= col("q_label"))
       .withColumn("sim",
         cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    rankTopK(scored.select("q_id", "c_id", "sim"), k)
   }
 
   /** Sign bits under `planes` deterministic pseudo-random hyperplanes →
@@ -129,10 +144,7 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("sim",
         cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    rankTopK(scored.select("q_id", "c_id", "sim"), k)
   }
 
   /** Corpus×corpus batched kNN join: EVERY vector's top-k cosine neighbors
@@ -353,9 +365,7 @@ object Ann {
       cellCol: String, cId: String, cVec: String): DataFrame = {
     val cand = scoreOverProbes(stored, probeRows, probeSchema,
       cellCol, cId, cVec)
-    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    cand.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
+    rankTopK(cand, k)
   }
 
   /** The scored-candidate half of a probed serve, shared by the ranked
@@ -429,9 +439,6 @@ object Ann {
       .join(broadcast(q.withColumn("q_nrm", norm(col("q_vec")))), Seq("cent"))
       .withColumn("sim",
         cosinePre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    rankTopK(scored.select("q_id", "c_id", "sim"), k)
   }
 }

@@ -174,11 +174,8 @@ final class IvfIndex(val spark: SparkSession, val root: String,
   def serve(queries: DataFrame, centroids: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k/nprobe must be >= 1: $k/$nprobe")
-    val rw = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    scoredCandidates(queries, centroids, nprobe)
-      .withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
+    // bounded-heap rank (Ann.rankTopK): candidates never cross a shuffle
+    Ann.rankTopK(scoredCandidates(queries, centroids, nprobe), k)
   }
 
   /** Threshold (radius) neighbor join against the maintained index — the

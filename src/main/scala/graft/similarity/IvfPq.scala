@@ -82,16 +82,15 @@ object IvfPq {
       .withColumn("crank", row_number().over(wAdc))
       .filter(col("crank") <= rerank)
       .select("q_id", "c_id")
-    // exact rerank: vectors fetched AFTER the cut (|queries|·rerank rows)
-    val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    candidates
+    // exact rerank: vectors fetched AFTER the cut (|queries|·rerank rows);
+    // the final k-rank is the bounded heap (Ann.rankTopK) — reranked
+    // candidates never cross a shuffle, only n_q·k ranked rows do
+    val reranked = candidates
       .join(corpus.select(col(cId).as("c_id"),
         col(cVec).cast("array<double>").as("c_vec")), Seq("c_id"))
       .join(broadcast(queries.select(col(qId).as("q_id"),
         col(qVec).cast("array<double>").as("q_vec"))), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(wSim))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    Ann.rankTopK(reranked.select("q_id", "c_id", "sim"), k)
   }
 }

@@ -196,10 +196,10 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
       nprobe: Int, rerank: Int): DataFrame = {
     require(kTop >= 1 && nprobe >= 1 && rerank >= kTop,
       s"need kTop >= 1, nprobe >= 1, rerank >= kTop: $kTop/$nprobe/$rerank")
-    val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    rerankedScores(queries, centroids, nprobe, rerank)
-      .withColumn("rank", row_number().over(wSim))
-      .filter(col("rank") <= kTop)
+    // bounded-heap rank (Ann.rankTopK): reranked candidates never cross a
+    // shuffle, only n_q·kTop ranked rows do
+    Ann.rankTopK(rerankedScores(queries, centroids, nprobe, rerank)
+      .select("q_id", "c_id", "sim"), kTop)
   }
 
   /** Threshold (radius) neighbor join against the PQ-coded index —

@@ -46,9 +46,11 @@ object MaxSim {
     val c = corpus.select(col(cId).as("c_doc"), col(cVecs).as("__cv"))
     val scored = c.join(broadcast(q))
       .withColumn("score", maxSimScore(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("q_doc").orderBy(col("score").desc, col("c_doc"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_doc", "c_doc", "score", "rank")
+    // bounded-heap rank (Ann.rankTopK shape): the q×c score product is
+    // consumed by a map-side partial heap, never shuffled
+    Ann.rankTopK(scored.select(col("q_doc").as("q_id"),
+        col("c_doc").as("c_id"), col("score").as("sim")), k)
+      .select(col("q_id").as("q_doc"), col("c_id").as("c_doc"),
+        col("sim").as("score"), col("rank"))
   }
 }

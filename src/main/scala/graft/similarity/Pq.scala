@@ -174,15 +174,14 @@ object Pq {
       .select("q_id", "c_id")
     // vector fetch AFTER the cut: candidate side is |queries|·rerank rows,
     // corpus side co-keys on c_id — an ordinary shuffle join, nothing
-    // corpus-sized is broadcast or re-read with vectors attached
-    val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    candidates
+    // corpus-sized is broadcast or re-read with vectors attached. The
+    // final k-rank is the bounded heap (Ann.rankTopK shape): reranked
+    // candidates never cross a shuffle, only n_q·k ranked rows do
+    val reranked = candidates
       .join(encodedCorpus.select(col(cId).as("c_id"),
         col(cVec).cast("array<double>").as("c_vec")), Seq("c_id"))
       .join(broadcast(q.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(wSim))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "sim", "rank")
+    Ann.rankTopK(reranked.select("q_id", "c_id", "sim"), k)
   }
 }
