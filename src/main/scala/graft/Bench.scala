@@ -109,12 +109,21 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] $outPath write failed: ${e.getMessage}")
     }
-    // The LAST stdout line is a short total-only metric so it survives any
-    // tail window; a stop() failure must not swallow it.
+    // The LAST stdout line is the driver-contract metric line INCLUDING the
+    // per-query map ({"metric",...,"queries":{name:sec},"sf"}): the r15
+    // harness printed a total-only line and the driver's PERF could not
+    // compute per-query regressions or scaling ratios (PERF_r15 n_common: 0).
+    // Seconds are rounded to 1 ms to keep the line compact (~9 KB); full
+    // precision + all samples stay in the detail file above. A stop()
+    // failure must not swallow the line.
+    val qsCompact = obj(results.map { case (k, v) =>
+      k -> (if (v < 0) "-1" else f"$v%.3f")
+    })
     try spark.stop()
     finally {
       println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""failed":$failed,"stall_reruns":$stallReruns}""")
+        s""""failed":$failed,"stall_reruns":$stallReruns,""" +
+        s""""queries":$qsCompact,"sf":"$sfDir"}""")
       System.out.flush()
     }
   }

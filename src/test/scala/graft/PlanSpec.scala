@@ -151,13 +151,18 @@ class PlanSpec extends AnyFunSuite {
     assert(sliced.count() === expected)
   }
 
-  test("ANN top-k ranks map-side before the shuffle (partial WindowGroupLimit)") {
+  test("ANN top-k ranks map-side before the shuffle (partial top_k heap)") {
     val plan = formattedPlan(SparkEntry.queries("ann1_topk_exact")(spark, TestSession.sf))
-    // rank<=k over row_number must become a map-side group limit, so only
-    // k rows per query cross the exchange — the property that keeps exact
-    // rerank viable at corpus scale
-    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
-      s"no partial window group limit:\n$plan")
+    // the rank must be the bounded-heap top_k aggregate with a map-side
+    // PARTIAL pass, so only k candidates per query per input partition
+    // cross the exchange — the property that keeps exact rerank viable at
+    // corpus scale. Stronger than the old WindowGroupLimit pin: the heap
+    // holds O(k) state per query and the candidate set never shuffles or
+    // sorts at all (the window still exchanged + sorted every candidate).
+    assert(plan.contains("partial_top_k") && plan.contains("ObjectHashAggregate"),
+      s"no map-side partial top_k heap:\n$plan")
+    assert(!plan.contains("Window"),
+      s"corpus-sized rank window still in the serve plan:\n$plan")
     assert(plan.contains("BroadcastExchange"), "query side not broadcast")
   }
 
