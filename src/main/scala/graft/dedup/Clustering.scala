@@ -69,20 +69,22 @@ object Clustering {
 
     var labels = truncLabels(nodes.toDF("node").distinct()
       .withColumn("component", col("node")))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      val fromNbrs = sym.join(labels, sym("d") === labels("node"))
+
+    // One min-label propagation round as a PURE transformation: takes a
+    // frame with (node, component), emits (node, prev, component) where
+    // `prev` is the round's input label — the per-round movement signal
+    // fused blocks observe. NOT truncated per round: the pointer jump's
+    // self-join references each subtree twice and exchange reuse computes
+    // the shared exchanges once; label values are integer mins, so the
+    // result is plan-shape-independent.
+    def round(lbl0: DataFrame): DataFrame = {
+      val lbl = lbl0.select(col("node"), col("component"))
+      val fromNbrs = sym.join(lbl, sym("d") === lbl("node"))
         .groupBy(sym("s").as("nbr_node"))
         .agg(min(col("component")).as("nbr_min"))
-      // NOT truncated: the self-join below references this subtree twice
-      // and exchange reuse computes the shared exchanges once — one
-      // materialization per round instead of three (stepped + jumped +
-      // the convergence count each used to be their own job; label values
-      // are integer mins, so the result is plan-shape-independent)
-      val stepped = labels
-        .join(fromNbrs, labels("node") === fromNbrs("nbr_node"), "left")
-        .select(col("node"), col("component"),
+      val stepped = lbl
+        .join(fromNbrs, lbl("node") === fromNbrs("nbr_node"), "left")
+        .select(col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("next"))
       // pointer jumping (path halving): also follow the candidate label one
@@ -90,20 +92,38 @@ object Clustering {
       // squares the propagation distance per round and a long chain
       // converges in O(log diameter) rounds, not O(diameter)
       val hop = stepped.select(col("node").as("jn"), col("next").as("jnext"))
-      // convergence rides the SAME job as the round's materialization: an
+      stepped.join(hop, stepped("next") === hop("jn"), "left")
+        .select(stepped("node"), col("prev"),
+          least(stepped("next"), coalesce(col("jnext"), stepped("next")))
+            .as("component"))
+    }
+
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      // Fused blocks (r16, guide §1 fewer actions): after a first 1-round
+      // probe block, TWO rounds run per materialization/truncation.
+      // Labels form a min-semilattice, so fusing rounds lazily changes
+      // nothing about the fixpoint; convergence is observed on the LAST
+      // round's movement (component != prev — exactly the signal the
+      // 1-round loop observed), so a shallow graph still stops at the
+      // same round it always did while a deep chain pays half the
+      // actions/checkpoints. The 1-round first block keeps the common
+      // already-converged / 1-round cases at their old cost.
+      val roundsThisBlock = if (i == 0) 1 else math.min(2, maxIters - i)
+      var blk = labels
+      for (_ <- 1 to roundsThisBlock) blk = round(blk)
+      // convergence rides the SAME job as the block's materialization: an
       // observed metric instead of a separate count() action
       val obs = org.apache.spark.sql.Observation()
-      val jumped = truncLabels(stepped
-        .join(hop, stepped("next") === hop("jn"), "left")
-        .select(stepped("node"), stepped("component"),
-          least(stepped("next"), coalesce(col("jnext"), stepped("next")))
-            .as("next"))
-        .observe(obs, sum(when(col("next") =!= col("component"), 1L)
-          .otherwise(0L)).as("moved")))
+      val out = truncLabels(blk
+        .observe(obs, sum(when(col("component") =!= col("prev"), 1L)
+          .otherwise(0L)).as("moved"))
+        .select(col("node"), col("component")))
       changed = obs.get.get("moved").flatMap(Option(_))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = jumped.select(col("node"), col("next").as("component"))
-      i += 1
+      labels = out
+      i += roundsThisBlock
     }
     if (changed > 0) {
       val msg = s"connectedComponents exited UNCONVERGED after $maxIters rounds " +
