@@ -904,18 +904,29 @@ object TextQueries {
     * is exact; [[curationPipelineApprox]] passes the √n-cell approximate
     * set — the config that scales, gated by `pp8_curation_scale`. */
   private def curationPlan(s: SparkSession, dir: String,
-      nearDups: DataFrame): DataFrame = {
+      nearDups: => DataFrame): DataFrame = {
     val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val D28 = org.apache.spark.sql.types.DecimalType(28, 12)
     val docs = Tables.t(s, dir, "documents")
+    // The near-dup leg (KMeans rounds + the CC fixpoint — a chain of
+    // driver actions over the EMBEDDINGS) and the quality-gate trainer
+    // (GD pins over the DOCUMENTS) are independent computations that used
+    // to run strictly sequentially; constructing them on concurrent
+    // driver threads lets each leg's stages back-fill the cores the other
+    // leg's per-action tail leaves idle (guide §2.6 — the Scc pattern).
+    // Values are unchanged: both legs are deterministic and share no
+    // state (separate IterTrunc instances).
+    val nearDupsF =
+      java.util.concurrent.CompletableFuture.supplyAsync(() => nearDups)
     // 1) dd18: duplicated-substring removal → cleaned token count
     val cleaned = DedupQueries.dupSpanMask(docs).groupBy("doc_id")
       .agg(count(when(col("rm").isNull, 1)).as("n_tokens"))
+    // 3) tx34: model-based quality gate — keep z > corpus mean (trainer
+    // runs on THIS thread, concurrent with the near-dup future)
+    val (w, feats) = logregTrain(s, dir)
     // 2) dd17: drop docs whose embedding is a non-representative near-dup
     // (docs without an embedding carry no semantic evidence, pass through)
-    val surviving = cleaned.join(nearDups, Seq("doc_id"), "left_anti")
-    // 3) tx34: model-based quality gate — keep z > corpus mean
-    val (w, feats) = logregTrain(s, dir)
+    val surviving = cleaned.join(nearDupsF.join(), Seq("doc_id"), "left_anti")
     val scored = logregZ(feats.crossJoin(broadcast(w)))
     val zbar = scored.agg((sum(col("z").cast(D28)).cast("double") /
       count(lit(1))).as("zbar"))
