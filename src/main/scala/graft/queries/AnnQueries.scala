@@ -257,9 +257,11 @@ object AnnQueries {
         k = 8, iters = 3)
       val idx = new graft.similarity.IvfIndex(s,
         graft.util.Scratch.dir("graft_st33"), nPartitions = 8)
+      // delivery staging is corpus-frozen — overlap with the build
+      val stagingF = graft.util.Async.future(graft.streaming.Streams
+        .stagedFileStream(e.filter(col("vec_id") % 10 === 0), nFiles = 4))
       idx.build(base, cents)
-      val stream = graft.streaming.Streams.stagedFileStream(
-        e.filter(col("vec_id") % 10 === 0), nFiles = 4)
+      val stream = stagingF.join()
       val out = graft.util.Scratch.dir("graft_st33_out")
       graft.streaming.Streams.runForeachBatch(stream) { batch =>
         idx.append(batch, cents, maxDriftRatio = 4.0)
@@ -289,15 +291,22 @@ object AnnQueries {
       val e = Tables.t(s, dir, "embeddings")
       val rot = new graft.similarity.RotatingIvfIndex(s,
         graft.util.Scratch.dir("graft_st31"), nPartitions = 8)
+      // staging the query stream and training the mid-stream retrain's
+      // centroids depend only on the frozen corpus: run both concurrently
+      // with the live build and the early serve batches (guide §2.6 —
+      // training for a new generation proceeds WHILE serving continues;
+      // the promote still happens between batches 1 and 2)
+      val stagingF = graft.util.Async.future(graft.streaming.Streams
+        .stagedFileStream(e.filter(col("vec_id") < 8), nFiles = 4))
+      val retrain = graft.util.Async.future(graft.similarity.KMeans
+        .train(e, "vec_id", "embedding", k = 8, iters = 3))
       rot.build(e, graft.similarity.KMeans.train(e, "vec_id", "embedding",
         k = 4, iters = 2))
-      val stream = graft.streaming.Streams.stagedFileStream(
-        e.filter(col("vec_id") < 8), nFiles = 4)
+      val stream = stagingF.join()
       val out = graft.util.Scratch.dir("graft_st31_out")
       graft.streaming.Streams.runForeachBatchIds(stream) { (batch, id) =>
         if (id == 2) // the mid-stream retrain: promote a fresh generation
-          rot.rebuild(e, graft.similarity.KMeans.train(e, "vec_id",
-            "embedding", k = 8, iters = 3))
+          rot.rebuild(e, retrain.join())
         rot.serve(batch, k = 3, nprobe = 8)
           .write.mode("append").parquet(out)
       }
@@ -316,11 +325,16 @@ object AnnQueries {
       val half = e.filter(col("vec_id") % 2 === 0)
       val rot = new graft.similarity.RotatingIvfIndex(s,
         graft.util.Scratch.dir("graft_ann17"), nPartitions = 8)
+      // the NEXT generation's retrain depends only on the frozen corpus —
+      // train it concurrently with the live generation's build+append
+      // (guide §2.6; this is the production rebuild-while-serving shape:
+      // the swap still happens strictly after the append)
+      val retrain = graft.util.Async.future(graft.similarity.KMeans
+        .train(e, "vec_id", "embedding", k = 8, iters = 3))
       rot.build(half, graft.similarity.KMeans.train(half, "vec_id",
         "embedding", k = 8, iters = 3))
       rot.append(e.filter(col("vec_id") % 4 === 1), maxDriftRatio = 4.0)
-      rot.rebuild(e, graft.similarity.KMeans.train(e, "vec_id",
-        "embedding", k = 8, iters = 3))
+      rot.rebuild(e, retrain.join())
       rot.serve(e.filter(col("vec_id") < 8), k = 3, nprobe = 8)
         .orderBy("q_id", "rank")
     },
@@ -337,11 +351,14 @@ object AnnQueries {
       val half = e.filter(col("vec_id") % 2 === 0)
       val rot = new graft.similarity.RotatingIvfPqIndex(s,
         graft.util.Scratch.dir("graft_ann18"), nPartitions = 8, m = 8, k = 16)
+      // retrain for the next generation concurrently with build+append
+      // (guide §2.6 — see ann17)
+      val retrain = graft.util.Async.future(graft.similarity.KMeans
+        .train(e, "vec_id", "embedding", k = 8, iters = 3))
       rot.build(half, graft.similarity.KMeans.train(half, "vec_id",
         "embedding", k = 8, iters = 3))
       rot.append(e.filter(col("vec_id") % 4 === 1), maxDriftRatio = 4.0)
-      rot.rebuild(e, graft.similarity.KMeans.train(e, "vec_id",
-        "embedding", k = 8, iters = 3))
+      rot.rebuild(e, retrain.join())
       rot.serve(e.filter(col("vec_id") < 8), kTop = 3, nprobe = 8,
           rerank = Int.MaxValue)
         .orderBy("q_id", "rank")
@@ -607,10 +624,12 @@ object AnnQueries {
     // production nprobe) -------------------------------------------------
     "st27_stream_knn" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
+      // query staging is corpus-frozen — overlap with the quantizer train
+      val stagingF = graft.util.Async.future(graft.streaming.Streams
+        .stagedFileStream(e.filter(col("vec_id") < 8), nFiles = 4))
       val cents = graft.similarity.KMeans.train(e, "vec_id", "embedding",
         k = 4, iters = 2)
-      val stream = graft.streaming.Streams.stagedFileStream(
-        e.filter(col("vec_id") < 8), nFiles = 4)
+      val stream = stagingF.join()
       val out = graft.util.Scratch.dir("graft_st27")
       graft.streaming.Streams.runForeachBatch(stream) { batch =>
         Ann.ivfTopK(batch, e, cents, k = 3, nprobe = 4)
@@ -630,6 +649,10 @@ object AnnQueries {
     "st29_stream_ivf_serve" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
       val base = e.filter(col("vec_id") % 4 <= 1)
+      // the query-stream staging write depends only on the frozen corpus:
+      // overlap it with the train→build→append→compact chain (guide §2.6)
+      val stagingF = graft.util.Async.future(graft.streaming.Streams
+        .stagedFileStream(e.filter(col("vec_id") < 8), nFiles = 4))
       val cents = graft.similarity.KMeans.train(base, "vec_id", "embedding",
         k = 8, iters = 3)
       val idx = new graft.similarity.IvfIndex(s,
@@ -638,8 +661,7 @@ object AnnQueries {
       idx.append(e.filter(col("vec_id") % 4 === 2), cents, maxDriftRatio = 4.0)
       idx.append(e.filter(col("vec_id") % 4 === 3), cents, maxDriftRatio = 4.0)
       idx.compact()
-      val stream = graft.streaming.Streams.stagedFileStream(
-        e.filter(col("vec_id") < 8), nFiles = 4)
+      val stream = stagingF.join()
       val out = graft.util.Scratch.dir("graft_st29_out")
       graft.streaming.Streams.runForeachBatch(stream) { batch =>
         idx.serve(batch, cents, k = 3, nprobe = 8)

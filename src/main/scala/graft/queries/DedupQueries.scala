@@ -176,9 +176,12 @@ object DedupQueries {
       val docs = Tables.t(s, dir, "documents")
       val idx = new graft.dedup.LshIndex(s,
         graft.util.Scratch.dir("graft_st32"), nPartitions = 16)
+      // delivery staging is corpus-frozen — overlap with the build
+      // (guide §2.6 job overlap)
+      val stagingF = graft.util.Async.future(graft.streaming.Streams
+        .stagedFileStream(docs.filter(col("doc_id") % 10 === 0), nFiles = 4))
       idx.build(docs.filter(col("doc_id") % 10 =!= 0))
-      val stream = graft.streaming.Streams.stagedFileStream(
-        docs.filter(col("doc_id") % 10 === 0), nFiles = 4)
+      val stream = stagingF.join()
       val out = graft.util.Scratch.dir("graft_st32_out")
       graft.streaming.Streams.runForeachBatch(stream) { batch =>
         idx.append(batch)
