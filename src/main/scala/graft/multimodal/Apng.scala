@@ -91,10 +91,24 @@ object Apng {
     out.toByteArray
   }
 
+  // One PNG writer per task thread (guide §4.5; see Avi.jpegWriter — the
+  // per-call ImageIO.write walks the synchronized IIORegistry AND may
+  // route through a disk-backed stream cache). writer.write(img) with a
+  // memory-cached output is the same default-parameter encode path →
+  // byte-identical output.
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("png").next()
+  }
+
   /** Encode one RGBA raster via ImageIO and keep only its zlib stream. */
   private def encodeRaster(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = pngWriter.get()
+    w.setOutput(out)
+    w.write(img)
+    out.close()
     idatOf(bos.toByteArray)
   }
 
@@ -289,7 +303,21 @@ object Apng {
       be32(f.width) ++ be32(f.height) ++ Array[Byte](8, 6, 0, 0, 0))
     writeChunk(out, "IDAT", f.data)
     writeChunk(out, "IEND", Array.empty[Byte])
-    ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(out.toByteArray))
+    val r = pngReader.get()
+    r.setInput(iis, true, true)
+    try r.read(0) finally iis.close()
+  }
+
+  // One PNG reader per task thread (guide §4.5; see pngWriter): the
+  // per-call ImageIO.read walks the synchronized IIORegistry per frame
+  // and may route through a disk-backed stream cache. A forced reader
+  // throws where ImageIO.read returned null — both degrade to the null
+  // sum in the NonFatal-guarded caller.
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("png").next()
   }
 
   /** The APNG output-buffer state machine, exact integer math throughout:

@@ -51,8 +51,27 @@ object Avi {
     * so a CONSTANT-luma block round-trips bit-exactly (DC-only DCT) —
     * which is what lets an external oracle predict decoded luma sums;
     * arbitrary rasters decode with normal (lossy) JPEG error. */
+  // One JPEG writer per task thread (guide §4.5: heavyweight state once
+  // per task, not per row): the per-call `getImageWritersByFormatName`
+  // walks the synchronized IIORegistry — under a spread 32-thread encode
+  // stage the registry monitor serializes every frame (measured: mm9
+  // task-time exploding >10x under concurrency). Same writer class, same
+  // explicit-quality param per call → byte-identical output.
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("jpeg").next()
+  }
+
+  // One JPEG reader per task thread (guide §4.5; see jpegWriter). A
+  // forced reader throws where ImageIO.read returned null — both degrade
+  // to the null sum in the NonFatal-guarded caller.
+  private val jpegReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("jpeg").next()
+  }
+
   private[multimodal] def encodeJpeg(img: BufferedImage): Array[Byte] = {
-    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val w = jpegWriter.get()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(1.0f)
@@ -60,7 +79,7 @@ object Avi {
     val out = new MemoryCacheImageOutputStream(bos)
     w.setOutput(out)
     w.write(null, new IIOImage(img, null, null), p)
-    w.dispose(); out.close()
+    out.close()
     bos.toByteArray
   }
 
@@ -277,7 +296,11 @@ object Avi {
     * kill the whole partition's task. */
   private def lumaSum(jpeg: Array[Byte]): java.lang.Long =
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(jpeg))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(jpeg))
+      val r = jpegReader.get()
+      r.setInput(iis, true, true)
+      val img = try r.read(0) finally iis.close()
       if (img == null) null
       else {
         var s = 0L

@@ -49,13 +49,26 @@ object Gif {
   private[multimodal] final case class FrameData(
       palette: Array[Byte], lzw: Array[Byte], interlaced: Boolean)
 
+  // One GIF writer per task thread (guide §4.5; see Avi.jpegWriter):
+  // per-call ImageIO.write walks the synchronized IIORegistry and may
+  // route through a disk-backed stream cache. Same default-parameter
+  // encode path → byte-identical output.
+  private val gifWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("gif").next()
+  }
+
   /** Encode one raster as a single-frame GIF via ImageIO and slice out its
     * palette + LZW data. The JDK writer emits a GCT for indexed/gray
     * input; the image descriptor never carries an LCT then, but both
     * placements are handled (effective palette = LCT if present else GCT). */
   private[multimodal] def encodeFrame(img: BufferedImage): FrameData = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "gif", bos)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = gifWriter.get()
+    w.setOutput(out)
+    w.write(img)
+    out.close()
     val b = bos.toByteArray
     // header(6) + LSD(7)
     val packed = b(10) & 0xff
@@ -273,7 +286,19 @@ object Gif {
     out.write(if (f.interlaced) 0x40 else 0) // no LCT; interlace preserved
     out.write(f.lzw, 0, f.lzw.length)
     out.write(0x3b)
-    ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(out.toByteArray))
+    val r = gifReader.get()
+    r.setInput(iis, true, true)
+    try r.read(0) finally iis.close()
+  }
+
+  // One GIF reader per task thread (guide §4.5; see gifWriter). A forced
+  // reader throws where ImageIO.read returned null — both degrade to the
+  // null sum in the NonFatal-guarded caller.
+  private val gifReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("gif").next()
   }
 
   /** Palette-resolved luma sum (blue channel — R=G=B for a gray palette);

@@ -267,8 +267,22 @@ object Multimodal {
       j += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = tokenPngWriter.get()
+    w.setOutput(out)
+    w.write(img)
+    out.close()
     bos.toByteArray
+  }
+
+  // One PNG writer per task thread (guide §4.5; see Avi.jpegWriter): the
+  // per-call ImageIO.write walks the synchronized IIORegistry and may
+  // route through a disk-backed stream cache — both serialize a spread
+  // multi-thread encode stage. Same default-parameter encode path →
+  // byte-identical PNGs.
+  private val tokenPngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
   }
 
   val LumaHistogramType: StructType = StructType(Seq(

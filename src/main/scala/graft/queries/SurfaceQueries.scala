@@ -419,8 +419,9 @@ object SurfaceQueries {
     // quantile-sampled raster shifts globally under token insertion.
     // MultimodalSpec still pins aHash semantics on known pixels.) ---------
     "mm5_image_neardup" -> { (s, dir) =>
+      // PNG encode + real-decode aHash per doc runs IN the scan stage
       val toPng = udf(Multimodal.tokenRasterPng _)
-      val docs = Tables.t(s, dir, "documents")
+      val docs = graft.util.Spread(Tables.t(s, dir, "documents"))
         .withColumn("png", toPng(col("text")))
       val hashes = Multimodal.extractImageHashes(docs, "doc_id", "png")
       val cand = graft.dedup.TextDedup.hammingCandidates(hashes.na.drop(),
@@ -473,7 +474,10 @@ object SurfaceQueries {
     // container facts and per-frame decoded luma sums straight from the
     // text, so a header-layout, demux, or decode slip cannot cancel out --
     "mm9_video_mjpeg" -> { (s, dir) =>
-      val docs = Tables.t(s, dir, "documents")
+      // codec work is heavy IN the scan stage and the corpus fits one
+      // split locally — Spread unlocks the cores; no-op at production
+      // split counts (per-row features, partitioning-independent)
+      val docs = graft.util.Spread(Tables.t(s, dir, "documents"))
         .withColumn("content", substring(col("text"), 1, 16).cast("binary"))
       val vids = Multimodal.resizeContent(docs, "content",
         graft.multimodal.Avi.MjpegAviEncoder(width = 8, height = 8, fps = 25))
@@ -516,6 +520,9 @@ object SurfaceQueries {
     // a slip in the chunk walk, CRC, zlib splice, dispose regions, or
     // blend arithmetic breaks the hash ----
     "mm15_video_apng" -> { (s, dir) =>
+      // NOT spread: measured 16s/410 task-s under 32-way concurrency vs
+      // 1.7s single-task — the APNG encode/compose path serializes on
+      // JDK-internal state even with per-thread ImageIO writers/readers
       val docs = Tables.t(s, dir, "documents")
         .withColumn("content", substring(col("text"), 1, 192).cast("binary"))
       val vids = Multimodal.resizeContent(docs, "content",
