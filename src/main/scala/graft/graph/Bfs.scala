@@ -74,11 +74,6 @@ object Bfs {
     require(keyCols.last == "node", "the traversal key must end in `node`")
     val spark = edges.sparkSession
     val trunc = new graft.ops.IterTrunc(spark, checkpointDir, tag)
-    // two live state tables → one eager-delete channel each: a shared
-    // channel would delete the visited file while the frontier (or vice
-    // versa) still reads it
-    val visitedChan = trunc.channel()
-    val frontierChan = trunc.channel()
 
     val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
     val adj = trunc.pin(
@@ -86,25 +81,34 @@ object Bfs {
         .distinct())
 
     val carry = keyCols.init
-    // frontier sizes ride each materialization as observed metrics — one
-    // action per hop, not a channel write plus a separate count() job
-    var (visited, frontierSize) =
-      graft.ops.IterTrunc.counted(visitedChan, visited0)
-    var frontier = visited.select(keyCols.map(col): _*)
+    // ONE materialization per hop (r16): each distance-k shell is pinned
+    // as it is discovered, and the visited set is the lazy UNION of the
+    // already-materialized shells — the old per-round visited-union
+    // channel write re-materialized every previously visited row each hop
+    // (2 actions and ~|visited| extra write volume per round). The
+    // anti-join and the final result read the same rows either way; the
+    // plan grows one pinned-RDD scan per hop, bounded by the hop count.
+    // Shells are PINNED (never eager-deleted): every later round's
+    // anti-join still reads them — exactly the bytes the old single
+    // visited table held.
+    var (first, frontierSize) =
+      graft.ops.IterTrunc.counted(trunc.pin, visited0)
+    var visited = first
+    var frontier = first.select(keyCols.map(col): _*)
     var k = 0
     while (frontierSize > 0 && k < maxHops) {
       k += 1
       // frontier's successors not yet visited = the distance-k shell;
       // distinct() before the anti-join so a (tag, node) reached over many
       // edges enters once (and the anti-join probe stays small)
-      val (next, nextSize) = graft.ops.IterTrunc.counted(frontierChan,
+      val (next, nextSize) = graft.ops.IterTrunc.counted(trunc.pin,
         adj.join(frontier, adj("u") === frontier("node"))
           .select(carry.map(frontier(_)) :+ adj("v").as("node"): _*).distinct()
           .join(visited.select(keyCols.map(col): _*), keyCols, "left_anti")
           .withColumn("dist", lit(k)))
       frontierSize = nextSize
       if (frontierSize > 0) {
-        visited = visitedChan(visited.union(next))
+        visited = visited.union(next)
         frontier = next.select(keyCols.map(col): _*)
       }
     }

@@ -92,9 +92,15 @@ class BfsSpec extends AnyFunSuite {
       val ckpt = Bfs.hopLevels(edges, df1(Seq(1L)), maxHops = 20,
         checkpointDir = Some(dir.toString))
       assert(toMap(ckpt) === local && local.size === 12)
-      // an 11-round expansion materializes a visited and a frontier table
-      // per round; only the pinned adjacency + each channel's final file
-      // may survive (≤3 files), or eager cleanup has regressed
+      // r16 shape: each distance-k shell is pinned ONCE (one file per
+      // hop, linear total write volume — every row written exactly once)
+      // and the visited set is the lazy union of those shells; the old
+      // per-round visited-union channel re-wrote all previously visited
+      // rows every hop (quadratic writes) to keep ≤3 live files. Pin the
+      // new contract: at most hops+2 files (adjacency + source shell +
+      // one per expansion round), and never more — a regression back to
+      // cumulative per-round unions would blow this up only in BYTES,
+      // which the level equality above plus this count bound.
       val ls = java.nio.file.Files.list(dir)
       val runs = try {
         val it = ls.iterator()
@@ -110,8 +116,11 @@ class BfsSpec extends AnyFunSuite {
         while (it.hasNext) buf += it.next().getFileName.toString
         buf.toSeq.sorted
       } finally inner.close()
-      assert(files.count(_.startsWith("bfs-")) <= 3,
-        s"stale per-round files survived: $files")
+      // 12 nodes on a path from source 1 → 11 expansion rounds + the
+      // empty 12th probe: adjacency + 12 shell pins + the final empty
+      // shell = 14; anything beyond hops+3 means duplicated shell writes
+      assert(files.count(_.startsWith("bfs-")) <= 14,
+        s"more shell files than hops survived: $files")
       // the returned DataFrame stays valid off the surviving final file
       assert(ckpt.count() === 12)
     } finally {
