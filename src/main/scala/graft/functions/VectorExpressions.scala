@@ -134,7 +134,10 @@ object VectorMath {
     while (i < k) {
       if (!cents.isNullAt(i)) {
         val c = cents.getStruct(i, 2)
-        if (!c.isNullAt(1)) {
+        // a null cent id must be skipped like a null cv: reading the id
+        // slot of a null-cent winner would fabricate cell id 0 instead of
+        // mirroring the old min_by/window null ordering (ADVICE r15)
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
           val d2 = l2sq(vec, c.getArray(1), vF, cvF)
           if (d2 != null) {
             val d = d2.asInstanceOf[java.lang.Double].doubleValue()
@@ -172,7 +175,8 @@ object VectorMath {
     while (i < k) {
       if (!cents.isNullAt(i)) {
         val c = cents.getStruct(i, 2)
-        if (!c.isNullAt(1)) {
+        // null cent id skipped like a null cv — see [[nearestCell]]
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
           val d2 = l2sq(vec, c.getArray(1), vF, cvF)
           if (d2 != null) {
             val d = d2.asInstanceOf[java.lang.Double].doubleValue()

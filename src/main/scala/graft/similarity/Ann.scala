@@ -49,6 +49,16 @@ object Ann {
     * integral vec ids. */
   private[similarity] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.GraftFunctions.top_k
+    // the heap's ascending tie-break negates the id, so the id must be a
+    // numeric type — fail with an actionable message instead of a Catalyst
+    // analysis error on e.g. string ids (ADVICE r15). Long.MinValue would
+    // negate to itself (two's complement) and silently invert its
+    // tie-break rank; no serve surface mints that id.
+    require(scored.schema("c_id").dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"rankTopK requires a numeric c_id for its ascending tie-break " +
+        s"(got ${scored.schema("c_id").dataType.simpleString}); map " +
+        "non-numeric ids to a dense numeric key before serving")
     scored
       .groupBy("q_id")
       .agg(top_k(struct(col("sim").as("sim"), (-col("c_id")).as("ncid"),
@@ -295,6 +305,13 @@ object Ann {
       .crossJoin(broadcast(centsRow(centroids, centId, centVec)))
       .select(col(idCol), col(vecCol),
         nearest_cell(col(vecCol), col("__cs")).as("__nc"))
+      // empty-centroids contract (ADVICE r15): the old broadcast inner
+      // join emitted zero rows for an empty centroid frame; centsRow's
+      // agg always yields one row with an empty array and nearest_cell
+      // then returns null — drop those rows so the contract is preserved
+      // (a no-op narrow filter when centroids exist: __nc is non-null for
+      // every fixed-dim vector then)
+      .filter(col("__nc").isNotNull)
       .select(col(idCol), col(vecCol),
         col("__nc.cent").as(cellCol), col("__nc.d2").as("d2"))
   }

@@ -83,13 +83,17 @@ final class IvfIndex(val spark: SparkSession, val root: String,
     // silently drift-checking appends against a stale baseline
     Files.deleteIfExists(metaPath)
     onStep("metaInvalidated")
-    store.init(assigned)
+    // the drift baseline rides the init write as an observed metric
+    // (guide §1: one action) — the separate read-back job was a full
+    // d2-column scan of the just-written index at ANY corpus scale
+    val obs = org.apache.spark.sql.Observation()
+    store.init(assigned.observe(obs, avg(col("d2")).as("mean_d2")))
     onStep("storeInit")
-    val meanRow = store.read().agg(avg(col("d2"))).collect()(0)
-    require(!meanRow.isNullAt(0),
+    val meanOpt = obs.get.get("mean_d2").flatMap(Option(_))
+    require(meanOpt.isDefined,
       s"IVF build corpus yielded no assignment distances (null embeddings?) " +
         s"— the index at $root has no drift baseline")
-    val mean = meanRow.getDouble(0)
+    val mean = meanOpt.get.asInstanceOf[Double]
     val body = String.format(java.util.Locale.ROOT,
       """{"train_mean_d2":%s,"n_partitions":%d}""",
       java.lang.Double.toString(mean), Int.box(nPartitions))

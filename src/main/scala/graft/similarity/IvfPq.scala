@@ -77,11 +77,17 @@ object IvfPq {
       .join(broadcast(q), Seq("cent"))
       .withColumn("adc", graft.functions.VectorExprFunctions
         .pq_adc(col("code"), col("dtab")))
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
-    val candidates = scored
-      .withColumn("crank", row_number().over(wAdc))
-      .filter(col("crank") <= rerank)
-      .select("q_id", "c_id")
+    // exhaustive rerank keeps every candidate — skip the corpus-candidate
+    // rank window entirely (see [[Pq.adcTopK]]; guide §2.4)
+    val candidates =
+      if (rerank == Int.MaxValue) scored.select("q_id", "c_id")
+      else {
+        val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+        scored
+          .withColumn("crank", row_number().over(wAdc))
+          .filter(col("crank") <= rerank)
+          .select("q_id", "c_id")
+      }
     // exact rerank: vectors fetched AFTER the cut (|queries|·rerank rows);
     // the final k-rank is the bounded heap (Ann.rankTopK) — reranked
     // candidates never cross a shuffle, only n_q·k ranked rows do

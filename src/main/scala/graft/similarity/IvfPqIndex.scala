@@ -126,15 +126,20 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
     onStep("metaInvalidated")
     writeCodebooks(books)
     onStep("codebooksWritten")
-    store.init(Pq.encode(res, "__res", books).select(storedCols: _*))
+    // baseline rides the init write as an observed metric — one action,
+    // no post-write d2-column rescan (see [[IvfIndex.build]])
+    val obs = org.apache.spark.sql.Observation()
+    store.init(Pq.encode(res, "__res", books).select(storedCols: _*)
+      .observe(obs, avg(col("d2")).as("mean_d2")))
     onStep("storeInit")
-    val meanRow = store.read().agg(avg(col("d2"))).collect()(0)
-    require(!meanRow.isNullAt(0),
+    val meanOpt = obs.get.get("mean_d2").flatMap(Option(_))
+    require(meanOpt.isDefined,
       s"IVF-PQ build corpus yielded no assignment distances (null " +
         s"embeddings?) — the index at $root has no drift baseline")
     val body = String.format(java.util.Locale.ROOT,
       """{"train_mean_d2":%s,"m":%d,"k":%d,"sub_dim":%d,"n_partitions":%d}""",
-      java.lang.Double.toString(meanRow.getDouble(0)), Int.box(m), Int.box(k),
+      java.lang.Double.toString(meanOpt.get.asInstanceOf[Double]),
+      Int.box(m), Int.box(k),
       Int.box(books.subDim), Int.box(nPartitions))
     val tmp = Paths.get(root, s".meta_tmp${System.nanoTime()}")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -258,11 +263,17 @@ final class IvfPqIndex(val spark: SparkSession, val root: String,
       .join(broadcast(probes), Seq(cellCol))
       .withColumn("__adc", graft.functions.VectorExprFunctions
         .pq_adc(col("code"), col("__dtab")))
-    val wAdc = Window.partitionBy("q_id").orderBy(col("__adc"), col("c_id"))
-    val candidates = scored
-      .withColumn("__cr", row_number().over(wAdc))
-      .filter(col("__cr") <= rerank)
-      .select("q_id", "c_id")
+    // exhaustive rerank keeps every candidate — skip the corpus-candidate
+    // rank window entirely (see [[Pq.adcTopK]]; guide §2.4)
+    val candidates =
+      if (rerank == Int.MaxValue) scored.select("q_id", "c_id")
+      else {
+        val wAdc = Window.partitionBy("q_id").orderBy(col("__adc"), col("c_id"))
+        scored
+          .withColumn("__cr", row_number().over(wAdc))
+          .filter(col("__cr") <= rerank)
+          .select("q_id", "c_id")
+      }
     // exact rerank: |queries|·rerank raw vectors, equi-joined from the
     // probed partitions after the cut
     val qVecs = probesLocal.select(col("q_id"),

@@ -31,15 +31,39 @@ import java.math.{BigDecimal => JBD, RoundingMode}
 private[graft] object PowerIteration {
 
   /** Spark's Cast(DoubleType → DecimalType(_, scale)) on this data: through
-    * the double's shortest decimal string, then HALF_UP to `scale`. */
-  def castD(x: Double, scale: Int): JBD =
-    JBD.valueOf(x).setScale(scale, RoundingMode.HALF_UP)
+    * the double's shortest decimal string, then HALF_UP to `scale`.
+    *
+    * Parity is TOTAL, not data-dependent (ADVICE r15): Spark's cast
+    * returns NULL on precision overflow (scale 12 ⇒ DECIMAL(28,12), so
+    * |x| ≥ ~1e16; scale 6 ⇒ DECIMAL(18,6), |x| ≥ ~1e12) and `sum` then
+    * silently skips the term — a magnitude the local loop would happily
+    * keep. Rather than threading Option through the whole iteration, the
+    * bound is ASSERTED: Gram magnitudes anywhere near 1e16 mean the
+    * corpus stats are broken, and a loud error beats a silent fork from
+    * the distributed formulation. */
+  def castD(x: Double, scale: Int): JBD = {
+    val d = JBD.valueOf(x).setScale(scale, RoundingMode.HALF_UP)
+    val precision = scale match { case 12 => 28; case 6 => 18
+      case s => throw new IllegalArgumentException(s"unmapped scale $s") }
+    if (d.precision > precision) throw new ArithmeticException(
+      s"castD($x, $scale) needs ${d.precision} digits > DECIMAL($precision," +
+        s"$scale): Spark's cast would return NULL here and the decimal sum " +
+        "would skip the term — input magnitude is outside the bit-parity " +
+        "contract's bound")
+    d
+  }
 
-  /** `sum(expr.cast(DECIMAL(28,12))).cast("double")` over the given terms. */
+  /** `sum(expr.cast(DECIMAL(28,12))).cast("double")` over the given terms.
+    * Spark accumulates in DECIMAL(38,12); an accumulator needing more
+    * digits nulls the whole sum — asserted for the same reason as
+    * [[castD]]'s bound. */
   def sumD12(xs: IterableOnce[Double]): Double = {
     var acc = JBD.ZERO
     val it = xs.iterator
     while (it.hasNext) acc = acc.add(castD(it.next(), 12))
+    if (acc.precision > 38) throw new ArithmeticException(
+      s"sumD12 accumulator needs ${acc.precision} digits > DECIMAL(38,12): " +
+        "Spark's sum would overflow to NULL — outside the parity contract")
     acc.doubleValue()
   }
 

@@ -167,11 +167,20 @@ object Pq {
     val scored = c.join(broadcast(q.select(col("q_id"), col("dtab"))))
       .withColumn("adc", graft.functions.VectorExprFunctions
         .pq_adc(col("code"), col("dtab")))
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
-    val candidates = scored
-      .withColumn("crank", row_number().over(wAdc))
-      .filter(col("crank") <= rerank)
-      .select("q_id", "c_id")
+    // rerank = Int.MaxValue (the exhaustive oracle config) keeps EVERY
+    // candidate: the per-query rank window would shuffle+sort the whole
+    // scored candidate set by q_id only for a filter that passes all rows
+    // (row_number can't even exceed Int.MaxValue) — skip it outright, the
+    // exact rerank below is then the whole operator (guide §2.4)
+    val candidates =
+      if (rerank == Int.MaxValue) scored.select("q_id", "c_id")
+      else {
+        val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+        scored
+          .withColumn("crank", row_number().over(wAdc))
+          .filter(col("crank") <= rerank)
+          .select("q_id", "c_id")
+      }
     // vector fetch AFTER the cut: candidate side is |queries|·rerank rows,
     // corpus side co-keys on c_id — an ordinary shuffle join, nothing
     // corpus-sized is broadcast or re-read with vectors attached. The

@@ -166,6 +166,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), "query side not broadcast")
   }
 
+  test("exhaustive-rerank ADC serve has no candidate rank window") {
+    val emb = Tables.t(spark, TestSession.sf, "embeddings")
+    val books = graft.similarity.Pq.Codebooks(m = 8, k = 4, subDim = 8,
+      IndexedSeq.tabulate(8)(s => IndexedSeq.tabulate(4)(c =>
+        Seq.tabulate(8)(d => (s + c + d) * 0.1))))
+    val enc = graft.similarity.Pq.encode(emb, "embedding", books)
+    // rerank = Int.MaxValue (every declared PQ query's oracle config) keeps
+    // every candidate: the ADC cut window would exchange + sort the whole
+    // scored candidate set by q_id for a filter that passes all rows — the
+    // serve plan must not contain it (the bounded-rerank config above keeps
+    // its WindowGroupLimit pin; this is the complementary shape)
+    val out = graft.similarity.Pq.adcTopK(
+      emb.filter(col("vec_id") < 4), enc, books, k = 3, rerank = Int.MaxValue)
+    val plan = formattedPlan(out)
+    assert(!plan.contains("Window"),
+      s"exhaustive rerank still pays the candidate rank window:\n$plan")
+    assert(plan.contains("partial_top_k") && plan.contains("ObjectHashAggregate"),
+      s"no map-side partial top_k heap:\n$plan")
+  }
+
   test("graph batch-vs-store split never broadcasts the raw store side") {
     import spark.implicits._
     val existing = Tables.t(spark, TestSession.sf, "orders")
